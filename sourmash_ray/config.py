@@ -1,0 +1,66 @@
+"""Engine configuration.
+
+``SketchParams`` (functions/sketch.py) mirrors the reference's
+``ComputeParameters`` (``/root/reference/src/sourmash/command_sketch.py:25-30,
+864-1085``). ``EngineConfig`` adds what the reference never needed — LSH
+banding parameters and Ray Data execution knobs — because the new engine
+replaces the O(n²) ``compare`` ancestor (``/root/reference/src/sourmash/
+compare.py:14-64``) with banded candidate generation at 10^12-turn scale.
+
+LSH default (bands=42, rows=3, 126 permutations): for a true-Jaccard-0.5
+pair the candidate-capture probability is 1-(1-0.5^3)^42 ≈ 0.9965, which
+(together with the exact-md5 dedup path that catches identical texts with
+probability 1) clears the dup-pair recall ≥ 0.99 target at the default
+verify threshold 0.5.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .functions.sketch import SketchParams
+
+# Default transcript sketch config — the analogue of the reference's DNA
+# default "k=31,scaled=1000" (command_sketch.py:26). Conversations are a
+# few KB of normalized text, so scaled=16 keeps O(100) mins per sketch.
+DEFAULT_SKETCH = SketchParams(ksize=31, scaled=16, num=0, seed=42,
+                              track_abundance=False, normalization="ws")
+
+
+@dataclass(frozen=True)
+class LSHParams:
+    """Classic MinHash-LSH banding over a ``num_perm``-permutation
+    signature (Broder '97 / MMDS ch.3 — public algorithm)."""
+
+    num_perm: int = 126
+    bands: int = 42
+    rows: int = 3
+    # buckets larger than this are "hot bands" (boilerplate); they are
+    # chained instead of fully paired (SURVEY.md §4 skew row).
+    max_bucket_pairs_members: int = 64
+
+    def __post_init__(self):
+        if self.bands * self.rows != self.num_perm:
+            raise ValueError("bands*rows must equal num_perm")
+
+
+@dataclass(frozen=True)
+class ExecParams:
+    """Ray Data execution knobs (sized for a 32-cpu node in tests; the
+    same code scales by raising ``num_partitions`` on a real cluster)."""
+
+    num_partitions: int = 32          # shuffle/join partition count
+    sketch_batch_size: int = 4096     # turns per sketcher batch
+    verify_batch_size: int = 8192     # pairs per verifier batch
+    cc_max_iters: int = 25            # label-propagation round cap
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    sketch: SketchParams = DEFAULT_SKETCH
+    lsh: LSHParams = field(default_factory=LSHParams)
+    exec: ExecParams = field(default_factory=ExecParams)
+    verify_threshold: float = 0.5     # jaccard cut for a verified dup pair
+
+
+DEFAULT_CONFIG = EngineConfig()

@@ -24,6 +24,7 @@ Invariants kept (SURVEY.md §1.3):
 from __future__ import annotations
 
 import hashlib
+import re
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -75,31 +76,32 @@ class SketchParams:
         return max_hash_for_scaled(self.scaled)
 
 
+# ASCII whitespace class — kept identical across the scalar oracle path
+# (python `re`), the vectorized path (pyarrow RE2) and DuckDB oracle SQL
+# (RE2), so all three normalize bit-identically.
+WS_PATTERN = r"[ \t\n\r\f\v]+"
+ALNUM_DROP_PATTERN = r"[^a-z0-9]+"
+
+_WS_RE = re.compile(WS_PATTERN)
+_ALNUM_RE = re.compile(ALNUM_DROP_PATTERN)
+
+
 def normalize_text(text: str, mode: str = "ws") -> bytes:
     """Text normalization — the analogue of the reference's alphabet
     encodings (``encodings.rs:307-368``: aa/dayhoff/hp modes).
 
     - ``"raw"``: utf-8 bytes as-is.
-    - ``"ws"``: lowercase, collapse all whitespace runs to single spaces,
+    - ``"ws"``: lowercase, collapse ASCII-whitespace runs to single spaces,
       strip ends.
-    - ``"alnum"``: lowercase, drop everything but [a-z0-9], collapse to
-      single spaces between runs.
+    - ``"alnum"``: lowercase, collapse every non-[a-z0-9] run to a single
+      space, strip ends.
     """
     if mode == "raw":
         return text.encode("utf-8")
     if mode == "ws":
-        return " ".join(text.lower().split()).encode("utf-8")
+        return _WS_RE.sub(" ", text.lower()).strip(" ").encode("utf-8")
     if mode == "alnum":
-        out = []
-        prev_space = True
-        for ch in text.lower():
-            if ch.isalnum():
-                out.append(ch)
-                prev_space = False
-            elif not prev_space:
-                out.append(" ")
-                prev_space = True
-        return "".join(out).strip().encode("utf-8")
+        return _ALNUM_RE.sub(" ", text.lower()).strip(" ").encode("utf-8")
     raise ValueError(f"unknown normalization mode: {mode}")
 
 
