@@ -46,13 +46,28 @@ class LSHParams:
 
 @dataclass(frozen=True)
 class ExecParams:
-    """Ray Data execution knobs (sized for a 32-cpu node in tests; the
-    same code scales by raising ``num_partitions`` on a real cluster)."""
+    """Ray Data execution knobs. ``num_partitions=None`` resolves to the
+    cluster CPU count at run time (hash-shuffle joins spawn that many
+    aggregator actors; oversizing it versus the cluster starves the other
+    stages and can deadlock a small test cluster)."""
 
-    num_partitions: int = 32          # shuffle/join partition count
-    sketch_batch_size: int = 4096     # turns per sketcher batch
-    verify_batch_size: int = 8192     # pairs per verifier batch
-    cc_max_iters: int = 25            # label-propagation round cap
+    num_partitions: int | None = None  # shuffle/join partition count
+    sketch_batch_size: int = 4096      # turns per sketcher batch
+    verify_batch_size: int = 8192      # pairs per verifier batch
+    cc_max_iters: int = 25             # label-propagation round cap
+
+
+def resolve_num_partitions(cfg: "EngineConfig") -> int:
+    if cfg.exec.num_partitions:
+        return cfg.exec.num_partitions
+    try:
+        import ray
+
+        if ray.is_initialized():
+            return max(2, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        pass
+    return 8
 
 
 @dataclass(frozen=True)

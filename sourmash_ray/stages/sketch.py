@@ -34,7 +34,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..config import EngineConfig, DEFAULT_CONFIG
+from ..config import EngineConfig, DEFAULT_CONFIG, resolve_num_partitions
 from ..functions.murmur import murmur64_fixedlen
 from ..functions.perm import MAX_U64, perm_minima, perm_seeds
 from ..functions.sketch import (
@@ -239,7 +239,7 @@ def sketch_transcripts(ds, cfg: EngineConfig = DEFAULT_CONFIG):
         fn_constructor_args=(cfg.sketch,),
         batch_format="pyarrow",
         batch_size=cfg.exec.sketch_batch_size,
-        concurrency=(1, cfg.exec.num_partitions),
+        concurrency=(1, resolve_num_partitions(cfg)),
         num_cpus=1,
     )
     return partial.groupby("conv_id").map_groups(

@@ -1,0 +1,110 @@
+"""Verify stage: candidate pairs → true sketch similarity, thresholded.
+
+The row-pair kernel implements the reference's pairwise-compare harness
+semantics (``/root/reference/src/sourmash/sketchcomparison.py:11-256``):
+Jaccard per ``minhash.rs:624-631`` (scaled estimator, or the combined
+bottom-k estimator in num mode, ``minhash.rs:593-621``) plus both raw
+containments |A∩B|/|A| (``minhash.py:819-841`` without the bias factor, so
+values are exactly reproducible by the oracle and by SQL).
+
+Join strategy: two distributed hash joins attach each side's sketch to the
+pair rows (SURVEY.md §7.4 "verify join" row), partitioned by conv_id.
+Arrow's Acero join cannot carry ``list<uint64>`` payload columns, so the
+sorted ``mins`` ride along as a little-endian ``binary`` blob — a zero-copy
+reinterpretation of the list values buffer, 8 bytes per hash.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import EngineConfig, DEFAULT_CONFIG, resolve_num_partitions
+
+
+def mins_to_blob(batch: pa.Table) -> pa.Table:
+    """(conv_id, mins: list<u64>) → (conv_id, blob: binary), zero-copy."""
+    lst = batch["mins"].combine_chunks()
+    offs = np.asarray(lst.offsets, dtype=np.int32)
+    values = np.asarray(lst.flatten(), dtype=np.uint64)
+    data = values.view(np.uint8)
+    blob = pa.Array.from_buffers(
+        pa.binary(), batch.num_rows,
+        [None, pa.py_buffer((offs * 8).astype(np.int32)), pa.py_buffer(data)])
+    return pa.table({"conv_id": batch["conv_id"], "blob": blob})
+
+
+def _blob_views(col: pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+    arr = col.combine_chunks()
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)
+    offs = offs[arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
+    buf = arr.buffers()[2]
+    data = (np.frombuffer(buf, dtype=np.uint8) if buf is not None
+            else np.empty(0, np.uint8))
+    return offs, data
+
+
+class PairScorer:
+    """map_batches kernel over joined pair rows (blob_a, blob_b)."""
+
+    def __init__(self, num: int, threshold: float):
+        self.num = num
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ja = np.empty(n, np.float64)
+        cab = np.empty(n, np.float64)
+        cba = np.empty(n, np.float64)
+        oa, da = _blob_views(batch["blob_a"])
+        ob, db = _blob_views(batch["blob_b"])
+        ua = da.view(np.uint64)
+        ub = db.view(np.uint64)
+        for i in range(n):
+            a = ua[oa[i] // 8: oa[i + 1] // 8]
+            b = ub[ob[i] // 8: ob[i + 1] // 8]
+            common = np.intersect1d(a, b, assume_unique=True)
+            c = common.size
+            if self.num:
+                combined = np.union1d(a, b)[: self.num]
+                c = np.intersect1d(common, combined, assume_unique=True).size
+                denom = combined.size
+            else:
+                denom = a.size + b.size - c
+            ja[i] = c / max(1, denom)
+            cab[i] = common.size / max(1, a.size)
+            cba[i] = common.size / max(1, b.size)
+        out = pa.table({
+            "a": batch["a"],
+            "b": batch["b"],
+            "jaccard": pa.array(ja, pa.float64()),
+            "containment_ab": pa.array(cab, pa.float64()),
+            "containment_ba": pa.array(cba, pa.float64()),
+        })
+        return out.filter(pa.array(ja >= self.threshold))
+
+
+def verify_pairs(pairs, sigs, cfg: EngineConfig = DEFAULT_CONFIG,
+                 threshold: float | None = None):
+    """candidate pairs + signatures → verified pair Dataset
+    (a, b, jaccard, containment_ab, containment_ba), jaccard ≥ threshold."""
+    thr = cfg.verify_threshold if threshold is None else threshold
+    nparts = resolve_num_partitions(cfg)
+    blobs = sigs.select_columns(["conv_id", "mins"]).map_batches(
+        mins_to_blob, batch_format="pyarrow")
+    with_a = pairs.join(
+        blobs, join_type="inner", num_partitions=nparts,
+        on=("a",), right_on=("conv_id",),
+    ).rename_columns({"blob": "blob_a"})
+    with_ab = with_a.join(
+        blobs, join_type="inner", num_partitions=nparts,
+        on=("b",), right_on=("conv_id",),
+    ).rename_columns({"blob": "blob_b"})
+    return with_ab.map_batches(
+        PairScorer,
+        fn_constructor_args=(cfg.sketch.num, thr),
+        batch_format="pyarrow",
+        batch_size=cfg.exec.verify_batch_size,
+        concurrency=(1, nparts),
+        num_cpus=1,
+    )
