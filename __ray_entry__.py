@@ -1,16 +1,10 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() smoke, queries() per operator, oracle_sql()
+DuckDB twins. Ray is initialised by the driver before import — nothing here
+calls ray.init()/shutdown().
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Column names are kept identical between each Ray pipeline and its SQL twin
+(the driver's compare sorts columns by name before hashing). Float outputs
+are rounded in-kernel on BOTH sides.
 """
 
 from __future__ import annotations
@@ -18,27 +12,227 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: near-dup clustering of the transcript corpus at
+    sf0.001 (synthesized deterministically, seed 42)."""
+    from sourmash_ray.pipelines.dedup import dedup_pipeline
+
+    out = dedup_pipeline(SF_SMOKE)
+    return out["clusters"]
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _sketch_transcripts_q(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from sourmash_ray.pipelines.dedup import dedup_pipeline
+
+    sigs = dedup_pipeline(sf_dir)["signatures"]
+
+    def _project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": batch["conv_id"],
+            "ksize": batch["ksize"],
+            "scaled": batch["scaled"],
+            "num": batch["num"],
+            "seed": batch["seed"],
+            "n_shingles": batch["n_shingles"],
+            "n_turns": batch["n_turns"],
+            "n_mins": pc.cast(pc.list_value_length(batch["mins"]), pa.int64()),
+            "md5": batch["md5"],
+        })
+
+    return sigs.map_batches(_project, batch_format="pyarrow")
+
+
+def _dedup_transcripts_q(sf_dir: str):
+    from sourmash_ray.pipelines.dedup import dedup_pipeline
+
+    return dedup_pipeline(sf_dir)["clusters"]
+
+
+def _verified_pairs_q(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from sourmash_ray.pipelines.dedup import dedup_pipeline
+
+    ver = dedup_pipeline(sf_dir)["verified_pairs"]
+
+    def _round(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "a": batch["a"],
+            "b": batch["b"],
+            "jaccard": pc.round(batch["jaccard"], 6),
+            "containment_ab": pc.round(batch["containment_ab"], 6),
+            "containment_ba": pc.round(batch["containment_ba"], 6),
+        })
+
+    return ver.map_batches(_round, batch_format="pyarrow")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from sourmash_ray.pipelines import ann, docops, eventops, relational
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- flagship: transcripts near-dup (non-SQL; rows-only checks) ---
+        "sketch_transcripts": _sketch_transcripts_q,
+        "dedup_transcripts": _dedup_transcripts_q,
+        "verified_pairs_transcripts": _verified_pairs_q,
+        # --- documents: text/dedup operators ---
+        "exact_dedup_docs": docops.exact_dedup_docs,
+        "token_stats_docs": docops.token_stats_docs,
+        "quality_stats_docs": docops.quality_stats_docs,
+        "lang_summary_docs": docops.lang_summary_docs,
+        "simhash_docs": docops.simhash_docs,
+        "minhash_dedup_docs": docops.minhash_dedup_docs,
+        # --- relational parity (manifest/picklist/top-k/summary) ---
+        "manifest_select": relational.manifest_select,
+        "picklist_semi_join": relational.picklist_semi_join,
+        "picklist_anti_join": relational.picklist_anti_join,
+        "topk_orders": relational.topk_orders,
+        "pricing_summary": relational.pricing_summary,
+        "union_collections": relational.union_collections,
+        "broadcast_lookup_join": relational.broadcast_lookup_join,
+        # --- embeddings: similarity search ---
+        "ann_topk": ann.ann_topk_bruteforce,
+        "embedding_neardup_pairs": ann.embedding_neardup_pairs,
+        # --- events: windowed aggregates ---
+        "tumbling_window_counts": eventops.tumbling_window_counts,
+        "sessionize_events": eventops.sessionize_events,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB, over the pre-registered table views)
+# ---------------------------------------------------------------------------
+
+_WS = "[ \\t\\n\\r\\f\\v]+"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dedup_docs": f"""
+            SELECT md5(trim(regexp_replace(lower(text), '{_WS}', ' ', 'g')))
+                       AS text_md5,
+                   min(doc_id) AS rep_doc_id,
+                   count(*) AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "token_stats_docs": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     trim(regexp_replace(coalesce(text, ''), '{_WS}', ' ', 'g'))
+                         AS trimmed,
+                     length(coalesce(text, '')) AS n_chars
+              FROM documents)
+            SELECT doc_id,
+                   CASE WHEN trimmed = '' THEN 0
+                        ELSE length(trimmed)
+                             - length(replace(trimmed, ' ', '')) + 1
+                   END AS n_tokens,
+                   n_chars
+            FROM t
+        """,
+        "quality_stats_docs": """
+            SELECT doc_id,
+                   length(coalesce(text, '')) AS n_chars,
+                   length(regexp_replace(coalesce(text, ''), '[^.!?,;:]', '', 'g'))
+                       AS n_punct,
+                   length(regexp_replace(coalesce(text, ''), '[^0-9]', '', 'g'))
+                       AS n_digits,
+                   length(regexp_replace(coalesce(text, ''), '[^A-Z]', '', 'g'))
+                       AS n_upper
+            FROM documents
+        """,
+        "lang_summary_docs": """
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY lang
+        """,
+        "manifest_select": """
+            SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+            FROM lineitem WHERE l_quantity > 45
+        """,
+        "picklist_semi_join": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer
+                                WHERE c_mktsegment = 'BUILDING')
+        """,
+        "picklist_anti_join": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+                                    WHERE c_mktsegment = 'BUILDING')
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT)
+                       AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                        AS BIGINT) AS sum_price_cents,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "union_collections": """
+            SELECT nationkey, count(*) AS n_rows FROM (
+              SELECT s_nationkey AS nationkey FROM supplier
+              UNION ALL
+              SELECT c_nationkey AS nationkey FROM customer
+            ) GROUP BY nationkey
+        """,
+        "broadcast_lookup_join": """
+            SELECT r.r_name, n.n_name, count(*) AS n_customers
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name, n.n_name
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding
+                       FROM embeddings WHERE vec_id < 8),
+                 s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                              list_cosine_similarity(q.embedding, e.embedding)
+                                  AS cos
+                       FROM q CROSS JOIN embeddings e
+                       WHERE e.vec_id <> q.query_id)
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id) AS rank,
+                   CAST(round(cos * 10000, 0) AS BIGINT) AS score_e4
+            FROM s QUALIFY rank <= 5
+        """,
+        "tumbling_window_counts": """
+            SELECT event_type, date_trunc('hour', ts) AS window_start,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS BIGINT)
+                       AS sum_value_micros
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "sessionize_events": """
+            WITH g AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS brk
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (
+              SELECT user_id, ts,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sess
+              FROM g)
+            SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+            FROM s GROUP BY user_id, sess
+        """,
+    }

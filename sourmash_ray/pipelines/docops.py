@@ -1,0 +1,220 @@
+"""Training-data text operators over the ``documents`` table.
+
+The dedup/quality/token/fingerprint family a 100 TB training-data pipeline
+needs, expressed Ray-Data-first. Each op mirrors a reference capability
+where one exists (cited) and carries a DuckDB-oracle twin in
+``__ray_entry__.oracle_sql`` where SQL can express it; numeric outputs are
+integers or explicitly rounded so the driver's value-hash compare is exact.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import EngineConfig, DEFAULT_CONFIG
+from ..functions.perm import perm_minima, perm_seeds
+from ..functions.sketch import WS_PATTERN, md5_of_mins
+from ..stages.sketch import batch_shingle_hashes, normalize_column
+
+
+def _read_docs(sf_dir: str, columns=("doc_id", "text")):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=list(columns))
+
+
+def _md5_column(norm: pa.Array) -> pa.Array:
+    # hashlib over the normalized utf-8 bytes — identical to DuckDB md5()
+    return pa.array([hashlib.md5(s.encode()).hexdigest()
+                     for s in norm.to_pylist()], pa.string())
+
+
+def _normalize_md5_batch(batch: pa.Table) -> pa.Table:
+    norm = normalize_column(batch["text"], "ws")
+    return pa.table({"doc_id": batch["doc_id"],
+                     "text_md5": _md5_column(norm)})
+
+
+def exact_dedup_docs(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG):
+    """Exact dedup: hash-partition on normalized-text md5, keep the first
+    (min doc_id) per group — the ``found_md5`` dedup of
+    ``/root/reference/src/sourmash/search.py:682-691`` as a full operator.
+
+    Output: (text_md5, rep_doc_id, n_docs), one row per distinct text.
+    """
+    ds = _read_docs(sf_dir)
+    hashed = ds.map_batches(_normalize_md5_batch, batch_format="pyarrow")
+    agg = hashed.groupby("text_md5").aggregate(
+        *_min_count_aggs("doc_id"))
+    return agg.rename_columns(
+        {"min(doc_id)": "rep_doc_id", "count()": "n_docs"})
+
+
+def _min_count_aggs(col: str):
+    from ray.data.aggregate import Count, Min
+
+    return [Min(col), Count()]
+
+
+def _token_stats_batch(batch: pa.Table) -> pa.Table:
+    """Whitespace token count + length stats, all integer-valued so the
+    SQL-oracle compare is bit-exact."""
+    text = pc.fill_null(batch["text"].combine_chunks(), "")
+    trimmed = pc.utf8_trim(
+        pc.replace_substring_regex(text, WS_PATTERN, " "), " ")
+    splits = pc.split_pattern(trimmed, " ")
+    n_tokens = pc.if_else(pc.equal(trimmed, ""),
+                          pa.scalar(0, pa.int64()),
+                          pc.cast(pc.list_value_length(splits), pa.int64()))
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_tokens": n_tokens,
+        "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+    })
+
+
+def token_stats_docs(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG):
+    """Per-document token/char counts (token-counting op)."""
+    return _read_docs(sf_dir).map_batches(
+        _token_stats_batch, batch_format="pyarrow")
+
+
+_PUNCT_CLASS = r"[.!?,;:]"
+_DIGIT_CLASS = r"[0-9]"
+_UPPER_CLASS = r"[A-Z]"
+
+
+def _quality_batch(batch: pa.Table) -> pa.Table:
+    text = pc.fill_null(batch["text"].combine_chunks(), "")
+
+    def count_class(pattern: str):
+        return pc.cast(pc.count_substring_regex(text, pattern), pa.int64())
+
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+        "n_punct": count_class(_PUNCT_CLASS),
+        "n_digits": count_class(_DIGIT_CLASS),
+        "n_upper": count_class(_UPPER_CLASS),
+    })
+
+
+def quality_stats_docs(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG):
+    """Quality-scoring signals (punctuation/digit/upper counts) per doc."""
+    return _read_docs(sf_dir).map_batches(_quality_batch,
+                                          batch_format="pyarrow")
+
+
+def lang_summary_docs(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG):
+    """groupby(lang): doc count + total chars — the ``sig fileinfo``-style
+    collection summary (``/root/reference/src/sourmash/sig/__main__.py:
+    250-345``) over documents."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "n_chars"])
+    agg = ds.groupby("lang").aggregate(Count(), Sum("n_chars"))
+
+    def _name(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": batch["lang"],
+            "n_docs": batch["count()"],
+            "total_chars": pc.cast(batch["sum(n_chars)"], pa.int64()),
+        })
+
+    return agg.map_batches(_name, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# MinHash / SimHash near-dup over documents
+# ---------------------------------------------------------------------------
+
+
+class DocSketcher:
+    """Single-turn variant of TurnSketcher: per-document scaled sketch +
+    perm minima in one vectorized pass (doc == one-turn conversation)."""
+
+    def __init__(self, cfg: EngineConfig):
+        self.cfg = cfg
+        self.seeds = perm_seeds(cfg.lsh.num_perm, cfg.sketch.seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..stages.sketch import _retain_per_row
+
+        p = self.cfg.sketch
+        norm = normalize_column(batch["text"], p.normalization)
+        hashes, rows, _ = batch_shingle_hashes(norm, p.ksize, p.seed)
+        offsets, mins, _ = _retain_per_row(hashes, rows, len(batch), p)
+        perms = np.empty((len(batch), self.cfg.lsh.num_perm), np.uint64)
+        for i in range(len(batch)):
+            perms[i] = perm_minima(mins[offsets[i]:offsets[i + 1]], self.seeds)
+        flat = pa.array(perms.reshape(-1), pa.uint64())
+        perm_offs = pa.array(
+            np.arange(len(batch) + 1, dtype=np.int32) * self.cfg.lsh.num_perm)
+        return pa.table({
+            "conv_id": pc.cast(batch["doc_id"], pa.string()),
+            "mins": pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()), pa.array(mins, pa.uint64())),
+            "md5": pa.array(
+                [md5_of_mins(mins[offsets[i]:offsets[i + 1]], p.ksize)
+                 for i in range(len(batch))], pa.string()),
+            "perms": pa.ListArray.from_arrays(perm_offs, flat),
+        })
+
+
+def sketch_docs(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG):
+    return _read_docs(sf_dir).map_batches(
+        DocSketcher, fn_constructor_args=(cfg,), batch_format="pyarrow",
+        concurrency=(1, 8), num_cpus=1)
+
+
+def minhash_dedup_docs(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG):
+    """Full LSH near-dup clustering over documents: (doc conv_id,
+    cluster_id). The flagship pipeline applied to single-text records."""
+    from ..stages.cluster import assign_clusters
+    from ..stages.lsh import candidate_pairs
+    from ..stages.verify import verify_pairs
+
+    sigs = sketch_docs(sf_dir, cfg).materialize()
+    pairs = candidate_pairs(sigs, cfg)
+    verified = verify_pairs(pairs, sigs, cfg).materialize()
+    return assign_clusters(sigs, verified.select_columns(["a", "b"]), cfg)
+
+
+class SimHasher:
+    """64-bit SimHash (Charikar '02) over shingle hashes: sign-sum of the
+    bit columns weighted by occurrence. Vectorized via np.bincount over
+    (row, bit) pairs."""
+
+    def __init__(self, cfg: EngineConfig):
+        self.cfg = cfg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        p = self.cfg.sketch
+        norm = normalize_column(batch["text"], p.normalization)
+        hashes, rows, _ = batch_shingle_hashes(norm, p.ksize, p.seed)
+        n = len(batch)
+        votes = np.zeros((n, 64), np.int64)
+        if hashes.size:
+            bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                    & np.uint64(1)).astype(np.int64)
+            np.add.at(votes, rows, 2 * bits - 1)
+        sim = ((votes > 0).astype(np.uint64)
+               << np.arange(64, dtype=np.uint64)[None, :]).sum(
+                   axis=1, dtype=np.uint64)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "simhash": pa.array(sim, pa.uint64()),
+        })
+
+
+def simhash_docs(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG):
+    return _read_docs(sf_dir).map_batches(
+        SimHasher, fn_constructor_args=(cfg,), batch_format="pyarrow",
+        concurrency=(1, 8), num_cpus=1)

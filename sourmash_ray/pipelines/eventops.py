@@ -1,0 +1,77 @@
+"""Windowed aggregation over the ``events`` stream table.
+
+The reference's only streaming consumer is ``watch``
+(``/root/reference/src/sourmash/commands.py:1389-1483``) — re-search every
+10k records, no real windows. A training-data engine needs proper windowed
+aggregates, so: tumbling windows = truncate-timestamp-then-groupby, which
+Ray Data executes as one hash shuffle; no ordering assumption is needed
+because the window key is computed per row (SURVEY.md §2.10: order-insensitive
+set semantics)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+
+def tumbling_window_counts(sf_dir: str, unit: str = "hour"):
+    """Per (event_type, window-start) count + sum(value) rounded to 6
+    decimals. Equivalent SQL: date_trunc + GROUP BY."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"])
+
+    def _window(batch: pa.Table) -> pa.Table:
+        # value → exact integer micros per row BEFORE the sum: float sums
+        # differ between engines in the last ulp
+        return pa.table({
+            "event_type": batch["event_type"],
+            "window_start": pc.floor_temporal(batch["ts"], unit=unit),
+            "value_micros": pc.cast(
+                pc.round(pc.multiply(batch["value"], pa.scalar(1e6))),
+                pa.int64()),
+        })
+
+    agg = (ds.map_batches(_window, batch_format="pyarrow")
+           .groupby(["event_type", "window_start"])
+           .aggregate(Count(), Sum("value_micros")))
+
+    def _name(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "window_start": batch["window_start"],
+            "n_events": batch["count()"],
+            "sum_value_micros": pc.cast(batch["sum(value_micros)"],
+                                        pa.int64()),
+        })
+
+    return agg.map_batches(_name, batch_format="pyarrow")
+
+
+def sessionize_events(sf_dir: str, gap_minutes: int = 30):
+    """Session windows per user: sort within user by ts, break on gaps >
+    ``gap_minutes`` — a groupby(user).map_groups stage (per-group state,
+    the watch-style incremental pattern made explicit). Output: one row per
+    session (user_id, session_start, n_events)."""
+    import numpy as np
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def _sessions(group: pa.Table) -> pa.Table:
+        ts = np.sort(np.asarray(group["ts"].cast(pa.int64())))
+        breaks = np.flatnonzero(np.diff(ts) > gap_us) + 1
+        starts = np.concatenate([[0], breaks])
+        ends = np.concatenate([breaks, [ts.size]])
+        uid = group["user_id"][0].as_py()
+        return pa.table({
+            "user_id": pa.array([uid] * starts.size, pa.int64()),
+            "session_start": pa.array(ts[starts], pa.timestamp("us")),
+            "n_events": pa.array((ends - starts).astype("int64"), pa.int64()),
+        })
+
+    return ds.groupby("user_id").map_groups(_sessions, batch_format="pyarrow")

@@ -1,0 +1,174 @@
+"""Relational parity operators.
+
+The reference's manifest/picklist machinery is ordinary relational algebra
+(SURVEY.md §2.4): metadata predicates (``Index.select``,
+``/root/reference/src/sourmash/index/__init__.py:349-394``), semi/anti joins
+against picked-value sets (``picklist.py:54-325``), top-k result sorting
+(``search.py:693-694`` + ``--num-results``), and collection summaries.
+Here each is expressed over the TPC-H-ish testdata tables so the DuckDB
+oracle can check it exactly.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+
+def manifest_select(sf_dir: str):
+    """Predicate + projection with pushdown at the Parquet scan — the
+    ``select_signature`` pattern: only needed columns leave storage.
+
+    lineitem where l_quantity > 45, projected to 4 columns.
+    """
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"],
+    )
+    return ds.filter(expr="l_quantity > 45")
+
+
+def picklist_semi_join(sf_dir: str):
+    """Picklist include-style semi join (``picklist.py:265-319``,
+    PickStyle.INCLUDE): orders whose customer is in a small picked set.
+
+    The picklist side is tiny → broadcast it via ray.put and filter inside
+    map_batches instead of shuffling the big side (SURVEY.md §2.6
+    broadcast-small-side row).
+    """
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_mktsegment"])
+    picked = cust.filter(expr="c_mktsegment == 'BUILDING'")
+    keys = {r["c_custkey"] for r in picked.take_all()}
+    keys_ref = ray.put(keys)
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        k = ray.get(keys_ref)
+        mask = pc.is_in(batch["o_custkey"],
+                        value_set=pa.array(sorted(k), pa.int64()))
+        return batch.filter(mask)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return orders.map_batches(_filter, batch_format="pyarrow")
+
+
+def picklist_anti_join(sf_dir: str):
+    """Picklist exclude-style anti join (PickStyle.EXCLUDE,
+    ``picklist.py:49-52``)."""
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_mktsegment"])
+    picked = cust.filter(expr="c_mktsegment == 'BUILDING'")
+    keys = {r["c_custkey"] for r in picked.take_all()}
+    keys_ref = ray.put(keys)
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        k = ray.get(keys_ref)
+        mask = pc.invert(pc.is_in(
+            batch["o_custkey"], value_set=pa.array(sorted(k), pa.int64())))
+        return batch.filter(mask)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return orders.map_batches(_filter, batch_format="pyarrow")
+
+
+def topk_orders(sf_dir: str, k: int = 25):
+    """sort desc + limit — the ``--num-results``/``best_containment``
+    pattern (``index/__init__.py:258-270``: score desc, key tiebreak)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"],
+                   descending=[True, False]).limit(k)
+
+
+def pricing_summary(sf_dir: str):
+    """groupby + multi-aggregate — TPC-H Q1 shape, the ``sig describe``
+    collection-stats analogue.
+
+    Money/quantity are converted to exact integers (cents) PER ROW before
+    summing: float sums differ between engines in the last ulp, so every
+    oracle-checked aggregate in this repo is integer-valued by design.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice"])
+
+    def _to_cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "qty": pc.cast(pc.round(batch["l_quantity"]), pa.int64()),
+            "price_cents": pc.cast(
+                pc.round(pc.multiply(batch["l_extendedprice"],
+                                     pa.scalar(100.0))), pa.int64()),
+        })
+
+    agg = (ds.map_batches(_to_cents, batch_format="pyarrow")
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("qty"), Sum("price_cents"), Count()))
+
+    def _name(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "sum_qty": pc.cast(batch["sum(qty)"], pa.int64()),
+            "sum_price_cents": pc.cast(batch["sum(price_cents)"], pa.int64()),
+            "count_order": batch["count()"],
+        })
+
+    return agg.map_batches(_name, batch_format="pyarrow")
+
+
+def union_collections(sf_dir: str):
+    """``sig cat`` / MultiIndex union (``sig/__main__.py:114-163``):
+    concatenate two sources then deduplicate by key — count rows per
+    nation key across the union of supplier and customer tables."""
+    from ray.data.aggregate import Count
+
+    sup = ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                                columns=["s_nationkey"]).rename_columns(
+                                    {"s_nationkey": "nationkey"})
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_nationkey"]).rename_columns(
+                                     {"c_nationkey": "nationkey"})
+    agg = sup.union(cust).groupby("nationkey").aggregate(Count())
+    return agg.rename_columns({"count()": "n_rows"})
+
+
+def broadcast_lookup_join(sf_dir: str):
+    """Small-dimension broadcast join (the lineage-lookup pattern,
+    ``tax_utils.py:1210-1455``): customer × nation × region names,
+    aggregated to (r_name, n_name, n_customers)."""
+    from ray.data.aggregate import Count
+
+    nation = {r["n_nationkey"]: (r["n_name"], r["n_regionkey"])
+              for r in ray.data.read_parquet(
+                  f"{sf_dir}/nation.parquet").take_all()}
+    region = {r["r_regionkey"]: r["r_name"]
+              for r in ray.data.read_parquet(
+                  f"{sf_dir}/region.parquet").take_all()}
+    lookup = {k: (region[v[1]], v[0]) for k, v in nation.items()}
+    lookup_ref = ray.put(lookup)
+
+    def _attach(batch: pa.Table) -> pa.Table:
+        lk = ray.get(lookup_ref)
+        keys = batch["c_nationkey"].to_pylist()
+        return pa.table({
+            "r_name": pa.array([lk[k][0] for k in keys], pa.string()),
+            "n_name": pa.array([lk[k][1] for k in keys], pa.string()),
+        })
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_nationkey"])
+    agg = (cust.map_batches(_attach, batch_format="pyarrow")
+           .groupby(["r_name", "n_name"]).aggregate(Count()))
+    return agg.rename_columns({"count()": "n_customers"})

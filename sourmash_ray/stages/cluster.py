@@ -19,7 +19,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..config import EngineConfig, DEFAULT_CONFIG, resolve_num_partitions
+from ..config import EngineConfig, DEFAULT_CONFIG, clamped_join_partitions
 from ..functions.perm import _fmix64_vec
 
 
@@ -60,11 +60,14 @@ def connected_components(edges, cfg: EngineConfig = DEFAULT_CONFIG):
     """
     import ray.data
 
-    nparts = resolve_num_partitions(cfg)
     e = edges.select_columns(["a", "b"])
     sym = e.rename_columns({"a": "src", "b": "dst"}).union(
         e.rename_columns({"a": "dst", "b": "src"})
     ).materialize()
+    n_sym = sym.count()
+    if n_sym == 0:
+        return ray.data.from_arrow(pa.schema(
+            [("node", pa.string()), ("label", pa.string())]).empty_table())
 
     labels = (
         sym.groupby("dst").min("src")
@@ -85,7 +88,7 @@ def connected_components(edges, cfg: EngineConfig = DEFAULT_CONFIG):
         msgs = sym.join(
             labels,
             join_type="inner",
-            num_partitions=nparts,
+            num_partitions=clamped_join_partitions(cfg, n_sym, labels.count()),
             on=("src",),
             right_on=("node",),
         ).select_columns(["dst", "label"]).rename_columns({"dst": "node"})
@@ -106,10 +109,18 @@ def assign_clusters(sigs, edges, cfg: EngineConfig = DEFAULT_CONFIG):
     """signatures + dup edges → (conv_id, cluster_id) for EVERY conversation
     (nodes without edges label themselves) — SURVEY.md §1.4 cluster table."""
     labels = connected_components(edges, cfg)
-    joined = sigs.select_columns(["conv_id"]).join(
+    n_labels = labels.count()
+    ids = sigs.select_columns(["conv_id"])
+    if n_labels == 0:
+        return ids.map_batches(
+            lambda t: pa.table({"conv_id": t["conv_id"],
+                                "cluster_id": t["conv_id"]}),
+            batch_format="pyarrow",
+        )
+    joined = ids.join(
         labels,
         join_type="left_outer",
-        num_partitions=resolve_num_partitions(cfg),
+        num_partitions=clamped_join_partitions(cfg, sigs.count(), n_labels),
         on=("conv_id",),
         right_on=("node",),
     )

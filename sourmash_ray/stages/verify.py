@@ -19,7 +19,20 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..config import EngineConfig, DEFAULT_CONFIG, resolve_num_partitions
+from ..config import (
+    EngineConfig,
+    DEFAULT_CONFIG,
+    clamped_join_partitions,
+    resolve_num_partitions,
+)
+
+VERIFIED_SCHEMA = pa.schema([
+    ("a", pa.string()),
+    ("b", pa.string()),
+    ("jaccard", pa.float64()),
+    ("containment_ab", pa.float64()),
+    ("containment_ba", pa.float64()),
+])
 
 
 def mins_to_blob(batch: pa.Table) -> pa.Table:
@@ -88,8 +101,14 @@ def verify_pairs(pairs, sigs, cfg: EngineConfig = DEFAULT_CONFIG,
                  threshold: float | None = None):
     """candidate pairs + signatures → verified pair Dataset
     (a, b, jaccard, containment_ab, containment_ba), jaccard ≥ threshold."""
+    import ray.data
+
     thr = cfg.verify_threshold if threshold is None else threshold
-    nparts = resolve_num_partitions(cfg)
+    pairs = pairs.materialize()
+    npairs = pairs.count()
+    if npairs == 0:
+        return ray.data.from_arrow(VERIFIED_SCHEMA.empty_table())
+    nparts = clamped_join_partitions(cfg, npairs, sigs.count())
     blobs = sigs.select_columns(["conv_id", "mins"]).map_batches(
         mins_to_blob, batch_format="pyarrow")
     with_a = pairs.join(
