@@ -1,0 +1,141 @@
+"""Benchmark harness (driver contract).
+
+Default: run the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32) and print ONE JSON line.
+
+--scaling: run the flagship dedup pipeline twice in fresh subprocesses at
+num_cpus=8 and num_cpus=32 on the same input and report turns/sec at both
+plus the scaling efficiency (the sandbox evidence for the north rule's
+N vs 4N two-cluster-size criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+
+
+def _consume(res) -> int:
+    """Drive a result to completion; return row count."""
+    import pyarrow as pa
+
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.count()
+    if isinstance(res, pa.Table):
+        return res.num_rows
+    return len(res)
+
+
+def run_flagship(sf_dir: str) -> dict:
+    """Transcripts near-dup dedup end-to-end; returns timings + turns/s."""
+    import ray.data
+
+    from sourmash_ray.pipelines.dedup import dedup_pipeline
+    from sourmash_ray.sources.transcripts import transcripts_path
+
+    path = transcripts_path(sf_dir)  # synthesized outside the timed region
+    n_turns = ray.data.read_parquet(path).count()
+    t0 = time.perf_counter()
+    out = dedup_pipeline(sf_dir)
+    n_clusters = out["clusters"].count()
+    wall = time.perf_counter() - t0
+    return {"wall_s": wall, "n_turns": n_turns, "n_rows": n_clusters,
+            "turns_per_s": n_turns / wall}
+
+
+def run_all(sf_dir: str) -> dict:
+    import __ray_entry__ as e
+
+    qs = e.queries()
+    names = ["dedup_transcripts", "exact_dedup_docs", "minhash_dedup_docs",
+             "simhash_docs", "ann_topk", "tumbling_window_counts",
+             "pricing_summary", "sessionize_events"]
+    out = {}
+    for name in names:
+        t0 = time.perf_counter()
+        _consume(qs[name](sf_dir))
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main():
+    if "--single-run" in sys.argv:
+        cpus = int(sys.argv[sys.argv.index("--single-run") + 1])
+        _init_ray(cpus)
+        res = run_flagship(SF_DIR)
+        print("RESULT " + json.dumps(res))
+        import ray
+
+        ray.shutdown()
+        return
+
+    if "--scaling" in sys.argv:
+        results = {}
+        for cpus in (8, 32):
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--single-run",
+                 str(cpus)],
+                capture_output=True, text=True,
+                env={**os.environ, "RAY_GRAFT_CPUS": str(cpus)},
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            line = [ln for ln in p.stdout.splitlines()
+                    if ln.startswith("RESULT ")]
+            if not line:
+                print(p.stdout[-2000:], file=sys.stderr)
+                print(p.stderr[-2000:], file=sys.stderr)
+                raise RuntimeError(f"scaling run at {cpus} cpus failed")
+            results[cpus] = json.loads(line[-1][len("RESULT "):])
+        tp8 = results[8]["turns_per_s"]
+        tp32 = results[32]["turns_per_s"]
+        eff = tp32 / (4 * tp8)
+        print(json.dumps({
+            "metric": "dedup-transcripts scaling 8→32 cpus",
+            "value": round(eff, 4),
+            "unit": "efficiency",
+            "turns_per_s_8cpu": round(tp8, 1),
+            "turns_per_s_32cpu": round(tp32, 1),
+            "wall_s_8cpu": round(results[8]["wall_s"], 2),
+            "wall_s_32cpu": round(results[32]["wall_s"], 2),
+            "sf": SF_DIR,
+        }))
+        return
+
+    _init_ray(NUM_CPUS)
+    flagship = run_flagship(SF_DIR)
+    queries = run_all(SF_DIR)
+    queries["dedup_transcripts"] = round(flagship["wall_s"], 3)
+    total = sum(queries.values())
+    print(json.dumps({
+        "metric": "headline pipelines wall time (flagship: transcripts "
+                  f"near-dup dedup, {flagship['turns_per_s']:.0f} turns/s)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "turns_per_s": round(flagship["turns_per_s"], 1),
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }))
+    import ray
+
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

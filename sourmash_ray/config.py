@@ -55,6 +55,19 @@ class ExecParams:
     sketch_batch_size: int = 4096      # turns per sketcher batch
     verify_batch_size: int = 8192      # pairs per verifier batch
     cc_max_iters: int = 25             # label-propagation round cap
+    # coarse-group vectorization: per-key map_groups costs one Python call
+    # per group, so keys are first folded into `group_parts` coarse
+    # partitions and each partition is processed with vectorized run
+    # detection (one call per partition, not per key). Scale by raising
+    # this so a partition stays ~1e6 rows.
+    group_parts: int = 1024
+    # connected components run as a driver-side union-find below this edge
+    # count (single pass, C-speed dict ops); above it the distributed
+    # label-propagation loop takes over.
+    driver_cc_max_edges: int = 5_000_000
+    # side tables below this size are ray.put-broadcast into map_batches
+    # (local Acero joins per batch) instead of hash-shuffle joined.
+    broadcast_bytes_limit: int = 256 << 20
 
 
 def clamped_join_partitions(cfg: "EngineConfig", *counts: int) -> int:

@@ -3,15 +3,23 @@
 The reference has no clustering operator (its ``plot`` does driver-side
 scipy hierarchical clustering on the dense matrix,
 ``/root/reference/src/sourmash/fig.py:26-94`` — impossible at 10^12-turn
-scale). Here: distributed min-label propagation, a bounded number of
-``join + groupby().min()`` rounds (cf. the BTS/label-prop literature in
-PAPERS.md). Dup components are stars/cliques (diameter ≤ ~2 after the LSH
-star+chain edges), so convergence is a handful of rounds; ``cc_max_iters``
-caps the loop defensively.
+scale). Two paths:
 
-Convergence detection: labels only ever decrease, so the global sum of
-``murmur-mixed (node, label)`` checksums is stable iff no label changed.
-This costs one small aggregate per round instead of a full join-diff.
+- **driver union-find** (default below ``driver_cc_max_edges``): dup edges
+  are a tiny fraction of the corpus; collecting ≤5M edges to the driver and
+  running path-halving union-find is faster and exactly equivalent.
+- **distributed min-label propagation** (above the cutoff): bounded
+  ``join + groupby().min()`` rounds (cf. the BTS/label-prop literature in
+  PAPERS.md). Dup components are stars/cliques (diameter ≤ ~2 after the
+  LSH star+chain edges), so convergence is a handful of rounds;
+  ``cc_max_iters`` caps the loop defensively. Convergence detection uses a
+  deterministic crc32 multiset checksum (labels only ever decrease, so the
+  checksum is stable iff no label changed); Python's salted str hash must
+  NOT be used across worker processes.
+
+The final label attach to the signatures dataset streams: labels are
+ray.put-broadcast and joined per batch with local Acero when small, else
+hash-shuffle joined.
 """
 
 from __future__ import annotations
@@ -22,11 +30,38 @@ import pyarrow as pa
 from ..config import EngineConfig, DEFAULT_CONFIG, clamped_join_partitions
 from ..functions.perm import _fmix64_vec
 
+_LABEL_SCHEMA = pa.schema([("node", pa.string()), ("label", pa.string())])
+
+
+def _driver_union_find(edge_rows) -> pa.Table:
+    """Path-halving union-find over (a, b) rows; labels = min member id."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    nodes = list(parent)
+    labels = [find(n) for n in nodes]
+    return pa.table({"node": pa.array(nodes, pa.string()),
+                     "label": pa.array(labels, pa.string())})
+
 
 def _checksum_batch(batch: pa.Table) -> pa.Table:
-    # order-insensitive multiset checksum of (node,label) rows.
-    # zlib.crc32 — deterministic across worker processes (Python's str hash
-    # is salted per process and must NOT be used here).
     import zlib
 
     h1 = np.array([zlib.crc32(x.encode()) for x in batch["node"].to_pylist()],
@@ -52,28 +87,11 @@ def _labels_checksum(labels) -> int:
     return total
 
 
-def connected_components(edges, cfg: EngineConfig = DEFAULT_CONFIG):
-    """edges Dataset (a, b) → labels Dataset (node, label=min reachable id).
-
-    Only nodes that appear in an edge are labeled; callers union singleton
-    self-labels afterwards (``assign_clusters``).
-    """
-    import ray.data
-
-    e = edges.select_columns(["a", "b"])
-    sym = e.rename_columns({"a": "src", "b": "dst"}).union(
-        e.rename_columns({"a": "dst", "b": "src"})
-    ).materialize()
-    n_sym = sym.count()
-    if n_sym == 0:
-        return ray.data.from_arrow(pa.schema(
-            [("node", pa.string()), ("label", pa.string())]).empty_table())
-
+def _label_propagation(sym, n_sym: int, cfg: EngineConfig):
     labels = (
         sym.groupby("dst").min("src")
         .rename_columns({"dst": "node", "min(src)": "label"})
     )
-    # include self so a node's own id competes as a label
     labels = labels.map_batches(
         lambda t: pa.table({
             "node": t["node"],
@@ -84,7 +102,6 @@ def connected_components(edges, cfg: EngineConfig = DEFAULT_CONFIG):
 
     prev = _labels_checksum(labels)
     for _ in range(cfg.exec.cc_max_iters):
-        # propagate: each node sends its label to every neighbour
         msgs = sym.join(
             labels,
             join_type="inner",
@@ -105,10 +122,32 @@ def connected_components(edges, cfg: EngineConfig = DEFAULT_CONFIG):
     return labels
 
 
+def connected_components(edges, cfg: EngineConfig = DEFAULT_CONFIG):
+    """edges Dataset (a, b) → labels Dataset (node, label=min reachable id).
+
+    Only nodes that appear in an edge are labeled; callers union singleton
+    self-labels afterwards (``assign_clusters``)."""
+    import ray.data
+
+    edges = edges.select_columns(["a", "b"]).materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return ray.data.from_arrow(_LABEL_SCHEMA.empty_table())
+    if n_edges <= cfg.exec.driver_cc_max_edges:
+        rows = ((r["a"], r["b"]) for r in edges.iter_rows())
+        return ray.data.from_arrow(_driver_union_find(rows))
+    sym = edges.rename_columns({"a": "src", "b": "dst"}).union(
+        edges.rename_columns({"a": "dst", "b": "src"})
+    ).materialize()
+    return _label_propagation(sym, sym.count(), cfg)
+
+
 def assign_clusters(sigs, edges, cfg: EngineConfig = DEFAULT_CONFIG):
     """signatures + dup edges → (conv_id, cluster_id) for EVERY conversation
     (nodes without edges label themselves) — SURVEY.md §1.4 cluster table."""
-    labels = connected_components(edges, cfg)
+    import ray
+
+    labels = connected_components(edges, cfg).materialize()
     n_labels = labels.count()
     ids = sigs.select_columns(["conv_id"])
     if n_labels == 0:
@@ -117,6 +156,24 @@ def assign_clusters(sigs, edges, cfg: EngineConfig = DEFAULT_CONFIG):
                                 "cluster_id": t["conv_id"]}),
             batch_format="pyarrow",
         )
+    if labels.size_bytes() <= cfg.exec.broadcast_bytes_limit:
+        # broadcast attach: local Acero left-outer join per batch
+        label_tbl = pa.Table.from_pylist(labels.take_all(),
+                                         schema=_LABEL_SCHEMA)
+        ref = ray.put(label_tbl)
+
+        def _attach(batch: pa.Table) -> pa.Table:
+            lt = ray.get(ref)
+            joined = batch.join(lt, keys=["conv_id"], right_keys=["node"],
+                                join_type="left outer")
+            return pa.table({
+                "conv_id": joined["conv_id"],
+                "cluster_id": pa.compute.coalesce(joined["label"],
+                                                  joined["conv_id"]),
+            })
+
+        return ids.map_batches(_attach, batch_format="pyarrow")
+
     joined = ids.join(
         labels,
         join_type="left_outer",

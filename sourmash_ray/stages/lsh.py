@@ -40,14 +40,20 @@ class BandKeyer:
     would share every bucket and pair up with Jaccard 0/0.
     """
 
-    def __init__(self, num_perm: int, bands: int, rows: int):
+    def __init__(self, num_perm: int, bands: int, rows: int,
+                 group_parts: int = 1024):
         self.num_perm, self.bands, self.rows = num_perm, bands, rows
+        self.group_parts = group_parts
+
+    def _empty(self) -> pa.Table:
+        return pa.table({"band_key": pa.array([], pa.uint64()),
+                         "band_part": pa.array([], pa.int64()),
+                         "conv_id": pa.array([], pa.string())})
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         if n == 0:
-            return pa.table({"band_key": pa.array([], pa.uint64()),
-                             "conv_id": pa.array([], pa.string())})
+            return self._empty()
         perms = np.asarray(
             batch["perms"].combine_chunks().flatten(), dtype=np.uint64
         ).reshape(n, self.num_perm)
@@ -56,8 +62,7 @@ class BandKeyer:
         conv = batch["conv_id"].combine_chunks().filter(pa.array(nonempty))
         m = perms.shape[0]
         if m == 0:
-            return pa.table({"band_key": pa.array([], pa.uint64()),
-                             "conv_id": pa.array([], pa.string())})
+            return self._empty()
         # (m, bands, rows) -> prepend band_id lane -> bytes -> murmur
         banded = perms.reshape(m, self.bands, self.rows)
         band_ids = np.broadcast_to(
@@ -70,57 +75,109 @@ class BandKeyer:
         # repeat conv_id `bands` times via take on a repeated index vector
         idx = np.repeat(np.arange(m, dtype=np.int64), self.bands)
         conv_rep = conv.take(pa.array(idx))
-        return pa.table({"band_key": pa.array(keys, pa.uint64()),
-                         "conv_id": conv_rep})
+        return pa.table({
+            "band_key": pa.array(keys, pa.uint64()),
+            "band_part": pa.array(
+                (keys % np.uint64(self.group_parts)).astype(np.int64),
+                pa.int64()),
+            "conv_id": conv_rep,
+        })
 
 
-def _emit_pairs_group(cap: int):
-    def emit(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group["conv_id"].to_pylist()))
-        g = len(ids)
+def _emit_pairs_part(cap: int):
+    """Vectorized pair emission over one COARSE partition of band keys.
+
+    The groupby key is ``band_part = band_key % group_parts``; equal band
+    keys always land in the same partition, so pair semantics are identical
+    to a per-bucket groupby — but one Python call handles thousands of
+    buckets: sort by (band_key, conv_id), detect runs, and only runs with
+    ≥ 2 members (the rare case) get pair generation.
+    """
+
+    def emit(part: pa.Table) -> pa.Table:
         empty = pa.table({"a": pa.array([], pa.string()),
                           "b": pa.array([], pa.string())})
-        if g < 2:
+        if part.num_rows < 2:
             return empty
-        a: list[str] = []
-        b: list[str] = []
-        if g <= cap:
-            for i in range(g - 1):
-                for j in range(i + 1, g):
-                    a.append(ids[i])
-                    b.append(ids[j])
-        else:
-            # hot bucket: star to the minimum + chain of successors
-            root = ids[0]
-            for x in ids[1:]:
-                a.append(root)
-                b.append(x)
-            for i in range(1, g - 1):
-                a.append(ids[i])
-                b.append(ids[i + 1])
-        return pa.table({"a": pa.array(a, pa.string()),
-                         "b": pa.array(b, pa.string())})
+        part = part.sort_by([("band_key", "ascending"),
+                             ("conv_id", "ascending")])
+        keys = np.asarray(part["band_key"], dtype=np.uint64)
+        conv = part["conv_id"].combine_chunks()
+        starts = np.flatnonzero(
+            np.concatenate([[True], keys[1:] != keys[:-1]]))
+        sizes = np.diff(np.concatenate([starts, [keys.size]]))
+        ai: list[np.ndarray] = []
+        bi: list[np.ndarray] = []
+        for s, g in zip(starts[sizes >= 2], sizes[sizes >= 2]):
+            g = int(g)
+            if g <= cap:
+                iu, ju = np.triu_indices(g, 1)
+                ai.append(s + iu)
+                bi.append(s + ju)
+            else:
+                # hot bucket (boilerplate band): star to the minimum plus a
+                # chain of sorted successors — linear edges, same connected
+                # components (SURVEY.md §4 skew row)
+                idx = np.arange(s, s + g)
+                ai.append(np.concatenate(
+                    [np.full(g - 1, s), idx[1:-1]]))
+                bi.append(np.concatenate([idx[1:], idx[2:]]))
+        if not ai:
+            return empty
+        a_idx = np.concatenate(ai)
+        b_idx = np.concatenate(bi)
+        return pa.table({"a": conv.take(pa.array(a_idx, pa.int64())),
+                         "b": conv.take(pa.array(b_idx, pa.int64()))})
 
     return emit
+
+
+def _dedup_pairs_part(part: pa.Table) -> pa.Table:
+    """Distinct (a, b) within one coarse pair partition, vectorized."""
+    df = part.select(["a", "b"]).to_pandas()
+    return pa.Table.from_pandas(df.drop_duplicates(["a", "b"]),
+                                preserve_index=False)
+
+
+def _add_pair_part(parts: int):
+    import zlib
+
+    def add(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_pylist()
+        b = batch["b"].to_pylist()
+        pp = np.fromiter(
+            ((zlib.crc32(x.encode()) * 31 + zlib.crc32(y.encode())) % parts
+             for x, y in zip(a, b)),
+            dtype=np.int64, count=len(a))
+        return batch.append_column("pair_part", pa.array(pp, pa.int64()))
+
+    return add
 
 
 def candidate_pairs(sigs, cfg: EngineConfig = DEFAULT_CONFIG):
     """signatures Dataset → distinct candidate pair Dataset (a < b).
 
-    Two shuffles: groupby(band_key) to form buckets, then groupby(a, b)
-    to dedup pairs found in multiple bands (SURVEY.md §7.4 key table).
+    Two shuffles, both on COARSE keys (``group_parts`` partitions): a
+    band-part groupby forming buckets, and a pair-part groupby deduping
+    pairs found in multiple bands (SURVEY.md §7.4 key table). Coarse keys
+    keep per-group Python overhead at one call per partition.
     """
     lsh = cfg.lsh
+    parts = cfg.exec.group_parts
     keyed = sigs.select_columns(["conv_id", "perms"]).map_batches(
         BandKeyer,
-        fn_constructor_args=(lsh.num_perm, lsh.bands, lsh.rows),
+        fn_constructor_args=(lsh.num_perm, lsh.bands, lsh.rows, parts),
         batch_format="pyarrow",
         concurrency=(1, resolve_num_partitions(cfg)),
         num_cpus=1,
     )
-    pairs = keyed.groupby("band_key").map_groups(
-        _emit_pairs_group(lsh.max_bucket_pairs_members),
+    pairs = keyed.groupby("band_part").map_groups(
+        _emit_pairs_part(lsh.max_bucket_pairs_members),
         batch_format="pyarrow",
     )
-    # distinct (a, b)
-    return pairs.groupby(["a", "b"]).count().select_columns(["a", "b"])
+    deduped = (
+        pairs.map_batches(_add_pair_part(parts), batch_format="pyarrow")
+        .groupby("pair_part")
+        .map_groups(_dedup_pairs_part, batch_format="pyarrow")
+    )
+    return deduped

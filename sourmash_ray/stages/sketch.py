@@ -156,18 +156,31 @@ class TurnSketcher:
     """Actor-pool ``map_batches`` stage: turn batch → per-turn partial
     sketches. Config (compiled patterns, params) lives in ``__init__`` —
     once per actor, not per batch (reference analogue: the per-process
-    sketch factory state, ``command_sketch.py:309-362``)."""
+    sketch factory state, ``command_sketch.py:309-362``).
 
-    def __init__(self, params: SketchParams):
+    Also emits ``conv_part`` (crc32 of conv_id mod ``group_parts``) — the
+    coarse shuffle key for the merge stage, so the per-conversation merge
+    runs one vectorized Python call per partition instead of per
+    conversation."""
+
+    def __init__(self, params: SketchParams, group_parts: int = 1024):
         self.params = params
+        self.group_parts = group_parts
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import zlib
+
         p = self.params
         norm = normalize_column(batch["text"], p.normalization)
         hashes, rows, n_shingles = batch_shingle_hashes(norm, p.ksize, p.seed)
         offsets, mins, abunds = _retain_per_row(hashes, rows, len(batch), p)
+        conv_part = np.fromiter(
+            (zlib.crc32(c.encode()) % self.group_parts
+             for c in batch["conv_id"].to_pylist()),
+            dtype=np.int64, count=batch.num_rows)
         return pa.table({
             "conv_id": batch["conv_id"],
+            "conv_part": pa.array(conv_part, pa.int64()),
             "mins": pa.ListArray.from_arrays(
                 pa.array(offsets, pa.int32()), pa.array(mins, pa.uint64())),
             "abunds": pa.ListArray.from_arrays(
@@ -176,54 +189,111 @@ class TurnSketcher:
         })
 
 
-def make_merge_group_fn(cfg: EngineConfig):
-    """Per-conversation merge of turn partials → one signature row.
+def make_merge_part_fn(cfg: EngineConfig):
+    """Merge turn partials → signature rows for a whole COARSE partition in
+    one vectorized pass (all conversations of the partition at once).
 
-    Sorted k-way union with abundance sum (``minhash.rs:432-516`` merge
-    semantics generalized to k inputs), then LSH permutation minima over the
-    retained set and the md5 identity (``minhash.rs:290-307``).
+    Per conversation: sorted union with abundance sum (``minhash.rs:432-516``
+    merge semantics generalized to k inputs), LSH permutation minima over
+    the retained set, and the md5 identity (``minhash.rs:290-307``).
     """
     p = cfg.sketch
     seeds = perm_seeds(cfg.lsh.num_perm, p.seed)
+    num_perm = cfg.lsh.num_perm
 
-    def merge_group(group: pa.Table) -> pa.Table:
-        conv_id = group["conv_id"][0].as_py()
-        mins_col = group["mins"].combine_chunks()
+    def merge_part(part: pa.Table) -> pa.Table:
+        part = part.sort_by([("conv_id", "ascending")])
+        conv = part["conv_id"].combine_chunks()
+        cid = np.asarray(conv.to_numpy(zero_copy_only=False))
+        # turn-row → conversation-ordinal
+        new_conv = np.concatenate([[True], cid[1:] != cid[:-1]])
+        conv_ord = np.cumsum(new_conv) - 1
+        n_convs = int(conv_ord[-1]) + 1 if cid.size else 0
+        conv_row = np.flatnonzero(new_conv)  # first turn-row of each conv
+
+        mins_col = part["mins"].combine_chunks()
+        row_lens = np.diff(np.asarray(mins_col.offsets, dtype=np.int64))
         all_mins = np.asarray(mins_col.flatten(), dtype=np.uint64)
         all_ab = np.asarray(
-            group["abunds"].combine_chunks().flatten(), dtype=np.uint64)
-        if all_mins.size:
-            order = np.argsort(all_mins, kind="stable")
-            h = all_mins[order]
-            a = all_ab[order]
+            part["abunds"].combine_chunks().flatten(), dtype=np.uint64)
+        hash_conv = np.repeat(conv_ord, row_lens)
+
+        # per-conversation sorted-unique union with summed abundances
+        order = np.lexsort((all_mins, hash_conv))
+        h, a, c = all_mins[order], all_ab[order], hash_conv[order]
+        if h.size:
             first = np.empty(h.size, dtype=bool)
             first[0] = True
-            first[1:] = h[1:] != h[:-1]
+            first[1:] = (h[1:] != h[:-1]) | (c[1:] != c[:-1])
             idx = np.flatnonzero(first)
-            mins = h[idx]
-            abunds = np.add.reduceat(a, idx).astype(np.uint64)
+            mins_v = h[idx]
+            ab_v = np.add.reduceat(a, idx).astype(np.uint64)
+            keep_conv = c[idx]
         else:
-            mins = np.empty(0, np.uint64)
-            abunds = np.empty(0, np.uint64)
+            mins_v = np.empty(0, np.uint64)
+            ab_v = np.empty(0, np.uint64)
+            keep_conv = np.empty(0, np.int64)
+        per_conv = np.bincount(keep_conv, minlength=n_convs)
         if p.num:
-            mins, abunds = mins[: p.num], abunds[: p.num]
-        perms = perm_minima(mins, seeds)
-        n_shingles = int(pc.sum(group["n_shingles"]).as_py() or 0)
+            starts = np.concatenate([[0], np.cumsum(per_conv)[:-1]])
+            pos = np.arange(mins_v.size) - starts[keep_conv]
+            sel = pos < p.num
+            mins_v, ab_v, keep_conv = mins_v[sel], ab_v[sel], keep_conv[sel]
+            per_conv = np.bincount(keep_conv, minlength=n_convs)
+        offsets = np.concatenate([[0], np.cumsum(per_conv)]).astype(np.int32)
+
+        # permutation minima: one (n_retained, num_perm) pass + reduceat
+        if mins_v.size:
+            old = np.seterr(over="ignore")
+            try:
+                permed = _fmix64_mat(mins_v[:, None] ^ seeds[None, :])
+            finally:
+                np.seterr(**old)
+            perms = np.full((n_convs, num_perm), MAX_U64, dtype=np.uint64)
+            nonempty = per_conv > 0
+            if nonempty.any():
+                starts = offsets[:-1][nonempty].astype(np.int64)
+                perms[nonempty] = np.minimum.reduceat(permed, starts, axis=0)[
+                    : int(nonempty.sum())]
+        else:
+            perms = np.full((n_convs, num_perm), MAX_U64, dtype=np.uint64)
+
+        md5s = [md5_of_mins(mins_v[offsets[i]:offsets[i + 1]], p.ksize)
+                for i in range(n_convs)]
+        n_sh = np.bincount(
+            conv_ord, weights=np.asarray(part["n_shingles"], dtype=np.float64),
+            minlength=n_convs).astype(np.uint64)
+        n_turns = np.bincount(conv_ord, minlength=n_convs).astype(np.int32)
+
+        perm_offs = pa.array(
+            np.arange(n_convs + 1, dtype=np.int32) * num_perm)
         return pa.table({
-            "conv_id": pa.array([conv_id], pa.string()),
-            "ksize": pa.array([p.ksize], pa.int32()),
-            "scaled": pa.array([p.scaled], pa.uint64()),
-            "num": pa.array([p.num], pa.uint32()),
-            "seed": pa.array([p.seed], pa.uint64()),
-            "n_shingles": pa.array([n_shingles], pa.uint64()),
-            "n_turns": pa.array([len(group)], pa.int32()),
-            "mins": pa.array([mins], pa.list_(pa.uint64())),
-            "abunds": pa.array([abunds], pa.list_(pa.uint64())),
-            "md5": pa.array([md5_of_mins(mins, p.ksize)], pa.string()),
-            "perms": pa.array([perms], pa.list_(pa.uint64())),
+            "conv_id": conv.take(pa.array(conv_row, pa.int64())),
+            "ksize": pa.array(np.full(n_convs, p.ksize, np.int32)),
+            "scaled": pa.array(np.full(n_convs, p.scaled, np.uint64)),
+            "num": pa.array(np.full(n_convs, p.num, np.uint32)),
+            "seed": pa.array(np.full(n_convs, p.seed, np.uint64)),
+            "n_shingles": pa.array(n_sh, pa.uint64()),
+            "n_turns": pa.array(n_turns, pa.int32()),
+            "mins": pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()), pa.array(mins_v, pa.uint64())),
+            "abunds": pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()), pa.array(ab_v, pa.uint64())),
+            "md5": pa.array(md5s, pa.string()),
+            "perms": pa.ListArray.from_arrays(
+                perm_offs, pa.array(perms.reshape(-1), pa.uint64())),
         })
 
-    return merge_group
+    return merge_part
+
+
+def _fmix64_mat(k: np.ndarray) -> np.ndarray:
+    k = k ^ (k >> np.uint64(33))
+    k = k * np.uint64(0xFF51AFD7ED558CCD)
+    k = k ^ (k >> np.uint64(33))
+    k = k * np.uint64(0xC4CEB9FE1A85EC53)
+    k = k ^ (k >> np.uint64(33))
+    return k
 
 
 def sketch_transcripts(ds, cfg: EngineConfig = DEFAULT_CONFIG):
@@ -231,17 +301,18 @@ def sketch_transcripts(ds, cfg: EngineConfig = DEFAULT_CONFIG):
 
     ``ds`` needs columns (conv_id, text); extra columns are pruned here —
     callers reading Parquet should already pass ``columns=["conv_id",
-    "text"]`` to prune at the scan.
+    "text"]`` to prune at the scan. The conv_id shuffle runs on the coarse
+    ``conv_part`` key (one vectorized merge call per partition).
     """
     ds = ds.select_columns(["conv_id", "text"])
     partial = ds.map_batches(
         TurnSketcher,
-        fn_constructor_args=(cfg.sketch,),
+        fn_constructor_args=(cfg.sketch, cfg.exec.group_parts),
         batch_format="pyarrow",
         batch_size=cfg.exec.sketch_batch_size,
         concurrency=(1, resolve_num_partitions(cfg)),
         num_cpus=1,
     )
-    return partial.groupby("conv_id").map_groups(
-        make_merge_group_fn(cfg), batch_format="pyarrow"
+    return partial.groupby("conv_part").map_groups(
+        make_merge_part_fn(cfg), batch_format="pyarrow"
     )

@@ -101,6 +101,7 @@ def verify_pairs(pairs, sigs, cfg: EngineConfig = DEFAULT_CONFIG,
                  threshold: float | None = None):
     """candidate pairs + signatures → verified pair Dataset
     (a, b, jaccard, containment_ab, containment_ba), jaccard ≥ threshold."""
+    import ray
     import ray.data
 
     thr = cfg.verify_threshold if threshold is None else threshold
@@ -108,9 +109,43 @@ def verify_pairs(pairs, sigs, cfg: EngineConfig = DEFAULT_CONFIG,
     npairs = pairs.count()
     if npairs == 0:
         return ray.data.from_arrow(VERIFIED_SCHEMA.empty_table())
-    nparts = clamped_join_partitions(cfg, npairs, sigs.count())
     blobs = sigs.select_columns(["conv_id", "mins"]).map_batches(
-        mins_to_blob, batch_format="pyarrow")
+        mins_to_blob, batch_format="pyarrow").materialize()
+
+    if blobs.size_bytes() <= cfg.exec.broadcast_bytes_limit:
+        # broadcast fast path: the sketch-blob table rides the object store
+        # once (ray.put) and each pair batch does two local Acero joins —
+        # no shuffle at all. The scale path below kicks in when sketches
+        # outgrow the broadcast budget.
+        blob_tbl = pa.concat_tables(
+            ray.get(blobs.to_arrow_refs())).combine_chunks()
+        ref = ray.put(blob_tbl)
+
+        class BroadcastScorer(PairScorer):
+            def __init__(self, num, threshold):
+                super().__init__(num, threshold)
+                self.blob_tbl = ray.get(ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                t = batch.select(["a", "b"]).join(
+                    self.blob_tbl, keys=["a"], right_keys=["conv_id"],
+                    join_type="inner").rename_columns(["a", "b", "blob_a"])
+                t = t.join(
+                    self.blob_tbl, keys=["b"], right_keys=["conv_id"],
+                    join_type="inner").rename_columns(
+                        ["a", "b", "blob_a", "blob_b"])
+                return super().__call__(t.combine_chunks())
+
+        return pairs.map_batches(
+            BroadcastScorer,
+            fn_constructor_args=(cfg.sketch.num, thr),
+            batch_format="pyarrow",
+            batch_size=cfg.exec.verify_batch_size,
+            concurrency=(1, resolve_num_partitions(cfg)),
+            num_cpus=1,
+        )
+
+    nparts = clamped_join_partitions(cfg, npairs, sigs.count())
     with_a = pairs.join(
         blobs, join_type="inner", num_partitions=nparts,
         on=("a",), right_on=("conv_id",),
