@@ -43,13 +43,18 @@ def _consume(res) -> int:
     return len(res)
 
 
-def run_flagship(sf_dir: str) -> dict:
-    """Transcripts near-dup dedup end-to-end; returns timings + turns/s."""
+def run_flagship(sf_dir: str, warmup: bool = True) -> dict:
+    """Transcripts near-dup dedup end-to-end; returns timings + turns/s.
+
+    A tiny warm-up run (sf0.001) first forces worker spawn + imports so the
+    timed region measures steady-state throughput, not cold-start."""
     import ray.data
 
     from sourmash_ray.pipelines.dedup import dedup_pipeline
     from sourmash_ray.sources.transcripts import transcripts_path
 
+    if warmup:
+        dedup_pipeline("/root/testdata/sf0.001")["clusters"].count()
     path = transcripts_path(sf_dir)  # synthesized outside the timed region
     n_turns = ray.data.read_parquet(path).count()
     t0 = time.perf_counter()

@@ -120,15 +120,23 @@ def _np_fmix64(k: np.ndarray) -> np.ndarray:
     return k
 
 
-def murmur64_fixedlen(mat: np.ndarray, seed: int = DEFAULT_SEED) -> np.ndarray:
+def murmur64_fixedlen(mat: np.ndarray, seed: int = DEFAULT_SEED,
+                      length: int | None = None) -> np.ndarray:
     """Vectorized MurmurHash3 x64_128 (low 64 bits) over equal-length rows.
 
     ``mat`` is an ``(n, L)`` uint8 array; each row is one L-byte message.
     Returns an ``(n,)`` uint64 array. Bit-identical to :func:`murmur64`.
+
+    ``length``: logical message length when ``mat`` is already padded to a
+    multiple of 8 bytes per row (``mat.shape[1] >= length``, pad bytes
+    arbitrary — the tail masking ignores them). Callers on the hot path
+    gather pre-padded windows to avoid a full-matrix pad copy here.
     """
     if mat.ndim != 2:
         raise ValueError("mat must be (n, L) uint8")
-    n, length = mat.shape
+    n, width = mat.shape
+    if length is None:
+        length = width
     nblocks = length // 16
     tl = length - nblocks * 16
 
@@ -138,15 +146,15 @@ def murmur64_fixedlen(mat: np.ndarray, seed: int = DEFAULT_SEED) -> np.ndarray:
     h1 = np.full(n, seed, dtype=_U64)
     h2 = np.full(n, seed, dtype=_U64)
 
-    # Read little-endian u64 lanes. Pad the row out to a multiple of 8 so a
-    # uint64 view is valid; the pad bytes are only touched by the tail logic,
-    # which masks them off explicitly.
-    pad = (-length) % 8
-    if pad:
+    # Read little-endian u64 lanes. Rows must span a whole number of u64
+    # lanes covering `length`; pad here only if the caller didn't.
+    need = nblocks * 16 + ((tl + 7) // 8) * 8
+    target = max(need, ((width + 7) // 8) * 8)
+    if width < target:
         mat = np.concatenate(
-            [mat, np.zeros((n, pad), dtype=np.uint8)], axis=1
+            [mat, np.zeros((n, target - width), dtype=np.uint8)], axis=1
         )
-    lanes = mat.view("<u8")  # (n, ceil(L/8))
+    lanes = mat.view("<u8")  # (n, width//8)
 
     old = np.seterr(over="ignore")
     try:

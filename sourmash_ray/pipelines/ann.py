@@ -79,9 +79,10 @@ def ann_topk_bruteforce(sf_dir: str, n_queries: int = 8, k: int = 5):
     qn[qn == 0] = 1.0
     queries_ref = ray.put((q_ids, qm / qn[:, None]))
 
-    partial = ds.map_batches(
-        BruteForceScorer, fn_constructor_args=(queries_ref, k),
-        batch_format="pyarrow", concurrency=(1, 8), num_cpus=1)
+    def _score(batch: pa.Table) -> pa.Table:
+        return BruteForceScorer(queries_ref, k)(batch)
+
+    partial = ds.map_batches(_score, batch_format="pyarrow")
     # global reduce: tiny (k+1 per query per block) → driver-side final top-k
     tbl = pa.Table.from_pylist(partial.take_all())
     out_rows = []
@@ -128,9 +129,8 @@ def ann_buckets(sf_dir: str, n_bits: int = 8, seed: int = 42):
     ds = _read_emb(sf_dir)
     first = ds.take(1)[0]
     dim = len(first["embedding"])
-    return ds.map_batches(
-        HyperplaneBucketer, fn_constructor_args=(dim, n_bits, seed),
-        batch_format="pyarrow", concurrency=(1, 8), num_cpus=1)
+    bk = HyperplaneBucketer(dim, n_bits, seed)
+    return ds.map_batches(lambda t: bk(t), batch_format="pyarrow")
 
 
 class MultiTableBucketer:
@@ -177,10 +177,8 @@ def embedding_neardup_pairs(sf_dir: str, n_bits: int = 4, seed: int = 42,
     n_emb = blob.count()
     first = emb.take(1)[0]
     dim = len(first["embedding"])
-    buckets = emb.map_batches(
-        MultiTableBucketer,
-        fn_constructor_args=(dim, n_bits, n_tables, seed),
-        batch_format="pyarrow", concurrency=(1, 8), num_cpus=1)
+    bucketer = MultiTableBucketer(dim, n_bits, n_tables, seed)
+    buckets = emb.map_batches(lambda t: bucketer(t), batch_format="pyarrow")
     joined = buckets.join(
         blob, join_type="inner",
         num_partitions=clamped_join_partitions(DEFAULT_CONFIG,

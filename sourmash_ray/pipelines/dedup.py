@@ -26,26 +26,59 @@ from ..stages.verify import verify_pairs
 from ..state.checkpoint import checkpoint_dataset
 
 
-def _exact_group_edges(group: pa.Table) -> pa.Table:
-    """Star edges within one identical-md5 group (skipping empty sketches:
-    empty sketches share a vacuous md5 but have Jaccard 0 by the
-    max(1, denom) rule, ``minhash.rs:624-631``)."""
+def _exact_edges_part(part: pa.Table) -> pa.Table:
+    """Star edges for every identical-md5 run within one coarse partition
+    (vectorized run detection; empty sketches are excluded upstream — they
+    share a vacuous md5 but have Jaccard 0 by the max(1, denom) rule,
+    ``minhash.rs:624-631``)."""
+    import numpy as np
+
     empty = pa.table({"a": pa.array([], pa.string()),
                       "b": pa.array([], pa.string())})
-    if group.num_rows < 2 or len(group["mins"][0]) == 0:
+    if part.num_rows < 2:
         return empty
-    ids = sorted(group["conv_id"].to_pylist())
-    root = ids[0]
-    return pa.table({"a": pa.array([root] * (len(ids) - 1), pa.string()),
-                     "b": pa.array(ids[1:], pa.string())})
+    part = part.select(["md5", "conv_id"]).sort_by(
+        [("md5", "ascending"), ("conv_id", "ascending")])
+    md5 = np.asarray(part["md5"].combine_chunks().to_numpy(
+        zero_copy_only=False))
+    conv = part["conv_id"].combine_chunks()
+    new = np.concatenate([[True], md5[1:] != md5[:-1]])
+    starts = np.flatnonzero(new)
+    sizes = np.diff(np.concatenate([starts, [md5.size]]))
+    ai, bi = [], []
+    for s, g in zip(starts[sizes >= 2], sizes[sizes >= 2]):
+        g = int(g)
+        ai.append(np.full(g - 1, s))
+        bi.append(np.arange(s + 1, s + g))
+    if not ai:
+        return empty
+    return pa.table({
+        "a": conv.take(pa.array(np.concatenate(ai), pa.int64())),
+        "b": conv.take(pa.array(np.concatenate(bi), pa.int64())),
+    })
 
 
-def exact_dup_edges(sigs):
-    """groupby(md5) → star edges between identical sketches."""
+def exact_dup_edges(sigs, group_parts: int = 1024):
+    """Identical-sketch star edges: coarse groupby over md5 (the
+    ``found_md5`` dedup promoted to an operator)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def _key(batch: pa.Table) -> pa.Table:
+        import zlib
+
+        keep = pc.greater(pc.list_value_length(batch["mins"]), 0)
+        t = batch.select(["conv_id", "md5"]).filter(keep)
+        mp = np.fromiter((zlib.crc32(m.encode()) % group_parts
+                          for m in t["md5"].to_pylist()),
+                         dtype=np.int64, count=t.num_rows)
+        return t.append_column("md5_part", pa.array(mp, pa.int64()))
+
     return (
         sigs.select_columns(["conv_id", "md5", "mins"])
-        .groupby("md5")
-        .map_groups(_exact_group_edges, batch_format="pyarrow")
+        .map_batches(_key, batch_format="pyarrow")
+        .groupby("md5_part")
+        .map_groups(_exact_edges_part, batch_format="pyarrow")
     )
 
 

@@ -169,9 +169,9 @@ class DocSketcher:
 
 
 def sketch_docs(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG):
+    sk = DocSketcher(cfg)
     return _read_docs(sf_dir).map_batches(
-        DocSketcher, fn_constructor_args=(cfg,), batch_format="pyarrow",
-        concurrency=(1, 8), num_cpus=1)
+        lambda t: sk(t), batch_format="pyarrow")
 
 
 def minhash_dedup_docs(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG):
@@ -215,6 +215,6 @@ class SimHasher:
 
 
 def simhash_docs(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG):
+    sh = SimHasher(cfg)
     return _read_docs(sf_dir).map_batches(
-        SimHasher, fn_constructor_args=(cfg,), batch_format="pyarrow",
-        concurrency=(1, 8), num_cpus=1)
+        lambda t: sh(t), batch_format="pyarrow")

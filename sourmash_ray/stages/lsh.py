@@ -84,6 +84,12 @@ class BandKeyer:
         })
 
 
+def band_keys_batch(batch: pa.Table, *, keyer: "BandKeyer") -> pa.Table:
+    """Task-based map_batches wrapper (no actor pool spin-up; the keyer
+    holds only small config arrays)."""
+    return keyer(batch)
+
+
 def _emit_pairs_part(cap: int):
     """Vectorized pair emission over one COARSE partition of band keys.
 
@@ -164,12 +170,11 @@ def candidate_pairs(sigs, cfg: EngineConfig = DEFAULT_CONFIG):
     """
     lsh = cfg.lsh
     parts = cfg.exec.group_parts
+    keyer = BandKeyer(lsh.num_perm, lsh.bands, lsh.rows, parts)
     keyed = sigs.select_columns(["conv_id", "perms"]).map_batches(
-        BandKeyer,
-        fn_constructor_args=(lsh.num_perm, lsh.bands, lsh.rows, parts),
+        band_keys_batch,
+        fn_kwargs=dict(keyer=keyer),
         batch_format="pyarrow",
-        concurrency=(1, resolve_num_partitions(cfg)),
-        num_cpus=1,
     )
     pairs = keyed.groupby("band_part").map_groups(
         _emit_pairs_part(lsh.max_bucket_pairs_members),

@@ -108,8 +108,15 @@ def batch_shingle_hashes(
     cum = np.concatenate([[0], np.cumsum(counts)[:-1]])
     within = np.arange(total, dtype=np.int64) - np.repeat(cum, counts)
     starts = offs[:-1][rows] + within
-    windows = data[starts[:, None] + np.arange(ksize, dtype=np.int64)[None, :]]
-    hashes = murmur64_fixedlen(windows, seed=seed)
+    # gather via a zero-copy sliding view + one row take — a 2D index-matrix
+    # gather here allocates an (n_shingles, ksize) int64 index (≈20× the
+    # window bytes) and was the pipeline's hottest line. Windows are
+    # gathered pre-padded to a u64-lane multiple so murmur skips its own
+    # full-matrix pad copy (tail masking ignores the extra bytes).
+    width = ksize + (-ksize) % 8
+    data = np.concatenate([data, np.zeros(8, np.uint8)])
+    windows = np.lib.stride_tricks.sliding_window_view(data, width)[starts]
+    hashes = murmur64_fixedlen(windows, seed=seed, length=ksize)
     return hashes, rows, counts.astype(np.uint64)
 
 
@@ -152,41 +159,50 @@ def _retain_per_row(
     return offsets, mins, abunds
 
 
-class TurnSketcher:
-    """Actor-pool ``map_batches`` stage: turn batch → per-turn partial
-    sketches. Config (compiled patterns, params) lives in ``__init__`` —
-    once per actor, not per batch (reference analogue: the per-process
-    sketch factory state, ``command_sketch.py:309-362``).
+def sketch_turns_batch(batch: pa.Table, *, params: SketchParams,
+                       group_parts: int = 1024) -> pa.Table:
+    """``map_batches`` kernel: turn batch → per-turn partial sketches
+    (reference analogue: the per-process sketch factory,
+    ``command_sketch.py:309-362``). Runs task-based — setup cost here is
+    just the shared compiled regexes, so an actor pool would only add
+    spin-up latency.
 
     Also emits ``conv_part`` (crc32 of conv_id mod ``group_parts``) — the
     coarse shuffle key for the merge stage, so the per-conversation merge
     runs one vectorized Python call per partition instead of per
     conversation."""
+    import zlib
+
+    p = params
+    norm = normalize_column(batch["text"], p.normalization)
+    hashes, rows, n_shingles = batch_shingle_hashes(norm, p.ksize, p.seed)
+    offsets, mins, abunds = _retain_per_row(hashes, rows, len(batch), p)
+    conv_part = np.fromiter(
+        (zlib.crc32(c.encode()) % group_parts
+         for c in batch["conv_id"].to_pylist()),
+        dtype=np.int64, count=batch.num_rows)
+    return pa.table({
+        "conv_id": batch["conv_id"],
+        "conv_part": pa.array(conv_part, pa.int64()),
+        "mins": pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(mins, pa.uint64())),
+        "abunds": pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(abunds, pa.uint64())),
+        "n_shingles": pa.array(n_shingles, pa.uint64()),
+    })
+
+
+class TurnSketcher:
+    """Thin callable wrapper over :func:`sketch_turns_batch` (kept for
+    direct kernel use in tests)."""
 
     def __init__(self, params: SketchParams, group_parts: int = 1024):
         self.params = params
         self.group_parts = group_parts
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import zlib
-
-        p = self.params
-        norm = normalize_column(batch["text"], p.normalization)
-        hashes, rows, n_shingles = batch_shingle_hashes(norm, p.ksize, p.seed)
-        offsets, mins, abunds = _retain_per_row(hashes, rows, len(batch), p)
-        conv_part = np.fromiter(
-            (zlib.crc32(c.encode()) % self.group_parts
-             for c in batch["conv_id"].to_pylist()),
-            dtype=np.int64, count=batch.num_rows)
-        return pa.table({
-            "conv_id": batch["conv_id"],
-            "conv_part": pa.array(conv_part, pa.int64()),
-            "mins": pa.ListArray.from_arrays(
-                pa.array(offsets, pa.int32()), pa.array(mins, pa.uint64())),
-            "abunds": pa.ListArray.from_arrays(
-                pa.array(offsets, pa.int32()), pa.array(abunds, pa.uint64())),
-            "n_shingles": pa.array(n_shingles, pa.uint64()),
-        })
+        return sketch_turns_batch(batch, params=self.params,
+                                  group_parts=self.group_parts)
 
 
 def make_merge_part_fn(cfg: EngineConfig):
@@ -306,12 +322,10 @@ def sketch_transcripts(ds, cfg: EngineConfig = DEFAULT_CONFIG):
     """
     ds = ds.select_columns(["conv_id", "text"])
     partial = ds.map_batches(
-        TurnSketcher,
-        fn_constructor_args=(cfg.sketch, cfg.exec.group_parts),
+        sketch_turns_batch,
+        fn_kwargs=dict(params=cfg.sketch, group_parts=cfg.exec.group_parts),
         batch_format="pyarrow",
         batch_size=cfg.exec.sketch_batch_size,
-        concurrency=(1, resolve_num_partitions(cfg)),
-        num_cpus=1,
     )
     return partial.groupby("conv_part").map_groups(
         make_merge_part_fn(cfg), batch_format="pyarrow"

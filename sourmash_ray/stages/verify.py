@@ -121,28 +121,21 @@ def verify_pairs(pairs, sigs, cfg: EngineConfig = DEFAULT_CONFIG,
             ray.get(blobs.to_arrow_refs())).combine_chunks()
         ref = ray.put(blob_tbl)
 
-        class BroadcastScorer(PairScorer):
-            def __init__(self, num, threshold):
-                super().__init__(num, threshold)
-                self.blob_tbl = ray.get(ref)
-
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                t = batch.select(["a", "b"]).join(
-                    self.blob_tbl, keys=["a"], right_keys=["conv_id"],
-                    join_type="inner").rename_columns(["a", "b", "blob_a"])
-                t = t.join(
-                    self.blob_tbl, keys=["b"], right_keys=["conv_id"],
-                    join_type="inner").rename_columns(
-                        ["a", "b", "blob_a", "blob_b"])
-                return super().__call__(t.combine_chunks())
+        def broadcast_score(batch: pa.Table) -> pa.Table:
+            blob_tbl = ray.get(ref)  # zero-copy from the object store
+            t = batch.select(["a", "b"]).join(
+                blob_tbl, keys=["a"], right_keys=["conv_id"],
+                join_type="inner").rename_columns(["a", "b", "blob_a"])
+            t = t.join(
+                blob_tbl, keys=["b"], right_keys=["conv_id"],
+                join_type="inner").rename_columns(
+                    ["a", "b", "blob_a", "blob_b"])
+            return PairScorer(cfg.sketch.num, thr)(t.combine_chunks())
 
         return pairs.map_batches(
-            BroadcastScorer,
-            fn_constructor_args=(cfg.sketch.num, thr),
+            broadcast_score,
             batch_format="pyarrow",
             batch_size=cfg.exec.verify_batch_size,
-            concurrency=(1, resolve_num_partitions(cfg)),
-            num_cpus=1,
         )
 
     nparts = clamped_join_partitions(cfg, npairs, sigs.count())
@@ -154,11 +147,9 @@ def verify_pairs(pairs, sigs, cfg: EngineConfig = DEFAULT_CONFIG,
         blobs, join_type="inner", num_partitions=nparts,
         on=("b",), right_on=("conv_id",),
     ).rename_columns({"blob": "blob_b"})
+    scorer = PairScorer(cfg.sketch.num, thr)
     return with_ab.map_batches(
-        PairScorer,
-        fn_constructor_args=(cfg.sketch.num, thr),
+        lambda t: scorer(t),
         batch_format="pyarrow",
         batch_size=cfg.exec.verify_batch_size,
-        concurrency=(1, nparts),
-        num_cpus=1,
     )
