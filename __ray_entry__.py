@@ -79,10 +79,77 @@ def _verified_pairs_q(sf_dir: str):
     return ver.map_batches(_round, batch_format="pyarrow")
 
 
+def _sigs_for(sf_dir: str):
+    from sourmash_ray.config import DEFAULT_CONFIG
+    from sourmash_ray.sources.transcripts import read_transcripts
+    from sourmash_ray.stages.sketch import sketch_transcripts
+
+    return sketch_transcripts(read_transcripts(sf_dir),
+                              DEFAULT_CONFIG).materialize()
+
+
+def _clone_query_id(sigs) -> str:
+    """First exact-clone conv_id — a query with guaranteed matches."""
+    import pyarrow.compute as pc
+
+    rows = (sigs.select_columns(["conv_id"])
+            .map_batches(lambda t: t.filter(
+                pc.match_substring(t["conv_id"], "_xd")),
+                batch_format="pyarrow")
+            .sort("conv_id").take(1))
+    return rows[0]["conv_id"]
+
+
+def _search_q(sf_dir: str):
+    from sourmash_ray.pipelines.sourmash_parity import search
+
+    sigs = _sigs_for(sf_dir)
+    return search(sigs, _clone_query_id(sigs), threshold=0.05)
+
+
+def _prefetch_q(sf_dir: str):
+    from sourmash_ray.pipelines.sourmash_parity import prefetch
+
+    sigs = _sigs_for(sf_dir)
+    return prefetch(sigs, _clone_query_id(sigs), threshold_hashes=2)
+
+
+def _gather_q(sf_dir: str):
+    from sourmash_ray.pipelines.sourmash_parity import gather
+
+    sigs = _sigs_for(sf_dir)
+    return gather(sigs, _clone_query_id(sigs), threshold_hashes=3)
+
+
+def _compare_q(sf_dir: str):
+    from sourmash_ray.pipelines.sourmash_parity import compare_exact
+
+    return compare_exact(_sigs_for(sf_dir).limit(40).materialize())
+
+
+def _sig_downsample_q(sf_dir: str):
+    from sourmash_ray.stages.sigops import describe_sigs, downsample_sigs
+
+    return describe_sigs(downsample_sigs(_sigs_for(sf_dir), 64))
+
+
+def _sig_describe_q(sf_dir: str):
+    from sourmash_ray.stages.sigops import describe_sigs
+
+    return describe_sigs(_sigs_for(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from sourmash_ray.pipelines import ann, docops, eventops, relational
 
     return {
+        # --- sourmash query parity (non-SQL; rows-only checks) ---
+        "search_transcripts": _search_q,
+        "prefetch_transcripts": _prefetch_q,
+        "gather_transcripts": _gather_q,
+        "compare_exact_small": _compare_q,
+        "sig_downsample": _sig_downsample_q,
+        "sig_describe": _sig_describe_q,
         # --- flagship: transcripts near-dup (non-SQL; rows-only checks) ---
         "sketch_transcripts": _sketch_transcripts_q,
         "dedup_transcripts": _dedup_transcripts_q,

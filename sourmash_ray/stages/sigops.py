@@ -1,0 +1,185 @@
+"""Signature-collection transforms — the ``sourmash sig …`` CLI family
+(SURVEY.md §2.5/§2.9) as vectorized Dataset operations over the signatures
+table. Each cites the reference subcommand it mirrors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.sketch import max_hash_for_scaled, md5_of_mins
+
+
+def _list_views(col: pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+    lst = col.combine_chunks()
+    offs = np.asarray(lst.offsets, dtype=np.int64)
+    vals = np.asarray(lst.flatten(), dtype=np.uint64)
+    return offs, vals
+
+
+def _rebuild_lists(offs: np.ndarray, vals: np.ndarray, keep: np.ndarray):
+    """Apply a per-value boolean mask to a list column; returns (new_offsets
+    int32, new_values)."""
+    row_of = np.repeat(np.arange(offs.size - 1), np.diff(offs))
+    kept_rows = row_of[keep]
+    per_row = np.bincount(kept_rows, minlength=offs.size - 1)
+    new_offs = np.concatenate([[0], np.cumsum(per_row)]).astype(np.int32)
+    return new_offs, vals[keep]
+
+
+def downsample_sigs(sigs, new_scaled: int):
+    """``sig downsample`` (``/root/reference/src/sourmash/sig/__main__.py:
+    926-999``): scaled may only increase (``minhash.py:678-700``); keeps
+    hashes ≤ the new max_hash and recomputes md5."""
+    new_max = np.uint64(max_hash_for_scaled(new_scaled))
+
+    def _ds(batch: pa.Table) -> pa.Table:
+        old_scaled = batch["scaled"][0].as_py() if batch.num_rows else 0
+        if old_scaled and new_scaled < old_scaled:
+            raise ValueError(
+                f"new scaled {new_scaled} < current {old_scaled} "
+                "(downsampling is one-way, minhash.py:678-700)")
+        offs, vals = _list_views(batch["mins"])
+        keep = vals <= new_max
+        new_offs, new_vals = _rebuild_lists(offs, vals, keep)
+        a_offs, a_vals = _list_views(batch["abunds"])
+        _, new_ab = _rebuild_lists(a_offs, a_vals, keep)
+        ks = batch["ksize"][0].as_py() if batch.num_rows else 0
+        md5s = [md5_of_mins(new_vals[new_offs[i]:new_offs[i + 1]], ks)
+                for i in range(batch.num_rows)]
+        t = batch.drop_columns(["mins", "abunds", "md5", "scaled"])
+        return (t.append_column("scaled", pa.array(
+                    np.full(batch.num_rows, new_scaled, np.uint64)))
+                 .append_column("mins", pa.ListArray.from_arrays(
+                     pa.array(new_offs), pa.array(new_vals, pa.uint64())))
+                 .append_column("abunds", pa.ListArray.from_arrays(
+                     pa.array(new_offs), pa.array(new_ab, pa.uint64())))
+                 .append_column("md5", pa.array(md5s, pa.string())))
+
+    return sigs.map_batches(_ds, batch_format="pyarrow")
+
+
+def flatten_sigs(sigs):
+    """``sig flatten`` — drop abundances (``minhash.py:721-738``)."""
+
+    def _fl(batch: pa.Table) -> pa.Table:
+        offs, _ = _list_views(batch["mins"])
+        n = batch.num_rows
+        empty_ab = pa.ListArray.from_arrays(
+            pa.array(offs.astype(np.int32)),
+            pa.array(np.ones(int(offs[-1]), np.uint64)))
+        i = batch.schema.get_field_index("abunds")
+        return batch.set_column(i, "abunds", empty_ab)
+
+    return sigs.map_batches(_fl, batch_format="pyarrow")
+
+
+def abund_filter_sigs(sigs, min_abund: int = 1, max_abund: int | None = None):
+    """``sig filter`` — keep hashes whose abundance is in [min, max]
+    (``sig/__main__.py:830-878``)."""
+    hi = np.uint64(max_abund) if max_abund is not None else None
+
+    def _ff(batch: pa.Table) -> pa.Table:
+        offs, vals = _list_views(batch["mins"])
+        a_offs, a_vals = _list_views(batch["abunds"])
+        keep = a_vals >= np.uint64(min_abund)
+        if hi is not None:
+            keep &= a_vals <= hi
+        new_offs, new_vals = _rebuild_lists(offs, vals, keep)
+        _, new_ab = _rebuild_lists(a_offs, a_vals, keep)
+        ks = batch["ksize"][0].as_py() if batch.num_rows else 0
+        md5s = [md5_of_mins(new_vals[new_offs[i]:new_offs[i + 1]], ks)
+                for i in range(batch.num_rows)]
+        t = batch.drop_columns(["mins", "abunds", "md5"])
+        return (t.append_column("mins", pa.ListArray.from_arrays(
+                    pa.array(new_offs), pa.array(new_vals, pa.uint64())))
+                 .append_column("abunds", pa.ListArray.from_arrays(
+                     pa.array(new_offs), pa.array(new_ab, pa.uint64())))
+                 .append_column("md5", pa.array(md5s, pa.string())))
+
+    return sigs.map_batches(_ff, batch_format="pyarrow")
+
+
+def extract_sigs(sigs, name_pattern: str | None = None,
+                 md5_prefix: str | None = None):
+    """``sig extract`` / ``sig grep`` — metadata regex / md5-prefix filter
+    (``sig/__main__.py:753-827``, ``sig/grep.py``)."""
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        mask = pa.array(np.ones(batch.num_rows, bool))
+        if name_pattern is not None:
+            mask = pc.and_(mask, pc.match_substring_regex(
+                batch["conv_id"], name_pattern))
+        if md5_prefix is not None:
+            mask = pc.and_(mask, pc.starts_with(batch["md5"], md5_prefix))
+        return batch.filter(mask)
+
+    return sigs.map_batches(_keep, batch_format="pyarrow")
+
+
+def merge_all(sigs) -> dict:
+    """``sig merge`` of a whole collection → ONE union sketch
+    (``sig/__main__.py:459-523``): per-block partial unions (tree reduce)
+    then a driver-side final union — never materializes all mins at once
+    beyond the per-block partials."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        _, vals = _list_views(batch["mins"])
+        u = np.unique(vals)
+        return pa.table({"mins": pa.array([u], pa.list_(pa.uint64()))})
+
+    parts = sigs.select_columns(["mins"]).map_batches(
+        _partial, batch_format="pyarrow").take_all()
+    if not parts:
+        merged = np.empty(0, np.uint64)
+    else:
+        merged = np.unique(np.concatenate(
+            [np.asarray(p["mins"], dtype=np.uint64) for p in parts]))
+    return {"mins": merged, "n_sigs_merged": len(parts)}
+
+
+def intersect_all(sigs) -> dict:
+    """``sig intersect`` of a whole collection → hashes present in EVERY
+    sketch (``sig/__main__.py:526-592``): per-block (value, count) partials,
+    driver reduce, keep count == n."""
+    from ray.data.aggregate import Count
+
+    n_total = sigs.count()
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        offs, vals = _list_views(batch["mins"])
+        return pa.table({"h": pa.array(vals, pa.uint64())})
+
+    counts = (sigs.select_columns(["mins"])
+              .map_batches(_explode, batch_format="pyarrow")
+              .groupby("h").aggregate(Count()))
+    hits = counts.filter(lambda r: r["count()"] == n_total)
+    common = np.array(sorted(r["h"] for r in hits.take_all()),
+                      dtype=np.uint64)
+    return {"mins": common, "n_sigs": n_total}
+
+
+def describe_sigs(sigs):
+    """``sig describe`` — per-signature summary incl. abundance stats
+    (``sig/__main__.py:250-345``; stats per ``minhash.py:1093-1127``)."""
+
+    def _desc(batch: pa.Table) -> pa.Table:
+        offs, _vals = _list_views(batch["mins"])
+        a_offs, a_vals = _list_views(batch["abunds"])
+        n = batch.num_rows
+        sums = np.zeros(n, np.int64)
+        for i in range(n):
+            sums[i] = int(a_vals[a_offs[i]:a_offs[i + 1]].sum())
+        return pa.table({
+            "conv_id": batch["conv_id"],
+            "ksize": batch["ksize"],
+            "scaled": batch["scaled"],
+            "num": batch["num"],
+            "n_mins": pa.array(np.diff(offs), pa.int64()),
+            "sum_abundance": pa.array(sums, pa.int64()),
+            "md5short": pc.utf8_slice_codeunits(batch["md5"], 0, 8),
+        })
+
+    return sigs.map_batches(_desc, batch_format="pyarrow")

@@ -1,0 +1,165 @@
+"""search / prefetch / gather / compare / sig-ops vs pure-Python oracles —
+the protocol-conformance idea of the reference's test_index_protocol.py
+(same answers from every backend)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from sourmash_ray.config import EngineConfig, LSHParams
+from sourmash_ray.functions.oracle import jaccard_mins, sketch_table
+from sourmash_ray.functions.sketch import SketchParams
+from sourmash_ray.sources.transcripts import synth_transcripts
+
+PARAMS = SketchParams(ksize=12, scaled=4, num=0, track_abundance=True)
+CFG = EngineConfig(sketch=PARAMS, lsh=LSHParams(num_perm=12, bands=4, rows=3))
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return synth_transcripts(25, seed=17)
+
+
+@pytest.fixture(scope="module")
+def sigs(ray_session, corpus):
+    import ray.data
+
+    from sourmash_ray.stages.sketch import sketch_transcripts
+
+    return sketch_transcripts(ray.data.from_arrow(corpus), CFG).materialize()
+
+
+@pytest.fixture(scope="module")
+def oracle_sketches(corpus):
+    return sketch_table(corpus, PARAMS)
+
+
+def test_search_matches_oracle(sigs, oracle_sketches):
+    from sourmash_ray.pipelines.sourmash_parity import search
+
+    q = sorted(oracle_sketches)[0]
+    got = {r["match"]: r["jaccard"]
+           for r in search(sigs, q, CFG, threshold=0.05).take_all()}
+    qm = oracle_sketches[q]["mins"]
+    for cid, sk in oracle_sketches.items():
+        if cid == q:
+            continue
+        ref = jaccard_mins(qm, sk["mins"], PARAMS)
+        if ref >= 0.05:
+            assert got[cid] == pytest.approx(ref, abs=1e-12), cid
+        else:
+            assert cid not in got
+
+
+def test_search_sorted_desc(sigs, oracle_sketches):
+    from sourmash_ray.pipelines.sourmash_parity import search
+
+    q = sorted(oracle_sketches)[0]
+    rows = search(sigs, q, CFG, threshold=0.0).take_all()
+    scores = [r["jaccard"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_prefetch_overlap(sigs, oracle_sketches):
+    from sourmash_ray.pipelines.sourmash_parity import prefetch
+
+    q = sorted(oracle_sketches)[0]
+    qm = oracle_sketches[q]["mins"]
+    got = {r["match"]: r["overlap"]
+           for r in prefetch(sigs, q, CFG, threshold_hashes=1).take_all()}
+    for cid, sk in oracle_sketches.items():
+        if cid == q:
+            continue
+        ov = int(np.intersect1d(qm, sk["mins"], assume_unique=True).size)
+        if ov >= 1:
+            assert got[cid] == ov, cid
+        else:
+            assert cid not in got
+
+
+def test_gather_greedy(sigs, oracle_sketches):
+    """Gather on a clone query must find its exact dup first with full
+    coverage, then stop (remaining below threshold)."""
+    from sourmash_ray.pipelines.sourmash_parity import gather
+
+    clones = [c for c in oracle_sketches if "_xd" in c]
+    assert clones
+    q = clones[0]
+    base = q.split("_xd")[0]
+    res = gather(sigs, q, CFG, threshold_hashes=3).to_pylist()
+    assert res, "gather found nothing for an exact clone"
+    assert res[0]["match"] == base
+    assert res[0]["remaining_hashes"] == 0
+
+
+def test_compare_exact_matches_oracle(sigs, oracle_sketches):
+    from sourmash_ray.pipelines.sourmash_parity import compare_exact
+
+    rows = compare_exact(sigs, CFG).take_all()
+    got = {(r["a"], r["b"]): r["jaccard"] for r in rows}
+    ids = sorted(oracle_sketches)
+    n_pairs = len(ids) * (len(ids) - 1) // 2
+    assert len(got) == n_pairs
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            ref = jaccard_mins(oracle_sketches[a]["mins"],
+                               oracle_sketches[b]["mins"], PARAMS)
+            assert got[(a, b)] == pytest.approx(ref, abs=1e-12), (a, b)
+
+
+def test_downsample_sigs(sigs, oracle_sketches):
+    from sourmash_ray.functions.sketch import max_hash_for_scaled
+    from sourmash_ray.stages.sigops import downsample_sigs
+
+    out = {r["conv_id"]: r for r in downsample_sigs(sigs, 8).take_all()}
+    mh = np.uint64(max_hash_for_scaled(8))
+    for cid, sk in oracle_sketches.items():
+        ref = sk["mins"][sk["mins"] <= mh]
+        assert np.array_equal(
+            np.asarray(out[cid]["mins"], dtype=np.uint64), ref), cid
+        assert out[cid]["scaled"] == 8
+
+
+def test_downsample_rejects_upsample(sigs):
+    from sourmash_ray.stages.sigops import downsample_sigs
+
+    with pytest.raises(Exception):
+        downsample_sigs(sigs, 2).take_all()
+
+
+def test_abund_filter(sigs, oracle_sketches):
+    from sourmash_ray.stages.sigops import abund_filter_sigs
+
+    out = {r["conv_id"]: r
+           for r in abund_filter_sigs(sigs, min_abund=2).take_all()}
+    for cid, sk in oracle_sketches.items():
+        ref = sk["mins"][sk["abunds"] >= 2]
+        assert np.array_equal(
+            np.asarray(out[cid]["mins"], dtype=np.uint64), ref), cid
+
+
+def test_merge_and_intersect_all(sigs, oracle_sketches):
+    from sourmash_ray.stages.sigops import intersect_all, merge_all
+
+    merged = merge_all(sigs)
+    ref_union = np.unique(np.concatenate(
+        [s["mins"] for s in oracle_sketches.values()]))
+    assert np.array_equal(merged["mins"], ref_union)
+
+    inter = intersect_all(sigs)
+    ref_common = None
+    for s in oracle_sketches.values():
+        ref_common = (s["mins"] if ref_common is None
+                      else np.intersect1d(ref_common, s["mins"]))
+    assert np.array_equal(inter["mins"], ref_common)
+
+
+def test_extract_and_describe(sigs):
+    from sourmash_ray.stages.sigops import describe_sigs, extract_sigs
+
+    sub = extract_sigs(sigs, name_pattern="_xd").take_all()
+    assert sub and all("_xd" in r["conv_id"] for r in sub)
+    desc = describe_sigs(sigs).take_all()
+    assert all(len(r["md5short"]) == 8 for r in desc)
+    assert all(r["n_mins"] >= 0 for r in desc)
