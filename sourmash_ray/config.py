@@ -52,7 +52,7 @@ class ExecParams:
     stages and can deadlock a small test cluster)."""
 
     num_partitions: int | None = None  # shuffle/join partition count
-    sketch_batch_size: int = 4096      # turns per sketcher batch
+    sketch_batch_size: int = 1024      # turns per sketcher batch (L2-friendly)
     verify_batch_size: int = 8192      # pairs per verifier batch
     cc_max_iters: int = 25             # label-propagation round cap
     # coarse-group vectorization: per-key map_groups costs one Python call

@@ -111,6 +111,23 @@ def _np_rotl64(x: np.ndarray, r: int) -> np.ndarray:
     return (x << _U64(r)) | (x >> _U64(64 - r))
 
 
+def _np_rotl64_inplace(x: np.ndarray, r: int, tmp: np.ndarray) -> None:
+    np.right_shift(x, _U64(64 - r), out=tmp)
+    np.left_shift(x, _U64(r), out=x)
+    np.bitwise_or(x, tmp, out=x)
+
+
+def _np_fmix64_inplace(k: np.ndarray, tmp: np.ndarray) -> None:
+    np.right_shift(k, _U64(33), out=tmp)
+    np.bitwise_xor(k, tmp, out=k)
+    np.multiply(k, _U64(0xFF51AFD7ED558CCD), out=k)
+    np.right_shift(k, _U64(33), out=tmp)
+    np.bitwise_xor(k, tmp, out=k)
+    np.multiply(k, _U64(0xC4CEB9FE1A85EC53), out=k)
+    np.right_shift(k, _U64(33), out=tmp)
+    np.bitwise_xor(k, tmp, out=k)
+
+
 def _np_fmix64(k: np.ndarray) -> np.ndarray:
     k = k ^ (k >> _U64(33))
     k = k * _U64(0xFF51AFD7ED558CCD)
@@ -157,53 +174,58 @@ def murmur64_fixedlen(mat: np.ndarray, seed: int = DEFAULT_SEED,
     lanes = mat.view("<u8")  # (n, width//8)
 
     old = np.seterr(over="ignore")
+    # scratch buffers reused across blocks — the kernel is memory-bandwidth
+    # bound under many concurrent tasks, so every avoided temporary counts
+    tmp = np.empty(n, dtype=_U64)
     try:
         for i in range(nblocks):
             k1 = lanes[:, 2 * i].copy()
             k2 = lanes[:, 2 * i + 1].copy()
 
-            k1 *= C1
-            k1 = _np_rotl64(k1, 31)
-            k1 *= C2
-            h1 ^= k1
-            h1 = _np_rotl64(h1, 27)
-            h1 += h2
-            h1 = h1 * _U64(5) + _U64(0x52DCE729)
+            np.multiply(k1, C1, out=k1)
+            _np_rotl64_inplace(k1, 31, tmp)
+            np.multiply(k1, C2, out=k1)
+            np.bitwise_xor(h1, k1, out=h1)
+            _np_rotl64_inplace(h1, 27, tmp)
+            np.add(h1, h2, out=h1)
+            np.multiply(h1, _U64(5), out=h1)
+            np.add(h1, _U64(0x52DCE729), out=h1)
 
-            k2 *= C2
-            k2 = _np_rotl64(k2, 33)
-            k2 *= C1
-            h2 ^= k2
-            h2 = _np_rotl64(h2, 31)
-            h2 += h1
-            h2 = h2 * _U64(5) + _U64(0x38495AB5)
+            np.multiply(k2, C2, out=k2)
+            _np_rotl64_inplace(k2, 33, tmp)
+            np.multiply(k2, C1, out=k2)
+            np.bitwise_xor(h2, k2, out=h2)
+            _np_rotl64_inplace(h2, 31, tmp)
+            np.add(h2, h1, out=h2)
+            np.multiply(h2, _U64(5), out=h2)
+            np.add(h2, _U64(0x38495AB5), out=h2)
 
         if tl > 0:
-            # Tail bytes, little-endian, zero-padded — masking off the pad.
+            # Tail bytes, little-endian — masking off arbitrary pad bytes.
             base = 2 * nblocks
             if tl > 8:
                 k2 = lanes[:, base + 1].copy()
                 keep = (tl - 8) * 8
-                k2 &= _U64((1 << keep) - 1)
-                k2 *= C2
-                k2 = _np_rotl64(k2, 33)
-                k2 *= C1
-                h2 ^= k2
+                np.bitwise_and(k2, _U64((1 << keep) - 1), out=k2)
+                np.multiply(k2, C2, out=k2)
+                _np_rotl64_inplace(k2, 33, tmp)
+                np.multiply(k2, C1, out=k2)
+                np.bitwise_xor(h2, k2, out=h2)
             k1 = lanes[:, base].copy()
             if tl < 8:
-                k1 &= _U64((1 << (tl * 8)) - 1)
-            k1 *= C1
-            k1 = _np_rotl64(k1, 31)
-            k1 *= C2
-            h1 ^= k1
+                np.bitwise_and(k1, _U64((1 << (tl * 8)) - 1), out=k1)
+            np.multiply(k1, C1, out=k1)
+            _np_rotl64_inplace(k1, 31, tmp)
+            np.multiply(k1, C2, out=k1)
+            np.bitwise_xor(h1, k1, out=h1)
 
-        h1 ^= _U64(length)
-        h2 ^= _U64(length)
-        h1 += h2
-        h2 += h1
-        h1 = _np_fmix64(h1)
-        h2 = _np_fmix64(h2)
-        h1 += h2
+        np.bitwise_xor(h1, _U64(length), out=h1)
+        np.bitwise_xor(h2, _U64(length), out=h2)
+        np.add(h1, h2, out=h1)
+        np.add(h2, h1, out=h2)
+        _np_fmix64_inplace(h1, tmp)
+        _np_fmix64_inplace(h2, tmp)
+        np.add(h1, h2, out=h1)
         return h1
     finally:
         np.seterr(**old)

@@ -20,7 +20,7 @@ import pyarrow as pa
 from ..config import EngineConfig, DEFAULT_CONFIG
 from ..sources.transcripts import read_transcripts
 from ..stages.cluster import assign_clusters
-from ..stages.lsh import candidate_pairs
+from ..stages.lsh import candidate_pairs, dedup_pairs
 from ..stages.sketch import sketch_transcripts
 from ..stages.verify import verify_pairs
 from ..state.checkpoint import checkpoint_dataset
@@ -74,12 +74,15 @@ def exact_dup_edges(sigs, group_parts: int = 1024):
                          dtype=np.int64, count=t.num_rows)
         return t.append_column("md5_part", pa.array(mp, pa.int64()))
 
-    return (
-        sigs.select_columns(["conv_id", "md5", "mins"])
-        .map_batches(_key, batch_format="pyarrow")
-        .groupby("md5_part")
-        .map_groups(_exact_edges_part, batch_format="pyarrow")
-    )
+    from ..stages.exchange import exchange_map_groups
+    from ..stages.lsh import PAIRS_SCHEMA
+    from ..config import resolve_num_partitions
+
+    keyed = (sigs.select_columns(["conv_id", "md5", "mins"])
+             .map_batches(_key, batch_format="pyarrow"))
+    return exchange_map_groups(
+        keyed, "md5_part", 2 * resolve_num_partitions(DEFAULT_CONFIG),
+        _exact_edges_part, PAIRS_SCHEMA)
 
 
 def dedup_pipeline(
@@ -114,8 +117,12 @@ def dedup_pipeline(
         # materialize once into the object store instead of recomputing
         sigs = sigs.materialize()
 
-    pairs = candidate_pairs(sigs, cfg)
-    verified = verify_pairs(pairs, sigs, cfg)
+    pairs = candidate_pairs(sigs, cfg, distinct=False)
+    from ..stages.verify import VERIFIED_SCHEMA
+
+    verified = dedup_pairs(verify_pairs(pairs, sigs, cfg),
+                           cfg.exec.group_parts,
+                           out_schema=VERIFIED_SCHEMA)
     if checkpoint_dir:
         verified, _ = checkpoint_dataset(
             verified, os.path.join(checkpoint_dir, "verified_pairs"),

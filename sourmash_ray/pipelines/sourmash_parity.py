@@ -170,7 +170,8 @@ def compare_exact(sigs, cfg: EngineConfig = DEFAULT_CONFIG,
     blobs = sigs.select_columns(["conv_id", "mins"]).map_batches(
         mins_to_blob, batch_format="pyarrow").materialize()
     blob_tbl = pa.concat_tables(
-        ray.get(blobs.to_arrow_refs())).combine_chunks()
+        [t for t in ray.get(blobs.to_arrow_refs()) if t.num_rows]
+    ).combine_chunks()
     ref = ray.put(blob_tbl)
     num = cfg.sketch.num
 

@@ -186,8 +186,21 @@ def transcripts_path(sf_dir: str, seed: int = SEED) -> str:
     return out
 
 
-def read_transcripts(sf_dir: str, seed: int = SEED):
-    """The engine's source stage: transcripts table as a Ray Dataset."""
+def read_transcripts(sf_dir: str, seed: int = SEED,
+                     override_num_blocks: int | None = None):
+    """The engine's source stage: transcripts table as a Ray Dataset.
+
+    Block count defaults to 2× the cluster CPUs: every downstream sort
+    shuffles blocks×partitions objects, so hundreds of small blocks turn
+    the all-to-all into tens of thousands of tiny object transfers."""
+    import ray
     import ray.data
 
-    return ray.data.read_parquet(transcripts_path(sf_dir, seed))
+    if override_num_blocks is None:
+        try:
+            override_num_blocks = max(8, 2 * int(
+                ray.cluster_resources().get("CPU", 8)))
+        except Exception:
+            override_num_blocks = 16
+    return ray.data.read_parquet(transcripts_path(sf_dir, seed),
+                                 override_num_blocks=override_num_blocks)

@@ -165,7 +165,7 @@ def assign_clusters(sigs, edges, cfg: EngineConfig = DEFAULT_CONFIG):
         def _attach(batch: pa.Table) -> pa.Table:
             lt = ray.get(ref)
             joined = batch.join(lt, keys=["conv_id"], right_keys=["node"],
-                                join_type="left outer")
+                                join_type="left outer", use_threads=False)
             return pa.table({
                 "conv_id": joined["conv_id"],
                 "cluster_id": pa.compute.coalesce(joined["label"],

@@ -1,0 +1,80 @@
+"""Coarse-key partition exchange — a fully parallel map/reduce shuffle.
+
+Why not ``Dataset.groupby``: Ray 2.49's sort-based shuffle runs its
+SortMap/SortReduce suboperators with a serial component proportional to the
+data (observed: ~5s per 10M-row groupby regardless of CPU count), which
+caps the pipeline's scaling efficiency. Our shuffle keys are already COARSE
+integers (``conv_part`` / ``band_part`` / ``pair_part`` in
+``0..group_parts``), so a sort is pure overhead: the exchange only needs
+every equal key in one partition.
+
+Shape (the classic exchange; raw Ray tasks because the Dataset API's
+implementation — not its semantics — is the bottleneck here):
+
+- ``split`` tasks: one per input block, ``num_returns=n_parts``; vectorized
+  stable-argsort + slice of the block by ``key % n_parts``.
+- ``reduce`` tasks: one per partition; concat its sub-blocks (zero-copy
+  Arrow) and apply the caller's vectorized merge function.
+
+Determinism: partition assignment is a pure function of the key; reduce
+concatenation follows input-block order; every merge function sorts
+internally. Objects created: n_blocks × n_parts small refs — bounded by
+(2·CPUs)² per stage.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _split_block(block: pa.Table, key_col: str, n_parts: int):
+    if block.num_rows == 0:
+        return tuple([None] * n_parts) if n_parts > 1 else None
+    keys = np.asarray(block[key_col], dtype=np.int64) % n_parts
+    order = np.argsort(keys, kind="stable")
+    sorted_keys = keys[order]
+    block = block.take(pa.array(order, pa.int64()))
+    bounds = np.searchsorted(sorted_keys, np.arange(n_parts + 1))
+    out = []
+    for p in range(n_parts):
+        lo, hi = int(bounds[p]), int(bounds[p + 1])
+        out.append(block.slice(lo, hi - lo) if hi > lo else None)
+    return tuple(out) if n_parts > 1 else out[0]
+
+
+def _reduce_part(merge_fn, out_schema: pa.Schema, *subs):
+    tables = [t for t in subs if t is not None and t.num_rows]
+    if not tables:
+        return out_schema.empty_table()
+    part = pa.concat_tables(tables).combine_chunks()
+    out = merge_fn(part)
+    return out if out.num_rows else out_schema.empty_table()
+
+
+def exchange_map_groups(ds, key_col: str, n_parts: int, merge_fn,
+                        out_schema: pa.Schema):
+    """Partition ``ds`` by ``key_col % n_parts`` and apply ``merge_fn`` to
+    each partition's concatenated Arrow table. Returns a Dataset with one
+    block per partition (``out_schema`` used for empty partitions).
+
+    ``merge_fn`` must tolerate multiple distinct key values per call — the
+    same contract as the coarse-partition groupby it replaces.
+    """
+    split = ray.remote(num_returns=n_parts)(_split_block)
+    reduce_r = ray.remote(_reduce_part)
+
+    block_refs = ds.to_arrow_refs()
+    if not block_refs:
+        return ray.data.from_arrow(out_schema.empty_table())
+    parts = [split.remote(b, key_col, n_parts) for b in block_refs]
+    cols = [[p] if n_parts == 1 else list(p) for p in parts]
+    out_refs = [
+        reduce_r.remote(merge_fn, out_schema,
+                        *[cols[i][p] for i in range(len(cols))])
+        for p in range(n_parts)
+    ]
+    return ray.data.from_arrow_refs(out_refs)

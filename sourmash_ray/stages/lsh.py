@@ -25,6 +25,9 @@ import pyarrow as pa
 from ..config import EngineConfig, DEFAULT_CONFIG, resolve_num_partitions
 from ..functions.murmur import murmur64_fixedlen
 from ..functions.perm import MAX_U64
+from .exchange import exchange_map_groups
+
+PAIRS_SCHEMA = pa.schema([("a", pa.string()), ("b", pa.string())])
 
 
 class BandKeyer:
@@ -139,8 +142,9 @@ def _emit_pairs_part(cap: int):
 
 
 def _dedup_pairs_part(part: pa.Table) -> pa.Table:
-    """Distinct (a, b) within one coarse pair partition, vectorized."""
-    df = part.select(["a", "b"]).to_pandas()
+    """Distinct (a, b) within one coarse pair partition, vectorized;
+    non-key columns keep the first occurrence's values."""
+    df = part.drop_columns(["pair_part"]).to_pandas()
     return pa.Table.from_pandas(df.drop_duplicates(["a", "b"]),
                                 preserve_index=False)
 
@@ -160,13 +164,17 @@ def _add_pair_part(parts: int):
     return add
 
 
-def candidate_pairs(sigs, cfg: EngineConfig = DEFAULT_CONFIG):
-    """signatures Dataset → distinct candidate pair Dataset (a < b).
+def candidate_pairs(sigs, cfg: EngineConfig = DEFAULT_CONFIG,
+                    distinct: bool = True):
+    """signatures Dataset → candidate pair Dataset (a < b).
 
-    Two shuffles, both on COARSE keys (``group_parts`` partitions): a
-    band-part groupby forming buckets, and a pair-part groupby deduping
-    pairs found in multiple bands (SURVEY.md §7.4 key table). Coarse keys
-    keep per-group Python overhead at one call per partition.
+    Shuffles on COARSE keys (``group_parts`` partitions): a band-part
+    groupby forming buckets, then (``distinct=True``) a pair-part groupby
+    deduping pairs found in multiple bands (SURVEY.md §7.4 key table).
+    The flagship pipeline passes ``distinct=False`` and dedups AFTER
+    verification instead: scoring a duplicate candidate costs ~30µs while
+    the dedup shuffle moves every candidate, so it is cheaper to dedup the
+    much smaller verified set (``dedup_pairs``).
     """
     lsh = cfg.lsh
     parts = cfg.exec.group_parts
@@ -176,13 +184,24 @@ def candidate_pairs(sigs, cfg: EngineConfig = DEFAULT_CONFIG):
         fn_kwargs=dict(keyer=keyer),
         batch_format="pyarrow",
     )
-    pairs = keyed.groupby("band_part").map_groups(
-        _emit_pairs_part(lsh.max_bucket_pairs_members),
-        batch_format="pyarrow",
-    )
-    deduped = (
-        pairs.map_batches(_add_pair_part(parts), batch_format="pyarrow")
-        .groupby("pair_part")
-        .map_groups(_dedup_pairs_part, batch_format="pyarrow")
-    )
-    return deduped
+    pairs = exchange_map_groups(
+        keyed, "band_part", 2 * resolve_num_partitions(cfg),
+        _emit_pairs_part(lsh.max_bucket_pairs_members), PAIRS_SCHEMA)
+    if not distinct:
+        return pairs
+    return dedup_pairs(pairs, parts, out_schema=PAIRS_SCHEMA)
+
+
+def dedup_pairs(pairs, parts: int = 1024, out_schema=None, n_parts=None):
+    """Distinct rows by (a, b) via coarse pair-part exchange; keeps every
+    other column of the first occurrence (rows for the same pair are
+    identical in this engine, so "first" is deterministic in value)."""
+    from ..config import DEFAULT_CONFIG as _cfg
+
+    if out_schema is None:
+        out_schema = PAIRS_SCHEMA
+    if n_parts is None:
+        n_parts = 2 * resolve_num_partitions(_cfg)
+    keyed = pairs.map_batches(_add_pair_part(parts), batch_format="pyarrow")
+    return exchange_map_groups(keyed, "pair_part", n_parts,
+                               _dedup_pairs_part, out_schema)

@@ -115,8 +115,17 @@ def batch_shingle_hashes(
     # full-matrix pad copy (tail masking ignores the extra bytes).
     width = ksize + (-ksize) % 8
     data = np.concatenate([data, np.zeros(8, np.uint8)])
-    windows = np.lib.stride_tricks.sliding_window_view(data, width)[starts]
-    hashes = murmur64_fixedlen(windows, seed=seed, length=ksize)
+    view = np.lib.stride_tricks.sliding_window_view(data, width)
+    # cache-blocked: hash in ~64k-shingle chunks so the dozen u64
+    # temporaries stay L2-sized — with 32 concurrent tasks the unchunked
+    # version's ~80 MB working set saturates shared L3/DRAM bandwidth and
+    # the whole stage stops scaling past ~16 cores
+    hashes = np.empty(total, np.uint64)
+    step = 65536
+    for lo in range(0, total, step):
+        hi = min(lo + step, total)
+        hashes[lo:hi] = murmur64_fixedlen(
+            view[starts[lo:hi]], seed=seed, length=ksize)
     return hashes, rows, counts.astype(np.uint64)
 
 
@@ -159,13 +168,57 @@ def _retain_per_row(
     return offsets, mins, abunds
 
 
+def _merge_rows_by_group(
+    group_ord: np.ndarray, n_groups: int, offsets: np.ndarray,
+    mins: np.ndarray, abunds: np.ndarray, num: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Union the list rows of each group (sorted-unique, abundances summed,
+    optional bottom-num truncation) in one vectorized pass. Returns
+    (group_offsets int32, merged_mins, merged_abunds).
+
+    This IS the ``minhash.rs:432-516`` merge generalized to k inputs ×
+    many groups; shared by the in-batch combiner and the shuffle-side
+    merge so both paths have identical semantics."""
+    row_lens = np.diff(offsets)
+    hash_grp = np.repeat(group_ord, row_lens)
+    order = np.lexsort((mins, hash_grp))
+    h, a, g = mins[order], abunds[order], hash_grp[order]
+    if h.size:
+        first = np.empty(h.size, dtype=bool)
+        first[0] = True
+        first[1:] = (h[1:] != h[:-1]) | (g[1:] != g[:-1])
+        idx = np.flatnonzero(first)
+        mins_v = h[idx]
+        ab_v = np.add.reduceat(a, idx).astype(np.uint64)
+        keep_g = g[idx]
+    else:
+        mins_v = np.empty(0, np.uint64)
+        ab_v = np.empty(0, np.uint64)
+        keep_g = np.empty(0, np.int64)
+    per_g = np.bincount(keep_g, minlength=n_groups)
+    if num:
+        starts = np.concatenate([[0], np.cumsum(per_g)[:-1]])
+        pos = np.arange(mins_v.size) - starts[keep_g]
+        sel = pos < num
+        mins_v, ab_v, keep_g = mins_v[sel], ab_v[sel], keep_g[sel]
+        per_g = np.bincount(keep_g, minlength=n_groups)
+    g_offsets = np.concatenate([[0], np.cumsum(per_g)]).astype(np.int32)
+    return g_offsets, mins_v, ab_v
+
+
 def sketch_turns_batch(batch: pa.Table, *, params: SketchParams,
-                       group_parts: int = 1024) -> pa.Table:
-    """``map_batches`` kernel: turn batch → per-turn partial sketches
-    (reference analogue: the per-process sketch factory,
-    ``command_sketch.py:309-362``). Runs task-based — setup cost here is
-    just the shared compiled regexes, so an actor pool would only add
-    spin-up latency.
+                       group_parts: int = 1024,
+                       combine: bool = True) -> pa.Table:
+    """``map_batches`` kernel: turn batch → partial sketches (reference
+    analogue: the per-process sketch factory, ``command_sketch.py:309-362``).
+    Runs task-based — setup cost here is just the shared compiled regexes.
+
+    With ``combine=True`` (the pipeline default), ADJACENT rows of the same
+    conversation are pre-merged inside the batch — the combiner side of the
+    shuffle. Transcripts parquet is written with a conversation's turns
+    contiguous, so this shrinks the merge shuffle by ~the average turns per
+    conversation; correctness never depends on contiguity (non-adjacent
+    fragments stay separate partials and merge later).
 
     Also emits ``conv_part`` (crc32 of conv_id mod ``group_parts``) — the
     coarse shuffle key for the merge stage, so the per-conversation merge
@@ -177,18 +230,39 @@ def sketch_turns_batch(batch: pa.Table, *, params: SketchParams,
     norm = normalize_column(batch["text"], p.normalization)
     hashes, rows, n_shingles = batch_shingle_hashes(norm, p.ksize, p.seed)
     offsets, mins, abunds = _retain_per_row(hashes, rows, len(batch), p)
+    conv = batch["conv_id"].combine_chunks()
+    n_turns = np.ones(batch.num_rows, dtype=np.int64)
+
+    if combine and batch.num_rows:
+        cid = np.asarray(conv.to_numpy(zero_copy_only=False))
+        new_run = np.concatenate([[True], cid[1:] != cid[:-1]])
+        run_ord = np.cumsum(new_run) - 1
+        n_runs = int(run_ord[-1]) + 1
+        offsets, mins, abunds = _merge_rows_by_group(
+            run_ord, n_runs, offsets.astype(np.int64), mins, abunds, p.num)
+        first_rows = np.flatnonzero(new_run)
+        conv = conv.take(pa.array(first_rows, pa.int64()))
+        n_shingles = np.bincount(
+            run_ord, weights=n_shingles.astype(np.float64),
+            minlength=n_runs).astype(np.uint64)
+        n_turns = np.bincount(run_ord, minlength=n_runs).astype(np.int64)
+
     conv_part = np.fromiter(
         (zlib.crc32(c.encode()) % group_parts
-         for c in batch["conv_id"].to_pylist()),
-        dtype=np.int64, count=batch.num_rows)
+         for c in conv.to_pylist()),
+        dtype=np.int64, count=len(conv))
     return pa.table({
-        "conv_id": batch["conv_id"],
+        "conv_id": conv,
         "conv_part": pa.array(conv_part, pa.int64()),
         "mins": pa.ListArray.from_arrays(
-            pa.array(offsets, pa.int32()), pa.array(mins, pa.uint64())),
+            pa.array(np.asarray(offsets, dtype=np.int32)),
+            pa.array(mins, pa.uint64())),
         "abunds": pa.ListArray.from_arrays(
-            pa.array(offsets, pa.int32()), pa.array(abunds, pa.uint64())),
-        "n_shingles": pa.array(n_shingles, pa.uint64()),
+            pa.array(np.asarray(offsets, dtype=np.int32)),
+            pa.array(abunds, pa.uint64())),
+        "n_shingles": pa.array(np.asarray(n_shingles, np.uint64),
+                               pa.uint64()),
+        "n_turns": pa.array(n_turns, pa.int64()),
     })
 
 
@@ -201,8 +275,11 @@ class TurnSketcher:
         self.group_parts = group_parts
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # combine=False: one output row per turn (kernel-level tests
+        # compare per-turn partials against the scalar oracle)
         return sketch_turns_batch(batch, params=self.params,
-                                  group_parts=self.group_parts)
+                                  group_parts=self.group_parts,
+                                  combine=False)
 
 
 def make_merge_part_fn(cfg: EngineConfig):
@@ -228,58 +305,39 @@ def make_merge_part_fn(cfg: EngineConfig):
         conv_row = np.flatnonzero(new_conv)  # first turn-row of each conv
 
         mins_col = part["mins"].combine_chunks()
-        row_lens = np.diff(np.asarray(mins_col.offsets, dtype=np.int64))
         all_mins = np.asarray(mins_col.flatten(), dtype=np.uint64)
         all_ab = np.asarray(
             part["abunds"].combine_chunks().flatten(), dtype=np.uint64)
-        hash_conv = np.repeat(conv_ord, row_lens)
+        offsets, mins_v, ab_v = _merge_rows_by_group(
+            conv_ord, n_convs, np.asarray(mins_col.offsets, dtype=np.int64),
+            all_mins, all_ab, p.num)
+        per_conv = np.diff(offsets)
 
-        # per-conversation sorted-unique union with summed abundances
-        order = np.lexsort((all_mins, hash_conv))
-        h, a, c = all_mins[order], all_ab[order], hash_conv[order]
-        if h.size:
-            first = np.empty(h.size, dtype=bool)
-            first[0] = True
-            first[1:] = (h[1:] != h[:-1]) | (c[1:] != c[:-1])
-            idx = np.flatnonzero(first)
-            mins_v = h[idx]
-            ab_v = np.add.reduceat(a, idx).astype(np.uint64)
-            keep_conv = c[idx]
-        else:
-            mins_v = np.empty(0, np.uint64)
-            ab_v = np.empty(0, np.uint64)
-            keep_conv = np.empty(0, np.int64)
-        per_conv = np.bincount(keep_conv, minlength=n_convs)
-        if p.num:
-            starts = np.concatenate([[0], np.cumsum(per_conv)[:-1]])
-            pos = np.arange(mins_v.size) - starts[keep_conv]
-            sel = pos < p.num
-            mins_v, ab_v, keep_conv = mins_v[sel], ab_v[sel], keep_conv[sel]
-            per_conv = np.bincount(keep_conv, minlength=n_convs)
-        offsets = np.concatenate([[0], np.cumsum(per_conv)]).astype(np.int32)
-
-        # permutation minima: one (n_retained, num_perm) pass + reduceat
+        # permutation minima: one seed at a time over the retained hashes —
+        # same FLOPs as the (n_retained, num_perm) matrix but the working
+        # set stays cache-sized instead of allocating a ~0.5 GB temp
+        perms = np.full((n_convs, num_perm), MAX_U64, dtype=np.uint64)
         if mins_v.size:
+            nonempty = per_conv > 0
+            starts = offsets[:-1][nonempty].astype(np.int64)
+            n_ne = int(nonempty.sum())
             old = np.seterr(over="ignore")
             try:
-                permed = _fmix64_mat(mins_v[:, None] ^ seeds[None, :])
+                for j in range(num_perm):
+                    col = _fmix64_mat(mins_v ^ seeds[j])
+                    perms[nonempty, j] = np.minimum.reduceat(
+                        col, starts)[:n_ne]
             finally:
                 np.seterr(**old)
-            perms = np.full((n_convs, num_perm), MAX_U64, dtype=np.uint64)
-            nonempty = per_conv > 0
-            if nonempty.any():
-                starts = offsets[:-1][nonempty].astype(np.int64)
-                perms[nonempty] = np.minimum.reduceat(permed, starts, axis=0)[
-                    : int(nonempty.sum())]
-        else:
-            perms = np.full((n_convs, num_perm), MAX_U64, dtype=np.uint64)
 
         md5s = [md5_of_mins(mins_v[offsets[i]:offsets[i + 1]], p.ksize)
                 for i in range(n_convs)]
         n_sh = np.bincount(
             conv_ord, weights=np.asarray(part["n_shingles"], dtype=np.float64),
             minlength=n_convs).astype(np.uint64)
-        n_turns = np.bincount(conv_ord, minlength=n_convs).astype(np.int32)
+        n_turns = np.bincount(
+            conv_ord, weights=np.asarray(part["n_turns"], dtype=np.float64),
+            minlength=n_convs).astype(np.int32)
 
         perm_offs = pa.array(
             np.arange(n_convs + 1, dtype=np.int32) * num_perm)
@@ -321,12 +379,14 @@ def sketch_transcripts(ds, cfg: EngineConfig = DEFAULT_CONFIG):
     ``conv_part`` key (one vectorized merge call per partition).
     """
     ds = ds.select_columns(["conv_id", "text"])
+    from .exchange import exchange_map_groups
+
     partial = ds.map_batches(
         sketch_turns_batch,
         fn_kwargs=dict(params=cfg.sketch, group_parts=cfg.exec.group_parts),
         batch_format="pyarrow",
         batch_size=cfg.exec.sketch_batch_size,
     )
-    return partial.groupby("conv_part").map_groups(
-        make_merge_part_fn(cfg), batch_format="pyarrow"
-    )
+    return exchange_map_groups(
+        partial, "conv_part", 2 * resolve_num_partitions(cfg),
+        make_merge_part_fn(cfg), SIG_SCHEMA)

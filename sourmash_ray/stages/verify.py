@@ -35,6 +35,13 @@ VERIFIED_SCHEMA = pa.schema([
 ])
 
 
+def _st_join(left: pa.Table, right: pa.Table, keys, right_keys,
+             join_type: str = "inner") -> pa.Table:
+    """Single-threaded Acero join for use INSIDE Ray tasks."""
+    return left.join(right, keys=keys, right_keys=right_keys,
+                     join_type=join_type, use_threads=False)
+
+
 def mins_to_blob(batch: pa.Table) -> pa.Table:
     """(conv_id, mins: list<u64>) → (conv_id, blob: binary), zero-copy."""
     lst = batch["mins"].combine_chunks()
@@ -113,24 +120,56 @@ def verify_pairs(pairs, sigs, cfg: EngineConfig = DEFAULT_CONFIG,
         mins_to_blob, batch_format="pyarrow").materialize()
 
     if blobs.size_bytes() <= cfg.exec.broadcast_bytes_limit:
-        # broadcast fast path: the sketch-blob table rides the object store
-        # once (ray.put) and each pair batch does two local Acero joins —
-        # no shuffle at all. The scale path below kicks in when sketches
-        # outgrow the broadcast budget.
-        blob_tbl = pa.concat_tables(
-            ray.get(blobs.to_arrow_refs())).combine_chunks()
-        ref = ray.put(blob_tbl)
+        # broadcast fast path: the SORTED sketch-blob arrays ride the object
+        # store once (ray.put) and each pair batch gathers both sides with
+        # vectorized searchsorted — no shuffle, no per-task hash build (an
+        # Acero join here spent ~0.7s/task rebuilding a hash table of the
+        # whole collection). The hash-shuffle join below is the scale path.
+        blocks = [t for t in ray.get(blobs.to_arrow_refs()) if t.num_rows]
+        if not blocks:
+            return ray.data.from_arrow(VERIFIED_SCHEMA.empty_table())
+        blob_tbl = pa.concat_tables(blocks).combine_chunks().sort_by(
+            "conv_id")
+        ids = np.array(blob_tbl["conv_id"].to_pylist(), dtype=str)
+        s_offs, s_data = _blob_views(blob_tbl["blob"])
+        ref = ray.put((ids, s_offs, s_data))
+        num, vthr = cfg.sketch.num, thr
 
         def broadcast_score(batch: pa.Table) -> pa.Table:
-            blob_tbl = ray.get(ref)  # zero-copy from the object store
-            t = batch.select(["a", "b"]).join(
-                blob_tbl, keys=["a"], right_keys=["conv_id"],
-                join_type="inner").rename_columns(["a", "b", "blob_a"])
-            t = t.join(
-                blob_tbl, keys=["b"], right_keys=["conv_id"],
-                join_type="inner").rename_columns(
-                    ["a", "b", "blob_a", "blob_b"])
-            return PairScorer(cfg.sketch.num, thr)(t.combine_chunks())
+            ids_s, offs_s, data_s = ray.get(ref)
+            u = data_s.view(np.uint64)
+            a_np = np.array(batch["a"].to_pylist(), dtype=str)
+            b_np = np.array(batch["b"].to_pylist(), dtype=str)
+            ia = np.searchsorted(ids_s, a_np)
+            ib = np.searchsorted(ids_s, b_np)
+            n = batch.num_rows
+            ja = np.empty(n, np.float64)
+            cab = np.empty(n, np.float64)
+            cba = np.empty(n, np.float64)
+            for i in range(n):
+                p, q = ia[i], ib[i]
+                a = u[offs_s[p] // 8: offs_s[p + 1] // 8]
+                b = u[offs_s[q] // 8: offs_s[q + 1] // 8]
+                common = np.intersect1d(a, b, assume_unique=True)
+                c = common.size
+                if num:
+                    combined = np.union1d(a, b)[:num]
+                    c = np.intersect1d(common, combined,
+                                       assume_unique=True).size
+                    denom = combined.size
+                else:
+                    denom = a.size + b.size - c
+                ja[i] = c / max(1, denom)
+                cab[i] = common.size / max(1, a.size)
+                cba[i] = common.size / max(1, b.size)
+            out = pa.table({
+                "a": batch["a"],
+                "b": batch["b"],
+                "jaccard": pa.array(ja, pa.float64()),
+                "containment_ab": pa.array(cab, pa.float64()),
+                "containment_ba": pa.array(cba, pa.float64()),
+            })
+            return out.filter(pa.array(ja >= vthr))
 
         return pairs.map_batches(
             broadcast_score,
