@@ -139,6 +139,18 @@ def _sig_describe_q(sf_dir: str):
     return describe_sigs(_sigs_for(sf_dir))
 
 
+def _hash_frequency_q(sf_dir: str):
+    from sourmash_ray.stages.index import build_inverted_index, hash_frequency
+
+    return hash_frequency(build_inverted_index(_sigs_for(sf_dir)))
+
+
+def _media_features_q(sf_dir: str):
+    from sourmash_ray.stages.multimodal import media_features
+
+    return media_features(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from sourmash_ray.pipelines import ann, docops, eventops, relational
 
@@ -169,6 +181,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": relational.pricing_summary,
         "union_collections": relational.union_collections,
         "broadcast_lookup_join": relational.broadcast_lookup_join,
+        # --- text analysis + inverted index + multimodal ---
+        "langid_docs": docops.langid_docs,
+        "fingerprint_docs": docops.fingerprint_docs,
+        "hash_frequency_transcripts": _hash_frequency_q,
+        "media_features": _media_features_q,
         # --- embeddings: similarity search ---
         "ann_topk": ann.ann_topk_bruteforce,
         "embedding_neardup_pairs": ann.embedding_neardup_pairs,

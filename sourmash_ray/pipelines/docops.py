@@ -218,3 +218,83 @@ def simhash_docs(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG):
     sh = SimHasher(cfg)
     return _read_docs(sf_dir).map_batches(
         lambda t: sh(t), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# language ID + fingerprinting
+# ---------------------------------------------------------------------------
+
+# tiny marker-word lists (public common-word sets) — a deterministic
+# n-gram/stopword heuristic, the shape of a real langid stage; the engine
+# plumbing (vectorized scoring over Arrow batches) is the point
+_LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "you", "for"),
+    "es": ("el", "la", "de", "que", "los", "una", "es", "por", "con"),
+    "fr": ("le", "la", "les", "de", "et", "est", "une", "que", "pour"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu"),
+    "pt": ("o", "a", "os", "as", "um", "uma", "que", "para", "com"),
+}
+
+
+class LangIdScorer:
+    """Stopword-count language heuristic over whitespace tokens; the
+    compiled marker sets live in __init__ (once per actor/task graph)."""
+
+    def __init__(self):
+        self.markers = {k: frozenset(v) for k, v in _LANG_MARKERS.items()}
+        self.langs = sorted(self.markers)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch["text"].combine_chunks(), "")
+        guesses = []
+        scores = []
+        for t in texts.to_pylist():
+            toks = t.lower().split()
+            best_lang, best = "unk", 0
+            for lang in self.langs:
+                s = sum(1 for w in toks if w in self.markers[lang])
+                if s > best:
+                    best, best_lang = s, lang
+            guesses.append(best_lang)
+            scores.append(best)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "lang_guess": pa.array(guesses, pa.string()),
+            "marker_hits": pa.array(scores, pa.int64()),
+            "lang_actual": batch["lang"],
+        })
+
+
+def langid_docs(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG):
+    """Language-ID heuristic per document (guess vs the table's actual)."""
+    sc = LangIdScorer()
+    return _read_docs(sf_dir, columns=("doc_id", "text", "lang")).map_batches(
+        lambda t: sc(t), batch_format="pyarrow")
+
+
+def fingerprint_docs(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG,
+                     window: int = 16):
+    """Document fingerprint: min/max/xor of rolling shingle hashes — a
+    winnowing-style rolling-hash fingerprint (Schleimer et al. '03 shape)
+    over the murmur shingle stream the sketcher already computes."""
+
+    def _fp(batch: pa.Table) -> pa.Table:
+        p = cfg.sketch
+        norm = normalize_column(batch["text"], p.normalization)
+        hashes, rows, _ = batch_shingle_hashes(norm, window, p.seed)
+        n = batch.num_rows
+        fp_min = np.full(n, np.iinfo(np.uint64).max, np.uint64)
+        fp_xor = np.zeros(n, np.uint64)
+        if hashes.size:
+            np.minimum.at(fp_min, rows, hashes)
+            np.bitwise_xor.at(fp_xor, rows, hashes)
+        empty = np.bincount(rows, minlength=n) == 0 if hashes.size else \
+            np.ones(n, bool)
+        fp_min[empty] = 0
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "fp_min": pa.array(fp_min, pa.uint64()),
+            "fp_xor": pa.array(fp_xor, pa.uint64()),
+        })
+
+    return _read_docs(sf_dir).map_batches(_fp, batch_format="pyarrow")

@@ -1,0 +1,128 @@
+"""Inverted index, checkpoint/resume, and multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from sourmash_ray.config import EngineConfig, LSHParams
+from sourmash_ray.functions.sketch import SketchParams
+from sourmash_ray.sources.transcripts import synth_transcripts
+
+PARAMS = SketchParams(ksize=12, scaled=4, num=0)
+CFG = EngineConfig(sketch=PARAMS, lsh=LSHParams(num_perm=12, bands=4, rows=3))
+
+
+@pytest.fixture(scope="module")
+def sigs(ray_session):
+    import ray.data
+
+    from sourmash_ray.stages.sketch import sketch_transcripts
+
+    tbl = synth_transcripts(15, seed=23)
+    return sketch_transcripts(ray.data.from_arrow(tbl), CFG).materialize()
+
+
+def test_inverted_index_roundtrip(sigs):
+    """Index explode + counter lookup ≡ direct intersection counting
+    (the lca_db Counter semantics)."""
+    from sourmash_ray.stages.index import build_inverted_index, counter_lookup
+
+    idx = build_inverted_index(sigs).materialize()
+    rows = {r["conv_id"]: np.asarray(r["mins"], dtype=np.uint64)
+            for r in sigs.take_all()}
+    total = sum(len(v) for v in rows.values())
+    assert idx.count() == total
+
+    qid = sorted(rows)[0]
+    got = {r["conv_id"]: r["overlap"]
+           for r in counter_lookup(idx, rows[qid], CFG).take_all()}
+    for cid, mins in rows.items():
+        ov = int(np.intersect1d(rows[qid], mins, assume_unique=True).size)
+        if ov:
+            assert got[cid] == ov, cid
+        else:
+            assert cid not in got
+
+
+def test_hash_frequency(sigs):
+    from sourmash_ray.stages.index import build_inverted_index, hash_frequency
+
+    idx = build_inverted_index(sigs)
+    freq = {r["hash"]: r["n_sigs"] for r in hash_frequency(idx).take_all()}
+    rows = [np.asarray(r["mins"], dtype=np.uint64) for r in sigs.take_all()]
+    import collections
+
+    ref = collections.Counter()
+    for mins in rows:
+        for h in mins.tolist():
+            ref[h] += 1
+    assert freq == dict(ref)
+
+
+def test_checkpoint_resume(ray_session, tmp_path):
+    """Second run with the same fingerprint reads the checkpoint instead of
+    recomputing; a changed fingerprint recomputes."""
+    import ray.data
+
+    from sourmash_ray.state.checkpoint import checkpoint_dataset
+
+    tbl = synth_transcripts(5, seed=31)
+    ds = ray.data.from_arrow(tbl)
+    path = str(tmp_path / "ckpt")
+
+    out1, lin1 = checkpoint_dataset(ds, path, stage="s", fingerprint="fp1")
+    assert lin1["rows"] == tbl.num_rows
+    assert os.path.exists(os.path.join(path, "_LINEAGE.json"))
+
+    # resume: same fingerprint → lineage unchanged (no rewrite)
+    before = json.load(open(os.path.join(path, "_LINEAGE.json")))
+    out2, lin2 = checkpoint_dataset(ds, path, stage="s", fingerprint="fp1")
+    after = json.load(open(os.path.join(path, "_LINEAGE.json")))
+    assert before == after
+    assert out2.count() == tbl.num_rows
+
+    # different fingerprint → recompute (lineage rewritten)
+    out3, lin3 = checkpoint_dataset(ds, path, stage="s", fingerprint="fp2")
+    assert lin3["fingerprint"] == "fp2"
+
+
+def test_dedup_pipeline_checkpointed_equals_direct(ray_session, tmp_path):
+    import ray.data
+
+    from sourmash_ray.pipelines.dedup import dedup_pipeline
+
+    tbl = synth_transcripts(20, seed=37)
+    direct = dedup_pipeline(ray.data.from_arrow(tbl), CFG)
+    want = sorted((r["conv_id"], r["cluster_id"])
+                  for r in direct["clusters"].take_all())
+
+    ckpt = str(tmp_path / "pipe")
+    run1 = dedup_pipeline(ray.data.from_arrow(tbl), CFG, checkpoint_dir=ckpt)
+    got1 = sorted((r["conv_id"], r["cluster_id"])
+                  for r in run1["clusters"].take_all())
+    assert got1 == want
+    # resumed run must read checkpoints and produce identical output
+    run2 = dedup_pipeline(ray.data.from_arrow(tbl), CFG, checkpoint_dir=ckpt)
+    got2 = sorted((r["conv_id"], r["cluster_id"])
+                  for r in run2["clusters"].take_all())
+    assert got2 == want
+
+
+def test_media_features_plumbing(ray_session):
+    from sourmash_ray.stages.multimodal import FEATURE_DIM, media_features
+
+    rows = media_features("/root/testdata/sf0.001").take_all()
+    assert rows
+    for r in rows[:10]:
+        assert len(r["features"]) == FEATURE_DIM
+        assert r["kind"] in ("image", "audio")
+        assert r["n_bytes"] > 0
+    # determinism: same input → same features
+    rows2 = media_features("/root/testdata/sf0.001").take_all()
+    a = {r["media_id"]: tuple(r["features"]) for r in rows}
+    b = {r["media_id"]: tuple(r["features"]) for r in rows2}
+    assert a == b
