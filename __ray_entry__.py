@@ -189,6 +189,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- embeddings: similarity search ---
         "ann_topk": ann.ann_topk_bruteforce,
         "embedding_neardup_pairs": ann.embedding_neardup_pairs,
+        "cosine_pairs_exact": ann.cosine_pairs_exact,
+        "ngram_jaccard_pairs": docops.ngram_jaccard_pairs,
         # --- events: windowed aggregates ---
         "tumbling_window_counts": eventops.tumbling_window_counts,
         "sessionize_events": eventops.sessionize_events,
@@ -296,6 +298,36 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY cos DESC, neighbor_id) AS rank,
                    CAST(round(cos * 10000, 0) AS BIGINT) AS score_e4
             FROM s QUALIFY rank <= 5
+        """,
+        "ngram_jaccard_pairs": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split(coalesce(text, ''), ' '),
+                                 x -> x <> '') AS toks
+              FROM documents WHERE doc_id < 40),
+            g AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                         range(1, len(toks)),
+                         i -> toks[i] || ' ' || toks[i + 1])) AS gs
+              FROM t)
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   CAST(floor(10000 * (CASE
+                       WHEN len(list_distinct(list_concat(a.gs, b.gs))) = 0
+                       THEN 0.0
+                       ELSE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+                            / len(list_distinct(list_concat(a.gs, b.gs)))
+                   END)) AS BIGINT) AS jaccard_e4
+            FROM g a JOIN g b ON a.doc_id < b.doc_id
+        """,
+        "cosine_pairs_exact": """
+            SELECT * FROM (
+              SELECT a.vec_id AS a, b.vec_id AS b,
+                     CAST(round(10000 * list_cosine_similarity(
+                         a.embedding, b.embedding), 0) AS BIGINT) AS score_e4
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE a.vec_id < 100 AND b.vec_id < 100
+            ) WHERE score_e4 >= 2000
         """,
         "tumbling_window_counts": """
             SELECT event_type, date_trunc('hour', ts) AS window_start,

@@ -217,3 +217,26 @@ def _emb_blob(batch: pa.Table) -> pa.Table:
         "vec_id": pa.array(ids, pa.int64()),
         "blob": pa.array([row.tobytes() for row in mat], pa.binary()),
     })
+
+
+def cosine_pairs_exact(sf_dir: str, n_vecs: int = 100,
+                       threshold_e4: int = 2000):
+    """Exact cosine for all pairs among the first ``n_vecs`` embeddings with
+    score ≥ threshold — the SQL-checkable exact twin of the LSH-bucketed
+    near-dup op (integer 1e4 scores for exact oracle hashing)."""
+    ds = _read_emb(sf_dir).filter(expr=f"vec_id < {n_vecs}")
+    rows = ds.take_all()
+    rows.sort(key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    sims = (m / norms[:, None]) @ (m / norms[:, None]).T
+    iu, ju = np.triu_indices(len(ids), 1)
+    e4 = np.round(sims[iu, ju] * 1e4).astype(np.int64)
+    keep = e4 >= threshold_e4
+    return pa.table({
+        "a": pa.array(ids[iu[keep]], pa.int64()),
+        "b": pa.array(ids[ju[keep]], pa.int64()),
+        "score_e4": pa.array(e4[keep], pa.int64()),
+    })

@@ -298,3 +298,54 @@ def fingerprint_docs(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG,
         })
 
     return _read_docs(sf_dir).map_batches(_fp, batch_format="pyarrow")
+
+
+def ngram_jaccard_pairs(sf_dir: str, n_docs: int = 40, n: int = 2,
+                        threshold_e4: int = 0):
+    """Exact token-n-gram Jaccard for all pairs among the first ``n_docs``
+    documents — the SQL-checkable exact baseline of the MinHash estimator
+    (scores as integer 1e4 so the DuckDB oracle hashes identically).
+
+    Small-n exact op: one broadcasted table, pairs generated per batch.
+    """
+    import ray
+
+    docs = (_read_docs(sf_dir)
+            .filter(expr=f"doc_id < {n_docs}")
+            .take_all())
+    docs.sort(key=lambda r: r["doc_id"])
+
+    def grams(text: str) -> set:
+        toks = [t for t in (text or "").split(" ") if t != ""]
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    sets = {r["doc_id"]: grams(r["text"]) for r in docs}
+    ids = sorted(sets)
+    pair_rows = [{"a": a, "b": b} for i, a in enumerate(ids)
+                 for b in ids[i + 1:]]
+    sets_ref = ray.put(sets)
+
+    def _score(batch: pa.Table) -> pa.Table:
+        ss = ray.get(sets_ref)
+        a_ids = batch["a"].to_pylist()
+        b_ids = batch["b"].to_pylist()
+        out = []
+        for a, b in zip(a_ids, b_ids):
+            sa, sb = ss[a], ss[b]
+            union = len(sa | sb)
+            j = (len(sa & sb) / union) if union else 0.0
+            # floor, not round: j is the same IEEE double in DuckDB (same
+            # integer division), so floor is bit-identical across engines
+            out.append(int(j * 1e4))
+        t = pa.table({
+            "a": pa.array(a_ids, pa.int64()),
+            "b": pa.array(b_ids, pa.int64()),
+            "jaccard_e4": pa.array(out, pa.int64()),
+        })
+        return t.filter(pc.greater_equal(t["jaccard_e4"],
+                                         pa.scalar(threshold_e4)))
+
+    import ray.data
+
+    return ray.data.from_items(pair_rows).map_batches(
+        _score, batch_format="pyarrow")
