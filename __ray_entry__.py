@@ -139,6 +139,17 @@ def _sig_describe_q(sf_dir: str):
     return describe_sigs(_sigs_for(sf_dir))
 
 
+def _exact_spans_q(sf_dir: str):
+    """Suffix/rolling-hash exact long-match pass over verified dup pairs."""
+    from sourmash_ray.pipelines.dedup import dedup_pipeline
+    from sourmash_ray.sources.transcripts import read_transcripts
+    from sourmash_ray.stages.substring import exact_substring_pass
+
+    out = dedup_pipeline(sf_dir)
+    return exact_substring_pass(out["verified_pairs"],
+                                read_transcripts(sf_dir), min_len=32)
+
+
 def _hash_frequency_q(sf_dir: str):
     from sourmash_ray.stages.index import build_inverted_index, hash_frequency
 
@@ -166,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sketch_transcripts": _sketch_transcripts_q,
         "dedup_transcripts": _dedup_transcripts_q,
         "verified_pairs_transcripts": _verified_pairs_q,
+        "exact_spans_transcripts": _exact_spans_q,
         # --- documents: text/dedup operators ---
         "exact_dedup_docs": docops.exact_dedup_docs,
         "token_stats_docs": docops.token_stats_docs,

@@ -20,6 +20,12 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# --scaling needs a corpus big enough that compute dominates fixed
+# pipeline latency (sf0.1 is ~116k turns ≈ 3 s at 32 cpus — pure
+# overhead); the sf2.0 transcripts corpus (2.34M turns) is synthesized
+# deterministically on first use, no external data.
+SCALING_SF_DIR = os.environ.get("GRAFT_SCALING_SF_DIR",
+                                "/root/testdata/sf2.0")
 
 
 def _init_ray(num_cpus: int):
@@ -104,7 +110,8 @@ def main():
                 [sys.executable, os.path.abspath(__file__), "--single-run",
                  str(cpus)],
                 capture_output=True, text=True,
-                env={**os.environ, "RAY_GRAFT_CPUS": str(cpus)},
+                env={**os.environ, "RAY_GRAFT_CPUS": str(cpus),
+                     "GRAFT_SF_DIR": SCALING_SF_DIR},
                 cwd=os.path.dirname(os.path.abspath(__file__)))
             line = [ln for ln in p.stdout.splitlines()
                     if ln.startswith("RESULT ")]
@@ -123,7 +130,7 @@ def main():
             "turns_per_s": {str(c): round(tp[c], 1) for c in tp},
             "wall_s": {str(c): round(results[c]["wall_s"], 2)
                        for c in results},
-            "sf": SF_DIR,
+            "sf": SCALING_SF_DIR,
         }))
         return
 

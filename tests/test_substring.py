@@ -1,0 +1,63 @@
+"""Exact long-match (LCS) kernel + stage tests vs difflib oracle."""
+
+from __future__ import annotations
+
+from difflib import SequenceMatcher
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from sourmash_ray.functions.substring import longest_common_substring
+
+
+def _oracle_len(a: bytes, b: bytes) -> int:
+    m = SequenceMatcher(None, a, b, autojunk=False)
+    return m.find_longest_match(0, len(a), 0, len(b)).size
+
+
+@pytest.mark.parametrize("a,b,want", [
+    (b"hello world", b"say hello there", 6),       # "hello " vs " hello"
+    (b"abcdef", b"zabcdefg", 6),
+    (b"aaaa", b"aaaa", 4),
+    (b"abc", b"xyz", 0),
+    (b"", b"abc", 0),
+    (b"ab", b"", 0),
+])
+def test_lcs_known(a, b, want):
+    L, pa_, pb_ = longest_common_substring(a, b)
+    assert L == want
+    if L:
+        assert a[pa_:pa_ + L] == b[pb_:pb_ + L]
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=120), st.binary(min_size=0, max_size=120))
+def test_lcs_matches_difflib(a, b):
+    L, pa_, pb_ = longest_common_substring(a, b)
+    assert L == _oracle_len(a, b)
+    if L:
+        assert a[pa_:pa_ + L] == b[pb_:pb_ + L]
+
+
+def test_exact_substring_stage(ray_session):
+    import ray.data
+
+    from sourmash_ray.config import EngineConfig, LSHParams
+    from sourmash_ray.functions.sketch import SketchParams
+    from sourmash_ray.pipelines.dedup import dedup_pipeline
+    from sourmash_ray.sources.transcripts import synth_transcripts
+    from sourmash_ray.stages.substring import exact_substring_pass
+
+    cfg = EngineConfig(sketch=SketchParams(ksize=12, scaled=4, num=0),
+                       lsh=LSHParams(num_perm=12, bands=4, rows=3))
+    tbl = synth_transcripts(30, seed=41)
+    ds = ray.data.from_arrow(tbl)
+    out = dedup_pipeline(ds, cfg)
+    spans = exact_substring_pass(out["verified_pairs"], ds, cfg,
+                                 min_len=32).take_all()
+    assert spans, "no long exact spans among verified dup pairs"
+    # exact clones must share a span covering their whole (equal) text
+    clones = [r for r in spans if r["b"].startswith(r["a"] + "_xd")]
+    assert clones
+    for r in spans:
+        assert r["lcs_len"] >= 32
