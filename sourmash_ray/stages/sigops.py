@@ -183,3 +183,25 @@ def describe_sigs(sigs):
         })
 
     return sigs.map_batches(_desc, batch_format="pyarrow")
+
+
+def rename_sigs(sigs, fn):
+    """``sig rename`` (``sig/__main__.py:715-750``) — rewrite the name
+    column; ``fn`` maps old conv_id → new name (applied per batch)."""
+
+    def _rn(batch: pa.Table) -> pa.Table:
+        new = pa.array([fn(c) for c in batch["conv_id"].to_pylist()],
+                       pa.string())
+        i = batch.schema.get_field_index("conv_id")
+        return batch.set_column(i, "conv_id", new)
+
+    return sigs.map_batches(_rn, batch_format="pyarrow")
+
+
+def cat_collections(*sig_datasets):
+    """``sig cat`` (``sig/__main__.py:114-163``) — concatenate signature
+    collections (schema-aligned union)."""
+    out = sig_datasets[0]
+    for ds in sig_datasets[1:]:
+        out = out.union(ds)
+    return out

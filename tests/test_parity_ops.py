@@ -163,3 +163,35 @@ def test_extract_and_describe(sigs):
     desc = describe_sigs(sigs).take_all()
     assert all(len(r["md5short"]) == 8 for r in desc)
     assert all(r["n_mins"] >= 0 for r in desc)
+
+
+def test_sig_json_roundtrip(sigs):
+    import numpy as np
+    import tempfile, os
+
+    from sourmash_ray.sources.sigjson import read_sig_json, write_sig_json
+
+    rows = sigs.take_all()
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "collection.sig.gz")
+        write_sig_json(rows, path)
+        back = read_sig_json(path)
+    by_id = {back["conv_id"][i].as_py(): i for i in range(back.num_rows)}
+    assert len(by_id) == len(rows)
+    for r in rows:
+        i = by_id[r["conv_id"]]
+        assert np.array_equal(
+            np.asarray(back["mins"][i].as_py(), dtype=np.uint64),
+            np.asarray(r["mins"], dtype=np.uint64))
+        assert back["md5"][i].as_py() == r["md5"]
+        assert back["scaled"][i].as_py() == r["scaled"]
+
+
+def test_rename_and_cat(sigs):
+    from sourmash_ray.stages.sigops import cat_collections, rename_sigs
+
+    renamed = rename_sigs(sigs, lambda c: "x_" + c)
+    got = renamed.take(3)
+    assert all(r["conv_id"].startswith("x_") for r in got)
+    both = cat_collections(sigs, renamed)
+    assert both.count() == 2 * sigs.count()
