@@ -1,0 +1,102 @@
+"""Recall under the DEFAULT production config, extreme skew, and the
+distributed connected-components path."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from sourmash_ray.config import DEFAULT_CONFIG, EngineConfig, ExecParams, LSHParams
+from sourmash_ray.functions.oracle import oracle_dup_pairs, sketch_table
+from sourmash_ray.sources.transcripts import synth_transcripts
+
+
+def test_recall_default_config(ray_session):
+    """Default ksize=31/scaled=16/126-perm LSH on a 200-base corpus:
+    same-cluster recall ≥ 0.99 vs the brute-force oracle (BASELINE.md
+    headline target at the production config)."""
+    import ray.data
+
+    from sourmash_ray.pipelines.dedup import dedup_pipeline
+
+    corpus = synth_transcripts(200, seed=47)
+    out = dedup_pipeline(ray.data.from_arrow(corpus), DEFAULT_CONFIG)
+    label = {r["conv_id"]: r["cluster_id"]
+             for r in out["clusters"].take_all()}
+
+    sketches = sketch_table(corpus, DEFAULT_CONFIG.sketch)
+    truth = oracle_dup_pairs(sketches, DEFAULT_CONFIG.sketch,
+                             DEFAULT_CONFIG.verify_threshold)
+    assert truth
+    hit = sum(1 for a, b in truth if label[a] == label[b])
+    recall = hit / len(truth)
+    assert recall >= 0.99, f"recall {recall:.4f} over {len(truth)} pairs"
+
+
+def test_extreme_skew_bounded_pairs(ray_session):
+    """A corpus where 60 conversations are IDENTICAL (one mega-bucket in
+    every band): hot-bucket chaining must keep candidate pairs ~linear in
+    the bucket size (not 60·59/2 per band) while the cluster still comes
+    out as one component."""
+    import ray.data
+
+    from sourmash_ray.pipelines.dedup import dedup_pipeline
+    from sourmash_ray.stages.lsh import candidate_pairs
+    from sourmash_ray.stages.sketch import sketch_transcripts
+
+    base = synth_transcripts(5, seed=51)
+    # replicate conversation c0000000 60× under new ids
+    tbl = base.to_pydict()
+    src_rows = [i for i, c in enumerate(tbl["conv_id"]) if c == "c0000000"]
+    rows = {k: list(v) for k, v in tbl.items()}
+    for j in range(60):
+        for i in src_rows:
+            for k in rows:
+                v = tbl[k][i]
+                if k == "conv_id":
+                    v = f"dup{j:03d}"
+                rows[k].append(v)
+    corpus = pa.table(rows).cast(base.schema)
+
+    cap = 16
+    cfg = EngineConfig(
+        lsh=LSHParams(num_perm=12, bands=4, rows=3,
+                      max_bucket_pairs_members=cap),
+        sketch=DEFAULT_CONFIG.sketch)
+    ds = ray.data.from_arrow(corpus)
+    sigs = sketch_transcripts(ds, cfg).materialize()
+    pairs = candidate_pairs(sigs, cfg).materialize()
+    n_members = 61  # c0000000 + 60 clones
+    # capped: per band ≤ 2·g edges (star+chain), 4 bands, plus a few pairs
+    # among the 4 unrelated convs
+    assert pairs.count() <= 4 * 2 * n_members + 20, pairs.count()
+
+    out = dedup_pipeline(ds, cfg)
+    label = {r["conv_id"]: r["cluster_id"] for r in out["clusters"].take_all()}
+    clones = {c for c in label if c.startswith("dup")} | {"c0000000"}
+    got = {label[c] for c in clones}
+    assert got == {"c0000000"}, got
+
+
+def test_distributed_label_propagation_matches_driver_uf(ray_session):
+    """Force the distributed CC path (driver cutoff 0) and check it equals
+    the driver union-find labels."""
+    import ray.data
+
+    from sourmash_ray.stages.cluster import connected_components
+
+    edges = pa.table({
+        "a": ["n1", "n2", "n5", "n7", "n8", "n3"],
+        "b": ["n2", "n3", "n6", "n8", "n9", "n1"],
+    })
+    ds = ray.data.from_arrow(edges)
+    driver = {r["node"]: r["label"]
+              for r in connected_components(ds, DEFAULT_CONFIG).take_all()}
+    forced = EngineConfig(exec=ExecParams(driver_cc_max_edges=0))
+    dist = {r["node"]: r["label"]
+            for r in connected_components(ds, forced).take_all()}
+    assert driver == dist
+    assert dist["n3"] == "n1" and dist["n9"] == "n7" and dist["n6"] == "n5"
