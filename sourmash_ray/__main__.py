@@ -1,0 +1,126 @@
+"""CLI — the ``sourmash <cmd>`` surface re-expressed over Ray Data.
+
+Subcommands mirror the reference's entry points (``/root/reference/src/
+sourmash/cli/__init__.py`` dispatch): sketch, dedup (the north-star
+pipeline; no reference equivalent), search, prefetch, gather, compare,
+describe, index. The CLI owns the Ray session (guarded init, shutdown at
+exit) — library code never calls ray.init (driver contract).
+
+Examples::
+
+    python -m sourmash_ray sketch --sf /root/testdata/sf0.001 --out /tmp/sigs
+    python -m sourmash_ray dedup  --sf /root/testdata/sf0.001 --out /tmp/dedup
+    python -m sourmash_ray search --sf /root/testdata/sf0.001 --query c0000000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(address="local", include_dashboard=False,
+                      logging_level="ERROR")
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+
+
+def _sigs(args):
+    from .config import DEFAULT_CONFIG
+    from .sources.transcripts import read_transcripts
+    from .stages.sketch import sketch_transcripts
+
+    return sketch_transcripts(read_transcripts(args.sf), DEFAULT_CONFIG
+                              ).materialize()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="sourmash_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def add(name, **kw):
+        sp = sub.add_parser(name, **kw)
+        sp.add_argument("--sf", required=True,
+                        help="sf dir (e.g. /root/testdata/sf0.001)")
+        return sp
+
+    add("sketch").add_argument("--out", required=True)
+    d = add("dedup")
+    d.add_argument("--out", required=True)
+    d.add_argument("--checkpoint-dir", default=None)
+    for name in ("search", "prefetch", "gather"):
+        sp = add(name)
+        sp.add_argument("--query", required=True)
+        sp.add_argument("--threshold", type=float, default=0.08)
+    add("compare").add_argument("--out", required=True)
+    add("describe")
+    add("index").add_argument("--out", required=True)
+
+    args = p.parse_args(argv)
+    _init_ray(args.num_cpus)
+    import ray
+
+    try:
+        from .config import DEFAULT_CONFIG
+
+        if args.cmd == "sketch":
+            sigs = _sigs(args)
+            sigs.write_parquet(args.out)
+            print(json.dumps({"signatures": sigs.count(), "out": args.out}))
+        elif args.cmd == "dedup":
+            from .pipelines.dedup import dedup_pipeline
+
+            out = dedup_pipeline(args.sf, DEFAULT_CONFIG,
+                                 checkpoint_dir=args.checkpoint_dir)
+            out["clusters"].write_parquet(args.out)
+            print(json.dumps({
+                "clusters_rows": out["clusters"].count(),
+                "verified_pairs": out["verified_pairs"].count(),
+                "out": args.out,
+            }))
+        elif args.cmd in ("search", "prefetch"):
+            from .pipelines import sourmash_parity as sp_
+
+            fn = sp_.search if args.cmd == "search" else sp_.prefetch
+            kwargs = ({"threshold": args.threshold}
+                      if args.cmd == "search" else {})
+            rows = fn(_sigs(args), args.query, DEFAULT_CONFIG,
+                      **kwargs).take_all()
+            for r in rows[:25]:
+                print(json.dumps(r))
+        elif args.cmd == "gather":
+            from .pipelines.sourmash_parity import gather
+
+            tbl = gather(_sigs(args), args.query, DEFAULT_CONFIG)
+            for r in tbl.to_pylist():
+                print(json.dumps(r))
+        elif args.cmd == "compare":
+            from .pipelines.sourmash_parity import compare_exact
+
+            ds = compare_exact(_sigs(args), DEFAULT_CONFIG)
+            ds.write_parquet(args.out)
+            print(json.dumps({"pairs": ds.count(), "out": args.out}))
+        elif args.cmd == "describe":
+            from .stages.sigops import describe_sigs
+
+            for r in describe_sigs(_sigs(args)).take(25):
+                print(json.dumps(r))
+        elif args.cmd == "index":
+            from .stages.index import build_inverted_index, write_index
+
+            idx = build_inverted_index(_sigs(args))
+            write_index(idx, args.out)
+            print(json.dumps({"entries": idx.count(), "out": args.out}))
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -87,6 +87,9 @@ def exact_substring_pass(pairs_ds, transcripts_ds,
 
         return t.filter(pc.greater_equal(t["lcs_len"], pa.scalar(min_len)))
 
+    # small batches: each pair's LCS costs ~tens of ms, so spread pairs
+    # wide across the cluster instead of serializing them in one task
     return ray.data.from_items(
         [{"a": r["a"], "b": r["b"]} for r in pair_rows]
-    ).map_batches(_lcs, batch_format="pyarrow", batch_size=256)
+    ).repartition(max(8, len(pair_rows) // 8)).map_batches(
+        _lcs, batch_format="pyarrow", batch_size=8)
