@@ -139,6 +139,35 @@ def _sig_describe_q(sf_dir: str):
     return describe_sigs(_sigs_for(sf_dir))
 
 
+def _containment_pairs_q(sf_dir: str):
+    """Containment-metric verification: catches prefix/subset duplicates
+    whose jaccard is diluted (max_containment >= 0.9)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from sourmash_ray.config import DEFAULT_CONFIG
+    from sourmash_ray.stages.lsh import candidate_pairs, dedup_pairs
+    from sourmash_ray.stages.verify import VERIFIED_SCHEMA, verify_pairs
+
+    sigs = _sigs_for(sf_dir)
+    pairs = candidate_pairs(sigs, DEFAULT_CONFIG, distinct=False)
+    ver = dedup_pairs(
+        verify_pairs(pairs, sigs, DEFAULT_CONFIG, threshold=0.9,
+                     metric="max_containment"),
+        DEFAULT_CONFIG.exec.group_parts, out_schema=VERIFIED_SCHEMA)
+
+    def _round(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "a": batch["a"],
+            "b": batch["b"],
+            "jaccard": pc.round(batch["jaccard"], 6),
+            "containment_ab": pc.round(batch["containment_ab"], 6),
+            "containment_ba": pc.round(batch["containment_ba"], 6),
+        })
+
+    return ver.map_batches(_round, batch_format="pyarrow")
+
+
 def _exact_spans_q(sf_dir: str):
     """Suffix/rolling-hash exact long-match pass over verified dup pairs."""
     from sourmash_ray.pipelines.dedup import dedup_pipeline
@@ -178,6 +207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_transcripts": _dedup_transcripts_q,
         "verified_pairs_transcripts": _verified_pairs_q,
         "exact_spans_transcripts": _exact_spans_q,
+        "containment_pairs_transcripts": _containment_pairs_q,
         # --- documents: text/dedup operators ---
         "exact_dedup_docs": docops.exact_dedup_docs,
         "token_stats_docs": docops.token_stats_docs,

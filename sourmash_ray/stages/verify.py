@@ -65,11 +65,17 @@ def _blob_views(col: pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
 
 
 class PairScorer:
-    """map_batches kernel over joined pair rows (blob_a, blob_b)."""
+    """map_batches kernel over joined pair rows (blob_a, blob_b).
 
-    def __init__(self, num: int, threshold: float):
+    ``metric``: "jaccard" (default) or "max_containment" — the latter keeps
+    prefix/subset duplicates whose Jaccard is diluted by length difference
+    (``minhash.py:881-905`` max_containment semantics)."""
+
+    def __init__(self, num: int, threshold: float,
+                 metric: str = "jaccard"):
         self.num = num
         self.threshold = threshold
+        self.metric = metric
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -101,13 +107,17 @@ class PairScorer:
             "containment_ab": pa.array(cab, pa.float64()),
             "containment_ba": pa.array(cba, pa.float64()),
         })
-        return out.filter(pa.array(ja >= self.threshold))
+        score = (np.maximum(cab, cba) if self.metric == "max_containment"
+                 else ja)
+        return out.filter(pa.array(score >= self.threshold))
 
 
 def verify_pairs(pairs, sigs, cfg: EngineConfig = DEFAULT_CONFIG,
-                 threshold: float | None = None):
+                 threshold: float | None = None,
+                 metric: str = "jaccard"):
     """candidate pairs + signatures → verified pair Dataset
-    (a, b, jaccard, containment_ab, containment_ba), jaccard ≥ threshold."""
+    (a, b, jaccard, containment_ab, containment_ba), score ≥ threshold
+    where score is ``metric`` (jaccard or max_containment)."""
     import ray
     import ray.data
 
@@ -134,6 +144,7 @@ def verify_pairs(pairs, sigs, cfg: EngineConfig = DEFAULT_CONFIG,
         s_offs, s_data = _blob_views(blob_tbl["blob"])
         ref = ray.put((ids, s_offs, s_data))
         num, vthr = cfg.sketch.num, thr
+        vmetric = metric
 
         def broadcast_score(batch: pa.Table) -> pa.Table:
             ids_s, offs_s, data_s = ray.get(ref)
@@ -169,7 +180,9 @@ def verify_pairs(pairs, sigs, cfg: EngineConfig = DEFAULT_CONFIG,
                 "containment_ab": pa.array(cab, pa.float64()),
                 "containment_ba": pa.array(cba, pa.float64()),
             })
-            return out.filter(pa.array(ja >= vthr))
+            score = (np.maximum(cab, cba)
+                     if vmetric == "max_containment" else ja)
+            return out.filter(pa.array(score >= vthr))
 
         return pairs.map_batches(
             broadcast_score,
@@ -186,7 +199,7 @@ def verify_pairs(pairs, sigs, cfg: EngineConfig = DEFAULT_CONFIG,
         blobs, join_type="inner", num_partitions=nparts,
         on=("b",), right_on=("conv_id",),
     ).rename_columns({"blob": "blob_b"})
-    scorer = PairScorer(cfg.sketch.num, thr)
+    scorer = PairScorer(cfg.sketch.num, thr, metric)
     return with_ab.map_batches(
         lambda t: scorer(t),
         batch_format="pyarrow",
