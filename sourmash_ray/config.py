@@ -66,8 +66,10 @@ class ExecParams:
     # label-propagation loop takes over.
     driver_cc_max_edges: int = 5_000_000
     # side tables below this size are ray.put-broadcast into map_batches
-    # (local Acero joins per batch) instead of hash-shuffle joined.
-    broadcast_bytes_limit: int = 256 << 20
+    # (searchsorted gathers per batch) instead of hash-shuffle joined.
+    # Sized to the single-node object store; a multi-node deployment keeps
+    # the same knob per-node (the broadcast is one object, read zero-copy).
+    broadcast_bytes_limit: int = 4 << 30
 
 
 def clamped_join_partitions(cfg: "EngineConfig", *counts: int) -> int:

@@ -134,8 +134,13 @@ def connected_components(edges, cfg: EngineConfig = DEFAULT_CONFIG):
     if n_edges == 0:
         return ray.data.from_arrow(_LABEL_SCHEMA.empty_table())
     if n_edges <= cfg.exec.driver_cc_max_edges:
-        rows = ((r["a"], r["b"]) for r in edges.iter_rows())
-        return ray.data.from_arrow(_driver_union_find(rows))
+        def _edge_iter():
+            # iter_batches (columnar) — iter_rows is ~20k rows/s
+            for b in edges.iter_batches(batch_format="pyarrow",
+                                        batch_size=65536):
+                yield from zip(b["a"].to_pylist(), b["b"].to_pylist())
+
+        return ray.data.from_arrow(_driver_union_find(_edge_iter()))
     sym = edges.rename_columns({"a": "src", "b": "dst"}).union(
         edges.rename_columns({"a": "dst", "b": "src"})
     ).materialize()

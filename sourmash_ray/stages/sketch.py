@@ -13,14 +13,15 @@ parallel and order-insensitive — exactly sourmash's set semantics
 
 Two stages:
 
-1. ``TurnSketcher`` — stateful actor-pool ``map_batches`` over zero-copy
+1. ``sketch_turns_batch`` — task-based ``map_batches`` over zero-copy
    Arrow batches. One vectorized murmur pass hashes *every* k-byte shingle
    of *every* turn in the batch; the scaled/num retention rule
-   (``minhash.rs:309-383``) is applied per turn before the shuffle, so only
-   retained hashes (~1/scaled of the data) move.
-2. ``merge_turn_sketches`` — ``groupby("conv_id")`` shuffle + per-group
-   sorted-union merge (``minhash.rs:432-516`` semantics), emitting the final
-   signature row (+ LSH permutation minima + md5 identity).
+   (``minhash.rs:309-383``) is applied per turn, and adjacent same-
+   conversation rows are pre-merged (combiner), so only retained hashes
+   (~1/scaled of the data, ~1 row per conversation) enter the shuffle.
+2. coarse-key exchange on ``conv_part`` + ``merge_part`` — per-conversation
+   sorted-union merge (``minhash.rs:432-516`` semantics), emitting the
+   final signature row (+ LSH permutation minima + md5 identity).
 
 The per-turn retention commutes with union (scaled: mask-then-union ==
 union-then-mask; num: bottom-k of union == bottom-k of union of bottom-ks),

@@ -112,6 +112,23 @@ class PairScorer:
         return out.filter(pa.array(score >= self.threshold))
 
 
+import ray as _ray
+
+
+@_ray.remote
+def _build_sorted_broadcast(*blocks):
+    """(sorted S32 id array, blob offsets, blob bytes) for the broadcast
+    verify path — built off-driver, returned into the object store."""
+    tables = [t for t in blocks if t.num_rows]
+    tbl = pa.concat_tables(tables).combine_chunks()
+    ids = np.array(tbl["conv_id"].to_pylist(), dtype="S32")
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    sorted_tbl = tbl.take(pa.array(order, pa.int64()))
+    offs, data = _blob_views(sorted_tbl["blob"])
+    return ids, offs, data.copy()
+
+
 def verify_pairs(pairs, sigs, cfg: EngineConfig = DEFAULT_CONFIG,
                  threshold: float | None = None,
                  metric: str = "jaccard"):
@@ -131,26 +148,25 @@ def verify_pairs(pairs, sigs, cfg: EngineConfig = DEFAULT_CONFIG,
 
     if blobs.size_bytes() <= cfg.exec.broadcast_bytes_limit:
         # broadcast fast path: the SORTED sketch-blob arrays ride the object
-        # store once (ray.put) and each pair batch gathers both sides with
-        # vectorized searchsorted — no shuffle, no per-task hash build (an
-        # Acero join here spent ~0.7s/task rebuilding a hash table of the
-        # whole collection). The hash-shuffle join below is the scale path.
-        blocks = [t for t in ray.get(blobs.to_arrow_refs()) if t.num_rows]
-        if not blocks:
+        # store once and each pair batch gathers both sides with vectorized
+        # searchsorted — no shuffle, no per-task hash build (an Acero join
+        # here spent ~0.7s/task rebuilding a hash table of the whole
+        # collection). Keys are fixed-width S32 byte arrays (C memcmp sort,
+        # no Python-string driver work); the whole build runs in ONE remote
+        # task so the driver never touches the blob bytes. The hash-shuffle
+        # join below is the scale path past the broadcast budget.
+        blob_refs = blobs.to_arrow_refs()
+        if not blob_refs:
             return ray.data.from_arrow(VERIFIED_SCHEMA.empty_table())
-        blob_tbl = pa.concat_tables(blocks).combine_chunks().sort_by(
-            "conv_id")
-        ids = np.array(blob_tbl["conv_id"].to_pylist(), dtype=str)
-        s_offs, s_data = _blob_views(blob_tbl["blob"])
-        ref = ray.put((ids, s_offs, s_data))
+        ref = _build_sorted_broadcast.remote(*blob_refs)
         num, vthr = cfg.sketch.num, thr
         vmetric = metric
 
         def broadcast_score(batch: pa.Table) -> pa.Table:
             ids_s, offs_s, data_s = ray.get(ref)
             u = data_s.view(np.uint64)
-            a_np = np.array(batch["a"].to_pylist(), dtype=str)
-            b_np = np.array(batch["b"].to_pylist(), dtype=str)
+            a_np = np.array(batch["a"].to_pylist(), dtype="S32")
+            b_np = np.array(batch["b"].to_pylist(), dtype="S32")
             ia = np.searchsorted(ids_s, a_np)
             ib = np.searchsorted(ids_s, b_np)
             n = batch.num_rows
