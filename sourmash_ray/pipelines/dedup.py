@@ -107,7 +107,11 @@ def dedup_pipeline(
         ds = source
         fingerprint = f"ds|cfg={cfg.sketch}|{cfg.lsh}"
 
-    sigs = sketch_transcripts(ds, cfg)
+    sigs = sketch_transcripts(
+        ds, cfg,
+        checkpoint_dir=(os.path.join(checkpoint_dir, "signature_parts")
+                        if checkpoint_dir else None),
+        fingerprint=fingerprint)
     if checkpoint_dir:
         sigs, _ = checkpoint_dataset(
             sigs, os.path.join(checkpoint_dir, "signatures"),

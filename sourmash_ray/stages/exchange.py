@@ -46,24 +46,67 @@ def _split_block(block: pa.Table, key_col: str, n_parts: int):
     return tuple(out) if n_parts > 1 else out[0]
 
 
-def _reduce_part(merge_fn, out_schema: pa.Schema, *subs):
+def _reduce_part(merge_fn, out_schema: pa.Schema, part_path, *subs):
+    import os
+
+    import pyarrow.parquet as pq
+
+    if part_path is not None and os.path.exists(part_path):
+        # partition-level resume: this reduce partition already completed
+        # in a previous run with the same fingerprint — read it back
+        return pq.read_table(part_path)
     tables = [t for t in subs if t is not None and t.num_rows]
     if not tables:
-        return out_schema.empty_table()
-    part = pa.concat_tables(tables).combine_chunks()
-    out = merge_fn(part)
-    return out if out.num_rows else out_schema.empty_table()
+        out = out_schema.empty_table()
+    else:
+        part = pa.concat_tables(tables).combine_chunks()
+        out = merge_fn(part)
+        if not out.num_rows:
+            out = out_schema.empty_table()
+    if part_path is not None:
+        tmp = f"{part_path}.tmp{os.getpid()}"
+        pq.write_table(out, tmp)
+        os.replace(tmp, part_path)  # atomic: a crash never leaves half files
+    return out
+
+
+def _prepare_checkpoint_dir(checkpoint_dir: str, fingerprint: str) -> None:
+    """Create/validate the per-partition checkpoint dir: a fingerprint
+    mismatch (different input or config) clears stale partitions."""
+    import json
+    import os
+    import shutil
+
+    marker = os.path.join(checkpoint_dir, "_FINGERPRINT.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if json.load(f).get("fingerprint") == fingerprint:
+                return
+        shutil.rmtree(checkpoint_dir, ignore_errors=True)
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    with open(marker, "w") as f:
+        json.dump({"fingerprint": fingerprint}, f)
 
 
 def exchange_map_groups(ds, key_col: str, n_parts: int, merge_fn,
-                        out_schema: pa.Schema):
+                        out_schema: pa.Schema,
+                        checkpoint_dir: str | None = None,
+                        fingerprint: str = ""):
     """Partition ``ds`` by ``key_col % n_parts`` and apply ``merge_fn`` to
     each partition's concatenated Arrow table. Returns a Dataset with one
     block per partition (``out_schema`` used for empty partitions).
 
     ``merge_fn`` must tolerate multiple distinct key values per call — the
     same contract as the coarse-partition groupby it replaces.
+
+    ``checkpoint_dir``: opt-in PARTITION-level resume (the north rule's
+    "resume mid-shuffle"): each reduce partition persists atomically as
+    ``part-NNNNN.parquet``; a rerun with the same fingerprint skips every
+    completed partition's merge work, recomputing only missing ones.
     """
+    if checkpoint_dir is not None:
+        _prepare_checkpoint_dir(checkpoint_dir, fingerprint)
+
     split = ray.remote(num_returns=n_parts)(_split_block)
     reduce_r = ray.remote(_reduce_part)
 
@@ -72,9 +115,14 @@ def exchange_map_groups(ds, key_col: str, n_parts: int, merge_fn,
         return ray.data.from_arrow(out_schema.empty_table())
     parts = [split.remote(b, key_col, n_parts) for b in block_refs]
     cols = [[p] if n_parts == 1 else list(p) for p in parts]
+    import os
+
     out_refs = [
-        reduce_r.remote(merge_fn, out_schema,
-                        *[cols[i][p] for i in range(len(cols))])
+        reduce_r.remote(
+            merge_fn, out_schema,
+            (os.path.join(checkpoint_dir, f"part-{p:05d}.parquet")
+             if checkpoint_dir is not None else None),
+            *[cols[i][p] for i in range(len(cols))])
         for p in range(n_parts)
     ]
     return ray.data.from_arrow_refs(out_refs)

@@ -371,13 +371,17 @@ def _fmix64_mat(k: np.ndarray) -> np.ndarray:
     return k
 
 
-def sketch_transcripts(ds, cfg: EngineConfig = DEFAULT_CONFIG):
+def sketch_transcripts(ds, cfg: EngineConfig = DEFAULT_CONFIG,
+                       checkpoint_dir: str | None = None,
+                       fingerprint: str = ""):
     """transcripts Dataset → signatures Dataset (one row per conversation).
 
     ``ds`` needs columns (conv_id, text); extra columns are pruned here —
     callers reading Parquet should already pass ``columns=["conv_id",
     "text"]`` to prune at the scan. The conv_id shuffle runs on the coarse
-    ``conv_part`` key (one vectorized merge call per partition).
+    ``conv_part`` key (one vectorized merge call per partition);
+    ``checkpoint_dir`` enables partition-level resume of the merge side
+    of the shuffle (see ``exchange_map_groups``).
     """
     ds = ds.select_columns(["conv_id", "text"])
     from .exchange import exchange_map_groups
@@ -390,4 +394,5 @@ def sketch_transcripts(ds, cfg: EngineConfig = DEFAULT_CONFIG):
     )
     return exchange_map_groups(
         partial, "conv_part", 2 * resolve_num_partitions(cfg),
-        make_merge_part_fn(cfg), SIG_SCHEMA)
+        make_merge_part_fn(cfg), SIG_SCHEMA,
+        checkpoint_dir=checkpoint_dir, fingerprint=fingerprint)

@@ -126,3 +126,41 @@ def test_media_features_plumbing(ray_session):
     a = {r["media_id"]: tuple(r["features"]) for r in rows}
     b = {r["media_id"]: tuple(r["features"]) for r in rows2}
     assert a == b
+
+
+def test_partition_level_resume(ray_session, tmp_path):
+    """The exchange's per-partition parquet checkpoints: delete one part,
+    rerun — only the missing partition recomputes; output identical."""
+    import os
+    import time
+
+    import ray.data
+
+    from sourmash_ray.stages.sketch import sketch_transcripts
+
+    tbl = synth_transcripts(20, seed=43)
+    ckpt = str(tmp_path / "parts")
+
+    def run():
+        return sketch_transcripts(ray.data.from_arrow(tbl), CFG,
+                                  checkpoint_dir=ckpt, fingerprint="fpA")
+
+    want = sorted((r["conv_id"], r["md5"]) for r in run().take_all())
+    parts = sorted(f for f in os.listdir(ckpt) if f.endswith(".parquet"))
+    assert parts
+    # record mtimes, delete one partition, rerun
+    keep = parts[0]
+    victim = parts[-1]
+    mtime_before = os.path.getmtime(os.path.join(ckpt, keep))
+    os.remove(os.path.join(ckpt, victim))
+    time.sleep(0.05)
+    got = sorted((r["conv_id"], r["md5"]) for r in run().take_all())
+    assert got == want
+    assert os.path.exists(os.path.join(ckpt, victim))  # recomputed
+    assert os.path.getmtime(os.path.join(ckpt, keep)) == mtime_before  # reused
+
+    # fingerprint change clears and recomputes everything
+    out2 = sketch_transcripts(ray.data.from_arrow(tbl), CFG,
+                              checkpoint_dir=ckpt, fingerprint="fpB")
+    got2 = sorted((r["conv_id"], r["md5"]) for r in out2.take_all())
+    assert got2 == want
