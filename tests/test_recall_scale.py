@@ -100,3 +100,32 @@ def test_distributed_label_propagation_matches_driver_uf(ray_session):
             for r in connected_components(ds, forced).take_all()}
     assert driver == dist
     assert dist["n3"] == "n1" and dist["n9"] == "n7" and dist["n6"] == "n5"
+
+
+def test_num_mode_dedup_end_to_end(ray_session):
+    """bottom-k (num-mode) sketches through the FULL pipeline: exact clones
+    cluster together and verified jaccard uses the combined bottom-k
+    estimator (minhash.rs:593-621 semantics)."""
+    import ray.data
+
+    from sourmash_ray.functions.oracle import jaccard_mins, sketch_table
+    from sourmash_ray.functions.sketch import SketchParams
+    from sourmash_ray.pipelines.dedup import dedup_pipeline
+
+    params = SketchParams(ksize=12, scaled=0, num=64)
+    cfg = EngineConfig(sketch=params, lsh=LSHParams(num_perm=12, bands=4,
+                                                    rows=3))
+    corpus = synth_transcripts(40, seed=53)
+    out = dedup_pipeline(ray.data.from_arrow(corpus), cfg)
+    label = {r["conv_id"]: r["cluster_id"]
+             for r in out["clusters"].take_all()}
+    clones = [c for c in label if "_xd" in c]
+    assert clones
+    for c in clones:
+        assert label[c] == label[c.split("_xd")[0]], c
+
+    sketches = sketch_table(corpus, params)
+    for r in out["verified_pairs"].take_all():
+        ref = jaccard_mins(sketches[r["a"]]["mins"],
+                           sketches[r["b"]]["mins"], params)
+        assert abs(r["jaccard"] - ref) < 1e-12, (r["a"], r["b"])
