@@ -147,6 +147,24 @@ def connected_components(edges, cfg: EngineConfig = DEFAULT_CONFIG):
     return _label_propagation(sym, sym.count(), cfg)
 
 
+import ray as _ray
+
+
+@_ray.remote
+def _build_label_broadcast(*blocks):
+    """(sorted S32 node keys, aligned label StringArray) for the broadcast
+    attach — built off-driver."""
+    tables = [t for t in blocks if t.num_rows]
+    if not tables:
+        return np.empty(0, dtype="S32"), pa.array([], pa.string())
+    tbl = pa.concat_tables(tables).combine_chunks()
+    nodes = np.array(tbl["node"].to_pylist(), dtype="S32")
+    order = np.argsort(nodes, kind="stable")
+    labels = tbl["label"].combine_chunks().take(
+        pa.array(order, pa.int64()))
+    return nodes[order], labels
+
+
 def assign_clusters(sigs, edges, cfg: EngineConfig = DEFAULT_CONFIG):
     """signatures + dup edges → (conv_id, cluster_id) for EVERY conversation
     (nodes without edges label themselves) — SURVEY.md §1.4 cluster table."""
@@ -162,20 +180,24 @@ def assign_clusters(sigs, edges, cfg: EngineConfig = DEFAULT_CONFIG):
             batch_format="pyarrow",
         )
     if labels.size_bytes() <= cfg.exec.broadcast_bytes_limit:
-        # broadcast attach: local Acero left-outer join per batch
-        label_tbl = pa.Table.from_pylist(labels.take_all(),
-                                         schema=_LABEL_SCHEMA)
-        ref = ray.put(label_tbl)
+        # broadcast attach: sorted S32 node keys + label array built in one
+        # remote task, searchsorted gather per batch (left-outer semantics:
+        # unlabeled nodes keep their own id)
+        ref = _build_label_broadcast.remote(*labels.to_arrow_refs())
 
         def _attach(batch: pa.Table) -> pa.Table:
-            lt = ray.get(ref)
-            joined = batch.join(lt, keys=["conv_id"], right_keys=["node"],
-                                join_type="left outer", use_threads=False)
-            return pa.table({
-                "conv_id": joined["conv_id"],
-                "cluster_id": pa.compute.coalesce(joined["label"],
-                                                  joined["conv_id"]),
-            })
+            nodes_s, label_arr = ray.get(ref)
+            keys = np.array(batch["conv_id"].to_pylist(), dtype="S32")
+            pos = np.searchsorted(nodes_s, keys)
+            pos_c = np.minimum(pos, len(nodes_s) - 1)
+            hit = nodes_s[pos_c] == keys if len(nodes_s) else \
+                np.zeros(len(keys), bool)
+            out = pa.compute.if_else(
+                pa.array(hit),
+                label_arr.take(pa.array(pos_c, pa.int64())),
+                batch["conv_id"].combine_chunks())
+            return pa.table({"conv_id": batch["conv_id"],
+                             "cluster_id": out})
 
         return ids.map_batches(_attach, batch_format="pyarrow")
 
