@@ -49,8 +49,6 @@ def sketch_conversation(turn_texts: list[str], params: SketchParams):
 
 def sketch_table(transcripts, params: SketchParams) -> dict[str, dict]:
     """conv_id → sketch dict for a whole transcripts table (pyarrow)."""
-    import pyarrow as pa  # noqa: F401
-
     df = transcripts.select(["conv_id", "turn_idx", "text"]).to_pandas()
     df = df.sort_values(["conv_id", "turn_idx"])
     out: dict[str, dict] = {}

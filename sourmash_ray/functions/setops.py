@@ -14,7 +14,7 @@ import math
 
 import numpy as np
 
-from .sketch import MAX_U64, SketchParams, Sketch, max_hash_for_scaled
+from .sketch import SketchParams, Sketch, max_hash_for_scaled
 
 # ---------------------------------------------------------------------------
 # intersection / union primitives (sorted arrays)

@@ -37,7 +37,7 @@ import pyarrow.compute as pc
 
 from ..config import EngineConfig, DEFAULT_CONFIG, resolve_num_partitions
 from ..functions.murmur import murmur64_fixedlen
-from ..functions.perm import MAX_U64, perm_minima, perm_seeds
+from ..functions.perm import MAX_U64, perm_seeds
 from ..functions.sketch import (
     ALNUM_DROP_PATTERN,
     SketchParams,

@@ -7,10 +7,12 @@ bottom-k estimator in num mode, ``minhash.rs:593-621``) plus both raw
 containments |A∩B|/|A| (``minhash.py:819-841`` without the bias factor, so
 values are exactly reproducible by the oracle and by SQL).
 
-Join strategy: two distributed hash joins attach each side's sketch to the
-pair rows (SURVEY.md §7.4 "verify join" row), partitioned by conv_id.
-Arrow's Acero join cannot carry ``list<uint64>`` payload columns, so the
-sorted ``mins`` ride along as a little-endian ``binary`` blob — a zero-copy
+Join strategy (SURVEY.md §7.4 "verify join" row): within the broadcast
+budget the sorted sketch-blob arrays ride the object store once and pair
+batches gather both sides with vectorized searchsorted (no shuffle);
+beyond it, two distributed hash joins partitioned by conv_id. Arrow's
+Acero join cannot carry ``list<uint64>`` payload columns, so the sorted
+``mins`` ride along as a little-endian ``binary`` blob — a zero-copy
 reinterpretation of the list values buffer, 8 bytes per hash.
 """
 
@@ -23,7 +25,6 @@ from ..config import (
     EngineConfig,
     DEFAULT_CONFIG,
     clamped_join_partitions,
-    resolve_num_partitions,
 )
 
 VERIFIED_SCHEMA = pa.schema([
