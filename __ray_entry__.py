@@ -235,6 +235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": docops.ngram_jaccard_pairs,
         # --- events: windowed aggregates ---
         "tumbling_window_counts": eventops.tumbling_window_counts,
+        "hopping_window_counts": eventops.hopping_window_counts,
         "sessionize_events": eventops.sessionize_events,
     }
 
@@ -377,6 +378,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS BIGINT)
                        AS sum_value_micros
             FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "hopping_window_counts": """
+            WITH e AS (
+              SELECT event_type,
+                     date_trunc('hour', ts) AS base,
+                     CAST(round(value * 1000000, 0) AS BIGINT) AS micros
+              FROM events),
+            x AS (
+              SELECT event_type, micros,
+                     unnest([base, base - INTERVAL 1 HOUR]) AS window_start
+              FROM e)
+            SELECT event_type, window_start, count(*) AS n_events,
+                   CAST(sum(micros) AS BIGINT) AS sum_value_micros
+            FROM x GROUP BY event_type, window_start
         """,
         "sessionize_events": """
             WITH g AS (

@@ -75,3 +75,51 @@ def sessionize_events(sf_dir: str, gap_minutes: int = 30):
         })
 
     return ds.groupby("user_id").map_groups(_sessions, batch_format="pyarrow")
+
+
+def hopping_window_counts(sf_dir: str, window_hours: int = 2,
+                          hop_hours: int = 1):
+    """Hopping (overlapping) windows: each event lands in
+    ``window/hop`` windows — flat-map the event to every window start,
+    then one hash aggregation. Output (event_type, window_start, n_events,
+    sum_value_micros), exact-integer sums."""
+    import numpy as np
+
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"])
+    n_windows = window_hours // hop_hours
+    hop_us = hop_hours * 3_600_000_000
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(batch["ts"].combine_chunks().cast(pa.int64()))
+        base = (ts // hop_us) * hop_us  # most recent hop boundary
+        n = len(ts)
+        idx = np.repeat(np.arange(n, dtype=np.int64), n_windows)
+        k = np.tile(np.arange(n_windows, dtype=np.int64), n)
+        starts = base[idx] - k * hop_us
+        vals = np.asarray(batch["value"], dtype=np.float64)
+        micros = np.round(vals * 1e6).astype(np.int64)
+        et = batch["event_type"].combine_chunks().take(pa.array(idx))
+        return pa.table({
+            "event_type": et,
+            "window_start": pa.array(starts, pa.int64()).cast(
+                pa.timestamp("us")),
+            "value_micros": pa.array(micros[idx], pa.int64()),
+        })
+
+    agg = (ds.map_batches(_explode, batch_format="pyarrow")
+           .groupby(["event_type", "window_start"])
+           .aggregate(Count(), Sum("value_micros")))
+
+    def _name(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "window_start": batch["window_start"],
+            "n_events": batch["count()"],
+            "sum_value_micros": pc.cast(batch["sum(value_micros)"],
+                                        pa.int64()),
+        })
+
+    return agg.map_batches(_name, batch_format="pyarrow")
