@@ -222,3 +222,95 @@ def verify_pairs(pairs, sigs, cfg: EngineConfig = DEFAULT_CONFIG,
         batch_format="pyarrow",
         batch_size=cfg.exec.verify_batch_size,
     )
+
+
+# ---------------------------------------------------------------------------
+# abundance-weighted (angular) similarity — the reference's similarity()
+# dispatch when both sketches track abundance (minhash.rs:635-702)
+# ---------------------------------------------------------------------------
+
+ANGULAR_SCHEMA = pa.schema([
+    ("a", pa.string()),
+    ("b", pa.string()),
+    ("similarity", pa.float64()),
+])
+
+
+def _sig_blobs_ab(batch: pa.Table) -> pa.Table:
+    """(conv_id, mins blob, abunds blob) — abunds share mins' offsets."""
+    out = mins_to_blob(batch)
+    ab = batch["abunds"].combine_chunks()
+    offs = np.asarray(ab.offsets, dtype=np.int32)
+    vals = np.asarray(ab.flatten(), dtype=np.uint64)
+    ablob = pa.Array.from_buffers(
+        pa.binary(), batch.num_rows,
+        [None, pa.py_buffer((offs * 8).astype(np.int32)),
+         pa.py_buffer(vals.view(np.uint8))])
+    return out.append_column("ablob", ablob)
+
+
+@_ray.remote
+def _build_sorted_broadcast_ab(*blocks):
+    tables = [t for t in blocks if t.num_rows]
+    tbl = pa.concat_tables(tables).combine_chunks()
+    ids = np.array(tbl["conv_id"].to_pylist(), dtype="S32")
+    order = np.argsort(ids, kind="stable")
+    sorted_tbl = tbl.take(pa.array(order, pa.int64()))
+    offs, data = _blob_views(sorted_tbl["blob"])
+    _, adata = _blob_views(sorted_tbl["ablob"])
+    return ids[order], offs, data.copy(), adata.copy()
+
+
+def angular_pairs(pairs, sigs, cfg: EngineConfig = DEFAULT_CONFIG,
+                  threshold: float = 0.5):
+    """candidate pairs → (a, b, similarity) with the abundance-cosine
+    angular similarity ``1 - 2·acos(cos)/π`` (``minhash.rs:635-680``),
+    thresholded. Requires abundance-tracked sketches."""
+    import math
+
+    import ray
+    import ray.data
+
+    pairs = pairs.materialize()
+    if pairs.count() == 0:
+        return ray.data.from_arrow(ANGULAR_SCHEMA.empty_table())
+    blobs = sigs.select_columns(["conv_id", "mins", "abunds"]).map_batches(
+        _sig_blobs_ab, batch_format="pyarrow").materialize()
+    refs = blobs.to_arrow_refs()
+    if not refs:
+        return ray.data.from_arrow(ANGULAR_SCHEMA.empty_table())
+    ref = _build_sorted_broadcast_ab.remote(*refs)
+
+    def _score(batch: pa.Table) -> pa.Table:
+        ids_s, offs_s, data_s, adata_s = ray.get(ref)
+        u = data_s.view(np.uint64)
+        av = adata_s.view(np.uint64)
+        a_np = np.array(batch["a"].to_pylist(), dtype="S32")
+        b_np = np.array(batch["b"].to_pylist(), dtype="S32")
+        ia = np.searchsorted(ids_s, a_np)
+        ib = np.searchsorted(ids_s, b_np)
+        n = batch.num_rows
+        sim = np.zeros(n, np.float64)
+        for i in range(n):
+            p, q = ia[i], ib[i]
+            sa, ea = offs_s[p] // 8, offs_s[p + 1] // 8
+            sb, eb = offs_s[q] // 8, offs_s[q + 1] // 8
+            ma, mb = u[sa:ea], u[sb:eb]
+            aa, ab = av[sa:ea].astype(np.float64), av[sb:eb].astype(np.float64)
+            _, ja_idx, jb_idx = np.intersect1d(
+                ma, mb, assume_unique=True, return_indices=True)
+            prod = float(np.dot(aa[ja_idx], ab[jb_idx]))
+            na = math.sqrt(float(np.dot(aa, aa)))
+            nb = math.sqrt(float(np.dot(ab, ab)))
+            if na == 0.0 or nb == 0.0:
+                continue
+            cos = min(prod / (na * nb), 1.0)
+            sim[i] = 1.0 - (2.0 * math.acos(cos) / math.pi)
+        out = pa.table({
+            "a": batch["a"], "b": batch["b"],
+            "similarity": pa.array(sim, pa.float64()),
+        })
+        return out.filter(pa.array(sim >= threshold))
+
+    return pairs.map_batches(_score, batch_format="pyarrow",
+                             batch_size=cfg.exec.verify_batch_size)

@@ -195,3 +195,24 @@ def test_rename_and_cat(sigs):
     assert all(r["conv_id"].startswith("x_") for r in got)
     both = cat_collections(sigs, renamed)
     assert both.count() == 2 * sigs.count()
+
+
+def test_angular_pairs_matches_kernel(sigs, oracle_sketches):
+    """Pipeline angular similarity ≡ setops.angular_similarity kernel
+    (abundance-cosine, minhash.rs:635-680)."""
+    from sourmash_ray.functions.setops import angular_similarity
+    from sourmash_ray.functions.sketch import Sketch
+    from sourmash_ray.stages.lsh import candidate_pairs
+    from sourmash_ray.stages.verify import angular_pairs
+
+    pairs = candidate_pairs(sigs, CFG)
+    got = {(r["a"], r["b"]): r["similarity"]
+           for r in angular_pairs(pairs, sigs, CFG, threshold=0.0).take_all()}
+    assert got
+    for (a, b), sim in got.items():
+        sa = Sketch(mins=oracle_sketches[a]["mins"],
+                    abunds=oracle_sketches[a]["abunds"], params=PARAMS)
+        sb = Sketch(mins=oracle_sketches[b]["mins"],
+                    abunds=oracle_sketches[b]["abunds"], params=PARAMS)
+        ref = angular_similarity(sa, sb)
+        assert abs(sim - ref) < 1e-12, (a, b)
