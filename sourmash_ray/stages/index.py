@@ -74,3 +74,35 @@ def counter_lookup(index_ds, query_hashes: np.ndarray,
     hits = index_ds.map_batches(_match, batch_format="pyarrow")
     agg = hits.groupby("conv_id").aggregate(Count())
     return agg.rename_columns({"count()": "overlap"})
+
+
+def lca_classify(index_ds, query_hashes: np.ndarray, labels: dict,
+                 cfg: EngineConfig = DEFAULT_CONFIG,
+                 majority: float = 0.5):
+    """``lca classify`` analogue (``/root/reference/src/sourmash/lca/
+    command_classify.py``): each query hash votes with the label (here:
+    cluster id, standing in for a taxonomy lineage) of every signature
+    containing it; the query is assigned the label holding a strict
+    majority of voting hashes, else "unassigned".
+
+    Returns dict(label, f_agreement, n_voting_hashes).
+    """
+    from ray.data.aggregate import Count
+
+    hits = counter_lookup(index_ds, query_hashes, cfg)
+    votes: dict = {}
+    n_votes = 0
+    for r in hits.take_all():
+        lbl = labels.get(r["conv_id"], r["conv_id"])
+        votes[lbl] = votes.get(lbl, 0) + r["overlap"]
+        n_votes += r["overlap"]
+    if not votes:
+        return {"label": "unassigned", "f_agreement": 0.0,
+                "n_voting_hashes": 0}
+    best, cnt = max(votes.items(), key=lambda kv: (kv[1], kv[0]))
+    frac = cnt / n_votes
+    return {
+        "label": best if frac >= majority else "unassigned",
+        "f_agreement": frac,
+        "n_voting_hashes": n_votes,
+    }

@@ -164,3 +164,23 @@ def test_partition_level_resume(ray_session, tmp_path):
                               checkpoint_dir=ckpt, fingerprint="fpB")
     got2 = sorted((r["conv_id"], r["md5"]) for r in out2.take_all())
     assert got2 == want
+
+
+def test_lca_classify(sigs):
+    """A clone query must classify into its base's cluster with strong
+    agreement; an unrelated query with no majority stays assigned to its
+    own singleton label."""
+    from sourmash_ray.stages.index import build_inverted_index, lca_classify
+
+    idx = build_inverted_index(sigs).materialize()
+    rows = {r["conv_id"]: np.asarray(r["mins"], dtype=np.uint64)
+            for r in sigs.take_all()}
+    clones = [c for c in rows if "_xd" in c]
+    assert clones
+    q = clones[0]
+    base = q.split("_xd")[0]
+    labels = {cid: (base if cid in (q, base) else cid) for cid in rows}
+    res = lca_classify(idx, rows[q], labels, CFG)
+    assert res["label"] == base
+    assert res["f_agreement"] > 0.5
+    assert res["n_voting_hashes"] > 0
