@@ -192,14 +192,33 @@ def candidate_pairs(sigs, cfg: EngineConfig = DEFAULT_CONFIG,
     return dedup_pairs(pairs, parts, out_schema=PAIRS_SCHEMA)
 
 
+DRIVER_DEDUP_MAX_ROWS = 200_000
+
+
 def dedup_pairs(pairs, parts: int = 1024, out_schema=None, n_parts=None):
-    """Distinct rows by (a, b) via coarse pair-part exchange; keeps every
-    other column of the first occurrence (rows for the same pair are
-    identical in this engine, so "first" is deterministic in value)."""
+    """Distinct rows by (a, b); keeps every other column of the first
+    occurrence (rows for the same pair are identical in this engine, so
+    "first" is deterministic in value).
+
+    Small inputs dedup on the driver (one pandas pass — cheaper than an
+    exchange barrier); larger ones go through the coarse pair-part
+    exchange."""
+    import ray
+    import ray.data
+
     from ..config import DEFAULT_CONFIG as _cfg
 
     if out_schema is None:
         out_schema = PAIRS_SCHEMA
+    pairs = pairs.materialize()
+    if pairs.count() <= DRIVER_DEDUP_MAX_ROWS:
+        blocks = [t for t in ray.get(pairs.to_arrow_refs()) if t.num_rows]
+        if not blocks:
+            return ray.data.from_arrow(out_schema.empty_table())
+        df = pa.concat_tables(blocks).combine_chunks().to_pandas()
+        out = pa.Table.from_pandas(df.drop_duplicates(["a", "b"]),
+                                   preserve_index=False)
+        return ray.data.from_arrow(out.cast(out_schema))
     if n_parts is None:
         n_parts = 2 * resolve_num_partitions(_cfg)
     keyed = pairs.map_batches(_add_pair_part(parts), batch_format="pyarrow")

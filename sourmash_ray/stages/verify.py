@@ -145,9 +145,12 @@ def verify_pairs(pairs, sigs, cfg: EngineConfig = DEFAULT_CONFIG,
     if npairs == 0:
         return ray.data.from_arrow(VERIFIED_SCHEMA.empty_table())
     blobs = sigs.select_columns(["conv_id", "mins"]).map_batches(
-        mins_to_blob, batch_format="pyarrow").materialize()
+        mins_to_blob, batch_format="pyarrow")
 
-    if blobs.size_bytes() <= cfg.exec.broadcast_bytes_limit:
+    # size estimate from the (already materialized) signatures dataset —
+    # an overestimate of the blob bytes, so the broadcast decision stays
+    # conservative without a blobs materialize barrier
+    if sigs.size_bytes() <= cfg.exec.broadcast_bytes_limit:
         # broadcast fast path: the SORTED sketch-blob arrays ride the object
         # store once and each pair batch gathers both sides with vectorized
         # searchsorted — no shuffle, no per-task hash build (an Acero join
@@ -208,6 +211,7 @@ def verify_pairs(pairs, sigs, cfg: EngineConfig = DEFAULT_CONFIG,
         )
 
     nparts = clamped_join_partitions(cfg, npairs, sigs.count())
+    blobs = blobs.materialize()
     with_a = pairs.join(
         blobs, join_type="inner", num_partitions=nparts,
         on=("a",), right_on=("conv_id",),
