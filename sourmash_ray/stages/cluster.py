@@ -158,7 +158,7 @@ def _build_label_broadcast(*blocks):
     if not tables:
         return np.empty(0, dtype="S32"), pa.array([], pa.string())
     tbl = pa.concat_tables(tables).combine_chunks()
-    nodes = np.array(tbl["node"].to_pylist(), dtype="S32")
+    nodes = np.array(tbl["node"].to_pylist(), dtype=bytes)
     order = np.argsort(nodes, kind="stable")
     labels = tbl["label"].combine_chunks().take(
         pa.array(order, pa.int64()))
@@ -186,11 +186,14 @@ def assign_clusters(sigs, edges, cfg: EngineConfig = DEFAULT_CONFIG):
         ref = _build_label_broadcast.remote(*labels.to_arrow_refs())
 
         def _attach(batch: pa.Table) -> pa.Table:
+            from .verify import _common_width
+
             nodes_s, label_arr = ray.get(ref)
-            keys = np.array(batch["conv_id"].to_pylist(), dtype="S32")
-            pos = np.searchsorted(nodes_s, keys)
-            pos_c = np.minimum(pos, len(nodes_s) - 1)
-            hit = nodes_s[pos_c] == keys if len(nodes_s) else \
+            keys, nodes_w = _common_width(
+                np.array(batch["conv_id"].to_pylist(), dtype=bytes), nodes_s)
+            pos = np.searchsorted(nodes_w, keys)
+            pos_c = np.minimum(pos, max(len(nodes_w) - 1, 0))
+            hit = nodes_w[pos_c] == keys if len(nodes_w) else \
                 np.zeros(len(keys), bool)
             out = pa.compute.if_else(
                 pa.array(hit),

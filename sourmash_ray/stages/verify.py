@@ -55,6 +55,16 @@ def mins_to_blob(batch: pa.Table) -> pa.Table:
     return pa.table({"conv_id": batch["conv_id"], "blob": blob})
 
 
+
+
+def _common_width(keys: np.ndarray, ref: np.ndarray):
+    """Cast both fixed-width byte arrays to their max width (padding only —
+    never truncation, which would alias distinct long keys)."""
+    w = max(keys.dtype.itemsize, ref.dtype.itemsize, 1)
+    dt = f"S{w}"
+    return keys.astype(dt), ref.astype(dt)
+
+
 def _blob_views(col: pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
     arr = col.combine_chunks()
     offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)
@@ -122,7 +132,9 @@ def _build_sorted_broadcast(*blocks):
     verify path — built off-driver, returned into the object store."""
     tables = [t for t in blocks if t.num_rows]
     tbl = pa.concat_tables(tables).combine_chunks()
-    ids = np.array(tbl["conv_id"].to_pylist(), dtype="S32")
+    # dynamic fixed width: S-dtype silently TRUNCATES beyond its width,
+    # which would collide distinct long ids — size to the longest id
+    ids = np.array(tbl["conv_id"].to_pylist(), dtype=bytes)
     order = np.argsort(ids, kind="stable")
     ids = ids[order]
     sorted_tbl = tbl.take(pa.array(order, pa.int64()))
@@ -169,10 +181,12 @@ def verify_pairs(pairs, sigs, cfg: EngineConfig = DEFAULT_CONFIG,
         def broadcast_score(batch: pa.Table) -> pa.Table:
             ids_s, offs_s, data_s = ray.get(ref)
             u = data_s.view(np.uint64)
-            a_np = np.array(batch["a"].to_pylist(), dtype="S32")
-            b_np = np.array(batch["b"].to_pylist(), dtype="S32")
-            ia = np.searchsorted(ids_s, a_np)
-            ib = np.searchsorted(ids_s, b_np)
+            a_np, ids_w = _common_width(
+                np.array(batch["a"].to_pylist(), dtype=bytes), ids_s)
+            b_np, _ = _common_width(
+                np.array(batch["b"].to_pylist(), dtype=bytes), ids_s)
+            ia = np.searchsorted(ids_w, a_np)
+            ib = np.searchsorted(ids_w, b_np)
             n = batch.num_rows
             ja = np.empty(n, np.float64)
             cab = np.empty(n, np.float64)
@@ -257,7 +271,7 @@ def _sig_blobs_ab(batch: pa.Table) -> pa.Table:
 def _build_sorted_broadcast_ab(*blocks):
     tables = [t for t in blocks if t.num_rows]
     tbl = pa.concat_tables(tables).combine_chunks()
-    ids = np.array(tbl["conv_id"].to_pylist(), dtype="S32")
+    ids = np.array(tbl["conv_id"].to_pylist(), dtype=bytes)
     order = np.argsort(ids, kind="stable")
     sorted_tbl = tbl.take(pa.array(order, pa.int64()))
     offs, data = _blob_views(sorted_tbl["blob"])
@@ -289,10 +303,12 @@ def angular_pairs(pairs, sigs, cfg: EngineConfig = DEFAULT_CONFIG,
         ids_s, offs_s, data_s, adata_s = ray.get(ref)
         u = data_s.view(np.uint64)
         av = adata_s.view(np.uint64)
-        a_np = np.array(batch["a"].to_pylist(), dtype="S32")
-        b_np = np.array(batch["b"].to_pylist(), dtype="S32")
-        ia = np.searchsorted(ids_s, a_np)
-        ib = np.searchsorted(ids_s, b_np)
+        a_np, ids_w = _common_width(
+            np.array(batch["a"].to_pylist(), dtype=bytes), ids_s)
+        b_np, _ = _common_width(
+            np.array(batch["b"].to_pylist(), dtype=bytes), ids_s)
+        ia = np.searchsorted(ids_w, a_np)
+        ib = np.searchsorted(ids_w, b_np)
         n = batch.num_rows
         sim = np.zeros(n, np.float64)
         for i in range(n):

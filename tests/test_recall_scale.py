@@ -129,3 +129,31 @@ def test_num_mode_dedup_end_to_end(ray_session):
         ref = jaccard_mins(sketches[r["a"]]["mins"],
                            sketches[r["b"]]["mins"], params)
         assert abs(r["jaccard"] - ref) < 1e-12, (r["a"], r["b"])
+
+
+def test_long_conv_ids_no_key_aliasing(ray_session):
+    """conv_ids longer than any fixed guess (previously S32-truncated) must
+    not alias in the broadcast searchsorted paths."""
+    import pyarrow as pa
+    import ray.data
+
+    from sourmash_ray.pipelines.dedup import dedup_pipeline
+
+    base = synth_transcripts(10, seed=59)
+    prefix = "x" * 40  # shared 40-byte prefix: truncation would alias ids
+    tbl = base.to_pydict()
+    tbl["conv_id"] = [prefix + c for c in tbl["conv_id"]]
+    corpus = pa.table(tbl).cast(base.schema)
+    cfg = EngineConfig(sketch=DEFAULT_CONFIG.sketch,
+                       lsh=LSHParams(num_perm=12, bands=4, rows=3))
+    out = dedup_pipeline(ray.data.from_arrow(corpus), cfg)
+    label = {r["conv_id"]: r["cluster_id"] for r in out["clusters"].take_all()}
+    assert len(label) == len(set(tbl["conv_id"]))
+    clones = [c for c in label if "_xd" in c]
+    assert clones
+    for c in clones:
+        assert label[c] == label[c.split("_xd")[0]], c
+    # distinct (non-clone) conversations must NOT share clusters
+    bases = [c for c in label if "_" not in c.split(prefix)[1]]
+    non_dup_labels = [label[c] for c in bases]
+    assert len(set(non_dup_labels)) > 1
