@@ -214,6 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_stats_docs": docops.quality_stats_docs,
         "lang_summary_docs": docops.lang_summary_docs,
         "simhash_docs": docops.simhash_docs,
+        "simhash_neardup_pairs": docops.simhash_neardup_pairs,
         "minhash_dedup_docs": docops.minhash_dedup_docs,
         # --- relational parity (manifest/picklist/top-k/summary) ---
         "manifest_select": relational.manifest_select,

@@ -349,3 +349,68 @@ def ngram_jaccard_pairs(sf_dir: str, n_docs: int = 40, n: int = 2,
 
     return ray.data.from_items(pair_rows).map_batches(
         _score, batch_format="pyarrow")
+
+
+def simhash_neardup_pairs(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG,
+                          max_hamming: int = 3):
+    """SimHash near-dup pairs: 64-bit fingerprints banded into 4×16-bit
+    chunks (pigeonhole: any pair within Hamming distance 3 shares at least
+    one exact chunk), candidates verified by popcount of the XOR.
+
+    Output: (a, b, hamming) for pairs with distance ≤ ``max_hamming``.
+    """
+    sims = simhash_docs(sf_dir, cfg)
+
+    def _chunks(batch: pa.Table) -> pa.Table:
+        sh = np.asarray(batch["simhash"], dtype=np.uint64)
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        n = len(ids)
+        out_keys = np.empty(4 * n, np.uint64)
+        for c in range(4):
+            chunk = (sh >> np.uint64(16 * c)) & np.uint64(0xFFFF)
+            # fold the chunk index in so chunks from different positions
+            # never collide
+            out_keys[c::4] = chunk * np.uint64(4) + np.uint64(c)
+        return pa.table({
+            "band_key": pa.array(out_keys, pa.uint64()),
+            "band_part": pa.array(
+                (out_keys % np.uint64(1024)).astype(np.int64), pa.int64()),
+            "conv_id": pa.array(np.repeat(ids, 4).astype(str), pa.string()),
+        })
+
+    from ..stages.exchange import exchange_map_groups
+    from ..stages.lsh import PAIRS_SCHEMA, _emit_pairs_part, dedup_pairs
+
+    keyed = sims.map_batches(_chunks, batch_format="pyarrow")
+    pairs = exchange_map_groups(
+        keyed, "band_part", 16,
+        _emit_pairs_part(cfg.lsh.max_bucket_pairs_members), PAIRS_SCHEMA)
+    pairs = dedup_pairs(pairs).materialize()
+
+    # verify: broadcast the simhash map, popcount per pair
+    import ray
+
+    sh_rows = sims.take_all()
+    sh_map = {str(r["doc_id"]): np.uint64(r["simhash"]) for r in sh_rows}
+    ref = ray.put(sh_map)
+
+    def _verify(batch: pa.Table) -> pa.Table:
+        mp = ray.get(ref)
+        a_ids = batch["a"].to_pylist()
+        b_ids = batch["b"].to_pylist()
+        ham = np.empty(len(a_ids), np.int64)
+        for i, (x, y) in enumerate(zip(a_ids, b_ids)):
+            ham[i] = bin(int(mp[x] ^ mp[y])).count("1")
+        ai = np.array([int(x) for x in a_ids], np.int64)
+        bi = np.array([int(x) for x in b_ids], np.int64)
+        # bucket pairs are ordered by STRING id; normalize numerically
+        lo = np.minimum(ai, bi)
+        hi = np.maximum(ai, bi)
+        t = pa.table({
+            "a": pa.array(lo, pa.int64()),
+            "b": pa.array(hi, pa.int64()),
+            "hamming": pa.array(ham, pa.int64()),
+        })
+        return t.filter(pc.less_equal(t["hamming"], pa.scalar(max_hamming)))
+
+    return pairs.map_batches(_verify, batch_format="pyarrow")

@@ -157,3 +157,25 @@ def test_long_conv_ids_no_key_aliasing(ray_session):
     bases = [c for c in label if "_" not in c.split(prefix)[1]]
     non_dup_labels = [label[c] for c in bases]
     assert len(set(non_dup_labels)) > 1
+
+
+def test_simhash_neardup_pigeonhole(ray_session, tmp_path):
+    """SimHash banding recall is EXACT for hamming ≤ 3 (pigeonhole over
+    4×16-bit chunks): compare against brute-force over all doc pairs."""
+    import pyarrow.parquet as pq
+
+    from sourmash_ray.config import DEFAULT_CONFIG
+    from sourmash_ray.pipelines.docops import simhash_docs, simhash_neardup_pairs
+
+    sf = "/root/testdata/sf0.01"
+    sims = {r["doc_id"]: int(r["simhash"])
+            for r in simhash_docs(sf, DEFAULT_CONFIG).take_all()}
+    ids = sorted(sims)
+    truth = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if bin(sims[a] ^ sims[b]).count("1") <= 3:
+                truth.add((a, b))
+    got = {(r["a"], r["b"])
+           for r in simhash_neardup_pairs(sf, DEFAULT_CONFIG).take_all()}
+    assert got == truth
