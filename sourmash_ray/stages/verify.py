@@ -224,22 +224,171 @@ def verify_pairs(pairs, sigs, cfg: EngineConfig = DEFAULT_CONFIG,
             batch_size=cfg.exec.verify_batch_size,
         )
 
-    nparts = clamped_join_partitions(cfg, npairs, sigs.count())
-    blobs = blobs.materialize()
-    with_a = pairs.join(
-        blobs, join_type="inner", num_partitions=nparts,
-        on=("a",), right_on=("conv_id",),
-    ).rename_columns({"blob": "blob_a"})
-    with_ab = with_a.join(
-        blobs, join_type="inner", num_partitions=nparts,
-        on=("b",), right_on=("conv_id",),
-    ).rename_columns({"blob": "blob_b"})
+    return _verify_pairs_exchange(pairs, blobs, cfg, thr, metric)
+
+
+# ---------------------------------------------------------------------------
+# beyond-broadcast scale path: two-exchange co-group (no Dataset.join)
+# ---------------------------------------------------------------------------
+
+_COGROUP_SCHEMA = pa.schema([
+    ("key", pa.int64()),        # id-hash of the lookup conv_id
+    ("a", pa.string()),
+    ("b", pa.string()),
+    ("side", pa.int8()),        # 0 = slot for a, 1 = slot for b, 2 = blob
+    ("conv_id", pa.string()),
+    ("blob", pa.binary()),
+])
+
+_SLOTTED_SCHEMA = pa.schema([
+    ("pair_part", pa.int64()),
+    ("a", pa.string()),
+    ("b", pa.string()),
+    ("side", pa.int8()),
+    ("blob", pa.binary()),
+])
+
+
+def _id_hash64(ids: list[str]) -> np.ndarray:
+    """64-bit partitioning hash of string ids (crc32 pair — deterministic
+    across processes; collisions only co-locate, never mis-match)."""
+    import zlib
+
+    out = np.empty(len(ids), np.int64)
+    for i, s in enumerate(ids):
+        b = s.encode()
+        out[i] = ((zlib.crc32(b) << 31) ^ zlib.crc32(b[::-1])) & 0x7FFFFFFFFFFFFFFF
+    return out
+
+
+def _verify_pairs_exchange(pairs, blobs, cfg: EngineConfig, thr: float,
+                           metric: str):
+    """The scale path: signatures too big to broadcast.
+
+    Exchange 1 (key = id-hash of the looked-up conv_id): pair SLOT rows
+    (one per side) meet the blob rows of the same conversations in one
+    partition; a vectorized searchsorted attach emits (pair, side, blob).
+    Exchange 2 (key = pair hash): the two sides of each pair meet; the
+    reduce builds (a, b, blob_a, blob_b) and scores in place. No
+    ``Dataset.join`` — Ray 2.49's hash-shuffle join partitions rows with a
+    per-row Python ``hash()`` loop and breaks on empty partitions.
+    """
+    from ..config import resolve_num_partitions
+    from .exchange import exchange_map_groups
+
+    n_parts = 2 * resolve_num_partitions(cfg)
+
+    def _pair_slots(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_pylist()
+        b = batch["b"].to_pylist()
+        n = len(a)
+        keys = np.concatenate([_id_hash64(a), _id_hash64(b)])
+        return pa.table({
+            "key": pa.array(keys, pa.int64()),
+            "a": pa.array(a + a, pa.string()),
+            "b": pa.array(b + b, pa.string()),
+            "side": pa.array([0] * n + [1] * n, pa.int8()),
+            "conv_id": pa.nulls(2 * n, pa.string()),
+            "blob": pa.nulls(2 * n, pa.binary()),
+        }).cast(_COGROUP_SCHEMA)
+
+    def _blob_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["conv_id"].to_pylist()
+        n = len(ids)
+        return pa.table({
+            "key": pa.array(_id_hash64(ids), pa.int64()),
+            "a": pa.nulls(n, pa.string()),
+            "b": pa.nulls(n, pa.string()),
+            "side": pa.array([2] * n, pa.int8()),
+            "conv_id": batch["conv_id"],
+            "blob": batch["blob"],
+        }).cast(_COGROUP_SCHEMA)
+
+    slots = pairs.map_batches(_pair_slots, batch_format="pyarrow")
+    brows = blobs.map_batches(_blob_rows, batch_format="pyarrow")
+    both = slots.union(brows)
+    group_parts = cfg.exec.group_parts
+
+    def _attach(part: pa.Table) -> pa.Table:
+        import zlib
+
+        side = np.asarray(part["side"], dtype=np.int8)
+        is_blob = side == 2
+        blob_tbl = part.filter(pa.array(is_blob))
+        slot_tbl = part.filter(pa.array(~is_blob))
+        if slot_tbl.num_rows == 0 or blob_tbl.num_rows == 0:
+            return _SLOTTED_SCHEMA.empty_table()
+        ids = np.array(blob_tbl["conv_id"].to_pylist(), dtype=bytes)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        blob_sorted = blob_tbl["blob"].combine_chunks().take(
+            pa.array(order, pa.int64()))
+        a = slot_tbl["a"].to_pylist()
+        b = slot_tbl["b"].to_pylist()
+        s_side = np.asarray(slot_tbl["side"], dtype=np.int8)
+        lookup = [x if sd == 0 else y
+                  for x, y, sd in zip(a, b, s_side.tolist())]
+        keys = np.array(lookup, dtype=bytes)
+        w = max(keys.dtype.itemsize, ids.dtype.itemsize, 1)
+        keys = keys.astype(f"S{w}")  # pad-only (never truncate)
+        ids_w = ids.astype(f"S{w}")
+        pos = np.searchsorted(ids_w, keys)
+        pos_c = np.minimum(pos, max(len(ids_w) - 1, 0))
+        hit = ids_w[pos_c] == keys
+        keep = np.flatnonzero(hit)
+        pp = np.fromiter(
+            ((zlib.crc32(a[i].encode()) * 31 + zlib.crc32(b[i].encode()))
+             % group_parts for i in keep.tolist()),
+            dtype=np.int64, count=keep.size)
+        return pa.table({
+            "pair_part": pa.array(pp, pa.int64()),
+            "a": slot_tbl["a"].take(pa.array(keep, pa.int64())),
+            "b": slot_tbl["b"].take(pa.array(keep, pa.int64())),
+            "side": slot_tbl["side"].take(pa.array(keep, pa.int64())),
+            "blob": blob_sorted.take(pa.array(pos_c[keep], pa.int64())),
+        }).cast(_SLOTTED_SCHEMA)
+
+    slotted = exchange_map_groups(both, "key", n_parts, _attach,
+                                  _SLOTTED_SCHEMA)
     scorer = PairScorer(cfg.sketch.num, thr, metric)
-    return with_ab.map_batches(
-        lambda t: scorer(t),
-        batch_format="pyarrow",
-        batch_size=cfg.exec.verify_batch_size,
-    )
+
+    def _pair_up(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return VERIFIED_SCHEMA.empty_table()
+        part = part.sort_by([("a", "ascending"), ("b", "ascending"),
+                             ("side", "ascending")])
+        a = np.array(part["a"].to_pylist(), dtype=bytes)
+        b = np.array(part["b"].to_pylist(), dtype=bytes)
+        side = np.asarray(part["side"], dtype=np.int8)
+        # dedupe (a, b, side): duplicate candidate pairs (distinct=False
+        # upstream) would otherwise mis-pair side0 with side0
+        uniq = np.ones(len(a), bool)
+        if len(a) > 1:
+            uniq[1:] = ~((a[1:] == a[:-1]) & (b[1:] == b[:-1])
+                         & (side[1:] == side[:-1]))
+        sel = pa.array(np.flatnonzero(uniq), pa.int64())
+        part = part.take(sel)
+        a, b = a[uniq], b[uniq]
+        side = side[uniq]
+        # rows come in (side0, side1) runs per pair; keep complete pairs
+        same_next = np.zeros(len(a), bool)
+        if len(a) > 1:
+            same_next[:-1] = (a[1:] == a[:-1]) & (b[1:] == b[:-1])
+        first = same_next & (side == 0)
+        i0 = np.flatnonzero(first)
+        i1 = i0 + 1
+        if i0.size == 0:
+            return VERIFIED_SCHEMA.empty_table()
+        joined = pa.table({
+            "a": part["a"].take(pa.array(i0, pa.int64())),
+            "b": part["b"].take(pa.array(i0, pa.int64())),
+            "blob_a": part["blob"].take(pa.array(i0, pa.int64())),
+            "blob_b": part["blob"].take(pa.array(i1, pa.int64())),
+        })
+        return scorer(joined)
+
+    return exchange_map_groups(slotted, "pair_part", n_parts, _pair_up,
+                               VERIFIED_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

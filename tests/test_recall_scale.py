@@ -179,3 +179,31 @@ def test_simhash_neardup_pigeonhole(ray_session, tmp_path):
     got = {(r["a"], r["b"])
            for r in simhash_neardup_pairs(sf, DEFAULT_CONFIG).take_all()}
     assert got == truth
+
+
+def test_verify_exchange_path_equals_broadcast(ray_session):
+    """Force the beyond-broadcast co-group verify (budget=0) and check it
+    produces exactly the broadcast path's verified pairs."""
+    import ray.data
+
+    from sourmash_ray.stages.lsh import candidate_pairs
+    from sourmash_ray.stages.sketch import sketch_transcripts
+    from sourmash_ray.stages.verify import verify_pairs
+
+    corpus = synth_transcripts(40, seed=61)
+    cfg_b = EngineConfig(sketch=DEFAULT_CONFIG.sketch,
+                         lsh=LSHParams(num_perm=12, bands=4, rows=3))
+    cfg_x = EngineConfig(sketch=DEFAULT_CONFIG.sketch,
+                         lsh=LSHParams(num_perm=12, bands=4, rows=3),
+                         exec=ExecParams(broadcast_bytes_limit=0))
+    ds = ray.data.from_arrow(corpus)
+    sigs = sketch_transcripts(ds, cfg_b).materialize()
+    pairs = candidate_pairs(sigs, cfg_b, distinct=False).materialize()
+
+    want = sorted((r["a"], r["b"], round(r["jaccard"], 12))
+                  for r in verify_pairs(pairs, sigs, cfg_b).take_all())
+    got = sorted({(r["a"], r["b"], round(r["jaccard"], 12))
+                  for r in verify_pairs(pairs, sigs, cfg_x).take_all()})
+    # broadcast path may emit duplicate rows for duplicate candidates;
+    # compare distinct sets
+    assert got == sorted(set(want))
