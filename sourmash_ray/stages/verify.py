@@ -10,10 +10,10 @@ values are exactly reproducible by the oracle and by SQL).
 Join strategy (SURVEY.md §7.4 "verify join" row): within the broadcast
 budget the sorted sketch-blob arrays ride the object store once and pair
 batches gather both sides with vectorized searchsorted (no shuffle);
-beyond it, two distributed hash joins partitioned by conv_id. Arrow's
-Acero join cannot carry ``list<uint64>`` payload columns, so the sorted
-``mins`` ride along as a little-endian ``binary`` blob — a zero-copy
-reinterpretation of the list values buffer, 8 bytes per hash.
+beyond it, a two-exchange co-group partitioned by id hash then pair hash
+(no ``Dataset.join`` anywhere in the flagship). The sorted ``mins`` ride
+as a little-endian ``binary`` blob — a zero-copy reinterpretation of the
+list values buffer, 8 bytes per hash.
 """
 
 from __future__ import annotations
@@ -21,11 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..config import (
-    EngineConfig,
-    DEFAULT_CONFIG,
-    clamped_join_partitions,
-)
+from ..config import EngineConfig, DEFAULT_CONFIG
 
 VERIFIED_SCHEMA = pa.schema([
     ("a", pa.string()),
@@ -34,13 +30,6 @@ VERIFIED_SCHEMA = pa.schema([
     ("containment_ab", pa.float64()),
     ("containment_ba", pa.float64()),
 ])
-
-
-def _st_join(left: pa.Table, right: pa.Table, keys, right_keys,
-             join_type: str = "inner") -> pa.Table:
-    """Single-threaded Acero join for use INSIDE Ray tasks."""
-    return left.join(right, keys=keys, right_keys=right_keys,
-                     join_type=join_type, use_threads=False)
 
 
 def mins_to_blob(batch: pa.Table) -> pa.Table:
