@@ -87,34 +87,125 @@ def _labels_checksum(labels) -> int:
     return total
 
 
+_PROP_SCHEMA = pa.schema([
+    ("key", pa.int64()),
+    ("src", pa.string()),      # edge source / label node
+    ("dst", pa.string()),      # edge destination (null for label rows)
+    ("label", pa.string()),    # label value (null for edge rows)
+    ("side", pa.int8()),       # 0 = edge, 1 = label
+])
+
+
+def _id_hash64_col(ids: list[str]) -> np.ndarray:
+    import zlib
+
+    out = np.empty(len(ids), np.int64)
+    for i, s in enumerate(ids):
+        b = s.encode()
+        out[i] = ((zlib.crc32(b) << 31)
+                  ^ zlib.crc32(b[::-1])) & 0x7FFFFFFFFFFFFFFF
+    return out
+
+
+def _min_label_part(part: pa.Table) -> pa.Table:
+    """(node, label) rows → min label per node, vectorized."""
+    if part.num_rows == 0:
+        return _LABEL_SCHEMA.empty_table()
+    part = part.select(["node", "label"]).sort_by(
+        [("node", "ascending"), ("label", "ascending")])
+    nodes = np.array(part["node"].to_pylist(), dtype=bytes)
+    first = np.ones(len(nodes), bool)
+    if len(nodes) > 1:
+        first[1:] = nodes[1:] != nodes[:-1]
+    sel = pa.array(np.flatnonzero(first), pa.int64())
+    return part.take(sel)
+
+
 def _label_propagation(sym, n_sym: int, cfg: EngineConfig):
-    labels = (
-        sym.groupby("dst").min("src")
-        .rename_columns({"dst": "node", "min(src)": "label"})
-    )
-    labels = labels.map_batches(
-        lambda t: pa.table({
-            "node": t["node"],
-            "label": pa.compute.min_element_wise(t["label"], t["node"]),
-        }),
-        batch_format="pyarrow",
-    ).materialize()
+    """Min-label propagation on the coarse exchange (no Dataset.join):
+    each round, edge rows meet label rows in an id-hash co-group (labels
+    gathered onto edges by searchsorted), then (node, candidate-label)
+    messages union the previous labels and min-reduce per node."""
+    from ..config import resolve_num_partitions
+    from .exchange import exchange_map_groups
+
+    n_parts = 2 * resolve_num_partitions(cfg)
+
+    def _edge_rows(batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_pylist()
+        n = len(src)
+        return pa.table({
+            "key": pa.array(_id_hash64_col(src), pa.int64()),
+            "src": batch["src"],
+            "dst": batch["dst"],
+            "label": pa.nulls(n, pa.string()),
+            "side": pa.array([0] * n, pa.int8()),
+        }).cast(_PROP_SCHEMA)
+
+    def _label_rows(batch: pa.Table) -> pa.Table:
+        nodes = batch["node"].to_pylist()
+        n = len(nodes)
+        return pa.table({
+            "key": pa.array(_id_hash64_col(nodes), pa.int64()),
+            "src": batch["node"],
+            "dst": pa.nulls(n, pa.string()),
+            "label": batch["label"],
+            "side": pa.array([1] * n, pa.int8()),
+        }).cast(_PROP_SCHEMA)
+
+    def _send(part: pa.Table) -> pa.Table:
+        side = np.asarray(part["side"], dtype=np.int8)
+        lbl_tbl = part.filter(pa.array(side == 1))
+        edg_tbl = part.filter(pa.array(side == 0))
+        if lbl_tbl.num_rows == 0 or edg_tbl.num_rows == 0:
+            return _LABEL_SCHEMA.empty_table()
+        nodes = np.array(lbl_tbl["src"].to_pylist(), dtype=bytes)
+        order = np.argsort(nodes, kind="stable")
+        nodes = nodes[order]
+        lbls = lbl_tbl["label"].combine_chunks().take(
+            pa.array(order, pa.int64()))
+        srcs = np.array(edg_tbl["src"].to_pylist(), dtype=bytes)
+        w = max(nodes.dtype.itemsize, srcs.dtype.itemsize, 1)
+        nodes_w = nodes.astype(f"S{w}")
+        srcs_w = srcs.astype(f"S{w}")
+        pos = np.searchsorted(nodes_w, srcs_w)
+        pos_c = np.minimum(pos, max(len(nodes_w) - 1, 0))
+        hit = nodes_w[pos_c] == srcs_w
+        keep = pa.array(np.flatnonzero(hit), pa.int64())
+        return pa.table({
+            "node": edg_tbl["dst"].take(keep),
+            "label": lbls.take(pa.array(pos_c[np.asarray(keep)], pa.int64())),
+        }).cast(_LABEL_SCHEMA)
+
+    def _keyed_labels(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "key", pa.array(_id_hash64_col(batch["node"].to_pylist()),
+                            pa.int64()))
+
+    # init: every node labels itself (derived from edge endpoints)
+    def _self_labels(batch: pa.Table) -> pa.Table:
+        vals = batch["src"].to_pylist() + batch["dst"].to_pylist()
+        return pa.table({"node": pa.array(vals, pa.string()),
+                         "label": pa.array(vals, pa.string())})
+
+    labels = exchange_map_groups(
+        sym.map_batches(_self_labels, batch_format="pyarrow")
+           .map_batches(_keyed_labels, batch_format="pyarrow"),
+        "key", n_parts, _min_label_part, _LABEL_SCHEMA)
+
+    edges_keyed = sym.map_batches(_edge_rows,
+                                  batch_format="pyarrow").materialize()
 
     prev = _labels_checksum(labels)
     for _ in range(cfg.exec.cc_max_iters):
-        msgs = sym.join(
-            labels,
-            join_type="inner",
-            num_partitions=clamped_join_partitions(cfg, n_sym, labels.count()),
-            on=("src",),
-            right_on=("node",),
-        ).select_columns(["dst", "label"]).rename_columns({"dst": "node"})
-        labels = (
-            msgs.union(labels)
-            .groupby("node").min("label")
-            .rename_columns({"min(label)": "label"})
-            .materialize()
-        )
+        both = edges_keyed.union(
+            labels.map_batches(_label_rows, batch_format="pyarrow"))
+        msgs = exchange_map_groups(both, "key", n_parts, _send,
+                                   _LABEL_SCHEMA)
+        labels = exchange_map_groups(
+            msgs.union(labels).map_batches(_keyed_labels,
+                                           batch_format="pyarrow"),
+            "key", n_parts, _min_label_part, _LABEL_SCHEMA)
         cur = _labels_checksum(labels)
         if cur == prev:
             break

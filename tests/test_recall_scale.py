@@ -207,3 +207,29 @@ def test_verify_exchange_path_equals_broadcast(ray_session):
     # broadcast path may emit duplicate rows for duplicate candidates;
     # compare distinct sets
     assert got == sorted(set(want))
+
+
+def test_distributed_cc_random_graph(ray_session):
+    """Randomized CC equivalence: 400 random edges over 120 nodes,
+    forced-distributed label propagation ≡ driver union-find."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from sourmash_ray.stages.cluster import connected_components
+
+    rng = np.random.default_rng(67)
+    n_nodes = 120
+    e = rng.integers(0, n_nodes, size=(400, 2))
+    e = e[e[:, 0] != e[:, 1]]
+    edges = pa.table({
+        "a": pa.array([f"node{x:04d}" for x in e[:, 0]], pa.string()),
+        "b": pa.array([f"node{x:04d}" for x in e[:, 1]], pa.string()),
+    })
+    ds = ray.data.from_arrow(edges)
+    driver = {r["node"]: r["label"]
+              for r in connected_components(ds, DEFAULT_CONFIG).take_all()}
+    forced = EngineConfig(exec=ExecParams(driver_cc_max_edges=0))
+    dist = {r["node"]: r["label"]
+            for r in connected_components(ds, forced).take_all()}
+    assert dist == driver
