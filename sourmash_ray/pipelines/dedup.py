@@ -65,13 +65,11 @@ def exact_dup_edges(sigs, group_parts: int = 1024):
     import pyarrow.compute as pc
 
     def _key(batch: pa.Table) -> pa.Table:
-        import zlib
+        from ..functions.segscore import hash_strings64
 
         keep = pc.greater(pc.list_value_length(batch["mins"]), 0)
         t = batch.select(["conv_id", "md5"]).filter(keep)
-        mp = np.fromiter((zlib.crc32(m.encode()) % group_parts
-                          for m in t["md5"].to_pylist()),
-                         dtype=np.int64, count=t.num_rows)
+        mp = hash_strings64(t["md5"]) % group_parts
         return t.append_column("md5_part", pa.array(mp, pa.int64()))
 
     from ..stages.exchange import exchange_map_groups
@@ -102,10 +100,24 @@ def dedup_pipeline(
     """
     if isinstance(source, str):
         ds = read_transcripts(source)
-        fingerprint = f"sf={source}|cfg={cfg.sketch}|{cfg.lsh}"
+        fingerprint = f"v2|sf={source}|cfg={cfg.sketch}|{cfg.lsh}"
     else:
         ds = source
-        fingerprint = f"ds|cfg={cfg.sketch}|{cfg.lsh}"
+        if checkpoint_dir:
+            # content fingerprint for Dataset sources: row count + checksum
+            # of sampled conv_ids — a constant fingerprint would silently
+            # resume one dataset's checkpoints for a different dataset
+            from ..functions.segscore import hash_strings64
+
+            n_rows = ds.count()
+            sample = ds.limit(512).select_columns(["conv_id"]).take_all()
+            crc = int(hash_strings64(
+                [r["conv_id"] for r in sample]).sum()) & 0xFFFFFFFFFFFF \
+                if sample else 0
+            fingerprint = (f"v2|ds|n={n_rows}|crc={crc:x}"
+                           f"|cfg={cfg.sketch}|{cfg.lsh}")
+        else:
+            fingerprint = f"v2|ds|cfg={cfg.sketch}|{cfg.lsh}"
 
     sigs = sketch_transcripts(
         ds, cfg,

@@ -8,16 +8,22 @@ Dataset (SURVEY.md §3):
   ``search.py:90-169`` JaccardSearch protocol).
 - ``prefetch``: containment scan keeping every match above a hash-count
   threshold (``commands.py:1494-1720``, ``index/__init__.py:241-256``).
-- ``gather``: greedy min-set-cov — iteratively take the best-containment
-  match, subtract its hashes, repeat (``search.py:755-949``,
-  ``commands.py:960-1048``). Sequential by nature (SURVEY.md §7.5 item 3):
-  a driver loop, each round a distributed scan.
+- ``gather``: greedy min-set-cov via the CounterGather pattern
+  (``index/__init__.py:735-909``): ONE distributed prefetch scan collects
+  the candidates (only signatures overlapping the query), then the greedy
+  rounds run over cached candidate mins with consume/decrement — each
+  round costs O(candidate hashes ∩ found), never a rescan of the
+  collection. Result rows carry the ``GatherResult`` stats family
+  (``search.py:553-664``).
 - ``compare``: all-pairs similarity matrix in sparse long form
   (``compare.py:14-64`` serial semantics; the dense n×n matrix of the
   reference is replaced by (a, b, similarity) rows).
 
 The query sketch is broadcast (``ray.put``) into every scan task — the
 reference's broadcast-small-side pattern (``index/__init__.py:150-170``).
+Scan scoring is one vectorized :func:`query_jaccard_stats` call per batch
+(no per-row Python loop), and thresholds are applied as vectorized masks
+inside the kernel (no row-lambda ``Dataset.filter``).
 """
 
 from __future__ import annotations
@@ -28,51 +34,60 @@ import pyarrow as pa
 import ray
 
 from ..config import EngineConfig, DEFAULT_CONFIG
+from ..functions.segscore import query_jaccard_stats
 from ..stages.verify import _blob_views, mins_to_blob
 
 
-def _scan_kernel(batch: pa.Table, q_ref, num: int) -> pa.Table:
+def _scan_kernel(batch: pa.Table, q_ref, num: int,
+                 min_overlap: int = 0, min_score: float | None = None,
+                 score_col: str | None = None,
+                 exclude_id: str | None = None) -> pa.Table:
     """Score every signature in the batch against the broadcast query.
-    Emits jaccard + containments + overlap hash count per row."""
+    Emits jaccard + containments + overlap hash count per row, with the
+    threshold/exclusion masks applied vectorized in-kernel."""
     q = ray.get(q_ref)  # sorted uint64 mins of the query
     blobbed = mins_to_blob(batch)
     offs, data = _blob_views(blobbed["blob"])
     u = data.view(np.uint64)
-    n = batch.num_rows
-    ja = np.empty(n, np.float64)
-    cqs = np.empty(n, np.float64)  # containment of query in subject
-    csq = np.empty(n, np.float64)  # containment of subject in query
-    ov = np.empty(n, np.int64)
-    for i in range(n):
-        s = u[offs[i] // 8: offs[i + 1] // 8]
-        common = np.intersect1d(q, s, assume_unique=True)
-        c = common.size
-        if num:
-            combined = np.union1d(q, s)[:num]
-            cc = np.intersect1d(common, combined, assume_unique=True).size
-            denom = combined.size
-        else:
-            cc = c
-            denom = q.size + s.size - c
-        ja[i] = cc / max(1, denom)
-        cqs[i] = c / max(1, q.size)
-        csq[i] = c / max(1, s.size)
-        ov[i] = c
-    return pa.table({
+    so = offs // 8
+    c, cj, dj = query_jaccard_stats(q, u, so, num)
+    ls = np.diff(so)
+    ja = cj / np.maximum(dj, 1)
+    cqs = c / max(1, q.size)            # containment of query in subject
+    csq = c / np.maximum(ls, 1)         # containment of subject in query
+    out = pa.table({
         "match": batch["conv_id"],
         "md5": batch["md5"],
         "jaccard": pa.array(ja, pa.float64()),
         "containment_query": pa.array(cqs, pa.float64()),
         "containment_match": pa.array(csq, pa.float64()),
-        "overlap": pa.array(ov, pa.int64()),
+        "overlap": pa.array(c.astype(np.int64), pa.int64()),
     })
+    mask = np.ones(len(c), bool)
+    if min_overlap:
+        mask &= c >= min_overlap
+    if min_score is not None and score_col is not None:
+        mask &= np.asarray(out[score_col]) >= min_score
+    if exclude_id is not None:
+        import pyarrow.compute as pc
+
+        mask &= np.asarray(
+            pc.not_equal(batch["conv_id"].combine_chunks(),
+                         pa.scalar(exclude_id)))
+    if mask.all():
+        return out
+    return out.filter(pa.array(mask))
 
 
-def _query_mins(sigs, query_id: str) -> np.ndarray:
+def _query_row(sigs, query_id: str) -> dict:
     rows = sigs.filter(expr=f"conv_id == '{query_id}'").take_all()
     if not rows:
         raise KeyError(f"query {query_id!r} not in collection")
-    return np.asarray(rows[0]["mins"], dtype=np.uint64)
+    return rows[0]
+
+
+def _query_mins(sigs, query_id: str) -> np.ndarray:
+    return np.asarray(_query_row(sigs, query_id)["mins"], dtype=np.uint64)
 
 
 def search(sigs, query_id: str, cfg: EngineConfig = DEFAULT_CONFIG,
@@ -82,12 +97,12 @@ def search(sigs, query_id: str, cfg: EngineConfig = DEFAULT_CONFIG,
     (``index/__init__.py:198-199, 258-270``), optional top-k limit."""
     q = _query_mins(sigs, query_id)
     q_ref = ray.put(q)
-    scored = sigs.select_columns(["conv_id", "mins", "md5"]).map_batches(
-        lambda t: _scan_kernel(t, q_ref, cfg.sketch.num),
-        batch_format="pyarrow")
     col = "containment_query" if containment else "jaccard"
-    hits = scored.filter(
-        lambda r: r[col] >= threshold and r["match"] != query_id)
+    hits = sigs.select_columns(["conv_id", "mins", "md5"]).map_batches(
+        lambda t: _scan_kernel(t, q_ref, cfg.sketch.num,
+                               min_score=threshold, score_col=col,
+                               exclude_id=query_id),
+        batch_format="pyarrow")
     out = hits.sort([col, "md5"], descending=[True, False])
     if num_results:
         out = out.limit(num_results)
@@ -101,60 +116,147 @@ def prefetch(sigs, query_id: str, cfg: EngineConfig = DEFAULT_CONFIG,
     ``search.py:15-37``), sorted by overlap desc."""
     q = _query_mins(sigs, query_id)
     q_ref = ray.put(q)
-    scored = sigs.select_columns(["conv_id", "mins", "md5"]).map_batches(
-        lambda t: _scan_kernel(t, q_ref, cfg.sketch.num),
+    hits = sigs.select_columns(["conv_id", "mins", "md5"]).map_batches(
+        lambda t: _scan_kernel(t, q_ref, cfg.sketch.num,
+                               min_overlap=threshold_hashes,
+                               exclude_id=query_id),
         batch_format="pyarrow")
-    hits = scored.filter(
-        lambda r: r["overlap"] >= threshold_hashes and r["match"] != query_id)
     return hits.sort(["overlap", "md5"], descending=[True, False])
+
+
+_GATHER_FIELDS = [
+    ("rank", pa.int64()),
+    ("match", pa.string()),
+    ("md5", pa.string()),
+    ("overlap", pa.int64()),
+    ("f_orig_query", pa.float64()),
+    ("f_match", pa.float64()),
+    ("f_unique_to_query", pa.float64()),
+    ("f_unique_weighted", pa.float64()),
+    ("average_abund", pa.float64()),
+    ("median_abund", pa.float64()),
+    ("std_abund", pa.float64()),
+    ("remaining_hashes", pa.int64()),
+]
+GATHER_SCHEMA = pa.schema(_GATHER_FIELDS)
+
+
+def _gather_candidates(sigs, query_id: str, cfg: EngineConfig,
+                       threshold_hashes: int):
+    """ONE distributed prefetch scan → candidate rows with their mins
+    cached (the CounterGather build, ``index/__init__.py:760-790``: only
+    signatures overlapping the query enter the counter)."""
+    q = _query_mins(sigs, query_id)
+    q_ref = ray.put(q)
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        blobbed = mins_to_blob(batch)
+        offs, data = _blob_views(blobbed["blob"])
+        c, _, _ = query_jaccard_stats(q, data.view(np.uint64), offs // 8, 0)
+        import pyarrow.compute as pc
+
+        mask = (c >= threshold_hashes) & np.asarray(
+            pc.not_equal(batch["conv_id"].combine_chunks(),
+                         pa.scalar(query_id)))
+        return batch.filter(pa.array(mask))
+
+    cand = sigs.select_columns(["conv_id", "mins", "md5"]).map_batches(
+        _keep, batch_format="pyarrow")
+    blocks = [t for t in ray.get(cand.materialize().to_arrow_refs())
+              if t.num_rows]
+    if not blocks:
+        return None, q
+    return pa.concat_tables(blocks).combine_chunks(), q
 
 
 def gather(sigs, query_id: str, cfg: EngineConfig = DEFAULT_CONFIG,
            threshold_hashes: int = 3, max_rounds: int = 50):
-    """``sourmash gather`` greedy min-set-cov, driver-looped.
+    """``sourmash gather`` greedy min-set-cov with the CounterGather
+    consume/decrement optimization.
 
-    Each round scans the collection for max overlap with the REMAINING
-    query hashes, emits the best match (md5 tiebreak), subtracts its
-    hashes, repeats until overlap < threshold (``search.py:782-949``).
-    Returns a pyarrow Table of rounds:
-    (rank, match, overlap, f_unique_to_query, remaining_hashes).
+    Round structure (``search.py:782-949``, ``index/__init__.py:858-909``):
+    pick the candidate with max overlap against the REMAINING query hashes
+    (md5 tiebreak), subtract its hashes, then *decrement* every candidate's
+    counter by its overlap with the just-found hashes — no rescan of the
+    collection, no re-fetch of the winner's mins. Emits the GatherResult
+    stats family (``search.py:553-664``): f_orig_query, f_match,
+    f_unique_to_query, f_unique_weighted and the abundance moments of the
+    query over the newly covered hashes.
     """
-    remaining = _query_mins(sigs, query_id)
-    orig_size = max(1, remaining.size)
-    scan = sigs.select_columns(["conv_id", "mins", "md5"]).materialize()
+    qrow = _query_row(sigs, query_id)
+    orig = np.asarray(qrow["mins"], dtype=np.uint64)
+    orig_ab = np.asarray(qrow["abunds"], dtype=np.float64) \
+        if qrow.get("abunds") is not None else np.ones(orig.size, np.float64)
+    orig_size = max(1, orig.size)
+    sum_ab = max(orig_ab.sum(), 1.0)
+
+    cand_tbl, _ = _gather_candidates(sigs, query_id, cfg, threshold_hashes)
+    if cand_tbl is None:
+        return GATHER_SCHEMA.empty_table()
+    ids = cand_tbl["match" if "match" in cand_tbl.column_names
+                   else "conv_id"].to_pylist()
+    md5s = cand_tbl["md5"].to_pylist()
+    lst = cand_tbl["mins"].combine_chunks()
+    offs = np.asarray(lst.offsets, dtype=np.int64)
+    vals = np.asarray(lst.flatten(), dtype=np.uint64)
+    ncand = len(ids)
+    rows_of_vals = np.repeat(np.arange(ncand, dtype=np.int64),
+                             np.diff(offs))
+    lens = np.diff(offs)
+
+    # initial counters + f_orig/f_match stats against the ORIGINAL query
+    c0, _, _ = query_jaccard_stats(orig, vals, offs, 0)
+    counts = c0.copy()
+    f_orig = c0 / orig_size
+    f_match = c0 / np.maximum(lens, 1)
+
+    remaining_mask = np.ones(orig.size, bool)
+    remaining = orig
     rows = []
+    order_key = np.array(md5s)  # md5 tiebreak, ascending
     for rank in range(max_rounds):
-        if remaining.size < threshold_hashes:
+        if int(remaining_mask.sum()) < threshold_hashes:
             break
-        q_ref = ray.put(remaining)
-        scored = scan.map_batches(
-            lambda t, qr=q_ref: _scan_kernel(t, qr, cfg.sketch.num),
-            batch_format="pyarrow")
-        best = scored.filter(
-            lambda r: r["match"] != query_id).sort(
-            ["overlap", "md5"], descending=[True, False]).limit(1).take_all()
-        if not best or best[0]["overlap"] < threshold_hashes:
+        best_c = counts.max() if ncand else 0
+        if best_c < threshold_hashes:
             break
-        b = best[0]
-        match_mins = np.asarray(
-            scan.filter(expr=f"conv_id == '{b['match']}'").take_all()[0]
-            ["mins"], dtype=np.uint64)
-        newly = np.intersect1d(remaining, match_mins, assume_unique=True)
-        remaining = np.setdiff1d(remaining, match_mins, assume_unique=True)
+        tied = np.flatnonzero(counts == best_c)
+        w = tied[np.argmin(order_key[tied])]
+        # hashes of the winner still in the remaining query = "found"
+        seg = vals[offs[w]: offs[w + 1]]
+        pos = np.searchsorted(orig, seg)
+        posc = np.minimum(pos, orig.size - 1)
+        in_orig = (orig[posc] == seg)
+        found_idx = posc[in_orig & remaining_mask[posc]]
+        newly = orig[found_idx]
+        nw_ab = orig_ab[found_idx]
+        remaining_mask[found_idx] = False
         rows.append({
             "rank": rank,
-            "match": b["match"],
-            "overlap": int(b["overlap"]),
+            "match": ids[w],
+            "md5": md5s[w],
+            "overlap": int(best_c),
+            "f_orig_query": float(f_orig[w]),
+            "f_match": float(f_match[w]),
             "f_unique_to_query": newly.size / orig_size,
-            "remaining_hashes": int(remaining.size),
+            "f_unique_weighted": float(nw_ab.sum() / sum_ab),
+            "average_abund": float(nw_ab.mean()) if nw_ab.size else 0.0,
+            "median_abund": float(np.median(nw_ab)) if nw_ab.size else 0.0,
+            "std_abund": float(nw_ab.std()) if nw_ab.size else 0.0,
+            "remaining_hashes": int(remaining_mask.sum()),
         })
+        # consume: decrement every candidate by |cand ∩ newly| — O(total
+        # candidate hashes) worst case but one vectorized membership pass
+        if newly.size and vals.size:
+            p2 = np.searchsorted(newly, vals)
+            p2c = np.minimum(p2, newly.size - 1)
+            hit = newly[p2c] == vals
+            dec = np.bincount(rows_of_vals[hit], minlength=ncand)
+            counts = counts - dec
+        counts[w] = 0
     if not rows:
-        return pa.table({"rank": pa.array([], pa.int64()),
-                         "match": pa.array([], pa.string()),
-                         "overlap": pa.array([], pa.int64()),
-                         "f_unique_to_query": pa.array([], pa.float64()),
-                         "remaining_hashes": pa.array([], pa.int64())})
-    return pa.Table.from_pylist(rows)
+        return GATHER_SCHEMA.empty_table()
+    return pa.Table.from_pylist(rows, schema=GATHER_SCHEMA)
 
 
 def compare_exact(sigs, cfg: EngineConfig = DEFAULT_CONFIG,
@@ -163,10 +265,13 @@ def compare_exact(sigs, cfg: EngineConfig = DEFAULT_CONFIG,
     long-form (a, b, jaccard) for every unordered pair, a < b.
 
     Implemented as a cross of each block against the broadcast full blob
-    table — O(n²/p) per task, parallel over blocks; for large n use the
-    LSH pipeline instead (``compare.py:241-325`` replaced the same way the
+    table — O(n²/p) per task, parallel over blocks, one vectorized
+    :func:`pair_jaccard_stats` call per block; for large n use the LSH
+    pipeline instead (``compare.py:241-325`` replaced the same way the
     multiprocessing pool replaced the serial loop).
     """
+    from ..functions.segscore import pair_jaccard_stats
+
     blobs = sigs.select_columns(["conv_id", "mins"]).map_batches(
         mins_to_blob, batch_format="pyarrow").materialize()
     blob_tbl = pa.concat_tables(
@@ -179,34 +284,37 @@ def compare_exact(sigs, cfg: EngineConfig = DEFAULT_CONFIG,
         full = ray.get(ref)
         f_offs, f_data = _blob_views(full["blob"])
         fu = f_data.view(np.uint64)
-        f_ids = full["conv_id"].to_pylist()
-        b_offs, b_data = _blob_views(
-            mins_to_blob(batch)["blob"])
+        fo = f_offs // 8
+        f_ids = np.array(full["conv_id"].to_pylist(), dtype=bytes)
+        b_offs, b_data = _blob_views(mins_to_blob(batch)["blob"])
         bu = b_data.view(np.uint64)
-        b_ids = batch["conv_id"].to_pylist()
-        a_out, b_out, j_out = [], [], []
-        for i, aid in enumerate(b_ids):
-            a = bu[b_offs[i] // 8: b_offs[i + 1] // 8]
-            for j, bid in enumerate(f_ids):
-                if not aid < bid:
-                    continue
-                s = fu[f_offs[j] // 8: f_offs[j + 1] // 8]
-                common = np.intersect1d(a, s, assume_unique=True)
-                if num:
-                    combined = np.union1d(a, s)[:num]
-                    c = np.intersect1d(common, combined,
-                                       assume_unique=True).size
-                    denom = combined.size
-                else:
-                    c = common.size
-                    denom = a.size + s.size - c
-                a_out.append(aid)
-                b_out.append(bid)
-                j_out.append(c / max(1, denom))
+        bo = b_offs // 8
+        b_ids = np.array(batch["conv_id"].to_pylist(), dtype=bytes)
+        nb, nf = len(b_ids), len(f_ids)
+        bi = np.repeat(np.arange(nb, dtype=np.int64), nf)
+        fi = np.tile(np.arange(nf, dtype=np.int64), nb)
+        w = max(b_ids.dtype.itemsize, f_ids.dtype.itemsize, 1)
+        keep = b_ids.astype(f"S{w}")[bi] < f_ids.astype(f"S{w}")[fi]
+        bi, fi = bi[keep], fi[keep]
+        # gather both sides' segments contiguously, one kernel call
+        lb = (bo[bi + 1] - bo[bi])
+        lf = (fo[fi + 1] - fo[fi])
+        from ..functions.segscore import _local_idx
+
+        a_vals = bu[np.repeat(bo[bi], lb) + _local_idx(lb)]
+        b_vals = fu[np.repeat(fo[fi], lf) + _local_idx(lf)]
+        ao = np.concatenate([[0], np.cumsum(lb)]).astype(np.int64)
+        bo2 = np.concatenate([[0], np.cumsum(lf)]).astype(np.int64)
+        _, cj, dj = pair_jaccard_stats(a_vals, ao, b_vals, bo2, num)
+        ja = cj / np.maximum(dj, 1)
+        b_col = batch["conv_id"].combine_chunks().take(
+            pa.array(bi, pa.int64()))
+        f_col = full["conv_id"].combine_chunks().take(
+            pa.array(fi, pa.int64()))
         return pa.table({
-            "a": pa.array(a_out, pa.string()),
-            "b": pa.array(b_out, pa.string()),
-            "jaccard": pa.array(j_out, pa.float64()),
+            "a": b_col,
+            "b": f_col,
+            "jaccard": pa.array(ja, pa.float64()),
         })
 
     return sigs.select_columns(["conv_id", "mins"]).map_batches(

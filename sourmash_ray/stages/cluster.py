@@ -62,18 +62,15 @@ def _driver_union_find(edge_rows) -> pa.Table:
 
 
 def _checksum_batch(batch: pa.Table) -> pa.Table:
-    import zlib
+    from ..functions.segscore import hash_strings64
 
-    h1 = np.array([zlib.crc32(x.encode()) for x in batch["node"].to_pylist()],
-                  dtype=np.uint64)
-    h2 = np.array([zlib.crc32(x.encode()) for x in batch["label"].to_pylist()],
-                  dtype=np.uint64)
+    h1 = hash_strings64(batch["node"]).astype(np.uint64)
+    h2 = hash_strings64(batch["label"]).astype(np.uint64)
     old = np.seterr(over="ignore")
     try:
         mixed = _fmix64_vec(h1 * np.uint64(0x9E3779B97F4A7C15) ^ h2)
-        s = np.uint64(0)
-        for v in mixed:
-            s = s + v
+        s = np.uint64(mixed.sum(dtype=np.uint64)) if mixed.size else \
+            np.uint64(0)
     finally:
         np.seterr(**old)
     return pa.table({"cksum": pa.array([int(s)], pa.uint64())})
@@ -96,15 +93,10 @@ _PROP_SCHEMA = pa.schema([
 ])
 
 
-def _id_hash64_col(ids: list[str]) -> np.ndarray:
-    import zlib
+def _id_hash64_col(ids) -> np.ndarray:
+    from ..functions.segscore import hash_strings64
 
-    out = np.empty(len(ids), np.int64)
-    for i, s in enumerate(ids):
-        b = s.encode()
-        out[i] = ((zlib.crc32(b) << 31)
-                  ^ zlib.crc32(b[::-1])) & 0x7FFFFFFFFFFFFFFF
-    return out
+    return hash_strings64(ids)
 
 
 def _min_label_part(part: pa.Table) -> pa.Table:
@@ -193,13 +185,28 @@ def _label_propagation(sym, n_sym: int, cfg: EngineConfig):
            .map_batches(_keyed_labels, batch_format="pyarrow"),
         "key", n_parts, _min_label_part, _LABEL_SCHEMA)
 
+    def _jump_edge_rows(batch: pa.Table) -> pa.Table:
+        # pointer-jumping: treat each (node, label) as an edge label→node,
+        # so _send gathers label(label) and emits (node, label-of-label) —
+        # path lengths halve per round, making convergence O(log diameter)
+        n = batch.num_rows
+        return pa.table({
+            "key": pa.array(_id_hash64_col(batch["label"]), pa.int64()),
+            "src": batch["label"],
+            "dst": batch["node"],
+            "label": pa.nulls(n, pa.string()),
+            "side": pa.array([0] * n, pa.int8()),
+        }).cast(_PROP_SCHEMA)
+
     edges_keyed = sym.map_batches(_edge_rows,
                                   batch_format="pyarrow").materialize()
 
     prev = _labels_checksum(labels)
+    converged = False
     for _ in range(cfg.exec.cc_max_iters):
         both = edges_keyed.union(
-            labels.map_batches(_label_rows, batch_format="pyarrow"))
+            labels.map_batches(_label_rows, batch_format="pyarrow"),
+            labels.map_batches(_jump_edge_rows, batch_format="pyarrow"))
         msgs = exchange_map_groups(both, "key", n_parts, _send,
                                    _LABEL_SCHEMA)
         labels = exchange_map_groups(
@@ -208,8 +215,16 @@ def _label_propagation(sym, n_sym: int, cfg: EngineConfig):
             "key", n_parts, _min_label_part, _LABEL_SCHEMA)
         cur = _labels_checksum(labels)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "label propagation exited after cc_max_iters=%d rounds without "
+            "checksum convergence — components wider than the round budget "
+            "may carry split labels", cfg.exec.cc_max_iters)
     return labels
 
 

@@ -63,6 +63,10 @@ def _reduce_part(merge_fn, out_schema: pa.Schema, part_path, *subs):
         out = merge_fn(part)
         if not out.num_rows:
             out = out_schema.empty_table()
+    if out.schema.metadata:
+        # pandas dict metadata defeats Ray's schema dedup downstream
+        # ("Failed to hash the schemas" warning spam in from_arrow_refs)
+        out = out.replace_schema_metadata(None)
     if part_path is not None:
         tmp = f"{part_path}.tmp{os.getpid()}"
         pq.write_table(out, tmp)
@@ -105,7 +109,12 @@ def exchange_map_groups(ds, key_col: str, n_parts: int, merge_fn,
     completed partition's merge work, recomputing only missing ones.
     """
     if checkpoint_dir is not None:
-        _prepare_checkpoint_dir(checkpoint_dir, fingerprint)
+        # fold the partition count into the fingerprint: n_parts derives
+        # from the live cluster CPU count, so resuming on a different-sized
+        # session must invalidate the checkpoint (part files were written
+        # under a different `key % n_parts` modulus)
+        _prepare_checkpoint_dir(checkpoint_dir,
+                                f"{fingerprint}|n_parts={n_parts}")
 
     split = ray.remote(num_returns=n_parts)(_split_block)
     reduce_r = ray.remote(_reduce_part)

@@ -150,15 +150,11 @@ def _dedup_pairs_part(part: pa.Table) -> pa.Table:
 
 
 def _add_pair_part(parts: int):
-    import zlib
+    from ..functions.segscore import hash_strings64
 
     def add(batch: pa.Table) -> pa.Table:
-        a = batch["a"].to_pylist()
-        b = batch["b"].to_pylist()
-        pp = np.fromiter(
-            ((zlib.crc32(x.encode()) * 31 + zlib.crc32(y.encode())) % parts
-             for x, y in zip(a, b)),
-            dtype=np.int64, count=len(a))
+        pp = (hash_strings64(batch["a"]) * 31
+              + hash_strings64(batch["b"])) % parts
         return batch.append_column("pair_part", pa.array(pp, pa.int64()))
 
     return add

@@ -155,7 +155,11 @@ def intersect_all(sigs) -> dict:
     counts = (sigs.select_columns(["mins"])
               .map_batches(_explode, batch_format="pyarrow")
               .groupby("h").aggregate(Count()))
-    hits = counts.filter(lambda r: r["count()"] == n_total)
+    import pyarrow.compute as pc
+
+    hits = counts.map_batches(
+        lambda t: t.filter(pc.equal(t["count()"], pa.scalar(n_total))),
+        batch_format="pyarrow")
     common = np.array(sorted(r["h"] for r in hits.take_all()),
                       dtype=np.uint64)
     return {"mins": common, "n_sigs": n_total}

@@ -221,12 +221,10 @@ def sketch_turns_batch(batch: pa.Table, *, params: SketchParams,
     conversation; correctness never depends on contiguity (non-adjacent
     fragments stay separate partials and merge later).
 
-    Also emits ``conv_part`` (crc32 of conv_id mod ``group_parts``) — the
-    coarse shuffle key for the merge stage, so the per-conversation merge
-    runs one vectorized Python call per partition instead of per
-    conversation."""
-    import zlib
-
+    Also emits ``conv_part`` (vectorized murmur of conv_id mod
+    ``group_parts``) — the coarse shuffle key for the merge stage, so the
+    per-conversation merge runs one vectorized Python call per partition
+    instead of per conversation."""
     p = params
     norm = normalize_column(batch["text"], p.normalization)
     hashes, rows, n_shingles = batch_shingle_hashes(norm, p.ksize, p.seed)
@@ -248,10 +246,9 @@ def sketch_turns_batch(batch: pa.Table, *, params: SketchParams,
             minlength=n_runs).astype(np.uint64)
         n_turns = np.bincount(run_ord, minlength=n_runs).astype(np.int64)
 
-    conv_part = np.fromiter(
-        (zlib.crc32(c.encode()) % group_parts
-         for c in conv.to_pylist()),
-        dtype=np.int64, count=len(conv))
+    from ..functions.segscore import hash_strings64
+
+    conv_part = hash_strings64(conv) % group_parts
     return pa.table({
         "conv_id": conv,
         "conv_part": pa.array(conv_part, pa.int64()),
