@@ -18,6 +18,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+import pyarrow.compute as pc
+
 import ray
 import ray.data
 
@@ -159,63 +161,96 @@ class MultiTableBucketer:
         })
 
 
+NEARDUP_SCHEMA = pa.schema([
+    ("a", pa.int64()),
+    ("b", pa.int64()),
+    ("cosine", pa.float64()),
+])
+
+
 def embedding_neardup_pairs(sf_dir: str, n_bits: int = 4, seed: int = 42,
-                            threshold: float = 0.4, n_tables: int = 16):
-    """Embedding-cosine near-dup pairs via bucket groupby: pairs sharing
-    any of ``n_tables`` independent hyperplane buckets whose exact cosine
-    ≥ threshold (multi-table LSH: recall 1-(1-p^bits)^tables; defaults give
+                            threshold: float = 0.4, n_tables: int = 16,
+                            cfg=None):
+    """Embedding-cosine near-dup pairs: candidates sharing any of
+    ``n_tables`` independent hyperplane buckets, verified by exact cosine ≥
+    threshold (multi-table LSH: recall 1-(1-p^bits)^tables; defaults give
     ~0.94 at cos 0.4 — the synthetic embeddings corpus has no pairs above
     0.52, so the demo threshold sits below that; production would use
     threshold≈0.9 with n_bits=8, where recall is higher for the same
-    table count)."""
-    import ray.data
+    table count).
 
-    from ..config import DEFAULT_CONFIG, clamped_join_partitions
+    Scale shape — the SAME machinery as the MinHash flagship, no
+    ``Dataset.join`` anywhere: bucket keys go through the coarse-key
+    exchange with hot-bucket star+chain capping
+    (``stages/lsh._emit_pairs_part``; a degenerate bucket of near-zero
+    vectors emits linear edges instead of O(g²)), candidate pairs dedup on
+    the pair-part exchange, and the float64-vector blobs attach via
+    ``score_pairs`` (broadcast within budget, two-exchange co-group
+    beyond it — ``stages/verify.py``)."""
+    from ..config import DEFAULT_CONFIG as _DC
+    from ..config import resolve_num_partitions
+    from ..stages.exchange import exchange_map_groups
+    from ..stages.lsh import PAIRS_SCHEMA, _emit_pairs_part, dedup_pairs
+    from ..stages.verify import CosineScorer, score_pairs
 
+    cfg = cfg or _DC
     emb = _read_emb(sf_dir)
-    blob = emb.map_batches(_emb_blob, batch_format="pyarrow").materialize()
-    n_emb = blob.count()
     first = emb.take(1)[0]
     dim = len(first["embedding"])
     bucketer = MultiTableBucketer(dim, n_bits, n_tables, seed)
-    buckets = emb.map_batches(lambda t: bucketer(t), batch_format="pyarrow")
-    joined = buckets.join(
-        blob, join_type="inner",
-        num_partitions=clamped_join_partitions(DEFAULT_CONFIG,
-                                               n_emb * n_tables, n_emb),
-        on=("vec_id",))
+    group_parts = cfg.exec.group_parts
 
-    def _pairs(group: pa.Table) -> pa.Table:
-        ids = np.asarray(group["vec_id"], dtype=np.int64)
-        order = np.argsort(ids)
-        ids = ids[order]
-        vecs = np.stack([np.frombuffer(b, dtype=np.float64)
-                         for b in group["blob"].to_pylist()])[order]
-        norms = np.linalg.norm(vecs, axis=1)
-        norms[norms == 0] = 1.0
-        vn = vecs / norms[:, None]
-        sims = vn @ vn.T
-        iu, ju = np.triu_indices(len(ids), 1)
-        keep = sims[iu, ju] >= threshold
+    def _keyed(batch: pa.Table) -> pa.Table:
+        b = bucketer(batch)
+        keys = np.asarray(b["bucket"], dtype=np.uint64)
         return pa.table({
-            "a": pa.array(ids[iu[keep]], pa.int64()),
-            "b": pa.array(ids[ju[keep]], pa.int64()),
-            "cosine": pa.array(np.round(sims[iu, ju][keep], ROUND),
-                               pa.float64()),
+            "band_key": b["bucket"],
+            "band_part": pa.array(
+                (keys % np.uint64(group_parts)).astype(np.int64),
+                pa.int64()),
+            "conv_id": pc.cast(b["vec_id"], pa.string()),
         })
 
-    pairs = joined.groupby("bucket").map_groups(_pairs, batch_format="pyarrow")
-    from ray.data.aggregate import Max
+    keyed = emb.map_batches(_keyed, batch_format="pyarrow")
+    pairs = exchange_map_groups(
+        keyed, "band_part", 2 * resolve_num_partitions(cfg),
+        _emit_pairs_part(cfg.lsh.max_bucket_pairs_members), PAIRS_SCHEMA)
+    pairs = dedup_pairs(pairs, group_parts, out_schema=PAIRS_SCHEMA)
 
-    agg = pairs.groupby(["a", "b"]).aggregate(Max("cosine"))
-    return agg.rename_columns({"max(cosine)": "cosine"})
+    blobs = emb.map_batches(_emb_blob, batch_format="pyarrow")
+    scored = score_pairs(pairs, blobs, cfg,
+                         CosineScorer(threshold, round_to=ROUND),
+                         size_hint_bytes=emb.size_bytes() or 0)
+
+    def _to_int_pairs(batch: pa.Table) -> pa.Table:
+        a = np.array([int(x) for x in batch["a"].to_pylist()], np.int64)
+        b = np.array([int(x) for x in batch["b"].to_pylist()], np.int64)
+        # bucket pairs are ordered by STRING id; normalize numerically
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        return pa.table({
+            "a": pa.array(lo, pa.int64()),
+            "b": pa.array(hi, pa.int64()),
+            "cosine": batch["cosine"],
+        })
+
+    return scored.map_batches(_to_int_pairs, batch_format="pyarrow")
 
 
 def _emb_blob(batch: pa.Table) -> pa.Table:
+    """(vec_id, embedding list<float>) → (conv_id str, blob binary) —
+    zero-copy float64 bytes, offsets built arithmetically (no per-row
+    ``tobytes`` loop)."""
     ids, mat = _emb_matrix(batch)
+    n, dim = mat.shape if mat.ndim == 2 else (len(ids), 0)
+    flat = np.ascontiguousarray(mat, dtype=np.float64).reshape(-1)
+    offs = (np.arange(n + 1, dtype=np.int32) * (8 * dim))
+    blob = pa.Array.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(offs), pa.py_buffer(flat.view(np.uint8))])
     return pa.table({
-        "vec_id": pa.array(ids, pa.int64()),
-        "blob": pa.array([row.tobytes() for row in mat], pa.binary()),
+        "conv_id": pc.cast(pa.array(ids, pa.int64()), pa.string()),
+        "blob": blob,
     })
 
 

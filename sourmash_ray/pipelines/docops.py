@@ -351,14 +351,99 @@ def ngram_jaccard_pairs(sf_dir: str, n_docs: int = 40, n: int = 2,
         _score, batch_format="pyarrow")
 
 
+SIMPAIRS_SCHEMA = pa.schema([
+    ("a", pa.int64()),
+    ("b", pa.int64()),
+    ("hamming", pa.int64()),
+])
+
+
+def _simhash_pairs_part(max_hamming: int):
+    """In-partition SimHash candidate emission + popcount verify.
+
+    The simhash rides the exchange as a payload column, so verification
+    happens INSIDE the partition — no driver ``take_all``, no second pass.
+    Within a chunk bucket, rows are first grouped by identical simhash:
+    cross-group candidates are popcount-filtered on the r×r DISTINCT
+    values (r stays tiny even when millions of boilerplate docs share one
+    simhash), and only MATCHING group pairs expand to member pairs — work
+    is O(r² + output), never O(g²) of the raw bucket. Emission is
+    therefore exact for the pigeonhole guarantee (hamming ≤ 3 pairs always
+    share a 16-bit chunk) with output bounded by the true result size.
+    """
+    from ..functions.segscore import popcount64
+
+    def emit(part: pa.Table) -> pa.Table:
+        if part.num_rows < 2:
+            return SIMPAIRS_SCHEMA.empty_table()
+        part = part.sort_by([("band_key", "ascending"),
+                             ("simhash", "ascending"),
+                             ("doc_id", "ascending")])
+        keys = np.asarray(part["band_key"], dtype=np.uint64)
+        sh = np.asarray(part["simhash"], dtype=np.uint64)
+        ids = np.asarray(part["doc_id"], dtype=np.int64)
+        b_starts = np.flatnonzero(
+            np.concatenate([[True], keys[1:] != keys[:-1]]))
+        b_sizes = np.diff(np.concatenate([b_starts, [keys.size]]))
+        out_a, out_b, out_h = [], [], []
+        for s, g in zip(b_starts[b_sizes >= 2], b_sizes[b_sizes >= 2]):
+            g = int(g)
+            ss = sh[s:s + g]
+            si = ids[s:s + g]
+            r_starts = np.flatnonzero(
+                np.concatenate([[True], ss[1:] != ss[:-1]]))
+            r_sizes = np.diff(np.concatenate([r_starts, [g]]))
+            r_vals = ss[r_starts]
+            r = len(r_vals)
+            # same-simhash runs: every member pair, hamming 0
+            for rs, rg in zip(r_starts[r_sizes >= 2], r_sizes[r_sizes >= 2]):
+                rg = int(rg)
+                iu, ju = np.triu_indices(rg, 1)
+                out_a.append(si[rs + iu])
+                out_b.append(si[rs + ju])
+                out_h.append(np.zeros(iu.size, np.int64))
+            if r < 2:
+                continue
+            # cross-run candidates on DISTINCT simhashes only
+            iu, ju = np.triu_indices(r, 1)
+            hm = popcount64(r_vals[iu] ^ r_vals[ju])
+            ok = hm <= max_hamming
+            for pi, pj, ph in zip(iu[ok], ju[ok], hm[ok]):
+                mi = si[r_starts[pi]: r_starts[pi] + r_sizes[pi]]
+                mj = si[r_starts[pj]: r_starts[pj] + r_sizes[pj]]
+                out_a.append(np.repeat(mi, mj.size))
+                out_b.append(np.tile(mj, mi.size))
+                out_h.append(np.full(mi.size * mj.size, ph, np.int64))
+        if not out_a:
+            return SIMPAIRS_SCHEMA.empty_table()
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        return pa.table({
+            "a": pa.array(lo, pa.int64()),
+            "b": pa.array(hi, pa.int64()),
+            "hamming": pa.array(np.concatenate(out_h), pa.int64()),
+        })
+
+    return emit
+
+
 def simhash_neardup_pairs(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG,
                           max_hamming: int = 3):
     """SimHash near-dup pairs: 64-bit fingerprints banded into 4×16-bit
     chunks (pigeonhole: any pair within Hamming distance 3 shares at least
-    one exact chunk), candidates verified by popcount of the XOR.
+    one exact chunk), candidates verified by popcount of the XOR — inside
+    the band partition (the simhash travels as a payload column; nothing
+    is ever materialized on the driver).
 
-    Output: (a, b, hamming) for pairs with distance ≤ ``max_hamming``.
+    Output: (a, b, hamming) for pairs with distance ≤ ``max_hamming``,
+    exact vs brute force (see test_recall_scale).
     """
+    from ..config import resolve_num_partitions
+    from ..stages.exchange import exchange_map_groups
+    from ..stages.lsh import dedup_pairs
+
     sims = simhash_docs(sf_dir, cfg)
 
     def _chunks(batch: pa.Table) -> pa.Table:
@@ -374,43 +459,17 @@ def simhash_neardup_pairs(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG,
         return pa.table({
             "band_key": pa.array(out_keys, pa.uint64()),
             "band_part": pa.array(
-                (out_keys % np.uint64(1024)).astype(np.int64), pa.int64()),
-            "conv_id": pa.array(np.repeat(ids, 4).astype(str), pa.string()),
+                (out_keys % np.uint64(cfg.exec.group_parts))
+                .astype(np.int64), pa.int64()),
+            "doc_id": pa.array(np.repeat(ids, 4), pa.int64()),
+            "simhash": pa.array(np.repeat(sh, 4), pa.uint64()),
         })
-
-    from ..stages.exchange import exchange_map_groups
-    from ..stages.lsh import PAIRS_SCHEMA, _emit_pairs_part, dedup_pairs
 
     keyed = sims.map_batches(_chunks, batch_format="pyarrow")
     pairs = exchange_map_groups(
-        keyed, "band_part", 16,
-        _emit_pairs_part(cfg.lsh.max_bucket_pairs_members), PAIRS_SCHEMA)
-    pairs = dedup_pairs(pairs).materialize()
-
-    # verify: broadcast the simhash map, popcount per pair
-    import ray
-
-    sh_rows = sims.take_all()
-    sh_map = {str(r["doc_id"]): np.uint64(r["simhash"]) for r in sh_rows}
-    ref = ray.put(sh_map)
-
-    def _verify(batch: pa.Table) -> pa.Table:
-        mp = ray.get(ref)
-        a_ids = batch["a"].to_pylist()
-        b_ids = batch["b"].to_pylist()
-        ham = np.empty(len(a_ids), np.int64)
-        for i, (x, y) in enumerate(zip(a_ids, b_ids)):
-            ham[i] = bin(int(mp[x] ^ mp[y])).count("1")
-        ai = np.array([int(x) for x in a_ids], np.int64)
-        bi = np.array([int(x) for x in b_ids], np.int64)
-        # bucket pairs are ordered by STRING id; normalize numerically
-        lo = np.minimum(ai, bi)
-        hi = np.maximum(ai, bi)
-        t = pa.table({
-            "a": pa.array(lo, pa.int64()),
-            "b": pa.array(hi, pa.int64()),
-            "hamming": pa.array(ham, pa.int64()),
-        })
-        return t.filter(pc.less_equal(t["hamming"], pa.scalar(max_hamming)))
-
-    return pairs.map_batches(_verify, batch_format="pyarrow")
+        keyed, "band_part", 2 * resolve_num_partitions(cfg),
+        _simhash_pairs_part(max_hamming), SIMPAIRS_SCHEMA)
+    # a pair found via several chunks repeats with the same hamming —
+    # distinct by (a, b), first occurrence kept
+    return dedup_pairs(pairs, cfg.exec.group_parts,
+                       out_schema=SIMPAIRS_SCHEMA)

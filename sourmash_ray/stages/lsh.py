@@ -149,12 +149,27 @@ def _dedup_pairs_part(part: pa.Table) -> pa.Table:
                                 preserve_index=False)
 
 
-def _add_pair_part(parts: int):
+def _pair_key64(col) -> np.ndarray:
+    """Vectorized 64-bit key of a pair-id column (string or integer)."""
+    import pyarrow.types as pt
+
+    from ..functions.murmur import _np_fmix64
     from ..functions.segscore import hash_strings64
 
+    t = col.type if hasattr(col, "type") else None
+    if t is not None and (pt.is_integer(t)):
+        old = np.seterr(over="ignore")
+        try:
+            return (_np_fmix64(np.asarray(col).astype(np.uint64))
+                    >> np.uint64(1)).astype(np.int64)
+        finally:
+            np.seterr(**old)
+    return hash_strings64(col)
+
+
+def _add_pair_part(parts: int):
     def add(batch: pa.Table) -> pa.Table:
-        pp = (hash_strings64(batch["a"]) * 31
-              + hash_strings64(batch["b"])) % parts
+        pp = (_pair_key64(batch["a"]) * 31 + _pair_key64(batch["b"])) % parts
         return batch.append_column("pair_part", pa.array(pp, pa.int64()))
 
     return add

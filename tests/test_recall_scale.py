@@ -233,3 +233,46 @@ def test_distributed_cc_random_graph(ray_session):
     dist = {r["node"]: r["label"]
             for r in connected_components(ds, forced).take_all()}
     assert dist == driver
+
+
+def test_embedding_neardup_exchange_equals_broadcast(ray_session):
+    """Forced beyond-broadcast co-group cosine verify ≡ broadcast path
+    (the embedding near-dup pipeline shares score_pairs with the
+    flagship)."""
+    from sourmash_ray.pipelines.ann import embedding_neardup_pairs
+
+    sf = "/root/testdata/sf0.01"
+    want = sorted((r["a"], r["b"], r["cosine"])
+                  for r in embedding_neardup_pairs(sf).take_all())
+    forced = EngineConfig(exec=ExecParams(broadcast_bytes_limit=0))
+    got = sorted((r["a"], r["b"], r["cosine"])
+                 for r in embedding_neardup_pairs(sf, cfg=forced).take_all())
+    assert want and got == want
+
+
+def test_angular_exchange_equals_broadcast(ray_session):
+    """Angular (abundance-cosine) verify now has the exchange fallback;
+    forced path ≡ broadcast path."""
+    import ray.data
+
+    from sourmash_ray.sources.transcripts import synth_transcripts
+    from sourmash_ray.stages.lsh import candidate_pairs
+    from sourmash_ray.stages.sketch import sketch_transcripts
+    from sourmash_ray.stages.verify import angular_pairs
+
+    corpus = synth_transcripts(40, seed=61)
+    cfg_b = EngineConfig(sketch=DEFAULT_CONFIG.sketch,
+                         lsh=LSHParams(num_perm=12, bands=4, rows=3))
+    cfg_x = EngineConfig(sketch=DEFAULT_CONFIG.sketch,
+                         lsh=LSHParams(num_perm=12, bands=4, rows=3),
+                         exec=ExecParams(broadcast_bytes_limit=0))
+    ds = ray.data.from_arrow(corpus)
+    sigs = sketch_transcripts(ds, cfg_b).materialize()
+    pairs = candidate_pairs(sigs, cfg_b).materialize()
+    want = sorted((r["a"], r["b"], round(r["similarity"], 12))
+                  for r in angular_pairs(pairs, sigs, cfg_b,
+                                         threshold=0.1).take_all())
+    got = sorted((r["a"], r["b"], round(r["similarity"], 12))
+                 for r in angular_pairs(pairs, sigs, cfg_x,
+                                        threshold=0.1).take_all())
+    assert want and got == want
