@@ -18,10 +18,24 @@ SF_SMOKE = "/root/testdata/sf0.001"
 def entry() -> Any:
     """Flagship pipeline: near-dup clustering of the transcript corpus at
     sf0.001 (synthesized deterministically, seed 42)."""
-    from sourmash_ray.pipelines.dedup import dedup_pipeline
+    return _pipeline_for(SF_SMOKE)["clusters"]
 
-    out = dedup_pipeline(SF_SMOKE)
-    return out["clusters"]
+
+# per-process cache: eleven transcript-family queries share ONE flagship
+# run per sf_dir (signatures / verified pairs / clusters are materialized
+# Datasets in the object store) instead of re-sketching the corpus each —
+# the driver's correctness pass costs one pipeline, not six
+_PIPELINE_CACHE: dict[str, dict] = {}
+
+
+def _pipeline_for(sf_dir: str) -> dict:
+    if sf_dir not in _PIPELINE_CACHE:
+        from sourmash_ray.pipelines.dedup import dedup_pipeline
+
+        out = dedup_pipeline(sf_dir)
+        out["clusters"] = out["clusters"].materialize()
+        _PIPELINE_CACHE[sf_dir] = out
+    return _PIPELINE_CACHE[sf_dir]
 
 
 # ---------------------------------------------------------------------------
@@ -33,9 +47,7 @@ def _sketch_transcripts_q(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from sourmash_ray.pipelines.dedup import dedup_pipeline
-
-    sigs = dedup_pipeline(sf_dir)["signatures"]
+    sigs = _pipeline_for(sf_dir)["signatures"]
 
     def _project(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -54,18 +66,14 @@ def _sketch_transcripts_q(sf_dir: str):
 
 
 def _dedup_transcripts_q(sf_dir: str):
-    from sourmash_ray.pipelines.dedup import dedup_pipeline
-
-    return dedup_pipeline(sf_dir)["clusters"]
+    return _pipeline_for(sf_dir)["clusters"]
 
 
 def _verified_pairs_q(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from sourmash_ray.pipelines.dedup import dedup_pipeline
-
-    ver = dedup_pipeline(sf_dir)["verified_pairs"]
+    ver = _pipeline_for(sf_dir)["verified_pairs"]
 
     def _round(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -80,12 +88,7 @@ def _verified_pairs_q(sf_dir: str):
 
 
 def _sigs_for(sf_dir: str):
-    from sourmash_ray.config import DEFAULT_CONFIG
-    from sourmash_ray.sources.transcripts import read_transcripts
-    from sourmash_ray.stages.sketch import sketch_transcripts
-
-    return sketch_transcripts(read_transcripts(sf_dir),
-                              DEFAULT_CONFIG).materialize()
+    return _pipeline_for(sf_dir)["signatures"]
 
 
 def _clone_query_id(sigs) -> str:
@@ -170,11 +173,10 @@ def _containment_pairs_q(sf_dir: str):
 
 def _exact_spans_q(sf_dir: str):
     """Suffix/rolling-hash exact long-match pass over verified dup pairs."""
-    from sourmash_ray.pipelines.dedup import dedup_pipeline
     from sourmash_ray.sources.transcripts import read_transcripts
     from sourmash_ray.stages.substring import exact_substring_pass
 
-    out = dedup_pipeline(sf_dir)
+    out = _pipeline_for(sf_dir)
     return exact_substring_pass(out["verified_pairs"],
                                 read_transcripts(sf_dir), min_len=32)
 
@@ -248,8 +250,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
 _WS = "[ \\t\\n\\r\\f\\v]+"
 
 
+def _langid_sql() -> str:
+    """SQL twin of docops.LangIdScorer: whitespace tokens of the lowered
+    text, per-language marker counts, argmax with sorted-language +
+    strictly-greater tie rule (unk at zero)."""
+    from sourmash_ray.pipelines.docops import _LANG_MARKERS
+
+    langs = sorted(_LANG_MARKERS)
+    hit_cols = ",\n                   ".join(
+        "len(list_filter(toks, x -> x IN ({}))) AS h_{}".format(
+            ", ".join(f"'{w}'" for w in sorted(_LANG_MARKERS[lang])), lang)
+        for lang in langs)
+    best = "greatest({})".format(", ".join(f"h_{lang}" for lang in langs))
+    case = "\n                        ".join(
+        f"WHEN h_{lang} = {best} THEN '{lang}'" for lang in langs)
+    return f"""
+        WITH t AS (
+          SELECT doc_id, lang AS lang_actual,
+                 list_filter(regexp_split_to_array(
+                     lower(coalesce(text, '')), '\\s+'), x -> x <> '')
+                     AS toks
+          FROM documents),
+        h AS (
+          SELECT doc_id, lang_actual,
+                   {hit_cols}
+          FROM t)
+        SELECT doc_id,
+               CASE WHEN {best} = 0 THEN 'unk'
+                        {case}
+               END AS lang_guess,
+               {best} AS marker_hits,
+               lang_actual
+        FROM h
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "langid_docs": _langid_sql(),
         "exact_dedup_docs": f"""
             SELECT md5(trim(regexp_replace(lower(text), '{_WS}', ' ', 'g')))
                        AS text_md5,

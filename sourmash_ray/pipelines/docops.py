@@ -237,30 +237,48 @@ _LANG_MARKERS = {
 
 
 class LangIdScorer:
-    """Stopword-count language heuristic over whitespace tokens; the
-    compiled marker sets live in __init__ (once per actor/task graph)."""
+    """Stopword-count language heuristic over whitespace tokens, fully
+    vectorized: tokens are flattened once per batch, fixed-width-byte
+    membership against each marker set runs as ``np.isin``, and per-row
+    counts come from one ``bincount`` per language. The marker byte arrays
+    live in __init__ (once per actor/task graph). Tie rule: first language
+    in sorted order with the (strictly positive) max count; ``unk`` when
+    no marker hits — identical to the SQL-oracle twin."""
+
+    # widest marker is 5 bytes; tokens longer than the S-width can only
+    # TRUNCATE to ≥6 non-NUL bytes and therefore never equal a marker
+    _W = 8
 
     def __init__(self):
-        self.markers = {k: frozenset(v) for k, v in _LANG_MARKERS.items()}
-        self.langs = sorted(self.markers)
+        self.langs = sorted(_LANG_MARKERS)
+        self.marker_arrays = [
+            np.array(sorted(_LANG_MARKERS[lang]), dtype=f"S{self._W}")
+            for lang in self.langs
+        ]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = pc.fill_null(batch["text"].combine_chunks(), "")
-        guesses = []
-        scores = []
-        for t in texts.to_pylist():
-            toks = t.lower().split()
-            best_lang, best = "unk", 0
-            for lang in self.langs:
-                s = sum(1 for w in toks if w in self.markers[lang])
-                if s > best:
-                    best, best_lang = s, lang
-            guesses.append(best_lang)
-            scores.append(best)
+        n = batch.num_rows
+        low = pc.utf8_lower(pc.fill_null(batch["text"].combine_chunks(), ""))
+        toks = pc.split_pattern_regex(low, r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = np.asarray(toks.offsets, dtype=np.int64)
+        flat = toks.flatten()
+        rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+        tok_w = np.array(flat.to_pylist(), dtype=f"S{self._W}")
+        hits = np.zeros((len(self.langs), n), np.int64)
+        for i, markers in enumerate(self.marker_arrays):
+            m = np.isin(tok_w, markers)
+            if m.any():
+                hits[i] = np.bincount(rows[m], minlength=n)
+        best = hits.max(axis=0) if n else np.zeros(0, np.int64)
+        which = hits.argmax(axis=0) if n else np.zeros(0, np.int64)
+        lang_arr = np.array(self.langs + ["unk"])
+        guess = lang_arr[np.where(best > 0, which, len(self.langs))]
         return pa.table({
             "doc_id": batch["doc_id"],
-            "lang_guess": pa.array(guesses, pa.string()),
-            "marker_hits": pa.array(scores, pa.int64()),
+            "lang_guess": pa.array(guess.tolist(), pa.string()),
+            "marker_hits": pa.array(best, pa.int64()),
             "lang_actual": batch["lang"],
         })
 
