@@ -23,11 +23,13 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from ..sources.tables import read_parquet_clean
+
 ROUND = 4
 
 
 def _read_emb(sf_dir: str):
-    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    return read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                                  columns=["vec_id", "embedding"])
 
 

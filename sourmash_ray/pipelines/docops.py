@@ -18,14 +18,13 @@ import pyarrow.compute as pc
 from ..config import EngineConfig, DEFAULT_CONFIG
 from ..functions.perm import perm_minima, perm_seeds
 from ..functions.sketch import WS_PATTERN, md5_of_mins
+from ..sources.tables import read_parquet_clean
 from ..stages.sketch import batch_shingle_hashes, normalize_column
 
 
 def _read_docs(sf_dir: str, columns=("doc_id", "text")):
-    import ray.data
-
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                 columns=list(columns))
+    return read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=list(columns))
 
 
 def _md5_column(norm: pa.Array) -> pa.Array:
@@ -117,7 +116,7 @@ def lang_summary_docs(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG):
     import ray.data
     from ray.data.aggregate import Count, Sum
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                columns=["lang", "n_chars"])
     agg = ds.groupby("lang").aggregate(Count(), Sum("n_chars"))
 

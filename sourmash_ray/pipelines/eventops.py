@@ -15,13 +15,15 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from ..sources.tables import read_parquet_clean
+
 
 def tumbling_window_counts(sf_dir: str, unit: str = "hour"):
     """Per (event_type, window-start) count + sum(value) rounded to 6
     decimals. Equivalent SQL: date_trunc + GROUP BY."""
     from ray.data.aggregate import Count, Sum
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["ts", "event_type", "value"])
 
     def _window(batch: pa.Table) -> pa.Table:
@@ -58,8 +60,8 @@ def sessionize_events(sf_dir: str, gap_minutes: int = 30):
     session (user_id, session_start, n_events)."""
     import numpy as np
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["user_id", "ts"])
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
     gap_us = gap_minutes * 60 * 1_000_000
 
     def _sessions(group: pa.Table) -> pa.Table:
@@ -87,7 +89,7 @@ def hopping_window_counts(sf_dir: str, window_hours: int = 2,
 
     from ray.data.aggregate import Count, Sum
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["ts", "event_type", "value"])
     n_windows = window_hours // hop_hours
     hop_us = hop_hours * 3_600_000_000

@@ -17,6 +17,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from ..sources.tables import read_parquet_clean
+
 
 def manifest_select(sf_dir: str):
     """Predicate + projection with pushdown at the Parquet scan — the
@@ -24,7 +26,7 @@ def manifest_select(sf_dir: str):
 
     lineitem where l_quantity > 45, projected to 4 columns.
     """
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"],
     )
@@ -39,7 +41,7 @@ def picklist_semi_join(sf_dir: str):
     map_batches instead of shuffling the big side (SURVEY.md §2.6
     broadcast-small-side row).
     """
-    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
                                  columns=["c_custkey", "c_mktsegment"])
     picked = cust.filter(expr="c_mktsegment == 'BUILDING'")
     keys = {r["c_custkey"] for r in picked.take_all()}
@@ -51,7 +53,7 @@ def picklist_semi_join(sf_dir: str):
                         value_set=pa.array(sorted(k), pa.int64()))
         return batch.filter(mask)
 
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_totalprice"])
     return orders.map_batches(_filter, batch_format="pyarrow")
@@ -60,7 +62,7 @@ def picklist_semi_join(sf_dir: str):
 def picklist_anti_join(sf_dir: str):
     """Picklist exclude-style anti join (PickStyle.EXCLUDE,
     ``picklist.py:49-52``)."""
-    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
                                  columns=["c_custkey", "c_mktsegment"])
     picked = cust.filter(expr="c_mktsegment == 'BUILDING'")
     keys = {r["c_custkey"] for r in picked.take_all()}
@@ -72,7 +74,7 @@ def picklist_anti_join(sf_dir: str):
             batch["o_custkey"], value_set=pa.array(sorted(k), pa.int64())))
         return batch.filter(mask)
 
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_totalprice"])
     return orders.map_batches(_filter, batch_format="pyarrow")
@@ -81,7 +83,7 @@ def picklist_anti_join(sf_dir: str):
 def topk_orders(sf_dir: str, k: int = 25):
     """sort desc + limit — the ``--num-results``/``best_containment``
     pattern (``index/__init__.py:258-270``: score desc, key tiebreak)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
                                columns=["o_orderkey", "o_totalprice"])
     return ds.sort(["o_totalprice", "o_orderkey"],
                    descending=[True, False]).limit(k)
@@ -97,7 +99,7 @@ def pricing_summary(sf_dir: str):
     """
     from ray.data.aggregate import Count, Sum
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity",
                  "l_extendedprice"])
@@ -134,10 +136,10 @@ def union_collections(sf_dir: str):
     nation key across the union of supplier and customer tables."""
     from ray.data.aggregate import Count
 
-    sup = ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+    sup = read_parquet_clean(f"{sf_dir}/supplier.parquet",
                                 columns=["s_nationkey"]).rename_columns(
                                     {"s_nationkey": "nationkey"})
-    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
                                  columns=["c_nationkey"]).rename_columns(
                                      {"c_nationkey": "nationkey"})
     agg = sup.union(cust).groupby("nationkey").aggregate(Count())
@@ -151,10 +153,10 @@ def broadcast_lookup_join(sf_dir: str):
     from ray.data.aggregate import Count
 
     nation = {r["n_nationkey"]: (r["n_name"], r["n_regionkey"])
-              for r in ray.data.read_parquet(
+              for r in read_parquet_clean(
                   f"{sf_dir}/nation.parquet").take_all()}
     region = {r["r_regionkey"]: r["r_name"]
-              for r in ray.data.read_parquet(
+              for r in read_parquet_clean(
                   f"{sf_dir}/region.parquet").take_all()}
     lookup = {k: (region[v[1]], v[0]) for k, v in nation.items()}
     lookup_ref = ray.put(lookup)
@@ -167,7 +169,7 @@ def broadcast_lookup_join(sf_dir: str):
             "n_name": pa.array([lk[k][1] for k in keys], pa.string()),
         })
 
-    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
                                  columns=["c_nationkey"])
     agg = (cust.map_batches(_attach, batch_format="pyarrow")
            .groupby(["r_name", "n_name"]).aggregate(Count()))

@@ -129,14 +129,38 @@ _GATHER_FIELDS = [
     ("match", pa.string()),
     ("md5", pa.string()),
     ("overlap", pa.int64()),
+    ("intersect_bp", pa.int64()),
     ("f_orig_query", pa.float64()),
     ("f_match", pa.float64()),
+    ("f_match_orig", pa.float64()),
     ("f_unique_to_query", pa.float64()),
     ("f_unique_weighted", pa.float64()),
     ("average_abund", pa.float64()),
     ("median_abund", pa.float64()),
     ("std_abund", pa.float64()),
+    ("unique_intersect_bp", pa.int64()),
     ("remaining_hashes", pa.int64()),
+    ("remaining_bp", pa.int64()),
+    ("query_name", pa.string()),
+    ("query_md5", pa.string()),
+    ("query_bp", pa.int64()),
+    ("query_n_hashes", pa.int64()),
+    ("query_abundance", pa.bool_()),
+    ("ksize", pa.int64()),
+    ("moltype", pa.string()),
+    ("scaled", pa.int64()),
+    ("n_unique_weighted_found", pa.float64()),
+    ("sum_weighted_found", pa.float64()),
+    ("total_weighted_hashes", pa.float64()),
+    ("query_containment_ani", pa.float64()),
+    ("match_containment_ani", pa.float64()),
+    ("average_containment_ani", pa.float64()),
+    ("max_containment_ani", pa.float64()),
+    ("potential_false_negative", pa.bool_()),
+    ("query_containment_ani_low", pa.float64()),
+    ("query_containment_ani_high", pa.float64()),
+    ("match_containment_ani_low", pa.float64()),
+    ("match_containment_ani_high", pa.float64()),
 ]
 GATHER_SCHEMA = pa.schema(_GATHER_FIELDS)
 
@@ -170,7 +194,8 @@ def _gather_candidates(sigs, query_id: str, cfg: EngineConfig,
 
 
 def gather(sigs, query_id: str, cfg: EngineConfig = DEFAULT_CONFIG,
-           threshold_hashes: int = 3, max_rounds: int = 50):
+           threshold_hashes: int = 3, max_rounds: int = 50,
+           estimate_ani_ci: bool = False):
     """``sourmash gather`` greedy min-set-cov with the CounterGather
     consume/decrement optimization.
 
@@ -208,11 +233,27 @@ def gather(sigs, query_id: str, cfg: EngineConfig = DEFAULT_CONFIG,
     c0, _, _ = query_jaccard_stats(orig, vals, offs, 0)
     counts = c0.copy()
     f_orig = c0 / orig_size
-    f_match = c0 / np.maximum(lens, 1)
+    f_match_orig = c0 / np.maximum(lens, 1)
+
+    from ..functions.distance import containment_to_distance
+
+    ksize = cfg.sketch.ksize
+    scaled = max(1, cfg.sketch.scaled)
+    query_md5 = str(qrow.get("md5", ""))
+    has_abunds = qrow.get("abunds") is not None
+
+    def _cani(containment: float, n_kmers: int):
+        """(ani, ani_low, ani_high, p_exceeds) per ``minhash.py:843-879``."""
+        res = containment_to_distance(
+            float(np.clip(containment, 0.0, 1.0)), ksize, scaled,
+            n_unique_kmers=max(1, n_kmers), estimate_ci=estimate_ani_ci)
+        return (res.ani, res.ani_low if estimate_ani_ci else None,
+                res.ani_high if estimate_ani_ci else None,
+                res.p_exceeds_threshold)
 
     remaining_mask = np.ones(orig.size, bool)
-    remaining = orig
     rows = []
+    sum_weighted_found = 0.0
     order_key = np.array(md5s)  # md5 tiebreak, ascending
     for rank in range(max_rounds):
         if int(remaining_mask.sum()) < threshold_hashes:
@@ -231,19 +272,58 @@ def gather(sigs, query_id: str, cfg: EngineConfig = DEFAULT_CONFIG,
         newly = orig[found_idx]
         nw_ab = orig_ab[found_idx]
         remaining_mask[found_idx] = False
+        n_remaining = int(remaining_mask.sum())
+        # ANI family on the ORIG query vs match comparison
+        # (search.py:417-427 via minhash.py:843-879)
+        q_ani, q_lo, q_hi, q_p = _cani(f_orig[w], orig_size * scaled)
+        m_ani, m_lo, m_hi, m_p = _cani(f_match_orig[w],
+                                       int(lens[w]) * scaled)
+        mx_ani, _, _, mx_p = _cani(max(f_orig[w], f_match_orig[w]),
+                                   min(orig_size, int(lens[w])) * scaled)
+        nw_sum = float(nw_ab.sum())
+        sum_weighted_found += nw_sum
         rows.append({
             "rank": rank,
             "match": ids[w],
             "md5": md5s[w],
             "overlap": int(best_c),
+            "intersect_bp": int(c0[w]) * scaled,
             "f_orig_query": float(f_orig[w]),
-            "f_match": float(f_match[w]),
+            # f_match = containment of the match in the REMAINING query
+            # (search.py:570-572 gather_comparison); f_match_orig is vs the
+            # original query (search.py:566-567)
+            "f_match": float(best_c) / max(1, int(lens[w])),
+            "f_match_orig": float(f_match_orig[w]),
             "f_unique_to_query": newly.size / orig_size,
-            "f_unique_weighted": float(nw_ab.sum() / sum_ab),
+            "f_unique_weighted": float(nw_sum / sum_ab),
             "average_abund": float(nw_ab.mean()) if nw_ab.size else 0.0,
             "median_abund": float(np.median(nw_ab)) if nw_ab.size else 0.0,
             "std_abund": float(nw_ab.std()) if nw_ab.size else 0.0,
-            "remaining_hashes": int(remaining_mask.sum()),
+            "unique_intersect_bp": int(newly.size) * scaled,
+            "remaining_hashes": n_remaining,
+            "remaining_bp": n_remaining * scaled,
+            "query_name": query_id,
+            "query_md5": query_md5,
+            "query_bp": orig_size * scaled,
+            "query_n_hashes": orig_size,
+            "query_abundance": has_abunds,
+            "ksize": ksize,
+            "moltype": cfg.sketch.normalization,
+            "scaled": scaled,
+            "n_unique_weighted_found": nw_sum,
+            "sum_weighted_found": sum_weighted_found,
+            "total_weighted_hashes": float(sum_ab),
+            "query_containment_ani": q_ani,
+            "match_containment_ani": m_ani,
+            "average_containment_ani": ((q_ani + m_ani) / 2.0
+                                        if q_ani is not None
+                                        and m_ani is not None else None),
+            "max_containment_ani": mx_ani,
+            "potential_false_negative": bool(q_p or m_p or mx_p),
+            "query_containment_ani_low": q_lo,
+            "query_containment_ani_high": q_hi,
+            "match_containment_ani_low": m_lo,
+            "match_containment_ani_high": m_hi,
         })
         # consume: decrement every candidate by |cand ∩ newly| — O(total
         # candidate hashes) worst case but one vectorized membership pass

@@ -202,5 +202,7 @@ def read_transcripts(sf_dir: str, seed: int = SEED,
                 ray.cluster_resources().get("CPU", 8)))
         except Exception:
             override_num_blocks = 16
-    return ray.data.read_parquet(transcripts_path(sf_dir, seed),
-                                 override_num_blocks=override_num_blocks)
+    from .tables import read_parquet_clean
+
+    return read_parquet_clean(transcripts_path(sf_dir, seed),
+                              override_num_blocks=override_num_blocks)

@@ -34,6 +34,10 @@ import ray.data
 def _split_block(block: pa.Table, key_col: str, n_parts: int):
     if block.num_rows == 0:
         return tuple([None] * n_parts) if n_parts > 1 else None
+    if block.schema.metadata:
+        # pandas dict metadata defeats Ray's schema-hash dedup when these
+        # slices are later re-ingested ("Failed to hash the schemas" spam)
+        block = block.replace_schema_metadata(None)
     keys = np.asarray(block[key_col], dtype=np.int64) % n_parts
     order = np.argsort(keys, kind="stable")
     sorted_keys = keys[order]
@@ -55,7 +59,8 @@ def _reduce_part(merge_fn, out_schema: pa.Schema, part_path, *subs):
         # partition-level resume: this reduce partition already completed
         # in a previous run with the same fingerprint — read it back
         return pq.read_table(part_path)
-    tables = [t for t in subs if t is not None and t.num_rows]
+    tables = [t.replace_schema_metadata(None) if t.schema.metadata else t
+              for t in subs if t is not None and t.num_rows]
     if not tables:
         out = out_schema.empty_table()
     else:

@@ -93,6 +93,41 @@ def test_gather_greedy(sigs, oracle_sketches):
     assert res[0]["remaining_hashes"] == 0
 
 
+def test_gather_result_schema_and_ani(sigs, oracle_sketches):
+    """Widened GatherResult stats family (search.py:553-664): bp columns,
+    weighted sums, and the containment-ANI estimates with CIs."""
+    from sourmash_ray.functions.distance import containment_to_distance
+    from sourmash_ray.pipelines.sourmash_parity import gather
+
+    clones = [c for c in oracle_sketches if "_xd" in c]
+    q = clones[0]
+    res = gather(sigs, q, CFG, threshold_hashes=3,
+                 estimate_ani_ci=True).to_pylist()
+    top = res[0]
+    scaled = max(1, CFG.sketch.scaled)
+    # an exact clone covers the whole query in round 0
+    assert top["f_orig_query"] == pytest.approx(1.0)
+    assert top["f_unique_to_query"] == pytest.approx(1.0)
+    assert top["intersect_bp"] == top["overlap"] * scaled
+    assert top["unique_intersect_bp"] == top["query_bp"]
+    assert top["remaining_bp"] == 0
+    assert top["query_name"] == q and top["ksize"] == CFG.sketch.ksize
+    assert top["sum_weighted_found"] == pytest.approx(
+        top["n_unique_weighted_found"])
+    # containment 1.0 → ANI exactly 1, CI collapses to 1
+    assert top["query_containment_ani"] == pytest.approx(1.0)
+    assert top["query_containment_ani_low"] == pytest.approx(1.0)
+    # ANI column agrees with the scalar estimator on each row
+    for r in res:
+        exp = containment_to_distance(
+            min(1.0, r["f_orig_query"]), CFG.sketch.ksize, scaled,
+            n_unique_kmers=r["query_n_hashes"] * scaled)
+        assert r["query_containment_ani"] == pytest.approx(
+            exp.ani, rel=1e-12)
+        assert r["average_containment_ani"] == pytest.approx(
+            (r["query_containment_ani"] + r["match_containment_ani"]) / 2)
+
+
 def test_compare_exact_matches_oracle(sigs, oracle_sketches):
     from sourmash_ray.pipelines.sourmash_parity import compare_exact
 
