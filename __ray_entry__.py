@@ -229,6 +229,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text analysis + inverted index + multimodal ---
         "langid_docs": docops.langid_docs,
         "fingerprint_docs": docops.fingerprint_docs,
+        "distinct_tokens_exact": docops.distinct_tokens_exact,
+        "approx_distinct_tokens": docops.approx_distinct_tokens,
         "hash_frequency_transcripts": _hash_frequency_q,
         "media_features": _media_features_q,
         # --- embeddings: similarity search ---
@@ -288,6 +290,14 @@ def _langid_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "langid_docs": _langid_sql(),
+        "distinct_tokens_exact": f"""
+            SELECT count(DISTINCT tok) AS n_distinct_tokens
+            FROM (SELECT unnest(string_split(
+                       trim(regexp_replace(coalesce(text, ''), '{_WS}',
+                                           ' ', 'g')), ' ')) AS tok
+                  FROM documents)
+            WHERE tok <> ''
+        """,
         "exact_dedup_docs": f"""
             SELECT md5(trim(regexp_replace(lower(text), '{_WS}', ' ', 'g')))
                        AS text_md5,

@@ -283,9 +283,25 @@ def hash_strings64(ids, seed: int = 0xC0FFEE) -> np.ndarray:
         if hasattr(ids, "to_pylist"):
             ids = ids.to_pylist()
         s = np.array(ids, dtype=bytes)
+    return (hash_strings_u64(ids, seed=seed) >> np.uint64(1)).astype(
+        np.int64)
+
+
+def hash_strings_u64(ids, seed: int = 0xC0FFEE) -> np.ndarray:
+    """Full-width uint64 variant of :func:`hash_strings64` (same bucketed
+    fixed-width murmur pass, no sign-bit shift) — for consumers that need
+    all 64 hash bits (e.g. HyperLogLog register updates)."""
+    from .murmur import _np_fmix64, murmur64_fixedlen
+
+    if isinstance(ids, np.ndarray) and ids.dtype.kind == "S":
+        s = ids
+    else:
+        if hasattr(ids, "to_pylist"):
+            ids = ids.to_pylist()
+        s = np.array(ids, dtype=bytes)
     n = len(s)
     if n == 0:
-        return np.empty(0, np.int64)
+        return np.empty(0, np.uint64)
     lens = np.char.str_len(s).astype(np.int64)
     wbin = np.maximum(((lens + 7) // 8) * 8, 8)
     h = np.empty(n, np.uint64)
@@ -296,8 +312,7 @@ def hash_strings64(ids, seed: int = 0xC0FFEE) -> np.ndarray:
             -1, int(w))
         h[m] = murmur64_fixedlen(np.ascontiguousarray(mat), seed=seed,
                                  length=int(w))
-    h = _np_fmix64(h ^ lens.astype(np.uint64))
-    return (h >> np.uint64(1)).astype(np.int64)
+    return _np_fmix64(h ^ lens.astype(np.uint64))
 
 
 _M1 = np.uint64(0x5555555555555555)

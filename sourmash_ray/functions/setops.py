@@ -338,3 +338,16 @@ def jaccard_to_ani(jaccard_v: float, ksize: int) -> float:
     if jaccard_v >= 1:
         return 1.0
     return (2.0 * jaccard_v / (1.0 + jaccard_v)) ** (1.0 / ksize)
+
+
+def as_hll(s: Sketch, error_rate: float = 0.01) -> np.ndarray:
+    """Convert a sketch's mins into an HLL register array
+    (``minhash.rs:759-767``: with_error_rate(0.01) + add every min).
+    Mergeable with :func:`sourmash_ray.functions.hll.hll_merge`;
+    cardinality via :func:`...hll.hll_cardinality`."""
+    from .hll import hll_add_hashes, hll_empty, hll_p_for_error
+
+    regs = hll_empty(hll_p_for_error(error_rate))
+    if len(s.mins):
+        hll_add_hashes(regs, np.asarray(s.mins, np.uint64))
+    return regs

@@ -490,3 +490,38 @@ def simhash_neardup_pairs(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG,
     # distinct by (a, b), first occurrence kept
     return dedup_pairs(pairs, cfg.exec.group_parts,
                        out_schema=SIMPAIRS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# distinct-token counting: HLL estimate + exact twin
+# ---------------------------------------------------------------------------
+
+
+def approx_distinct_tokens(sf_dir: str, p: int = 14) -> pa.Table:
+    """Approximate distinct whitespace-token count across the corpus via
+    the mergeable HLL combiner (``stages/approx.py``; reference sketch
+    semantics ``hyperloglog/mod.rs:33-236``). One row:
+    (n_distinct_tokens_approx, p, expected_relative_error)."""
+    from ..functions.hll import hll_error_rate
+    from ..stages.approx import approx_distinct, tokens_of
+
+    ds = _read_docs(sf_dir)
+    est = approx_distinct(
+        ds, lambda b: tokens_of(b["text"].combine_chunks(), WS_PATTERN), p=p)
+    return pa.table({
+        "n_distinct_tokens_approx": pa.array([est], pa.int64()),
+        "p": pa.array([p], pa.int64()),
+        "expected_rel_error": pa.array([hll_error_rate(p)], pa.float64()),
+    })
+
+
+def distinct_tokens_exact(sf_dir: str) -> pa.Table:
+    """Exact distinct whitespace-token count (SQL-oracle twin of
+    :func:`approx_distinct_tokens`): per-batch dedup combiner →
+    hash-partition exchange → per-partition unique count → sum."""
+    from ..stages.approx import distinct_count_exact, tokens_of
+
+    ds = _read_docs(sf_dir)
+    n = distinct_count_exact(
+        ds, lambda b: tokens_of(b["text"].combine_chunks(), WS_PATTERN))
+    return pa.table({"n_distinct_tokens": pa.array([n], pa.int64())})

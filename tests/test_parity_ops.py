@@ -251,3 +251,22 @@ def test_angular_pairs_matches_kernel(sigs, oracle_sketches):
                     abunds=oracle_sketches[b]["abunds"], params=PARAMS)
         ref = angular_similarity(sa, sb)
         assert abs(sim - ref) < 1e-12, (a, b)
+
+
+def test_angular_pairs_exchange_fallback_equals_broadcast(sigs):
+    """Forcing the beyond-broadcast co-group path (broadcast_bytes_limit=0)
+    must produce exactly the broadcast path's angular scores."""
+    from sourmash_ray.config import ExecParams
+    from sourmash_ray.stages.lsh import candidate_pairs
+    from sourmash_ray.stages.verify import angular_pairs
+
+    pairs = candidate_pairs(sigs, CFG)
+    base = {(r["a"], r["b"]): r["similarity"]
+            for r in angular_pairs(pairs, sigs, CFG, threshold=0.0)
+            .take_all()}
+    forced_cfg = EngineConfig(sketch=CFG.sketch, lsh=CFG.lsh,
+                              exec=ExecParams(broadcast_bytes_limit=0))
+    forced = {(r["a"], r["b"]): r["similarity"]
+              for r in angular_pairs(pairs, sigs, forced_cfg, threshold=0.0)
+              .take_all()}
+    assert base and forced == pytest.approx(base)
