@@ -222,6 +222,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "manifest_select": relational.manifest_select,
         "picklist_semi_join": relational.picklist_semi_join,
         "picklist_anti_join": relational.picklist_anti_join,
+        "picklist_ident_parts": relational.picklist_ident_parts,
+        "picklist_md5short_docs": docops.picklist_md5short_docs,
+        "tax_rollup_customers": relational.tax_rollup_customers,
         "topk_orders": relational.topk_orders,
         "pricing_summary": relational.pricing_summary,
         "union_collections": relational.union_collections,
@@ -290,6 +293,40 @@ def _langid_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "langid_docs": _langid_sql(),
+        "picklist_ident_parts": """
+            SELECT p_partkey, split_part(p_name, ' ', 1) AS ident
+            FROM part
+            WHERE split_part(p_name, ' ', 1) IN
+                (SELECT DISTINCT split_part(p_name, ' ', 1)
+                 FROM part WHERE p_size = 5)
+        """,
+        "picklist_md5short_docs": f"""
+            WITH h AS (
+              SELECT doc_id,
+                     md5(trim(regexp_replace(lower(text), '{_WS}', ' ',
+                                             'g'))) AS text_md5
+              FROM documents)
+            SELECT doc_id, substr(text_md5, 1, 8) AS md5short
+            FROM h
+            WHERE substr(text_md5, 1, 8) IN
+                (SELECT substr(text_md5, 1, 8) FROM h WHERE doc_id % 97 = 0)
+        """,
+        "tax_rollup_customers": """
+            WITH lin AS (
+              SELECT r_name, n_name,
+                     CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+              FROM customer
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey)
+            SELECT 0 AS lineage_rank, r_name AS lineage,
+                   count(*) AS n_customers,
+                   CAST(sum(cents) AS BIGINT) AS sum_acctbal_cents
+            FROM lin GROUP BY r_name
+            UNION ALL
+            SELECT 1, r_name || ';' || n_name, count(*),
+                   CAST(sum(cents) AS BIGINT)
+            FROM lin GROUP BY r_name, n_name
+        """,
         "distinct_tokens_exact": f"""
             SELECT count(DISTINCT tok) AS n_distinct_tokens
             FROM (SELECT unnest(string_split(

@@ -525,3 +525,36 @@ def distinct_tokens_exact(sf_dir: str) -> pa.Table:
     n = distinct_count_exact(
         ds, lambda b: tokens_of(b["text"].combine_chunks(), WS_PATTERN))
     return pa.table({"n_distinct_tokens": pa.array([n], pa.int64())})
+
+
+def picklist_md5short_docs(sf_dir: str):
+    """Picklist with the ``md5short`` coltype (``picklist.py:29-31``:
+    8-char md5 prefix match): keep documents whose normalized-text
+    md5short matches any picked prefix (picked = every 97th doc_id's
+    md5short — a stand-in for the user's pickfile CSV). Prefix matches
+    catch exact-duplicate texts of the picked docs too, like the
+    reference's md5short picklists over signature collections."""
+    from ..stages.picklist import PickStyle, picklist_filter
+
+    hashed = _read_docs(sf_dir).map_batches(_normalize_md5_batch,
+                                            batch_format="pyarrow")
+    picked = set()
+    for b in hashed.iter_batches(batch_format="pyarrow"):
+        ids = np.asarray(b["doc_id"], dtype=np.int64)
+        sel = np.flatnonzero(ids % 97 == 0)
+        if sel.size:
+            short = pc.utf8_slice_codeunits(
+                b["text_md5"].combine_chunks(), 0, 8)
+            picked.update(short.take(pa.array(sel, pa.int64())).to_pylist())
+
+    kept = picklist_filter(hashed, "text_md5", picked, coltype="md5short",
+                           style=PickStyle.INCLUDE)
+
+    def _out(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "md5short": pc.utf8_slice_codeunits(
+                batch["text_md5"].combine_chunks(), 0, 8),
+        })
+
+    return kept.map_batches(_out, batch_format="pyarrow")

@@ -174,3 +174,100 @@ def broadcast_lookup_join(sf_dir: str):
     agg = (cust.map_batches(_attach, batch_format="pyarrow")
            .groupby(["r_name", "n_name"]).aggregate(Count()))
     return agg.rename_columns({"count()": "n_customers"})
+
+
+def picklist_ident_parts(sf_dir: str):
+    """Picklist with the ``ident`` coltype (``picklist.py:27``: first
+    space-delimited token of the name): keep parts whose name-ident is
+    among the idents of size-5 parts. The picked set is collected small
+    (distinct idents), broadcast, matched vectorized per batch."""
+    from ..stages.picklist import PickStyle, picklist_filter, preprocess_column
+
+    parts = read_parquet_clean(f"{sf_dir}/part.parquet",
+                               columns=["p_partkey", "p_name", "p_size"])
+    small = parts.filter(expr="p_size == 5")
+    picked = set()
+    for b in small.map_batches(
+            lambda t: pa.table({"ident": preprocess_column(
+                t["p_name"].combine_chunks(), "ident")}),
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        picked.update(b["ident"].to_pylist())
+
+    kept = picklist_filter(
+        parts.select_columns(["p_partkey", "p_name"]),
+        "p_name", picked, coltype="ident", style=PickStyle.INCLUDE)
+
+    def _out(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_partkey": batch["p_partkey"],
+            "ident": preprocess_column(batch["p_name"].combine_chunks(),
+                                       "ident"),
+        })
+
+    return kept.map_batches(_out, batch_format="pyarrow")
+
+
+def tax_rollup_customers(sf_dir: str):
+    """Rank-rollup aggregation (``tax_utils.py:985-1018``
+    aggregate_by_lineage_at_rank / summarize-at-rank family): customers
+    carry the lineage region;nation (broadcast dim lookup), and the
+    operator aggregates count + exact acctbal cents at EVERY rank prefix
+    — one output row per (rank, lineage), like ``tax metagenome``'s
+    per-rank summary rows.
+
+    Scale shape: dims broadcast (tiny), the fact table explodes ×n_ranks
+    inside map_batches (combiner-friendly), one hash aggregate."""
+    from ray.data.aggregate import Count, Sum
+
+    nation = {r["n_nationkey"]: (r["n_name"], r["n_regionkey"])
+              for r in read_parquet_clean(
+                  f"{sf_dir}/nation.parquet").take_all()}
+    region = {r["r_regionkey"]: r["r_name"]
+              for r in read_parquet_clean(
+                  f"{sf_dir}/region.parquet").take_all()}
+    import numpy as np
+
+    # dense lookup arrays indexed by nationkey — one vectorized gather
+    # per batch instead of a per-row dict probe
+    max_nk = max(nation)
+    full_by_nk = np.empty(max_nk + 1, dtype=object)
+    rank0_by_nk = np.empty(max_nk + 1, dtype=object)
+    for nk, (name, rk) in nation.items():
+        rank0_by_nk[nk] = region[rk]
+        full_by_nk[nk] = f"{region[rk]};{name}"
+    lin_ref = ray.put((rank0_by_nk, full_by_nk))
+
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_nationkey",
+                                       "c_acctbal"])
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        rank0_a, full_a = ray.get(lin_ref)
+        nk = np.asarray(batch["c_nationkey"], dtype=np.int64)
+        cents = pc.cast(pc.round(pc.multiply(
+            batch["c_acctbal"], pa.scalar(100.0))), pa.int64())
+        n = batch.num_rows
+        return pa.table({
+            "lineage_rank": pa.array([0] * n + [1] * n, pa.int64()),
+            "lineage": pa.array(np.concatenate([rank0_a[nk], full_a[nk]]),
+                                pa.string()),
+            "acctbal_cents": pa.concat_arrays(
+                [cents.combine_chunks()] * 2),
+        })
+
+    agg = (cust.map_batches(_explode, batch_format="pyarrow")
+           .groupby(["lineage_rank", "lineage"])
+           .aggregate(Count(), Sum("acctbal_cents")))
+
+    def _name(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "lineage_rank": batch["lineage_rank"],
+            "lineage": batch["lineage"],
+            "n_customers": batch["count()"],
+            "sum_acctbal_cents": pc.cast(batch["sum(acctbal_cents)"],
+                                         pa.int64()),
+        })
+
+    return agg.map_batches(_name, batch_format="pyarrow")
