@@ -37,27 +37,53 @@ def _seg_lens(offs: np.ndarray) -> np.ndarray:
     return np.diff(offs).astype(np.int64)
 
 
+_WORK: dict = {}
+
+
+def _wk(key: str, size: int, dtype) -> np.ndarray:
+    """Per-process reusable work buffer. Fresh multi-MB numpy temporaries
+    are mmap'd and returned to the OS on free, so every bisection pass
+    would otherwise re-pay first-touch page faults (measured ~0.3 s per
+    64 MB on this kernel — far more than the compute)."""
+    buf = _WORK.get(key)
+    if buf is None or buf.size < size or buf.dtype != dtype:
+        _WORK[key] = buf = np.empty(int(size * 1.5) + 16, dtype)
+    return buf[:size]
+
+
 def _seg_lower_bound(A: np.ndarray, lo0: np.ndarray, hi0: np.ndarray,
                      v: np.ndarray) -> np.ndarray:
     """Vectorized per-element lower_bound of ``v[i]`` within the sorted
     slice ``A[lo0[i]:hi0[i]]``. Returns insertion positions (int64,
     absolute into ``A``). log₂(max slice) gather/compare passes."""
     lo = lo0.astype(np.int64).copy()
-    sz = hi0.astype(np.int64) - lo
     if len(lo) == 0:
         return lo
+    n = len(lo)
+    sz = np.subtract(hi0.astype(np.int64), lo, out=_wk("lb_sz", n, np.int64))
     amax = A.size - 1
     n_iter = int(np.int64(sz.max()).item().bit_length())
-    # branchless (lo, size) bisection — no boolean fancy indexing, which
-    # materializes index arrays per pass and dominated the loop's cost
+    # branchless (lo, size) bisection; every temporary lives in the reused
+    # work pool (no boolean fancy indexing, no fresh allocations per pass)
+    half = _wk("lb_half", n, np.int64)
+    mid = _wk("lb_mid", n, np.int64)
+    gath = _wk("lb_gath", n, A.dtype)
+    cond = _wk("lb_cond", n, bool)
+    nz = _wk("lb_nz", n, bool)
+    step = _wk("lb_step", n, np.int64)
     for _ in range(n_iter):
-        half = sz >> 1
-        mid = lo + half
+        np.right_shift(sz, 1, out=half)
+        np.add(lo, half, out=mid)
         np.minimum(mid, amax, out=mid)
-        cond = A[mid] < v
-        cond &= sz > 0
-        lo += (half + 1) * cond
-        sz = np.where(cond, sz - half - 1, half)
+        np.take(A, mid, out=gath)
+        np.less(gath, v, out=cond)
+        np.greater(sz, 0, out=nz)
+        cond &= nz
+        np.add(half, 1, out=step)
+        np.add(lo, step, out=lo, where=cond)
+        np.subtract(sz, step, out=sz, where=cond)
+        np.logical_not(cond, out=nz)
+        np.copyto(sz, half, where=nz)
     return lo
 
 

@@ -133,12 +133,12 @@ def dedup_pipeline(
         # materialize once into the object store instead of recomputing
         sigs = sigs.materialize()
 
-    pairs = candidate_pairs(sigs, cfg, distinct=False)
-    from ..stages.verify import VERIFIED_SCHEMA
-
-    verified = dedup_pairs(verify_pairs(pairs, sigs, cfg),
-                           cfg.exec.group_parts,
-                           out_schema=VERIFIED_SCHEMA)
+    # distinct pairs BEFORE verify: with the vectorized scorer a verify
+    # pass over band-duplicated pairs (~10× rows) costs more than the
+    # pair dedup it used to hide behind; verified output needs no
+    # post-dedup because verify is per-pair deterministic
+    pairs = candidate_pairs(sigs, cfg)
+    verified = verify_pairs(pairs, sigs, cfg)
     if checkpoint_dir:
         verified, _ = checkpoint_dataset(
             verified, os.path.join(checkpoint_dir, "verified_pairs"),

@@ -268,14 +268,41 @@ def _build_sorted_broadcast(*blocks):
     return ids, offs, data.copy()
 
 
-def _gather_segments(offs_s, data_s, pos: np.ndarray):
+_SCRATCH: dict = {}
+
+
+def _scratch_buf(key: str, size: int, dtype=np.uint8) -> np.ndarray:
+    """Per-worker-process reusable buffer. Fresh large numpy allocations
+    pay first-touch page-fault cost on every batch (mmap'd and returned to
+    the OS on free — measured ~0.3 s per 64 MB on this kernel, dwarfing
+    the actual copy); growing a cached buffer once amortizes that across
+    all batches a worker processes."""
+    buf = _SCRATCH.get(key)
+    if buf is None or buf.size < size:
+        _SCRATCH[key] = buf = np.empty(int(size * 1.5) + 16, dtype)
+    return buf[:size]
+
+
+def _gather_segments(offs_s, data_s, pos: np.ndarray, key: str = "g"):
     """Contiguous (byte_offsets, bytes) of the segments at sorted positions
-    ``pos`` — one vectorized gather from the broadcast buffer."""
+    ``pos``, copied into the reused scratch buffer.
+
+    A per-pair memcpy loop (~1-2 µs each) beats the fully-vectorized
+    ``np.repeat``+fancy-index formulation here: that builds two fresh
+    index arrays plus the output (3× the segment bytes in NEW allocations
+    per batch), all paid at page-fault speed, while this writes the bytes
+    once into warm memory."""
     starts = offs_s[pos]
     lens = offs_s[pos + 1] - starts
-    idx = np.repeat(starts, lens) + _local(lens)
-    out_offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
-    return out_offs, data_s[idx]
+    out_offs = np.empty(len(pos) + 1, np.int64)
+    out_offs[0] = 0
+    np.cumsum(lens, out=out_offs[1:])
+    out = _scratch_buf(key, int(out_offs[-1]), data_s.dtype)
+    for i in range(len(pos)):
+        o = out_offs[i]
+        s = starts[i]
+        out[o:o + lens[i]] = data_s[s:s + lens[i]]
+    return out_offs, out
 
 
 def score_pairs(pairs, blobs, cfg: EngineConfig, scorer: _SegmentScorer,
@@ -324,8 +351,8 @@ def score_pairs(pairs, blobs, cfg: EngineConfig, scorer: _SegmentScorer,
                 if len(ids_w) else np.zeros(len(a_np), bool)
             keep = np.flatnonzero(ok)
             sel = pa.array(keep, pa.int64())
-            oa, da = _gather_segments(offs_s, data_s, ia_c[keep])
-            ob, db = _gather_segments(offs_s, data_s, ib_c[keep])
+            oa, da = _gather_segments(offs_s, data_s, ia_c[keep], key="ga")
+            ob, db = _gather_segments(offs_s, data_s, ib_c[keep], key="gb")
             return scorer.score(batch["a"].take(sel), batch["b"].take(sel),
                                 oa, da, ob, db)
 
