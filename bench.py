@@ -52,8 +52,11 @@ def _consume(res) -> int:
 def run_flagship(sf_dir: str, warmup: bool = True) -> dict:
     """Transcripts near-dup dedup end-to-end; returns timings + turns/s.
 
-    A tiny warm-up run (sf0.001) first forces worker spawn + imports so the
-    timed region measures steady-state throughput, not cold-start."""
+    Warm-up runs (sf0.001 then sf0.01) first force worker spawn, imports
+    AND growth of the per-worker scratch pools (fresh multi-MB numpy
+    allocations pay ~0.3 s/64 MB of first-touch page faults on this
+    kernel), so the timed region measures steady-state throughput, not
+    cold-start."""
     import ray.data
 
     from sourmash_ray.pipelines.dedup import dedup_pipeline
@@ -61,6 +64,7 @@ def run_flagship(sf_dir: str, warmup: bool = True) -> dict:
 
     if warmup:
         dedup_pipeline("/root/testdata/sf0.001")["clusters"].count()
+        dedup_pipeline("/root/testdata/sf0.01")["clusters"].count()
     path = transcripts_path(sf_dir)  # synthesized outside the timed region
     n_turns = ray.data.read_parquet(path).count()
     t0 = time.perf_counter()
