@@ -1,0 +1,143 @@
+"""Extension registry: load_from / save_to / picklist-coltype seams.
+
+The reference exposes plugin hooks through Python entry points
+(``/root/reference/src/sourmash/plugins.py:45-188``: ``load_from`` and
+``save_to`` plugins tried in priority order, plus CLI subcommand
+plugins). This engine's analogue is an in-process registry keyed by URI
+scheme / priority:
+
+- loaders: ``(priority, name, fn)`` where ``fn(location) ->
+  ray.data.Dataset | None`` — first non-None wins, reference semantics of
+  ``_load_database`` trying load_from plugins in priority order.
+- savers: scheme → ``fn(sig_rows_or_dataset, location)``; picked by the
+  location's scheme (``scheme://path``) or file suffix, mirroring
+  ``save_to``'s ``SaveSignaturesToLocation`` dispatch
+  (``sourmash_args.py`` suffix table).
+- picklist coltypes: third-party coltype preprocessors can be added to
+  ``stages.picklist.PREPROCESS`` through :func:`register_picklist_coltype`.
+
+Entry-point discovery is replaced by explicit registration (no package
+metadata machinery in a pipeline container); the built-in Parquet and
+``.sig`` JSON codecs register themselves below, so ``load_any`` /
+``save_any`` work out of the box.
+"""
+from __future__ import annotations
+
+import os
+from bisect import insort
+
+_LOADERS: list[tuple[int, str, object]] = []  # (priority, name, fn)
+_SAVERS: dict[str, object] = {}               # scheme/suffix -> fn
+
+
+def register_loader(name: str, fn, priority: int = 50) -> None:
+    """``fn(location) -> Dataset | None`` (None = not mine). Lower
+    priority runs first (reference: plugin priority attribute)."""
+    insort(_LOADERS, (priority, name, fn), key=lambda t: (t[0], t[1]))
+
+
+def register_saver(scheme_or_suffix: str, fn) -> None:
+    """``fn(rows_or_dataset, location)``; key is a URI scheme ('parquet')
+    or a filename suffix ('.sig', '.sig.gz')."""
+    _SAVERS[scheme_or_suffix] = fn
+
+
+def register_picklist_coltype(name: str, fn) -> None:
+    """Add a picklist coltype preprocessor (pa.Array -> pa.Array) —
+    the ``picklist_filters`` plugin hook."""
+    from .stages.picklist import PREPROCESS
+
+    PREPROCESS[name] = fn
+
+
+def loaders() -> list[tuple[int, str, object]]:
+    return list(_LOADERS)
+
+
+def load_any(location: str):
+    """Try every registered loader in priority order; first non-None
+    wins (``plugins.py:45-66`` + ``sourmash_args.py`` load chain)."""
+    errors = []
+    for _, name, fn in _LOADERS:
+        try:
+            out = fn(location)
+        except Exception as e:  # a loader that can't parse it → next
+            errors.append(f"{name}: {e}")
+            continue
+        if out is not None:
+            return out
+    raise ValueError(
+        f"no registered loader recognized {location!r}"
+        + (f" (tried: {'; '.join(errors)})" if errors else ""))
+
+
+def save_any(rows_or_dataset, location: str):
+    """Dispatch on 'scheme://path' or file suffix."""
+    if "://" in location:
+        scheme, path = location.split("://", 1)
+        if scheme not in _SAVERS:
+            raise ValueError(f"no saver registered for scheme {scheme!r}")
+        return _SAVERS[scheme](rows_or_dataset, path)
+    for suffix in sorted(_SAVERS, key=len, reverse=True):
+        if location.endswith(suffix):
+            return _SAVERS[suffix](rows_or_dataset, location)
+    raise ValueError(f"no saver registered for {location!r}")
+
+
+# ---------------------------------------------------------------------------
+# built-in codecs
+# ---------------------------------------------------------------------------
+
+
+def _load_parquet_dir(location: str):
+    if location.endswith(".parquet") or (
+            os.path.isdir(location) and any(
+                f.endswith(".parquet") for f in os.listdir(location))):
+        from .sources.tables import read_parquet_clean
+
+        return read_parquet_clean(location)
+    return None
+
+
+def _load_sigjson(location: str):
+    if location.endswith((".sig", ".sig.gz", ".sig.json")):
+        import ray.data
+
+        from .sources.sigjson import read_sig_json
+
+        return ray.data.from_arrow(read_sig_json(location))
+    return None
+
+
+def _save_parquet(rows_or_dataset, path: str):
+    import ray.data
+
+    if isinstance(rows_or_dataset, ray.data.Dataset):
+        rows_or_dataset.write_parquet(path)
+        return path
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pylist(rows_or_dataset), path)
+    return path
+
+
+def _save_sigjson(rows_or_dataset, path: str):
+    import ray.data
+
+    from .sources.sigjson import write_sig_json
+
+    rows = (rows_or_dataset.take_all()
+            if isinstance(rows_or_dataset, ray.data.Dataset)
+            else rows_or_dataset)
+    write_sig_json(rows, path)
+    return path
+
+
+register_loader("parquet", _load_parquet_dir, priority=20)
+register_loader("sigjson", _load_sigjson, priority=10)
+register_saver("parquet", _save_parquet)
+register_saver(".parquet", _save_parquet)
+register_saver("sig", _save_sigjson)
+register_saver(".sig", _save_sigjson)
+register_saver(".sig.gz", _save_sigjson)

@@ -1,0 +1,71 @@
+"""Extension registry (load_from/save_to/picklist hooks) —
+``/root/reference/src/sourmash/plugins.py:45-188`` semantics."""
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from sourmash_ray import plugins
+
+
+def test_priority_order_first_non_none_wins(tmp_path):
+    calls = []
+
+    def a(loc):
+        calls.append("a")
+        return None
+
+    def b(loc):
+        calls.append("b")
+        return "B"
+
+    plugins.register_loader("zz_test_a", a, priority=1)
+    plugins.register_loader("zz_test_b", b, priority=2)
+    try:
+        assert plugins.load_any("whatever://x") == "B"
+        assert calls == ["a", "b"]
+    finally:
+        plugins._LOADERS[:] = [t for t in plugins._LOADERS
+                               if not t[1].startswith("zz_test")]
+
+
+def test_load_save_roundtrip_sigjson(ray_session, tmp_path):
+    rows = [{"conv_id": "c1", "mins": np.array([5, 9, 11], np.uint64),
+             "md5": "ab", "abunds": None, "ksize": 31, "scaled": 16}]
+    p = str(tmp_path / "out.sig")
+    plugins.save_any(rows, p)
+    ds = plugins.load_any(p)
+    got = ds.take_all()
+    assert got[0]["conv_id"] == "c1"
+    assert list(got[0]["mins"]) == [5, 9, 11]
+
+
+def test_load_save_roundtrip_parquet(ray_session, tmp_path):
+    import ray.data
+
+    tbl = pa.table({"x": pa.array([1, 2, 3], pa.int64())})
+    ds = ray.data.from_arrow(tbl)
+    out = str(tmp_path / "pq_dir")
+    plugins.save_any(ds, f"parquet://{out}")
+    back = plugins.load_any(out)
+    assert sorted(r["x"] for r in back.take_all()) == [1, 2, 3]
+
+
+def test_unknown_location_raises():
+    with pytest.raises(ValueError, match="no registered loader"):
+        plugins.load_any("/nonexistent/blob.xyz")
+    with pytest.raises(ValueError, match="no saver registered"):
+        plugins.save_any([], "foo://bar")
+
+
+def test_register_picklist_coltype(ray_session):
+    import pyarrow.compute as pc
+
+    from sourmash_ray.stages.picklist import PREPROCESS, preprocess_column
+
+    plugins.register_picklist_coltype(
+        "zz_upper", lambda c: pc.utf8_upper(c))
+    try:
+        out = preprocess_column(pa.array(["ab", "cd"]), "zz_upper")
+        assert out.to_pylist() == ["AB", "CD"]
+    finally:
+        PREPROCESS.pop("zz_upper", None)
