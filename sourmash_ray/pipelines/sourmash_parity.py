@@ -62,6 +62,7 @@ def _scan_kernel(batch: pa.Table, q_ref, num: int,
         "containment_query": pa.array(cqs, pa.float64()),
         "containment_match": pa.array(csq, pa.float64()),
         "overlap": pa.array(c.astype(np.int64), pa.int64()),
+        "n_hashes_match": pa.array(ls.astype(np.int64), pa.int64()),
     })
     mask = np.ones(len(c), bool)
     if min_overlap:
@@ -110,10 +111,14 @@ def search(sigs, query_id: str, cfg: EngineConfig = DEFAULT_CONFIG,
 
 
 def prefetch(sigs, query_id: str, cfg: EngineConfig = DEFAULT_CONFIG,
-             threshold_hashes: int = 3):
+             threshold_hashes: int = 3, estimate_ani: bool = False):
     """``sourmash prefetch``: every subject whose overlap with the query is
     ≥ threshold_hashes (the threshold_bp→hash-count rule,
-    ``search.py:15-37``), sorted by overlap desc."""
+    ``search.py:15-37``), sorted by overlap desc.
+
+    ``estimate_ani=True`` appends the PrefetchResult ANI family
+    (``search.py:367-433``: query/match/max containment ANI +
+    potential_false_negative), vectorized per batch."""
     q = _query_mins(sigs, query_id)
     q_ref = ray.put(q)
     hits = sigs.select_columns(["conv_id", "mins", "md5"]).map_batches(
@@ -121,6 +126,40 @@ def prefetch(sigs, query_id: str, cfg: EngineConfig = DEFAULT_CONFIG,
                                min_overlap=threshold_hashes,
                                exclude_id=query_id),
         batch_format="pyarrow")
+    if estimate_ani:
+        ksize = cfg.sketch.ksize
+        scaled = max(1, cfg.sketch.scaled)
+        q_n = max(1, q.size)
+
+        def _ani(batch: pa.Table) -> pa.Table:
+            from ..functions.distance import containment_ani_arrays
+
+            lm = np.maximum(np.asarray(batch["n_hashes_match"]), 1)
+            qc = containment_ani_arrays(
+                np.asarray(batch["containment_query"]), ksize, scaled,
+                np.full(batch.num_rows, q_n * scaled, np.float64))
+            mc = containment_ani_arrays(
+                np.asarray(batch["containment_match"]), ksize, scaled,
+                lm * scaled)
+            mxc = containment_ani_arrays(
+                np.maximum(np.asarray(batch["containment_query"]),
+                           np.asarray(batch["containment_match"])),
+                ksize, scaled, np.minimum(q_n, lm) * scaled)
+            pfn = ((qc["p_nothing_in_common"] > 1e-3)
+                   | (mc["p_nothing_in_common"] > 1e-3))
+            for name, arr in [
+                    ("query_containment_ani", qc["ani"]),
+                    ("match_containment_ani", mc["ani"]),
+                    ("average_containment_ani",
+                     (qc["ani"] + mc["ani"]) / 2.0),
+                    ("max_containment_ani", mxc["ani"]),
+            ]:
+                batch = batch.append_column(name,
+                                            pa.array(arr, pa.float64()))
+            return batch.append_column("potential_false_negative",
+                                       pa.array(pfn, pa.bool_()))
+
+        hits = hits.map_batches(_ani, batch_format="pyarrow")
     return hits.sort(["overlap", "md5"], descending=[True, False])
 
 

@@ -270,3 +270,26 @@ def test_angular_pairs_exchange_fallback_equals_broadcast(sigs):
               for r in angular_pairs(pairs, sigs, forced_cfg, threshold=0.0)
               .take_all()}
     assert base and forced == pytest.approx(base)
+
+
+def test_prefetch_ani_columns(sigs, oracle_sketches):
+    """PrefetchResult ANI family (search.py:367-433): vectorized columns
+    agree with the scalar containment_to_distance estimator."""
+    from sourmash_ray.functions.distance import containment_to_distance
+    from sourmash_ray.pipelines.sourmash_parity import prefetch
+
+    clones = [c for c in oracle_sketches if "_xd" in c]
+    q = clones[0]
+    rows = prefetch(sigs, q, CFG, threshold_hashes=1,
+                    estimate_ani=True).take_all()
+    assert rows
+    scaled = max(1, CFG.sketch.scaled)
+    q_n = len(oracle_sketches[q]["mins"])
+    for r in rows[:10]:
+        exp = containment_to_distance(
+            min(1.0, r["containment_query"]), CFG.sketch.ksize, scaled,
+            n_unique_kmers=q_n * scaled)
+        assert r["query_containment_ani"] == pytest.approx(exp.ani,
+                                                           rel=1e-9)
+        assert r["average_containment_ani"] == pytest.approx(
+            (r["query_containment_ani"] + r["match_containment_ani"]) / 2)
