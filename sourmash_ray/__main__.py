@@ -62,6 +62,19 @@ def main(argv=None):
     add("compare").add_argument("--out", required=True)
     add("describe")
     add("index").add_argument("--out", required=True)
+    di = add("distinct")
+    di.add_argument("--exact", action="store_true",
+                    help="exact COUNT(DISTINCT) via the exchange instead "
+                         "of the HLL estimate")
+    di.add_argument("--p", type=int, default=14,
+                    help="HLL precision (registers = 2^p)")
+    add("tax-rollup")
+    pk = add("picklist")
+    pk.add_argument("--coltype", default="ident",
+                    help="name|md5|ident|identprefix|md5short")
+    pk.add_argument("--values", required=True,
+                    help="comma-separated picked values")
+    pk.add_argument("--exclude", action="store_true")
 
     args = p.parse_args(argv)
     _init_ray(args.num_cpus)
@@ -118,6 +131,29 @@ def main(argv=None):
             idx = build_inverted_index(_sigs(args))
             write_index(idx, args.out)
             print(json.dumps({"entries": idx.count(), "out": args.out}))
+        elif args.cmd == "distinct":
+            from .pipelines.docops import (
+                approx_distinct_tokens, distinct_tokens_exact,
+            )
+
+            tbl = (distinct_tokens_exact(args.sf) if args.exact
+                   else approx_distinct_tokens(args.sf, p=args.p))
+            print(json.dumps(tbl.to_pylist()[0]))
+        elif args.cmd == "tax-rollup":
+            from .pipelines.relational import tax_rollup_customers
+
+            for r in tax_rollup_customers(args.sf).take_all():
+                print(json.dumps(r))
+        elif args.cmd == "picklist":
+            from .stages.picklist import PickStyle, picklist_filter
+
+            style = (PickStyle.EXCLUDE if args.exclude
+                     else PickStyle.INCLUDE)
+            out = picklist_filter(
+                _sigs(args).select_columns(["conv_id", "md5"]), "conv_id",
+                args.values.split(","), coltype=args.coltype, style=style)
+            for r in out.take(25):
+                print(json.dumps(r))
     finally:
         ray.shutdown()
 
