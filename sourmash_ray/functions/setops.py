@@ -351,3 +351,17 @@ def as_hll(s: Sketch, error_rate: float = 0.01) -> np.ndarray:
     if len(s.mins):
         hll_add_hashes(regs, np.asarray(s.mins, np.uint64))
     return regs
+
+
+def format_bp(bp) -> str:
+    """Pretty-print bp counts (``search.py:667-678`` exactly)."""
+    bp = float(bp)
+    if bp < 500:
+        return f"{bp:.0f} bp"
+    if bp <= 500e3:
+        return f"{round(bp / 1e3, 1):.1f} kbp"
+    if bp < 500e6:
+        return f"{round(bp / 1e6, 1):.1f} Mbp"
+    if bp < 500e9:
+        return f"{round(bp / 1e9, 1):.1f} Gbp"
+    return "???"

@@ -271,3 +271,31 @@ def tax_rollup_customers(sf_dir: str):
         })
 
     return agg.map_batches(_name, batch_format="pyarrow")
+
+
+def krona_rows(sf_dir: str, rank: int = 1):
+    """Krona-format rows from the lineage rollup
+    (``tax_utils.py:1019-1085`` format_for_krona/write_krona): header
+    (fraction, rank names...), then one row per lineage at ``rank``
+    sorted by fraction desc, lineage split into per-rank columns.
+    Fractions are of total customer count (the f_weighted analogue)."""
+    rows = [r for r in tax_rollup_customers(sf_dir).take_all()
+            if r["lineage_rank"] == rank]
+    total = sum(r["n_customers"] for r in rows) or 1
+    rows.sort(key=lambda r: (-r["n_customers"], r["lineage"]))
+    header = ("fraction", "region", "nation")[: rank + 2]
+    out = [(r["n_customers"] / total, *r["lineage"].split(";"))
+           for r in rows]
+    return header, out
+
+
+def write_krona(sf_dir: str, out_path: str, rank: int = 1, sep: str = "\t"):
+    """``write_krona`` (``tax_utils.py:1075-1085``): TSV with header."""
+    import csv
+
+    header, rows = krona_rows(sf_dir, rank)
+    with open(out_path, "w", newline="") as f:
+        w = csv.writer(f, delimiter=sep)
+        w.writerow(header)
+        w.writerows(rows)
+    return out_path

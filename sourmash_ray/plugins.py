@@ -134,6 +134,15 @@ def _save_sigjson(rows_or_dataset, path: str):
     return path
 
 
+def _load_csv(location: str):
+    if location.endswith((".csv", ".csv.gz")):
+        import ray.data
+
+        return ray.data.read_csv(location)
+    return None
+
+
+register_loader("csv", _load_csv, priority=30)
 register_loader("parquet", _load_parquet_dir, priority=20)
 register_loader("sigjson", _load_sigjson, priority=10)
 register_saver("parquet", _save_parquet)

@@ -69,3 +69,26 @@ def test_register_picklist_coltype(ray_session):
         assert out.to_pylist() == ["AB", "CD"]
     finally:
         PREPROCESS.pop("zz_upper", None)
+
+
+def test_csv_loader_and_krona_writer(ray_session, tmp_path):
+    import csv
+
+    p = str(tmp_path / "pick.csv")
+    with open(p, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["ident"])
+        w.writerows([["a"], ["b"]])
+    ds = plugins.load_any(p)
+    assert sorted(r["ident"] for r in ds.take_all()) == ["a", "b"]
+
+    from sourmash_ray.pipelines.relational import krona_rows, write_krona
+
+    header, rows = krona_rows("/root/testdata/sf0.001", rank=1)
+    assert header == ("fraction", "region", "nation")
+    fracs = [r[0] for r in rows]
+    assert fracs == sorted(fracs, reverse=True)
+    assert abs(sum(fracs) - 1.0) < 1e-9
+    out = write_krona("/root/testdata/sf0.001", str(tmp_path / "k.tsv"))
+    first = open(out).readline().strip().split("\t")
+    assert first == ["fraction", "region", "nation"]
