@@ -97,6 +97,8 @@ def batch_shingle_hashes(
     grouped by row in order. The analogue of ``SeqToHashes``
     (``signature.rs:166-399``) vectorized across a whole Arrow batch.
     """
+    from ..functions.segscore import _wk
+
     n = len(norm)
     offs, data = _string_buffers(norm)
     lens = offs[1:] - offs[:-1]
@@ -105,10 +107,25 @@ def batch_shingle_hashes(
     if total == 0:
         return (np.empty(0, np.uint64), np.empty(0, np.int64),
                 counts.astype(np.uint64))
-    rows = np.repeat(np.arange(n, dtype=np.int64), counts)
+    # the two total-sized outputs live in the per-worker scratch pool
+    # (valid until the NEXT batch in this worker — every caller consumes
+    # them within its __call__): fresh multi-MB allocations are mmap'd +
+    # page-faulted per batch on this kernel, which dominated the stage
+    hashes = _wk("sh_hashes", total, np.uint64)
+    rows = _wk("sh_rows", total, np.int64)
+    # rows = repeat(arange(n), counts) without the fresh allocation:
+    # marker scatter + cumsum (np.add.at handles zero-count rows that
+    # share a boundary index)
     cum = np.concatenate([[0], np.cumsum(counts)[:-1]])
-    within = np.arange(total, dtype=np.int64) - np.repeat(cum, counts)
-    starts = offs[:-1][rows] + within
+    rows[:] = 0
+    if n > 1:
+        marks = cum[1:]
+        np.add.at(rows, marks[marks < total], 1)
+    np.cumsum(rows, out=rows)
+    # trailing zero-count rows put markers at index == total (dropped
+    # above); they emit no shingles so no row id is lost
+    # starts = offs[row] + (global_idx - cum[row]) = base[row] + global_idx
+    base = (offs[:-1] - cum).astype(np.int64)
     # gather via a zero-copy sliding view + one row take — a 2D index-matrix
     # gather here allocates an (n_shingles, ksize) int64 index (≈20× the
     # window bytes) and was the pipeline's hottest line. Windows are
@@ -118,15 +135,18 @@ def batch_shingle_hashes(
     data = np.concatenate([data, np.zeros(8, np.uint8)])
     view = np.lib.stride_tricks.sliding_window_view(data, width)
     # cache-blocked: hash in ~64k-shingle chunks so the dozen u64
-    # temporaries stay L2-sized — with 32 concurrent tasks the unchunked
-    # version's ~80 MB working set saturates shared L3/DRAM bandwidth and
-    # the whole stage stops scaling past ~16 cores
-    hashes = np.empty(total, np.uint64)
+    # temporaries stay L2-sized (and heap-served, not mmap-churned) —
+    # with 32 concurrent tasks an unchunked ~80 MB working set saturates
+    # shared L3/DRAM bandwidth and the stage stops scaling past ~16 cores
     step = 65536
+    st = _wk("sh_starts", min(step, total), np.int64)
     for lo in range(0, total, step):
         hi = min(lo + step, total)
+        m = hi - lo
+        np.take(base, rows[lo:hi], out=st[:m])
+        st[:m] += np.arange(lo, hi, dtype=np.int64)
         hashes[lo:hi] = murmur64_fixedlen(
-            view[starts[lo:hi]], seed=seed, length=ksize)
+            view[st[:m]], seed=seed, length=ksize)
     return hashes, rows, counts.astype(np.uint64)
 
 
