@@ -276,3 +276,43 @@ def test_angular_exchange_equals_broadcast(ray_session):
                  for r in angular_pairs(pairs, sigs, cfg_x,
                                         threshold=0.1).take_all())
     assert want and got == want
+
+
+def test_two_level_exchange_equals_single_level(ray_session):
+    """Forcing the two-level path (max_fanout below n_parts) must produce
+    exactly the single-level exchange's partitions (SCALE.md §2)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from sourmash_ray.stages.exchange import exchange_map_groups
+
+    rng = np.random.default_rng(9)
+    n = 20_000
+    tbl = pa.table({
+        "k": pa.array(rng.integers(0, 10_000, n), pa.int64()),
+        "v": pa.array(rng.integers(0, 1 << 40, n), pa.int64()),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(7)
+    schema = pa.schema([("k", pa.int64()), ("sum_v", pa.int64())])
+
+    def merge(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return schema.empty_table()
+        import pyarrow.compute as pc
+
+        g = part.group_by("k").aggregate([("v", "sum")])
+        g = g.sort_by("k")
+        return pa.table({"k": g["k"],
+                         "sum_v": pc.cast(g["v_sum"], pa.int64())})
+
+    n_parts = 37
+    single = exchange_map_groups(ds, "k", n_parts, merge, schema,
+                                 max_fanout=256).take_all()
+    double = exchange_map_groups(ds, "k", n_parts, merge, schema,
+                                 max_fanout=8).take_all()
+    key = lambda r: (r["k"], r["sum_v"])
+    assert sorted(map(key, single)) == sorted(map(key, double))
+    # exact totals
+    assert sum(r["sum_v"] for r in double) == int(
+        np.asarray(tbl["v"]).sum())
