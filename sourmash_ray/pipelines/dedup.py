@@ -20,7 +20,7 @@ import pyarrow as pa
 from ..config import EngineConfig, DEFAULT_CONFIG
 from ..sources.transcripts import read_transcripts
 from ..stages.cluster import assign_clusters
-from ..stages.lsh import candidate_pairs, dedup_pairs
+from ..stages.lsh import candidate_pairs
 from ..stages.sketch import sketch_transcripts
 from ..stages.verify import verify_pairs
 from ..state.checkpoint import checkpoint_dataset
@@ -138,6 +138,10 @@ def dedup_pipeline(
     # pair dedup it used to hide behind; verified output needs no
     # post-dedup because verify is per-pair deterministic
     pairs = candidate_pairs(sigs, cfg)
+    # launch the exact-dup md5 exchange NOW: its raw Ray tasks run
+    # concurrently with the verify materialization below (independent
+    # branches over the same materialized sigs)
+    exact_edges = exact_dup_edges(sigs)
     verified = verify_pairs(pairs, sigs, cfg)
     if checkpoint_dir:
         verified, _ = checkpoint_dataset(
@@ -146,7 +150,7 @@ def dedup_pipeline(
     else:
         verified = verified.materialize()
 
-    edges = verified.select_columns(["a", "b"]).union(exact_dup_edges(sigs))
+    edges = verified.select_columns(["a", "b"]).union(exact_edges)
     clusters = assign_clusters(sigs, edges, cfg)
     if checkpoint_dir:
         clusters, _ = checkpoint_dataset(
