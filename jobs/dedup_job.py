@@ -1,0 +1,83 @@
+"""``ray job submit`` entrypoint for the flagship near-dup pipeline.
+
+On a real cluster (the north rule's deployment shape):
+
+    ray job submit --address http://<head>:8265 \
+        --working-dir . -- python jobs/dedup_job.py \
+        --input s3://bucket/transcripts/ --out s3://bucket/dedup_out/ \
+        --checkpoint-dir s3://bucket/dedup_ckpt/
+
+The job connects to the cluster it was submitted to (``ray.init()``
+inside a submitted job attaches to the running cluster), streams the
+input Parquet through sketch → LSH → verify → clustering, writes
+partitioned Parquet, and reports throughput metrics on stdout (one JSON
+line — the driver-side lineage metric the north rule asks for).
+``--checkpoint-dir`` enables stage + partition-level resume: resubmitting
+the identical job skips completed work.
+
+In this sandbox there is no dashboard/job server; the same entrypoint
+runs directly (``python jobs/dedup_job.py --input <sf_dir>``) against a
+local session.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True,
+                    help="transcripts Parquet dir or sf dir")
+    ap.add_argument("--out", default=None,
+                    help="output dir for clusters Parquet")
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--num-cpus", type=int, default=None,
+                    help="local-mode only; ignored on a cluster")
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        # inside `ray job submit` this attaches to the cluster; locally it
+        # starts a session
+        kwargs = {}
+        if args.num_cpus:
+            kwargs = dict(address="local", num_cpus=args.num_cpus,
+                          include_dashboard=False)
+        ray.init(**kwargs)
+
+    from sourmash_ray.config import DEFAULT_CONFIG
+    from sourmash_ray.pipelines.dedup import dedup_pipeline
+
+    t0 = time.perf_counter()
+    out = dedup_pipeline(args.input, DEFAULT_CONFIG,
+                         checkpoint_dir=args.checkpoint_dir)
+    clusters = out["clusters"]
+    if args.out:
+        clusters.write_parquet(args.out)
+        n = clusters.count()
+    else:
+        n = clusters.count()
+    wall = time.perf_counter() - t0
+    print(json.dumps({
+        "job": "dedup_transcripts",
+        "input": args.input,
+        "clusters_rows": n,
+        "verified_pairs": out["verified_pairs"].count(),
+        "wall_s": round(wall, 2),
+        "cluster_cpus": ray.cluster_resources().get("CPU"),
+        "out": args.out,
+        "checkpoint_dir": args.checkpoint_dir,
+    }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
