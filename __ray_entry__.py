@@ -124,6 +124,15 @@ def _gather_q(sf_dir: str):
     return gather(sigs, _clone_query_id(sigs), threshold_hashes=3)
 
 
+def _categorize_q(sf_dir: str):
+    """1-NN best-match labeling of a query subset vs the collection
+    (``commands.py:758-833``)."""
+    from sourmash_ray.pipelines.sourmash_parity import categorize
+
+    sigs = _sigs_for(sf_dir)
+    return categorize(sigs.limit(64).materialize(), sigs, threshold=0.05)
+
+
 def _compare_q(sf_dir: str):
     from sourmash_ray.pipelines.sourmash_parity import compare_exact
 
@@ -202,6 +211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefetch_transcripts": _prefetch_q,
         "gather_transcripts": _gather_q,
         "compare_exact_small": _compare_q,
+        "categorize_transcripts": _categorize_q,
         "sig_downsample": _sig_downsample_q,
         "sig_describe": _sig_describe_q,
         # --- flagship: transcripts near-dup (non-SQL; rows-only checks) ---

@@ -438,3 +438,81 @@ def compare_exact(sigs, cfg: EngineConfig = DEFAULT_CONFIG,
 
     return sigs.select_columns(["conv_id", "mins"]).map_batches(
         _cross, batch_format="pyarrow")
+
+
+CATEGORIZE_SCHEMA = pa.schema([
+    ("query", pa.string()),
+    ("match", pa.string()),
+    ("similarity", pa.float64()),
+])
+
+
+def categorize(query_sigs, ref_sigs, cfg: EngineConfig = DEFAULT_CONFIG,
+               threshold: float = 0.08):
+    """``sourmash categorize`` (``commands.py:758-833``): for EVERY query
+    signature, the best-jaccard reference match above ``threshold``,
+    self-matches excluded by md5 identity. One row per query that has a
+    match; ties broken by match md5 then id (the reference's sort is
+    similarity-only — this adds a deterministic tiebreak).
+
+    Scale shape: the reference collection is broadcast once (sorted blob
+    arrays via one remote build task); each query batch scores all refs
+    with one vectorized :func:`query_jaccard_stats` call per query row —
+    the same per-query cost the reference's linear ``db.find`` pays,
+    distributed over query batches."""
+    from ..stages.verify import _blob_views, mins_to_blob
+
+    def _blob_with_md5(batch: pa.Table) -> pa.Table:
+        return mins_to_blob(batch).append_column("md5", batch["md5"])
+
+    blobs = ref_sigs.select_columns(["conv_id", "mins", "md5"]).map_batches(
+        _blob_with_md5, batch_format="pyarrow")
+
+    @ray.remote
+    def _build(*blocks):
+        tables = [t for t in blocks if t.num_rows]
+        tbl = pa.concat_tables(tables).combine_chunks()
+        md5s = np.array(tbl["md5"].to_pylist(), dtype=object)
+        ids = np.array(tbl["conv_id"].to_pylist(), dtype=object)
+        order = np.lexsort((ids, md5s))
+        tbl = tbl.take(pa.array(order, pa.int64()))
+        offs, data = _blob_views(tbl["blob"])
+        return ids[order], md5s[order], offs.copy(), data.copy()
+
+    import ray.data as _rd
+
+    refs = blobs.to_arrow_refs()
+    if not refs:
+        return _rd.from_arrow(CATEGORIZE_SCHEMA.empty_table())
+    built = _build.remote(*refs)
+    num = cfg.sketch.num
+
+    def _best(batch: pa.Table) -> pa.Table:
+        ids_r, md5_r, offs_r, data_r = ray.get(built)
+        u = data_r.view(np.uint64)
+        so = offs_r // 8
+        q_ids, q_md5s, rows = [], [], []
+        qb = mins_to_blob(batch)
+        q_offs, q_data = _blob_views(qb["blob"])
+        qu = q_data.view(np.uint64)
+        qo = q_offs // 8
+        for i in range(batch.num_rows):
+            q = qu[qo[i]:qo[i + 1]]
+            c, cj, dj = query_jaccard_stats(q, u, so, num)
+            sim = cj / np.maximum(dj, 1)
+            mask = (sim >= threshold) & (md5_r != batch["md5"][i].as_py())
+            if not mask.any():
+                continue
+            cand = np.flatnonzero(mask)
+            best = cand[np.argmax(sim[cand])]
+            rows.append({
+                "query": batch["conv_id"][i].as_py(),
+                "match": str(ids_r[best]),
+                "similarity": float(sim[best]),
+            })
+        if not rows:
+            return CATEGORIZE_SCHEMA.empty_table()
+        return pa.Table.from_pylist(rows, schema=CATEGORIZE_SCHEMA)
+
+    return query_sigs.select_columns(["conv_id", "mins", "md5"]).map_batches(
+        _best, batch_format="pyarrow")

@@ -293,3 +293,39 @@ def test_prefetch_ani_columns(sigs, oracle_sketches):
                                                            rel=1e-9)
         assert r["average_containment_ani"] == pytest.approx(
             (r["query_containment_ani"] + r["match_containment_ani"]) / 2)
+
+
+def test_categorize_best_match(sigs, oracle_sketches):
+    """categorize ≡ per-query argmax jaccard over the oracle sketches
+    (commands.py:758-833, self-md5 excluded)."""
+    from sourmash_ray.pipelines.sourmash_parity import categorize
+
+    got = {r["query"]: (r["match"], r["similarity"])
+           for r in categorize(sigs, sigs, CFG, threshold=0.05).take_all()}
+    ids = sorted(oracle_sketches)
+    import hashlib
+
+    for q in ids:
+        best, best_sim = None, -1.0
+        for m in ids:
+            if m == q:
+                continue
+            # exclusion is by md5 identity, not name: exact clones of q
+            # are still legal matches only if md5 differs — here sketches
+            # of identical text share md5, mirror that
+            if np.array_equal(oracle_sketches[q]["mins"],
+                              oracle_sketches[m]["mins"]):
+                same_md5 = True
+            else:
+                same_md5 = False
+            if same_md5:
+                continue
+            sim = jaccard_mins(oracle_sketches[q]["mins"],
+                               oracle_sketches[m]["mins"], PARAMS)
+            if sim > best_sim:
+                best, best_sim = m, sim
+        if best_sim >= 0.05:
+            assert q in got, q
+            assert got[q][1] == pytest.approx(best_sim, abs=1e-12), q
+        else:
+            assert q not in got, q
