@@ -1,0 +1,79 @@
+"""Taxonomic summarization of gather results.
+
+The reference's ``tax metagenome`` consumer
+(``/root/reference/src/sourmash/tax/tax_utils.py:2328-2420``
+``summarize_up_ranks`` / ``build_summarized_result``): each gather match
+carries a lineage; at every rank the match's ``f_unique_to_query`` /
+``f_unique_weighted`` / ``unique_intersect_bp`` accumulate into the
+lineage truncated at that rank, results sort by fraction desc, and the
+uncovered remainder becomes an ``unclassified`` row. Gather tables are
+per-query and small, so this is a pure-Arrow function — the distributed
+shape is a ``map_groups`` over per-query gather outputs with the lineage
+map broadcast (same pattern as ``relational.tax_rollup_customers``).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+TAX_SUMMARY_SCHEMA = pa.schema([
+    ("rank", pa.int64()),
+    ("lineage", pa.string()),
+    ("fraction", pa.float64()),
+    ("f_weighted_at_rank", pa.float64()),
+    ("bp_match_at_rank", pa.int64()),
+])
+
+
+def tax_metagenome(gather_tbl: pa.Table, lineage_of: dict,
+                   n_ranks: int | None = None) -> pa.Table:
+    """Summarize one query's gather result at every lineage rank.
+
+    ``lineage_of``: match id → ';'-joined lineage string. Matches with no
+    lineage entry count toward ``unclassified`` (reference behavior for
+    unannotated genomes). Fractions at a rank sum the per-match
+    ``f_unique_to_query`` (disjoint by gather's min-set-cov construction,
+    so sums stay ≤ 1; ``check_values`` raises above 1 in the reference —
+    here a ValueError mirrors it).
+    """
+    matches = gather_tbl["match"].to_pylist()
+    f_uniq = np.asarray(gather_tbl["f_unique_to_query"], np.float64)
+    f_w = np.asarray(gather_tbl["f_unique_weighted"], np.float64)
+    bp = np.asarray(gather_tbl["unique_intersect_bp"], np.int64)
+
+    lineages = [lineage_of.get(m) for m in matches]
+    if n_ranks is None:
+        n_ranks = max((len(s.split(";")) for s in lineages if s),
+                      default=1)
+
+    rows = []
+    for rank in range(n_ranks):
+        acc: dict[str, list] = {}
+        unclassified_f = unclassified_w = 0.0
+        for i, lin in enumerate(lineages):
+            parts = lin.split(";") if lin else []
+            if len(parts) <= rank:
+                unclassified_f += float(f_uniq[i])
+                unclassified_w += float(f_w[i])
+                continue
+            key = ";".join(parts[: rank + 1])
+            slot = acc.setdefault(key, [0.0, 0.0, 0])
+            slot[0] += float(f_uniq[i])
+            slot[1] += float(f_w[i])
+            slot[2] += int(bp[i])
+        covered = sum(v[0] for v in acc.values()) + unclassified_f
+        if covered > 1 + 1e-9:
+            raise ValueError(
+                f"fraction > 1 at rank {rank}: gather rows overlap")
+        # remainder of the query not covered by any match
+        unclassified_f += max(0.0, 1.0 - covered)
+        ordered = sorted(acc.items(), key=lambda kv: (-kv[1][0], kv[0]))
+        for lin, (f, w, b) in ordered:
+            rows.append({"rank": rank, "lineage": lin, "fraction": f,
+                         "f_weighted_at_rank": w, "bp_match_at_rank": b})
+        if unclassified_f > 0:
+            rows.append({"rank": rank, "lineage": "unclassified",
+                         "fraction": unclassified_f,
+                         "f_weighted_at_rank": unclassified_w,
+                         "bp_match_at_rank": 0})
+    return pa.Table.from_pylist(rows, schema=TAX_SUMMARY_SCHEMA)
