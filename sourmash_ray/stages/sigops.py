@@ -209,3 +209,36 @@ def cat_collections(*sig_datasets):
     for ds in sig_datasets[1:]:
         out = out.union(ds)
     return out
+
+
+def write_manifest(sigs, path: str):
+    """Standalone manifest (the reference's ``sig manifest`` /
+    ``CollectionManifest``, ``manifest.py:17-214``): the summary columns
+    of every signature as their OWN small Parquet, so selection reads
+    manifest rows, never sketch payloads."""
+    describe_sigs(sigs).write_parquet(path)
+    return path
+
+
+def select_via_manifest(sigs, manifest_path: str, expr: str):
+    """Manifest-lazy selection (``Index.select`` over a standalone
+    manifest): evaluate ``expr`` on the manifest Parquet (tiny read — no
+    mins column), broadcast the surviving conv_ids, and prune the full
+    collection with one vectorized membership filter. The sketch payloads
+    of non-matching signatures are never deserialized into the query."""
+    import ray
+    import ray.data
+
+    picked = (ray.data.read_parquet(manifest_path)
+              .filter(expr=expr)
+              .select_columns(["conv_id"]))
+    ids = pa.array(sorted(r["conv_id"] for r in picked.take_all()),
+                   pa.string())
+    ids_ref = ray.put(ids)
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch["conv_id"].combine_chunks(),
+                        value_set=ray.get(ids_ref))
+        return batch.filter(keep)
+
+    return sigs.map_batches(_keep, batch_format="pyarrow")

@@ -329,3 +329,20 @@ def test_categorize_best_match(sigs, oracle_sketches):
             assert got[q][1] == pytest.approx(best_sim, abs=1e-12), q
         else:
             assert q not in got, q
+
+
+def test_manifest_write_and_select(sigs, tmp_path):
+    """Standalone manifest: selection via the manifest prunes the
+    collection without touching sketch payloads (manifest.py:17-214)."""
+    from sourmash_ray.stages.sigops import select_via_manifest, write_manifest
+
+    mp = str(tmp_path / "manifest")
+    write_manifest(sigs, mp)
+    out = select_via_manifest(sigs, mp, "n_mins >= 5").take_all()
+    import pyarrow.parquet as pq
+    import glob
+
+    man = pq.read_table(glob.glob(mp + "/*.parquet")[0])
+    assert "mins" not in man.column_names  # manifest has no payloads
+    exp = {r["conv_id"] for r in sigs.take_all() if len(r["mins"]) >= 5}
+    assert {r["conv_id"] for r in out} == exp
