@@ -173,9 +173,13 @@ def describe_sigs(sigs):
         offs, _vals = _list_views(batch["mins"])
         a_offs, a_vals = _list_views(batch["abunds"])
         n = batch.num_rows
-        sums = np.zeros(n, np.int64)
-        for i in range(n):
-            sums[i] = int(a_vals[a_offs[i]:a_offs[i + 1]].sum())
+        # per-row segment sums via prefix sums: exact for empty segments
+        # (reduceat mishandles repeated/clamped boundaries)
+        if a_vals.size:
+            cs = np.concatenate([[0], np.cumsum(a_vals.astype(np.int64))])
+            sums = cs[a_offs[1:]] - cs[a_offs[:-1]]
+        else:
+            sums = np.zeros(n, np.int64)
         return pa.table({
             "conv_id": batch["conv_id"],
             "ksize": batch["ksize"],
