@@ -379,7 +379,8 @@ def gather(sigs, query_id: str, cfg: EngineConfig = DEFAULT_CONFIG,
 
 
 def compare_exact(sigs, cfg: EngineConfig = DEFAULT_CONFIG,
-                  ignore_abundance: bool = True):
+                  ignore_abundance: bool = True,
+                  estimate_ani: bool = False):
     """``sourmash compare`` all-pairs (small-n exact mode): sparse
     long-form (a, b, jaccard) for every unordered pair, a < b.
 
@@ -430,11 +431,22 @@ def compare_exact(sigs, cfg: EngineConfig = DEFAULT_CONFIG,
             pa.array(bi, pa.int64()))
         f_col = full["conv_id"].combine_chunks().take(
             pa.array(fi, pa.int64()))
-        return pa.table({
+        out = pa.table({
             "a": b_col,
             "b": f_col,
             "jaccard": pa.array(ja, pa.float64()),
         })
+        if estimate_ani:
+            # `compare --estimate-ani` (commands.py:717-756): jaccard→ANI
+            # point estimate per pair, n_kmers from the smaller sketch
+            ksize = cfg.sketch.ksize
+            scaled = max(1, cfg.sketch.scaled)
+            with np.errstate(invalid="ignore"):
+                d = 1.0 - np.power(
+                    2.0 * ja / np.maximum(1.0 + ja, 1e-300), 1.0 / ksize)
+            d = np.where(ja <= 0, 1.0, np.where(ja >= 1, 0.0, d))
+            out = out.append_column("ani", pa.array(1.0 - d, pa.float64()))
+        return out
 
     return sigs.select_columns(["conv_id", "mins"]).map_batches(
         _cross, batch_format="pyarrow")

@@ -346,3 +346,15 @@ def test_manifest_write_and_select(sigs, tmp_path):
     assert "mins" not in man.column_names  # manifest has no payloads
     exp = {r["conv_id"] for r in sigs.take_all() if len(r["mins"]) >= 5}
     assert {r["conv_id"] for r in out} == exp
+
+
+def test_compare_estimate_ani(sigs, oracle_sketches):
+    """compare --estimate-ani: per-pair ANI agrees with jaccard_to_ani."""
+    from sourmash_ray.functions.setops import jaccard_to_ani
+    from sourmash_ray.pipelines.sourmash_parity import compare_exact
+
+    rows = compare_exact(sigs, CFG, estimate_ani=True).take_all()
+    assert rows and "ani" in rows[0]
+    for r in rows[:50]:
+        assert r["ani"] == pytest.approx(
+            jaccard_to_ani(r["jaccard"], CFG.sketch.ksize), rel=1e-12)
