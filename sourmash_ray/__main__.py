@@ -75,6 +75,15 @@ def main(argv=None):
     pk.add_argument("--values", required=True,
                     help="comma-separated picked values")
     pk.add_argument("--exclude", action="store_true")
+    sg = add("sig")
+    sg.add_argument("--op", required=True,
+                    choices=["downsample", "flatten", "filter", "extract",
+                             "merge", "intersect", "rename", "manifest"])
+    sg.add_argument("--out", default=None)
+    sg.add_argument("--scaled", type=int, default=None)
+    sg.add_argument("--min-abund", type=int, default=1)
+    sg.add_argument("--pattern", default=None)
+    sg.add_argument("--prefix", default="renamed_")
 
     args = p.parse_args(argv)
     _init_ray(args.num_cpus)
@@ -144,6 +153,45 @@ def main(argv=None):
 
             for r in tax_rollup_customers(args.sf).take_all():
                 print(json.dumps(r))
+        elif args.cmd == "sig":
+            from .stages import sigops
+
+            sigs = _sigs(args)
+            if args.op == "downsample":
+                out = sigops.downsample_sigs(sigs, args.scaled or 32)
+            elif args.op == "flatten":
+                out = sigops.flatten_sigs(sigs)
+            elif args.op == "filter":
+                out = sigops.abund_filter_sigs(sigs,
+                                               min_abund=args.min_abund)
+            elif args.op == "extract":
+                out = sigops.extract_sigs(sigs, name_pattern=args.pattern)
+            elif args.op == "rename":
+                out = sigops.rename_sigs(sigs,
+                                         lambda c: args.prefix + c)
+            elif args.op == "manifest":
+                path = args.out or "/tmp/sourmash_ray_manifest"
+                sigops.write_manifest(sigs, path)
+                print(json.dumps({"manifest": path}))
+                return
+            elif args.op in ("merge", "intersect"):
+                fn = (sigops.merge_all if args.op == "merge"
+                      else sigops.intersect_all)
+                res = fn(sigs)
+                print(json.dumps({
+                    "op": args.op, "n_mins": int(len(res["mins"])),
+                    "md5": res.get("md5"),
+                }))
+                return
+            if args.out:
+                out.write_parquet(args.out)
+                print(json.dumps({"rows": out.count(), "out": args.out}))
+            else:
+                for r in out.take(10):
+                    r.pop("mins", None)
+                    r.pop("abunds", None)
+                    r.pop("perms", None)
+                    print(json.dumps(r, default=str))
         elif args.cmd == "picklist":
             from .stages.picklist import PickStyle, picklist_filter
 
