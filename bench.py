@@ -49,7 +49,7 @@ def _consume(res) -> int:
     return len(res)
 
 
-def run_flagship(sf_dir: str, warmup: bool = True) -> dict:
+def run_flagship(sf_dir: str, warmup: bool = True, reps: int = 3) -> dict:
     """Transcripts near-dup dedup end-to-end; returns timings + turns/s.
 
     Warm-up runs (sf0.001 then sf0.01) first force worker spawn, imports
@@ -67,11 +67,18 @@ def run_flagship(sf_dir: str, warmup: bool = True) -> dict:
         dedup_pipeline("/root/testdata/sf0.01")["clusters"].count()
     path = transcripts_path(sf_dir)  # synthesized outside the timed region
     n_turns = ray.data.read_parquet(path).count()
-    t0 = time.perf_counter()
-    out = dedup_pipeline(sf_dir)
-    n_clusters = out["clusters"].count()
-    wall = time.perf_counter() - t0
-    return {"wall_s": wall, "n_turns": n_turns, "n_rows": n_clusters,
+    # this VM's effective memory performance drifts run-to-run (observed
+    # 2.5× on identical code) — time 3 passes and report the median
+    walls = []
+    n_clusters = 0
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = dedup_pipeline(sf_dir)
+        n_clusters = out["clusters"].count()
+        walls.append(time.perf_counter() - t0)
+    wall = sorted(walls)[len(walls) // 2]
+    return {"wall_s": wall, "walls_s": [round(w, 3) for w in walls],
+            "n_turns": n_turns, "n_rows": n_clusters,
             "turns_per_s": n_turns / wall}
 
 
@@ -99,8 +106,8 @@ def main():
         # per worker per job — negligible over a multi-hour 100 TB run but
         # a large fraction of a seconds-long benchmark). Time two passes,
         # report the second; the cold pass is included for transparency.
-        cold = run_flagship(SF_DIR)
-        res = run_flagship(SF_DIR, warmup=False)
+        cold = run_flagship(SF_DIR, reps=1)
+        res = run_flagship(SF_DIR, warmup=False, reps=1)
         res["cold_wall_s"] = cold["wall_s"]
         print("RESULT " + json.dumps(res))
         import ray
