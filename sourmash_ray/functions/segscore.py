@@ -162,12 +162,12 @@ def pair_jaccard_stats(a_vals, a_offs, b_vals, b_offs, num: int = 0):
         M = np.full((m, W), _MAXU, np.uint64)
         ra = np.repeat(np.arange(m, dtype=np.int64), la_c)
         if ra.size:
-            src = np.repeat(a_offs[rows], la_c) + _local_idx(la_c)
-            M[ra, _local_idx(la_c)] = a_vals[src]
+            ia = _local_idx(la_c)
+            M[ra, ia] = a_vals[np.repeat(a_offs[rows], la_c) + ia]
         rb = np.repeat(np.arange(m, dtype=np.int64), lb_c)
         if rb.size:
-            src = np.repeat(b_offs[rows], lb_c) + _local_idx(lb_c)
-            M[rb, la_c[rb] + _local_idx(lb_c)] = b_vals[src]
+            ib = _local_idx(lb_c)
+            M[rb, la_c[rb] + ib] = b_vals[np.repeat(b_offs[rows], lb_c) + ib]
         M.sort(axis=1)
         dup = M[:, 1:] == M[:, :-1]
         real = M[:, 1:] != _MAXU
@@ -284,31 +284,47 @@ def query_jaccard_stats(q: np.ndarray, s_vals, s_offs, num: int = 0):
 # vectorized string-id hashing (partitioning keys / checksums)
 # ---------------------------------------------------------------------------
 
+def _to_bytes_array(ids) -> np.ndarray:
+    """UTF-8 S-dtype array from a pyarrow String(Chunked)Array, numpy S
+    array, or list of str/bytes. ``np.array(strs, dtype=bytes)`` ASCII-
+    encodes and raises on any non-ASCII character, so strings are routed
+    through explicit UTF-8 (Arrow string buffers ARE UTF-8 — cast to
+    binary and take the bytes). Nulls/None become empty bytes."""
+    if isinstance(ids, np.ndarray) and ids.dtype.kind == "S":
+        return ids
+    import pyarrow as pa
+
+    if isinstance(ids, (pa.Array, pa.ChunkedArray)):
+        arr = (ids.combine_chunks()
+               if isinstance(ids, pa.ChunkedArray) else ids)
+        if pa.types.is_string(arr.type) or pa.types.is_large_string(
+                arr.type):
+            arr = arr.cast(pa.binary())
+        vals = arr.to_pylist()
+    else:
+        vals = list(ids)
+    out = [v.encode("utf-8") if isinstance(v, str) else (v or b"")
+           for v in vals]
+    return np.array(out, dtype=bytes) if out else np.empty(0, "S1")
+
+
 def hash_strings64(ids, seed: int = 0xC0FFEE) -> np.ndarray:
     """64-bit non-negative int64 hash of each string, vectorized.
 
     Replaces the former per-row ``zlib.crc32`` Python loops on every
-    shuffle-key path. The hash is a pure function of the STRING CONTENT —
-    never of the containing array's width: strings are bucketed by their
-    own 8-byte-rounded length, each bucket NUL-padded to its canonical
-    width and hashed in one :func:`murmur64_fixedlen` pass, and the byte
-    length is fmix-mixed in afterwards. Only ids differing solely by
-    trailing NULs can alias (numpy S-dtype cannot represent those anyway;
-    text ids never contain them), and an alias would only co-locate rows.
-    Deterministic across processes (Python's salted ``hash`` must never
-    cross Ray workers).
+    shuffle-key path. The hash is a pure function of the STRING CONTENT
+    (UTF-8 bytes) — never of the containing array's width: strings are
+    bucketed by their own 8-byte-rounded length, each bucket NUL-padded to
+    its canonical width and hashed in one :func:`murmur64_fixedlen` pass,
+    and the byte length is fmix-mixed in afterwards. Only ids differing
+    solely by trailing NULs can alias (numpy S-dtype cannot represent
+    those anyway; text ids never contain them), and an alias would only
+    co-locate rows. Deterministic across processes (Python's salted
+    ``hash`` must never cross Ray workers).
 
     ``ids``: a pyarrow String(Chunked)Array, numpy bytes array, or list of
     str. Returns int64 in [0, 2^63).
     """
-    from .murmur import _np_fmix64, murmur64_fixedlen
-
-    if isinstance(ids, np.ndarray) and ids.dtype.kind == "S":
-        s = ids
-    else:
-        if hasattr(ids, "to_pylist"):
-            ids = ids.to_pylist()
-        s = np.array(ids, dtype=bytes)
     return (hash_strings_u64(ids, seed=seed) >> np.uint64(1)).astype(
         np.int64)
 
@@ -319,12 +335,7 @@ def hash_strings_u64(ids, seed: int = 0xC0FFEE) -> np.ndarray:
     all 64 hash bits (e.g. HyperLogLog register updates)."""
     from .murmur import _np_fmix64, murmur64_fixedlen
 
-    if isinstance(ids, np.ndarray) and ids.dtype.kind == "S":
-        s = ids
-    else:
-        if hasattr(ids, "to_pylist"):
-            ids = ids.to_pylist()
-        s = np.array(ids, dtype=bytes)
+    s = _to_bytes_array(ids)
     n = len(s)
     if n == 0:
         return np.empty(0, np.uint64)

@@ -183,12 +183,16 @@ def embedding_neardup_pairs(sf_dir: str, n_bits: int = 4, seed: int = 42,
 
     Scale shape — the SAME machinery as the MinHash flagship, no
     ``Dataset.join`` anywhere: bucket keys go through the coarse-key
-    exchange with hot-bucket star+chain capping
-    (``stages/lsh._emit_pairs_part``; a degenerate bucket of near-zero
-    vectors emits linear edges instead of O(g²)), candidate pairs dedup on
-    the pair-part exchange, and the float64-vector blobs attach via
-    ``score_pairs`` (broadcast within budget, two-exchange co-group
-    beyond it — ``stages/verify.py``)."""
+    exchange emitting FULL in-bucket pairs in memory-bounded chunks
+    (``stages/lsh._emit_pairs_part(full_pairs=True)`` — a pair-list
+    operator must not drop pairs via the clustering star+chain cap; only
+    past the explicit 100k-member skew valve does a bucket degrade, with
+    a warning), candidate pairs dedup on the pair-part exchange, and the
+    float64-vector blobs attach via ``score_pairs`` (broadcast within
+    budget, two-exchange co-group beyond it — ``stages/verify.py``).
+    ``n_bits``/``n_tables`` are the recall/cost knobs: scale ``n_bits``
+    ~log2(n/64) with corpus size and ``n_tables`` to the recall target —
+    candidate count per table is Θ(Σ bucket²), the true LSH cost."""
     from ..config import DEFAULT_CONFIG as _DC
     from ..config import resolve_num_partitions
     from ..stages.exchange import exchange_map_groups
@@ -214,9 +218,13 @@ def embedding_neardup_pairs(sf_dir: str, n_bits: int = 4, seed: int = 42,
         })
 
     keyed = emb.map_batches(_keyed, batch_format="pyarrow")
+    # full_pairs: this operator RETURNS the pair list, so the clustering
+    # cap (star+chain) would silently drop true near-dup pairs inside big
+    # buckets; emission is chunked full pairs with an explicit skew valve
     pairs = exchange_map_groups(
         keyed, "band_part", 2 * resolve_num_partitions(cfg),
-        _emit_pairs_part(cfg.lsh.max_bucket_pairs_members), PAIRS_SCHEMA)
+        _emit_pairs_part(cfg.lsh.max_bucket_pairs_members,
+                         full_pairs=True), PAIRS_SCHEMA)
     pairs = dedup_pairs(pairs, group_parts, out_schema=PAIRS_SCHEMA)
 
     blobs = emb.map_batches(_emb_blob, batch_format="pyarrow")

@@ -264,7 +264,12 @@ class LangIdScorer:
         offs = np.asarray(toks.offsets, dtype=np.int64)
         flat = toks.flatten()
         rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
-        tok_w = np.array(flat.to_pylist(), dtype=f"S{self._W}")
+        # UTF-8 bytes, not np.array(strs, S..): S-dtype from str ASCII-
+        # encodes and raises on any non-ASCII character in the text;
+        # bytes→S only truncates (safe per the width argument above)
+        tok_w = (np.array(flat.cast(pa.binary()).to_pylist(),
+                          dtype=f"S{self._W}")
+                 if len(flat) else np.empty(0, f"S{self._W}"))
         hits = np.zeros((len(self.langs), n), np.int64)
         for i, markers in enumerate(self.marker_arrays):
             m = np.isin(tok_w, markers)
@@ -412,25 +417,33 @@ def _simhash_pairs_part(max_hamming: int):
             r_sizes = np.diff(np.concatenate([r_starts, [g]]))
             r_vals = ss[r_starts]
             r = len(r_vals)
-            # same-simhash runs: every member pair, hamming 0
+            # same-simhash runs: every member pair, hamming 0 (chunked —
+            # the output is inherently O(run²) for a pair list, but the
+            # index generation stays memory-bounded)
+            from ..stages.lsh import full_pair_indices
+
             for rs, rg in zip(r_starts[r_sizes >= 2], r_sizes[r_sizes >= 2]):
-                rg = int(rg)
-                iu, ju = np.triu_indices(rg, 1)
-                out_a.append(si[rs + iu])
-                out_b.append(si[rs + ju])
-                out_h.append(np.zeros(iu.size, np.int64))
+                for iu, ju in full_pair_indices(int(rs), int(rg)):
+                    out_a.append(si[iu])
+                    out_b.append(si[ju])
+                    out_h.append(np.zeros(iu.size, np.int64))
             if r < 2:
                 continue
-            # cross-run candidates on DISTINCT simhashes only
-            iu, ju = np.triu_indices(r, 1)
-            hm = popcount64(r_vals[iu] ^ r_vals[ju])
-            ok = hm <= max_hamming
-            for pi, pj, ph in zip(iu[ok], ju[ok], hm[ok]):
-                mi = si[r_starts[pi]: r_starts[pi] + r_sizes[pi]]
-                mj = si[r_starts[pj]: r_starts[pj] + r_sizes[pj]]
-                out_a.append(np.repeat(mi, mj.size))
-                out_b.append(np.tile(mj, mi.size))
-                out_h.append(np.full(mi.size * mj.size, ph, np.int64))
+            # cross-run candidates on DISTINCT simhashes only, generated
+            # in memory-bounded chunks: an unchunked triu over r distinct
+            # values allocates O(r²) index entries before the popcount
+            # filter — a 100k-value bucket would need ~80 GB
+            from ..stages.lsh import full_pair_indices
+
+            for iu, ju in full_pair_indices(0, r):
+                hm = popcount64(r_vals[iu] ^ r_vals[ju])
+                ok = hm <= max_hamming
+                for pi, pj, ph in zip(iu[ok], ju[ok], hm[ok]):
+                    mi = si[r_starts[pi]: r_starts[pi] + r_sizes[pi]]
+                    mj = si[r_starts[pj]: r_starts[pj] + r_sizes[pj]]
+                    out_a.append(np.repeat(mi, mj.size))
+                    out_b.append(np.tile(mj, mi.size))
+                    out_h.append(np.full(mi.size * mj.size, ph, np.int64))
         if not out_a:
             return SIMPAIRS_SCHEMA.empty_table()
         a = np.concatenate(out_a)

@@ -93,8 +93,34 @@ def band_keys_batch(batch: pa.Table, *, keyer: "BandKeyer") -> pa.Table:
     return keyer(batch)
 
 
-def _emit_pairs_part(cap: int):
+def full_pair_indices(s: int, g: int, chunk_elems: int = 1 << 22):
+    """ALL (i, j), i<j index pairs of a size-``g`` run starting at ``s``,
+    generated in memory-bounded chunks (≤ ``chunk_elems`` entries per
+    block) — for pair-LIST consumers where the star+chain cap would drop
+    true pairs. Yields (a_idx, b_idx) int64 arrays."""
+    from ..functions.segscore import _local_idx
+
+    block = max(1, chunk_elems // max(1, g))
+    for i0 in range(0, g - 1, block):
+        i1 = min(i0 + block, g - 1)
+        cnt = (g - 1) - np.arange(i0, i1, dtype=np.int64)
+        ai = np.repeat(np.arange(i0, i1, dtype=np.int64), cnt) + s
+        bi = (np.repeat(np.arange(i0, i1, dtype=np.int64) + 1, cnt)
+              + _local_idx(cnt) + s)
+        yield ai, bi
+
+
+def _emit_pairs_part(cap: int, full_pairs: bool = False,
+                     skew_limit: int = 100_000):
     """Vectorized pair emission over one COARSE partition of band keys.
+
+    ``full_pairs=False`` (clustering consumers): buckets larger than
+    ``cap`` emit star+chain edges — linear output, identical connected
+    components. ``full_pairs=True`` (pair-LIST consumers, e.g. near-dup
+    pair reports): every in-bucket pair is emitted in memory-bounded
+    chunks; only beyond ``skew_limit`` members (adversarial identical-key
+    skew, ~5·10⁹ pairs from one bucket) does the bucket degrade to
+    star+chain, with a WARNING — never a silent drop.
 
     The groupby key is ``band_part = band_key % group_parts``; equal band
     keys always land in the same partition, so pair semantics are identical
@@ -119,11 +145,23 @@ def _emit_pairs_part(cap: int):
         bi: list[np.ndarray] = []
         for s, g in zip(starts[sizes >= 2], sizes[sizes >= 2]):
             g = int(g)
+            s = int(s)
             if g <= cap:
                 iu, ju = np.triu_indices(g, 1)
                 ai.append(s + iu)
                 bi.append(s + ju)
+            elif full_pairs and g <= skew_limit:
+                for a_idx, b_idx in full_pair_indices(s, g):
+                    ai.append(a_idx)
+                    bi.append(b_idx)
             else:
+                if full_pairs:
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "pair emission: bucket of %d members exceeds "
+                        "skew_limit=%d — degrading to star+chain (pair "
+                        "list incomplete for this bucket)", g, skew_limit)
                 # hot bucket (boilerplate band): star to the minimum plus a
                 # chain of sorted successors — linear edges, same connected
                 # components (SURVEY.md §4 skew row)

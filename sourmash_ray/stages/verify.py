@@ -88,12 +88,7 @@ def sig_blobs_packed(batch: pa.Table) -> pa.Table:
     return pa.table({"conv_id": batch["conv_id"], "blob": blob})
 
 
-def _local(lens: np.ndarray) -> np.ndarray:
-    total = int(lens.sum())
-    if total == 0:
-        return np.empty(0, np.int64)
-    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
-    return np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+from ..functions.segscore import _local_idx as _local  # shared helper
 
 
 def _common_width(keys: np.ndarray, ref: np.ndarray):
@@ -268,19 +263,12 @@ def _build_sorted_broadcast(*blocks):
     return ids, offs, data.copy()
 
 
-_SCRATCH: dict = {}
-
-
 def _scratch_buf(key: str, size: int, dtype=np.uint8) -> np.ndarray:
-    """Per-worker-process reusable buffer. Fresh large numpy allocations
-    pay first-touch page-fault cost on every batch (mmap'd and returned to
-    the OS on free — measured ~0.3 s per 64 MB on this kernel, dwarfing
-    the actual copy); growing a cached buffer once amortizes that across
-    all batches a worker processes."""
-    buf = _SCRATCH.get(key)
-    if buf is None or buf.size < size:
-        _SCRATCH[key] = buf = np.empty(int(size * 1.5) + 16, dtype)
-    return buf[:size]
+    """Per-worker-process reusable buffer — delegates to the shared
+    work pool (``segscore._wk``: size-grown, dtype-checked)."""
+    from ..functions.segscore import _wk
+
+    return _wk(f"verify:{key}", size, dtype)
 
 
 def _gather_segments(offs_s, data_s, pos: np.ndarray, key: str = "g"):

@@ -357,3 +357,47 @@ def test_two_level_exchange_checkpoint_resume(ray_session, tmp_path):
                                  max_fanout=4).take_all()
     key = lambda r: (r["k"], r["n"])
     assert sorted(map(key, first)) == sorted(map(key, second))
+
+
+def test_langid_handles_non_ascii(ray_session):
+    import pyarrow as pa
+
+    from sourmash_ray.pipelines.docops import LangIdScorer
+
+    sc = LangIdScorer()
+    out = sc(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["el día está aquí con el sol",
+                          "die straße ist schön und die stadt"]),
+        "lang": pa.array(["es", "de"]),
+    }))
+    assert out["lang_guess"].to_pylist() == ["es", "de"]
+
+
+def test_embedding_neardup_full_recall_vs_bruteforce(ray_session):
+    """full_pairs emission: every bucket-coincident pair above threshold
+    is returned (no star+chain truncation); found ⊆ exact; recall vs the
+    exact cosine pair set reported by the multi-table LSH probability."""
+    import pyarrow.parquet as pq
+
+    from sourmash_ray.pipelines.ann import embedding_neardup_pairs
+
+    sf = "/root/testdata/sf0.01"
+    thr = 0.4
+    found = {(r["a"], r["b"]): r["cosine"]
+             for r in embedding_neardup_pairs(sf, threshold=thr).take_all()}
+    emb = pq.read_table(f"{sf}/embeddings.parquet")
+    ids = np.asarray(emb["vec_id"])
+    mat = np.vstack([np.asarray(v) for v in emb["embedding"].to_pylist()])
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                           1e-12)
+    cos = mat @ mat.T
+    iu, ju = np.triu_indices(len(ids), 1)
+    above = cos[iu, ju] >= thr
+    exact = {(int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+             for i, j in zip(iu[above], ju[above])}
+    assert set(found) <= exact          # precision 1 (exact verify)
+    recall = len(found) / len(exact) if exact else 1.0
+    # multi-table LSH expected recall ~0.94 at these defaults; 0.8 floor
+    # guards against a capping regression without flaking on LSH variance
+    assert recall >= 0.8, f"recall {recall:.3f} over {len(exact)} pairs"

@@ -151,3 +151,21 @@ def test_popcount64():
     assert (popcount64(x) == ref).all()
     assert popcount64(np.array([0, 0xFFFFFFFFFFFFFFFF], np.uint64)).tolist() \
         == [0, 64]
+
+
+def test_hash_strings_unicode_and_nulls():
+    """UTF-8 ids (the reviewer's crash case): non-ASCII conv_ids must hash,
+    not raise; same content hashes equal across container types; nulls
+    hash as empty."""
+    import pyarrow as pa
+
+    from sourmash_ray.functions.segscore import hash_strings64
+
+    v = hash_strings64(["conv-café-1", "día", "", "plain"])
+    arr = pa.chunked_array([pa.array(["conv-café-1", None, "plain"])])
+    v2 = hash_strings64(arr)
+    assert v[0] == v2[0] and v[3] == v2[2]
+    assert v2[1] == v[2]  # null ≡ empty string
+    assert hash_strings64(["café"])[0] == \
+        hash_strings64(["café".encode()])[0]
+    assert hash_strings64(np.array([b"plain"]))[0] == v[3]
