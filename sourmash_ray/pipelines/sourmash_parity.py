@@ -34,7 +34,7 @@ import pyarrow as pa
 import ray
 
 from ..config import EngineConfig, DEFAULT_CONFIG
-from ..functions.segscore import query_jaccard_stats
+from ..functions.segscore import _to_bytes_array, query_jaccard_stats
 from ..stages.verify import _blob_views, mins_to_blob
 
 
@@ -405,11 +405,11 @@ def compare_exact(sigs, cfg: EngineConfig = DEFAULT_CONFIG,
         f_offs, f_data = _blob_views(full["blob"])
         fu = f_data.view(np.uint64)
         fo = f_offs // 8
-        f_ids = np.array(full["conv_id"].to_pylist(), dtype=bytes)
+        f_ids = _to_bytes_array(full["conv_id"])
         b_offs, b_data = _blob_views(mins_to_blob(batch)["blob"])
         bu = b_data.view(np.uint64)
         bo = b_offs // 8
-        b_ids = np.array(batch["conv_id"].to_pylist(), dtype=bytes)
+        b_ids = _to_bytes_array(batch["conv_id"])
         nb, nf = len(b_ids), len(f_ids)
         bi = np.repeat(np.arange(nb, dtype=np.int64), nf)
         fi = np.tile(np.arange(nf, dtype=np.int64), nb)

@@ -25,6 +25,8 @@ hash-shuffle joined.
 from __future__ import annotations
 
 import numpy as np
+
+from ..functions.segscore import _to_bytes_array
 import pyarrow as pa
 
 from ..config import EngineConfig, DEFAULT_CONFIG, clamped_join_partitions
@@ -105,7 +107,7 @@ def _min_label_part(part: pa.Table) -> pa.Table:
         return _LABEL_SCHEMA.empty_table()
     part = part.select(["node", "label"]).sort_by(
         [("node", "ascending"), ("label", "ascending")])
-    nodes = np.array(part["node"].to_pylist(), dtype=bytes)
+    nodes = _to_bytes_array(part["node"])
     first = np.ones(len(nodes), bool)
     if len(nodes) > 1:
         first[1:] = nodes[1:] != nodes[:-1]
@@ -151,12 +153,12 @@ def _label_propagation(sym, n_sym: int, cfg: EngineConfig):
         edg_tbl = part.filter(pa.array(side == 0))
         if lbl_tbl.num_rows == 0 or edg_tbl.num_rows == 0:
             return _LABEL_SCHEMA.empty_table()
-        nodes = np.array(lbl_tbl["src"].to_pylist(), dtype=bytes)
+        nodes = _to_bytes_array(lbl_tbl["src"])
         order = np.argsort(nodes, kind="stable")
         nodes = nodes[order]
         lbls = lbl_tbl["label"].combine_chunks().take(
             pa.array(order, pa.int64()))
-        srcs = np.array(edg_tbl["src"].to_pylist(), dtype=bytes)
+        srcs = _to_bytes_array(edg_tbl["src"])
         w = max(nodes.dtype.itemsize, srcs.dtype.itemsize, 1)
         nodes_w = nodes.astype(f"S{w}")
         srcs_w = srcs.astype(f"S{w}")
@@ -264,7 +266,7 @@ def _build_label_broadcast(*blocks):
     if not tables:
         return np.empty(0, dtype="S32"), pa.array([], pa.string())
     tbl = pa.concat_tables(tables).combine_chunks()
-    nodes = np.array(tbl["node"].to_pylist(), dtype=bytes)
+    nodes = _to_bytes_array(tbl["node"])
     order = np.argsort(nodes, kind="stable")
     labels = tbl["label"].combine_chunks().take(
         pa.array(order, pa.int64()))
@@ -296,7 +298,7 @@ def assign_clusters(sigs, edges, cfg: EngineConfig = DEFAULT_CONFIG):
 
             nodes_s, label_arr = ray.get(ref)
             keys, nodes_w = _common_width(
-                np.array(batch["conv_id"].to_pylist(), dtype=bytes), nodes_s)
+                _to_bytes_array(batch["conv_id"]), nodes_s)
             pos = np.searchsorted(nodes_w, keys)
             pos_c = np.minimum(pos, max(len(nodes_w) - 1, 0))
             hit = nodes_w[pos_c] == keys if len(nodes_w) else \

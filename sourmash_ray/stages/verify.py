@@ -32,6 +32,7 @@ import ray as _ray
 
 from ..config import EngineConfig, DEFAULT_CONFIG
 from ..functions.segscore import (
+    _to_bytes_array,
     hash_strings64,
     pair_dot_stats,
     pair_jaccard_stats,
@@ -255,7 +256,7 @@ def _build_sorted_broadcast(*blocks):
     tbl = pa.concat_tables(tables).combine_chunks()
     # dynamic fixed width: S-dtype silently TRUNCATES beyond its width,
     # which would collide distinct long ids — size to the longest id
-    ids = np.array(tbl["conv_id"].to_pylist(), dtype=bytes)
+    ids = _to_bytes_array(tbl["conv_id"])
     order = np.argsort(ids, kind="stable")
     ids = ids[order]
     sorted_tbl = tbl.take(pa.array(order, pa.int64()))
@@ -324,9 +325,9 @@ def score_pairs(pairs, blobs, cfg: EngineConfig, scorer: _SegmentScorer,
         def broadcast_score(batch: pa.Table) -> pa.Table:
             ids_s, offs_s, data_s = ray.get(ref)
             a_np, ids_w = _common_width(
-                np.array(batch["a"].to_pylist(), dtype=bytes), ids_s)
+                _to_bytes_array(batch["a"]), ids_s)
             b_np, _ = _common_width(
-                np.array(batch["b"].to_pylist(), dtype=bytes), ids_s)
+                _to_bytes_array(batch["b"]), ids_s)
             ia = np.searchsorted(ids_w, a_np)
             ib = np.searchsorted(ids_w, b_np)
             # clamp + hit check: a pair id absent from the blob table is
@@ -458,13 +459,13 @@ def _score_pairs_exchange(pairs, blobs, cfg: EngineConfig,
         slot_tbl = part.filter(pa.array(~is_blob))
         if slot_tbl.num_rows == 0 or blob_tbl.num_rows == 0:
             return _SLOTTED_SCHEMA.empty_table()
-        ids = np.array(blob_tbl["conv_id"].to_pylist(), dtype=bytes)
+        ids = _to_bytes_array(blob_tbl["conv_id"])
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
         blob_sorted = blob_tbl["blob"].combine_chunks().take(
             pa.array(order, pa.int64()))
-        a = np.array(slot_tbl["a"].to_pylist(), dtype=bytes)
-        b = np.array(slot_tbl["b"].to_pylist(), dtype=bytes)
+        a = _to_bytes_array(slot_tbl["a"])
+        b = _to_bytes_array(slot_tbl["b"])
         s_side = np.asarray(slot_tbl["side"], dtype=np.int8)
         keys = np.where(s_side == 0, a, b)
         w = max(keys.dtype.itemsize, ids.dtype.itemsize, 1)
@@ -495,8 +496,8 @@ def _score_pairs_exchange(pairs, blobs, cfg: EngineConfig,
             return scorer.out_schema.empty_table()
         part = part.sort_by([("a", "ascending"), ("b", "ascending"),
                              ("side", "ascending")])
-        a = np.array(part["a"].to_pylist(), dtype=bytes)
-        b = np.array(part["b"].to_pylist(), dtype=bytes)
+        a = _to_bytes_array(part["a"])
+        b = _to_bytes_array(part["b"])
         side = np.asarray(part["side"], dtype=np.int8)
         # dedupe (a, b, side): duplicate candidate pairs (distinct=False
         # upstream) would otherwise mis-pair side0 with side0

@@ -401,3 +401,40 @@ def test_embedding_neardup_full_recall_vs_bruteforce(ray_session):
     # multi-table LSH expected recall ~0.94 at these defaults; 0.8 floor
     # guards against a capping regression without flaking on LSH variance
     assert recall >= 0.8, f"recall {recall:.3f} over {len(exact)} pairs"
+
+
+def test_dedup_pipeline_unicode_end_to_end(ray_session):
+    """Non-ASCII conv_ids AND text flow through sketch → LSH → verify →
+    exact edges → clustering without ASCII-encode crashes; exact unicode
+    duplicates land in one cluster."""
+    import pyarrow as pa
+    import ray.data
+
+    from sourmash_ray.pipelines.dedup import dedup_pipeline
+
+    text = ("die straße ist schön und die stadt über dem fluß glänzt "
+            "am frühen morgen im goldenen licht der aufgehenden sonne — "
+            "ein tag voller möglichkeiten beginnt für alle bewohner")
+    rows = []
+    for cid, body in [("konv-ä-1", text), ("konv-ö-2", text),
+                      ("konv-ü-3", "completamente diferente aquí con "
+                       "palabras únicas que no aparecen en ningún otro "
+                       "documento de esta colección de prueba número")]:
+        for t, chunk in enumerate([body, body[::-1]]):
+            rows.append({"conv_id": cid, "turn_idx": t, "role": "user",
+                         "text": chunk, "tool": "", "ts": 0})
+    tbl = pa.table({
+        "conv_id": pa.array([r["conv_id"] for r in rows]),
+        "turn_idx": pa.array([r["turn_idx"] for r in rows],
+                             pa.int32()),
+        "role": pa.array([r["role"] for r in rows]),
+        "text": pa.array([r["text"] for r in rows]),
+        "tool": pa.array([r["tool"] for r in rows]),
+        "ts": pa.array([r["ts"] for r in rows], pa.int64()),
+    })
+    out = dedup_pipeline(ray.data.from_arrow(tbl))
+    label = {r["conv_id"]: r["cluster_id"]
+             for r in out["clusters"].take_all()}
+    assert set(label) == {"konv-ä-1", "konv-ö-2", "konv-ü-3"}
+    assert label["konv-ä-1"] == label["konv-ö-2"]
+    assert label["konv-ü-3"] != label["konv-ä-1"]
