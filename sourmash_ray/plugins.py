@@ -134,6 +134,21 @@ def _save_sigjson(rows_or_dataset, path: str):
     return path
 
 
+def _load_stdin(location: str):
+    """'-' reads signature JSON from stdin (``sourmash_args.py`` stdin
+    loader): the whole stream is one .sig document."""
+    if location != "-":
+        return None
+    import json as _json
+    import sys
+
+    import ray.data
+
+    from .sources.sigjson import sig_json_to_table
+
+    return ray.data.from_arrow(sig_json_to_table(_json.load(sys.stdin)))
+
+
 def _load_csv(location: str):
     if location.endswith((".csv", ".csv.gz")):
         import ray.data
@@ -142,6 +157,7 @@ def _load_csv(location: str):
     return None
 
 
+register_loader("stdin", _load_stdin, priority=5)
 register_loader("csv", _load_csv, priority=30)
 register_loader("parquet", _load_parquet_dir, priority=20)
 register_loader("sigjson", _load_sigjson, priority=10)

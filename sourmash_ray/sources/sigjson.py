@@ -68,6 +68,12 @@ def read_sig_json(path: str) -> pa.Table:
     opener = gzip.open if path.endswith(".gz") else open
     with opener(path, "rt") as f:
         data = json.load(f)
+    return sig_json_to_table(data)
+
+
+def sig_json_to_table(data: list) -> pa.Table:
+    """Parsed .sig JSON document list → signatures table (shared by the
+    file and stdin loaders)."""
     rows = {k: [] for k in ("conv_id", "ksize", "scaled", "num", "seed",
                             "mins", "abunds", "md5")}
     for sig in data:
