@@ -358,3 +358,40 @@ def test_compare_estimate_ani(sigs, oracle_sketches):
     for r in rows[:50]:
         assert r["ani"] == pytest.approx(
             jaccard_to_ani(r["jaccard"], CFG.sketch.ksize), rel=1e-12)
+
+
+def test_gather_matches_naive_greedy_oracle(sigs, oracle_sketches):
+    """CounterGather consume/decrement rounds ≡ a naive greedy
+    min-set-cov recomputed from scratch each round (index/__init__.py:
+    858-909 semantics: max remaining overlap, md5-ascending tiebreak)."""
+    import hashlib
+
+    from sourmash_ray.functions.sketch import md5_of_mins
+    from sourmash_ray.pipelines.sourmash_parity import gather
+
+    q = sorted(oracle_sketches)[0]
+    got = gather(sigs, q, CFG, threshold_hashes=2).to_pylist()
+
+    # naive oracle: rescan every round
+    orig = oracle_sketches[q]["mins"]
+    md5s = {c: md5_of_mins(s["mins"], PARAMS.ksize)
+            for c, s in oracle_sketches.items()}
+    remaining = set(int(x) for x in orig)
+    exp = []
+    used = set()
+    while len(remaining) >= 2:
+        best = None
+        for c, s in oracle_sketches.items():
+            if c == q or c in used:
+                continue
+            ov = len(remaining & set(int(x) for x in s["mins"]))
+            key = (-ov, md5s[c])
+            if ov >= 2 and (best is None or key < best[0]):
+                best = (key, c, ov)
+        if best is None:
+            break
+        _, c, ov = best
+        exp.append((c, ov))
+        used.add(c)
+        remaining -= set(int(x) for x in oracle_sketches[c]["mins"])
+    assert [(r["match"], r["overlap"]) for r in got] == exp
