@@ -549,8 +549,10 @@ def picklist_md5short_docs(sf_dir: str):
     reference's md5short picklists over signature collections."""
     from ..stages.picklist import PickStyle, picklist_filter
 
-    hashed = _read_docs(sf_dir).map_batches(_normalize_md5_batch,
-                                            batch_format="pyarrow")
+    hashed = _read_docs(sf_dir).map_batches(
+        _normalize_md5_batch, batch_format="pyarrow").materialize()
+    # materialized once: both the picked-set scan and the filter pass
+    # reuse the md5 blocks instead of re-hashing the corpus
     picked = set()
     for b in hashed.iter_batches(batch_format="pyarrow"):
         ids = np.asarray(b["doc_id"], dtype=np.int64)
