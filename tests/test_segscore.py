@@ -169,3 +169,83 @@ def test_hash_strings_unicode_and_nulls():
     assert hash_strings64(["café"])[0] == \
         hash_strings64(["café".encode()])[0]
     assert hash_strings64(np.array([b"plain"]))[0] == v[3]
+
+
+# --- hypothesis property tests: kernels ≡ naive reference ---------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@st.composite
+def _segment_pairs(draw):
+    n = draw(st.integers(0, 12))
+    a_segs, b_segs = [], []
+    for _ in range(n):
+        a = draw(st.lists(st.integers(0, 400), max_size=25))
+        b = draw(st.lists(st.integers(0, 400), max_size=25))
+        a_segs.append(np.unique(np.array(a, np.uint64)))
+        b_segs.append(np.unique(np.array(b, np.uint64)))
+    return a_segs, b_segs
+
+
+def _flat(segs):
+    offs = np.concatenate(
+        [[0], np.cumsum([len(s) for s in segs])]).astype(np.int64)
+    vals = (np.concatenate(segs).astype(np.uint64) if segs
+            else np.empty(0, np.uint64))
+    return vals, offs
+
+
+@settings(max_examples=150, deadline=None)
+@given(_segment_pairs(), st.sampled_from([0, 5]))
+def test_pair_jaccard_stats_property(pairs, num):
+    """Matrix fast path AND bisect fallback both equal the naive per-pair
+    reference on arbitrary segment shapes (empties, dupes across sides,
+    unequal lengths)."""
+    from sourmash_ray.functions.segscore import (
+        _pair_jaccard_stats_bisect, _seg_lens, pair_jaccard_stats,
+    )
+
+    a_segs, b_segs = pairs
+    av, ao = _flat(a_segs)
+    bv, bo = _flat(b_segs)
+    c, cj, dj = pair_jaccard_stats(av, ao, bv, bo, num)
+    n = len(a_segs)
+    cb, cjb, djb = _pair_jaccard_stats_bisect(
+        av, ao, bv, bo, num, n, _seg_lens(ao), _seg_lens(bo))
+    for i, (a, b) in enumerate(zip(a_segs, b_segs)):
+        inter = np.intersect1d(a, b, assume_unique=True)
+        assert c[i] == cb[i] == inter.size
+        union = np.union1d(a, b)
+        if not num:
+            assert dj[i] == djb[i] == union.size
+            assert cj[i] == inter.size
+        else:
+            top = set(union[:num].tolist())
+            exp_cj = sum(1 for x in inter if int(x) in top)
+            assert cj[i] == cjb[i] == exp_cj
+            assert dj[i] == djb[i] == min(union.size, num)
+
+
+@settings(max_examples=100, deadline=None)
+@given(_segment_pairs())
+def test_seg_lower_bound_property(pairs):
+    """Pooled-buffer bisection ≡ per-segment np.searchsorted."""
+    from sourmash_ray.functions.segscore import _seg_lower_bound
+
+    a_segs, b_segs = pairs
+    av, ao = _flat(a_segs)
+    bv, bo = _flat(b_segs)
+    n = len(a_segs)
+    if n == 0 or av.size == 0 or bv.size == 0:
+        return
+    pids = np.repeat(np.arange(n, dtype=np.int64), np.diff(bo))
+    lo0 = ao[pids]
+    hi0 = ao[pids + 1]
+    got = _seg_lower_bound(av, lo0, hi0, bv)
+    k = 0
+    for i, (a, b) in enumerate(zip(a_segs, b_segs)):
+        for x in b:
+            exp = ao[i] + np.searchsorted(a, x)
+            assert got[k] == exp, (i, x)
+            k += 1
