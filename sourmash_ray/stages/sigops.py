@@ -246,3 +246,27 @@ def select_via_manifest(sigs, manifest_path: str, expr: str):
         return batch.filter(keep)
 
     return sigs.map_batches(_keep, batch_format="pyarrow")
+
+
+def subtract_from(sigs, target_id: str):
+    """``sig subtract`` (``sig/__main__.py:525-580``): remove every hash
+    that appears in ANY other signature of the collection from the target
+    signature. The "others" union is built with the merge_all tree reduce
+    (per-block partials, no full materialization); the difference is one
+    sorted-array pass (``minhash.rs:406-430`` remove_many semantics)."""
+    target = sigs.filter(expr=f"conv_id == '{target_id}'").take_all()
+    if not target:
+        raise KeyError(f"{target_id!r} not in collection")
+    t = target[0]
+    others = sigs.filter(expr=f"conv_id != '{target_id}'")
+    union = merge_all(others)["mins"]
+    mins = np.asarray(t["mins"], np.uint64)
+    keep = ~np.isin(mins, union, assume_unique=True)
+    ab = t.get("abunds")
+    return {
+        "conv_id": t["conv_id"],
+        "mins": mins[keep],
+        "abunds": (np.asarray(ab, np.uint64)[keep]
+                   if ab is not None else None),
+        "n_removed": int((~keep).sum()),
+    }

@@ -395,3 +395,20 @@ def test_gather_matches_naive_greedy_oracle(sigs, oracle_sketches):
         used.add(c)
         remaining -= set(int(x) for x in oracle_sketches[c]["mins"])
     assert [(r["match"], r["overlap"]) for r in got] == exp
+
+
+def test_subtract_from_collection(sigs, oracle_sketches):
+    """sig subtract: target minus the union of every other signature."""
+    from sourmash_ray.stages.sigops import subtract_from
+
+    ids = sorted(oracle_sketches)
+    target = ids[0]
+    out = subtract_from(sigs, target)
+    union_others = np.unique(np.concatenate(
+        [oracle_sketches[c]["mins"] for c in ids if c != target]))
+    exp = oracle_sketches[target]["mins"]
+    exp = exp[~np.isin(exp, union_others, assume_unique=True)]
+    assert np.array_equal(out["mins"], exp)
+    assert out["n_removed"] == len(oracle_sketches[target]["mins"]) - len(exp)
+    with pytest.raises(KeyError):
+        subtract_from(sigs, "nope")
