@@ -142,24 +142,50 @@ def merge_all(sigs) -> dict:
 
 def intersect_all(sigs) -> dict:
     """``sig intersect`` of a whole collection → hashes present in EVERY
-    sketch (``sig/__main__.py:526-592``): per-block (value, count) partials,
-    driver reduce, keep count == n."""
-    from ray.data.aggregate import Count
+    sketch (``sig/__main__.py:526-592``).
+
+    Shape: per-block (hash, count) combiner (each sketch's mins are
+    unique, so a block-local bincount is a valid partial), hash-partition
+    through the coarse-key exchange (NOT ``Dataset.groupby`` — Ray 2.49's
+    sort shuffle has a data-proportional serial component, the reason
+    every other wide step in this engine uses the exchange), per-partition
+    sum + keep count == n, driver concat of the tiny survivors."""
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from .exchange import exchange_map_groups
 
     n_total = sigs.count()
+    group_parts = 1024
 
-    def _explode(batch: pa.Table) -> pa.Table:
-        offs, vals = _list_views(batch["mins"])
-        return pa.table({"h": pa.array(vals, pa.uint64())})
+    def _partial(batch: pa.Table) -> pa.Table:
+        _, vals = _list_views(batch["mins"])
+        u, cnt = np.unique(vals, return_counts=True)
+        return pa.table({
+            "h": pa.array(u, pa.uint64()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            "h_part": pa.array(
+                (u % np.uint64(group_parts)).astype(np.int64), pa.int64()),
+        })
 
-    counts = (sigs.select_columns(["mins"])
-              .map_batches(_explode, batch_format="pyarrow")
-              .groupby("h").aggregate(Count()))
-    import pyarrow.compute as pc
+    out_schema = pa.schema([("h", pa.uint64())])
 
-    hits = counts.map_batches(
-        lambda t: t.filter(pc.equal(t["count()"], pa.scalar(n_total))),
-        batch_format="pyarrow")
+    def _common(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return out_schema.empty_table()
+        h = np.asarray(part["h"], np.uint64)
+        n = np.asarray(part["n"], np.int64)
+        order = np.argsort(h, kind="stable")
+        h, n = h[order], n[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], h[1:] != h[:-1]]))
+        sums = np.add.reduceat(n, starts)
+        keep = sums == n_total
+        return pa.table({"h": pa.array(h[starts][keep], pa.uint64())})
+
+    parts = (sigs.select_columns(["mins"])
+             .map_batches(_partial, batch_format="pyarrow"))
+    hits = exchange_map_groups(parts, "h_part",
+                               2 * resolve_num_partitions(DEFAULT_CONFIG),
+                               _common, out_schema)
     common = np.array(sorted(r["h"] for r in hits.take_all()),
                       dtype=np.uint64)
     return {"mins": common, "n_sigs": n_total}
