@@ -44,20 +44,62 @@ def exact_dedup_docs(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG):
     (min doc_id) per group — the ``found_md5`` dedup of
     ``/root/reference/src/sourmash/search.py:682-691`` as a full operator.
 
-    Output: (text_md5, rep_doc_id, n_docs), one row per distinct text.
+    Shape: block-local (md5, min, count) combiner, coarse-key exchange
+    (not ``Dataset.groupby`` — Ray 2.49's sort shuffle has a
+    data-proportional serial component), per-partition merge. Output:
+    (text_md5, rep_doc_id, n_docs), one row per distinct text.
     """
-    ds = _read_docs(sf_dir)
-    hashed = ds.map_batches(_normalize_md5_batch, batch_format="pyarrow")
-    agg = hashed.groupby("text_md5").aggregate(
-        *_min_count_aggs("doc_id"))
-    return agg.rename_columns(
-        {"min(doc_id)": "rep_doc_id", "count()": "n_docs"})
+    from ..functions.segscore import hash_strings64
+    from ..stages.exchange import exchange_map_groups
+    from ..config import resolve_num_partitions
 
+    group_parts = cfg.exec.group_parts
 
-def _min_count_aggs(col: str):
-    from ray.data.aggregate import Count, Min
+    def _partial(batch: pa.Table) -> pa.Table:
+        t = _normalize_md5_batch(batch)
+        md5 = np.array(t["text_md5"].to_pylist(), dtype=object)
+        ids = np.asarray(t["doc_id"], np.int64)
+        order = np.lexsort((ids, md5))
+        md5, ids = md5[order], ids[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], md5[1:] != md5[:-1]])) \
+            if len(md5) else np.empty(0, np.int64)
+        cnt = np.diff(np.concatenate([starts, [len(md5)]]))
+        u = md5[starts]
+        return pa.table({
+            "text_md5": pa.array(list(u), pa.string()),
+            "rep_doc_id": pa.array(ids[starts], pa.int64()),
+            "n_docs": pa.array(cnt.astype(np.int64), pa.int64()),
+            "md5_part": pa.array(hash_strings64(list(u)) % group_parts,
+                                 pa.int64()),
+        })
 
-    return [Min(col), Count()]
+    out_schema = pa.schema([("text_md5", pa.string()),
+                            ("rep_doc_id", pa.int64()),
+                            ("n_docs", pa.int64())])
+
+    def _merge(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return out_schema.empty_table()
+        md5 = np.array(part["text_md5"].to_pylist(), dtype=object)
+        rep = np.asarray(part["rep_doc_id"], np.int64)
+        cnt = np.asarray(part["n_docs"], np.int64)
+        order = np.lexsort((rep, md5))
+        md5, rep, cnt = md5[order], rep[order], cnt[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], md5[1:] != md5[:-1]]))
+        sums = np.add.reduceat(cnt, starts)
+        return pa.table({
+            "text_md5": pa.array(list(md5[starts]), pa.string()),
+            "rep_doc_id": pa.array(rep[starts], pa.int64()),
+            "n_docs": pa.array(sums.astype(np.int64), pa.int64()),
+        })
+
+    parts = _read_docs(sf_dir).map_batches(_partial,
+                                           batch_format="pyarrow")
+    return exchange_map_groups(parts, "md5_part",
+                               2 * resolve_num_partitions(cfg),
+                               _merge, out_schema)
 
 
 def _token_stats_batch(batch: pa.Table) -> pa.Table:

@@ -114,20 +114,58 @@ def pricing_summary(sf_dir: str):
                                      pa.scalar(100.0))), pa.int64()),
         })
 
-    agg = (ds.map_batches(_to_cents, batch_format="pyarrow")
-           .groupby(["l_returnflag", "l_linestatus"])
-           .aggregate(Sum("qty"), Sum("price_cents"), Count()))
+    # block-local partial aggregation (Arrow group_by inside the task,
+    # single-threaded) shrinks the exchange to blocks × n_groups rows —
+    # the fact rows never enter a shuffle
+    from ..functions.segscore import hash_strings64
+    from ..stages.exchange import exchange_map_groups
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
 
-    def _name(batch: pa.Table) -> pa.Table:
+    out_schema = pa.schema([
+        ("l_returnflag", pa.string()),
+        ("l_linestatus", pa.string()),
+        ("sum_qty", pa.int64()),
+        ("sum_price_cents", pa.int64()),
+        ("count_order", pa.int64()),
+    ])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        t = _to_cents(batch)
+        g = t.group_by(["l_returnflag", "l_linestatus"],
+                       use_threads=False).aggregate(
+            [("qty", "sum"), ("price_cents", "sum"), ("qty", "count")])
+        key = pc.binary_join_element_wise(
+            g["l_returnflag"].combine_chunks(),
+            g["l_linestatus"].combine_chunks(), "|")
         return pa.table({
-            "l_returnflag": batch["l_returnflag"],
-            "l_linestatus": batch["l_linestatus"],
-            "sum_qty": pc.cast(batch["sum(qty)"], pa.int64()),
-            "sum_price_cents": pc.cast(batch["sum(price_cents)"], pa.int64()),
-            "count_order": batch["count()"],
+            "l_returnflag": g["l_returnflag"],
+            "l_linestatus": g["l_linestatus"],
+            "sum_qty": pc.cast(g["qty_sum"], pa.int64()),
+            "sum_price_cents": pc.cast(g["price_cents_sum"], pa.int64()),
+            "count_order": pc.cast(g["qty_count"], pa.int64()),
+            "grp_part": pa.array(hash_strings64(key) % 1024, pa.int64()),
         })
 
-    return agg.map_batches(_name, batch_format="pyarrow")
+    def _merge(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return out_schema.empty_table()
+        g = part.group_by(["l_returnflag", "l_linestatus"],
+                       use_threads=False).aggregate(
+            [("sum_qty", "sum"), ("sum_price_cents", "sum"),
+             ("count_order", "sum")])
+        return pa.table({
+            "l_returnflag": g["l_returnflag"],
+            "l_linestatus": g["l_linestatus"],
+            "sum_qty": pc.cast(g["sum_qty_sum"], pa.int64()),
+            "sum_price_cents": pc.cast(g["sum_price_cents_sum"],
+                                       pa.int64()),
+            "count_order": pc.cast(g["count_order_sum"], pa.int64()),
+        })
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow")
+    return exchange_map_groups(parts, "grp_part",
+                               resolve_num_partitions(DEFAULT_CONFIG),
+                               _merge, out_schema)
 
 
 def union_collections(sf_dir: str):
