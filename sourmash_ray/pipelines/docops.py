@@ -155,21 +155,17 @@ def lang_summary_docs(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG):
     """groupby(lang): doc count + total chars — the ``sig fileinfo``-style
     collection summary (``/root/reference/src/sourmash/sig/__main__.py:
     250-345``) over documents."""
-    import ray.data
-    from ray.data.aggregate import Count, Sum
+    from ..stages.agg import grouped_sums
 
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
-                               columns=["lang", "n_chars"])
-    agg = ds.groupby("lang").aggregate(Count(), Sum("n_chars"))
-
-    def _name(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "lang": batch["lang"],
-            "n_docs": batch["count()"],
-            "total_chars": pc.cast(batch["sum(n_chars)"], pa.int64()),
-        })
-
-    return agg.map_batches(_name, batch_format="pyarrow")
+                            columns=["lang", "n_chars"])
+    agg = grouped_sums(ds, ["lang"], ["n_chars"], count_as="n_docs")
+    return agg.map_batches(
+        lambda t: pa.table({
+            "lang": t["lang"],
+            "n_docs": t["n_docs"],
+            "total_chars": t["sum_n_chars"],
+        }), batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -37,20 +37,18 @@ def tumbling_window_counts(sf_dir: str, unit: str = "hour"):
                 pa.int64()),
         })
 
-    agg = (ds.map_batches(_window, batch_format="pyarrow")
-           .groupby(["event_type", "window_start"])
-           .aggregate(Count(), Sum("value_micros")))
+    from ..stages.agg import grouped_sums
 
-    def _name(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "event_type": batch["event_type"],
-            "window_start": batch["window_start"],
-            "n_events": batch["count()"],
-            "sum_value_micros": pc.cast(batch["sum(value_micros)"],
-                                        pa.int64()),
-        })
-
-    return agg.map_batches(_name, batch_format="pyarrow")
+    agg = grouped_sums(ds.map_batches(_window, batch_format="pyarrow"),
+                       ["event_type", "window_start"], ["value_micros"],
+                       count_as="n_events")
+    return agg.map_batches(
+        lambda t: pa.table({
+            "event_type": t["event_type"],
+            "window_start": t["window_start"],
+            "n_events": t["n_events"],
+            "sum_value_micros": t["sum_value_micros"],
+        }), batch_format="pyarrow")
 
 
 def sessionize_events(sf_dir: str, gap_minutes: int = 30):
@@ -111,17 +109,15 @@ def hopping_window_counts(sf_dir: str, window_hours: int = 2,
             "value_micros": pa.array(micros[idx], pa.int64()),
         })
 
-    agg = (ds.map_batches(_explode, batch_format="pyarrow")
-           .groupby(["event_type", "window_start"])
-           .aggregate(Count(), Sum("value_micros")))
+    from ..stages.agg import grouped_sums
 
-    def _name(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "event_type": batch["event_type"],
-            "window_start": batch["window_start"],
-            "n_events": batch["count()"],
-            "sum_value_micros": pc.cast(batch["sum(value_micros)"],
-                                        pa.int64()),
-        })
-
-    return agg.map_batches(_name, batch_format="pyarrow")
+    agg = grouped_sums(ds.map_batches(_explode, batch_format="pyarrow"),
+                       ["event_type", "window_start"], ["value_micros"],
+                       count_as="n_events")
+    return agg.map_batches(
+        lambda t: pa.table({
+            "event_type": t["event_type"],
+            "window_start": t["window_start"],
+            "n_events": t["n_events"],
+            "sum_value_micros": t["sum_value_micros"],
+        }), batch_format="pyarrow")

@@ -172,7 +172,7 @@ def union_collections(sf_dir: str):
     """``sig cat`` / MultiIndex union (``sig/__main__.py:114-163``):
     concatenate two sources then deduplicate by key — count rows per
     nation key across the union of supplier and customer tables."""
-    from ray.data.aggregate import Count
+    from ..stages.agg import grouped_sums
 
     sup = read_parquet_clean(f"{sf_dir}/supplier.parquet",
                                 columns=["s_nationkey"]).rename_columns(
@@ -180,8 +180,8 @@ def union_collections(sf_dir: str):
     cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
                                  columns=["c_nationkey"]).rename_columns(
                                      {"c_nationkey": "nationkey"})
-    agg = sup.union(cust).groupby("nationkey").aggregate(Count())
-    return agg.rename_columns({"count()": "n_rows"})
+    return grouped_sums(sup.union(cust), ["nationkey"], [],
+                        count_as="n_rows")
 
 
 def broadcast_lookup_join(sf_dir: str):
