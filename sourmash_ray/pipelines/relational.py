@@ -188,7 +188,9 @@ def broadcast_lookup_join(sf_dir: str):
     """Small-dimension broadcast join (the lineage-lookup pattern,
     ``tax_utils.py:1210-1455``): customer × nation × region names,
     aggregated to (r_name, n_name, n_customers)."""
-    from ray.data.aggregate import Count
+    import numpy as np
+
+    from ..stages.agg import grouped_sums
 
     nation = {r["n_nationkey"]: (r["n_name"], r["n_regionkey"])
               for r in read_parquet_clean(
@@ -196,22 +198,29 @@ def broadcast_lookup_join(sf_dir: str):
     region = {r["r_regionkey"]: r["r_name"]
               for r in read_parquet_clean(
                   f"{sf_dir}/region.parquet").take_all()}
-    lookup = {k: (region[v[1]], v[0]) for k, v in nation.items()}
-    lookup_ref = ray.put(lookup)
+    # dense lookup arrays indexed by nationkey — vectorized gather per
+    # batch instead of a per-row dict probe
+    max_nk = max(nation)
+    r_by_nk = np.empty(max_nk + 1, dtype=object)
+    n_by_nk = np.empty(max_nk + 1, dtype=object)
+    for nk, (name, rk) in nation.items():
+        r_by_nk[nk] = region[rk]
+        n_by_nk[nk] = name
+    lookup_ref = ray.put((r_by_nk, n_by_nk))
 
     def _attach(batch: pa.Table) -> pa.Table:
-        lk = ray.get(lookup_ref)
-        keys = batch["c_nationkey"].to_pylist()
+        r_a, n_a = ray.get(lookup_ref)
+        nk = np.asarray(batch["c_nationkey"], dtype=np.int64)
         return pa.table({
-            "r_name": pa.array([lk[k][0] for k in keys], pa.string()),
-            "n_name": pa.array([lk[k][1] for k in keys], pa.string()),
+            "r_name": pa.array(r_a[nk], pa.string()),
+            "n_name": pa.array(n_a[nk], pa.string()),
         })
 
     cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
                                  columns=["c_nationkey"])
-    agg = (cust.map_batches(_attach, batch_format="pyarrow")
-           .groupby(["r_name", "n_name"]).aggregate(Count()))
-    return agg.rename_columns({"count()": "n_customers"})
+    return grouped_sums(cust.map_batches(_attach, batch_format="pyarrow"),
+                        ["r_name", "n_name"], [],
+                        count_as="n_customers")
 
 
 def picklist_ident_parts(sf_dir: str):
