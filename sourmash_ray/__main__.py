@@ -78,7 +78,8 @@ def main(argv=None):
     sg = add("sig")
     sg.add_argument("--op", required=True,
                     choices=["downsample", "flatten", "filter", "extract",
-                             "merge", "intersect", "rename", "manifest"])
+                             "merge", "intersect", "subtract", "rename",
+                             "manifest"])
     sg.add_argument("--out", default=None)
     sg.add_argument("--scaled", type=int, default=None)
     sg.add_argument("--min-abund", type=int, default=1)
@@ -173,6 +174,16 @@ def main(argv=None):
                 path = args.out or "/tmp/sourmash_ray_manifest"
                 sigops.write_manifest(sigs, path)
                 print(json.dumps({"manifest": path}))
+                return
+            elif args.op == "subtract":
+                from .stages.sigops import subtract_from
+
+                first = sigs.take(1)[0]["conv_id"]
+                res = subtract_from(sigs, first)
+                print(json.dumps({"op": "subtract",
+                                  "target": res["conv_id"],
+                                  "n_mins": int(len(res["mins"])),
+                                  "n_removed": res["n_removed"]}))
                 return
             elif args.op in ("merge", "intersect"):
                 fn = (sigops.merge_all if args.op == "merge"
