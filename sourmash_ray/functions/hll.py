@@ -24,6 +24,8 @@ import numpy as np
 __all__ = [
     "hll_p_for_error", "hll_empty", "hll_add_hashes", "hll_merge",
     "hll_counts", "hll_mle", "hll_cardinality", "hll_error_rate",
+    "hll_union_cardinality", "hll_intersection", "hll_similarity",
+    "hll_containment",
 ]
 
 
@@ -154,3 +156,35 @@ def hll_cardinality(registers: np.ndarray) -> int:
     q = 64 - p
     relerr = 0.01 if p < 8 else (0.05 if p < 16 else 0.1)
     return int(hll_mle(hll_counts(registers, q), p, q, relerr))
+
+
+def hll_union_cardinality(a: np.ndarray, b: np.ndarray) -> int:
+    """|A ∪ B| — exact at the sketch level: the merged register array IS
+    the sketch of the union (``mod.rs:109-114``; the reference estimates
+    through joint_mle, which agrees with the merged-register MLE on the
+    union term)."""
+    return hll_cardinality(hll_merge(a, b))
+
+
+def hll_intersection(a: np.ndarray, b: np.ndarray) -> int:
+    """|A ∩ B| via inclusion-exclusion over the register MLEs
+    (|A|+|B|-|A∪B|, clamped at 0). The reference's ``joint_mle``
+    (``estimators.rs:143-260``, Ertl §5) solves the three-way likelihood
+    jointly and has lower variance for small intersections; this is the
+    classic published estimator with the same expectation — documented
+    approximation, adequate for the containment/similarity columns."""
+    est = (hll_cardinality(a) + hll_cardinality(b)
+           - hll_union_cardinality(a, b))
+    return max(0, est)
+
+
+def hll_similarity(a: np.ndarray, b: np.ndarray) -> float:
+    """Jaccard estimate (``mod.rs:116-121``)."""
+    u = hll_union_cardinality(a, b)
+    return hll_intersection(a, b) / u if u else 0.0
+
+
+def hll_containment(a: np.ndarray, b: np.ndarray) -> float:
+    """|A∩B| / |A| (``mod.rs:123-128``)."""
+    ca = hll_cardinality(a)
+    return hll_intersection(a, b) / ca if ca else 0.0

@@ -99,3 +99,26 @@ def test_dataset_distinct_ops_estimate_vs_exact(ray_session):
     assert exact == len(used)
     est = approx_distinct(ds, fn, p=14)
     assert abs(est - exact) / exact < 5 * hll_error_rate(14)
+
+
+def test_union_similarity_containment_estimates():
+    """HLL set-relationship estimates within 5% of exact on overlapping
+    50k-element sets (mod.rs:109-136 API)."""
+    from sourmash_ray.functions.hll import (
+        hll_containment, hll_intersection, hll_similarity,
+        hll_union_cardinality,
+    )
+
+    rng = np.random.default_rng(23)
+    pool = rng.integers(0, 2 ** 64, size=80_000, dtype=np.uint64)
+    A = np.unique(pool[:50_000])
+    B = np.unique(pool[30_000:80_000])   # ~20k overlap
+    a, b = hll_empty(14), hll_empty(14)
+    hll_add_hashes(a, A)
+    hll_add_hashes(b, B)
+    exact_u = np.union1d(A, B).size
+    exact_i = np.intersect1d(A, B).size
+    assert abs(hll_union_cardinality(a, b) - exact_u) / exact_u < 0.05
+    assert abs(hll_intersection(a, b) - exact_i) / exact_i < 0.05
+    assert abs(hll_similarity(a, b) - exact_i / exact_u) < 0.05
+    assert abs(hll_containment(a, b) - exact_i / A.size) < 0.05
