@@ -288,24 +288,56 @@ def _to_bytes_array(ids) -> np.ndarray:
     """UTF-8 S-dtype array from a pyarrow String(Chunked)Array, numpy S
     array, or list of str/bytes. ``np.array(strs, dtype=bytes)`` ASCII-
     encodes and raises on any non-ASCII character, so strings are routed
-    through explicit UTF-8 (Arrow string buffers ARE UTF-8 — cast to
-    binary and take the bytes). Nulls/None become empty bytes."""
+    through explicit UTF-8 (Arrow string buffers ARE UTF-8).
+
+    For Arrow inputs — every shuffle-key / co-group path — the S-width
+    array is built directly from the binary offsets/data buffers with one
+    vectorized scatter: no ``to_pylist`` and no per-row Python objects
+    anywhere. Nulls/None become empty bytes."""
     if isinstance(ids, np.ndarray) and ids.dtype.kind == "S":
         return ids
     import pyarrow as pa
 
-    if isinstance(ids, (pa.Array, pa.ChunkedArray)):
-        arr = (ids.combine_chunks()
-               if isinstance(ids, pa.ChunkedArray) else ids)
-        if pa.types.is_string(arr.type) or pa.types.is_large_string(
-                arr.type):
-            arr = arr.cast(pa.binary())
-        vals = arr.to_pylist()
-    else:
-        vals = list(ids)
-    out = [v.encode("utf-8") if isinstance(v, str) else (v or b"")
-           for v in vals]
-    return np.array(out, dtype=bytes) if out else np.empty(0, "S1")
+    if not isinstance(ids, (pa.Array, pa.ChunkedArray)):
+        # list-of-str fallback: driver-side helpers / tests only.
+        vals = [v.encode("utf-8") if isinstance(v, str) else (v or b"")
+                for v in ids]
+        return np.array(vals, dtype=bytes) if vals else np.empty(0, "S1")
+
+    arr = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
+    t = arr.type
+    if pa.types.is_string(t):
+        arr = arr.cast(pa.binary())          # zero-copy relabel
+    elif pa.types.is_large_string(t):
+        arr = arr.cast(pa.large_binary())    # zero-copy relabel
+    elif not (pa.types.is_binary(t) or pa.types.is_large_binary(t)):
+        arr = arr.cast(pa.binary())          # view/dictionary types
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, "S1")
+    off_dt = (np.int64 if pa.types.is_large_binary(arr.type)
+              else np.int32)
+    bufs = arr.buffers()
+    offs = np.frombuffer(
+        bufs[1], dtype=off_dt, count=n + 1,
+        offset=arr.offset * np.dtype(off_dt).itemsize).astype(np.int64)
+    lens = np.diff(offs)
+    if arr.null_count:
+        bits = np.unpackbits(np.frombuffer(bufs[0], np.uint8),
+                             bitorder="little")
+        valid = bits[arr.offset:arr.offset + n].astype(bool)
+        lens = np.where(valid, lens, 0)
+    width = int(lens.max())
+    if width == 0:
+        return np.zeros(n, "S1")
+    data = np.frombuffer(bufs[2], np.uint8)
+    cum = np.concatenate([[0], np.cumsum(lens)])
+    local = np.arange(int(cum[-1]), dtype=np.int64) - np.repeat(
+        cum[:-1], lens)
+    out = np.zeros(n * width, np.uint8)
+    out[np.repeat(np.arange(n, dtype=np.int64) * width, lens)
+        + local] = data[np.repeat(offs[:-1], lens) + local]
+    return out.view(f"S{width}")
 
 
 def hash_strings64(ids, seed: int = 0xC0FFEE) -> np.ndarray:

@@ -302,11 +302,12 @@ class LangIdScorer:
         offs = np.asarray(toks.offsets, dtype=np.int64)
         flat = toks.flatten()
         rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
-        # UTF-8 bytes, not np.array(strs, S..): S-dtype from str ASCII-
-        # encodes and raises on any non-ASCII character in the text;
-        # bytes→S only truncates (safe per the width argument above)
-        tok_w = (np.array(flat.cast(pa.binary()).to_pylist(),
-                          dtype=f"S{self._W}")
+        # UTF-8 bytes straight from the Arrow buffers (zero-copy scatter in
+        # _to_bytes_array — no to_pylist); the S-width cast only truncates
+        # (safe per the width argument above)
+        from ..functions.segscore import _to_bytes_array
+
+        tok_w = (_to_bytes_array(flat).astype(f"S{self._W}")
                  if len(flat) else np.empty(0, f"S{self._W}"))
         hits = np.zeros((len(self.langs), n), np.int64)
         for i, markers in enumerate(self.marker_arrays):

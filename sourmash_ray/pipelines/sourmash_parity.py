@@ -482,10 +482,12 @@ def categorize(query_sigs, ref_sigs, cfg: EngineConfig = DEFAULT_CONFIG,
 
     @ray.remote
     def _build(*blocks):
+        from ..functions.segscore import _to_bytes_array
+
         tables = [t for t in blocks if t.num_rows]
         tbl = pa.concat_tables(tables).combine_chunks()
-        md5s = np.array(tbl["md5"].to_pylist(), dtype=object)
-        ids = np.array(tbl["conv_id"].to_pylist(), dtype=object)
+        md5s = _to_bytes_array(tbl["md5"])
+        ids = _to_bytes_array(tbl["conv_id"])
         order = np.lexsort((ids, md5s))
         tbl = tbl.take(pa.array(order, pa.int64()))
         offs, data = _blob_views(tbl["blob"])
@@ -512,14 +514,15 @@ def categorize(query_sigs, ref_sigs, cfg: EngineConfig = DEFAULT_CONFIG,
             q = qu[qo[i]:qo[i + 1]]
             c, cj, dj = query_jaccard_stats(q, u, so, num)
             sim = cj / np.maximum(dj, 1)
-            mask = (sim >= threshold) & (md5_r != batch["md5"][i].as_py())
+            q_md5 = batch["md5"][i].as_py().encode("utf-8")
+            mask = (sim >= threshold) & (md5_r != q_md5)
             if not mask.any():
                 continue
             cand = np.flatnonzero(mask)
             best = cand[np.argmax(sim[cand])]
             rows.append({
                 "query": batch["conv_id"][i].as_py(),
-                "match": str(ids_r[best]),
+                "match": ids_r[best].decode("utf-8"),
                 "similarity": float(sim[best]),
             })
         if not rows:

@@ -29,7 +29,7 @@ import numpy as np
 from ..functions.segscore import _to_bytes_array
 import pyarrow as pa
 
-from ..config import EngineConfig, DEFAULT_CONFIG, clamped_join_partitions
+from ..config import EngineConfig, DEFAULT_CONFIG
 from ..functions.perm import _fmix64_vec
 
 _LABEL_SCHEMA = pa.schema([("node", pa.string()), ("label", pa.string())])
@@ -126,25 +126,23 @@ def _label_propagation(sym, n_sym: int, cfg: EngineConfig):
     n_parts = 2 * resolve_num_partitions(cfg)
 
     def _edge_rows(batch: pa.Table) -> pa.Table:
-        src = batch["src"].to_pylist()
-        n = len(src)
+        n = batch.num_rows
         return pa.table({
-            "key": pa.array(_id_hash64_col(src), pa.int64()),
+            "key": pa.array(_id_hash64_col(batch["src"]), pa.int64()),
             "src": batch["src"],
             "dst": batch["dst"],
             "label": pa.nulls(n, pa.string()),
-            "side": pa.array([0] * n, pa.int8()),
+            "side": pa.array(np.zeros(n, np.int8())),
         }).cast(_PROP_SCHEMA)
 
     def _label_rows(batch: pa.Table) -> pa.Table:
-        nodes = batch["node"].to_pylist()
-        n = len(nodes)
+        n = batch.num_rows
         return pa.table({
-            "key": pa.array(_id_hash64_col(nodes), pa.int64()),
+            "key": pa.array(_id_hash64_col(batch["node"]), pa.int64()),
             "src": batch["node"],
             "dst": pa.nulls(n, pa.string()),
             "label": batch["label"],
-            "side": pa.array([1] * n, pa.int8()),
+            "side": pa.array(np.ones(n, np.int8())),
         }).cast(_PROP_SCHEMA)
 
     def _send(part: pa.Table) -> pa.Table:
@@ -173,14 +171,13 @@ def _label_propagation(sym, n_sym: int, cfg: EngineConfig):
 
     def _keyed_labels(batch: pa.Table) -> pa.Table:
         return batch.append_column(
-            "key", pa.array(_id_hash64_col(batch["node"].to_pylist()),
-                            pa.int64()))
+            "key", pa.array(_id_hash64_col(batch["node"]), pa.int64()))
 
     # init: every node labels itself (derived from edge endpoints)
     def _self_labels(batch: pa.Table) -> pa.Table:
-        vals = batch["src"].to_pylist() + batch["dst"].to_pylist()
-        return pa.table({"node": pa.array(vals, pa.string()),
-                         "label": pa.array(vals, pa.string())})
+        vals = pa.concat_arrays([batch["src"].combine_chunks(),
+                                 batch["dst"].combine_chunks()])
+        return pa.table({"node": vals, "label": vals})
 
     labels = exchange_map_groups(
         sym.map_batches(_self_labels, batch_format="pyarrow")
@@ -312,17 +309,78 @@ def assign_clusters(sigs, edges, cfg: EngineConfig = DEFAULT_CONFIG):
 
         return ids.map_batches(_attach, batch_format="pyarrow")
 
-    joined = ids.join(
-        labels,
-        join_type="left_outer",
-        num_partitions=clamped_join_partitions(cfg, sigs.count(), n_labels),
-        on=("conv_id",),
-        right_on=("node",),
-    )
-    return joined.map_batches(
-        lambda t: pa.table({
-            "conv_id": t["conv_id"],
-            "cluster_id": pa.compute.coalesce(t["label"], t["conv_id"]),
-        }),
-        batch_format="pyarrow",
-    )
+    # beyond-broadcast scale path: id-hash exchange co-group attach (the
+    # verify.py _score_pairs_exchange pattern) — NOT Dataset.join, whose
+    # hash partitioner is a per-row Python hash() loop and which breaks on
+    # empty partitions (Ray 2.49).
+    return _assign_exchange(ids, labels, cfg)
+
+
+_ASSIGN_SCHEMA = pa.schema([
+    ("key", pa.int64()),
+    ("conv_id", pa.string()),   # id row: the conversation; label row: node
+    ("label", pa.string()),     # null for id rows
+    ("side", pa.int8()),        # 0 = id, 1 = label
+])
+
+_ASSIGN_OUT = pa.schema([("conv_id", pa.string()),
+                         ("cluster_id", pa.string())])
+
+
+def _assign_exchange(ids, labels, cfg: EngineConfig):
+    """Left-outer label attach on the coarse exchange: conv_id rows meet
+    label rows keyed by the same id-hash; inside each partition a sorted
+    searchsorted gather assigns cluster_id (own id on miss)."""
+    from ..config import resolve_num_partitions
+    from .exchange import exchange_map_groups
+
+    n_parts = 2 * resolve_num_partitions(cfg)
+
+    def _id_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "key": pa.array(_id_hash64_col(batch["conv_id"]), pa.int64()),
+            "conv_id": batch["conv_id"],
+            "label": pa.nulls(n, pa.string()),
+            "side": pa.array(np.zeros(n, np.int8())),
+        }).cast(_ASSIGN_SCHEMA)
+
+    def _lab_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "key": pa.array(_id_hash64_col(batch["node"]), pa.int64()),
+            "conv_id": batch["node"],
+            "label": batch["label"],
+            "side": pa.array(np.ones(n, np.int8())),
+        }).cast(_ASSIGN_SCHEMA)
+
+    def _attach_part(part: pa.Table) -> pa.Table:
+        from .verify import _common_width
+
+        side = np.asarray(part["side"], dtype=np.int8)
+        id_tbl = part.filter(pa.array(side == 0))
+        if id_tbl.num_rows == 0:
+            return _ASSIGN_OUT.empty_table()
+        lab_tbl = part.filter(pa.array(side == 1))
+        own = id_tbl["conv_id"].combine_chunks()
+        if lab_tbl.num_rows == 0:
+            return pa.table({"conv_id": own,
+                             "cluster_id": own}).cast(_ASSIGN_OUT)
+        nodes = _to_bytes_array(lab_tbl["conv_id"])
+        order = np.argsort(nodes, kind="stable")
+        nodes = nodes[order]
+        lbls = lab_tbl["label"].combine_chunks().take(
+            pa.array(order, pa.int64()))
+        keys, nodes_w = _common_width(_to_bytes_array(own), nodes)
+        pos = np.searchsorted(nodes_w, keys)
+        pos_c = np.minimum(pos, max(len(nodes_w) - 1, 0))
+        hit = nodes_w[pos_c] == keys
+        out = pa.compute.if_else(
+            pa.array(hit), lbls.take(pa.array(pos_c, pa.int64())), own)
+        return pa.table({"conv_id": own,
+                         "cluster_id": out}).cast(_ASSIGN_OUT)
+
+    both = ids.map_batches(_id_rows, batch_format="pyarrow").union(
+        labels.map_batches(_lab_rows, batch_format="pyarrow"))
+    return exchange_map_groups(both, "key", n_parts, _attach_part,
+                               _ASSIGN_OUT)

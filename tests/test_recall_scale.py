@@ -438,3 +438,32 @@ def test_dedup_pipeline_unicode_end_to_end(ray_session):
     assert set(label) == {"konv-ä-1", "konv-ö-2", "konv-ü-3"}
     assert label["konv-ä-1"] == label["konv-ö-2"]
     assert label["konv-ü-3"] != label["konv-ä-1"]
+
+
+def test_assign_clusters_exchange_equals_broadcast(ray_session):
+    """Forced beyond-broadcast label attach (broadcast_bytes_limit=0) goes
+    through the id-hash exchange co-group (no Dataset.join) and must equal
+    the broadcast searchsorted attach exactly, including left-outer
+    self-label semantics for edge-less conversations."""
+    import ray.data
+
+    from sourmash_ray.stages.cluster import assign_clusters
+
+    ids = [f"conv-{i:03d}" for i in range(30)] + ["naïve-é-ünïcode"]
+    sigs = ray.data.from_arrow(pa.table({"conv_id": pa.array(ids)}))
+    edges = ray.data.from_arrow(pa.table({
+        "a": pa.array(["conv-001", "conv-002", "conv-010",
+                       "naïve-é-ünïcode"]),
+        "b": pa.array(["conv-002", "conv-003", "conv-011", "conv-020"]),
+    }))
+    want = {r["conv_id"]: r["cluster_id"]
+            for r in assign_clusters(sigs, edges,
+                                     DEFAULT_CONFIG).take_all()}
+    forced = EngineConfig(exec=ExecParams(broadcast_bytes_limit=0))
+    got = {r["conv_id"]: r["cluster_id"]
+           for r in assign_clusters(sigs, edges, forced).take_all()}
+    assert len(want) == len(ids)
+    assert got == want
+    assert want["conv-003"] == "conv-001"          # chained component
+    assert want["conv-005"] == "conv-005"          # singleton self-label
+    assert want["naïve-é-ünïcode"] == "conv-020"   # non-ASCII id hashed
