@@ -124,6 +124,23 @@ def _gather_q(sf_dir: str):
     return gather(sigs, _clone_query_id(sigs), threshold_hashes=3)
 
 
+def _multigather_q(sf_dir: str):
+    """Query-parallel gather: one scan of the collection scores all
+    queries; greedy rounds fan out one remote task per query."""
+    import pyarrow.compute as pc
+
+    from sourmash_ray.pipelines.sourmash_parity import multigather
+
+    sigs = _sigs_for(sf_dir)
+    rows = (sigs.select_columns(["conv_id"])
+            .map_batches(lambda t: t.filter(
+                pc.match_substring(t["conv_id"], "_xd")),
+                batch_format="pyarrow")
+            .sort("conv_id").take(3))
+    return multigather(sigs, [r["conv_id"] for r in rows],
+                       threshold_hashes=3)
+
+
 def _categorize_q(sf_dir: str):
     """1-NN best-match labeling of a query subset vs the collection
     (``commands.py:758-833``)."""
@@ -210,6 +227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_transcripts": _search_q,
         "prefetch_transcripts": _prefetch_q,
         "gather_transcripts": _gather_q,
+        "multigather_transcripts": _multigather_q,
         "compare_exact_small": _compare_q,
         "categorize_transcripts": _categorize_q,
         "sig_downsample": _sig_downsample_q,

@@ -204,82 +204,144 @@ _GATHER_FIELDS = [
 GATHER_SCHEMA = pa.schema(_GATHER_FIELDS)
 
 
-def _gather_candidates(sigs, query_id: str, cfg: EngineConfig,
-                       threshold_hashes: int):
-    """ONE distributed prefetch scan → candidate rows with their mins
-    cached (the CounterGather build, ``index/__init__.py:760-790``: only
-    signatures overlapping the query enter the counter)."""
-    q = _query_mins(sigs, query_id)
+class _LocalCounters:
+    """CounterGather state over ONE candidate table: per-candidate overlap
+    counters vs the remaining query, md5 tiebreak, consume/decrement
+    (``index/__init__.py:735-909`` semantics). Pure numpy — runs in-process
+    (multigather per-query tasks) or inside a :class:`_CounterShard`
+    actor (single-query gather), so candidate mins NEVER land on the
+    driver; only each round's winner segment does."""
+
+    def __init__(self, orig: np.ndarray, cand_tbl: pa.Table):
+        self.n = cand_tbl.num_rows
+        if self.n == 0:
+            return
+        self.ids = cand_tbl["conv_id"].combine_chunks()
+        self.md5s = _to_bytes_array(cand_tbl["md5"])
+        lst = cand_tbl["mins"].combine_chunks()
+        self.offs = np.asarray(lst.offsets, dtype=np.int64)
+        self.vals = np.asarray(lst.flatten(), dtype=np.uint64)
+        self.lens = np.diff(self.offs)
+        self.rows_of_vals = np.repeat(np.arange(self.n, dtype=np.int64),
+                                      self.lens)
+        c0, _, _ = query_jaccard_stats(orig, self.vals, self.offs, 0)
+        self.c0 = c0.astype(np.int64)
+        self.counts = self.c0.copy()
+
+    def peek(self):
+        """(best remaining count, winner md5 bytes) or None if exhausted."""
+        if self.n == 0:
+            return None
+        best_c = int(self.counts.max())
+        if best_c <= 0:
+            return None
+        tied = np.flatnonzero(self.counts == best_c)
+        w = tied[np.argmin(self.md5s[tied])]
+        return best_c, bytes(self.md5s[w])
+
+    def take_winner(self):
+        """Pop the current local winner: mark consumed (-1 — never re-picked
+        even at threshold 0, cf. ADVICE r2) and return its row context +
+        mins segment (the ONLY mins bytes that leave this store)."""
+        best_c = int(self.counts.max())
+        tied = np.flatnonzero(self.counts == best_c)
+        w = int(tied[np.argmin(self.md5s[tied])])
+        seg = self.vals[self.offs[w]: self.offs[w + 1]].copy()
+        self.counts[w] = -1
+        return {
+            "id": self.ids[w].as_py(),
+            "md5": self.md5s[w].decode(),
+            "overlap": best_c,
+            "c0": int(self.c0[w]),
+            "len": int(self.lens[w]),
+            "mins": seg,
+        }
+
+    def consume(self, newly: np.ndarray) -> None:
+        """Decrement every candidate by |cand ∩ newly| — one vectorized
+        membership pass, O(local candidate hashes)."""
+        if self.n == 0 or newly.size == 0 or self.vals.size == 0:
+            return
+        p2 = np.searchsorted(newly, self.vals)
+        p2c = np.minimum(p2, newly.size - 1)
+        hit = newly[p2c] == self.vals
+        dec = np.bincount(self.rows_of_vals[hit], minlength=self.n)
+        self.counts -= dec.astype(np.int64)
+
+
+@ray.remote
+class _CounterShard:
+    """Actor wrapper holding one shard of the candidate set: ids/md5s/mins
+    stay in the actor's heap; the driver sees only (count, md5) peeks and
+    the per-round winner segment."""
+
+    def __init__(self, orig_ref, *blocks):
+        tables = [t for t in blocks if t.num_rows]
+        tbl = (pa.concat_tables(tables).combine_chunks() if tables
+               else pa.schema([("conv_id", pa.string()),
+                               ("mins", pa.list_(pa.uint64())),
+                               ("md5", pa.string())]).empty_table())
+        self.store = _LocalCounters(np.asarray(orig_ref, np.uint64), tbl)
+
+    def peek(self):
+        return self.store.peek()
+
+    def take_winner(self):
+        return self.store.take_winner()
+
+    def consume(self, newly) -> None:
+        self.store.consume(np.asarray(newly, np.uint64))
+
+
+def _candidate_scan(sigs, query_id: str, q: np.ndarray, min_keep: int):
+    """ONE distributed prefetch scan → candidate Dataset (conv_id, mins,
+    md5) of signatures overlapping the query by ≥ ``min_keep`` hashes (the
+    CounterGather build, ``index/__init__.py:760-790``). Returns the
+    MATERIALIZED Dataset — block refs only, never collected."""
     q_ref = ray.put(q)
 
     def _keep(batch: pa.Table) -> pa.Table:
         blobbed = mins_to_blob(batch)
         offs, data = _blob_views(blobbed["blob"])
-        c, _, _ = query_jaccard_stats(q, data.view(np.uint64), offs // 8, 0)
+        qq = ray.get(q_ref)
+        c, _, _ = query_jaccard_stats(qq, data.view(np.uint64),
+                                      offs // 8, 0)
         import pyarrow.compute as pc
 
-        mask = (c >= threshold_hashes) & np.asarray(
+        mask = (c >= min_keep) & np.asarray(
             pc.not_equal(batch["conv_id"].combine_chunks(),
                          pa.scalar(query_id)))
         return batch.filter(pa.array(mask))
 
-    cand = sigs.select_columns(["conv_id", "mins", "md5"]).map_batches(
-        _keep, batch_format="pyarrow")
-    blocks = [t for t in ray.get(cand.materialize().to_arrow_refs())
-              if t.num_rows]
-    if not blocks:
-        return None, q
-    return pa.concat_tables(blocks).combine_chunks(), q
+    return sigs.select_columns(["conv_id", "mins", "md5"]).map_batches(
+        _keep, batch_format="pyarrow").materialize()
 
 
-def gather(sigs, query_id: str, cfg: EngineConfig = DEFAULT_CONFIG,
-           threshold_hashes: int = 3, max_rounds: int = 50,
-           estimate_ani_ci: bool = False):
-    """``sourmash gather`` greedy min-set-cov with the CounterGather
-    consume/decrement optimization.
+def _greedy_rounds(stores, remote: bool, qctx: dict, cfg: EngineConfig,
+                   threshold_hashes: int, max_rounds: int,
+                   estimate_ani_ci: bool) -> list[dict]:
+    """The gather round loop over a list of counter stores
+    (``search.py:782-949``, ``index/__init__.py:858-909``): pick the
+    global max-overlap candidate (md5 tiebreak) from per-store peeks,
+    subtract its hashes from the remaining query, then broadcast the
+    newly-covered hashes so every store decrements — no rescan of the
+    collection, no re-fetch of anything but the winner's mins.
 
-    Round structure (``search.py:782-949``, ``index/__init__.py:858-909``):
-    pick the candidate with max overlap against the REMAINING query hashes
-    (md5 tiebreak), subtract its hashes, then *decrement* every candidate's
-    counter by its overlap with the just-found hashes — no rescan of the
-    collection, no re-fetch of the winner's mins. Emits the GatherResult
-    stats family (``search.py:553-664``): f_orig_query, f_match,
-    f_unique_to_query, f_unique_weighted and the abundance moments of the
-    query over the newly covered hashes.
-    """
-    qrow = _query_row(sigs, query_id)
-    orig = np.asarray(qrow["mins"], dtype=np.uint64)
-    orig_ab = np.asarray(qrow["abunds"], dtype=np.float64) \
-        if qrow.get("abunds") is not None else np.ones(orig.size, np.float64)
-    orig_size = max(1, orig.size)
-    sum_ab = max(orig_ab.sum(), 1.0)
-
-    cand_tbl, _ = _gather_candidates(sigs, query_id, cfg, threshold_hashes)
-    if cand_tbl is None:
-        return GATHER_SCHEMA.empty_table()
-    ids = cand_tbl["match" if "match" in cand_tbl.column_names
-                   else "conv_id"].to_pylist()
-    md5s = cand_tbl["md5"].to_pylist()
-    lst = cand_tbl["mins"].combine_chunks()
-    offs = np.asarray(lst.offsets, dtype=np.int64)
-    vals = np.asarray(lst.flatten(), dtype=np.uint64)
-    ncand = len(ids)
-    rows_of_vals = np.repeat(np.arange(ncand, dtype=np.int64),
-                             np.diff(offs))
-    lens = np.diff(offs)
-
-    # initial counters + f_orig/f_match stats against the ORIGINAL query
-    c0, _, _ = query_jaccard_stats(orig, vals, offs, 0)
-    counts = c0.copy()
-    f_orig = c0 / orig_size
-    f_match_orig = c0 / np.maximum(lens, 1)
-
+    ``remote=True``: stores are :class:`_CounterShard` actors — peeks and
+    winner fetches are small RPCs, candidate mins stay sharded in actor
+    heaps. ``remote=False``: one in-process :class:`_LocalCounters` (the
+    multigather per-query task path)."""
     from ..functions.distance import containment_to_distance
 
+    orig = qctx["orig"]
+    orig_ab = qctx["orig_ab"]
+    orig_size = max(1, orig.size)
+    sum_ab = max(orig_ab.sum(), 1.0)
     ksize = cfg.sketch.ksize
     scaled = max(1, cfg.sketch.scaled)
-    query_md5 = str(qrow.get("md5", ""))
-    has_abunds = qrow.get("abunds") is not None
+    # threshold 0 still requires ≥1 remaining overlap per round — a
+    # consumed/zero-overlap candidate is never re-picked (ADVICE r2)
+    thr = max(1, threshold_hashes)
 
     def _cani(containment: float, n_kmers: int):
         """(ani, ani_low, ani_high, p_exceeds) per ``minhash.py:843-879``."""
@@ -291,19 +353,28 @@ def gather(sigs, query_id: str, cfg: EngineConfig = DEFAULT_CONFIG,
                 res.p_exceeds_threshold)
 
     remaining_mask = np.ones(orig.size, bool)
-    rows = []
+    rows: list[dict] = []
     sum_weighted_found = 0.0
-    order_key = np.array(md5s)  # md5 tiebreak, ascending
     for rank in range(max_rounds):
-        if int(remaining_mask.sum()) < threshold_hashes:
+        if int(remaining_mask.sum()) < thr:
             break
-        best_c = counts.max() if ncand else 0
-        if best_c < threshold_hashes:
+        peeks = (ray.get([s.peek.remote() for s in stores]) if remote
+                 else [s.peek() for s in stores])
+        best = None  # (count, md5_bytes, store_idx); max count, min md5
+        for si, p in enumerate(peeks):
+            if p is None:
+                continue
+            c, md5b = p
+            if best is None or c > best[0] or (c == best[0]
+                                               and md5b < best[1]):
+                best = (c, md5b, si)
+        if best is None or best[0] < thr:
             break
-        tied = np.flatnonzero(counts == best_c)
-        w = tied[np.argmin(order_key[tied])]
+        win = (ray.get(stores[best[2]].take_winner.remote()) if remote
+               else stores[best[2]].take_winner())
+        best_c = win["overlap"]
         # hashes of the winner still in the remaining query = "found"
-        seg = vals[offs[w]: offs[w + 1]]
+        seg = win["mins"]
         pos = np.searchsorted(orig, seg)
         posc = np.minimum(pos, orig.size - 1)
         in_orig = (orig[posc] == seg)
@@ -312,27 +383,28 @@ def gather(sigs, query_id: str, cfg: EngineConfig = DEFAULT_CONFIG,
         nw_ab = orig_ab[found_idx]
         remaining_mask[found_idx] = False
         n_remaining = int(remaining_mask.sum())
+        f_orig = win["c0"] / orig_size
+        f_match_orig = win["c0"] / max(1, win["len"])
         # ANI family on the ORIG query vs match comparison
         # (search.py:417-427 via minhash.py:843-879)
-        q_ani, q_lo, q_hi, q_p = _cani(f_orig[w], orig_size * scaled)
-        m_ani, m_lo, m_hi, m_p = _cani(f_match_orig[w],
-                                       int(lens[w]) * scaled)
-        mx_ani, _, _, mx_p = _cani(max(f_orig[w], f_match_orig[w]),
-                                   min(orig_size, int(lens[w])) * scaled)
+        q_ani, q_lo, q_hi, q_p = _cani(f_orig, orig_size * scaled)
+        m_ani, m_lo, m_hi, m_p = _cani(f_match_orig, win["len"] * scaled)
+        mx_ani, _, _, mx_p = _cani(max(f_orig, f_match_orig),
+                                   min(orig_size, win["len"]) * scaled)
         nw_sum = float(nw_ab.sum())
         sum_weighted_found += nw_sum
         rows.append({
             "rank": rank,
-            "match": ids[w],
-            "md5": md5s[w],
+            "match": win["id"],
+            "md5": win["md5"],
             "overlap": int(best_c),
-            "intersect_bp": int(c0[w]) * scaled,
-            "f_orig_query": float(f_orig[w]),
+            "intersect_bp": win["c0"] * scaled,
+            "f_orig_query": float(f_orig),
             # f_match = containment of the match in the REMAINING query
             # (search.py:570-572 gather_comparison); f_match_orig is vs the
             # original query (search.py:566-567)
-            "f_match": float(best_c) / max(1, int(lens[w])),
-            "f_match_orig": float(f_match_orig[w]),
+            "f_match": float(best_c) / max(1, win["len"]),
+            "f_match_orig": float(f_match_orig),
             "f_unique_to_query": newly.size / orig_size,
             "f_unique_weighted": float(nw_sum / sum_ab),
             "average_abund": float(nw_ab.mean()) if nw_ab.size else 0.0,
@@ -341,11 +413,11 @@ def gather(sigs, query_id: str, cfg: EngineConfig = DEFAULT_CONFIG,
             "unique_intersect_bp": int(newly.size) * scaled,
             "remaining_hashes": n_remaining,
             "remaining_bp": n_remaining * scaled,
-            "query_name": query_id,
-            "query_md5": query_md5,
+            "query_name": qctx["query_id"],
+            "query_md5": qctx["query_md5"],
             "query_bp": orig_size * scaled,
             "query_n_hashes": orig_size,
-            "query_abundance": has_abunds,
+            "query_abundance": qctx["has_abunds"],
             "ksize": ksize,
             "moltype": cfg.sketch.normalization,
             "scaled": scaled,
@@ -364,18 +436,159 @@ def gather(sigs, query_id: str, cfg: EngineConfig = DEFAULT_CONFIG,
             "match_containment_ani_low": m_lo,
             "match_containment_ani_high": m_hi,
         })
-        # consume: decrement every candidate by |cand ∩ newly| — O(total
-        # candidate hashes) worst case but one vectorized membership pass
-        if newly.size and vals.size:
-            p2 = np.searchsorted(newly, vals)
-            p2c = np.minimum(p2, newly.size - 1)
-            hit = newly[p2c] == vals
-            dec = np.bincount(rows_of_vals[hit], minlength=ncand)
-            counts = counts - dec
-        counts[w] = 0
+        # consume: every store decrements by |cand ∩ newly| in one
+        # vectorized membership pass (broadcast the newly-covered hashes
+        # once via the object store on the actor path)
+        if newly.size:
+            if remote:
+                newly_ref = ray.put(newly)
+                ray.get([s.consume.remote(newly_ref) for s in stores])
+            else:
+                for s in stores:
+                    s.consume(newly)
+    return rows
+
+
+def _qctx(qrow: dict) -> dict:
+    orig = np.asarray(qrow["mins"], dtype=np.uint64)
+    has_abunds = qrow.get("abunds") is not None
+    orig_ab = (np.asarray(qrow["abunds"], dtype=np.float64) if has_abunds
+               else np.ones(orig.size, np.float64))
+    return {"orig": orig, "orig_ab": orig_ab,
+            "query_id": qrow["conv_id"], "query_md5": str(qrow.get("md5",
+                                                                   "")),
+            "has_abunds": has_abunds}
+
+
+def gather(sigs, query_id: str, cfg: EngineConfig = DEFAULT_CONFIG,
+           threshold_hashes: int = 3, max_rounds: int = 50,
+           estimate_ani_ci: bool = False):
+    """``sourmash gather`` greedy min-set-cov with the CounterGather
+    consume/decrement optimization, candidate state DISTRIBUTED: the
+    prefetch scan's blocks feed a pool of :class:`_CounterShard` actors
+    (candidate ids/md5s/mins live in actor heaps, never on the driver);
+    each round the driver sees only per-shard (count, md5) peeks and the
+    winner's mins segment. Emits the GatherResult stats family
+    (``search.py:553-664``)."""
+    from ..config import resolve_num_partitions
+
+    qrow = _query_row(sigs, query_id)
+    ctx = _qctx(qrow)
+
+    cand = _candidate_scan(sigs, query_id, ctx["orig"],
+                           max(1, threshold_hashes))
+    refs = cand.to_arrow_refs()
+    if not refs:
+        return GATHER_SCHEMA.empty_table()
+    orig_ref = ray.put(ctx["orig"])
+    n_shards = max(1, min(len(refs), resolve_num_partitions(cfg)))
+    groups = [refs[i::n_shards] for i in range(n_shards)]
+    shards = [_CounterShard.remote(orig_ref, *g) for g in groups if g]
+    try:
+        rows = _greedy_rounds(shards, True, ctx, cfg, threshold_hashes,
+                              max_rounds, estimate_ani_ci)
+    finally:
+        for s in shards:
+            ray.kill(s)
     if not rows:
         return GATHER_SCHEMA.empty_table()
     return pa.Table.from_pylist(rows, schema=GATHER_SCHEMA)
+
+
+@ray.remote
+def _multigather_one(qidx: int, qrow: dict, cfg: EngineConfig,
+                     threshold_hashes: int, max_rounds: int,
+                     estimate_ani_ci: bool, *blocks) -> pa.Table:
+    """One query's greedy rounds over its slice of the shared candidate
+    blocks — runs entirely inside this task (plain numpy/Arrow, no nested
+    Dataset work)."""
+    import pyarrow.compute as pc
+
+    parts = [t.filter(pc.equal(t["qidx"], pa.scalar(qidx, pa.int32())))
+             for t in blocks if t.num_rows]
+    parts = [t for t in parts if t.num_rows]
+    if not parts:
+        return GATHER_SCHEMA.empty_table()
+    tbl = pa.concat_tables(parts).combine_chunks()
+    ctx = _qctx(qrow)
+    store = _LocalCounters(ctx["orig"], tbl)
+    rows = _greedy_rounds([store], False, ctx, cfg, threshold_hashes,
+                          max_rounds, estimate_ani_ci)
+    if not rows:
+        return GATHER_SCHEMA.empty_table()
+    return pa.Table.from_pylist(rows, schema=GATHER_SCHEMA)
+
+
+def multigather(sigs, query_ids: list[str],
+                cfg: EngineConfig = DEFAULT_CONFIG,
+                threshold_hashes: int = 3, max_rounds: int = 50,
+                estimate_ani_ci: bool = False) -> pa.Table:
+    """``sourmash multigather`` (``commands.py:1124-1388``): gather every
+    query against the collection. ONE distributed scan scores each
+    signature batch against ALL queries (vectorized per query) and emits
+    qidx-tagged candidate rows; the greedy rounds then run QUERY-PARALLEL
+    as one remote task per query over the shared candidate blocks.
+    Returns the concatenated GatherResult rows ordered by
+    (query_name, rank) — per-query output identical to N single gathers
+    (equivalence test in tests/test_parity_ops.py)."""
+    # fetch the Q query rows in one pass (Q is small; rows carry mins)
+    import pyarrow.compute as pc
+
+    qrows: dict[str, dict] = {}
+
+    wanted = set(query_ids)
+
+    def _pick(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch["conv_id"],
+                        value_set=pa.array(sorted(wanted), pa.string()))
+        return batch.filter(mask)
+
+    for r in sigs.map_batches(_pick, batch_format="pyarrow").take_all():
+        qrows[r["conv_id"]] = r
+    missing = [q for q in query_ids if q not in qrows]
+    if missing:
+        raise KeyError(f"queries not in collection: {missing!r}")
+
+    min_keep = max(1, threshold_hashes)
+    q_list = [(qid, np.asarray(qrows[qid]["mins"], np.uint64))
+              for qid in query_ids]
+    q_ref = ray.put(q_list)
+
+    def _keep_multi(batch: pa.Table) -> pa.Table:
+        blobbed = mins_to_blob(batch)
+        offs, data = _blob_views(blobbed["blob"])
+        u = data.view(np.uint64)
+        so = offs // 8
+        outs = []
+        for qi, (qid, qmins) in enumerate(ray.get(q_ref)):
+            c, _, _ = query_jaccard_stats(qmins, u, so, 0)
+            mask = (c >= min_keep) & np.asarray(
+                pc.not_equal(batch["conv_id"].combine_chunks(),
+                             pa.scalar(qid)))
+            if not mask.any():
+                continue
+            sub = batch.filter(pa.array(mask))
+            outs.append(sub.append_column(
+                "qidx", pa.array(np.full(sub.num_rows, qi, np.int32))))
+        if not outs:
+            return batch.schema.append(
+                pa.field("qidx", pa.int32())).empty_table()
+        return pa.concat_tables(outs)
+
+    cand = sigs.select_columns(["conv_id", "mins", "md5"]).map_batches(
+        _keep_multi, batch_format="pyarrow").materialize()
+    refs = cand.to_arrow_refs()
+    if not refs:
+        return GATHER_SCHEMA.empty_table()
+    futs = [_multigather_one.remote(qi, dict(qrows[qid]), cfg,
+                                    threshold_hashes, max_rounds,
+                                    estimate_ani_ci, *refs)
+            for qi, (qid, _) in enumerate(q_list)]
+    tables = [t for t in ray.get(futs) if t.num_rows]
+    if not tables:
+        return GATHER_SCHEMA.empty_table()
+    return pa.concat_tables(tables).sort_by(
+        [("query_name", "ascending"), ("rank", "ascending")])
 
 
 def compare_exact(sigs, cfg: EngineConfig = DEFAULT_CONFIG,

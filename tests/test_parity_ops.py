@@ -412,3 +412,50 @@ def test_subtract_from_collection(sigs, oracle_sketches):
     assert out["n_removed"] == len(oracle_sketches[target]["mins"]) - len(exp)
     with pytest.raises(KeyError):
         subtract_from(sigs, "nope")
+
+
+def test_multigather_equals_single_gathers(sigs, oracle_sketches):
+    """multigather's one-scan + query-parallel greedy must equal N
+    independent single-query gathers row-for-row."""
+    from sourmash_ray.pipelines.sourmash_parity import gather, multigather
+
+    qids = sorted(oracle_sketches)[:4]
+    got = multigather(sigs, qids, CFG, threshold_hashes=2).to_pylist()
+    want = []
+    for q in sorted(qids):
+        want.extend(gather(sigs, q, CFG, threshold_hashes=2).to_pylist())
+    assert got == want
+    assert any(r for r in got), "multigather found nothing"
+
+
+def test_gather_candidates_never_collected_on_driver(
+        sigs, oracle_sketches, monkeypatch):
+    """The candidate blocks feed _CounterShard actors; the DRIVER process
+    must never concat/collect them (VERDICT r2 #2). concat_tables is
+    poisoned in this (driver) process only — the actor processes import
+    their own unpatched module copies."""
+    import pyarrow as _pa
+
+    import sourmash_ray.pipelines.sourmash_parity as sp
+
+    def _boom(*a, **k):
+        raise AssertionError("driver-side pa.concat_tables during gather")
+
+    monkeypatch.setattr(sp.pa, "concat_tables", _boom)
+    clones = [c for c in oracle_sketches if "_xd" in c]
+    q = clones[0]
+    res = sp.gather(sigs, q, CFG, threshold_hashes=3).to_pylist()
+    assert res and res[0]["match"] == q.split("_xd")[0]
+
+
+def test_gather_threshold_zero_no_spurious_rows(sigs, oracle_sketches):
+    """threshold_hashes=0 must terminate without re-picking consumed
+    candidates at overlap 0 (ADVICE r2): every emitted row has overlap ≥ 1
+    and each match appears at most once."""
+    from sourmash_ray.pipelines.sourmash_parity import gather
+
+    q = sorted(oracle_sketches)[0]
+    res = gather(sigs, q, CFG, threshold_hashes=0, max_rounds=80).to_pylist()
+    matches = [r["match"] for r in res]
+    assert len(matches) == len(set(matches))
+    assert all(r["overlap"] >= 1 for r in res)
