@@ -206,11 +206,21 @@ def broadcast_lookup_join(sf_dir: str):
     for nk, (name, rk) in nation.items():
         r_by_nk[nk] = region[rk]
         n_by_nk[nk] = name
-    lookup_ref = ray.put((r_by_nk, n_by_nk))
+    hole = np.array([v is None for v in r_by_nk])  # in-range but no dim row
+    lookup_ref = ray.put((r_by_nk, n_by_nk, hole))
 
     def _attach(batch: pa.Table) -> pa.Table:
-        r_a, n_a = ray.get(lookup_ref)
+        r_a, n_a, hole_a = ray.get(lookup_ref)
         nk = np.asarray(batch["c_nationkey"], dtype=np.int64)
+        # a negative key would WRAP via numpy indexing and silently attach
+        # a wrong lineage; a key past or missing from the dim would attach
+        # a null — raise like the dict probe this replaced (ADVICE r2)
+        if nk.size and (nk.min() < 0 or nk.max() >= r_a.size
+                        or hole_a[nk].any()):
+            bad = nk[(nk < 0) | (nk >= r_a.size)
+                     | hole_a[np.clip(nk, 0, r_a.size - 1)]]
+            raise ValueError(
+                f"c_nationkey values outside the nation dim: {bad[:5]!r}")
         return pa.table({
             "r_name": pa.array(r_a[nk], pa.string()),
             "n_name": pa.array(n_a[nk], pa.string()),
@@ -263,8 +273,9 @@ def tax_rollup_customers(sf_dir: str):
     per-rank summary rows.
 
     Scale shape: dims broadcast (tiny), the fact table explodes ×n_ranks
-    inside map_batches (combiner-friendly), one hash aggregate."""
-    from ray.data.aggregate import Count, Sum
+    inside map_batches, then block-local combiner + coarse exchange
+    (``grouped_sums``) — only per-block (rank, lineage) partials shuffle."""
+    from ..stages.agg import grouped_sums
 
     nation = {r["n_nationkey"]: (r["n_name"], r["n_regionkey"])
               for r in read_parquet_clean(
@@ -282,7 +293,8 @@ def tax_rollup_customers(sf_dir: str):
     for nk, (name, rk) in nation.items():
         rank0_by_nk[nk] = region[rk]
         full_by_nk[nk] = f"{region[rk]};{name}"
-    lin_ref = ray.put((rank0_by_nk, full_by_nk))
+    hole = np.array([v is None for v in full_by_nk])
+    lin_ref = ray.put((rank0_by_nk, full_by_nk, hole))
 
     cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
                               columns=["c_custkey", "c_nationkey",
@@ -291,8 +303,15 @@ def tax_rollup_customers(sf_dir: str):
     def _explode(batch: pa.Table) -> pa.Table:
         import numpy as np
 
-        rank0_a, full_a = ray.get(lin_ref)
+        rank0_a, full_a, hole_a = ray.get(lin_ref)
         nk = np.asarray(batch["c_nationkey"], dtype=np.int64)
+        # range + hole guard: negative keys wrap, missing keys null (ADVICE)
+        if nk.size and (nk.min() < 0 or nk.max() >= full_a.size
+                        or hole_a[nk].any()):
+            bad = nk[(nk < 0) | (nk >= full_a.size)
+                     | hole_a[np.clip(nk, 0, full_a.size - 1)]]
+            raise ValueError(
+                f"c_nationkey values outside the nation dim: {bad[:5]!r}")
         cents = pc.cast(pc.round(pc.multiply(
             batch["c_acctbal"], pa.scalar(100.0))), pa.int64())
         n = batch.num_rows
@@ -304,20 +323,9 @@ def tax_rollup_customers(sf_dir: str):
                 [cents.combine_chunks()] * 2),
         })
 
-    agg = (cust.map_batches(_explode, batch_format="pyarrow")
-           .groupby(["lineage_rank", "lineage"])
-           .aggregate(Count(), Sum("acctbal_cents")))
-
-    def _name(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "lineage_rank": batch["lineage_rank"],
-            "lineage": batch["lineage"],
-            "n_customers": batch["count()"],
-            "sum_acctbal_cents": pc.cast(batch["sum(acctbal_cents)"],
-                                         pa.int64()),
-        })
-
-    return agg.map_batches(_name, batch_format="pyarrow")
+    exploded = cust.map_batches(_explode, batch_format="pyarrow")
+    return grouped_sums(exploded, ["lineage_rank", "lineage"],
+                        ["acctbal_cents"], count_as="n_customers")
 
 
 def krona_rows(sf_dir: str, rank: int = 1):

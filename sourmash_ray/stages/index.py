@@ -45,19 +45,24 @@ def write_index(index_ds, path: str):
 
 def hash_frequency(index_ds):
     """hash → number of signatures containing it (the ``lca rankinfo``
-    spectrum, ``/root/reference/src/sourmash/lca/command_rankinfo.py``)."""
-    from ray.data.aggregate import Count
+    spectrum, ``/root/reference/src/sourmash/lca/command_rankinfo.py``).
+    Block-local combiner + coarse exchange (``grouped_sums``) — hash is the
+    highest-cardinality key in the engine, so the partial aggregation
+    inside each block is what keeps the shuffle to per-block distinct
+    hashes instead of every exploded row."""
+    from .agg import grouped_sums
 
-    agg = index_ds.groupby("hash").aggregate(Count())
-    return agg.rename_columns({"count()": "n_sigs"})
+    return grouped_sums(index_ds.select_columns(["hash"]), ["hash"], [],
+                        count_as="n_sigs")
 
 
 def counter_lookup(index_ds, query_hashes: np.ndarray,
                    cfg: EngineConfig = DEFAULT_CONFIG):
     """Overlap Counter per signature for a query hash set
     (``lca_db.py:647-653`` / ``CounterGather.add``): broadcast the sorted
-    query hashes, scan the index, count matches per conv_id."""
-    from ray.data.aggregate import Count
+    query hashes, scan the index, count matches per conv_id (block-local
+    combiner + exchange, not a Ray-native sort-shuffle groupby)."""
+    from .agg import grouped_sums
 
     q = np.sort(np.asarray(query_hashes, dtype=np.uint64))
     q_ref = ray.put(q)
@@ -72,8 +77,8 @@ def counter_lookup(index_ds, query_hashes: np.ndarray,
         return batch.filter(pa.array(mask))
 
     hits = index_ds.map_batches(_match, batch_format="pyarrow")
-    agg = hits.groupby("conv_id").aggregate(Count())
-    return agg.rename_columns({"count()": "overlap"})
+    return grouped_sums(hits.select_columns(["conv_id"]), ["conv_id"], [],
+                        count_as="overlap")
 
 
 def lca_classify(index_ds, query_hashes: np.ndarray, labels: dict,
@@ -87,8 +92,6 @@ def lca_classify(index_ds, query_hashes: np.ndarray, labels: dict,
 
     Returns dict(label, f_agreement, n_voting_hashes).
     """
-    from ray.data.aggregate import Count
-
     hits = counter_lookup(index_ds, query_hashes, cfg)
     votes: dict = {}
     n_votes = 0
