@@ -295,11 +295,13 @@ def _gather_segments(offs_s, data_s, pos: np.ndarray, key: str = "g"):
 
 
 def score_pairs(pairs, blobs, cfg: EngineConfig, scorer: _SegmentScorer,
-                size_hint_bytes: int | None = None):
+                size_hint_bytes: int | None = None,
+                batch_size: int | None = None):
     """Candidate pairs (a, b) + blob table (conv_id, blob) → scored pair
     Dataset per ``scorer``. Chooses broadcast vs exchange co-group by the
     blob size; pairs referencing a missing conv_id are dropped on both
-    paths."""
+    paths. ``batch_size`` overrides the broadcast-path pairs-per-task
+    (small for expensive per-pair scorers like LCS)."""
     import ray
     import ray.data
 
@@ -348,7 +350,7 @@ def score_pairs(pairs, blobs, cfg: EngineConfig, scorer: _SegmentScorer,
         return pairs.map_batches(
             broadcast_score,
             batch_format="pyarrow",
-            batch_size=cfg.exec.verify_batch_size,
+            batch_size=batch_size or cfg.exec.verify_batch_size,
         )
 
     return _score_pairs_exchange(pairs, blobs, cfg, scorer)

@@ -61,3 +61,34 @@ def test_exact_substring_stage(ray_session):
     assert clones
     for r in spans:
         assert r["lcs_len"] >= 32
+
+
+def test_exact_substring_exchange_equals_broadcast(ray_session):
+    """Forced beyond-broadcast path (broadcast_bytes_limit=0): the LCS
+    pass rides the two-exchange co-group and must produce exactly the
+    broadcast path's spans — no take_all of pairs, no driver text dict."""
+    import ray.data
+
+    from sourmash_ray.config import EngineConfig, ExecParams, LSHParams
+    from sourmash_ray.functions.sketch import SketchParams
+    from sourmash_ray.pipelines.dedup import dedup_pipeline
+    from sourmash_ray.stages.substring import exact_substring_pass
+
+    from sourmash_ray.sources.transcripts import synth_transcripts
+
+    cfg = EngineConfig(sketch=SketchParams(ksize=12, scaled=4, num=0),
+                       lsh=LSHParams(num_perm=12, bands=4, rows=3))
+    forced = EngineConfig(sketch=cfg.sketch, lsh=cfg.lsh,
+                          exec=ExecParams(broadcast_bytes_limit=0))
+    tbl = synth_transcripts(30, seed=41)
+    ds = ray.data.from_arrow(tbl)
+    out = dedup_pipeline(ds, cfg)
+    pairs = out["verified_pairs"].materialize()
+    key = lambda r: (r["a"], r["b"], r["lcs_len"], r["lcs_a_start"],
+                     r["lcs_b_start"])
+    want = sorted(key(r) for r in
+                  exact_substring_pass(pairs, ds, cfg, min_len=32).take_all())
+    got = sorted(set(
+        key(r) for r in
+        exact_substring_pass(pairs, ds, forced, min_len=32).take_all()))
+    assert want and got == sorted(set(want))
