@@ -15,8 +15,10 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray as _ray
+
 from ..config import EngineConfig, DEFAULT_CONFIG
-from ..functions.perm import perm_minima, perm_seeds
+from ..functions.perm import perm_seeds
 from ..functions.sketch import WS_PATTERN, md5_of_mins
 from ..sources.tables import read_parquet_clean
 from ..stages.sketch import batch_shingle_hashes, normalize_column
@@ -182,15 +184,30 @@ class DocSketcher:
         self.seeds = perm_seeds(cfg.lsh.num_perm, cfg.sketch.seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..stages.sketch import _retain_per_row
+        from ..functions.perm import MAX_U64
+        from ..stages.sketch import _fmix64_mat, _retain_per_row
 
         p = self.cfg.sketch
         norm = normalize_column(batch["text"], p.normalization)
         hashes, rows, _ = batch_shingle_hashes(norm, p.ksize, p.seed)
         offsets, mins, _ = _retain_per_row(hashes, rows, len(batch), p)
-        perms = np.empty((len(batch), self.cfg.lsh.num_perm), np.uint64)
-        for i in range(len(batch)):
-            perms[i] = perm_minima(mins[offsets[i]:offsets[i + 1]], self.seeds)
+        num_perm = self.cfg.lsh.num_perm
+        # per-seed fmix + reduceat over all rows at once (the
+        # make_merge_part_fn path) instead of a per-row perm_minima loop
+        perms = np.full((len(batch), num_perm), MAX_U64, np.uint64)
+        if mins.size:
+            per_row = np.diff(offsets)
+            nonempty = per_row > 0
+            starts = offsets[:-1][nonempty].astype(np.int64)
+            n_ne = int(nonempty.sum())
+            old = np.seterr(over="ignore")
+            try:
+                for j in range(num_perm):
+                    col = _fmix64_mat(mins ^ self.seeds[j])
+                    perms[nonempty, j] = np.minimum.reduceat(
+                        col, starts)[:n_ne]
+            finally:
+                np.seterr(**old)
         flat = pa.array(perms.reshape(-1), pa.uint64())
         perm_offs = pa.array(
             np.arange(len(batch) + 1, dtype=np.int32) * self.cfg.lsh.num_perm)
@@ -579,6 +596,23 @@ def distinct_tokens_exact(sf_dir: str) -> pa.Table:
     return pa.table({"n_distinct_tokens": pa.array([n], pa.int64())})
 
 
+@_ray.remote
+def _picked_md5shorts(*blocks) -> set:
+    """Picked md5short prefixes (every 97th doc_id) from the hashed
+    blocks — built off-driver; only the small set returns."""
+    picked: set = set()
+    for b in blocks:
+        if not b.num_rows:
+            continue
+        ids = np.asarray(b["doc_id"], dtype=np.int64)
+        sel = np.flatnonzero(ids % 97 == 0)
+        if sel.size:
+            short = pc.utf8_slice_codeunits(
+                b["text_md5"].combine_chunks(), 0, 8)
+            picked.update(short.take(pa.array(sel, pa.int64())).to_pylist())
+    return picked
+
+
 def picklist_md5short_docs(sf_dir: str):
     """Picklist with the ``md5short`` coltype (``picklist.py:29-31``:
     8-char md5 prefix match): keep documents whose normalized-text
@@ -591,15 +625,10 @@ def picklist_md5short_docs(sf_dir: str):
     hashed = _read_docs(sf_dir).map_batches(
         _normalize_md5_batch, batch_format="pyarrow").materialize()
     # materialized once: both the picked-set scan and the filter pass
-    # reuse the md5 blocks instead of re-hashing the corpus
-    picked = set()
-    for b in hashed.iter_batches(batch_format="pyarrow"):
-        ids = np.asarray(b["doc_id"], dtype=np.int64)
-        sel = np.flatnonzero(ids % 97 == 0)
-        if sel.size:
-            short = pc.utf8_slice_codeunits(
-                b["text_md5"].combine_chunks(), 0, 8)
-            picked.update(short.take(pa.array(sel, pa.int64())).to_pylist())
+    # reuse the md5 blocks instead of re-hashing the corpus. The picked
+    # set builds in ONE remote task over the block refs (only the small
+    # picked set returns to the driver — never the corpus md5 column).
+    picked = _ray.get(_picked_md5shorts.remote(*hashed.to_arrow_refs()))
 
     kept = picklist_filter(hashed, "text_md5", picked, coltype="md5short",
                            style=PickStyle.INCLUDE)

@@ -265,3 +265,33 @@ def test_hypothesis_build_sketch_vs_dict_oracle(vals):
     assert mins.tolist() == expect
     assert abunds.tolist() == [c[v] for v in expect]
     assert n == len(c)
+
+
+def test_docsketcher_vectorized_perms_match_per_row_oracle(ray_session):
+    """DocSketcher's per-seed reduceat perms + md5 must equal the per-row
+    perm_minima / md5_of_mins oracle exactly (incl. empty-text rows)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from sourmash_ray.config import DEFAULT_CONFIG
+    from sourmash_ray.functions.perm import perm_minima, perm_seeds
+    from sourmash_ray.functions.sketch import md5_of_mins
+    from sourmash_ray.pipelines.docops import DocSketcher
+
+    texts = ["the quick brown fox jumps over the lazy dog " * 4,
+             "", "   ", "unicode éàü ß text with repeats repeats " * 3,
+             "short", "the quick brown fox jumps over the lazy dog " * 4]
+    batch = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+    cfg = DEFAULT_CONFIG
+    out = DocSketcher(cfg)(batch)
+    seeds = perm_seeds(cfg.lsh.num_perm, cfg.sketch.seed)
+    mins_col = out["mins"].combine_chunks()
+    perms_col = out["perms"].combine_chunks()
+    for i in range(len(texts)):
+        mins = np.asarray(mins_col[i].as_py(), np.uint64)
+        want_perms = perm_minima(mins, seeds)
+        got_perms = np.asarray(perms_col[i].as_py(), np.uint64)
+        assert np.array_equal(got_perms, want_perms), i
+        assert out["md5"][i].as_py() == md5_of_mins(
+            mins, cfg.sketch.ksize), i
