@@ -156,6 +156,14 @@ def _compare_q(sf_dir: str):
     return compare_exact(_sigs_for(sf_dir).limit(40).materialize())
 
 
+def _compare_containment_q(sf_dir: str):
+    """compare --containment matrix variant (sparse asymmetric form)."""
+    from sourmash_ray.pipelines.sourmash_parity import compare_exact
+
+    return compare_exact(_sigs_for(sf_dir).limit(40).materialize(),
+                         metric="containment")
+
+
 def _sig_downsample_q(sf_dir: str):
     from sourmash_ray.stages.sigops import describe_sigs, downsample_sigs
 
@@ -229,6 +237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gather_transcripts": _gather_q,
         "multigather_transcripts": _multigather_q,
         "compare_exact_small": _compare_q,
+        "compare_containment_small": _compare_containment_q,
         "categorize_transcripts": _categorize_q,
         "sig_downsample": _sig_downsample_q,
         "sig_describe": _sig_describe_q,

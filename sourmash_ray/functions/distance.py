@@ -216,7 +216,7 @@ def var_n_mutated(L: float, k: int, r1: float, *, q=None) -> float:
             + k * (k - 1) * (1 - q) ** 2
             + (2 * (1 - q) / (r1 ** 2)) * ((1 + (k - 1) * (1 - q)) * r1 - q))
     if varN < 0.0:
-        raise ValueError("Error: varN <0.0!")
+        raise ValueError(f"mutation-count variance came out negative ({varN}) — parameters out of model range")
     return float(varN)
 
 
@@ -232,8 +232,8 @@ def handle_seqlen_nkmers(ksize: int, *, sequence_len_bp=None,
         return n_unique_kmers
     if sequence_len_bp is None:
         raise ValueError(
-            "Error: distance estimation requires input of either "
-            "'sequence_len_bp' or 'n_unique_kmers'")
+            "need one of sequence_len_bp or n_unique_kmers to "
+            "estimate distance")
     return sequence_len_bp - (ksize - 1)
 
 
@@ -304,7 +304,7 @@ def get_exp_probability_nothing_common(
 def _check_distance(dist: float) -> float:
     if not 0 <= dist <= 1:
         raise ValueError(
-            f"Error: distance value {dist:.4f} is not between 0 and 1!")
+            f"distance {dist:.4f} outside the unit interval")
     return dist
 
 
@@ -343,7 +343,7 @@ class jaccardANIResult(ANIResult):
     def __post_init__(self):
         super().__post_init__()
         if self.jaccard_error is None:
-            raise ValueError("Error: jaccard_error cannot be None.")
+            raise ValueError("jaccardANIResult requires a jaccard_error value")
         self.je_exceeds_threshold = (self.je_threshold is not None
                                      and self.jaccard_error
                                      > self.je_threshold)

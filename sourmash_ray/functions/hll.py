@@ -24,8 +24,8 @@ import numpy as np
 __all__ = [
     "hll_p_for_error", "hll_empty", "hll_add_hashes", "hll_merge",
     "hll_counts", "hll_mle", "hll_cardinality", "hll_error_rate",
-    "hll_union_cardinality", "hll_intersection", "hll_similarity",
-    "hll_containment",
+    "hll_joint_mle", "hll_union_cardinality", "hll_intersection",
+    "hll_similarity", "hll_containment",
 ]
 
 
@@ -158,33 +158,81 @@ def hll_cardinality(registers: np.ndarray) -> int:
     return int(hll_mle(hll_counts(registers, q), p, q, relerr))
 
 
+def hll_joint_mle(a: np.ndarray, b: np.ndarray) -> tuple[int, int, int]:
+    """Ertl's joint maximum-likelihood estimator for two sketches (paper
+    §5 / Algorithm 9, arXiv 1702.01284; reference twin
+    ``estimators.rs:159-260``): returns (|A\\B|, |B\\A|, |A∩B|). Solves
+    five univariate MLE problems over register-comparison histograms —
+    far lower variance than inclusion-exclusion for small intersections.
+    Vectorized: the six histograms are bincounts over register masks."""
+    if a.size != b.size:
+        raise ValueError("cannot compare HLLs of different p")
+    p = int(np.log2(a.size))
+    q = 64 - p
+    relerr = 0.01  # the reference's joint path uses the tight tolerance
+    ka = a.astype(np.int64)
+    kb = b.astype(np.int64)
+    less = ka < kb
+    greater = ka > kb
+    eq = ~less & ~greater
+    nbins = q + 2
+
+    def bc(vals: np.ndarray) -> np.ndarray:
+        return np.bincount(vals, minlength=nbins)[:nbins].astype(np.int64)
+
+    c1 = bc(ka[less])          # A's value where A lost the register max
+    cg1 = bc(ka[greater])      # A's value where A holds the max
+    c2 = bc(kb[greater])
+    cg2 = bc(kb[less])
+    ceq = bc(ka[eq])
+    cu = bc(np.maximum(ka, kb))
+    c1 = c1 + cg1 + ceq        # register histogram of A alone
+    c2 = c2 + cg2 + ceq        # register histogram of B alone
+
+    c_ax = hll_mle(c1, p, q, relerr)
+    c_bx = hll_mle(c2, p, q, relerr)
+    c_abx = hll_mle(cu, p, q, relerr)
+
+    # half-resolution histograms for the A\B / B\A terms (paper eq. 74-77)
+    axb_half = np.zeros(nbins, np.int64)
+    bxa_half = np.zeros(nbins, np.int64)
+    axb_half[q] = a.size
+    bxa_half[q] = b.size
+    for k in range(q):
+        axb_half[k] = cg1[k] + ceq[k] + cg2[k + 1]
+        axb_half[q] -= axb_half[k]
+        bxa_half[k] = cg2[k] + ceq[k] + cg1[k + 1]
+        bxa_half[q] -= bxa_half[k]
+    c_axb_half = hll_mle(axb_half, p, q - 1, relerr)
+    c_bxa_half = hll_mle(bxa_half, p, q - 1, relerr)
+
+    cx1 = 1.5 * c_bx + 1.5 * c_ax - c_bxa_half - c_axb_half
+    cx2 = 2.0 * (c_bxa_half + c_axb_half) - 3.0 * c_abx
+    inter = max(0, int(0.5 * (cx1 + cx2)))
+    return max(0, int(c_abx - c_bx)), max(0, int(c_abx - c_ax)), inter
+
+
 def hll_union_cardinality(a: np.ndarray, b: np.ndarray) -> int:
-    """|A ∪ B| — exact at the sketch level: the merged register array IS
-    the sketch of the union (``mod.rs:109-114``; the reference estimates
-    through joint_mle, which agrees with the merged-register MLE on the
-    union term)."""
-    return hll_cardinality(hll_merge(a, b))
+    """|A ∪ B| = only_a + only_b + intersection via the joint MLE
+    (``mod.rs:109-114``)."""
+    only_a, only_b, inter = hll_joint_mle(a, b)
+    return only_a + only_b + inter
 
 
 def hll_intersection(a: np.ndarray, b: np.ndarray) -> int:
-    """|A ∩ B| via inclusion-exclusion over the register MLEs
-    (|A|+|B|-|A∪B|, clamped at 0). The reference's ``joint_mle``
-    (``estimators.rs:143-260``, Ertl §5) solves the three-way likelihood
-    jointly and has lower variance for small intersections; this is the
-    classic published estimator with the same expectation — documented
-    approximation, adequate for the containment/similarity columns."""
-    est = (hll_cardinality(a) + hll_cardinality(b)
-           - hll_union_cardinality(a, b))
-    return max(0, est)
+    """|A ∩ B| via the joint MLE (``mod.rs:130-135``)."""
+    return hll_joint_mle(a, b)[2]
 
 
 def hll_similarity(a: np.ndarray, b: np.ndarray) -> float:
     """Jaccard estimate (``mod.rs:116-121``)."""
-    u = hll_union_cardinality(a, b)
-    return hll_intersection(a, b) / u if u else 0.0
+    only_a, only_b, inter = hll_joint_mle(a, b)
+    u = only_a + only_b + inter
+    return inter / u if u else 0.0
 
 
 def hll_containment(a: np.ndarray, b: np.ndarray) -> float:
     """|A∩B| / |A| (``mod.rs:123-128``)."""
-    ca = hll_cardinality(a)
-    return hll_intersection(a, b) / ca if ca else 0.0
+    only_a, _, inter = hll_joint_mle(a, b)
+    ca = only_a + inter
+    return inter / ca if ca else 0.0

@@ -105,15 +105,18 @@ def dedup_pipeline(
         ds = source
         if checkpoint_dir:
             # content fingerprint for Dataset sources: row count + checksum
-            # of sampled conv_ids — a constant fingerprint would silently
-            # resume one dataset's checkpoints for a different dataset
+            # of sampled (conv_id, TEXT) rows — ids alone would silently
+            # resume stale verified-pairs/cluster checkpoints after a
+            # same-shape edit of the texts (ADVICE r2)
             from ..functions.segscore import hash_strings64
 
             n_rows = ds.count()
-            sample = ds.limit(512).select_columns(["conv_id"]).take_all()
-            crc = int(hash_strings64(
-                [r["conv_id"] for r in sample]).sum()) & 0xFFFFFFFFFFFF \
-                if sample else 0
+            sample = ds.limit(512).select_columns(
+                ["conv_id", "text"]).take_all()
+            crc = int((hash_strings64([r["conv_id"] for r in sample])
+                       ^ hash_strings64([r["text"] or ""
+                                         for r in sample])
+                       ).sum()) & 0xFFFFFFFFFFFF if sample else 0
             fingerprint = (f"v2|ds|n={n_rows}|crc={crc:x}"
                            f"|cfg={cfg.sketch}|{cfg.lsh}")
         else:

@@ -593,9 +593,19 @@ def multigather(sigs, query_ids: list[str],
 
 def compare_exact(sigs, cfg: EngineConfig = DEFAULT_CONFIG,
                   ignore_abundance: bool = True,
-                  estimate_ani: bool = False):
+                  estimate_ani: bool = False,
+                  metric: str = "jaccard"):
     """``sourmash compare`` all-pairs (small-n exact mode): sparse
-    long-form (a, b, jaccard) for every unordered pair, a < b.
+    long-form rows for every unordered pair, a < b.
+
+    ``metric`` selects the matrix variant (``compare.py:67-187`` /
+    CLI ``commands.py:113-122``):
+
+    - ``"jaccard"`` (default): (a, b, jaccard [, ani])
+    - ``"containment"``: (a, b, containment_ab, containment_ba) — the
+      asymmetric matrix in sparse form (``matrix[i][j] = c(j in i)``
+      reconstructable from the two columns)
+    - ``"max_containment"`` / ``"avg_containment"``: (a, b, <metric>)
 
     Implemented as a cross of each block against the broadcast full blob
     table — O(n²/p) per task, parallel over blocks, one vectorized
@@ -604,6 +614,14 @@ def compare_exact(sigs, cfg: EngineConfig = DEFAULT_CONFIG,
     multiprocessing pool replaced the serial loop).
     """
     from ..functions.segscore import pair_jaccard_stats
+
+    if metric not in ("jaccard", "containment", "max_containment",
+                      "avg_containment"):
+        raise ValueError(f"unknown compare metric {metric!r}")
+    if metric != "jaccard" and cfg.sketch.num:
+        # containment needs scaled sketches (compare.py:95-100 check)
+        raise ValueError("containment metrics require scaled sketches, "
+                         "not num (bottom-k)")
 
     blobs = sigs.select_columns(["conv_id", "mins"]).map_batches(
         mins_to_blob, batch_format="pyarrow").materialize()
@@ -638,12 +656,26 @@ def compare_exact(sigs, cfg: EngineConfig = DEFAULT_CONFIG,
         b_vals = fu[np.repeat(fo[fi], lf) + _local_idx(lf)]
         ao = np.concatenate([[0], np.cumsum(lb)]).astype(np.int64)
         bo2 = np.concatenate([[0], np.cumsum(lf)]).astype(np.int64)
-        _, cj, dj = pair_jaccard_stats(a_vals, ao, b_vals, bo2, num)
+        c, cj, dj = pair_jaccard_stats(a_vals, ao, b_vals, bo2, num)
         ja = cj / np.maximum(dj, 1)
         b_col = batch["conv_id"].combine_chunks().take(
             pa.array(bi, pa.int64()))
         f_col = full["conv_id"].combine_chunks().take(
             pa.array(fi, pa.int64()))
+        if metric != "jaccard":
+            cab = c / np.maximum(lb, 1)   # containment of a in b's terms:
+            cba = c / np.maximum(lf, 1)   # |a∩b|/|a| and |a∩b|/|b|
+            cols: dict = {"a": b_col, "b": f_col}
+            if metric == "containment":
+                cols["containment_ab"] = pa.array(cab, pa.float64())
+                cols["containment_ba"] = pa.array(cba, pa.float64())
+            elif metric == "max_containment":
+                cols["max_containment"] = pa.array(
+                    np.maximum(cab, cba), pa.float64())
+            else:
+                cols["avg_containment"] = pa.array(
+                    (cab + cba) / 2.0, pa.float64())
+            return pa.table(cols)
         out = pa.table({
             "a": b_col,
             "b": f_col,

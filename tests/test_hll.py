@@ -122,3 +122,85 @@ def test_union_similarity_containment_estimates():
     assert abs(hll_intersection(a, b) - exact_i) / exact_i < 0.05
     assert abs(hll_similarity(a, b) - exact_i / exact_u) < 0.05
     assert abs(hll_containment(a, b) - exact_i / A.size) < 0.05
+
+
+def test_hll_joint_mle_moderate_overlap():
+    """Joint MLE (Ertl §5): two 60k sets sharing 30k — all three
+    components within 5%."""
+    import numpy as np
+
+    from sourmash_ray.functions.hll import (hll_add_hashes, hll_empty,
+                                            hll_joint_mle)
+    from sourmash_ray.functions.murmur import murmur64_fixedlen
+
+    def hset(vals, p=14):
+        r = hll_empty(p)
+        b = vals.astype(np.uint64).view(np.uint8).reshape(-1, 8)
+        hll_add_hashes(r, murmur64_fixedlen(
+            np.ascontiguousarray(b), seed=42, length=8))
+        return r
+
+    rng = np.random.default_rng(11)
+    common = rng.choice(2 ** 40, 30000, replace=False)
+    a_only = rng.choice(2 ** 40, 30000, replace=False) + 2 ** 41
+    b_only = rng.choice(2 ** 40, 30000, replace=False) + 2 ** 42
+    A = hset(np.concatenate([common, a_only]))
+    B = hset(np.concatenate([common, b_only]))
+    oa, ob, inter = hll_joint_mle(A, B)
+    assert abs(oa - 30000) / 30000 < 0.05
+    assert abs(ob - 30000) / 30000 < 0.05
+    assert abs(inter - 30000) / 30000 < 0.05
+
+
+def test_hll_joint_union_consistent_with_merged_mle():
+    """Union from the joint decomposition stays within 3% of the
+    merged-register MLE (they estimate the same quantity)."""
+    import numpy as np
+
+    from sourmash_ray.functions.hll import (hll_add_hashes,
+                                            hll_cardinality, hll_empty,
+                                            hll_merge,
+                                            hll_union_cardinality)
+    from sourmash_ray.functions.murmur import murmur64_fixedlen
+
+    def hset(vals, p=12):
+        r = hll_empty(p)
+        b = vals.astype(np.uint64).view(np.uint8).reshape(-1, 8)
+        hll_add_hashes(r, murmur64_fixedlen(
+            np.ascontiguousarray(b), seed=42, length=8))
+        return r
+
+    rng = np.random.default_rng(23)
+    A = hset(rng.choice(2 ** 40, 50000, replace=False))
+    B = hset(rng.choice(2 ** 40, 20000, replace=False) + 2 ** 41)
+    ju = hll_union_cardinality(A, B)
+    mu = hll_cardinality(hll_merge(A, B))
+    assert abs(ju - mu) / mu < 0.03
+
+
+def test_hll_joint_disjoint_and_identical():
+    import numpy as np
+
+    from sourmash_ray.functions.hll import (hll_add_hashes, hll_empty,
+                                            hll_containment,
+                                            hll_joint_mle, hll_similarity)
+    from sourmash_ray.functions.murmur import murmur64_fixedlen
+
+    def hset(vals, p=12):
+        r = hll_empty(p)
+        b = vals.astype(np.uint64).view(np.uint8).reshape(-1, 8)
+        hll_add_hashes(r, murmur64_fixedlen(
+            np.ascontiguousarray(b), seed=42, length=8))
+        return r
+
+    rng = np.random.default_rng(31)
+    vals = rng.choice(2 ** 40, 40000, replace=False)
+    A = hset(vals)
+    assert hll_similarity(A, A) == 1.0
+    assert hll_containment(A, A) == 1.0
+    oa, ob, inter = hll_joint_mle(A, A)
+    assert oa == 0 and ob == 0
+    assert abs(inter - 40000) / 40000 < 0.05
+    B = hset(rng.choice(2 ** 40, 40000, replace=False) + 2 ** 41)
+    sim = hll_similarity(A, B)
+    assert sim < 0.01

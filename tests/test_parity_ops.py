@@ -459,3 +459,48 @@ def test_gather_threshold_zero_no_spurious_rows(sigs, oracle_sketches):
     matches = [r["match"] for r in res]
     assert len(matches) == len(set(matches))
     assert all(r["overlap"] >= 1 for r in res)
+
+
+def test_compare_matrix_variants_golden(ray_session):
+    """compare containment/max/avg variants vs hand-computed matrices
+    (the reference's tests/test_compare.py golden-matrix idea)."""
+    import pyarrow as pa
+    import ray.data
+
+    from sourmash_ray.config import EngineConfig
+    from sourmash_ray.functions.sketch import SketchParams
+    from sourmash_ray.pipelines.sourmash_parity import compare_exact
+
+    cfg = EngineConfig(sketch=SketchParams(ksize=12, scaled=4, num=0))
+    sigs = ray.data.from_arrow(pa.table({
+        "conv_id": pa.array(["A", "B", "C"]),
+        "mins": pa.array([list(range(1, 11)), list(range(1, 6)),
+                          list(range(6, 16))],
+                         pa.list_(pa.uint64())),
+    }))
+
+    def rows(metric):
+        return {(r["a"], r["b"]): r
+                for r in compare_exact(sigs, cfg,
+                                       metric=metric).take_all()}
+
+    cont = rows("containment")
+    assert cont[("A", "B")]["containment_ab"] == pytest.approx(0.5)
+    assert cont[("A", "B")]["containment_ba"] == pytest.approx(1.0)
+    assert cont[("A", "C")]["containment_ab"] == pytest.approx(0.5)
+    assert cont[("A", "C")]["containment_ba"] == pytest.approx(0.5)
+    assert cont[("B", "C")]["containment_ab"] == 0.0
+    mx = rows("max_containment")
+    assert mx[("A", "B")]["max_containment"] == pytest.approx(1.0)
+    assert mx[("A", "C")]["max_containment"] == pytest.approx(0.5)
+    av = rows("avg_containment")
+    assert av[("A", "B")]["avg_containment"] == pytest.approx(0.75)
+    assert av[("B", "C")]["avg_containment"] == 0.0
+    ja = rows("jaccard")
+    assert ja[("A", "B")]["jaccard"] == pytest.approx(0.5)
+    assert ja[("A", "C")]["jaccard"] == pytest.approx(1.0 / 3.0)
+
+    with pytest.raises(ValueError):
+        compare_exact(sigs, EngineConfig(
+            sketch=SketchParams(ksize=12, scaled=0, num=16)),
+            metric="containment")
