@@ -141,6 +141,39 @@ def _multigather_q(sf_dir: str):
                        threshold_hashes=3)
 
 
+def _lca_summarize_q(sf_dir: str):
+    """``lca summarize``: per-hash LCA walk over a deterministic synthetic
+    taxonomy (phylum/genus/species from the conv_id), query = a clone
+    signature (``lca/command_summarize.py``)."""
+    from sourmash_ray.stages.index import build_inverted_index, lca_summarize
+
+    sigs = _sigs_for(sf_dir)
+    qid = _clone_query_id(sigs)
+    ids = [r["conv_id"]
+           for r in sigs.select_columns(["conv_id"]).take_all()]
+    def _lin(cid: str) -> str:
+        base = cid.split("_xd")[0]          # clones share their base's
+        h = hash_ident(base)                # genus; species stays per-id
+        return f"p{h % 3};g{h % 7};s{hash_ident(cid) % 101}"
+
+    lineages = {cid: _lin(cid) for cid in ids}
+    import numpy as np
+    import pyarrow.compute as pc
+
+    mins = (sigs.map_batches(
+        lambda t: t.filter(pc.equal(t["conv_id"], qid)),
+        batch_format="pyarrow").select_columns(["mins"]).take(1))
+    q = np.asarray(mins[0]["mins"], dtype=np.uint64)
+    return lca_summarize(build_inverted_index(sigs), lineages, q,
+                         threshold=1)
+
+
+def hash_ident(s: str) -> int:
+    import zlib
+
+    return zlib.crc32(s.encode("utf-8"))
+
+
 def _categorize_q(sf_dir: str):
     """1-NN best-match labeling of a query subset vs the collection
     (``commands.py:758-833``)."""
@@ -272,6 +305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_tokens_exact": docops.distinct_tokens_exact,
         "approx_distinct_tokens": docops.approx_distinct_tokens,
         "hash_frequency_transcripts": _hash_frequency_q,
+        "lca_summarize_transcripts": _lca_summarize_q,
         "media_features": _media_features_q,
         # --- embeddings: similarity search ---
         "ann_topk": ann.ann_topk_bruteforce,

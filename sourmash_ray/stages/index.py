@@ -81,6 +81,146 @@ def counter_lookup(index_ds, query_hashes: np.ndarray,
                         count_as="overlap")
 
 
+LCA_SUMMARIZE_SCHEMA = pa.schema([
+    ("lineage", pa.string()),
+    ("count", pa.int64()),
+    ("f_percent", pa.float64()),
+])
+
+_LCA_PART_SCHEMA = pa.schema([("lineage", pa.string()),
+                              ("count", pa.int64())])
+
+
+def lca_summarize(index_ds, lineages: dict, query_hashes: np.ndarray,
+                  query_counts: np.ndarray | None = None,
+                  threshold: int = 5,
+                  cfg: EngineConfig = DEFAULT_CONFIG) -> pa.Table:
+    """``lca summarize`` with the per-rank LCA walk
+    (``/root/reference/src/sourmash/lca/command_summarize.py:20-58`` +
+    ``lca_utils.py:137-225``): for each query hash, the lowest common
+    ancestor of every lineage assigned to it (longest common rank prefix
+    across the distinct lineages — the reference's build_tree/find_lca);
+    per-LCA counts (weighted by ``query_counts`` when given, i.e. hash
+    abundance) are thresholded, then climbed so every ancestor prefix
+    aggregates its descendants' counts (root only counts root-LCA hashes,
+    mirroring the reference's climb loop).
+
+    ``lineages``: conv_id → "rank0;rank1;..." lineage string.
+    Returns (lineage, count, f_percent) sorted count desc; percent is of
+    the total query hash count (assigned or not), like output_results.
+
+    Shape: lineage attach is a broadcast sorted-array gather inside the
+    index scan; per-hash LCA runs inside a hash-keyed exchange partition
+    (single-lineage runs — the common case — take the vectorized path);
+    only per-partition (lineage, count) partials reach the driver."""
+    from ..config import resolve_num_partitions
+    from ..functions.segscore import _to_bytes_array
+    from .exchange import exchange_map_groups
+
+    q = np.asarray(query_hashes, dtype=np.uint64)
+    qc = (np.ones(q.size, np.int64) if query_counts is None
+          else np.asarray(query_counts, np.int64))
+    order = np.argsort(q, kind="stable")
+    q, qc = q[order], qc[order]
+    total = int(qc.sum()) or 1
+    q_ref = ray.put((q, qc))
+
+    ids_s = np.array([k.encode("utf-8") for k in sorted(lineages)],
+                     dtype=bytes) if lineages else np.empty(0, "S1")
+    lin_arr = pa.array([lineages[k] for k in sorted(lineages)],
+                       pa.string())
+    lin_ref = ray.put((ids_s, lin_arr))
+
+    def _attach(batch: pa.Table) -> pa.Table:
+        from .verify import _common_width
+
+        qq, qcc = ray.get(q_ref)
+        h = np.asarray(batch["hash"], dtype=np.uint64)
+        pos = np.searchsorted(qq, h)
+        posc = np.minimum(pos, max(qq.size - 1, 0))
+        hit = (qq[posc] == h) if qq.size else np.zeros(h.size, bool)
+        sub = batch.filter(pa.array(hit))
+        weights = qcc[posc[hit]]
+        ids_sorted, lins = ray.get(lin_ref)
+        keys, ids_w = _common_width(_to_bytes_array(sub["conv_id"]),
+                                    ids_sorted)
+        lpos = np.searchsorted(ids_w, keys)
+        lposc = np.minimum(lpos, max(len(ids_w) - 1, 0))
+        lhit = (ids_w[lposc] == keys) if len(ids_w) else \
+            np.zeros(len(keys), bool)
+        sub = sub.filter(pa.array(lhit))          # unassigned ids drop
+        hh = np.asarray(sub["hash"], dtype=np.uint64)
+        return pa.table({
+            "key": pa.array((hh % np.uint64(2 ** 63)).astype(np.int64),
+                            pa.int64()),
+            "hash": sub["hash"],
+            "lineage": lins.take(pa.array(lposc[lhit], pa.int64())),
+            "weight": pa.array(weights[lhit], pa.int64()),
+        })
+
+    def _lca_part(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return _LCA_PART_SCHEMA.empty_table()
+        part = part.sort_by([("hash", "ascending"),
+                             ("lineage", "ascending")])
+        h = np.asarray(part["hash"], dtype=np.uint64)
+        lin = _to_bytes_array(part["lineage"])
+        w = np.asarray(part["weight"], np.int64)
+        new = np.concatenate([[True], h[1:] != h[:-1]])
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(h))
+        # LCP of a sorted lineage SET = common rank prefix of min and max
+        first_lin = lin[starts]
+        last_lin = lin[ends - 1]
+        lcas = first_lin.astype(object)
+        for i in np.flatnonzero(first_lin != last_lin):
+            ta = first_lin[i].decode("utf-8").split(";")
+            tb = last_lin[i].decode("utf-8").split(";")
+            k = 0
+            while k < min(len(ta), len(tb)) and ta[k] == tb[k]:
+                k += 1
+            lcas[i] = ";".join(ta[:k]).encode("utf-8")
+        # local combine: sum hash weights per distinct LCA
+        uniq, inv = np.unique(lcas.astype(bytes), return_inverse=True)
+        sums = np.bincount(inv, weights=w[starts].astype(np.float64),
+                           minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "lineage": pa.array([u.decode("utf-8") for u in uniq],
+                                pa.string()),
+            "count": pa.array(sums, pa.int64()),
+        }).cast(_LCA_PART_SCHEMA)
+
+    n_parts = 2 * resolve_num_partitions(cfg)
+    rows = index_ds.map_batches(_attach, batch_format="pyarrow")
+    partials = exchange_map_groups(rows, "key", n_parts, _lca_part,
+                                   _LCA_PART_SCHEMA)
+    # merge partials (distinct LCAs — bounded by the taxonomy, tiny)
+    counts: dict[str, int] = {}
+    for r in partials.take_all():
+        counts[r["lineage"]] = counts.get(r["lineage"], 0) + r["count"]
+    # threshold per-LCA, then climb ancestors (command_summarize.py:43-55:
+    # root aggregates only root-LCA hashes)
+    agg: dict[str, int] = {}
+    for lca, count in counts.items():
+        if count < threshold:
+            continue
+        if not lca:
+            agg[lca] = agg.get(lca, 0) + count
+        parts_l = lca.split(";") if lca else []
+        while parts_l:
+            key = ";".join(parts_l)
+            agg[key] = agg.get(key, 0) + count
+            parts_l.pop()
+    out = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))
+    return pa.table({
+        "lineage": pa.array([k if k else "(root)" for k, _ in out],
+                            pa.string()),
+        "count": pa.array([c for _, c in out], pa.int64()),
+        "f_percent": pa.array([round(100.0 * c / total, 1)
+                               for _, c in out], pa.float64()),
+    }).cast(LCA_SUMMARIZE_SCHEMA)
+
+
 def lca_classify(index_ds, query_hashes: np.ndarray, labels: dict,
                  cfg: EngineConfig = DEFAULT_CONFIG,
                  majority: float = 0.5):

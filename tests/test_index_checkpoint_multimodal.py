@@ -184,3 +184,96 @@ def test_lca_classify(sigs):
     assert res["label"] == base
     assert res["f_agreement"] > 0.5
     assert res["n_voting_hashes"] > 0
+
+
+def _oracle_lca_summarize(rows: dict, lineages: dict, q: np.ndarray,
+                          qc: np.ndarray, threshold: int) -> dict:
+    """Pure-Python transcription of the reference algorithm
+    (lca/command_summarize.py:20-58 + lca_utils.count_lca_for_assignments):
+    per-hash lineage set -> LCA tuple -> abundance-weighted counts ->
+    threshold -> climb (root only counts root-LCA hashes)."""
+    weight = {int(h): int(c) for h, c in zip(q, qc)}
+    assignments: dict = {}
+    for cid, mins in rows.items():
+        lin = lineages.get(cid)
+        if lin is None:
+            continue
+        for h in np.intersect1d(q, mins, assume_unique=True):
+            assignments.setdefault(int(h), set()).add(tuple(lin.split(";")))
+    counts: dict = {}
+    for h, lins in assignments.items():
+        lins = sorted(lins)
+        lca = lins[0]
+        for other in lins[1:]:
+            k = 0
+            while k < min(len(lca), len(other)) and lca[k] == other[k]:
+                k += 1
+            lca = lca[:k]
+        counts[lca] = counts.get(lca, 0) + weight[h]
+    agg: dict = {}
+    for lca, count in counts.items():
+        if count < threshold:
+            continue
+        if not lca:
+            agg[lca] = agg.get(lca, 0) + count
+        while lca:
+            agg[lca] = agg.get(lca, 0) + count
+            lca = lca[:-1]
+    return {(";".join(k) if k else "(root)"): v for k, v in agg.items()}
+
+
+def test_lca_summarize_matches_reference_oracle(sigs):
+    """lca_summarize (exchange-shaped) == the reference's per-rank LCA walk
+    on a lineage assignment engineered to exercise every branch: agreeing
+    hashes (full lineage), genus-level conflicts (proper-prefix LCA), and
+    phylum-level conflicts (near-root LCA)."""
+    from sourmash_ray.stages.index import build_inverted_index, lca_summarize
+
+    idx = build_inverted_index(sigs).materialize()
+    rows = {r["conv_id"]: np.asarray(r["mins"], dtype=np.uint64)
+            for r in sigs.take_all()}
+    cids = sorted(rows)
+    # 3 phyla x 2 genera x species-per-sig; clones share their base's genus
+    # but get a distinct species so shared hashes resolve at genus level.
+    lineages = {}
+    for i, cid in enumerate(cids):
+        base = cid.split("_xd")[0]
+        j = cids.index(base) if base in cids else i
+        lineages[cid] = (f"p{j % 3};g{j % 2};s{i}")
+    # drop one signature from the taxonomy: its hashes must not vote
+    dropped = cids[-1]
+    del lineages[dropped]
+
+    q = np.unique(np.concatenate([rows[c] for c in cids[:8]]))
+    rng = np.random.default_rng(7)
+    qc = rng.integers(1, 5, size=q.size).astype(np.int64)
+
+    for threshold in (1, 3):
+        got_tbl = lca_summarize(idx, lineages, q, qc, threshold=threshold,
+                                cfg=CFG)
+        got = {r["lineage"]: r["count"] for r in got_tbl.to_pylist()}
+        want = _oracle_lca_summarize(rows, lineages, q, qc, threshold)
+        assert got == want, (threshold, got, want)
+        # percent column: of TOTAL query weight, like output_results
+        total = int(qc.sum())
+        for r in got_tbl.to_pylist():
+            assert r["f_percent"] == round(100.0 * r["count"] / total, 1)
+    # counts sorted descending
+    cnts = [r["count"] for r in got_tbl.to_pylist()]
+    assert cnts == sorted(cnts, reverse=True)
+
+
+def test_lca_summarize_unweighted_default(sigs):
+    """query_counts=None == all-ones weighting (--ignore-abundance)."""
+    from sourmash_ray.stages.index import build_inverted_index, lca_summarize
+
+    idx = build_inverted_index(sigs).materialize()
+    rows = {r["conv_id"]: np.asarray(r["mins"], dtype=np.uint64)
+            for r in sigs.take_all()}
+    cids = sorted(rows)
+    lineages = {cid: f"p{i % 2};g{i % 3}" for i, cid in enumerate(cids)}
+    q = np.unique(np.concatenate([rows[c] for c in cids[:5]]))
+    a = lca_summarize(idx, lineages, q, None, threshold=1, cfg=CFG)
+    b = lca_summarize(idx, lineages, q, np.ones(q.size, np.int64),
+                      threshold=1, cfg=CFG)
+    assert a.equals(b)
