@@ -5,9 +5,13 @@ table. Each cites the reference subcommand it mirrors.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+import ray
 
 from ..functions.sketch import max_hash_for_scaled, md5_of_mins
 
@@ -296,3 +300,133 @@ def subtract_from(sigs, target_id: str):
                    if ab is not None else None),
         "n_removed": int((~keep).sum()),
     }
+
+
+def _manifest_path_for(location: str) -> str:
+    """Convention: a collection at ``loc`` (Parquet dir) carries its
+    standalone manifest at ``loc + '.manifest'`` (a small Parquet dir
+    written by :func:`write_manifest`)."""
+    return location.rstrip("/") + ".manifest"
+
+
+def collect_manifests(locations, output_path: str | None = None,
+                      merge_previous: bool = False,
+                      require_manifest: bool = True):
+    """``sig collect`` (``/root/reference/src/sourmash/sig/__main__.py:
+    1553-1660``): gather per-signature manifest rows across many
+    collection locations into ONE standalone manifest, each row's
+    ``internal_location`` rewritten to its container so any signature can
+    later be found by loading that location (the reference's
+    ``row["internal_location"] = iloc`` loop).
+
+    Per location: read the sibling ``<loc>.manifest`` Parquet when
+    present (payloads never touched — the reference's "require manifests
+    by default, since generating can be slow"); when absent, raise unless
+    ``require_manifest=False``, in which case the manifest is generated
+    with a pruned :func:`describe_sigs` scan (``--no-require-manifest``).
+
+    ``merge_previous``: union rows already collected at ``output_path``
+    (``--merge-previous``); without it an existing output is an error,
+    mirroring the reference's refusal to overwrite.
+
+    Returns the combined manifest Dataset (streams; rows are summary
+    columns only). Writes partitioned Parquet to ``output_path`` if set.
+    """
+    import ray.data
+
+    from .. import plugins
+
+    if output_path and os.path.exists(output_path) and not merge_previous:
+        raise FileExistsError(
+            f"{output_path!r} already exists — remove it or pass "
+            "merge_previous=True to merge (sig collect semantics)")
+
+    parts = []
+    if merge_previous and output_path and os.path.exists(output_path):
+        parts.append(ray.data.read_parquet(output_path))
+    for loc in locations:
+        mf_path = _manifest_path_for(loc)
+        if os.path.exists(mf_path):
+            mf = ray.data.read_parquet(mf_path)
+        elif require_manifest:
+            raise FileNotFoundError(
+                f"no manifest at {mf_path!r} for {loc!r}; sig collect "
+                "requires a manifest by default — pass "
+                "require_manifest=False to generate one")
+        else:
+            mf = describe_sigs(plugins.load_any(loc))
+        iloc = loc
+
+        def _tag(batch: pa.Table, iloc=iloc) -> pa.Table:
+            return batch.append_column(
+                "internal_location",
+                pa.array([iloc] * batch.num_rows, pa.string()))
+
+        parts.append(mf.map_batches(_tag, batch_format="pyarrow"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    if output_path:
+        if merge_previous and os.path.exists(output_path):
+            # rewrite: the merged manifest replaces the previous one
+            merged = out.materialize()
+            import shutil
+
+            shutil.rmtree(output_path)
+            merged.write_parquet(output_path)
+            return merged
+        out.write_parquet(output_path)
+    return out
+
+
+def check_collections(locations, values, coltype: str = "name",
+                      require_manifest: bool = True,
+                      style=None):
+    """``sig check`` (``sig/__main__.py:1412-1550``): audit collections
+    against a picklist WITHOUT reading sketch payloads. Combines the
+    locations' manifests (:func:`collect_manifests` — internal_location
+    rewritten per container), filters them by the picklist, and reports
+    which picklist entries were never found (``--output-missing``).
+
+    ``coltype``: picklist preprocessor applied to the manifest's
+    ``conv_id`` column (``name``/``ident``/``identprefix``) or
+    ``md5short`` column. ``style``: PickStyle; EXCLUDE cannot report
+    missing entries (reference forbids ``-o`` with exclude picklists).
+
+    Returns ``(matching, missing, n_examined)``: the matching manifest
+    Dataset, the sorted list of picked values with zero matches, and the
+    total manifest rows examined. ``missing`` is bounded by the picklist
+    size: only distinct matched keys (a subset of the picklist) are
+    collected, never the manifest itself.
+    """
+    from .picklist import PickStyle, preprocess_column
+
+    style = PickStyle.INCLUDE if style is None else style
+    mf = collect_manifests(locations, require_manifest=require_manifest)
+    n_examined = mf.count()
+    column = "md5short" if coltype == "md5short" else "conv_id"
+    ct = "name" if coltype == "md5short" else coltype
+    picked = sorted(set(values))
+    vals_ref = ray.put(pa.array(picked, pa.string()))
+    include = style == PickStyle.INCLUDE
+
+    def _match(batch: pa.Table) -> pa.Table:
+        key = preprocess_column(
+            pc.cast(batch[column].combine_chunks(), pa.string()), ct)
+        mask = pc.is_in(key, value_set=ray.get(vals_ref))
+        if not include:
+            mask = pc.invert(mask)
+        return batch.append_column("picklist_key", key).filter(mask)
+
+    matching = mf.map_batches(_match, batch_format="pyarrow")
+    if not include:
+        return matching, None, n_examined
+    # found keys ⊆ picklist → bounded driver reduce (per-batch uniques)
+    found_parts = matching.map_batches(
+        lambda t: pa.table(
+            {"picklist_key": t["picklist_key"].combine_chunks().unique()}),
+        batch_format="pyarrow")
+    found = {r["picklist_key"] for r in
+             found_parts.select_columns(["picklist_key"]).take_all()}
+    missing = sorted(set(picked) - found)
+    return matching, missing, n_examined

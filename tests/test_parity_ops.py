@@ -504,3 +504,73 @@ def test_compare_matrix_variants_golden(ray_session):
         compare_exact(sigs, EngineConfig(
             sketch=SketchParams(ksize=12, scaled=0, num=16)),
             metric="containment")
+
+
+def test_sig_collect_and_check(sigs, tmp_path):
+    """sig collect / sig check (sig/__main__.py:1412-1660): manifests
+    combined with internal_location rewritten per container; picklist
+    audit reports matches + never-found entries; manifests required by
+    default; merge_previous unions with an existing output."""
+    from sourmash_ray.stages.picklist import PickStyle
+    from sourmash_ray.stages.sigops import (check_collections,
+                                            collect_manifests,
+                                            write_manifest)
+
+    # split the collection into two "locations" with sibling manifests
+    ids = sorted(r["conv_id"] for r in
+                 sigs.select_columns(["conv_id"]).take_all())
+    half = set(ids[:len(ids) // 2])
+    loc_a = str(tmp_path / "col_a")
+    loc_b = str(tmp_path / "col_b")
+    a = sigs.filter(lambda r: r["conv_id"] in half)
+    b = sigs.filter(lambda r: r["conv_id"] not in half)
+    a.write_parquet(loc_a)
+    b.write_parquet(loc_b)
+    write_manifest(a, loc_a + ".manifest")
+    write_manifest(b, loc_b + ".manifest")
+
+    # collect: every row present once, internal_location = its container
+    out = str(tmp_path / "combined.manifest")
+    mf = collect_manifests([loc_a, loc_b], output_path=out)
+    rows = mf.take_all()
+    assert sorted(r["conv_id"] for r in rows) == ids
+    for r in rows:
+        assert r["internal_location"] == (loc_a if r["conv_id"] in half
+                                          else loc_b)
+
+    # refuse to overwrite without merge_previous (reference error)
+    with pytest.raises(FileExistsError):
+        collect_manifests([loc_a], output_path=out)
+
+    # merge_previous: previous rows + the new location's rows
+    merged = collect_manifests([loc_a], output_path=out,
+                               merge_previous=True)
+    assert merged.count() == len(ids) + len(half)
+
+    # missing manifest → error by default, generated when allowed
+    loc_c = str(tmp_path / "col_c")
+    sigs.limit(3).write_parquet(loc_c)
+    with pytest.raises(FileNotFoundError):
+        collect_manifests([loc_c])
+    assert collect_manifests([loc_c], require_manifest=False).count() == 3
+
+    # check: 2 present + 1 phantom picklist entry
+    picked = [ids[0], ids[-1], "zz_not_there"]
+    matching, missing, n = check_collections([loc_a, loc_b], picked)
+    got = sorted(r["conv_id"] for r in matching.take_all())
+    assert got == sorted(picked[:2])
+    assert missing == ["zz_not_there"]
+    assert n == len(ids)
+
+    # exclude style: complement, no missing report (reference forbids -o)
+    excl, miss, _ = check_collections([loc_a, loc_b], picked,
+                                      style=PickStyle.EXCLUDE)
+    assert sorted(r["conv_id"] for r in excl.take_all()) == \
+        sorted(set(ids) - set(picked))
+    assert miss is None
+
+    # ident coltype: pick by first-token identifier
+    ident0 = ids[0].split()[0].split("/")[0]
+    m2, miss2, _ = check_collections([loc_a, loc_b], [ident0],
+                                     coltype="ident")
+    assert any(r["conv_id"] == ids[0] for r in m2.take_all())
