@@ -91,6 +91,51 @@ _LCA_PART_SCHEMA = pa.schema([("lineage", pa.string()),
                               ("count", pa.int64())])
 
 
+def _lca_partial(part: pa.Table) -> pa.Table:
+    """Per-hash LCA + local (lineage, count) combine inside one exchange
+    partition. Rows are ordered by (hash, rank-TUPLE): the ``;`` separator
+    is remapped to ``\\x00`` for the sort key so byte order equals
+    tuple-of-ranks order — under raw string order ``;`` (0x3B) sorts
+    after digits, so a set like {"a;b", "a;b0", "a;b;z"} would put
+    "a;b0" in the middle and first/last token-LCP would wrongly return
+    "a;b" instead of "a". With tuple order, LCP(set) == LCP(min, max)."""
+    import pyarrow.compute as pc
+
+    from ..functions.segscore import _to_bytes_array
+
+    if part.num_rows == 0:
+        return _LCA_PART_SCHEMA.empty_table()
+    h = np.asarray(part["hash"], dtype=np.uint64)
+    lin_col = part["lineage"].combine_chunks()
+    lin = _to_bytes_array(lin_col)
+    sort_key = _to_bytes_array(pc.replace_substring(
+        lin_col, pattern=";", replacement="\x00"))
+    w = np.asarray(part["weight"], np.int64)
+    order = np.lexsort((sort_key, h))
+    h, lin, w = h[order], lin[order], w[order]
+    starts = np.flatnonzero(np.concatenate([[True], h[1:] != h[:-1]]))
+    ends = np.append(starts[1:], len(h))
+    first_lin = lin[starts]
+    last_lin = lin[ends - 1]
+    lcas = first_lin.astype(object)
+    for i in np.flatnonzero(first_lin != last_lin):
+        ta = first_lin[i].decode("utf-8").split(";")
+        tb = last_lin[i].decode("utf-8").split(";")
+        k = 0
+        while k < min(len(ta), len(tb)) and ta[k] == tb[k]:
+            k += 1
+        lcas[i] = ";".join(ta[:k]).encode("utf-8")
+    # local combine: sum hash weights per distinct LCA
+    uniq, inv = np.unique(lcas.astype(bytes), return_inverse=True)
+    sums = np.bincount(inv, weights=w[starts].astype(np.float64),
+                       minlength=len(uniq)).astype(np.int64)
+    return pa.table({
+        "lineage": pa.array([u.decode("utf-8") for u in uniq],
+                            pa.string()),
+        "count": pa.array(sums, pa.int64()),
+    }).cast(_LCA_PART_SCHEMA)
+
+
 def lca_summarize(index_ds, lineages: dict, query_hashes: np.ndarray,
                   query_counts: np.ndarray | None = None,
                   threshold: int = 5,
@@ -158,41 +203,9 @@ def lca_summarize(index_ds, lineages: dict, query_hashes: np.ndarray,
             "weight": pa.array(weights[lhit], pa.int64()),
         })
 
-    def _lca_part(part: pa.Table) -> pa.Table:
-        if part.num_rows == 0:
-            return _LCA_PART_SCHEMA.empty_table()
-        part = part.sort_by([("hash", "ascending"),
-                             ("lineage", "ascending")])
-        h = np.asarray(part["hash"], dtype=np.uint64)
-        lin = _to_bytes_array(part["lineage"])
-        w = np.asarray(part["weight"], np.int64)
-        new = np.concatenate([[True], h[1:] != h[:-1]])
-        starts = np.flatnonzero(new)
-        ends = np.append(starts[1:], len(h))
-        # LCP of a sorted lineage SET = common rank prefix of min and max
-        first_lin = lin[starts]
-        last_lin = lin[ends - 1]
-        lcas = first_lin.astype(object)
-        for i in np.flatnonzero(first_lin != last_lin):
-            ta = first_lin[i].decode("utf-8").split(";")
-            tb = last_lin[i].decode("utf-8").split(";")
-            k = 0
-            while k < min(len(ta), len(tb)) and ta[k] == tb[k]:
-                k += 1
-            lcas[i] = ";".join(ta[:k]).encode("utf-8")
-        # local combine: sum hash weights per distinct LCA
-        uniq, inv = np.unique(lcas.astype(bytes), return_inverse=True)
-        sums = np.bincount(inv, weights=w[starts].astype(np.float64),
-                           minlength=len(uniq)).astype(np.int64)
-        return pa.table({
-            "lineage": pa.array([u.decode("utf-8") for u in uniq],
-                                pa.string()),
-            "count": pa.array(sums, pa.int64()),
-        }).cast(_LCA_PART_SCHEMA)
-
     n_parts = 2 * resolve_num_partitions(cfg)
     rows = index_ds.map_batches(_attach, batch_format="pyarrow")
-    partials = exchange_map_groups(rows, "key", n_parts, _lca_part,
+    partials = exchange_map_groups(rows, "key", n_parts, _lca_partial,
                                    _LCA_PART_SCHEMA)
     # merge partials (distinct LCAs — bounded by the taxonomy, tiny)
     counts: dict[str, int] = {}

@@ -277,3 +277,22 @@ def test_lca_summarize_unweighted_default(sigs):
     b = lca_summarize(idx, lineages, q, np.ones(q.size, np.int64),
                       threshold=1, cfg=CFG)
     assert a.equals(b)
+
+
+def test_lca_partial_tuple_order_regression():
+    """The per-hash LCA must use rank-TUPLE order, not raw string order:
+    ';' (0x3B) sorts after digits, so {"a;b", "a;b0", "a;b;z"} raw-sorts
+    with "a;b0" in the middle and a first/last LCP would wrongly say
+    "a;b"; the true common rank prefix is "a"."""
+    import pyarrow as pa
+
+    from sourmash_ray.stages.index import _lca_partial
+
+    part = pa.table({
+        "key": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "hash": pa.array([42, 42, 42, 7, 7], pa.uint64()),
+        "lineage": pa.array(["a;b", "a;b0", "a;b;z", "a;b", "a;b"]),
+        "weight": pa.array([3, 3, 3, 2, 2], pa.int64()),
+    })
+    out = {r["lineage"]: r["count"] for r in _lca_partial(part).to_pylist()}
+    assert out == {"a": 3, "a;b": 2}
