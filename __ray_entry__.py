@@ -296,7 +296,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "picklist_md5short_docs": docops.picklist_md5short_docs,
         "tax_rollup_customers": relational.tax_rollup_customers,
         "topk_orders": relational.topk_orders,
+        "grouped_topk_orders": relational.grouped_topk_orders,
         "pricing_summary": relational.pricing_summary,
+        "hash_split_docs": docops.hash_split_docs,
+        "length_quantiles_docs": docops.length_quantiles_docs,
         "union_collections": relational.union_collections,
         "broadcast_lookup_join": relational.broadcast_lookup_join,
         # --- text analysis + inverted index + multimodal ---
@@ -461,6 +464,35 @@ def oracle_sql() -> dict[str, str]:
         "topk_orders": """
             SELECT o_orderkey, o_totalprice FROM orders
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+        """,
+        "grouped_topk_orders": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC,
+                                                 o_orderkey) AS rn
+              FROM orders)
+            WHERE rn <= 3
+        """,
+        "hash_split_docs": """
+            SELECT split, lang,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+                   count(*) AS n_docs
+            FROM (SELECT CASE WHEN b < 80 THEN 'train'
+                              WHEN b < 90 THEN 'valid'
+                              ELSE 'test' END AS split, lang, n_chars
+                  FROM (SELECT lang, n_chars,
+                               CAST(concat('0x', substr(md5(text), 1, 8))
+                                    AS UBIGINT) % 100 AS b
+                        FROM documents))
+            GROUP BY split, lang
+        """,
+        "length_quantiles_docs": """
+            SELECT CAST(unnest([0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
+                        AS DOUBLE) AS q,
+                   unnest(quantile_disc(n_chars,
+                          [0.1, 0.25, 0.5, 0.75, 0.9, 0.99])) AS value
+            FROM documents
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -641,3 +641,57 @@ def picklist_md5short_docs(sf_dir: str):
         })
 
     return kept.map_batches(_out, batch_format="pyarrow")
+
+
+_HEX_POW = (np.uint64(16) ** np.arange(7, -1, -1, dtype=np.uint64))
+
+
+def _hex8_to_int(md5_col: pa.Array) -> np.ndarray:
+    """Vectorized ``int(h[:8], 16)`` over a lowercase-hex md5 column."""
+    from ..functions.segscore import _to_bytes_array
+
+    s = _to_bytes_array(md5_col)
+    m = s.view(np.uint8).reshape(len(s), -1)[:, :8].astype(np.uint64)
+    digits = m - np.uint64(48) - np.uint64(39) * (m >= 97)
+    return digits @ _HEX_POW
+
+
+def hash_split_docs(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG):
+    """Deterministic content-hash train/valid/test split — the
+    reproducible dataset-split op of a training pipeline: the assignment
+    is a pure function of the text (first 8 md5 hex digits % 100:
+    <80 train, <90 valid, else test), so it is stable across reruns,
+    shards and cluster sizes, needs no RNG state or coordination, and a
+    near-duplicate leaked into both splits can be audited by recomputing
+    the hash. Returns per-(split, lang) doc counts + char sums via the
+    block-local combiner + exchange (only partial rows shuffle)."""
+    from ..stages.agg import grouped_sums
+
+    splits = np.array(["train", "valid", "test"])
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        md5 = _md5_column(batch["text"].combine_chunks())
+        b = _hex8_to_int(md5) % np.uint64(100)
+        idx = np.where(b < 80, 0, np.where(b < 90, 1, 2))
+        return pa.table({
+            "split": pa.array(splits[idx], pa.string()),
+            "lang": batch["lang"],
+            "n_chars": batch["n_chars"],
+        })
+
+    ds = _read_docs(sf_dir, ("text", "lang", "n_chars")).map_batches(
+        _assign, batch_format="pyarrow")
+    return grouped_sums(ds, ["split", "lang"], ["n_chars"],
+                        count_as="n_docs")
+
+
+def length_quantiles_docs(sf_dir: str,
+                          qs=(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)):
+    """Exact document-length quantiles (the length-filter thresholds of a
+    quality pipeline) via the distributed value histogram —
+    :func:`sourmash_ray.stages.agg.quantiles_disc`; DuckDB
+    ``quantile_disc`` semantics."""
+    from ..stages.agg import quantiles_disc
+
+    return quantiles_disc(_read_docs(sf_dir, ("n_chars",)), "n_chars",
+                          list(qs))

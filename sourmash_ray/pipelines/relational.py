@@ -354,3 +354,19 @@ def write_krona(sf_dir: str, out_path: str, rank: int = 1, sep: str = "\t"):
         w.writerow(header)
         w.writerows(rows)
     return out_path
+
+
+def grouped_topk_orders(sf_dir: str, k: int = 3):
+    """Per-key top-k: the 3 highest-price orders of every customer with
+    rank (``row_number() OVER (PARTITION BY o_custkey ORDER BY
+    o_totalprice DESC, o_orderkey)``) — the best-k-samples-per-group
+    primitive of a training-data pipeline, shaped as a partial top-k
+    combiner + key exchange (:func:`sourmash_ray.stages.agg.grouped_topk`;
+    the analogue of the reference's per-query best-match retention,
+    ``index/__init__.py:258-270``, applied per group)."""
+    from ..stages.agg import grouped_topk
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    return grouped_topk(ds, "o_custkey", "o_totalprice", k, "o_orderkey")

@@ -81,3 +81,97 @@ def grouped_sums(ds, keys: list[str], sum_cols: list[str],
     parts = ds.map_batches(_partial, batch_format="pyarrow")
     return exchange_map_groups(parts, "grp_part", n_parts, _merge,
                                out_schema)
+
+
+def grouped_topk(ds, key: str, order_col: str, k: int, tiebreak: str,
+                 n_parts: int | None = None):
+    """Top-k rows per key with rank — ``row_number() OVER (PARTITION BY
+    key ORDER BY order_col DESC, tiebreak ASC) <= k`` as a two-level
+    exchange: each block first truncates to ≤k rows PER KEY (the partial
+    top-k combiner — a block can never contribute more than k candidates
+    for any key), then only those candidates hash-partition by key and
+    each partition computes the exact per-key top-k + rank. At 100 TB the
+    shuffle carries ≤ k·(distinct keys per block) rows, not the fact
+    table.
+
+    ``key`` must be numeric (the run-boundary sort is a numpy lexsort);
+    ``order_col`` descending, ``tiebreak`` ascending — both exact
+    (IEEE negation / int64), so partial + final is bit-identical to a
+    single global pass. Returns all input columns + ``rn`` (1-based).
+    """
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from .exchange import exchange_map_groups
+
+    if n_parts is None:
+        n_parts = resolve_num_partitions(DEFAULT_CONFIG)
+
+    def _truncate(tbl: pa.Table, with_rank: bool):
+        kv = np.asarray(tbl[key])
+        ov = np.asarray(tbl[order_col])
+        tb = np.asarray(tbl[tiebreak])
+        order = np.lexsort((tb, -ov, kv))
+        kv = kv[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], kv[1:] != kv[:-1]])) \
+            if len(kv) else np.empty(0, np.int64)
+        lens = np.diff(np.append(starts, len(kv)))
+        r = np.arange(len(kv), dtype=np.int64) - np.repeat(starts, lens)
+        keep = r < k
+        out = tbl.take(pa.array(order[keep], pa.int64()))
+        if with_rank:
+            out = out.append_column("rn", pa.array(r[keep] + 1, pa.int64()))
+        return out
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        out = _truncate(batch, with_rank=False)
+        part = hash_strings64(
+            pc.cast(out[key], pa.string()).combine_chunks()) % 1024
+        return out.append_column("grp_part", pa.array(part, pa.int64()))
+
+    sch = ds.schema()
+    out_schema = pa.schema(
+        [(n, sch.base_schema.field(n).type) for n in sch.names]
+        + [("rn", pa.int64())])
+
+    def _merge(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return out_schema.empty_table()
+        return _truncate(part.drop_columns(["grp_part"]),
+                         with_rank=True).cast(out_schema)
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow")
+    return exchange_map_groups(parts, "grp_part", n_parts, _merge,
+                               out_schema)
+
+
+def quantiles_disc(ds, col: str, qs: list[float]) -> pa.Table:
+    """Exact discrete quantiles of an INTEGER column via a distributed
+    value histogram: block-local (value, count) combine, exchange of the
+    partials (:func:`grouped_sums` — per-block distinct values shuffle,
+    not rows), then one driver cumsum over the sorted distinct values.
+    The driver reduce is bounded by the value DOMAIN (e.g. document
+    lengths), not the row count — for unbounded domains bucket first.
+
+    Quantile definition matches DuckDB's ``quantile_disc``: the element
+    at index ``max(0, ceil(q*n) - 1)`` of the sorted column. Returns
+    (q, value) rows sorted by q.
+    """
+    import math
+
+    hist = grouped_sums(ds.select_columns([col]), [col], [],
+                        count_as="n_rows")
+    rows = hist.take_all()
+    vals = np.array(sorted(r[col] for r in rows), dtype=np.int64)
+    counts = np.array([r["n_rows"] for r in
+                       sorted(rows, key=lambda r: r[col])], dtype=np.int64)
+    cum = np.cumsum(counts)
+    n = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in qs:
+        if n == 0:
+            continue
+        idx = max(0, math.ceil(q * n) - 1)
+        out_q.append(float(q))
+        out_v.append(int(vals[np.searchsorted(cum, idx + 1)]))
+    return pa.table({"q": pa.array(out_q, pa.float64()),
+                     "value": pa.array(out_v, pa.int64())})

@@ -38,3 +38,80 @@ def test_grouped_sums_count_only(ray_session):
     out = grouped_sums(ray.data.from_arrow(tbl), ["k"], [],
                        count_as="n").take_all()
     assert {(r["k"], r["n"]) for r in out} == {(1, 2), (2, 1), (3, 3)}
+
+
+def test_grouped_topk_matches_pandas(ray_session):
+    """Partial top-k combiner + exchange ≡ a global row_number() pass,
+    across many blocks (dup order values exercise the tiebreak)."""
+    import ray.data
+
+    from sourmash_ray.stages.agg import grouped_topk
+
+    rng = np.random.default_rng(5)
+    n = 30_000
+    df = pd.DataFrame({
+        "key": rng.integers(0, 900, n),
+        "score": np.round(rng.normal(0, 100, n), 2),
+        "id": rng.permutation(n).astype(np.int64),
+    })
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(11)
+    for k in (1, 3, 7):
+        out = grouped_topk(ds, "key", "score", k, "id").take_all()
+        got = {(r["key"], r["id"]): (r["score"], r["rn"]) for r in out}
+        exp = df.sort_values(["key", "score", "id"],
+                             ascending=[True, False, True])
+        exp = exp.assign(rn=exp.groupby("key").cumcount() + 1)
+        exp = exp[exp["rn"] <= k]
+        assert len(got) == len(exp)
+        for _, row in exp.iterrows():
+            assert got[(row["key"], row["id"])] == \
+                (row["score"], row["rn"]), row
+
+def test_grouped_topk_empty_and_single(ray_session):
+    import ray.data
+
+    from sourmash_ray.stages.agg import grouped_topk
+
+    tbl = pa.table({"key": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                    "id": pa.array([], pa.int64())})
+    assert grouped_topk(ray.data.from_arrow(tbl), "key", "score", 3,
+                        "id").count() == 0
+    one = pa.table({"key": pa.array([9], pa.int64()),
+                    "score": pa.array([1.5], pa.float64()),
+                    "id": pa.array([4], pa.int64())})
+    rows = grouped_topk(ray.data.from_arrow(one), "key", "score", 3,
+                        "id").take_all()
+    assert rows == [{"key": 9, "score": 1.5, "id": 4, "rn": 1}]
+
+
+def test_quantiles_disc_matches_duckdb_semantics(ray_session):
+    """quantiles_disc == sorted-column element at max(0, ceil(q*n)-1)
+    (DuckDB quantile_disc), on random integer data across blocks."""
+    import ray.data
+
+    from sourmash_ray.stages.agg import quantiles_disc
+
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 500, 25_000).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals)})).repartition(7)
+    qs = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+    out = quantiles_disc(ds, "v", qs).to_pylist()
+    s = np.sort(vals)
+    import math
+
+    for r in out:
+        idx = max(0, math.ceil(r["q"] * len(s)) - 1)
+        assert r["value"] == s[idx], r
+    assert [r["q"] for r in out] == qs
+
+
+def test_hex8_to_int_matches_python():
+    import hashlib
+
+    from sourmash_ray.pipelines.docops import _hex8_to_int
+
+    hexes = [hashlib.md5(str(i).encode()).hexdigest() for i in range(200)]
+    got = _hex8_to_int(pa.array(hexes, pa.string()))
+    want = np.array([int(h[:8], 16) for h in hexes], np.uint64)
+    assert (got == want).all()
