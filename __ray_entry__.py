@@ -299,6 +299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_topk_orders": relational.grouped_topk_orders,
         "pricing_summary": relational.pricing_summary,
         "hash_split_docs": docops.hash_split_docs,
+        "stratified_sample_docs": docops.stratified_sample_docs,
         "length_quantiles_docs": docops.length_quantiles_docs,
         "union_collections": relational.union_collections,
         "broadcast_lookup_join": relational.broadcast_lookup_join,
@@ -486,6 +487,16 @@ def oracle_sql() -> dict[str, str]:
                                     AS UBIGINT) % 100 AS b
                         FROM documents))
             GROUP BY split, lang
+        """,
+        "stratified_sample_docs": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     CAST(concat('0x', substr(md5(text), 1, 8))
+                          AS UBIGINT) % 100 AS b,
+                     5 * (1 + CAST(substr(source, 4) AS BIGINT) % 10)
+                         AS rate
+              FROM documents)
+            WHERE b < rate
         """,
         "length_quantiles_docs": """
             SELECT CAST(unnest([0.1, 0.25, 0.5, 0.75, 0.9, 0.99])

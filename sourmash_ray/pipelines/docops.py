@@ -695,3 +695,25 @@ def length_quantiles_docs(sf_dir: str,
 
     return quantiles_disc(_read_docs(sf_dir, ("n_chars",)), "n_chars",
                           list(qs))
+
+
+def stratified_sample_docs(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG):
+    """Deterministic stratified sampling — the dataset-MIXING primitive of
+    a training pipeline: each source is downsampled at its own rate
+    (here rate_pct = 5·(1 + src_number mod 10), i.e. 5%–50% per source)
+    using the same content-hash buckets as :func:`hash_split_docs`.
+    Membership is a pure function of (text, source): reproducible across
+    shards, reruns and cluster sizes, no RNG state, and composable with
+    the hash split (a doc keeps one bucket for both decisions). Embarrassingly
+    parallel — one vectorized pass, no shuffle."""
+    def _keep(batch: pa.Table) -> pa.Table:
+        md5 = _md5_column(batch["text"].combine_chunks())
+        b = (_hex8_to_int(md5) % np.uint64(100)).astype(np.int64)
+        src = batch["source"].combine_chunks()
+        num = pc.cast(pc.utf8_slice_codeunits(src, 3, 32), pa.int64())
+        rate = 5 * (1 + np.asarray(num) % 10)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "source": src}).filter(pa.array(b < rate))
+
+    return _read_docs(sf_dir, ("doc_id", "text", "source")).map_batches(
+        _keep, batch_format="pyarrow")
