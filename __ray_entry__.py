@@ -313,6 +313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _media_features_q,
         # --- embeddings: similarity search ---
         "ann_topk": ann.ann_topk_bruteforce,
+        "ann_topk_ivf": ann.ann_topk_ivf,
         "embedding_neardup_pairs": ann.embedding_neardup_pairs,
         "cosine_pairs_exact": ann.cosine_pairs_exact,
         "ngram_jaccard_pairs": docops.ngram_jaccard_pairs,
