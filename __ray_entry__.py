@@ -283,6 +283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- documents: text/dedup operators ---
         "exact_dedup_docs": docops.exact_dedup_docs,
         "token_stats_docs": docops.token_stats_docs,
+        "bpe_token_counts_docs": docops.bpe_token_counts_docs,
         "quality_stats_docs": docops.quality_stats_docs,
         "lang_summary_docs": docops.lang_summary_docs,
         "simhash_docs": docops.simhash_docs,
@@ -431,6 +432,22 @@ def oracle_sql() -> dict[str, str]:
                              - length(replace(trimmed, ' ', '')) + 1
                    END AS n_tokens,
                    n_chars
+            FROM t
+        """,
+        "bpe_token_counts_docs": f"""
+            WITH t AS (
+              SELECT doc_id, coalesce(text, '') AS text,
+                     trim(regexp_replace(coalesce(text, ''), '{_WS}', ' ',
+                                         'g')) AS trimmed
+              FROM documents)
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'))
+                       AS n_bpe_tokens,
+                   CASE WHEN trimmed = '' THEN 0
+                        ELSE length(trimmed)
+                             - length(replace(trimmed, ' ', '')) + 1
+                   END AS n_ws_tokens
             FROM t
         """,
         "quality_stats_docs": """

@@ -717,3 +717,32 @@ def stratified_sample_docs(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG):
 
     return _read_docs(sf_dir, ("doc_id", "text", "source")).map_batches(
         _keep, batch_format="pyarrow")
+
+
+# GPT-2-ish pretokenizer classes, ASCII-restricted so the RE2 pattern is
+# byte-identical between Arrow's count_substring_regex and DuckDB's
+# regexp_extract_all (both RE2)
+BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_token_counts_docs(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG):
+    """Token counting with a BPE-ish pretokenizer regex (letter runs,
+    digit runs, punctuation runs, whitespace — the GPT-2 split rule
+    without unicode classes) next to the whitespace count: the
+    cost-estimation op of a training pipeline. One vectorized RE2 pass
+    per batch (``pc.count_substring_regex``), no shuffle."""
+    def _count(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch["text"].combine_chunks(), "")
+        trimmed = pc.utf8_trim(
+            pc.replace_substring_regex(text, WS_PATTERN, " "), " ")
+        splits = pc.split_pattern(trimmed, " ")
+        ws = pc.if_else(pc.equal(trimmed, ""), pa.scalar(0, pa.int64()),
+                        pc.cast(pc.list_value_length(splits), pa.int64()))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_bpe_tokens": pc.cast(
+                pc.count_substring_regex(text, BPE_PATTERN), pa.int64()),
+            "n_ws_tokens": ws,
+        })
+
+    return _read_docs(sf_dir).map_batches(_count, batch_format="pyarrow")
