@@ -302,6 +302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split_docs": docops.hash_split_docs,
         "stratified_sample_docs": docops.stratified_sample_docs,
         "length_quantiles_docs": docops.length_quantiles_docs,
+        "length_quantiles_by_lang": docops.length_quantiles_by_lang,
         "union_collections": relational.union_collections,
         "broadcast_lookup_join": relational.broadcast_lookup_join,
         # --- text analysis + inverted index + multimodal ---
@@ -522,6 +523,13 @@ def oracle_sql() -> dict[str, str]:
                    unnest(quantile_disc(n_chars,
                           [0.1, 0.25, 0.5, 0.75, 0.9, 0.99])) AS value
             FROM documents
+        """,
+        "length_quantiles_by_lang": """
+            SELECT lang,
+                   CAST(unnest([0.25, 0.5, 0.75, 0.9]) AS DOUBLE) AS q,
+                   unnest(quantile_disc(n_chars,
+                          [0.25, 0.5, 0.75, 0.9])) AS value
+            FROM documents GROUP BY lang
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

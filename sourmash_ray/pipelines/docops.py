@@ -746,3 +746,13 @@ def bpe_token_counts_docs(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG):
         })
 
     return _read_docs(sf_dir).map_batches(_count, batch_format="pyarrow")
+
+
+def length_quantiles_by_lang(sf_dir: str,
+                             qs=(0.25, 0.5, 0.75, 0.9)):
+    """Per-language document-length quantiles (per-group length-filter
+    thresholds) — the grouped variant of :func:`length_quantiles_docs`."""
+    from ..stages.agg import grouped_quantiles_disc
+
+    return grouped_quantiles_disc(_read_docs(sf_dir, ("lang", "n_chars")),
+                                  "lang", "n_chars", list(qs))

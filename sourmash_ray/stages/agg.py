@@ -175,3 +175,32 @@ def quantiles_disc(ds, col: str, qs: list[float]) -> pa.Table:
         out_v.append(int(vals[np.searchsorted(cum, idx + 1)]))
     return pa.table({"q": pa.array(out_q, pa.float64()),
                      "value": pa.array(out_v, pa.int64())})
+
+
+def grouped_quantiles_disc(ds, group_col: str, col: str,
+                           qs: list[float]) -> pa.Table:
+    """Per-group exact discrete quantiles — :func:`quantiles_disc` with
+    the histogram keyed by (group, value). One exchange; the driver
+    reduce is bounded by groups × value domain. Returns
+    (group_col, q, value) sorted by (group, q)."""
+    import math
+
+    hist = grouped_sums(ds.select_columns([group_col, col]),
+                        [group_col, col], [], count_as="n_rows")
+    by_grp: dict = {}
+    for r in hist.take_all():
+        by_grp.setdefault(r[group_col], []).append((r[col], r["n_rows"]))
+    out_g, out_q, out_v = [], [], []
+    for g in sorted(by_grp):
+        pairs = sorted(by_grp[g])
+        vals = np.array([p[0] for p in pairs], np.int64)
+        cum = np.cumsum([p[1] for p in pairs])
+        n = int(cum[-1])
+        for q in qs:
+            idx = max(0, math.ceil(q * n) - 1)
+            out_g.append(g)
+            out_q.append(float(q))
+            out_v.append(int(vals[np.searchsorted(cum, idx + 1)]))
+    return pa.table({group_col: pa.array(out_g),
+                     "q": pa.array(out_q, pa.float64()),
+                     "value": pa.array(out_v, pa.int64())})

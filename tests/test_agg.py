@@ -115,3 +115,27 @@ def test_hex8_to_int_matches_python():
     got = _hex8_to_int(pa.array(hexes, pa.string()))
     want = np.array([int(h[:8], 16) for h in hexes], np.uint64)
     assert (got == want).all()
+
+
+def test_grouped_quantiles_matches_per_group_reference(ray_session):
+    import math
+
+    import ray.data
+
+    from sourmash_ray.stages.agg import grouped_quantiles_disc
+
+    rng = np.random.default_rng(3)
+    n = 12_000
+    tbl = pa.table({
+        "g": pa.array(rng.choice(["x", "y", "z"], n)),
+        "v": pa.array(rng.integers(0, 300, n).astype(np.int64)),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    qs = [0.25, 0.5, 0.9]
+    out = grouped_quantiles_disc(ds, "g", "v", qs).to_pylist()
+    df = tbl.to_pandas()
+    for r in out:
+        s = np.sort(df[df["g"] == r["g"]]["v"].to_numpy())
+        idx = max(0, math.ceil(r["q"] * len(s)) - 1)
+        assert r["value"] == s[idx], r
+    assert len(out) == 3 * len(qs)
