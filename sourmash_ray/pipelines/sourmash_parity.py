@@ -776,3 +776,62 @@ def categorize(query_sigs, ref_sigs, cfg: EngineConfig = DEFAULT_CONFIG,
 
     return query_sigs.select_columns(["conv_id", "mins", "md5"]).map_batches(
         _best, batch_format="pyarrow")
+
+
+def watch_stream(records, sigs, cfg: EngineConfig = DEFAULT_CONFIG,
+                 threshold: float = 0.05, watermark: int = 1000):
+    """``sourmash watch`` (``/root/reference/src/sourmash/commands.py:
+    1389-1471``): build one signature INCREMENTALLY from a serial record
+    stream (the reference reads FASTA/FASTQ from stdin) and every
+    ``watermark`` records run a best-only threshold search over the
+    collection, stopping at the first hit.
+
+    Shape: the stream is inherently serial, so the accumulating sketch
+    state lives on the driver exactly like the reference's streaming
+    MinHash ``E`` — retention (scaled filter / bottom-num truncation) is
+    applied after every record, so driver memory is the SKETCH size, not
+    the stream size. Each periodic search is the engine's distributed
+    broadcast scan (one Dataset pass, ``tree.search`` best-only
+    analogue). Returns ``{n_records, found, best_id, best_score,
+    n_mins}``; ``found`` is False if the stream ends without a hit (a
+    final search still runs, like the reference's post-loop search)."""
+    from ..functions.sketch import build_sketch, normalize_text, \
+        shingle_hashes
+
+    p = cfg.sketch
+    mins = np.empty(0, np.uint64)
+
+    def _best():
+        if mins.size == 0:
+            return None
+        q_ref = ray.put(mins)
+        hits = sigs.select_columns(["conv_id", "mins", "md5"]).map_batches(
+            lambda t: _scan_kernel(t, q_ref, p.num, min_score=threshold,
+                                   score_col="jaccard"),
+            batch_format="pyarrow")
+        rows = hits.sort(["jaccard", "md5"],
+                         descending=[True, False]).limit(1).take_all()
+        return rows[0] if rows else None
+
+    n = 0
+    best = None
+    for rec in records:
+        data = normalize_text(rec, p.normalization)
+        new, _, _ = build_sketch(shingle_hashes(data, p.ksize, p.seed), p)
+        mins = np.unique(np.concatenate([mins, new]))
+        if p.num:
+            mins = mins[:p.num]
+        n += 1
+        if n % watermark == 0:
+            best = _best()
+            if best is not None:
+                break
+    else:
+        best = _best()
+    return {
+        "n_records": n,
+        "found": best is not None,
+        "best_id": best["match"] if best else None,
+        "best_score": float(best["jaccard"]) if best else 0.0,
+        "n_mins": int(mins.size),
+    }

@@ -574,3 +574,30 @@ def test_sig_collect_and_check(sigs, tmp_path):
     m2, miss2, _ = check_collections([loc_a, loc_b], [ident0],
                                      coltype="ident")
     assert any(r["conv_id"] == ids[0] for r in m2.take_all())
+
+
+def test_watch_stream_finds_match_and_stops_early(sigs, corpus):
+    """watch (commands.py:1389-1471): stream a known conversation's turns;
+    the periodic best-only search must find that conversation, at the
+    first watermark that crosses the threshold; an unrelated stream must
+    end with found=False."""
+    from sourmash_ray.pipelines.sourmash_parity import watch_stream
+
+    texts = {}
+    for cid, txt in zip(corpus["conv_id"].to_pylist(),
+                        corpus["text"].to_pylist()):
+        texts.setdefault(cid, []).append(txt)
+    target = sorted(texts, key=lambda c: -len(texts[c]))[0]
+    stream = texts[target]
+    out = watch_stream(iter(stream), sigs, CFG, threshold=0.2, watermark=2)
+    assert out["found"]
+    assert out["best_id"] in (target, target.split("_xd")[0]) or \
+        out["best_score"] >= 0.2
+    assert 0 < out["n_records"] <= len(stream)
+    assert out["n_mins"] > 0
+
+    # gibberish stream shares no shingles -> no hit, runs to exhaustion
+    junk = ["zq%d!!xv" % i * 3 for i in range(5)]
+    out2 = watch_stream(iter(junk), sigs, CFG, threshold=0.2, watermark=2)
+    assert not out2["found"]
+    assert out2["n_records"] == 5
