@@ -41,6 +41,20 @@ def _normalize_md5_batch(batch: pa.Table) -> pa.Table:
                      "text_md5": _md5_column(norm)})
 
 
+def _s_fixed_to_string_array(u: np.ndarray) -> pa.Array:
+    """Fixed-width numpy S array → pa.string(), zero per-row Python.
+    ONLY valid when every element is exactly ``itemsize`` bytes (true for
+    md5 hex, always 32 chars) — numpy strips trailing NULs on access but
+    ``tobytes`` preserves the full width."""
+    w = u.dtype.itemsize
+    n = len(u)
+    if n == 0:
+        return pa.array([], pa.string())
+    offsets = pa.py_buffer(
+        np.arange(0, (n + 1) * w, w, dtype=np.int32).tobytes())
+    return pa.StringArray.from_buffers(n, offsets, pa.py_buffer(u.tobytes()))
+
+
 def exact_dedup_docs(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG):
     """Exact dedup: hash-partition on normalized-text md5, keep the first
     (min doc_id) per group — the ``found_md5`` dedup of
@@ -51,7 +65,7 @@ def exact_dedup_docs(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG):
     data-proportional serial component), per-partition merge. Output:
     (text_md5, rep_doc_id, n_docs), one row per distinct text.
     """
-    from ..functions.segscore import hash_strings64
+    from ..functions.segscore import _to_bytes_array, hash_strings64
     from ..stages.exchange import exchange_map_groups
     from ..config import resolve_num_partitions
 
@@ -59,7 +73,9 @@ def exact_dedup_docs(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG):
 
     def _partial(batch: pa.Table) -> pa.Table:
         t = _normalize_md5_batch(batch)
-        md5 = np.array(t["text_md5"].to_pylist(), dtype=object)
+        # md5 hex is fixed-width ASCII: S32 numpy sorts identically to the
+        # string column and needs no per-row Python objects
+        md5 = _to_bytes_array(t["text_md5"])
         ids = np.asarray(t["doc_id"], np.int64)
         order = np.lexsort((ids, md5))
         md5, ids = md5[order], ids[order]
@@ -69,10 +85,10 @@ def exact_dedup_docs(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG):
         cnt = np.diff(np.concatenate([starts, [len(md5)]]))
         u = md5[starts]
         return pa.table({
-            "text_md5": pa.array(list(u), pa.string()),
+            "text_md5": _s_fixed_to_string_array(u),
             "rep_doc_id": pa.array(ids[starts], pa.int64()),
             "n_docs": pa.array(cnt.astype(np.int64), pa.int64()),
-            "md5_part": pa.array(hash_strings64(list(u)) % group_parts,
+            "md5_part": pa.array(hash_strings64(u) % group_parts,
                                  pa.int64()),
         })
 
@@ -83,7 +99,7 @@ def exact_dedup_docs(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG):
     def _merge(part: pa.Table) -> pa.Table:
         if part.num_rows == 0:
             return out_schema.empty_table()
-        md5 = np.array(part["text_md5"].to_pylist(), dtype=object)
+        md5 = _to_bytes_array(part["text_md5"])
         rep = np.asarray(part["rep_doc_id"], np.int64)
         cnt = np.asarray(part["n_docs"], np.int64)
         order = np.lexsort((rep, md5))
@@ -92,7 +108,7 @@ def exact_dedup_docs(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG):
             np.concatenate([[True], md5[1:] != md5[:-1]]))
         sums = np.add.reduceat(cnt, starts)
         return pa.table({
-            "text_md5": pa.array(list(md5[starts]), pa.string()),
+            "text_md5": _s_fixed_to_string_array(md5[starts]),
             "rep_doc_id": pa.array(rep[starts], pa.int64()),
             "n_docs": pa.array(sums.astype(np.int64), pa.int64()),
         })
