@@ -75,6 +75,15 @@ def main(argv=None):
     pk.add_argument("--values", required=True,
                     help="comma-separated picked values")
     pk.add_argument("--exclude", action="store_true")
+    dc = add("doc")
+    dc.add_argument("--op", required=True,
+                    choices=["split", "sample", "quantiles", "tokens",
+                             "exact-dedup", "grouped-topk"])
+    dc.add_argument("--out", default=None)
+    dc.add_argument("--by-lang", action="store_true",
+                    help="quantiles: per-language thresholds")
+    dc.add_argument("--k", type=int, default=3,
+                    help="grouped-topk: rows kept per key")
     sg = add("sig")
     sg.add_argument("--op", required=True,
                     choices=["downsample", "flatten", "filter", "extract",
@@ -202,6 +211,34 @@ def main(argv=None):
                     r.pop("mins", None)
                     r.pop("abunds", None)
                     r.pop("perms", None)
+                    print(json.dumps(r, default=str))
+        elif args.cmd == "doc":
+            import pyarrow as pa
+
+            from .pipelines import docops, relational
+
+            if args.op == "split":
+                res = docops.hash_split_docs(args.sf)
+            elif args.op == "sample":
+                res = docops.stratified_sample_docs(args.sf)
+            elif args.op == "quantiles":
+                res = (docops.length_quantiles_by_lang(args.sf)
+                       if args.by_lang
+                       else docops.length_quantiles_docs(args.sf))
+            elif args.op == "tokens":
+                res = docops.bpe_token_counts_docs(args.sf)
+            elif args.op == "exact-dedup":
+                res = docops.exact_dedup_docs(args.sf)
+            else:
+                res = relational.grouped_topk_orders(args.sf, k=args.k)
+            if isinstance(res, pa.Table):
+                for r in res.to_pylist()[:25]:
+                    print(json.dumps(r))
+            elif args.out:
+                res.write_parquet(args.out)
+                print(json.dumps({"rows": res.count(), "out": args.out}))
+            else:
+                for r in res.take(25):
                     print(json.dumps(r, default=str))
         elif args.cmd == "picklist":
             from .stages.picklist import PickStyle, picklist_filter
