@@ -381,7 +381,8 @@ def oracle_sql() -> dict[str, str]:
         "picklist_md5short_docs": f"""
             WITH h AS (
               SELECT doc_id,
-                     md5(trim(regexp_replace(lower(text), '{_WS}', ' ',
+                     md5(trim(regexp_replace(lower(coalesce(text, '')),
+                                             '{_WS}', ' ',
                                              'g'))) AS text_md5
               FROM documents)
             SELECT doc_id, substr(text_md5, 1, 8) AS md5short
@@ -414,7 +415,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE tok <> ''
         """,
         "exact_dedup_docs": f"""
-            SELECT md5(trim(regexp_replace(lower(text), '{_WS}', ' ', 'g')))
+            SELECT md5(trim(regexp_replace(lower(coalesce(text, '')),
+                                           '{_WS}', ' ', 'g')))
                        AS text_md5,
                    min(doc_id) AS rep_doc_id,
                    count(*) AS n_docs
@@ -502,7 +504,8 @@ def oracle_sql() -> dict[str, str]:
                               WHEN b < 90 THEN 'valid'
                               ELSE 'test' END AS split, lang, n_chars
                   FROM (SELECT lang, n_chars,
-                               CAST(concat('0x', substr(md5(text), 1, 8))
+                               CAST(concat('0x',
+                                    substr(md5(coalesce(text, '')), 1, 8))
                                     AS UBIGINT) % 100 AS b
                         FROM documents))
             GROUP BY split, lang
@@ -510,7 +513,8 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample_docs": """
             SELECT doc_id, source FROM (
               SELECT doc_id, source,
-                     CAST(concat('0x', substr(md5(text), 1, 8))
+                     CAST(concat('0x',
+                          substr(md5(coalesce(text, '')), 1, 8))
                           AS UBIGINT) % 100 AS b,
                      5 * (1 + CAST(substr(source, 4) AS BIGINT) % 10)
                          AS rate

@@ -231,12 +231,19 @@ def main(argv=None):
                 res = docops.exact_dedup_docs(args.sf)
             else:
                 res = relational.grouped_topk_orders(args.sf, k=args.k)
-            if isinstance(res, pa.Table):
+            if args.out:
+                if isinstance(res, pa.Table):
+                    import pyarrow.parquet as pq
+
+                    pq.write_table(res, args.out)
+                    n = res.num_rows
+                else:
+                    res.write_parquet(args.out)
+                    n = res.count()
+                print(json.dumps({"rows": n, "out": args.out}))
+            elif isinstance(res, pa.Table):
                 for r in res.to_pylist()[:25]:
                     print(json.dumps(r))
-            elif args.out:
-                res.write_parquet(args.out)
-                print(json.dumps({"rows": res.count(), "out": args.out}))
             else:
                 for r in res.take(25):
                     print(json.dumps(r, default=str))

@@ -72,20 +72,6 @@ class ExecParams:
     broadcast_bytes_limit: int = 4 << 30
 
 
-def clamped_join_partitions(cfg: "EngineConfig", *counts: int) -> int:
-    """Join partition count bounded by the smallest participating row count.
-
-    Ray 2.49's hash-shuffle join builds each partition as a bare
-    ArrowBlockBuilder; a partition that receives zero rows of either side
-    yields a schema-less empty table and Acero raises "No match for key
-    field". Keeping ≥512 expected rows per partition makes an empty
-    partition statistically impossible and avoids over-partitioning small
-    joins.
-    """
-    n = min(counts) if counts else 0
-    return max(1, min(resolve_num_partitions(cfg), n // 512 + 1))
-
-
 def resolve_num_partitions(cfg: "EngineConfig") -> int:
     if cfg.exec.num_partitions:
         return cfg.exec.num_partitions

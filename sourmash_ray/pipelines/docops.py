@@ -41,18 +41,31 @@ def _normalize_md5_batch(batch: pa.Table) -> pa.Table:
                      "text_md5": _md5_column(norm)})
 
 
-def _s_fixed_to_string_array(u: np.ndarray) -> pa.Array:
-    """Fixed-width numpy S array → pa.string(), zero per-row Python.
-    ONLY valid when every element is exactly ``itemsize`` bytes (true for
-    md5 hex, always 32 chars) — numpy strips trailing NULs on access but
-    ``tobytes`` preserves the full width."""
+def _s_fixed_to_string_array(u: np.ndarray):
+    """Fixed-width numpy S array → pa.string() (Array or ChunkedArray),
+    zero per-row Python. ONLY valid when every element is exactly
+    ``itemsize`` bytes (true for md5 hex, always 32 chars) — numpy strips
+    trailing NULs on access but ``tobytes`` preserves the full width.
+    Emits int32-offset chunks of ≤1 GiB so a giant reduce partition can
+    never wrap the offsets (silent corruption) — it becomes a chunked
+    column instead."""
     w = u.dtype.itemsize
     n = len(u)
     if n == 0:
         return pa.array([], pa.string())
-    offsets = pa.py_buffer(
-        np.arange(0, (n + 1) * w, w, dtype=np.int32).tobytes())
-    return pa.StringArray.from_buffers(n, offsets, pa.py_buffer(u.tobytes()))
+    rows_per_chunk = max(1, (1 << 30) // w)
+
+    def _one(seg: np.ndarray) -> pa.Array:
+        m = len(seg)
+        offsets = pa.py_buffer(
+            np.arange(0, (m + 1) * w, w, dtype=np.int32).tobytes())
+        return pa.StringArray.from_buffers(m, offsets,
+                                           pa.py_buffer(seg.tobytes()))
+
+    if n <= rows_per_chunk:
+        return _one(u)
+    return pa.chunked_array([_one(u[i:i + rows_per_chunk])
+                             for i in range(0, n, rows_per_chunk)])
 
 
 def exact_dedup_docs(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG):
@@ -686,7 +699,8 @@ def hash_split_docs(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG):
     splits = np.array(["train", "valid", "test"])
 
     def _assign(batch: pa.Table) -> pa.Table:
-        md5 = _md5_column(batch["text"].combine_chunks())
+        text = pc.fill_null(batch["text"].combine_chunks(), "")
+        md5 = _md5_column(text)
         b = _hex8_to_int(md5) % np.uint64(100)
         idx = np.where(b < 80, 0, np.where(b < 90, 1, 2))
         return pa.table({
@@ -723,7 +737,8 @@ def stratified_sample_docs(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG):
     the hash split (a doc keeps one bucket for both decisions). Embarrassingly
     parallel — one vectorized pass, no shuffle."""
     def _keep(batch: pa.Table) -> pa.Table:
-        md5 = _md5_column(batch["text"].combine_chunks())
+        text = pc.fill_null(batch["text"].combine_chunks(), "")
+        md5 = _md5_column(text)
         b = (_hex8_to_int(md5) % np.uint64(100)).astype(np.int64)
         src = batch["source"].combine_chunks()
         num = pc.cast(pc.utf8_slice_codeunits(src, 3, 32), pa.int64())

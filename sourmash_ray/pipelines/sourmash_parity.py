@@ -815,6 +815,7 @@ def watch_stream(records, sigs, cfg: EngineConfig = DEFAULT_CONFIG,
 
     n = 0
     best = None
+    searched_at = -1
     for rec in records:
         data = normalize_text(rec, p.normalization)
         new, _, _ = build_sketch(shingle_hashes(data, p.ksize, p.seed), p)
@@ -824,10 +825,12 @@ def watch_stream(records, sigs, cfg: EngineConfig = DEFAULT_CONFIG,
         n += 1
         if n % watermark == 0:
             best = _best()
+            searched_at = n
             if best is not None:
                 break
     else:
-        best = _best()
+        if searched_at != n:    # post-loop search unless just searched
+            best = _best()
     return {
         "n_records": n,
         "found": best is not None,

@@ -40,11 +40,16 @@ def grouped_sums(ds, keys: list[str], sum_cols: list[str],
                 key, pc.cast(tbl[k], pa.string()).combine_chunks(), "|")
         return hash_strings64(key) % 1024
 
-    aggs = [(c, "sum") for c in sum_cols]
-    if count_as:
-        aggs.append((sum_cols[0] if sum_cols else keys[0], "count"))
+    count_col = sum_cols[0] if sum_cols else keys[0]
 
     def _partial(batch: pa.Table) -> pa.Table:
+        aggs = [(c, "sum") for c in sum_cols]
+        if count_as:
+            # mode="all": SQL count(*) semantics — a NULL-keyed group
+            # must count its rows, not the non-null values of the probe
+            # column (options built here: pc options are not
+            # cloudpickle-serializable in the captured closure)
+            aggs.append((count_col, "count", pc.CountOptions(mode="all")))
         g = batch.group_by(keys, use_threads=False).aggregate(aggs)
         cols = {k: g[k] for k in keys}
         for c, name in zip(sum_cols, sum_names):
@@ -160,7 +165,8 @@ def quantiles_disc(ds, col: str, qs: list[float]) -> pa.Table:
 
     hist = grouped_sums(ds.select_columns([col]), [col], [],
                         count_as="n_rows")
-    rows = hist.take_all()
+    # NULL values are skipped, matching quantile_disc's NULL handling
+    rows = [r for r in hist.take_all() if r[col] is not None]
     vals = np.array(sorted(r[col] for r in rows), dtype=np.int64)
     counts = np.array([r["n_rows"] for r in
                        sorted(rows, key=lambda r: r[col])], dtype=np.int64)
@@ -189,13 +195,18 @@ def grouped_quantiles_disc(ds, group_col: str, col: str,
                         [group_col, col], [], count_as="n_rows")
     by_grp: dict = {}
     for r in hist.take_all():
+        if r[col] is None:          # quantile_disc skips NULL values
+            continue
         by_grp.setdefault(r[group_col], []).append((r[col], r["n_rows"]))
     out_g, out_q, out_v = [], [], []
-    for g in sorted(by_grp):
+    # NULL groups are kept (GROUP BY keeps them), ordered last
+    for g in sorted(by_grp, key=lambda g: (g is None, g)):
         pairs = sorted(by_grp[g])
         vals = np.array([p[0] for p in pairs], np.int64)
         cum = np.cumsum([p[1] for p in pairs])
         n = int(cum[-1])
+        if n == 0:
+            continue
         for q in qs:
             idx = max(0, math.ceil(q * n) - 1)
             out_g.append(g)

@@ -358,6 +358,11 @@ def collect_manifests(locations, output_path: str | None = None,
         iloc = loc
 
         def _tag(batch: pa.Table, iloc=iloc) -> pa.Table:
+            # rewrite, never duplicate: a manifest produced by a prior
+            # collect already carries internal_location (the reference
+            # overwrites the field: row["internal_location"] = iloc)
+            if "internal_location" in batch.column_names:
+                batch = batch.drop_columns(["internal_location"])
             return batch.append_column(
                 "internal_location",
                 pa.array([iloc] * batch.num_rows, pa.string()))
@@ -402,7 +407,10 @@ def check_collections(locations, values, coltype: str = "name",
     from .picklist import PickStyle, preprocess_column
 
     style = PickStyle.INCLUDE if style is None else style
-    mf = collect_manifests(locations, require_manifest=require_manifest)
+    # materialize once: count + matching scan + found-keys scan would
+    # otherwise each re-run the whole read/describe pipeline
+    mf = collect_manifests(
+        locations, require_manifest=require_manifest).materialize()
     n_examined = mf.count()
     column = "md5short" if coltype == "md5short" else "conv_id"
     ct = "name" if coltype == "md5short" else coltype

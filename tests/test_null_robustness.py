@@ -1,0 +1,77 @@
+"""NULL-tolerance of the doc/agg operators: DuckDB-parity semantics
+(count(*) counts NULL-keyed rows; quantile_disc skips NULL values; md5
+ops treat NULL text as '' on both engine and oracle side)."""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def null_sf(ray_session, tmp_path_factory):
+    d = tmp_path_factory.mktemp("nulldocs")
+    tbl = pa.table({
+        "doc_id": pa.array(range(8), pa.int64()),
+        "text": pa.array(["hello world", None, "", "x y z", None, "q",
+                          "hello world", "zz"], pa.string()),
+        "lang": pa.array(["en", "en", None, "es", "es", None, "en", "en"],
+                         pa.string()),
+        "source": pa.array([f"src{i}" for i in range(8)], pa.string()),
+        "n_chars": pa.array([11, 0, 0, 5, 0, 1, 11, 2], pa.int64()),
+    })
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_grouped_sums_counts_null_keyed_rows(ray_session):
+    import ray.data
+
+    from sourmash_ray.stages.agg import grouped_sums
+
+    tbl = pa.table({
+        "k": pa.array(["a", None, "a", None, None], pa.string()),
+        "v": pa.array([1, 2, 3, 4, 5], pa.int64()),
+    })
+    out = {r["k"]: (r["sum_v"], r["n"]) for r in grouped_sums(
+        ray.data.from_arrow(tbl), ["k"], ["v"], count_as="n").take_all()}
+    assert out["a"] == (4, 2)
+    assert out[None] == (11, 3)      # count(*) semantics, not count(k)
+
+
+def test_doc_ops_tolerate_null_text(null_sf):
+    from sourmash_ray.pipelines import docops
+
+    split = {(r["split"], r["lang"]): r["n_docs"]
+             for r in docops.hash_split_docs(null_sf).take_all()}
+    assert sum(split.values()) == 8   # NULL text rows assigned, not lost
+    sample = docops.stratified_sample_docs(null_sf).take_all()
+    assert all(r["doc_id"] in range(8) for r in sample)
+    dedup = docops.exact_dedup_docs(null_sf).take_all()
+    # NULL and '' normalize identically -> one shared md5 group
+    md5s = [r["text_md5"] for r in dedup]
+    assert len(md5s) == len(set(md5s)) == 5
+    q = docops.length_quantiles_docs(null_sf)
+    assert q.num_rows == 6
+    ql = docops.length_quantiles_by_lang(null_sf).to_pylist()
+    langs = {r["lang"] for r in ql}
+    assert langs == {"en", "es", None}   # NULL group kept (GROUP BY)
+
+
+def test_quantiles_skip_null_values(ray_session):
+    import ray.data
+
+    from sourmash_ray.stages.agg import grouped_quantiles_disc, \
+        quantiles_disc
+
+    tbl = pa.table({
+        "g": pa.array(["x", "x", "y", "y"], pa.string()),
+        "v": pa.array([1, None, None, None], pa.int64()),
+    })
+    ds = ray.data.from_arrow(tbl)
+    out = quantiles_disc(ds, "v", [0.5]).to_pylist()
+    assert out == [{"q": 0.5, "value": 1}]
+    # group with only NULL values vanishes (n == 0), like quantile_disc
+    grp = grouped_quantiles_disc(ds, "g", "v", [0.5]).to_pylist()
+    assert grp == [{"g": "x", "q": 0.5, "value": 1}]
