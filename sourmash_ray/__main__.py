@@ -61,7 +61,11 @@ def main(argv=None):
         sp.add_argument("--threshold", type=float, default=0.08)
     add("compare").add_argument("--out", required=True)
     add("describe")
-    add("index").add_argument("--out", required=True)
+    ix = add("index")
+    ix.add_argument("--out", required=True)
+    ix.add_argument("--sbt", action="store_true",
+                    help="build a .sbt.json/.sbt.zip Sequence Bloom Tree "
+                         "instead of the exploded inverted index")
     di = add("distinct")
     di.add_argument("--exact", action="store_true",
                     help="exact COUNT(DISTINCT) via the exchange instead "
@@ -147,9 +151,19 @@ def main(argv=None):
         elif args.cmd == "index":
             from .stages.index import build_inverted_index, write_index
 
-            idx = build_inverted_index(_sigs(args))
-            write_index(idx, args.out)
-            print(json.dumps({"entries": idx.count(), "out": args.out}))
+            if args.sbt:
+                from .stages.sbt import build_sbt
+
+                tree = build_sbt(_sigs(args))
+                saved = tree.save(args.out)
+                print(json.dumps({"leaves": len(tree),
+                                  "internal": len(tree.nodes),
+                                  "out": saved}))
+            else:
+                idx = build_inverted_index(_sigs(args))
+                write_index(idx, args.out)
+                print(json.dumps({"entries": idx.count(),
+                                  "out": args.out}))
         elif args.cmd == "distinct":
             from .pipelines.docops import (
                 approx_distinct_tokens, distinct_tokens_exact,

@@ -149,6 +149,37 @@ def _load_stdin(location: str):
     return ray.data.from_arrow(sig_json_to_table(_json.load(sys.stdin)))
 
 
+def _load_sbt(location: str):
+    """``.sbt.json`` / ``.sbt.zip`` SBT index → leaf-signature Dataset
+    (``sbtmh.load_sbt_index`` analogue; the tree itself is available via
+    ``stages.sbt.SBT.load`` for pruned search)."""
+    if location.endswith((".sbt.json", ".sbt.zip")):
+        import ray.data
+
+        from .stages.sbt import SBT
+
+        return ray.data.from_arrow(SBT.load(location).leaf_table)
+    return None
+
+
+def _save_sbt(rows_or_dataset, path: str):
+    """Build + save an SBT from a signature collection
+    (``commands.py:501-604`` ``index`` analogue)."""
+    import ray.data
+
+    from .stages.sbt import build_sbt
+
+    sigs = rows_or_dataset
+    if not isinstance(sigs, ray.data.Dataset):
+        import pyarrow as pa
+
+        if not isinstance(sigs, pa.Table):
+            from .sources.sigjson import sig_json_to_table, sigs_to_json
+
+            sigs = sig_json_to_table(sigs_to_json(list(sigs)))
+    return build_sbt(sigs).save(path)
+
+
 def _load_csv(location: str):
     if location.endswith((".csv", ".csv.gz")):
         import ray.data
@@ -158,6 +189,7 @@ def _load_csv(location: str):
 
 
 register_loader("stdin", _load_stdin, priority=5)
+register_loader("sbt", _load_sbt, priority=8)
 register_loader("csv", _load_csv, priority=30)
 register_loader("parquet", _load_parquet_dir, priority=20)
 register_loader("sigjson", _load_sigjson, priority=10)
@@ -166,3 +198,5 @@ register_saver(".parquet", _save_parquet)
 register_saver("sig", _save_sigjson)
 register_saver(".sig", _save_sigjson)
 register_saver(".sig.gz", _save_sigjson)
+register_saver(".sbt.json", _save_sbt)
+register_saver(".sbt.zip", _save_sbt)

@@ -1,0 +1,474 @@
+"""Sequence Bloom Tree index — build / save / load / search.
+
+Reference semantics: ``/root/reference/src/sourmash/sbt.py`` (positional
+d-ary tree, ``parent(p)=(p-1)//d``, children ``d*p+1..d*p+d``; v6 JSON
+description + FSStorage/ZipStorage node files; internal nodes are
+Nodegraphs with ``min_n_below`` metadata), ``sbtmh.py`` (SigLeaf leaves:
+gzip ``.sig`` JSON; ``update`` folds leaf mins + min_n_below into the
+parent) and the pruned search of ``sbt.py:383-541`` (internal-node bloom
+``matches`` count gives an optimistic score bound; descend only if the
+bound passes).
+
+Build shape (Ray-Data-first, NOT the reference's one-insert-at-a-time
+loop): leaves are assigned contiguous positions under a complete d-ary
+layout, each chunk task folds its contiguous leaf range into partial OR
+bitsets for every ancestor it touches bottom-up (vectorized: one
+``bitwise_or.at`` per bloom table over ALL the chunk's hashes), and one
+``exchange_map_groups`` pass merges the per-chunk partials by node
+position (fixed-size rows: internal-node count × ~n_tables·tablesize/8
+bytes — nothing row-shaped shuffles twice). Contiguous ranges mean most
+positions receive exactly one partial; only chunk-boundary ancestors and
+the top log_d levels merge more than one.
+
+Scale note (SURVEY.md §1.4): inside this engine the SBT's candidate-
+pruning role is played by LSH band keys + the hash-exchange inverted
+index, which scale horizontally; the SBT here is the interop artifact —
+a single-machine-loadable index file, built distributed. The whole leaf
+collection necessarily lands in the saved artifact, so ``save`` is
+driver/file-bound by definition.
+"""
+
+from __future__ import annotations
+
+import csv
+import gzip
+import io
+import json
+import math
+import os
+import zipfile
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..config import DEFAULT_CONFIG, EngineConfig, resolve_num_partitions
+from ..functions.nodegraph import GraphFactory, Nodegraph
+from ..sources.sigjson import sig_json_to_table, sigs_to_json
+
+# sbtmh.create_sbt_index defaults: GraphFactory(1, bloom_filter_size=1e5,
+# n_tables=4), d=2
+DEFAULT_FACTORY = (1, 100_000, 4)
+
+_SCORE_FNS = {
+    # score_fn(query_size, shared, subj_size, total) — search.py semantics:
+    # jaccard divides by the union (approximated by min_n_below at internal
+    # nodes), containment by the query size, max_containment by the smaller
+    # of the two sketches. All are upper bounds at internal nodes because
+    # bloom `matches` over-counts and min_n_below under-counts the union.
+    "similarity": lambda q, sh, s, tot: sh / tot if tot else 0.0,
+    "containment": lambda q, sh, s, tot: sh / q if q else 0.0,
+    "max_containment":
+        lambda q, sh, s, tot: sh / min(q, s) if min(q, s) else 0.0,
+}
+
+
+def _tablesizes(factory: GraphFactory) -> list[int]:
+    return [int(s) for s in factory().tablesizes]
+
+
+def _pack(ng: Nodegraph) -> bytes:
+    return b"".join(b.tobytes() for b in ng.blocks)
+
+
+def _ng_from_row(bits: bytes, tablesizes: list[int], ksize: int) -> Nodegraph:
+    ng = Nodegraph.from_tablesizes(tablesizes, ksize)
+    flat = np.frombuffer(bits, dtype=np.uint32)
+    off = 0
+    for t, s in enumerate(tablesizes):
+        nw = (s + 31) // 32
+        ng.blocks[t] = flat[off:off + nw].copy()
+        off += nw
+    return ng
+
+
+def _chunk_partials(tbl: pa.Table, lo: int, p0: int, d: int,
+                    tablesizes: list[int]) -> pa.Table:
+    """Partial OR bitsets + min_n_below for every ancestor of leaf rows
+    ``lo..lo+len(tbl)`` (leaf i sits at tree position ``p0+i``).
+    Vectorized: one ``bitwise_or.at`` per bloom table over the chunk's
+    exploded mins; upper levels fold with ``reduceat`` group-ORs."""
+    n = tbl.num_rows
+    sizes = np.array(tablesizes, dtype=np.uint64)
+    nwords = [(int(s) + 31) // 32 for s in tablesizes]
+    bases = np.concatenate([[0], np.cumsum(nwords)]).astype(np.int64)
+    W = int(bases[-1])
+
+    mins = tbl["mins"].combine_chunks()
+    offs = mins.offsets.to_numpy()
+    # .values ignores a slice offset; offsets index into the full child
+    flat = mins.values.to_numpy(zero_copy_only=False).astype(
+        np.uint64, copy=False)[offs[0]:offs[-1]]
+    lens = np.diff(offs).astype(np.int64)
+    leaf_pos = p0 + lo + np.arange(n, dtype=np.int64)
+    parent_pos = (leaf_pos - 1) // d           # leaves of one parent are
+    uniq_par, par_row = np.unique(parent_pos, return_inverse=True)
+    elem_row = np.repeat(par_row, lens)        # contiguous -> few parents
+
+    mat = np.zeros((len(uniq_par), W), dtype=np.uint32)
+    for t in range(len(tablesizes)):
+        bins = flat % sizes[t]
+        w = int(bases[t]) + (bins >> np.uint64(5)).astype(np.int64)
+        bit = np.uint32(1) << (bins & np.uint64(31)).astype(np.uint32)
+        np.bitwise_or.at(mat, (elem_row, w), bit)
+    min_n = np.full(len(uniq_par), np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(min_n, par_row, np.maximum(lens, 1))  # sbtmh: 0 -> 1
+
+    out_pos = [uniq_par]
+    out_bits = [mat]
+    out_min = [min_n]
+    pos, bits, mn = uniq_par, mat, min_n
+    while pos[0] != 0 or len(pos) > 1:
+        par = (pos - 1) // d                   # pos sorted -> par sorted
+        starts = np.flatnonzero(np.r_[True, par[1:] != par[:-1]])
+        bits = np.bitwise_or.reduceat(bits, starts, axis=0)
+        mn = np.minimum.reduceat(mn, starts)
+        pos = par[starts]
+        out_pos.append(pos)
+        out_bits.append(bits)
+        out_min.append(mn)
+
+    all_bits = np.ascontiguousarray(np.concatenate(out_bits, axis=0))
+    nbytes = W * 4
+    m = len(all_bits)
+    return pa.table({
+        "pos": pa.array(np.concatenate(out_pos), pa.int64()),
+        "bits": pa.BinaryArray.from_buffers(
+            pa.binary(), m,
+            [None, pa.py_buffer(np.arange(0, (m + 1) * nbytes, nbytes,
+                                          dtype=np.int32).tobytes()),
+             pa.py_buffer(all_bits.tobytes())]),
+        "min_n": pa.array(np.concatenate(out_min), pa.int64()),
+    })
+
+
+def _make_merge_fn(nbytes: int):
+    def _merge(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return part
+        pos = np.asarray(part["pos"], dtype=np.int64)
+        order = np.argsort(pos, kind="stable")
+        pos = pos[order]
+        arr = part["bits"].combine_chunks()
+        off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+            arr.offset:arr.offset + len(arr) + 1]
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        mat = data[off[0]:off[-1]].reshape(len(pos), nbytes)[order]
+        mn = np.asarray(part["min_n"], dtype=np.int64)[order]
+        starts = np.flatnonzero(np.r_[True, pos[1:] != pos[:-1]])
+        merged = np.bitwise_or.reduceat(
+            mat.view(np.uint32).reshape(len(pos), nbytes // 4),
+            starts, axis=0)
+        mnm = np.minimum.reduceat(mn, starts)
+        upos = pos[starts]
+        return pa.table({
+            "pos": pa.array(upos, pa.int64()),
+            "bits": pa.BinaryArray.from_buffers(
+                pa.binary(), len(upos),
+                [None, pa.py_buffer(np.arange(
+                    0, (len(upos) + 1) * nbytes, nbytes,
+                    dtype=np.int32).tobytes()),
+                 pa.py_buffer(merged.tobytes())]),
+            "min_n": pa.array(mnm, pa.int64()),
+        })
+    return _merge
+
+
+class SBT:
+    """Positional d-ary bloom tree over a sketch collection.
+
+    ``leaf_table`` holds the canonical sketch rows (``conv_id, ksize,
+    scaled, num, seed, mins, abunds, md5``); ``leaf_pos[i]`` is row i's
+    tree position. ``nodes[pos]`` are internal Nodegraphs with
+    ``node_meta[pos]['min_n_below']``.
+    """
+
+    def __init__(self, factory: GraphFactory, d: int = 2):
+        self.factory = factory
+        self.d = d
+        self.nodes: dict[int, Nodegraph] = {}
+        self.node_meta: dict[int, dict] = {}
+        self.leaf_table: pa.Table | None = None
+        self.leaf_pos: np.ndarray = np.empty(0, dtype=np.int64)
+        self._leaf_idx: dict[int, int] = {}
+
+    # --- structure --------------------------------------------------------
+
+    def parent(self, pos: int) -> int:
+        return (pos - 1) // self.d
+
+    def children(self, pos: int) -> list[int]:
+        return [self.d * pos + i for i in range(1, self.d + 1)]
+
+    def __len__(self) -> int:
+        return len(self._leaf_idx)
+
+    def signatures(self):
+        for pos in sorted(self._leaf_idx):
+            yield self._leaf_row(self._leaf_idx[pos])
+
+    def _leaf_row(self, i: int) -> dict:
+        t = self.leaf_table
+        return {
+            "conv_id": t["conv_id"][i].as_py(),
+            "ksize": t["ksize"][i].as_py(),
+            "scaled": t["scaled"][i].as_py(),
+            "num": t["num"][i].as_py(),
+            "seed": t["seed"][i].as_py(),
+            "mins": np.asarray(t["mins"][i].values, dtype=np.uint64),
+            "abunds": np.asarray(t["abunds"][i].values, dtype=np.uint64),
+            "md5": t["md5"][i].as_py(),
+        }
+
+    def _set_leaves(self, tbl: pa.Table, pos: np.ndarray):
+        self.leaf_table = tbl
+        self.leaf_pos = np.asarray(pos, dtype=np.int64)
+        self._leaf_idx = {int(p): i for i, p in enumerate(self.leaf_pos)}
+
+    # --- search -----------------------------------------------------------
+
+    def search(self, query_mins: np.ndarray, threshold: float,
+               score: str = "similarity") -> list[dict]:
+        """Pruned DFS (``sbt.py:383-431,500-528``): internal nodes score
+        ``matches/min_n_below`` (an optimistic bound — bloom membership
+        over-counts, min_n_below under-counts the union), leaves score
+        exactly on their mins. Never misses a leaf above ``threshold``."""
+        score_fn = _SCORE_FNS[score]
+        q = np.ascontiguousarray(query_mins, dtype=np.uint64)
+        qsize = len(q)
+        results = []
+        stack = [0]
+        while stack:
+            pos = stack.pop()
+            if pos in self._leaf_idx:
+                i = self._leaf_idx[pos]
+                smins = np.asarray(self.leaf_table["mins"][i].values,
+                                   dtype=np.uint64)
+                shared = len(np.intersect1d(q, smins))
+                total = qsize + len(smins) - shared
+                s = score_fn(qsize, shared, len(smins), total)
+                if s >= threshold:
+                    row = self._leaf_row(i)
+                    row["score"] = float(s)
+                    results.append(row)
+            elif pos in self.nodes:
+                ng = self.nodes[pos]
+                shared = ng.matches(q)
+                subj = self.node_meta.get(pos, {}).get("min_n_below", -1)
+                if subj == -1:
+                    raise ValueError(
+                        "no min_n_below on this tree, cannot search")
+                if score_fn(qsize, shared, subj, subj) >= threshold:
+                    stack.extend(self.children(pos))
+        results.sort(key=lambda r: (-r["score"], r["conv_id"]))
+        return results
+
+    # --- save / load ------------------------------------------------------
+
+    def _manifest_csv(self, filenames: dict[int, str]) -> bytes:
+        fp = io.StringIO()
+        fp.write("# SOURMASH-MANIFEST-VERSION: 1.0\n")
+        keys = ("internal_location", "md5", "md5short", "ksize", "moltype",
+                "num", "scaled", "n_hashes", "with_abundance", "name",
+                "filename")
+        w = csv.DictWriter(fp, fieldnames=keys)
+        w.writeheader()
+        for pos in sorted(self._leaf_idx):
+            r = self._leaf_row(self._leaf_idx[pos])
+            w.writerow({
+                "internal_location": filenames[pos],
+                "md5": r["md5"], "md5short": r["md5"][:8],
+                "ksize": r["ksize"], "moltype": "text/shingle",
+                "num": r["num"], "scaled": r["scaled"],
+                "n_hashes": len(r["mins"]),
+                "with_abundance": 0, "name": r["conv_id"],
+                "filename": "-",
+            })
+        return fp.getvalue().encode()
+
+    def save(self, path: str) -> str:
+        """v6 description + node payloads (``sbt.py:637-822``): internal
+        nodes as gzip OXLI nodegraphs, leaves as gzip ``.sig`` JSON,
+        manifest CSV alongside. ``*.sbt.json`` → FSStorage hidden dir;
+        anything else → ``*.sbt.zip`` ZipStorage."""
+        if path.endswith(".sbt.json"):
+            kind = "FS"
+            name = os.path.basename(path)[:-9]
+            location = os.path.dirname(os.path.abspath(path))
+        else:
+            kind = "Zip"
+            if not path.endswith(".sbt.zip"):
+                path += ".sbt.zip"
+            name = os.path.basename(path)[:-8]
+            location = None
+        subdir = f".sbt.{name}"
+
+        nodes_info: dict[int, dict] = {}
+        leaves_info: dict[int, dict] = {}
+        payloads: dict[str, bytes] = {}
+        filenames: dict[int, str] = {}
+        seen: set[str] = set()
+
+        for pos, ng in sorted(self.nodes.items()):
+            fn = f"internal.{pos}"
+            payloads[fn] = ng.to_bytes(compression=1)
+            meta = dict(self.node_meta.get(pos, {}))
+            meta.pop("max_n_below", None)
+            nodes_info[pos] = {"filename": fn, "name": f"internal.{pos}",
+                               "metadata": meta}
+        for pos in sorted(self._leaf_idx):
+            r = self._leaf_row(self._leaf_idx[pos])
+            fn = f"{r['md5']}.sig.gz"
+            if fn in seen:
+                fn = f"{r['md5']}.{pos}.sig.gz"
+            seen.add(fn)
+            filenames[pos] = fn
+            payloads[fn] = gzip.compress(
+                json.dumps(sigs_to_json([r])).encode(), compresslevel=1)
+            leaves_info[pos] = {"filename": fn, "name": r["conv_id"],
+                                "metadata": r["conv_id"]}
+
+        manifest_name = f"{name}.manifest.csv"
+        payloads[manifest_name] = self._manifest_csv(filenames)
+
+        info = {
+            "d": self.d,
+            "version": 6,
+            "index_type": "SBT",
+            "storage": {"backend": "FSStorage", "args": {"path": subdir}},
+            "factory": {"class": "GraphFactory",
+                        "args": list(self.factory.init_args())},
+            "nodes": nodes_info,
+            "signatures": leaves_info,
+            "manifest_path": manifest_name,
+        }
+        tree_data = json.dumps(info).encode()
+
+        if kind == "FS":
+            storage_dir = os.path.join(location, subdir)
+            os.makedirs(storage_dir, exist_ok=True)
+            for fn, buf in payloads.items():
+                with open(os.path.join(storage_dir, fn), "wb") as f:
+                    f.write(buf)
+            with open(path, "wb") as f:
+                f.write(tree_data)
+        else:
+            with zipfile.ZipFile(path, "w",
+                                 compression=zipfile.ZIP_STORED) as z:
+                z.writestr(f"{subdir}/", b"")
+                for fn, buf in payloads.items():
+                    z.writestr(f"{subdir}/{fn}", buf)
+                z.writestr(f"{name}.sbt.json", tree_data,
+                           compress_type=zipfile.ZIP_DEFLATED)
+        return path
+
+    @classmethod
+    def load(cls, location: str) -> "SBT":
+        """v6 loader (``sbt.py:1183-1232``); earlier format versions are
+        not supported (the reference migrates them forward on load — out
+        of scope here, documented)."""
+        zf = None
+        if zipfile.is_zipfile(location):
+            zf = zipfile.ZipFile(location)
+            json_names = [n for n in zf.namelist()
+                          if n.endswith(".sbt.json") and "/" not in n]
+            if not json_names:
+                raise ValueError(f"no .sbt.json inside {location}")
+            info = json.loads(zf.read(json_names[0]))
+
+            def _read(fn):
+                return zf.read(f"{subdir}/{fn}")
+        else:
+            with open(location, "rb") as f:
+                info = json.loads(f.read())
+            dirname = os.path.dirname(os.path.abspath(location))
+
+            def _read(fn):
+                with open(os.path.join(dirname, subdir, fn), "rb") as f:
+                    return f.read()
+
+        version = info.get("version")
+        if version != 6:
+            raise ValueError(
+                f"SBT format version {version} not supported (v6 only)")
+        subdir = info["storage"]["args"]["path"]
+        factory = GraphFactory(*info["factory"]["args"])
+        tree = cls(factory, d=int(info["d"]))
+
+        for k, node in info["nodes"].items():
+            tree.nodes[int(k)] = Nodegraph.from_buffer(
+                _read(node["filename"]))
+            meta = node.get("metadata") or {}
+            tree.node_meta[int(k)] = meta
+
+        leaves = {int(k): v for k, v in info["signatures"].items()}
+        if not leaves:
+            raise ValueError("Empty tree!")
+        tables, positions = [], []
+        for k in sorted(leaves):
+            data = _read(leaves[k]["filename"])
+            if data[:2] == b"\x1f\x8b":
+                data = gzip.decompress(data)
+            tables.append(sig_json_to_table(json.loads(data)))
+            positions.append(k)
+        tree._set_leaves(pa.concat_tables(tables),
+                         np.array(positions, dtype=np.int64))
+        if zf is not None:
+            zf.close()
+        return tree
+
+
+def build_sbt(sigs, *, factory: GraphFactory | None = None, d: int = 2,
+              cfg: EngineConfig = DEFAULT_CONFIG) -> SBT:
+    """Bulk-build an SBT from a sketch collection (Dataset or pa.Table).
+
+    Replaces the reference's per-signature ``insert`` loop
+    (``sbt.py:325-381``, ``commands.py:501-604`` ``index``) with the
+    chunked partial-OR build described in the module docstring. Leaves go
+    to contiguous positions under a complete d-ary layout — a valid
+    positional tree for the same loader/search formulas.
+    """
+    factory = factory or GraphFactory(*DEFAULT_FACTORY)
+    if isinstance(sigs, pa.Table):
+        tbl = sigs
+    else:
+        refs = sigs.to_arrow_refs()
+        # the SBT artifact contains the whole collection by definition;
+        # this gather is the artifact build, not a pipeline stage
+        tbl = pa.concat_tables(
+            t.replace_schema_metadata(None) for t in ray.get(refs))
+    L = tbl.num_rows
+    if L == 0:
+        raise ValueError("Empty tree!")
+
+    h = max(1, math.ceil(math.log(L, d))) if L > 1 else 1
+    p0 = (d ** h - 1) // (d - 1)          # internal slots above the leaves
+
+    tablesizes = _tablesizes(factory)
+    nbytes = sum((s + 31) // 32 for s in tablesizes) * 4
+
+    n_chunks = min(resolve_num_partitions(cfg), L)
+    bound = np.linspace(0, L, n_chunks + 1).astype(np.int64)
+    task = ray.remote(_chunk_partials)
+    parts = [task.remote(tbl.slice(int(lo), int(hi - lo)), int(lo), p0, d,
+                         tablesizes)
+             for lo, hi in zip(bound[:-1], bound[1:]) if hi > lo]
+
+    from .exchange import exchange_map_groups
+    out_schema = pa.schema([("pos", pa.int64()), ("bits", pa.binary()),
+                            ("min_n", pa.int64())])
+    merged = exchange_map_groups(
+        ray.data.from_arrow_refs(parts), "pos",
+        min(resolve_num_partitions(cfg), 64), _make_merge_fn(nbytes),
+        out_schema)
+
+    tree = SBT(factory, d=d)
+    ks = int(factory.ksize)
+    for row in merged.take_all():
+        pos = int(row["pos"])
+        tree.nodes[pos] = _ng_from_row(row["bits"], tablesizes, ks)
+        tree.node_meta[pos] = {"min_n_below": int(row["min_n"])}
+    tree._set_leaves(tbl, p0 + np.arange(L, dtype=np.int64))
+    return tree
