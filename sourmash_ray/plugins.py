@@ -180,6 +180,35 @@ def _save_sbt(rows_or_dataset, path: str):
     return build_sbt(sigs).save(path)
 
 
+def _load_sqlite(location: str):
+    """SqliteIndex database → signature Dataset (``.sqldb`` suffix or
+    sqlite-magic + ``sourmash_internal`` sniff, ``sqlite_utils.py:10-46``
+    analogue)."""
+    from .sources.sqlite_index import is_sqlite_index, load_sqlite_table
+
+    if location.endswith(".sqldb") or is_sqlite_index(location):
+        import ray.data
+
+        return ray.data.from_arrow(load_sqlite_table(location))
+    return None
+
+
+def _save_sqlite(rows_or_dataset, path: str):
+    import ray.data
+
+    from .sources.sqlite_index import save_sqlite_index
+
+    sigs = rows_or_dataset
+    if not isinstance(sigs, ray.data.Dataset):
+        import pyarrow as pa
+
+        if not isinstance(sigs, pa.Table):
+            from .sources.sigjson import sig_json_to_table, sigs_to_json
+
+            sigs = sig_json_to_table(sigs_to_json(list(sigs)))
+    return save_sqlite_index(sigs, path)
+
+
 def _load_csv(location: str):
     if location.endswith((".csv", ".csv.gz")):
         import ray.data
@@ -190,6 +219,7 @@ def _load_csv(location: str):
 
 register_loader("stdin", _load_stdin, priority=5)
 register_loader("sbt", _load_sbt, priority=8)
+register_loader("sqlite", _load_sqlite, priority=12)
 register_loader("csv", _load_csv, priority=30)
 register_loader("parquet", _load_parquet_dir, priority=20)
 register_loader("sigjson", _load_sigjson, priority=10)
@@ -200,3 +230,4 @@ register_saver(".sig", _save_sigjson)
 register_saver(".sig.gz", _save_sigjson)
 register_saver(".sbt.json", _save_sbt)
 register_saver(".sbt.zip", _save_sbt)
+register_saver(".sqldb", _save_sqlite)
