@@ -73,6 +73,14 @@ def main(argv=None):
     di.add_argument("--p", type=int, default=14,
                     help="HLL precision (registers = 2^p)")
     add("tax-rollup")
+    tp = sub.add_parser(
+        "tax-prepare",
+        help="convert lineage CSVs into one SqliteLineage 1.0 database "
+             "(reference `tax prepare`); later --csv files win on "
+             "duplicate idents")
+    tp.add_argument("--csv", action="append", required=True,
+                    help="lineage CSV (repeatable; .gz ok)")
+    tp.add_argument("--out", required=True, help="output .sqldb path")
     pk = add("picklist")
     pk.add_argument("--coltype", default="ident",
                     help="name|md5|ident|identprefix|md5short")
@@ -172,6 +180,15 @@ def main(argv=None):
             tbl = (distinct_tokens_exact(args.sf) if args.exact
                    else approx_distinct_tokens(args.sf, p=args.p))
             print(json.dumps(tbl.to_pylist()[0]))
+        elif args.cmd == "tax-prepare":
+            from .sources.lineage_db import (
+                load_lineage_csv, merge_lineage_dbs, write_lineage_sqlite,
+            )
+
+            dbs = [load_lineage_csv(c) for c in args.csv]
+            merged = merge_lineage_dbs(*reversed(dbs))  # last CSV wins
+            write_lineage_sqlite(merged, args.out)
+            print(json.dumps({"idents": len(merged), "out": args.out}))
         elif args.cmd == "tax-rollup":
             from .pipelines.relational import tax_rollup_customers
 
