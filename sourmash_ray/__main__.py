@@ -96,6 +96,13 @@ def main(argv=None):
                     help="quantiles: per-language thresholds")
     dc.add_argument("--k", type=int, default=3,
                     help="grouped-topk: rows kept per key")
+    an = add("ann")
+    an.add_argument("--op", required=True, choices=["build", "query"])
+    an.add_argument("--index", required=True,
+                    help="IVF index dir (lists/list_id=N + centroids)")
+    an.add_argument("--n-centroids", type=int, default=16)
+    an.add_argument("--nprobe", type=int, default=4)
+    an.add_argument("--k", type=int, default=5)
     sg = add("sig")
     sg.add_argument("--op", required=True,
                     choices=["downsample", "flatten", "filter", "extract",
@@ -278,6 +285,19 @@ def main(argv=None):
             else:
                 for r in res.take(25):
                     print(json.dumps(r, default=str))
+        elif args.cmd == "ann":
+            from .pipelines.ann import ann_topk_ivf_index, ivf_build_index
+
+            if args.op == "build":
+                cents = ivf_build_index(args.sf, args.index,
+                                        n_centroids=args.n_centroids)
+                print(json.dumps({"centroids": int(cents.shape[0]),
+                                  "out": args.index}))
+            else:
+                tbl = ann_topk_ivf_index(args.index, k=args.k,
+                                         nprobe=args.nprobe)
+                for r in tbl.to_pylist():
+                    print(json.dumps(r))
         elif args.cmd == "picklist":
             from .stages.picklist import PickStyle, picklist_filter
 

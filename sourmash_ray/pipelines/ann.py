@@ -391,6 +391,29 @@ def ivf_assign(ds, centroids: np.ndarray):
     return ds.map_batches(_assign, batch_format="pyarrow")
 
 
+def _load_queries(ds, n_queries: int):
+    """(q_ids, unit-normalized query matrix) for the vec_id < n_queries
+    convention shared by all ann_topk_* entry points."""
+    qrows = ds.filter(expr=f"vec_id < {n_queries}").take_all()
+    qrows.sort(key=lambda r: r["vec_id"])
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qm = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qn = np.linalg.norm(qm, axis=1)
+    qn[qn == 0] = 1.0
+    return q_ids, qm / qn[:, None]
+
+
+def _probe_mask(qm: np.ndarray, cents: np.ndarray, nprobe: int
+                ) -> np.ndarray:
+    """(n_q, n_centroids) bool: each query's ``nprobe`` nearest lists."""
+    qsims = qm @ cents.T
+    probe = np.argpartition(-qsims, min(nprobe, cents.shape[0]) - 1,
+                            axis=1)[:, :nprobe]          # (n_q, nprobe)
+    mask = np.zeros((qm.shape[0], cents.shape[0]), bool)
+    mask[np.arange(qm.shape[0])[:, None], probe] = True
+    return mask
+
+
 def ann_topk_ivf(sf_dir: str, n_queries: int = 8, k: int = 5,
                  n_centroids: int = 16, nprobe: int = 4,
                  n_iters: int = 3):
@@ -402,19 +425,15 @@ def ann_topk_ivf(sf_dir: str, n_queries: int = 8, k: int = 5,
     list mask applied in-kernel."""
     ds = _read_emb(sf_dir)
     cents = ivf_train_centroids(ds, n_centroids, n_iters)
-    qrows = ds.filter(expr=f"vec_id < {n_queries}").take_all()
-    qrows.sort(key=lambda r: r["vec_id"])
-    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
-    qm = np.array([r["embedding"] for r in qrows], dtype=np.float64)
-    qn = np.linalg.norm(qm, axis=1)
-    qn[qn == 0] = 1.0
-    qm = qm / qn[:, None]
-    # per-query probe set: nprobe nearest centroids
-    qsims = qm @ cents.T
-    probe = np.argpartition(-qsims, min(nprobe, cents.shape[0]) - 1,
-                            axis=1)[:, :nprobe]          # (n_q, nprobe)
-    probe_mask = np.zeros((len(q_ids), cents.shape[0]), bool)
-    probe_mask[np.arange(len(q_ids))[:, None], probe] = True
+    q_ids, qm = _load_queries(ds, n_queries)
+    probe_mask = _probe_mask(qm, cents, nprobe)
+    return _ivf_score_reduce(ds, q_ids, qm, cents, probe_mask, k)
+
+
+def _ivf_score_reduce(ds, q_ids, qm, cents, probe_mask, k: int):
+    """One distributed scoring pass (in-kernel list mask) + the tiny
+    k×|queries| driver reduce shared by the in-memory and the
+    index-backed IVF paths."""
     state_ref = ray.put((q_ids, qm, cents, probe_mask))
 
     def _score(batch: pa.Table) -> pa.Table:
@@ -463,3 +482,80 @@ def ann_topk_ivf(sf_dir: str, n_queries: int = 8, k: int = 5,
         "rank": pa.array([], pa.int64()),
         "score_e4": pa.array([], pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# IVF index persistence — the 100-TB layout.
+#
+# lists/list_id=N/*.parquet  (hive-partitioned by inverted list) means a
+# query's scoring read opens ONLY its probed partitions: storage scanned
+# per query drops by ~n_centroids/nprobe, and the written index doubles
+# as a resumable artifact (a crashed build reruns only missing lists; a
+# recall-starved query re-probes without re-sharding). centroids.parquet
+# (C×dim, tiny) sits next to it and is broadcast per query session.
+# ---------------------------------------------------------------------------
+
+
+def ivf_build_index(sf_dir: str, out_dir: str, n_centroids: int = 16,
+                    n_iters: int = 3) -> np.ndarray:
+    """Train the coarse quantizer, then stream the vectors out as
+    Parquet hive-partitioned by their inverted-list id. Returns the
+    centroid matrix (also persisted to ``centroids.parquet``)."""
+    import pyarrow.parquet as pq
+
+    ds = _read_emb(sf_dir)
+    cents = ivf_train_centroids(ds, n_centroids, n_iters)
+    cent_ref = ray.put(cents)
+
+    def _with_list(batch: pa.Table) -> pa.Table:
+        cc = ray.get(cent_ref)
+        ids, mat = _emb_matrix(batch)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        a = np.argmax((mat / norms[:, None]) @ cc.T, axis=1)
+        return batch.append_column(
+            "list_id", pa.array(a.astype(np.int64), pa.int64()))
+
+    ds.map_batches(_with_list, batch_format="pyarrow").write_parquet(
+        f"{out_dir}/lists", partition_cols=["list_id"])
+    pq.write_table(
+        pa.table({
+            "centroid": pa.array(np.arange(cents.shape[0]), pa.int64()),
+            "vec": pa.array(list(cents), pa.list_(pa.float64())),
+        }),
+        f"{out_dir}/centroids.parquet")
+    return cents
+
+
+def ivf_load_centroids(index_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{index_dir}/centroids.parquet").sort_by("centroid")
+    lst = t["vec"].combine_chunks()
+    dim = len(lst[0]) if len(lst) else 0
+    return np.asarray(lst.flatten(), np.float64).reshape(t.num_rows, dim)
+
+
+def ann_topk_ivf_index(index_dir: str, n_queries: int = 8, k: int = 5,
+                       nprobe: int = 4):
+    """IVF top-k over a persisted index: the scoring read opens ONLY the
+    union of the queries' probed ``list_id=N`` partitions (path-level
+    pruning — no bytes of unprobed lists leave storage). The query-vector
+    lookup itself is a one-off column-pruned scan (real deployments pass
+    external query vectors). Output is identical to :func:`ann_topk_ivf`
+    at equal parameters: rows outside a query's probe set score -inf in
+    both paths."""
+    cents = ivf_load_centroids(index_dir)
+    full = read_parquet_clean(f"{index_dir}/lists",
+                              columns=["vec_id", "embedding"])
+    q_ids, qm = _load_queries(full, n_queries)
+    probe_mask = _probe_mask(qm, cents, nprobe)
+    probed = np.flatnonzero(probe_mask.any(axis=0))
+    # Ray 2.49 read_parquet doesn't expand directories inside a path
+    # LIST — enumerate the partition files ourselves
+    import glob
+
+    paths = [f for i in probed for f in sorted(
+        glob.glob(f"{index_dir}/lists/list_id={int(i)}/*.parquet"))]
+    pruned = read_parquet_clean(paths, columns=["vec_id", "embedding"])
+    return _ivf_score_reduce(pruned, q_ids, qm, cents, probe_mask, k)

@@ -62,3 +62,28 @@ def test_ivf_topk_recall_vs_bruteforce(ray_session):
         key = (r["query_id"], r["neighbor_id"])
         if key in se:
             assert se[key] == r["score_e4"]
+
+
+def test_ivf_index_persistence_round_trip(ray_session, tmp_path):
+    """Build → save (hive-partitioned by list_id) → load → query equals
+    the in-memory IVF path at identical parameters, and the scoring read
+    opens only the probed partitions."""
+    import os
+
+    from sourmash_ray.pipelines.ann import (
+        ann_topk_ivf, ann_topk_ivf_index, ivf_build_index,
+        ivf_load_centroids,
+    )
+
+    idx = str(tmp_path / "ivf_index")
+    cents = ivf_build_index(SF, idx, n_centroids=8, n_iters=2)
+    # layout: lists/list_id=N/ dirs + tiny centroids.parquet
+    parts = sorted(os.listdir(f"{idx}/lists"))
+    assert all(p.startswith("list_id=") for p in parts)
+    assert 1 < len(parts) <= 8
+    assert np.array_equal(ivf_load_centroids(idx), cents)
+
+    mem = ann_topk_ivf(SF, n_queries=8, k=5, n_centroids=8, nprobe=3,
+                       n_iters=2)
+    disk = ann_topk_ivf_index(idx, n_queries=8, k=5, nprobe=3)
+    assert mem.to_pylist() == disk.to_pylist()
