@@ -300,6 +300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_topk_orders": relational.grouped_topk_orders,
         "pricing_summary": relational.pricing_summary,
         "hash_split_docs": docops.hash_split_docs,
+        "shard_shuffle_docs": docops.shard_shuffle_docs,
         "stratified_sample_docs": docops.stratified_sample_docs,
         "length_quantiles_docs": docops.length_quantiles_docs,
         "length_quantiles_by_lang": docops.length_quantiles_by_lang,
@@ -495,6 +496,16 @@ def oracle_sql() -> dict[str, str]:
                                                  o_orderkey) AS rn
               FROM orders)
             WHERE rn <= 3
+        """,
+        "shard_shuffle_docs": """
+            SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+                   ROW_NUMBER() OVER (PARTITION BY shard
+                                      ORDER BY h, doc_id) - 1 AS pos
+            FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+                         CAST(concat('0x',
+                              substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                              AS UBIGINT) % 8 AS shard
+                  FROM documents)
         """,
         "hash_split_docs": """
             SELECT split, lang,

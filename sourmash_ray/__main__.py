@@ -90,7 +90,7 @@ def main(argv=None):
     dc = add("doc")
     dc.add_argument("--op", required=True,
                     choices=["split", "sample", "quantiles", "tokens",
-                             "exact-dedup", "grouped-topk"])
+                             "exact-dedup", "grouped-topk", "shuffle"])
     dc.add_argument("--out", default=None)
     dc.add_argument("--by-lang", action="store_true",
                     help="quantiles: per-language thresholds")
@@ -267,6 +267,8 @@ def main(argv=None):
                 res = docops.bpe_token_counts_docs(args.sf)
             elif args.op == "exact-dedup":
                 res = docops.exact_dedup_docs(args.sf)
+            elif args.op == "shuffle":
+                res = docops.shard_shuffle_docs(args.sf)
             else:
                 res = relational.grouped_topk_orders(args.sf, k=args.k)
             if args.out:

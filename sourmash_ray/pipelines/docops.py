@@ -787,3 +787,65 @@ def length_quantiles_by_lang(sf_dir: str,
 
     return grouped_quantiles_disc(_read_docs(sf_dir, ("lang", "n_chars")),
                                   "lang", "n_chars", list(qs))
+
+
+SHARD_SHUFFLE_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()),
+    ("shard", pa.int64()),
+    ("pos", pa.int64()),
+])
+
+
+def shard_shuffle_docs(sf_dir: str, n_shards: int = 8,
+                       cfg: EngineConfig = DEFAULT_CONFIG):
+    """Deterministic global shuffle + shard assignment — the
+    pre-training data-order primitive: every doc gets a shard
+    (``int(md5(doc_id)[:8], 16) % n_shards``) and a position within the
+    shard (rank of its full md5 hex, ties by doc_id), all a pure
+    function of identity. Reruns, partial rebuilds and different
+    cluster sizes produce byte-identical epoch order; resuming a
+    crashed write means re-emitting only missing shards.
+
+    Scale shape: one column-pruned read (doc_id only), a vectorized
+    md5+bucket pass, then the shard-keyed exchange where each partition
+    holds complete shards — the in-partition sort by (md5, doc_id) is
+    the ONLY ordering work, there is no global sort. At 100 TB rows
+    shuffled = rows out (inherent for a permutation), but each row is
+    24 bytes, not the document."""
+    from ..stages.exchange import exchange_map_groups
+    from ..functions.segscore import _to_bytes_array
+
+    n_shards_u = np.uint64(n_shards)
+
+    def _key(batch: pa.Table) -> pa.Table:
+        ids_s = pc.cast(batch["doc_id"], pa.string()).combine_chunks()
+        md5 = _md5_column(ids_s)
+        shard = (_hex8_to_int(md5) % n_shards_u).astype(np.int64)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "shard": pa.array(shard, pa.int64()),
+            "h": md5,
+        })
+
+    def _rank(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return SHARD_SHUFFLE_SCHEMA.empty_table()
+        ids = np.asarray(part["doc_id"], np.int64)
+        shard = np.asarray(part["shard"], np.int64)
+        h = _to_bytes_array(part["h"].combine_chunks())
+        # one lexsort; positions restart at 0 per shard via group offsets
+        order = np.lexsort((ids, h, shard))
+        s_sorted = shard[order]
+        starts = np.flatnonzero(np.r_[True, s_sorted[1:] != s_sorted[:-1]])
+        pos = np.arange(len(order), dtype=np.int64)
+        pos -= np.repeat(starts, np.diff(np.r_[starts, len(order)]))
+        return pa.table({
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "shard": pa.array(s_sorted, pa.int64()),
+            "pos": pa.array(pos, pa.int64()),
+        })
+
+    keyed = _read_docs(sf_dir, ("doc_id",)).map_batches(
+        _key, batch_format="pyarrow")
+    return exchange_map_groups(keyed, "shard", n_shards, _rank,
+                               SHARD_SHUFFLE_SCHEMA)

@@ -139,3 +139,26 @@ def test_grouped_quantiles_matches_per_group_reference(ray_session):
         idx = max(0, math.ceil(r["q"] * len(s)) - 1)
         assert r["value"] == s[idx], r
     assert len(out) == 3 * len(qs)
+
+
+def test_shard_shuffle_docs_is_a_permutation(ray_session):
+    """Every doc appears exactly once; positions are dense 0..n_s-1 per
+    shard; shard order is a pure function of identity (rerun-stable)."""
+    import numpy as np
+
+    from sourmash_ray.pipelines.docops import shard_shuffle_docs
+
+    sf = "/root/testdata/sf0.001"
+    rows = shard_shuffle_docs(sf, n_shards=4).take_all()
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(4))
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+    # deterministic across runs
+    rows2 = shard_shuffle_docs(sf, n_shards=4).take_all()
+    key = lambda r: (r["shard"], r["pos"], r["doc_id"])
+    assert sorted(rows, key=key) == sorted(rows2, key=key)
