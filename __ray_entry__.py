@@ -299,6 +299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_orders": relational.topk_orders,
         "grouped_topk_orders": relational.grouped_topk_orders,
         "pricing_summary": relational.pricing_summary,
+        "revenue_by_nation": relational.revenue_by_nation,
         "hash_split_docs": docops.hash_split_docs,
         "shard_shuffle_docs": docops.shard_shuffle_docs,
         "stratified_sample_docs": docops.stratified_sample_docs,
@@ -496,6 +497,18 @@ def oracle_sql() -> dict[str, str]:
                                                  o_orderkey) AS rn
               FROM orders)
             WHERE rn <= 3
+        """,
+        "revenue_by_nation": """
+            SELECT n_name,
+                   CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100, 0)
+                                          AS BIGINT))) AS BIGINT)
+                       AS sum_revenue_e4,
+                   count(*) AS n_items
+            FROM customer, orders, lineitem, nation
+            WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+              AND c_nationkey = n_nationkey
+            GROUP BY n_name
         """,
         "shard_shuffle_docs": """
             SELECT doc_id, CAST(shard AS BIGINT) AS shard,

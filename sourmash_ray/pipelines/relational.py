@@ -370,3 +370,69 @@ def grouped_topk_orders(sf_dir: str, k: int = 3):
         f"{sf_dir}/orders.parquet",
         columns=["o_custkey", "o_orderkey", "o_totalprice"])
     return grouped_topk(ds, "o_custkey", "o_totalprice", k, "o_orderkey")
+
+
+def revenue_by_nation(sf_dir: str):
+    """TPC-H-Q5-style revenue rollup exercising the big-big distributed
+    hash join (`stages/join.hash_join_exchange`): customer ⋈ orders on
+    custkey, the result ⋈ lineitem on orderkey — both all-to-all
+    exchanges that ship each projected row exactly once — then the tiny
+    nation dim attaches by broadcast and `grouped_sums` rolls up. Revenue
+    is integer 1e4-scale (`cents × (100 - discount_bp)`) so the sum is
+    order-independent and hash-exact vs DuckDB."""
+    import numpy as np
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.agg import grouped_sums
+    from ..stages.join import hash_join_exchange
+
+    n_parts = resolve_num_partitions(DEFAULT_CONFIG)
+
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_nationkey"])
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey"])
+    co = hash_join_exchange(
+        orders, cust, key="custkey",
+        left_cols=["o_orderkey"], right_cols=["c_nationkey"],
+        n_parts=n_parts, left_key="o_custkey", right_key="c_custkey")
+
+    def _rev(batch: pa.Table) -> pa.Table:
+        price = np.asarray(batch["l_extendedprice"], np.float64)
+        disc = np.asarray(batch["l_discount"], np.float64)
+        cents = np.rint(price * 100).astype(np.int64)
+        bp = np.rint(disc * 100).astype(np.int64)
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"],
+            "revenue_e4": pa.array(cents * (100 - bp), pa.int64()),
+        })
+
+    items = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    ).map_batches(_rev, batch_format="pyarrow")
+    col = hash_join_exchange(
+        co, items, key="orderkey",
+        left_cols=["c_nationkey"], right_cols=["revenue_e4"],
+        n_parts=n_parts, left_key="o_orderkey", right_key="l_orderkey")
+
+    nation = {r["n_nationkey"]: r["n_name"]
+              for r in read_parquet_clean(
+                  f"{sf_dir}/nation.parquet").take_all()}
+    names = np.empty(max(nation) + 1, dtype=object)
+    for nk, name in nation.items():
+        names[nk] = name
+    names_ref = ray.put(names)
+
+    def _name(batch: pa.Table) -> pa.Table:
+        nm = ray.get(names_ref)
+        nk = np.asarray(batch["c_nationkey"], np.int64)
+        if nk.size and (nk.min() < 0 or nk.max() >= nm.size):
+            raise ValueError("c_nationkey outside the nation dim")
+        return pa.table({
+            "n_name": pa.array(nm[nk], pa.string()),
+            "revenue_e4": batch["revenue_e4"],
+        })
+
+    return grouped_sums(col.map_batches(_name, batch_format="pyarrow"),
+                        ["n_name"], ["revenue_e4"], count_as="n_items")

@@ -1,0 +1,81 @@
+"""Distributed equi-join on the exchange — hash-partition both sides by
+the key, join inside each partition with pyarrow's block-local C++ hash
+join.
+
+Ray 2.49's native ``Dataset.join`` hash-partitions with a per-row Python
+``hash()`` loop and breaks on empty partitions (documented in
+``stages/verify.py``), so big-big joins ride the same machinery as every
+other wide op here: the two sides are tagged and unioned into ONE
+padded-null schema, one exchange co-locates equal keys, and the reduce
+runs ``pyarrow.Table.join`` on each partition pair. Rows shipped =
+|left| + |right| projected columns, exactly once — the textbook
+partitioned hash join. Small sides should NOT use this: broadcast them
+(`relational.broadcast_lookup_join` pattern) and skip the shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .exchange import exchange_map_groups
+
+
+def hash_join_exchange(left, right, key: str, left_cols: list[str],
+                       right_cols: list[str], n_parts: int,
+                       join_type: str = "inner",
+                       left_key: str | None = None,
+                       right_key: str | None = None):
+    """Equi-join two Datasets on an integer key; the joined key column is
+    named ``key`` in the output (``left_key`` / ``right_key`` name the
+    source columns when the sides spell it differently).
+
+    ``left_cols`` / ``right_cols``: payload columns to carry through
+    (disjoint names, keys excluded). Output Dataset has
+    ``[key] + left_cols + right_cols`` with one block per partition.
+    ``join_type`` passes to ``pyarrow.Table.join`` (``inner`` /
+    ``left outer`` / ``full outer`` — semi/anti via pyarrow too).
+    """
+    left_key = left_key or key
+    right_key = right_key or key
+    l_types = dict(zip(left.schema().names, left.schema().types))
+    r_types = dict(zip(right.schema().names, right.schema().types))
+
+    cols = ([(c, l_types[c], 0) for c in left_cols]
+            + [(c, r_types[c], 1) for c in right_cols])
+    unified = pa.schema([("__key", pa.int64()), ("__side", pa.int8())]
+                        + [(c, t) for c, t, _ in cols])
+
+    def _tag(side: int, key_col: str):
+        def _fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            arrs = [batch[key_col].combine_chunks().cast(pa.int64()),
+                    pa.array(np.full(n, side, np.int8), pa.int8())]
+            for c, t, s in cols:
+                arrs.append(batch[c].combine_chunks() if s == side
+                            else pa.nulls(n, t))
+            return pa.Table.from_arrays(arrs, schema=unified)
+        return _fn
+
+    both = left.map_batches(_tag(0, left_key), batch_format="pyarrow") \
+        .union(right.map_batches(_tag(1, right_key),
+                                 batch_format="pyarrow"))
+
+    out_schema = pa.schema([(key, pa.int64())]
+                           + [(c, t) for c, t, _ in cols])
+    l_names = [c for c, _, s in cols if s == 0]
+    r_names = [c for c, _, s in cols if s == 1]
+
+    def _join(part: pa.Table) -> pa.Table:
+        side = np.asarray(part["__side"], np.int8)
+        lt = (part.filter(pa.array(side == 0))
+              .select(["__key"] + l_names).rename_columns([key] + l_names))
+        rt = (part.filter(pa.array(side == 1))
+              .select(["__key"] + r_names).rename_columns([key] + r_names))
+        if join_type == "inner" and (lt.num_rows == 0 or rt.num_rows == 0):
+            return out_schema.empty_table()
+        return (lt.join(rt, keys=key, join_type=join_type,
+                        use_threads=False)
+                .select([key] + l_names + r_names).cast(out_schema))
+
+    return exchange_map_groups(both, "__key", n_parts, _join, out_schema)
