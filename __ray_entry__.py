@@ -325,6 +325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_window_counts": eventops.tumbling_window_counts,
         "hopping_window_counts": eventops.hopping_window_counts,
         "sessionize_events": eventops.sessionize_events,
+        "asof_join_events": eventops.asof_join_events,
     }
 
 
@@ -646,6 +647,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, window_start, count(*) AS n_events,
                    CAST(sum(micros) AS BIGINT) AS sum_value_micros
             FROM x GROUP BY event_type, window_start
+        """,
+        "asof_join_events": """
+            WITH r AS (
+              SELECT user_id, ts, max(event_id) AS signup_event
+              FROM events WHERE event_type = 'signup'
+              GROUP BY user_id, ts
+            ), l AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase'
+            )
+            SELECT l.event_id AS purchase_id, l.user_id,
+                   r.signup_event,
+                   CASE WHEN r.signup_event IS NULL THEN NULL
+                        ELSE epoch_us(l.ts) - epoch_us(r.ts) END AS gap_us
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "sessionize_events": """
             WITH g AS (

@@ -121,3 +121,97 @@ def hopping_window_counts(sf_dir: str, window_hours: int = 2,
             "n_events": t["n_events"],
             "sum_value_micros": t["sum_value_micros"],
         }), batch_format="pyarrow")
+
+
+ASOF_SCHEMA = pa.schema([
+    ("purchase_id", pa.int64()),
+    ("user_id", pa.int64()),
+    ("signup_event", pa.int64()),     # null when no prior right event
+    ("gap_us", pa.int64()),
+])
+
+
+def asof_join_events(sf_dir: str, left_type: str = "purchase",
+                     right_type: str = "signup"):
+    """As-of join — each ``left_type`` event matched to the LATEST
+    ``right_type`` event of the same user with ``right.ts <= left.ts``
+    (DuckDB ``ASOF LEFT JOIN`` semantics, inclusive).
+
+    Ray Data has no asof operator, so it composes from the primitives the
+    engine already owns (brief §custom-operators, path (a)): ONE exchange
+    partitions both sides by ``user_id`` — the partitioning assumption is
+    that a user's history fits a partition, the same contract as
+    ``sessionize_events`` — and inside each partition the match is a
+    vectorized composite-key bisect (user ⊕ ts packed into one int64; no
+    per-row Python). Right-side (user, ts) duplicates collapse to the max
+    event_id first, making the match deterministic on both engines. At
+    100 TB: rows shuffled = the two filtered event streams, each row 24
+    bytes, one all-to-all."""
+    import numpy as np
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.exchange import exchange_map_groups
+
+    uni = pa.schema([("user_id", pa.int64()), ("side", pa.int8()),
+                     ("event_id", pa.int64()), ("ts_us", pa.int64())])
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"]
+        keep = pc.is_in(et, value_set=pa.array([left_type, right_type]))
+        t = batch.filter(keep)
+        side = pc.if_else(pc.equal(t["event_type"], left_type),
+                          pa.scalar(0, pa.int8()), pa.scalar(1, pa.int8()))
+        return pa.table({
+            "user_id": t["user_id"],
+            "side": side,
+            "event_id": t["event_id"],
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+        }).cast(uni)
+
+    def _asof(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return ASOF_SCHEMA.empty_table()
+        side = np.asarray(part["side"], np.int8)
+        u = np.asarray(part["user_id"], np.int64)
+        eid = np.asarray(part["event_id"], np.int64)
+        ts = np.asarray(part["ts_us"], np.int64)
+        lm = side == 0
+        if not lm.any():
+            return ASOF_SCHEMA.empty_table()
+        rm = ~lm
+        ru, rts, rid = u[rm], ts[rm], eid[rm]
+        # collapse right (user, ts) duplicates to max event_id: after this
+        # lexsort the LAST row of each (user, ts) run has the max id
+        order = np.lexsort((rid, rts, ru))
+        ru, rts, rid = ru[order], rts[order], rid[order]
+        if ru.size:
+            last = np.r_[(ru[1:] != ru[:-1]) | (rts[1:] != rts[:-1]), True]
+            ru, rts, rid = ru[last], rts[last], rid[last]
+        # composite int64 key: user * span + (ts - tmin + 1); right rows
+        # get +0, left probes +0 with side='right' so equal ts matches
+        tmin = int(ts.min())
+        span = int(ts.max()) - tmin + 2
+        if u.size and int(u.max()) >= (2**63 - 1) // max(span, 1):
+            raise ValueError("user_id × ts span overflows the composite "
+                             "asof key; re-partition finer")
+        rkey = ru * span + (rts - tmin + 1)
+        lkey = u[lm] * span + (ts[lm] - tmin + 1)
+        pos = np.searchsorted(rkey, lkey, side="right") - 1
+        posc = np.maximum(pos, 0)
+        hit = (pos >= 0) & (ru[posc] == u[lm]) if ru.size else \
+            np.zeros(lkey.size, bool)
+        sig = np.where(hit, rid[posc] if rid.size else 0, 0)
+        gap = np.where(hit, ts[lm] - (rts[posc] if rts.size else 0), 0)
+        return pa.table({
+            "purchase_id": pa.array(eid[lm], pa.int64()),
+            "user_id": pa.array(u[lm], pa.int64()),
+            "signup_event": pa.array(sig, pa.int64(), mask=~hit),
+            "gap_us": pa.array(gap, pa.int64(), mask=~hit),
+        })
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    ).map_batches(_tag, batch_format="pyarrow")
+    n_parts = resolve_num_partitions(DEFAULT_CONFIG)
+    return exchange_map_groups(ds, "user_id", n_parts, _asof, ASOF_SCHEMA)

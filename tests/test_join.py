@@ -74,3 +74,49 @@ def test_matches_pyarrow_join_oracle(ray_session):
         "k", ["lv"], ["rv"], n_parts=6).take_all()
     want = lt.join(rt, keys="k", join_type="inner").to_pylist()
     assert _sorted(got) == _sorted(want)
+
+
+def test_asof_join_events_edge_cases(ray_session, tmp_path):
+    """Inclusive ties, no-prior-event nulls, and duplicate (user, ts)
+    right rows collapsing to max event_id."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from sourmash_ray.pipelines.eventops import asof_join_events
+
+    t0 = dt.datetime(2024, 1, 1)
+    us = lambda s: t0 + dt.timedelta(seconds=s)
+    rows = [
+        # user 1: signup at 10 (two rows, ids 2 then 5), purchase at 10
+        # (tie → inclusive, picks id 5) and at 9 (before → null)
+        (1, us(10), 1, "purchase"), (0, us(9), 1, "purchase"),
+        (2, us(10), 1, "signup"), (5, us(10), 1, "signup"),
+        # user 2: signup 3, purchases at 4 and 100
+        (7, us(3), 2, "signup"),
+        (8, us(4), 2, "purchase"), (9, us(100), 2, "purchase"),
+        # user 3: purchase, no signup at all
+        (11, us(50), 3, "purchase"),
+        # noise type ignored
+        (12, us(1), 1, "error"),
+    ]
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([0.0] * len(rows), pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    })
+    sf = str(tmp_path)
+    pq.write_table(tbl, f"{sf}/events.parquet")
+
+    got = {r["purchase_id"]: (r["signup_event"], r["gap_us"])
+           for r in asof_join_events(sf).take_all()}
+    assert got == {
+        1: (5, 0),                 # tie is inclusive; dup → max id
+        0: (None, None),           # purchase before any signup
+        8: (7, 1_000_000),
+        9: (7, 97_000_000),
+        11: (None, None),
+    }
