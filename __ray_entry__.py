@@ -326,6 +326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window_counts": eventops.hopping_window_counts,
         "sessionize_events": eventops.sessionize_events,
         "asof_join_events": eventops.asof_join_events,
+        "pairs_within_window_events": eventops.pairs_within_window_events,
     }
 
 
@@ -647,6 +648,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, window_start, count(*) AS n_events,
                    CAST(sum(micros) AS BIGINT) AS sum_value_micros
             FROM x GROUP BY event_type, window_start
+        """,
+        "pairs_within_window_events": """
+            SELECT a.event_id AS a_event, b.event_id AS b_event,
+                   a.user_id,
+                   epoch_us(b.ts) - epoch_us(a.ts) AS dt_us
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND b.ts >= a.ts
+             AND b.ts <= a.ts + INTERVAL 5 MINUTE
+             AND (a.ts < b.ts OR a.event_id < b.event_id)
         """,
         "asof_join_events": """
             WITH r AS (

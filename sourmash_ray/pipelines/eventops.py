@@ -215,3 +215,97 @@ def asof_join_events(sf_dir: str, left_type: str = "purchase",
     ).map_batches(_tag, batch_format="pyarrow")
     n_parts = resolve_num_partitions(DEFAULT_CONFIG)
     return exchange_map_groups(ds, "user_id", n_parts, _asof, ASOF_SCHEMA)
+
+
+RANGE_PAIRS_SCHEMA = pa.schema([
+    ("a_event", pa.int64()),
+    ("b_event", pa.int64()),
+    ("user_id", pa.int64()),
+    ("dt_us", pa.int64()),
+])
+
+
+def pairs_within_window_events(sf_dir: str, window_minutes: int = 5,
+                               chunk_pairs: int = 1 << 22):
+    """Range join — ordered pairs of same-user events at most
+    ``window_minutes`` apart (``(a.ts, a.id) < (b.ts, b.id)``
+    lexicographically, ``b.ts - a.ts <= W``): the interval-join primitive
+    behind burst detection / funnel mining.
+
+    Composes like :func:`asof_join_events` (brief §custom-operators path
+    (a)): one user-keyed exchange, then per partition ONE sort by
+    (user, ts, id) and a single vectorized ``searchsorted`` upper bound
+    per row on the same packed user⊕ts composite — the right-edge span
+    guard keeps a window from leaking into the next user's run. Pair
+    emission is repeat/arange (no Python loop over rows) in bounded
+    chunks, so a pathological burst (one user, thousands of events in
+    one window) costs memory proportional to the CHUNK, not the square.
+    Partitioning assumption: one user's events fit a partition — same
+    contract as ``sessionize_events``."""
+    import numpy as np
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.exchange import exchange_map_groups
+
+    w_us = int(window_minutes) * 60 * 1_000_000
+
+    uni = pa.schema([("user_id", pa.int64()), ("event_id", pa.int64()),
+                     ("ts_us", pa.int64())])
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"],
+            "event_id": batch["event_id"],
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+        }).cast(uni)
+
+    def _pairs(part: pa.Table) -> pa.Table:
+        n = part.num_rows
+        if n == 0:
+            return RANGE_PAIRS_SCHEMA.empty_table()
+        u = np.asarray(part["user_id"], np.int64)
+        eid = np.asarray(part["event_id"], np.int64)
+        ts = np.asarray(part["ts_us"], np.int64)
+        order = np.lexsort((eid, ts, u))
+        u, eid, ts = u[order], eid[order], ts[order]
+        tmin = int(ts.min())
+        # span covers ts+W so a probe key can never reach the next user
+        span = int(ts.max()) - tmin + w_us + 2
+        if int(u.max()) >= (2**63 - 1) // span:
+            raise ValueError("user_id × ts span overflows the composite "
+                             "range-join key; re-partition finer")
+        key = u * span + (ts - tmin + 1)
+        upper = np.searchsorted(key, key + w_us, side="right")
+        counts = upper - np.arange(1, n + 1)       # partners after self
+        out = []
+        start = 0
+        while start < n:
+            stop = start
+            acc = 0
+            while stop < n and (acc == 0 or acc + counts[stop]
+                                <= chunk_pairs):
+                acc += counts[stop]
+                stop += 1
+            c = counts[start:stop]
+            if acc:
+                a_idx = np.repeat(np.arange(start, stop), c)
+                offs = np.concatenate([np.arange(k) for k in c if k]) \
+                    if acc else np.empty(0, np.int64)
+                b_idx = a_idx + 1 + offs
+                out.append(pa.table({
+                    "a_event": pa.array(eid[a_idx], pa.int64()),
+                    "b_event": pa.array(eid[b_idx], pa.int64()),
+                    "user_id": pa.array(u[a_idx], pa.int64()),
+                    "dt_us": pa.array(ts[b_idx] - ts[a_idx], pa.int64()),
+                }))
+            start = stop
+        return (pa.concat_tables(out) if out
+                else RANGE_PAIRS_SCHEMA.empty_table())
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id"],
+    ).map_batches(_tag, batch_format="pyarrow")
+    n_parts = resolve_num_partitions(DEFAULT_CONFIG)
+    return exchange_map_groups(ds, "user_id", n_parts, _pairs,
+                               RANGE_PAIRS_SCHEMA)

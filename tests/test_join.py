@@ -120,3 +120,42 @@ def test_asof_join_events_edge_cases(ray_session, tmp_path):
         9: (7, 97_000_000),
         11: (None, None),
     }
+
+
+def test_range_join_burst_user_chunked(ray_session, tmp_path):
+    """A burst (one user, many events inside one window) emits the full
+    quadratic pair set even when chunk_pairs forces many emission chunks;
+    pairs are ordered (ts, id) lexicographically and within the window."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from sourmash_ray.pipelines.eventops import pairs_within_window_events
+
+    t0 = dt.datetime(2024, 1, 1)
+    n_burst = 40
+    rows = [(i, t0 + dt.timedelta(seconds=i), 1, "e") for i in
+            range(n_burst)]
+    # second user, two events: one pair in window, one outside
+    rows += [(100, t0, 2, "e"), (101, t0 + dt.timedelta(seconds=10), 2,
+             "e"), (102, t0 + dt.timedelta(hours=2), 2, "e")]
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([0.0] * len(rows), pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    })
+    pq.write_table(tbl, f"{tmp_path}/events.parquet")
+
+    got = pairs_within_window_events(str(tmp_path), window_minutes=5,
+                                     chunk_pairs=7).take_all()
+    burst = [(r["a_event"], r["b_event"]) for r in got
+             if r["user_id"] == 1]
+    # all 40 events within 39s < 5 min → full upper triangle
+    assert sorted(burst) == [(a, b) for a in range(n_burst)
+                             for b in range(a + 1, n_burst)]
+    u2 = sorted((r["a_event"], r["b_event"], r["dt_us"]) for r in got
+                if r["user_id"] == 2)
+    assert u2 == [(100, 101, 10_000_000)]
