@@ -838,3 +838,25 @@ def watch_stream(records, sigs, cfg: EngineConfig = DEFAULT_CONFIG,
         "best_score": float(best["jaccard"]) if best else 0.0,
         "n_mins": int(mins.size),
     }
+
+
+def watch_dataset(ds, sigs, column: str = "text",
+                  cfg: EngineConfig = DEFAULT_CONFIG,
+                  threshold: float = 0.05, watermark: int = 1000,
+                  sort_by: str | None = None):
+    """:func:`watch_stream` over a Ray ``Dataset`` source — the stream is
+    consumed through ``iter_batches`` (streaming execution with
+    backpressure; blocks are fetched as the serial loop drains them, the
+    corpus is never materialized). ``sort_by`` optionally imposes a
+    deterministic record order first (a real stream is already ordered;
+    an unordered Parquet directory is not)."""
+    if sort_by is not None:
+        ds = ds.sort(sort_by)
+
+    def _records():
+        for b in ds.select_columns([column]).iter_batches(
+                batch_format="pyarrow", batch_size=max(watermark, 256)):
+            yield from b[column].to_pylist()
+
+    return watch_stream(_records(), sigs, cfg, threshold=threshold,
+                        watermark=watermark)

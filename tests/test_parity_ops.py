@@ -601,3 +601,32 @@ def test_watch_stream_finds_match_and_stops_early(sigs, corpus):
     out2 = watch_stream(iter(junk), sigs, CFG, threshold=0.2, watermark=2)
     assert not out2["found"]
     assert out2["n_records"] == 5
+
+
+def test_watch_dataset_streams_blocks(sigs, corpus, ray_session):
+    """watch over a Dataset source: iter_batches feeds the serial loop,
+    deterministic order via sort_by, same hit as the list-stream path."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from sourmash_ray.pipelines.sourmash_parity import (watch_dataset,
+                                                        watch_stream)
+
+    texts = {}
+    for cid, txt in zip(corpus["conv_id"].to_pylist(),
+                        corpus["text"].to_pylist()):
+        texts.setdefault(cid, []).append(txt)
+    target = sorted(texts, key=lambda c: -len(texts[c]))[0]
+    sub = corpus.filter(pc.equal(corpus["conv_id"], target))
+    if "turn_idx" not in sub.column_names:
+        sub = sub.append_column(
+            "turn_idx", pa.array(range(sub.num_rows), pa.int64()))
+    ds = ray.data.from_arrow(sub).repartition(3)
+
+    out = watch_dataset(ds, sigs, "text", CFG, threshold=0.2, watermark=2,
+                        sort_by="turn_idx")
+    ref = watch_stream(iter(texts[target]), sigs, CFG, threshold=0.2,
+                       watermark=2)
+    assert out == ref
+    assert out["found"]
