@@ -398,13 +398,24 @@ def revenue_by_nation(sf_dir: str):
         n_parts=n_parts, left_key="o_custkey", right_key="c_custkey")
 
     def _rev(batch: pa.Table) -> pa.Table:
+        # block-local combine to one row per orderkey BEFORE the shuffle
+        # (lineitem clusters by orderkey, so ~4:1 fewer rows exchanged);
+        # n_li carries the pre-combined row count for the n_items total
         price = np.asarray(batch["l_extendedprice"], np.float64)
         disc = np.asarray(batch["l_discount"], np.float64)
         cents = np.rint(price * 100).astype(np.int64)
         bp = np.rint(disc * 100).astype(np.int64)
+        rev = cents * (100 - bp)
+        ok = np.asarray(batch["l_orderkey"], np.int64)
+        uniq, inv = np.unique(ok, return_inverse=True)
+        sums = np.bincount(inv, weights=rev.astype(np.float64),
+                           minlength=len(uniq))
+        # revenue_e4 ≤ ~1e9 per item × ~7 items: float64 exact (< 2^53)
+        counts = np.bincount(inv, minlength=len(uniq))
         return pa.table({
-            "l_orderkey": batch["l_orderkey"],
-            "revenue_e4": pa.array(cents * (100 - bp), pa.int64()),
+            "l_orderkey": pa.array(uniq, pa.int64()),
+            "revenue_e4": pa.array(sums.astype(np.int64), pa.int64()),
+            "n_li": pa.array(counts.astype(np.int64), pa.int64()),
         })
 
     items = read_parquet_clean(
@@ -413,7 +424,7 @@ def revenue_by_nation(sf_dir: str):
     ).map_batches(_rev, batch_format="pyarrow")
     col = hash_join_exchange(
         co, items, key="orderkey",
-        left_cols=["c_nationkey"], right_cols=["revenue_e4"],
+        left_cols=["c_nationkey"], right_cols=["revenue_e4", "n_li"],
         n_parts=n_parts, left_key="o_orderkey", right_key="l_orderkey")
 
     nation = {r["n_nationkey"]: r["n_name"]
@@ -432,7 +443,13 @@ def revenue_by_nation(sf_dir: str):
         return pa.table({
             "n_name": pa.array(nm[nk], pa.string()),
             "revenue_e4": batch["revenue_e4"],
+            "n_li": batch["n_li"],
         })
 
-    return grouped_sums(col.map_batches(_name, batch_format="pyarrow"),
-                        ["n_name"], ["revenue_e4"], count_as="n_items")
+    agg = grouped_sums(col.map_batches(_name, batch_format="pyarrow"),
+                       ["n_name"], ["revenue_e4", "n_li"])
+    return agg.map_batches(
+        lambda t: pa.table({"n_name": t["n_name"],
+                            "sum_revenue_e4": t["sum_revenue_e4"],
+                            "n_items": t["sum_n_li"]}),
+        batch_format="pyarrow")
