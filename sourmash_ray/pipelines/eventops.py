@@ -10,6 +10,8 @@ set semantics)."""
 
 from __future__ import annotations
 
+import functools
+
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -168,53 +170,59 @@ def asof_join_events(sf_dir: str, left_type: str = "purchase",
             "ts_us": pc.cast(t["ts"], pa.int64()),
         }).cast(uni)
 
-    def _asof(part: pa.Table) -> pa.Table:
-        if part.num_rows == 0:
-            return ASOF_SCHEMA.empty_table()
-        side = np.asarray(part["side"], np.int8)
-        u = np.asarray(part["user_id"], np.int64)
-        eid = np.asarray(part["event_id"], np.int64)
-        ts = np.asarray(part["ts_us"], np.int64)
-        lm = side == 0
-        if not lm.any():
-            return ASOF_SCHEMA.empty_table()
-        rm = ~lm
-        ru, rts, rid = u[rm], ts[rm], eid[rm]
-        # collapse right (user, ts) duplicates to max event_id: after this
-        # lexsort the LAST row of each (user, ts) run has the max id
-        order = np.lexsort((rid, rts, ru))
-        ru, rts, rid = ru[order], rts[order], rid[order]
-        if ru.size:
-            last = np.r_[(ru[1:] != ru[:-1]) | (rts[1:] != rts[:-1]), True]
-            ru, rts, rid = ru[last], rts[last], rid[last]
-        # composite int64 key: user * span + (ts - tmin + 1); right rows
-        # get +0, left probes +0 with side='right' so equal ts matches
-        tmin = int(ts.min())
-        span = int(ts.max()) - tmin + 2
-        if u.size and int(u.max()) >= (2**63 - 1) // max(span, 1):
-            raise ValueError("user_id × ts span overflows the composite "
-                             "asof key; re-partition finer")
-        rkey = ru * span + (rts - tmin + 1)
-        lkey = u[lm] * span + (ts[lm] - tmin + 1)
-        pos = np.searchsorted(rkey, lkey, side="right") - 1
-        posc = np.maximum(pos, 0)
-        hit = (pos >= 0) & (ru[posc] == u[lm]) if ru.size else \
-            np.zeros(lkey.size, bool)
-        sig = np.where(hit, rid[posc] if rid.size else 0, 0)
-        gap = np.where(hit, ts[lm] - (rts[posc] if rts.size else 0), 0)
-        return pa.table({
-            "purchase_id": pa.array(eid[lm], pa.int64()),
-            "user_id": pa.array(u[lm], pa.int64()),
-            "signup_event": pa.array(sig, pa.int64(), mask=~hit),
-            "gap_us": pa.array(gap, pa.int64(), mask=~hit),
-        })
-
     ds = read_parquet_clean(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id", "event_type"],
     ).map_batches(_tag, batch_format="pyarrow")
     n_parts = resolve_num_partitions(DEFAULT_CONFIG)
-    return exchange_map_groups(ds, "user_id", n_parts, _asof, ASOF_SCHEMA)
+    return exchange_map_groups(ds, "user_id", n_parts,
+                               asof_merge_partition, ASOF_SCHEMA)
+
+
+def asof_merge_partition(part: pa.Table) -> pa.Table:
+    """Per-partition asof kernel (module-level: hypothesis-tested
+    directly against a nested-loop oracle in ``tests/test_join.py``)."""
+    import numpy as np
+
+    if part.num_rows == 0:
+        return ASOF_SCHEMA.empty_table()
+    side = np.asarray(part["side"], np.int8)
+    u = np.asarray(part["user_id"], np.int64)
+    eid = np.asarray(part["event_id"], np.int64)
+    ts = np.asarray(part["ts_us"], np.int64)
+    lm = side == 0
+    if not lm.any():
+        return ASOF_SCHEMA.empty_table()
+    rm = ~lm
+    ru, rts, rid = u[rm], ts[rm], eid[rm]
+    # collapse right (user, ts) duplicates to max event_id: after this
+    # lexsort the LAST row of each (user, ts) run has the max id
+    order = np.lexsort((rid, rts, ru))
+    ru, rts, rid = ru[order], rts[order], rid[order]
+    if ru.size:
+        last = np.r_[(ru[1:] != ru[:-1]) | (rts[1:] != rts[:-1]), True]
+        ru, rts, rid = ru[last], rts[last], rid[last]
+    # composite int64 key: user * span + (ts - tmin + 1); right rows
+    # get +0, left probes +0 with side='right' so equal ts matches
+    tmin = int(ts.min())
+    span = int(ts.max()) - tmin + 2
+    if u.size and int(u.max()) >= (2**63 - 1) // max(span, 1):
+        raise ValueError("user_id × ts span overflows the composite "
+                         "asof key; re-partition finer")
+    rkey = ru * span + (rts - tmin + 1)
+    lkey = u[lm] * span + (ts[lm] - tmin + 1)
+    pos = np.searchsorted(rkey, lkey, side="right") - 1
+    posc = np.maximum(pos, 0)
+    hit = (pos >= 0) & (ru[posc] == u[lm]) if ru.size else \
+        np.zeros(lkey.size, bool)
+    sig = np.where(hit, rid[posc] if rid.size else 0, 0)
+    gap = np.where(hit, ts[lm] - (rts[posc] if rts.size else 0), 0)
+    return pa.table({
+        "purchase_id": pa.array(eid[lm], pa.int64()),
+        "user_id": pa.array(u[lm], pa.int64()),
+        "signup_event": pa.array(sig, pa.int64(), mask=~hit),
+        "gap_us": pa.array(gap, pa.int64(), mask=~hit),
+    })
 
 
 RANGE_PAIRS_SCHEMA = pa.schema([
@@ -259,53 +267,62 @@ def pairs_within_window_events(sf_dir: str, window_minutes: int = 5,
             "ts_us": pc.cast(batch["ts"], pa.int64()),
         }).cast(uni)
 
-    def _pairs(part: pa.Table) -> pa.Table:
-        n = part.num_rows
-        if n == 0:
-            return RANGE_PAIRS_SCHEMA.empty_table()
-        u = np.asarray(part["user_id"], np.int64)
-        eid = np.asarray(part["event_id"], np.int64)
-        ts = np.asarray(part["ts_us"], np.int64)
-        order = np.lexsort((eid, ts, u))
-        u, eid, ts = u[order], eid[order], ts[order]
-        tmin = int(ts.min())
-        # span covers ts+W so a probe key can never reach the next user
-        span = int(ts.max()) - tmin + w_us + 2
-        if int(u.max()) >= (2**63 - 1) // span:
-            raise ValueError("user_id × ts span overflows the composite "
-                             "range-join key; re-partition finer")
-        key = u * span + (ts - tmin + 1)
-        upper = np.searchsorted(key, key + w_us, side="right")
-        counts = upper - np.arange(1, n + 1)       # partners after self
-        out = []
-        start = 0
-        while start < n:
-            stop = start
-            acc = 0
-            while stop < n and (acc == 0 or acc + counts[stop]
-                                <= chunk_pairs):
-                acc += counts[stop]
-                stop += 1
-            c = counts[start:stop]
-            if acc:
-                a_idx = np.repeat(np.arange(start, stop), c)
-                offs = np.concatenate([np.arange(k) for k in c if k]) \
-                    if acc else np.empty(0, np.int64)
-                b_idx = a_idx + 1 + offs
-                out.append(pa.table({
-                    "a_event": pa.array(eid[a_idx], pa.int64()),
-                    "b_event": pa.array(eid[b_idx], pa.int64()),
-                    "user_id": pa.array(u[a_idx], pa.int64()),
-                    "dt_us": pa.array(ts[b_idx] - ts[a_idx], pa.int64()),
-                }))
-            start = stop
-        return (pa.concat_tables(out) if out
-                else RANGE_PAIRS_SCHEMA.empty_table())
-
     ds = read_parquet_clean(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id"],
     ).map_batches(_tag, batch_format="pyarrow")
     n_parts = resolve_num_partitions(DEFAULT_CONFIG)
-    return exchange_map_groups(ds, "user_id", n_parts, _pairs,
+    merge = functools.partial(range_merge_partition, w_us=w_us,
+                              chunk_pairs=chunk_pairs)
+    return exchange_map_groups(ds, "user_id", n_parts, merge,
                                RANGE_PAIRS_SCHEMA)
+
+
+
+def range_merge_partition(part: pa.Table, w_us: int,
+                          chunk_pairs: int) -> pa.Table:
+    """Per-partition range-join kernel (module-level:
+    hypothesis-tested against a nested-loop oracle)."""
+    import numpy as np
+
+    n = part.num_rows
+    if n == 0:
+        return RANGE_PAIRS_SCHEMA.empty_table()
+    u = np.asarray(part["user_id"], np.int64)
+    eid = np.asarray(part["event_id"], np.int64)
+    ts = np.asarray(part["ts_us"], np.int64)
+    order = np.lexsort((eid, ts, u))
+    u, eid, ts = u[order], eid[order], ts[order]
+    tmin = int(ts.min())
+    # span covers ts+W so a probe key can never reach the next user
+    span = int(ts.max()) - tmin + w_us + 2
+    if int(u.max()) >= (2**63 - 1) // span:
+        raise ValueError("user_id × ts span overflows the composite "
+                         "range-join key; re-partition finer")
+    key = u * span + (ts - tmin + 1)
+    upper = np.searchsorted(key, key + w_us, side="right")
+    counts = upper - np.arange(1, n + 1)       # partners after self
+    out = []
+    start = 0
+    while start < n:
+        stop = start
+        acc = 0
+        while stop < n and (acc == 0 or acc + counts[stop]
+                            <= chunk_pairs):
+            acc += counts[stop]
+            stop += 1
+        c = counts[start:stop]
+        if acc:
+            a_idx = np.repeat(np.arange(start, stop), c)
+            offs = np.concatenate([np.arange(k) for k in c if k]) \
+                if acc else np.empty(0, np.int64)
+            b_idx = a_idx + 1 + offs
+            out.append(pa.table({
+                "a_event": pa.array(eid[a_idx], pa.int64()),
+                "b_event": pa.array(eid[b_idx], pa.int64()),
+                "user_id": pa.array(u[a_idx], pa.int64()),
+                "dt_us": pa.array(ts[b_idx] - ts[a_idx], pa.int64()),
+            }))
+        start = stop
+    return (pa.concat_tables(out) if out
+            else RANGE_PAIRS_SCHEMA.empty_table())

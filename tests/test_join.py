@@ -159,3 +159,69 @@ def test_range_join_burst_user_chunked(ray_session, tmp_path):
     u2 = sorted((r["a_event"], r["b_event"], r["dt_us"]) for r in got
                 if r["user_id"] == 2)
     assert u2 == [(100, 101, 10_000_000)]
+
+
+# ---------------------------------------------------------------------------
+# hypothesis: partition kernels vs nested-loop oracles (no Ray needed)
+# ---------------------------------------------------------------------------
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_events = st.lists(
+    st.tuples(st.integers(0, 4),          # user_id
+              st.integers(0, 50),         # ts (small domain → many ties)
+              st.booleans()),             # is_left
+    min_size=0, max_size=60)
+
+
+def _asof_part(evs):
+    return pa.table({
+        "user_id": pa.array([e[0] for e in evs], pa.int64()),
+        "side": pa.array([0 if e[2] else 1 for e in evs], pa.int8()),
+        "event_id": pa.array(list(range(len(evs))), pa.int64()),
+        "ts_us": pa.array([e[1] for e in evs], pa.int64()),
+    })
+
+
+@settings(max_examples=60, deadline=None)
+@given(_events)
+def test_asof_kernel_matches_nested_loop(evs):
+    from sourmash_ray.pipelines.eventops import asof_merge_partition
+
+    got = {r["purchase_id"]: (r["signup_event"], r["gap_us"])
+           for r in asof_merge_partition(_asof_part(evs)).to_pylist()}
+    want = {}
+    for i, (u, ts, left) in enumerate(evs):
+        if not left:
+            continue
+        cands = [(rts, j) for j, (ru, rts, rl) in enumerate(evs)
+                 if not rl and ru == u and rts <= ts]
+        if cands:
+            rts, j = max(cands)           # latest ts, then max event_id
+            want[i] = (j, ts - rts)
+        else:
+            want[i] = (None, None)
+    assert got == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(_events, st.integers(1, 30), st.integers(1, 64))
+def test_range_kernel_matches_nested_loop(evs, w, chunk):
+    from sourmash_ray.pipelines.eventops import range_merge_partition
+
+    part = pa.table({
+        "user_id": pa.array([e[0] for e in evs], pa.int64()),
+        "event_id": pa.array(list(range(len(evs))), pa.int64()),
+        "ts_us": pa.array([e[1] for e in evs], pa.int64()),
+    })
+    got = sorted((r["a_event"], r["b_event"], r["dt_us"]) for r in
+                 range_merge_partition(part, w_us=w,
+                                       chunk_pairs=chunk).to_pylist())
+    want = sorted(
+        (i, j, evs[j][1] - evs[i][1])
+        for i, (u1, t1, _) in enumerate(evs)
+        for j, (u2, t2, _) in enumerate(evs)
+        if u1 == u2 and (t1, i) < (t2, j) and 0 <= t2 - t1 <= w)
+    assert got == want
