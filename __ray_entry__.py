@@ -302,6 +302,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": relational.revenue_by_nation,
         "hash_split_docs": docops.hash_split_docs,
         "shard_shuffle_docs": docops.shard_shuffle_docs,
+        "repetition_stats_docs": docops.repetition_stats_docs,
+        "decontaminate_docs": docops.decontaminate_docs,
         "stratified_sample_docs": docops.stratified_sample_docs,
         "length_quantiles_docs": docops.length_quantiles_docs,
         "length_quantiles_by_lang": docops.length_quantiles_by_lang,
@@ -511,6 +513,39 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
               AND c_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "decontaminate_docs": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(string_split(coalesce(text,''), ' ')) AS t,
+                     generate_subscripts(
+                         string_split(coalesce(text,''), ' '), 1) AS pos
+              FROM documents
+            ), tri AS (
+              SELECT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS g
+              FROM tok a
+              JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+              JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+            ), bench AS (SELECT DISTINCT g FROM tri WHERE doc_id < 10)
+            SELECT d.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits
+            FROM documents d LEFT JOIN (
+              SELECT doc_id, count(*) AS n FROM tri
+              WHERE g IN (SELECT g FROM bench) GROUP BY doc_id) h
+              USING (doc_id)
+            WHERE d.doc_id >= 10
+        """,
+        "repetition_stats_docs": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(string_split(coalesce(text, ''), ' ')) AS t
+              FROM documents
+            ), cnt AS (
+              SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t
+            )
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                   count(*) AS n_distinct,
+                   CAST(max(c) AS BIGINT) AS top_count
+            FROM cnt GROUP BY doc_id
         """,
         "shard_shuffle_docs": """
             SELECT doc_id, CAST(shard AS BIGINT) AS shard,

@@ -849,3 +849,138 @@ def shard_shuffle_docs(sf_dir: str, n_shards: int = 8,
         _key, batch_format="pyarrow")
     return exchange_map_groups(keyed, "shard", n_shards, _rank,
                                SHARD_SHUFFLE_SCHEMA)
+
+
+REPETITION_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()),
+    ("n_tokens", pa.int64()),
+    ("n_distinct", pa.int64()),
+    ("top_count", pa.int64()),
+])
+
+
+def repetition_stats_docs(sf_dir: str):
+    """Per-document token-repetition stats — the Gopher-style quality
+    rule "fraction of tokens in the most common token" (Rae et al. '21
+    §A1.1) reduced to integer-exact counts (n_tokens / n_distinct /
+    top_count; the filter thresholds ratios of these downstream).
+
+    Embarrassingly parallel, no shuffle: per batch the token lists
+    flatten to ONE fixed-width bytes array, and a single lexsort over
+    (row, token) + run-length pass yields every row's distinct and top
+    counts — no per-row Python, exact vs DuckDB's split/unnest/count
+    (token identity compared as bytes, not 64-bit hashes, so hash
+    collisions cannot skew the counts)."""
+    from ..functions.segscore import _to_bytes_array
+
+    def _stats(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        text = pc.fill_null(batch["text"].combine_chunks(), "")
+        toks = pc.split_pattern(text, " ")
+        ntok = np.asarray(pc.list_value_length(toks), np.int64)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        tb = _to_bytes_array(flat)
+        row = np.repeat(np.arange(n, dtype=np.int64), ntok)
+        order = np.lexsort((tb, row))
+        rs, ts = row[order], tb[order]
+        if rs.size:
+            new_run = np.r_[True, (rs[1:] != rs[:-1]) | (ts[1:] != ts[:-1])]
+            run_id = np.cumsum(new_run) - 1
+            run_len = np.bincount(run_id)
+            run_row = rs[new_run]
+            n_distinct = np.bincount(run_row, minlength=n)
+            top = np.zeros(n, np.int64)
+            np.maximum.at(top, run_row, run_len)
+        else:
+            n_distinct = np.zeros(n, np.int64)
+            top = np.zeros(n, np.int64)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(ntok, pa.int64()),
+            "n_distinct": pa.array(n_distinct.astype(np.int64),
+                                   pa.int64()),
+            "top_count": pa.array(top, pa.int64()),
+        })
+
+    return _read_docs(sf_dir).map_batches(_stats, batch_format="pyarrow")
+
+
+def _word_trigram_bytes(text: pa.Array | pa.ChunkedArray):
+    """(row_index, trigram-bytes S-array) for every word trigram of every
+    row — one split + three shifted takes + one element-wise join, no
+    per-row Python."""
+    from ..functions.segscore import _to_bytes_array
+
+    text = pc.fill_null(text, "")
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks = pc.split_pattern(text, " ")
+    ntok = np.asarray(pc.list_value_length(toks), np.int64)
+    flat = toks.flatten()
+    row = np.repeat(np.arange(len(ntok), dtype=np.int64), ntok)
+    if len(flat) < 3:
+        return np.empty(0, np.int64), np.empty(0, "S1")
+    valid = np.flatnonzero(row[:-2] == row[2:])
+    if valid.size == 0:
+        return np.empty(0, np.int64), np.empty(0, "S1")
+    iv = pa.array(valid, pa.int64())
+    iv1 = pa.array(valid + 1, pa.int64())
+    iv2 = pa.array(valid + 2, pa.int64())
+    tri = pc.binary_join_element_wise(flat.take(iv), flat.take(iv1),
+                                      flat.take(iv2), " ")
+    return row[valid], _to_bytes_array(tri)
+
+
+DECONTAM_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()),
+    ("n_hits", pa.int64()),
+])
+
+
+def decontaminate_docs(sf_dir: str, n_bench: int = 10):
+    """Benchmark decontamination — the eval-leakage guard of a training
+    pipeline: every corpus document (``doc_id >= n_bench``) is scored by
+    how many of its word-trigram positions also occur in the benchmark
+    set (here: the trigrams of docs ``doc_id < n_bench``, standing in
+    for an eval suite); ``n_hits == 0`` is the keep condition.
+
+    100-TB shape: the benchmark trigram set is tiny and BROADCAST
+    (``ray.put`` once — built off-driver in a remote task), the corpus
+    pass is embarrassingly parallel, membership is one ``searchsorted``
+    per batch against the sorted trigram bytes (exact bytes comparison,
+    no hash collisions), and nothing shuffles."""
+    import ray as _r
+
+    @_r.remote
+    def _bench_set(path: str, nb: int):
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(path, columns=["doc_id", "text"],
+                            filters=[("doc_id", "<", nb)])
+        _, tri = _word_trigram_bytes(tbl["text"])
+        return np.unique(tri)
+
+    path = f"{sf_dir}/documents.parquet"
+    bench_ref = _bench_set.remote(path, n_bench)
+
+    def _score(batch: pa.Table) -> pa.Table:
+        bench = _r.get(bench_ref)
+        n = batch.num_rows
+        row, tri = _word_trigram_bytes(batch["text"])
+        hits = np.zeros(n, np.int64)
+        if tri.size and bench.size:
+            w = max(tri.dtype.itemsize, bench.dtype.itemsize)
+            t_w = tri.astype(f"S{w}")
+            b_w = bench.astype(f"S{w}")
+            pos = np.searchsorted(b_w, t_w)
+            posc = np.minimum(pos, len(b_w) - 1)
+            member = b_w[posc] == t_w
+            np.add.at(hits, row[member], 1)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_hits": pa.array(hits, pa.int64())})
+
+    ds = read_parquet_clean(path, columns=["doc_id", "text"])
+    return (ds.filter(expr=f"doc_id >= {n_bench}")
+            .map_batches(_score, batch_format="pyarrow"))

@@ -162,3 +162,51 @@ def test_shard_shuffle_docs_is_a_permutation(ray_session):
     rows2 = shard_shuffle_docs(sf, n_shards=4).take_all()
     key = lambda r: (r["shard"], r["pos"], r["doc_id"])
     assert sorted(rows, key=key) == sorted(rows2, key=key)
+
+
+def test_repetition_stats_edge_cases(ray_session, tmp_path):
+    """Empty text counts one empty token (string_split semantics);
+    repeated tokens drive top_count; NULL text behaves like ''."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sourmash_ray.pipelines.docops import repetition_stats_docs
+
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["a a a b", "", None, "x"], pa.string()),
+        "lang": pa.array(["en"] * 4, pa.string()),
+        "source": pa.array(["src0"] * 4, pa.string()),
+        "n_chars": pa.array([7, 0, 0, 1], pa.int64()),
+    })
+    pq.write_table(tbl, f"{tmp_path}/documents.parquet")
+    got = {r["doc_id"]: (r["n_tokens"], r["n_distinct"], r["top_count"])
+           for r in repetition_stats_docs(str(tmp_path)).take_all()}
+    assert got == {0: (4, 2, 3), 1: (1, 1, 1), 2: (1, 1, 1),
+                   3: (1, 1, 1)}
+
+
+def test_decontaminate_docs_flags_shared_trigrams(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sourmash_ray.pipelines.docops import decontaminate_docs
+
+    texts = ["the quick brown fox",          # bench doc 0
+             "lazy dog sleeps here",         # bench doc 1
+             "a quick brown fox runs",       # shares 'quick brown fox'
+             "completely different words entirely",
+             "the quick brown fox jumps",    # shares two positions
+             "xy"]                           # too short for any trigram
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["src0"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, f"{tmp_path}/documents.parquet")
+    got = {r["doc_id"]: r["n_hits"]
+           for r in decontaminate_docs(str(tmp_path),
+                                       n_bench=2).take_all()}
+    assert got == {2: 1, 3: 0, 4: 2, 5: 0}
