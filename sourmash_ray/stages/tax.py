@@ -77,3 +77,83 @@ def tax_metagenome(gather_tbl: pa.Table, lineage_of: dict,
                          "f_weighted_at_rank": unclassified_w,
                          "bp_match_at_rank": 0})
     return pa.Table.from_pylist(rows, schema=TAX_SUMMARY_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# gather-CSV interop + CAMI bioboxes writer
+# ---------------------------------------------------------------------------
+
+# the columns tax consumers require from a gather CSV
+# (``tax_utils.py:754-850`` ``load_gather_results`` essential-column check)
+GATHER_CSV_REQUIRED = ("match", "f_unique_to_query", "f_unique_weighted",
+                       "unique_intersect_bp")
+
+
+def write_gather_csv(gather_tbl: pa.Table, path: str) -> str:
+    """Gather-result CSV writer (the ``-o`` CSV of ``sourmash gather``,
+    ``search.py:367-400`` column discipline — here the engine's own
+    GatherResult columns)."""
+    import pyarrow.csv as pacsv
+
+    pacsv.write_csv(gather_tbl, path)
+    return path
+
+
+def load_gather_csv(path: str) -> pa.Table:
+    """Gather-CSV reader for the tax consumers
+    (``tax_utils.py:754-956``): validates the essential columns are
+    present and the file is non-empty, then hands the table straight to
+    :func:`tax_metagenome` / rollups."""
+    import pyarrow.csv as pacsv
+
+    tbl = pacsv.read_csv(path)
+    missing = [c for c in GATHER_CSV_REQUIRED
+               if c not in tbl.column_names]
+    if missing:
+        raise ValueError(
+            f"not a gather CSV: missing columns {missing} in '{path}'")
+    if tbl.num_rows == 0:
+        raise ValueError(f"gather CSV '{path}' is empty")
+    return tbl
+
+
+def write_bioboxes(tax_tbl: pa.Table, out_path: str, *,
+                   sample_id: str = "query",
+                   rank_names: tuple = ("superkingdom", "phylum", "class",
+                                        "order", "family", "genus",
+                                        "species", "strain"),
+                   sep: str = "\t") -> str:
+    """CAMI profiling Bioboxes writer for a :func:`tax_metagenome` table
+    (``tax_utils.py:1100-1115`` ``write_bioboxes`` +
+    ``:2772-2830`` ``make_cami_bioboxes``): header block, then one
+    ``TAXID RANK TAXPATH TAXPATHSN PERCENTAGE`` row per classified
+    lineage, percentage = ``f_weighted_at_rank``×100 at 2 decimals.
+    This engine carries no numeric NCBI taxids, so TAXID/TAXPATH use the
+    lineage names (the spec's fields, names standing in for ids);
+    ``unclassified`` rows are skipped like the reference's
+    unassigned-lineage guard."""
+    rows = tax_tbl.to_pylist()
+    lines = [
+        "# Taxonomic Profiling Output",
+        f"@SampleID:{sample_id}",
+        "@Version:0.10.0",
+        "@Ranks:" + "|".join(
+            rank_names[:max((r["rank"] for r in rows), default=0) + 1]),
+        "@__program__:sourmash_ray",
+        sep.join(["@@TAXID", "RANK", "TAXPATH", "TAXPATHSN",
+                  "PERCENTAGE"]),
+    ]
+    for r in sorted(rows, key=lambda r: r["rank"]):
+        if r["lineage"] == "unclassified":
+            continue
+        names = r["lineage"].split(";")
+        rank_nm = (rank_names[r["rank"]]
+                   if r["rank"] < len(rank_names) else str(r["rank"]))
+        path = "|".join(names)
+        lines.append(sep.join([
+            names[-1], rank_nm, path, path,
+            f"{r['f_weighted_at_rank'] * 100:.2f}",
+        ]))
+    with open(out_path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return out_path

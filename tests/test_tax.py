@@ -49,3 +49,61 @@ def test_overlapping_fractions_raise():
     g = _gather([("gA", 0.8, 0.8, 1), ("gB", 0.5, 0.5, 1)])
     with pytest.raises(ValueError, match="fraction > 1"):
         tax_metagenome(g, LINEAGES)
+
+
+def test_gather_csv_round_trip_feeds_tax(tmp_path):
+    import pyarrow as pa
+
+    from sourmash_ray.stages.tax import (load_gather_csv, tax_metagenome,
+                                         write_gather_csv)
+
+    tbl = pa.table({
+        "match": ["g1", "g2"],
+        "f_unique_to_query": [0.5, 0.25],
+        "f_unique_weighted": [0.6, 0.2],
+        "unique_intersect_bp": [500, 250],
+    })
+    p = str(tmp_path / "gather.csv")
+    write_gather_csv(tbl, p)
+    back = load_gather_csv(p)
+    lin = {"g1": "pA;gB", "g2": "pA;gC"}
+    assert tax_metagenome(back, lin).to_pylist() == \
+        tax_metagenome(tbl, lin).to_pylist()
+
+
+def test_load_gather_csv_rejects_non_gather(tmp_path):
+    import pytest
+
+    from sourmash_ray.stages.tax import load_gather_csv
+
+    p = tmp_path / "other.csv"
+    p.write_text("a,b\n1,2\n")
+    with pytest.raises(ValueError, match="missing columns"):
+        load_gather_csv(str(p))
+
+
+def test_write_bioboxes_format(tmp_path):
+    import pyarrow as pa
+
+    from sourmash_ray.stages.tax import tax_metagenome, write_bioboxes
+
+    tbl = pa.table({
+        "match": ["g1", "g2"],
+        "f_unique_to_query": [0.5, 0.25],
+        "f_unique_weighted": [0.6, 0.2],
+        "unique_intersect_bp": [500, 250],
+    })
+    lin = {"g1": "pA;gB", "g2": "pA;gC"}
+    out = tax_metagenome(tbl, lin)
+    p = str(tmp_path / "profile.bioboxes")
+    write_bioboxes(out, p, sample_id="s1")
+    lines = open(p).read().splitlines()
+    assert lines[0] == "# Taxonomic Profiling Output"
+    assert "@SampleID:s1" in lines
+    assert lines[5].startswith("@@TAXID\tRANK\tTAXPATH")
+    data = [ln.split("\t") for ln in lines[6:]]
+    # rank 0 row: both matches roll into pA at 80.00%
+    assert ["pA", "superkingdom", "pA", "pA", "80.00"] in data
+    # rank 1 rows keep the full name path; unclassified skipped
+    assert ["gB", "phylum", "pA|gB", "pA|gB", "60.00"] in data
+    assert not any(r[0] == "unclassified" for r in data)
