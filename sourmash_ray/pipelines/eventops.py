@@ -53,30 +53,60 @@ def tumbling_window_counts(sf_dir: str, unit: str = "hour"):
         }), batch_format="pyarrow")
 
 
+SESSION_SCHEMA = pa.schema([
+    ("user_id", pa.int64()),
+    ("session_start", pa.timestamp("us")),
+    ("n_events", pa.int64()),
+])
+
+
 def sessionize_events(sf_dir: str, gap_minutes: int = 30):
     """Session windows per user: sort within user by ts, break on gaps >
-    ``gap_minutes`` — a groupby(user).map_groups stage (per-group state,
-    the watch-style incremental pattern made explicit). Output: one row per
-    session (user_id, session_start, n_events)."""
+    ``gap_minutes``. Output: one row per session (user_id,
+    session_start, n_events).
+
+    Shape: the user-keyed exchange (same contract as
+    :func:`asof_join_events`), then each partition sessionizes ALL its
+    users in one lexsort + one diff pass — a session breaks where the
+    user changes or the gap exceeds the threshold — instead of the
+    previous ``groupby(user).map_groups`` (one Python call per user,
+    and Ray 2.49's sort-based groupby shuffle behind it)."""
     import numpy as np
 
-    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
-                            columns=["user_id", "ts"])
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.exchange import exchange_map_groups
+
     gap_us = gap_minutes * 60 * 1_000_000
 
-    def _sessions(group: pa.Table) -> pa.Table:
-        ts = np.sort(np.asarray(group["ts"].cast(pa.int64())))
-        breaks = np.flatnonzero(np.diff(ts) > gap_us) + 1
-        starts = np.concatenate([[0], breaks])
-        ends = np.concatenate([breaks, [ts.size]])
-        uid = group["user_id"][0].as_py()
+    def _tag(batch: pa.Table) -> pa.Table:
         return pa.table({
-            "user_id": pa.array([uid] * starts.size, pa.int64()),
-            "session_start": pa.array(ts[starts], pa.timestamp("us")),
-            "n_events": pa.array((ends - starts).astype("int64"), pa.int64()),
+            "user_id": batch["user_id"],
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
         })
 
-    return ds.groupby("user_id").map_groups(_sessions, batch_format="pyarrow")
+    def _sessions(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return SESSION_SCHEMA.empty_table()
+        u = np.asarray(part["user_id"], np.int64)
+        ts = np.asarray(part["ts_us"], np.int64)
+        order = np.lexsort((ts, u))
+        u, ts = u[order], ts[order]
+        new = np.r_[True, (u[1:] != u[:-1]) | (np.diff(ts) > gap_us)]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.r_[starts, len(u)])
+        return pa.table({
+            "user_id": pa.array(u[starts], pa.int64()),
+            "session_start": pa.array(ts[starts], pa.int64()).cast(
+                pa.timestamp("us")),
+            "n_events": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"]).map_batches(
+        _tag, batch_format="pyarrow")
+    n_parts = resolve_num_partitions(DEFAULT_CONFIG)
+    return exchange_map_groups(ds, "user_id", n_parts, _sessions,
+                               SESSION_SCHEMA)
 
 
 def hopping_window_counts(sf_dir: str, window_hours: int = 2,
