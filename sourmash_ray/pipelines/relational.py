@@ -81,12 +81,27 @@ def picklist_anti_join(sf_dir: str):
 
 
 def topk_orders(sf_dir: str, k: int = 25):
-    """sort desc + limit — the ``--num-results``/``best_containment``
-    pattern (``index/__init__.py:258-270``: score desc, key tiebreak)."""
+    """Global top-k — the ``--num-results``/``best_containment`` pattern
+    (``index/__init__.py:258-270``: score desc, key tiebreak). Each
+    block keeps only its own top-k (vectorized argpartition), so the
+    final sort+limit runs over ≤ k×blocks candidate rows instead of a
+    full-dataset sort shuffle."""
+    import numpy as np
+
+    def _block_topk(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n <= k:
+            return batch
+        price = np.asarray(batch["o_totalprice"], np.float64)
+        okey = np.asarray(batch["o_orderkey"], np.int64)
+        idx = np.lexsort((okey, -price))[:k]
+        return batch.take(pa.array(np.sort(idx), pa.int64()))
+
     ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
-                               columns=["o_orderkey", "o_totalprice"])
-    return ds.sort(["o_totalprice", "o_orderkey"],
-                   descending=[True, False]).limit(k)
+                            columns=["o_orderkey", "o_totalprice"])
+    return (ds.map_batches(_block_topk, batch_format="pyarrow")
+            .sort(["o_totalprice", "o_orderkey"],
+                  descending=[True, False]).limit(k))
 
 
 def pricing_summary(sf_dir: str):
