@@ -304,6 +304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shard_shuffle_docs": docops.shard_shuffle_docs,
         "repetition_stats_docs": docops.repetition_stats_docs,
         "decontaminate_docs": docops.decontaminate_docs,
+        "curate_docs": docops.curate_docs,
         "stratified_sample_docs": docops.stratified_sample_docs,
         "length_quantiles_docs": docops.length_quantiles_docs,
         "length_quantiles_by_lang": docops.length_quantiles_by_lang,
@@ -513,6 +514,41 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
               AND c_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "curate_docs": """
+            WITH q AS (
+              SELECT quantile_disc(n_chars, 0.10) AS lo,
+                     quantile_disc(n_chars, 0.90) AS hi
+              FROM documents
+            ), tok AS (
+              SELECT doc_id,
+                     unnest(string_split(coalesce(text,''), ' ')) AS t,
+                     generate_subscripts(
+                         string_split(coalesce(text,''), ' '), 1) AS pos
+              FROM documents
+            ), rep AS (
+              SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                     CAST(max(c) AS BIGINT) AS top_count
+              FROM (SELECT doc_id, t, count(*) AS c FROM tok
+                    GROUP BY doc_id, t) GROUP BY doc_id
+            ), tri AS (
+              SELECT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS g
+              FROM tok a
+              JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+              JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+            ), bench AS (SELECT DISTINCT g FROM tri WHERE doc_id < 10),
+            hits AS (
+              SELECT doc_id, count(*) AS n FROM tri
+              WHERE g IN (SELECT g FROM bench) GROUP BY doc_id
+            )
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d
+            JOIN rep USING (doc_id)
+            LEFT JOIN hits USING (doc_id), q
+            WHERE d.doc_id >= 10
+              AND d.n_chars BETWEEN q.lo AND q.hi
+              AND rep.top_count * 4 <= rep.n_tokens
+              AND coalesce(hits.n, 0) = 0
         """,
         "decontaminate_docs": """
             WITH tok AS (

@@ -871,31 +871,9 @@ def repetition_stats_docs(sf_dir: str):
     counts — no per-row Python, exact vs DuckDB's split/unnest/count
     (token identity compared as bytes, not 64-bit hashes, so hash
     collisions cannot skew the counts)."""
-    from ..functions.segscore import _to_bytes_array
-
     def _stats(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        text = pc.fill_null(batch["text"].combine_chunks(), "")
-        toks = pc.split_pattern(text, " ")
-        ntok = np.asarray(pc.list_value_length(toks), np.int64)
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        flat = toks.flatten()
-        tb = _to_bytes_array(flat)
-        row = np.repeat(np.arange(n, dtype=np.int64), ntok)
-        order = np.lexsort((tb, row))
-        rs, ts = row[order], tb[order]
-        if rs.size:
-            new_run = np.r_[True, (rs[1:] != rs[:-1]) | (ts[1:] != ts[:-1])]
-            run_id = np.cumsum(new_run) - 1
-            run_len = np.bincount(run_id)
-            run_row = rs[new_run]
-            n_distinct = np.bincount(run_row, minlength=n)
-            top = np.zeros(n, np.int64)
-            np.maximum.at(top, run_row, run_len)
-        else:
-            n_distinct = np.zeros(n, np.int64)
-            top = np.zeros(n, np.int64)
+        ntok, n_distinct, top = _repetition_counts(batch["text"],
+                                                   batch.num_rows)
         return pa.table({
             "doc_id": batch["doc_id"],
             "n_tokens": pa.array(ntok, pa.int64()),
@@ -905,6 +883,37 @@ def repetition_stats_docs(sf_dir: str):
         })
 
     return _read_docs(sf_dir).map_batches(_stats, batch_format="pyarrow")
+
+
+def _repetition_counts(text_col, n: int):
+    """(n_tokens, n_distinct, top_count) int64 arrays per row — one
+    lexsort + run-length pass over the flattened token bytes."""
+    from ..functions.segscore import _to_bytes_array
+
+    text = pc.fill_null(text_col, "")
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks = pc.split_pattern(text, " ")
+    ntok = np.asarray(pc.list_value_length(toks), np.int64)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    tb = _to_bytes_array(flat)
+    row = np.repeat(np.arange(n, dtype=np.int64), ntok)
+    order = np.lexsort((tb, row))
+    rs, ts = row[order], tb[order]
+    if rs.size:
+        new_run = np.r_[True, (rs[1:] != rs[:-1]) | (ts[1:] != ts[:-1])]
+        run_id = np.cumsum(new_run) - 1
+        run_len = np.bincount(run_id)
+        run_row = rs[new_run]
+        n_distinct = np.bincount(run_row, minlength=n)
+        top = np.zeros(n, np.int64)
+        np.maximum.at(top, run_row, run_len)
+    else:
+        n_distinct = np.zeros(n, np.int64)
+        top = np.zeros(n, np.int64)
+    return ntok, n_distinct, top
 
 
 def _word_trigram_bytes(text: pa.Array | pa.ChunkedArray):
@@ -939,6 +948,34 @@ DECONTAM_SCHEMA = pa.schema([
 ])
 
 
+def _bench_trigram_set(path: str, nb: int) -> np.ndarray:
+    """Sorted unique trigram bytes of the benchmark docs (doc_id < nb) —
+    built off-driver via ``ray.remote`` so the driver never touches the
+    bench texts."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(path, columns=["doc_id", "text"],
+                        filters=[("doc_id", "<", nb)])
+    _, tri = _word_trigram_bytes(tbl["text"])
+    return np.unique(tri)
+
+
+def _trigram_hits(batch_text, n_rows: int, bench: np.ndarray) -> np.ndarray:
+    """Per-row count of trigram positions present in ``bench`` (sorted
+    S-array) — exact bytes membership via one searchsorted."""
+    row, tri = _word_trigram_bytes(batch_text)
+    hits = np.zeros(n_rows, np.int64)
+    if tri.size and bench.size:
+        w = max(tri.dtype.itemsize, bench.dtype.itemsize)
+        t_w = tri.astype(f"S{w}")
+        b_w = bench.astype(f"S{w}")
+        pos = np.searchsorted(b_w, t_w)
+        posc = np.minimum(pos, len(b_w) - 1)
+        member = b_w[posc] == t_w
+        np.add.at(hits, row[member], 1)
+    return hits
+
+
 def decontaminate_docs(sf_dir: str, n_bench: int = 10):
     """Benchmark decontamination — the eval-leakage guard of a training
     pipeline: every corpus document (``doc_id >= n_bench``) is scored by
@@ -951,36 +988,69 @@ def decontaminate_docs(sf_dir: str, n_bench: int = 10):
     pass is embarrassingly parallel, membership is one ``searchsorted``
     per batch against the sorted trigram bytes (exact bytes comparison,
     no hash collisions), and nothing shuffles."""
-    import ray as _r
-
-    @_r.remote
-    def _bench_set(path: str, nb: int):
-        import pyarrow.parquet as pq
-
-        tbl = pq.read_table(path, columns=["doc_id", "text"],
-                            filters=[("doc_id", "<", nb)])
-        _, tri = _word_trigram_bytes(tbl["text"])
-        return np.unique(tri)
-
     path = f"{sf_dir}/documents.parquet"
-    bench_ref = _bench_set.remote(path, n_bench)
+    bench_ref = _ray.remote(_bench_trigram_set).remote(path, n_bench)
 
     def _score(batch: pa.Table) -> pa.Table:
-        bench = _r.get(bench_ref)
-        n = batch.num_rows
-        row, tri = _word_trigram_bytes(batch["text"])
-        hits = np.zeros(n, np.int64)
-        if tri.size and bench.size:
-            w = max(tri.dtype.itemsize, bench.dtype.itemsize)
-            t_w = tri.astype(f"S{w}")
-            b_w = bench.astype(f"S{w}")
-            pos = np.searchsorted(b_w, t_w)
-            posc = np.minimum(pos, len(b_w) - 1)
-            member = b_w[posc] == t_w
-            np.add.at(hits, row[member], 1)
+        bench = _ray.get(bench_ref)
+        hits = _trigram_hits(batch["text"], batch.num_rows, bench)
         return pa.table({"doc_id": batch["doc_id"],
                          "n_hits": pa.array(hits, pa.int64())})
 
     ds = read_parquet_clean(path, columns=["doc_id", "text"])
     return (ds.filter(expr=f"doc_id >= {n_bench}")
             .map_batches(_score, batch_format="pyarrow"))
+
+
+CURATE_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()),
+    ("lang", pa.string()),
+    ("n_chars", pa.int64()),
+])
+
+
+def curate_docs(sf_dir: str, n_bench: int = 10,
+                q_band=(0.10, 0.90), rep_factor: int = 4):
+    """Capstone curation pipeline — the composed quality gate a
+    training-data run applies before tokenization, every stage an
+    operator this engine already owns:
+
+    1. exact length thresholds from the distributed value histogram
+       (``quantiles_disc`` — DuckDB ``quantile_disc`` semantics);
+    2. repetition gate (``top_count × rep_factor ≤ n_tokens``, the
+       Gopher A1.1 most-common-token rule on integer counts);
+    3. benchmark decontamination (zero eval-set trigram hits, broadcast
+       set);
+    4. survivors projected to (doc_id, lang, n_chars).
+
+    One histogram exchange for the thresholds, then ONE embarrassingly-
+    parallel scoring pass — the per-doc signals never shuffle and never
+    meet a join; the keep decision is made in-kernel per batch."""
+    from ..stages.agg import quantiles_disc
+
+    qrows = {r["q"]: r["value"] for r in quantiles_disc(
+        _read_docs(sf_dir, ("n_chars",)), "n_chars",
+        list(q_band)).to_pylist()}
+    lo, hi = int(qrows[q_band[0]]), int(qrows[q_band[1]])
+
+    path = f"{sf_dir}/documents.parquet"
+    bench_ref = _ray.remote(_bench_trigram_set).remote(path, n_bench)
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        bench = _ray.get(bench_ref)
+        n = batch.num_rows
+        ntok, _, top = _repetition_counts(batch["text"], n)
+        hits = _trigram_hits(batch["text"], n, bench)
+        nch = np.asarray(batch["n_chars"], np.int64)
+        keep = ((nch >= lo) & (nch <= hi)
+                & (top * rep_factor <= ntok) & (hits == 0))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "lang": batch["lang"],
+            "n_chars": batch["n_chars"],
+        }).filter(pa.array(keep)).cast(CURATE_SCHEMA)
+
+    ds = read_parquet_clean(
+        path, columns=["doc_id", "text", "lang", "n_chars"])
+    return (ds.filter(expr=f"doc_id >= {n_bench}")
+            .map_batches(_keep, batch_format="pyarrow"))

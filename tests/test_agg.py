@@ -210,3 +210,18 @@ def test_decontaminate_docs_flags_shared_trigrams(ray_session, tmp_path):
            for r in decontaminate_docs(str(tmp_path),
                                        n_bench=2).take_all()}
     assert got == {2: 1, 3: 0, 4: 2, 5: 0}
+
+
+def test_curate_docs_composed_gates(ray_session):
+    """curate = length band ∩ repetition gate ∩ decontamination-clean."""
+    from sourmash_ray.pipelines.docops import (curate_docs,
+                                               decontaminate_docs)
+
+    sf = "/root/testdata/sf0.001"
+    kept = {r["doc_id"] for r in curate_docs(sf).take_all()}
+    assert kept                                     # gate is non-trivial
+    clean = {r["doc_id"] for r in decontaminate_docs(sf).take_all()
+             if r["n_hits"] == 0}
+    assert kept <= clean                            # never keeps a hit
+    # deterministic
+    assert kept == {r["doc_id"] for r in curate_docs(sf).take_all()}
