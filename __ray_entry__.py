@@ -300,6 +300,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_topk_orders": relational.grouped_topk_orders,
         "pricing_summary": relational.pricing_summary,
         "revenue_by_nation": relational.revenue_by_nation,
+        "customers_with_urgent_orders":
+            relational.customers_with_urgent_orders,
+        "customers_no_urgent_orders":
+            relational.customers_no_urgent_orders,
         "hash_split_docs": docops.hash_split_docs,
         "shard_shuffle_docs": docops.shard_shuffle_docs,
         "repetition_stats_docs": docops.repetition_stats_docs,
@@ -514,6 +518,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
               AND c_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "customers_with_urgent_orders": """
+            SELECT c_custkey AS custkey, c_name, c_mktsegment
+            FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders
+                                WHERE o_orderpriority = '1-URGENT')
+        """,
+        "customers_no_urgent_orders": """
+            SELECT c_custkey AS custkey, c_name, c_mktsegment
+            FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                    WHERE o_orderpriority = '1-URGENT')
         """,
         "curate_docs": """
             WITH q AS (

@@ -468,3 +468,49 @@ def revenue_by_nation(sf_dir: str):
                             "sum_revenue_e4": t["sum_revenue_e4"],
                             "n_items": t["sum_n_li"]}),
         batch_format="pyarrow")
+
+
+def _customers_vs_urgent(sf_dir: str, join_type: str):
+    """Big-big semi/anti join on the exchange: customers that do (semi) /
+    do not (anti) have a ``1-URGENT`` order. Unlike the picklist variants
+    (broadcast set — right side must fit in memory), both sides here ship
+    through the key exchange, so the shape survives a right side far
+    larger than any worker's heap. The right side is projected to its key
+    and block-locally deduplicated before the shuffle — a semi/anti join
+    only needs distinct keys, so dup orders per customer never travel.
+    Reference semantics: picklist include/exclude (``picklist.py:265-319``)
+    at collection scale."""
+    import numpy as np
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.join import hash_join_exchange
+
+    cust = read_parquet_clean(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_mktsegment"])
+
+    def _urgent_keys(batch: pa.Table) -> pa.Table:
+        pri = np.asarray(batch["o_orderpriority"]) == "1-URGENT"
+        keys = np.unique(np.asarray(batch["o_custkey"], np.int64)[pri])
+        return pa.table({"o_custkey": pa.array(keys, pa.int64())})
+
+    urgent = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority"],
+    ).map_batches(_urgent_keys, batch_format="pyarrow")
+
+    return hash_join_exchange(
+        cust, urgent, key="custkey",
+        left_cols=["c_name", "c_mktsegment"], right_cols=[],
+        n_parts=resolve_num_partitions(DEFAULT_CONFIG),
+        join_type=join_type, left_key="c_custkey", right_key="o_custkey")
+
+
+def customers_with_urgent_orders(sf_dir: str):
+    """Left-semi exchange join: customers holding ≥1 URGENT order."""
+    return _customers_vs_urgent(sf_dir, "left semi")
+
+
+def customers_no_urgent_orders(sf_dir: str):
+    """Left-anti exchange join: customers with no URGENT order."""
+    return _customers_vs_urgent(sf_dir, "left anti")

@@ -61,10 +61,14 @@ def hash_join_exchange(left, right, key: str, left_cols: list[str],
         .union(right.map_batches(_tag(1, right_key),
                                  batch_format="pyarrow"))
 
-    out_schema = pa.schema([(key, pa.int64())]
-                           + [(c, t) for c, t, _ in cols])
     l_names = [c for c, _, s in cols if s == 0]
     r_names = [c for c, _, s in cols if s == 1]
+    # semi/anti joins emit left rows only — right payload never appears
+    semi = join_type in ("left semi", "left anti")
+    out_names = [key] + l_names + ([] if semi else r_names)
+    out_schema = pa.schema([(key, pa.int64())]
+                           + [(c, t) for c, t, s in cols
+                              if s == 0 or not semi])
 
     def _join(part: pa.Table) -> pa.Table:
         side = np.asarray(part["__side"], np.int8)
@@ -72,10 +76,13 @@ def hash_join_exchange(left, right, key: str, left_cols: list[str],
               .select(["__key"] + l_names).rename_columns([key] + l_names))
         rt = (part.filter(pa.array(side == 1))
               .select(["__key"] + r_names).rename_columns([key] + r_names))
-        if join_type == "inner" and (lt.num_rows == 0 or rt.num_rows == 0):
+        if join_type in ("inner", "left semi") and (
+                lt.num_rows == 0 or rt.num_rows == 0):
             return out_schema.empty_table()
+        if join_type == "left anti" and rt.num_rows == 0:
+            return lt.select(out_names).cast(out_schema)
         return (lt.join(rt, keys=key, join_type=join_type,
                         use_threads=False)
-                .select([key] + l_names + r_names).cast(out_schema))
+                .select(out_names).cast(out_schema))
 
     return exchange_map_groups(both, "__key", n_parts, _join, out_schema)

@@ -59,6 +59,54 @@ def test_disjoint_sides_empty_result(ray_session):
     assert out == []
 
 
+def test_semi_anti_join(ray_session):
+    """Semi keeps matched left rows once (no dup multiplication from a
+    duplicated right side); anti keeps the complement; neither emits
+    right payload columns."""
+    left = ray.data.from_arrow(pa.table({
+        "k": [1, 1, 2, 3, 7], "lv": ["a", "b", "c", "d", "e"]}))
+    right = ray.data.from_arrow(pa.table({
+        "k": [1, 2, 2, 9], "rv": [10, 20, 21, 90]}))
+    semi = hash_join_exchange(left, right, "k", ["lv"], [],
+                              n_parts=4, join_type="left semi").take_all()
+    assert _sorted(semi) == _sorted([
+        {"k": 1, "lv": "a"}, {"k": 1, "lv": "b"}, {"k": 2, "lv": "c"}])
+    anti = hash_join_exchange(left, right, "k", ["lv"], [],
+                              n_parts=4, join_type="left anti").take_all()
+    assert _sorted(anti) == _sorted([
+        {"k": 3, "lv": "d"}, {"k": 7, "lv": "e"}])
+
+
+def test_anti_join_empty_right(ray_session):
+    """Every partition has an empty right side → anti passes left through;
+    semi returns nothing."""
+    left = ray.data.from_arrow(pa.table({"k": [1, 2], "lv": ["a", "b"]}))
+    right = ray.data.from_arrow(
+        pa.table({"k": pa.array([], pa.int64())}))
+    anti = hash_join_exchange(left, right, "k", ["lv"], [],
+                              n_parts=4, join_type="left anti").take_all()
+    assert _sorted(anti) == _sorted([
+        {"k": 1, "lv": "a"}, {"k": 2, "lv": "b"}])
+    semi = hash_join_exchange(left, right, "k", ["lv"], [],
+                              n_parts=4, join_type="left semi").take_all()
+    assert semi == []
+
+
+def test_semi_anti_matches_pyarrow_oracle(ray_session):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    lt = pa.table({"k": pa.array(rng.integers(0, 40, 300), pa.int64()),
+                   "lv": pa.array(np.arange(300), pa.int64())})
+    rt = pa.table({"k": pa.array(rng.integers(20, 60, 200), pa.int64())})
+    for jt in ("left semi", "left anti"):
+        got = hash_join_exchange(
+            ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+            "k", ["lv"], [], n_parts=6, join_type=jt).take_all()
+        want = lt.join(rt, keys="k", join_type=jt).to_pylist()
+        assert _sorted(got) == _sorted(want)
+
+
 def test_matches_pyarrow_join_oracle(ray_session):
     import numpy as np
 
