@@ -307,6 +307,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split_docs": docops.hash_split_docs,
         "shard_shuffle_docs": docops.shard_shuffle_docs,
         "repetition_stats_docs": docops.repetition_stats_docs,
+        "top_tokens_docs": docops.top_tokens_docs,
+        "tfidf_top_terms_docs": docops.tfidf_top_terms_docs,
         "decontaminate_docs": docops.decontaminate_docs,
         "curate_docs": docops.curate_docs,
         "stratified_sample_docs": docops.stratified_sample_docs,
@@ -598,6 +600,39 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_distinct,
                    CAST(max(c) AS BIGINT) AS top_count
             FROM cnt GROUP BY doc_id
+        """,
+        "top_tokens_docs": """
+            SELECT t AS tok, CAST(count(*) AS BIGINT) AS n_occurrences
+            FROM (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS t
+                  FROM documents)
+            WHERE t <> ''
+            GROUP BY t
+            ORDER BY n_occurrences DESC, tok
+            LIMIT 50
+        """,
+        "tfidf_top_terms_docs": """
+            WITH tok AS (
+              SELECT doc_id, t FROM (
+                SELECT doc_id,
+                       unnest(string_split(coalesce(text, ''), ' ')) AS t
+                FROM documents)
+              WHERE t <> ''),
+            tf AS (SELECT doc_id, t AS tok, count(*) AS tf
+                   FROM tok GROUP BY doc_id, t),
+            df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+            n AS (SELECT count(*) AS n FROM documents)
+            SELECT doc_id, tok, tf, df, score_e4, rn FROM (
+              SELECT tf.doc_id, tf.tok,
+                     CAST(tf.tf AS BIGINT) AS tf,
+                     CAST(df.df AS BIGINT) AS df,
+                     CAST((tf.tf * n.n * 10000) // df.df AS BIGINT)
+                         AS score_e4,
+                     row_number() OVER (
+                         PARTITION BY tf.doc_id
+                         ORDER BY (tf.tf * n.n * 10000) // df.df DESC,
+                                  tf.tok) AS rn
+              FROM tf JOIN df USING (tok), n)
+            WHERE rn <= 3
         """,
         "shard_shuffle_docs": """
             SELECT doc_id, CAST(shard AS BIGINT) AS shard,

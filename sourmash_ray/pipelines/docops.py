@@ -1054,3 +1054,117 @@ def curate_docs(sf_dir: str, n_bench: int = 10,
         path, columns=["doc_id", "text", "lang", "n_chars"])
     return (ds.filter(expr=f"doc_id >= {n_bench}")
             .map_batches(_keep, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# term frequency / TF-IDF — the vocabulary-statistics family
+# ---------------------------------------------------------------------------
+
+def _tf_rows_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, tok, tf) rows for every non-empty whitespace token of
+    every document in the batch — exact per-document term frequencies.
+
+    One split + one lexsort + one run-length pass over the flattened
+    token bytes (the `_repetition_counts` kernel shape); a document
+    lives in exactly one row, so block-local counts are globally exact
+    with no shuffle. Token strings are taken back out of the original
+    Arrow flat array (no bytes→str re-decode)."""
+    from ..functions.segscore import _to_bytes_array
+
+    n = batch.num_rows
+    text = pc.fill_null(batch["text"], "")
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks = pc.split_pattern(text, " ")
+    ntok = np.asarray(pc.list_value_length(toks), np.int64)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    row = np.repeat(np.arange(n, dtype=np.int64), ntok)
+    nonempty = np.flatnonzero(
+        np.asarray(pc.binary_length(flat), np.int64) > 0)
+    out_schema = pa.schema([("doc_id", pa.int64()), ("tok", pa.string()),
+                            ("tf", pa.int64())])
+    if nonempty.size == 0:
+        return out_schema.empty_table()
+    tb = _to_bytes_array(flat)[nonempty]
+    rs = row[nonempty]
+    order = np.lexsort((tb, rs))
+    rs_s, tb_s = rs[order], tb[order]
+    new_run = np.r_[True, (rs_s[1:] != rs_s[:-1]) | (tb_s[1:] != tb_s[:-1])]
+    run_id = np.cumsum(new_run) - 1
+    run_len = np.bincount(run_id)
+    first_flat_idx = nonempty[order[new_run]]
+    doc_ids = np.asarray(batch["doc_id"], np.int64)[rs_s[new_run]]
+    return pa.table({
+        "doc_id": pa.array(doc_ids, pa.int64()),
+        "tok": flat.take(pa.array(first_flat_idx, pa.int64())),
+        "tf": pa.array(run_len.astype(np.int64), pa.int64()),
+    }).cast(out_schema)
+
+
+def _doc_tf(sf_dir: str):
+    return _read_docs(sf_dir).map_batches(_tf_rows_batch,
+                                          batch_format="pyarrow")
+
+
+def top_tokens_docs(sf_dir: str, k: int = 50):
+    """Global top-k vocabulary — the word-count canon at scale: exact
+    per-(doc, token) counts in one block-local pass, `grouped_sums`
+    exchange of the (token, partial-count) rows only, per-partition
+    top-k truncation, then the final sort+limit runs over ≤ k×partitions
+    candidate rows — the full vocabulary never leaves its partitions."""
+    from ..functions.segscore import _to_bytes_array
+    from ..stages.agg import grouped_sums
+
+    g = grouped_sums(_doc_tf(sf_dir).select_columns(["tok", "tf"]),
+                     ["tok"], ["tf"])
+
+    def _blk_topk(t: pa.Table) -> pa.Table:
+        out = pa.table({"tok": t["tok"],
+                        "n_occurrences": t["sum_tf"]})
+        if out.num_rows <= k:
+            return out
+        nv = np.asarray(out["n_occurrences"], np.int64)
+        tb = _to_bytes_array(out["tok"].combine_chunks())
+        idx = np.lexsort((tb, -nv))[:k]
+        return out.take(pa.array(np.sort(idx), pa.int64()))
+
+    return (g.map_batches(_blk_topk, batch_format="pyarrow")
+            .sort(["n_occurrences", "tok"], descending=[True, False])
+            .limit(k))
+
+
+def tfidf_top_terms_docs(sf_dir: str, k: int = 3):
+    """Per-document top-k TF-IDF terms: exact (doc, token, tf) rows, a
+    `grouped_sums` document-frequency table, the STRING-KEYED big-big
+    hash join on the exchange (df is vocabulary-sized — broadcast it
+    when it fits, but the exchange join is the shape that survives a
+    vocabulary larger than a worker's heap), then `grouped_topk` per
+    doc. The idf weight is the exact rational ``N/df`` at 1e4 scale
+    (integer floor division, no float log) so partial/merge order cannot
+    perturb the ranking and the DuckDB twin hashes identically."""
+    from ..stages.agg import grouped_sums, grouped_topk
+    from ..stages.join import hash_join_exchange
+    from ..config import resolve_num_partitions
+
+    tf = _doc_tf(sf_dir)
+    df = grouped_sums(tf.select_columns(["tok"]), ["tok"], [],
+                      count_as="df")
+    n_docs = _read_docs(sf_dir, ("doc_id",)).count()
+
+    joined = hash_join_exchange(
+        tf, df, key="tok", left_cols=["doc_id", "tf"], right_cols=["df"],
+        n_parts=resolve_num_partitions(DEFAULT_CONFIG))
+
+    def _score(t: pa.Table) -> pa.Table:
+        tfv = np.asarray(t["tf"], np.int64)
+        dfv = np.asarray(t["df"], np.int64)
+        score = (tfv * np.int64(n_docs) * np.int64(10000)) // dfv
+        return pa.table({
+            "doc_id": t["doc_id"], "tok": t["tok"], "tf": t["tf"],
+            "df": t["df"], "score_e4": pa.array(score, pa.int64()),
+        })
+
+    scored = joined.map_batches(_score, batch_format="pyarrow")
+    return grouped_topk(scored, "doc_id", "score_e4", k, "tok")

@@ -111,9 +111,18 @@ def grouped_topk(ds, key: str, order_col: str, k: int, tiebreak: str,
         n_parts = resolve_num_partitions(DEFAULT_CONFIG)
 
     def _truncate(tbl: pa.Table, with_rank: bool):
+        from ..functions.segscore import _to_bytes_array
+
         kv = np.asarray(tbl[key])
         ov = np.asarray(tbl[order_col])
-        tb = np.asarray(tbl[tiebreak])
+        tcol = tbl[tiebreak]
+        if pa.types.is_string(tcol.type) or pa.types.is_large_string(
+                tcol.type):
+            # numpy S-dtype memcmp == UTF-8 bytewise == codepoint order,
+            # matching DuckDB's default binary collation
+            tb = _to_bytes_array(tcol.combine_chunks())
+        else:
+            tb = np.asarray(tcol)
         order = np.lexsort((tb, -ov, kv))
         kv = kv[order]
         starts = np.flatnonzero(

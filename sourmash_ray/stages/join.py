@@ -11,6 +11,12 @@ runs ``pyarrow.Table.join`` on each partition pair. Rows shipped =
 |left| + |right| projected columns, exactly once — the textbook
 partitioned hash join. Small sides should NOT use this: broadcast them
 (`relational.broadcast_lookup_join` pattern) and skip the shuffle.
+
+Integer keys partition by value (``key % n_parts``); string keys by the
+vectorized content hash (`functions.segscore.hash_strings64`) with the
+original string carried through the exchange so the in-partition join
+still compares exact values — a hash collision only co-locates rows,
+never mis-joins them.
 """
 
 from __future__ import annotations
@@ -18,6 +24,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from ..functions.segscore import hash_strings64
 from .exchange import exchange_map_groups
 
 
@@ -26,31 +33,40 @@ def hash_join_exchange(left, right, key: str, left_cols: list[str],
                        join_type: str = "inner",
                        left_key: str | None = None,
                        right_key: str | None = None):
-    """Equi-join two Datasets on an integer key; the joined key column is
-    named ``key`` in the output (``left_key`` / ``right_key`` name the
-    source columns when the sides spell it differently).
+    """Equi-join two Datasets on an integer or string key; the joined key
+    column is named ``key`` in the output (``left_key`` / ``right_key``
+    name the source columns when the sides spell it differently).
 
     ``left_cols`` / ``right_cols``: payload columns to carry through
     (disjoint names, keys excluded). Output Dataset has
     ``[key] + left_cols + right_cols`` with one block per partition.
     ``join_type`` passes to ``pyarrow.Table.join`` (``inner`` /
-    ``left outer`` / ``full outer`` — semi/anti via pyarrow too).
+    ``left outer`` / ``full outer`` / ``left semi`` / ``left anti``).
     """
     left_key = left_key or key
     right_key = right_key or key
     l_types = dict(zip(left.schema().names, left.schema().types))
     r_types = dict(zip(right.schema().names, right.schema().types))
+    key_t = l_types[left_key]
+    str_key = pa.types.is_string(key_t) or pa.types.is_large_string(key_t)
 
     cols = ([(c, l_types[c], 0) for c in left_cols]
             + [(c, r_types[c], 1) for c in right_cols])
     unified = pa.schema([("__key", pa.int64()), ("__side", pa.int8())]
+                        + ([(key, key_t)] if str_key else [])
                         + [(c, t) for c, t, _ in cols])
 
     def _tag(side: int, key_col: str):
         def _fn(batch: pa.Table) -> pa.Table:
             n = batch.num_rows
-            arrs = [batch[key_col].combine_chunks().cast(pa.int64()),
-                    pa.array(np.full(n, side, np.int8), pa.int8())]
+            kv = batch[key_col].combine_chunks()
+            if str_key:
+                arrs = [pa.array(hash_strings64(kv), pa.int64()),
+                        pa.array(np.full(n, side, np.int8), pa.int8()),
+                        kv.cast(key_t)]
+            else:
+                arrs = [kv.cast(pa.int64()),
+                        pa.array(np.full(n, side, np.int8), pa.int8())]
             for c, t, s in cols:
                 arrs.append(batch[c].combine_chunks() if s == side
                             else pa.nulls(n, t))
@@ -66,16 +82,19 @@ def hash_join_exchange(left, right, key: str, left_cols: list[str],
     # semi/anti joins emit left rows only — right payload never appears
     semi = join_type in ("left semi", "left anti")
     out_names = [key] + l_names + ([] if semi else r_names)
-    out_schema = pa.schema([(key, pa.int64())]
+    out_schema = pa.schema([(key, key_t if str_key else pa.int64())]
                            + [(c, t) for c, t, s in cols
                               if s == 0 or not semi])
+    side_key = key if str_key else "__key"
 
     def _join(part: pa.Table) -> pa.Table:
         side = np.asarray(part["__side"], np.int8)
         lt = (part.filter(pa.array(side == 0))
-              .select(["__key"] + l_names).rename_columns([key] + l_names))
+              .select([side_key] + l_names)
+              .rename_columns([key] + l_names))
         rt = (part.filter(pa.array(side == 1))
-              .select(["__key"] + r_names).rename_columns([key] + r_names))
+              .select([side_key] + r_names)
+              .rename_columns([key] + r_names))
         if join_type in ("inner", "left semi") and (
                 lt.num_rows == 0 or rt.num_rows == 0):
             return out_schema.empty_table()

@@ -273,3 +273,30 @@ def test_range_kernel_matches_nested_loop(evs, w, chunk):
         for j, (u2, t2, _) in enumerate(evs)
         if u1 == u2 and (t1, i) < (t2, j) and 0 <= t2 - t1 <= w)
     assert got == want
+
+
+def test_string_key_join_matches_pyarrow_oracle(ray_session):
+    """String-keyed exchange join: partitioned by content hash, joined
+    on the exact string values inside partitions — incl. non-ASCII."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    vocab = [f"tok{i}" for i in range(30)] + ["héllo", "ümlaut", "日本語"]
+    lk = [vocab[i] for i in rng.integers(0, len(vocab), 200)]
+    rk = [vocab[i] for i in rng.integers(0, len(vocab), 100)]
+    lt = pa.table({"k": pa.array(lk, pa.string()),
+                   "lv": pa.array(range(200), pa.int64())})
+    rt = pa.table({"k": pa.array(rk, pa.string()),
+                   "rv": pa.array(range(100), pa.int64())})
+    for jt in ("inner", "left outer", "left semi", "left anti"):
+        got = hash_join_exchange(
+            ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+            "k", ["lv"], [] if jt.startswith("left s") or
+            jt.startswith("left a") else ["rv"],
+            n_parts=5, join_type=jt).take_all()
+        cols = ["k", "lv"] if jt in ("left semi", "left anti") \
+            else ["k", "lv", "rv"]
+        want = lt.join(rt.select(["k"] if jt in ("left semi", "left anti")
+                                 else ["k", "rv"]),
+                       keys="k", join_type=jt).select(cols).to_pylist()
+        assert _sorted(got) == _sorted(want), jt

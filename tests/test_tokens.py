@@ -1,0 +1,69 @@
+"""Term-frequency kernel + TF-IDF/top-token pipelines vs naive oracles."""
+from __future__ import annotations
+
+from collections import Counter
+
+import pyarrow as pa
+
+from sourmash_ray.pipelines.docops import _tf_rows_batch
+
+
+def _naive_tf(docs):
+    out = {}
+    for did, text in docs:
+        for tok, c in Counter(
+                t for t in (text or "").split(" ") if t).items():
+            out[(did, tok)] = c
+    return out
+
+
+def test_tf_rows_kernel_matches_naive():
+    docs = [
+        (7, "a b a  c a"),            # double space → empty token dropped
+        (9, ""), (11, None),          # empty / null → no rows
+        (13, "x"),
+        (15, "é é ü 日本 日本 日本"),   # multi-byte tokens count by content
+    ]
+    batch = pa.table({
+        "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+        "text": pa.array([t for _, t in docs], pa.string()),
+    })
+    got = {(r["doc_id"], r["tok"]): r["tf"]
+           for r in _tf_rows_batch(batch).to_pylist()}
+    assert got == _naive_tf(docs)
+
+
+def test_tf_rows_empty_batch():
+    batch = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "text": pa.array([], pa.string())})
+    assert _tf_rows_batch(batch).num_rows == 0
+
+
+def test_tfidf_and_top_tokens_small(ray_session, tmp_path):
+    """End-to-end over a 4-doc corpus vs hand-computed scores."""
+    import pyarrow.parquet as pq
+
+    from sourmash_ray.pipelines.docops import (
+        tfidf_top_terms_docs, top_tokens_docs)
+
+    docs = [(0, "cat dog cat"), (1, "dog fish"), (2, "cat"),
+            (3, "owl owl owl dog")]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+        "text": pa.array([t for _, t in docs], pa.string()),
+    }), f"{tmp_path}/documents.parquet")
+
+    # df: cat=2, dog=3, fish=1, owl=1; N=4
+    # doc0: cat tf2 → 2*4*1e4//2=40000; dog tf1 → 1*4*1e4//3=13333
+    got = {(r["doc_id"], r["rn"]): (r["tok"], r["score_e4"])
+           for r in tfidf_top_terms_docs(str(tmp_path), k=2).take_all()}
+    assert got == {
+        (0, 1): ("cat", 40000), (0, 2): ("dog", 13333),
+        (1, 1): ("fish", 40000), (1, 2): ("dog", 13333),
+        (2, 1): ("cat", 20000),
+        (3, 1): ("owl", 120000), (3, 2): ("dog", 13333),
+    }
+
+    top = [(r["tok"], r["n_occurrences"])
+           for r in top_tokens_docs(str(tmp_path), k=3).take_all()]
+    assert top == [("cat", 3), ("dog", 3), ("owl", 3)]
