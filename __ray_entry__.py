@@ -334,6 +334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_window_counts": eventops.tumbling_window_counts,
         "hopping_window_counts": eventops.hopping_window_counts,
         "sessionize_events": eventops.sessionize_events,
+        "distinct_users_by_type": eventops.distinct_users_by_type,
         "asof_join_events": eventops.asof_join_events,
         "pairs_within_window_events": eventops.pairs_within_window_events,
     }
@@ -796,6 +797,12 @@ def oracle_sql() -> dict[str, str]:
                         ELSE epoch_us(l.ts) - epoch_us(r.ts) END AS gap_us
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "distinct_users_by_type": """
+            SELECT event_type,
+                   count(DISTINCT user_id) AS n_users,
+                   count(*) AS n_events
+            FROM events GROUP BY event_type
         """,
         "sessionize_events": """
             WITH g AS (

@@ -356,3 +356,17 @@ def range_merge_partition(part: pa.Table, w_us: int,
         start = stop
     return (pa.concat_tables(out) if out
             else RANGE_PAIRS_SCHEMA.empty_table())
+
+def distinct_users_by_type(sf_dir: str):
+    """``count(DISTINCT user_id), count(*) GROUP BY event_type`` — the
+    grouped-cardinality primitive (unique contributors per slice) via
+    :func:`sourmash_ray.stages.agg.grouped_distinct_count`: block-local
+    combo dedup, one combo-hash exchange, one tiny partial-count
+    exchange. The fact rows never shuffle."""
+    from ..stages.agg import grouped_distinct_count
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "user_id"])
+    return grouped_distinct_count(ds, ["event_type"], "user_id",
+                                  distinct_as="n_users",
+                                  count_as="n_events")

@@ -224,3 +224,79 @@ def grouped_quantiles_disc(ds, group_col: str, col: str,
     return pa.table({group_col: pa.array(out_g),
                      "q": pa.array(out_q, pa.float64()),
                      "value": pa.array(out_v, pa.int64())})
+
+
+def grouped_distinct_count(ds, keys: list[str], col: str,
+                           distinct_as: str = "n_distinct",
+                           count_as: str | None = None,
+                           n_parts: int | None = None):
+    """``count(DISTINCT col) GROUP BY keys`` (+ optional ``count(*)``)
+    without ever shuffling the fact rows: each block first reduces to its
+    distinct ``(keys, col)`` combos (Arrow hash group_by), the combos
+    exchange partitioned by the FULL combo hash — so every occurrence of
+    a combo lands in exactly one partition and per-partition distinct
+    counts are disjoint — and only the tiny per-partition
+    ``(keys, partial_distinct, partial_rows)`` rows ride a second
+    `grouped_sums` exchange. Rows shipped = distinct combos (stage 1)
+    + partitions × groups (stage 2), never the fact table.
+
+    NULL ``col`` values are excluded from the distinct count but counted
+    in ``count_as`` — SQL semantics."""
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from .exchange import exchange_map_groups
+
+    if n_parts is None:
+        n_parts = resolve_num_partitions(DEFAULT_CONFIG)
+
+    combo = keys + [col]
+
+    def _combo_hash(tbl: pa.Table) -> np.ndarray:
+        key = pc.cast(tbl[combo[0]], pa.string()).combine_chunks()
+        key = pc.fill_null(key, "\x00NULL")
+        for k in combo[1:]:
+            nxt = pc.fill_null(
+                pc.cast(tbl[k], pa.string()).combine_chunks(), "\x00NULL")
+            key = pc.binary_join_element_wise(key, nxt, "|")
+        return hash_strings64(key) % 1024
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(combo, use_threads=False).aggregate(
+            [(combo[0], "count", pc.CountOptions(mode="all"))])
+        g = g.rename_columns(combo + ["n_rows"])
+        return g.append_column(
+            "combo_part", pa.array(_combo_hash(g), pa.int64()))
+
+    sch = ds.schema()
+    types = {k: sch.base_schema.field(k).type for k in combo}
+    mid_schema = pa.schema(
+        [(k, types[k]) for k in keys]
+        + [("pd", pa.int64()), ("pr", pa.int64())])
+
+    def _merge(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return mid_schema.empty_table()
+        # same combo from many blocks → one row; its row counts add up
+        g = part.drop_columns(["combo_part"]).group_by(
+            combo, use_threads=False).aggregate([("n_rows", "sum")])
+        # count (default mode) skips NULL col values; count(*) keeps them
+        out = g.group_by(keys, use_threads=False).aggregate(
+            [(col, "count"), ("n_rows_sum", "sum")])
+        return pa.table(
+            {**{k: out[k] for k in keys},
+             "pd": pc.cast(out[f"{col}_count"], pa.int64()),
+             "pr": pc.cast(out["n_rows_sum_sum"], pa.int64())}
+        ).cast(mid_schema)
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow")
+    mids = exchange_map_groups(parts, "combo_part", n_parts, _merge,
+                               mid_schema)
+    agg = grouped_sums(mids, keys, ["pd", "pr"], n_parts=n_parts)
+
+    def _rename(t: pa.Table) -> pa.Table:
+        cols = {k: t[k] for k in keys}
+        cols[distinct_as] = t["sum_pd"]
+        if count_as:
+            cols[count_as] = t["sum_pr"]
+        return pa.table(cols)
+
+    return agg.map_batches(_rename, batch_format="pyarrow")

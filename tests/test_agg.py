@@ -225,3 +225,29 @@ def test_curate_docs_composed_gates(ray_session):
     assert kept <= clean                            # never keeps a hit
     # deterministic
     assert kept == {r["doc_id"] for r in curate_docs(sf).take_all()}
+
+
+def test_grouped_distinct_count_matches_naive(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from sourmash_ray.stages.agg import grouped_distinct_count
+
+    rng = np.random.default_rng(5)
+    n = 5000
+    ks = [f"t{i}" for i in rng.integers(0, 4, n)]
+    vs = rng.integers(0, 300, n).astype(object)
+    # sprinkle NULLs: excluded from distinct, included in count(*)
+    vs[rng.integers(0, n, 200)] = None
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array(ks, pa.string()),
+        "v": pa.array(list(vs), pa.int64()),
+    })).repartition(7)
+    got = {r["k"]: (r["nd"], r["nr"]) for r in grouped_distinct_count(
+        ds, ["k"], "v", distinct_as="nd", count_as="nr").take_all()}
+    want = {}
+    for k in set(ks):
+        rows = [v for kk, v in zip(ks, vs) if kk == k]
+        want[k] = (len({v for v in rows if v is not None}), len(rows))
+    assert got == want

@@ -300,3 +300,20 @@ def test_string_key_join_matches_pyarrow_oracle(ray_session):
                                  else ["k", "rv"]),
                        keys="k", join_type=jt).select(cols).to_pylist()
         assert _sorted(got) == _sorted(want), jt
+
+
+def test_full_outer_join_matches_pyarrow_oracle(ray_session):
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    lt = pa.table({"k": pa.array(rng.integers(0, 30, 120), pa.int64()),
+                   "lv": pa.array(np.arange(120), pa.int64())})
+    rt = pa.table({"k": pa.array(rng.integers(15, 45, 100), pa.int64()),
+                   "rv": pa.array(np.arange(100), pa.int64())})
+    got = hash_join_exchange(
+        ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+        "k", ["lv"], ["rv"], n_parts=6,
+        join_type="full outer").take_all()
+    want = (lt.join(rt, keys="k", join_type="full outer")
+            .select(["k", "lv", "rv"]).to_pylist())
+    assert _sorted(got) == _sorted(want)
