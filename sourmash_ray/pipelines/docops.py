@@ -1144,14 +1144,20 @@ def tfidf_top_terms_docs(sf_dir: str, k: int = 3):
     doc. The idf weight is the exact rational ``N/df`` at 1e4 scale
     (integer floor division, no float log) so partial/merge order cannot
     perturb the ranking and the DuckDB twin hashes identically."""
+    import pyarrow.dataset as pads
+
     from ..stages.agg import grouped_sums, grouped_topk
     from ..stages.join import hash_join_exchange
     from ..config import resolve_num_partitions
 
-    tf = _doc_tf(sf_dir)
+    # tf feeds BOTH the df aggregate and the join probe side; materialize
+    # it once so the tokenize kernel doesn't run twice (the exchange
+    # stages materialize their inputs regardless)
+    tf = _doc_tf(sf_dir).materialize()
     df = grouped_sums(tf.select_columns(["tok"]), ["tok"], [],
                       count_as="df")
-    n_docs = _read_docs(sf_dir, ("doc_id",)).count()
+    # N from Parquet row-group metadata — no data read
+    n_docs = pads.dataset(f"{sf_dir}/documents.parquet").count_rows()
 
     joined = hash_join_exchange(
         tf, df, key="tok", left_cols=["doc_id", "tf"], right_cols=["df"],
