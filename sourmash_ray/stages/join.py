@@ -32,7 +32,8 @@ def hash_join_exchange(left, right, key: str, left_cols: list[str],
                        right_cols: list[str], n_parts: int,
                        join_type: str = "inner",
                        left_key: str | None = None,
-                       right_key: str | None = None):
+                       right_key: str | None = None,
+                       salt: int = 1):
     """Equi-join two Datasets on an integer or string key; the joined key
     column is named ``key`` in the output (``left_key`` / ``right_key``
     name the source columns when the sides spell it differently).
@@ -42,17 +43,39 @@ def hash_join_exchange(left, right, key: str, left_cols: list[str],
     ``[key] + left_cols + right_cols`` with one block per partition.
     ``join_type`` passes to ``pyarrow.Table.join`` (``inner`` /
     ``left outer`` / ``full outer`` / ``left semi`` / ``left anti``).
-    """
+
+    ``salt`` > 1 is the skew valve: a hot probe-side key otherwise sends
+    ALL its rows to one partition. With salt=K each LEFT row lands in one
+    of K sub-partitions of its key (deterministic round-robin inside the
+    block) while every RIGHT row is replicated into all K — each (l, r)
+    match is still produced exactly once because a left row exists in
+    exactly one sub-partition. Cost: K× build-side duplication; use when
+    the probe side is Zipf-skewed and the build side is the small(er)
+    side. Not valid for ``full outer`` (replicated right rows would
+    multiply unmatched-right output)."""
     left_key = left_key or key
     right_key = right_key or key
+    if salt < 1:
+        raise ValueError("salt must be >= 1")
+    if salt > 1 and join_type == "full outer":
+        raise ValueError("salt is not valid for full outer joins: "
+                         "unmatched build-side rows would be emitted "
+                         "once per salt partition")
     l_types = dict(zip(left.schema().names, left.schema().types))
     r_types = dict(zip(right.schema().names, right.schema().types))
     key_t = l_types[left_key]
     str_key = pa.types.is_string(key_t) or pa.types.is_large_string(key_t)
 
+    if salt > n_parts:
+        # K consecutive salted slots stay distinct mod n_parts only for
+        # K <= n_parts (a right row must never land twice in one
+        # partition — it would duplicate matches)
+        raise ValueError(f"salt={salt} must be <= n_parts={n_parts}")
+
     cols = ([(c, l_types[c], 0) for c in left_cols]
             + [(c, r_types[c], 1) for c in right_cols])
-    unified = pa.schema([("__key", pa.int64()), ("__side", pa.int8())]
+    unified = pa.schema([("__key", pa.int64()), ("__side", pa.int8()),
+                         ("__part", pa.int64())]
                         + ([(key, key_t)] if str_key else [])
                         + [(c, t) for c, t, _ in cols])
 
@@ -61,16 +84,34 @@ def hash_join_exchange(left, right, key: str, left_cols: list[str],
             n = batch.num_rows
             kv = batch[key_col].combine_chunks()
             if str_key:
-                arrs = [pa.array(hash_strings64(kv), pa.int64()),
-                        pa.array(np.full(n, side, np.int8), pa.int8()),
-                        kv.cast(key_t)]
-            else:
-                arrs = [kv.cast(pa.int64()),
+                base = hash_strings64(kv)
+                head = [pa.array(base, pa.int64()),
                         pa.array(np.full(n, side, np.int8), pa.int8())]
-            for c, t, s in cols:
-                arrs.append(batch[c].combine_chunks() if s == side
-                            else pa.nulls(n, t))
-            return pa.Table.from_arrays(arrs, schema=unified)
+                keycol = [kv.cast(key_t)]
+            else:
+                base = np.asarray(kv.cast(pa.int64()), np.int64)
+                head = [pa.array(base, pa.int64()),
+                        pa.array(np.full(n, side, np.int8), pa.int8())]
+                keycol = []
+            base_mod = base % n_parts
+            payload = [batch[c].combine_chunks() if s == side
+                       else pa.nulls(n, t) for c, t, s in cols]
+
+            def _mk(part: np.ndarray) -> pa.Table:
+                return pa.Table.from_arrays(
+                    head + [pa.array(part, pa.int64())] + keycol + payload,
+                    schema=unified)
+
+            if salt == 1:
+                return _mk(base_mod)
+            if side == 0:
+                # probe side: each row to one of its key's K slots
+                sub = np.arange(n, dtype=np.int64) % salt
+                return _mk((base_mod * salt + sub) % n_parts)
+            # build side: replicate into all K slots of its key
+            return pa.concat_tables(
+                [_mk((base_mod * salt + s) % n_parts)
+                 for s in range(salt)])
         return _fn
 
     both = left.map_batches(_tag(0, left_key), batch_format="pyarrow") \
@@ -104,4 +145,57 @@ def hash_join_exchange(left, right, key: str, left_cols: list[str],
                         use_threads=False)
                 .select(out_names).cast(out_schema))
 
-    return exchange_map_groups(both, "__key", n_parts, _join, out_schema)
+    return exchange_map_groups(both, "__part", n_parts, _join, out_schema)
+
+
+def broadcast_join(left, right_table: pa.Table, key: str,
+                   left_cols: list[str], right_cols: list[str],
+                   join_type: str = "inner",
+                   left_key: str | None = None,
+                   right_key: str | None = None):
+    """Map-side equi-join against a SMALL build side: the right table is
+    ``ray.put`` once and every probe batch joins it in-task with
+    pyarrow's hash join — zero shuffle, zero skew sensitivity (a hot key
+    costs nothing extra; this is the first choice whenever the build
+    side fits a worker's heap; `hash_join_exchange` is the big-big
+    fallback, with ``salt`` for skewed probes). Output columns / key
+    naming match `hash_join_exchange`.
+
+    Not valid for ``full outer`` (per-batch joins cannot know which
+    build rows stayed unmatched globally).
+    """
+    import ray as _ray
+
+    if join_type == "full outer":
+        raise ValueError("broadcast_join cannot express full outer: "
+                         "unmatched build-side rows are a global "
+                         "property — use hash_join_exchange")
+    left_key = left_key or key
+    right_key = right_key or key
+    semi = join_type in ("left semi", "left anti")
+    rt = right_table.select([right_key] + ([] if semi else right_cols)) \
+        .rename_columns([key] + ([] if semi else right_cols))
+    rt_ref = _ray.put(rt.combine_chunks())
+
+    l_types = dict(zip(left.schema().names, left.schema().types))
+    out_names = [key] + left_cols + ([] if semi else right_cols)
+    out_schema = pa.schema(
+        [(key, l_types[left_key])]
+        + [(c, l_types[c]) for c in left_cols]
+        + ([] if semi else [(c, rt.schema.field(c).type)
+                            for c in right_cols]))
+
+    def _probe(batch: pa.Table) -> pa.Table:
+        r = _ray.get(rt_ref)
+        lt = (batch.select([left_key] + left_cols)
+              .rename_columns([key] + left_cols))
+        if join_type in ("inner", "left semi") and (
+                lt.num_rows == 0 or r.num_rows == 0):
+            return out_schema.empty_table()
+        if join_type == "left anti" and r.num_rows == 0:
+            return lt.cast(out_schema)
+        return (lt.join(r, keys=key, join_type=join_type,
+                        use_threads=False)
+                .select(out_names).cast(out_schema))
+
+    return left.map_batches(_probe, batch_format="pyarrow")

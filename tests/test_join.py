@@ -317,3 +317,59 @@ def test_full_outer_join_matches_pyarrow_oracle(ray_session):
     want = (lt.join(rt, keys="k", join_type="full outer")
             .select(["k", "lv", "rv"]).to_pylist())
     assert _sorted(got) == _sorted(want)
+
+
+def test_salted_join_equals_unsalted(ray_session):
+    """Skew valve: salt=K replicates the build side into K slots and
+    spreads probe rows — the output multiset must be identical to the
+    unsalted join for every supported join type, including a pathological
+    hot key holding most probe rows."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    hot = np.zeros(500, np.int64)              # hot key 0: 500 probe rows
+    cold = rng.integers(1, 25, 200)
+    lt = pa.table({"k": pa.array(np.r_[hot, cold], pa.int64()),
+                   "lv": pa.array(np.arange(700), pa.int64())})
+    rt = pa.table({"k": pa.array(rng.integers(0, 30, 60), pa.int64()),
+                   "rv": pa.array(np.arange(60), pa.int64())})
+    ld, rd = ray.data.from_arrow(lt), ray.data.from_arrow(rt)
+    for jt in ("inner", "left outer", "left semi", "left anti"):
+        rc = [] if jt in ("left semi", "left anti") else ["rv"]
+        plain = hash_join_exchange(ld, rd, "k", ["lv"], rc,
+                                   n_parts=8, join_type=jt).take_all()
+        salted = hash_join_exchange(ld, rd, "k", ["lv"], rc, n_parts=8,
+                                    join_type=jt, salt=4).take_all()
+        assert _sorted(salted) == _sorted(plain), jt
+
+
+def test_salt_validation(ray_session):
+    ld = ray.data.from_arrow(pa.table({"k": [1], "lv": [1]}))
+    rd = ray.data.from_arrow(pa.table({"k": [1], "rv": [1]}))
+    import pytest
+    with pytest.raises(ValueError, match="full outer"):
+        hash_join_exchange(ld, rd, "k", ["lv"], ["rv"], n_parts=4,
+                           join_type="full outer", salt=2)
+    with pytest.raises(ValueError, match="salt"):
+        hash_join_exchange(ld, rd, "k", ["lv"], ["rv"], n_parts=4, salt=8)
+
+
+def test_broadcast_join_matches_exchange(ray_session):
+    import numpy as np
+
+    from sourmash_ray.stages.join import broadcast_join
+
+    rng = np.random.default_rng(23)
+    lt = pa.table({"o_k": pa.array(rng.integers(0, 40, 300), pa.int64()),
+                   "lv": pa.array(np.arange(300), pa.int64())})
+    rt = pa.table({"r_k": pa.array(rng.integers(20, 60, 50), pa.int64()),
+                   "rv": pa.array(np.arange(50), pa.int64())})
+    ld = ray.data.from_arrow(lt)
+    for jt in ("inner", "left outer", "left semi", "left anti"):
+        rc = [] if jt in ("left semi", "left anti") else ["rv"]
+        got = broadcast_join(ld, rt, "k", ["lv"], rc, join_type=jt,
+                             left_key="o_k", right_key="r_k").take_all()
+        want = hash_join_exchange(
+            ld, ray.data.from_arrow(rt), "k", ["lv"], rc, n_parts=4,
+            join_type=jt, left_key="o_k", right_key="r_k").take_all()
+        assert _sorted(got) == _sorted(want), jt
