@@ -251,3 +251,23 @@ def test_grouped_distinct_count_matches_naive(ray_session):
         rows = [v for kk, v in zip(ks, vs) if kk == k]
         want[k] = (len({v for v in rows if v is not None}), len(rows))
     assert got == want
+
+
+def test_grouped_distinct_count_multikey_string_values(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from sourmash_ray.stages.agg import grouped_distinct_count
+
+    rows = [("a", 1, "x"), ("a", 1, "x"), ("a", 1, "y"), ("a", 2, "x"),
+            ("b", 1, None), ("b", 1, "z"), ("b", 1, "z")]
+    ds = ray.data.from_arrow(pa.table({
+        "g1": pa.array([r[0] for r in rows], pa.string()),
+        "g2": pa.array([r[1] for r in rows], pa.int64()),
+        "v": pa.array([r[2] for r in rows], pa.string()),
+    })).repartition(3)
+    got = {(r["g1"], r["g2"]): (r["nd"], r["nr"])
+           for r in grouped_distinct_count(
+               ds, ["g1", "g2"], "v", distinct_as="nd",
+               count_as="nr").take_all()}
+    assert got == {("a", 1): (2, 3), ("a", 2): (1, 1), ("b", 1): (1, 3)}

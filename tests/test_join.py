@@ -373,3 +373,21 @@ def test_broadcast_join_matches_exchange(ray_session):
             ld, ray.data.from_arrow(rt), "k", ["lv"], rc, n_parts=4,
             join_type=jt, left_key="o_k", right_key="r_k").take_all()
         assert _sorted(got) == _sorted(want), jt
+
+
+def test_salted_string_key_join_equals_unsalted(ray_session):
+    import numpy as np
+
+    rng = np.random.default_rng(29)
+    vocab = ["the", "a", "owl", "zebra"]
+    lk = [vocab[min(i, 3)] for i in rng.integers(0, 10, 400)]  # "the"-hot
+    lt = pa.table({"k": pa.array(lk, pa.string()),
+                   "lv": pa.array(np.arange(400), pa.int64())})
+    rt = pa.table({"k": pa.array(vocab + ["missing"], pa.string()),
+                   "rv": pa.array(np.arange(5), pa.int64())})
+    ld, rd = ray.data.from_arrow(lt), ray.data.from_arrow(rt)
+    plain = hash_join_exchange(ld, rd, "k", ["lv"], ["rv"],
+                               n_parts=6).take_all()
+    salted = hash_join_exchange(ld, rd, "k", ["lv"], ["rv"], n_parts=6,
+                                salt=3).take_all()
+    assert _sorted(salted) == _sorted(plain)
