@@ -81,16 +81,23 @@ def hash_join_exchange(left, right, key: str, left_cols: list[str],
 
     def _tag(side: int, key_col: str):
         def _fn(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
             n = batch.num_rows
             kv = batch[key_col].combine_chunks()
+            # NULL keys: the partition hash fills them (they must land
+            # somewhere), but the carried key column keeps its nulls so
+            # the in-partition pyarrow join applies SQL semantics — a
+            # NULL key never matches anything (incl. another NULL)
             if str_key:
-                base = hash_strings64(kv)
+                base = hash_strings64(pc.fill_null(kv, ""))
                 head = [pa.array(base, pa.int64()),
                         pa.array(np.full(n, side, np.int8), pa.int8())]
                 keycol = [kv.cast(key_t)]
             else:
-                base = np.asarray(kv.cast(pa.int64()), np.int64)
-                head = [pa.array(base, pa.int64()),
+                karr = kv.cast(pa.int64())
+                base = np.asarray(pc.fill_null(karr, 0), np.int64)
+                head = [karr,
                         pa.array(np.full(n, side, np.int8), pa.int8())]
                 keycol = []
             base_mod = base % n_parts

@@ -391,3 +391,66 @@ def test_salted_string_key_join_equals_unsalted(ray_session):
     salted = hash_join_exchange(ld, rd, "k", ["lv"], ["rv"], n_parts=6,
                                 salt=3).take_all()
     assert _sorted(salted) == _sorted(plain)
+
+
+def test_null_keys_never_match(ray_session):
+    """SQL NULL-key semantics: NULL joins nothing (not even NULL) in
+    inner/semi; NULL-key left rows surface unmatched in left outer and
+    left anti — both int and string keys."""
+    lt = pa.table({"k": pa.array([1, None, 2], pa.int64()),
+                   "lv": ["a", "b", "c"]})
+    rt = pa.table({"k": pa.array([1, None], pa.int64()),
+                   "rv": pa.array([10, 99], pa.int64())})
+    ld, rd = ray.data.from_arrow(lt), ray.data.from_arrow(rt)
+    inner = hash_join_exchange(ld, rd, "k", ["lv"], ["rv"],
+                               n_parts=3).take_all()
+    assert inner == [{"k": 1, "lv": "a", "rv": 10}]
+    louter = hash_join_exchange(ld, rd, "k", ["lv"], ["rv"], n_parts=3,
+                                join_type="left outer").take_all()
+    assert _sorted(louter) == _sorted([
+        {"k": 1, "lv": "a", "rv": 10},
+        {"k": None, "lv": "b", "rv": None},
+        {"k": 2, "lv": "c", "rv": None}])
+    anti = hash_join_exchange(ld, rd, "k", ["lv"], [], n_parts=3,
+                              join_type="left anti").take_all()
+    assert _sorted(anti) == _sorted([
+        {"k": None, "lv": "b"}, {"k": 2, "lv": "c"}])
+
+    lts = ray.data.from_arrow(pa.table(
+        {"k": pa.array(["x", None], pa.string()), "lv": [1, 2]}))
+    rts = ray.data.from_arrow(pa.table(
+        {"k": pa.array(["x", None], pa.string()),
+         "rv": pa.array([7, 8], pa.int64())}))
+    assert hash_join_exchange(lts, rts, "k", ["lv"], ["rv"],
+                              n_parts=3).take_all() == [
+        {"k": "x", "lv": 1, "rv": 7}]
+
+
+# ---------------------------------------------------------------------------
+# hypothesis: join vs in-memory pyarrow oracle across types/nulls/salt
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_keys = st.lists(st.one_of(st.none(), st.integers(0, 8)),
+                 min_size=0, max_size=25)
+
+
+@settings(max_examples=12, deadline=None)
+@given(_keys, _keys,
+       st.sampled_from(["inner", "left outer", "left semi", "left anti"]),
+       st.sampled_from([1, 3]))
+def test_join_matches_pyarrow_oracle_property(ray_session, lk, rk, jt,
+                                              salt):
+    lt = pa.table({"k": pa.array(lk, pa.int64()),
+                   "lv": pa.array(range(len(lk)), pa.int64())})
+    rc = [] if jt in ("left semi", "left anti") else ["rv"]
+    rt = pa.table({"k": pa.array(rk, pa.int64()),
+                   "rv": pa.array(range(len(rk)), pa.int64())})
+    got = hash_join_exchange(
+        ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+        "k", ["lv"], rc, n_parts=3, join_type=jt, salt=salt).take_all()
+    want = (lt.join(rt.select(["k"] + rc), keys="k", join_type=jt)
+            .select(["k", "lv"] + rc).to_pylist())
+    assert _sorted(got) == _sorted(want)
