@@ -335,6 +335,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window_counts": eventops.hopping_window_counts,
         "sessionize_events": eventops.sessionize_events,
         "distinct_users_by_type": eventops.distinct_users_by_type,
+        "approx_distinct_users_by_type":
+            eventops.approx_distinct_users_by_type,
         "asof_join_events": eventops.asof_join_events,
         "pairs_within_window_events": eventops.pairs_within_window_events,
     }

@@ -370,3 +370,16 @@ def distinct_users_by_type(sf_dir: str):
     return grouped_distinct_count(ds, ["event_type"], "user_id",
                                   distinct_as="n_users",
                                   count_as="n_events")
+
+
+def approx_distinct_users_by_type(sf_dir: str, p: int = 14):
+    """HLL twin of `distinct_users_by_type` — constant-size per-group
+    registers instead of the distinct-combo shuffle; the 100-TB path
+    when combos outnumber sketch cells. Deterministic (murmur-based),
+    ±~0.8% at p=14 (tolerance-tested against the exact op)."""
+    from ..stages.approx import grouped_approx_distinct
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "user_id"])
+    return grouped_approx_distinct(ds, ["event_type"], "user_id", p=p,
+                                   distinct_as="approx_n_users")

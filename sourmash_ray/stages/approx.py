@@ -92,3 +92,92 @@ def distinct_count_exact(ds, value_fn, group_parts: int = 256) -> int:
     n_parts = resolve_num_partitions(DEFAULT_CONFIG)
     counts = exchange_map_groups(local, "part", n_parts, _count, out_schema)
     return sum(r["n"] for r in counts.take_all())
+
+
+def grouped_approx_distinct(ds, keys: list[str], col: str, p: int = 14,
+                            distinct_as: str = "approx_n_distinct",
+                            n_parts: int | None = None):
+    """``approx count(DISTINCT col) GROUP BY keys`` — the constant-memory
+    scale twin of `stages.agg.grouped_distinct_count`: when the distinct
+    ``(keys, col)`` combo set itself is too large to shuffle (user ids
+    per slice at 10^12 rows), per-group HLL registers are. Per block the
+    values hash once and reduce to at most ``groups × 2^p`` sparse
+    ``(keys, register, rank)`` rows (only registers actually hit);
+    registers of one group co-locate on a key-hash exchange and merge by
+    max; the Ertl-MLE estimate runs per group in-partition. Rows
+    shipped: min(distinct combos, groups × 2^p) per block — bounded by
+    the sketch, not the data. NULL values are skipped (SQL count
+    distinct semantics)."""
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..functions.hll import _clz64, hll_counts, hll_mle
+    from .exchange import exchange_map_groups
+
+    if n_parts is None:
+        n_parts = resolve_num_partitions(DEFAULT_CONFIG)
+    q = 64 - p
+
+    def _key_hash(tbl: pa.Table) -> np.ndarray:
+        key = pc.cast(tbl[keys[0]], pa.string()).combine_chunks()
+        for k in keys[1:]:
+            key = pc.binary_join_element_wise(
+                key, pc.cast(tbl[k], pa.string()).combine_chunks(), "|")
+        return hash_strings64(key) % 1024
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        vals = pc.cast(batch[col], pa.string()).combine_chunks()
+        ok = pc.is_valid(vals)
+        tbl = batch.filter(ok) if not pc.all(ok).as_py() else batch
+        vals = pc.cast(tbl[col], pa.string()).combine_chunks()
+        h = hash_strings_u64(vals)
+        reg = (h & np.uint64((1 << p) - 1)).astype(np.int64)
+        value = h >> np.uint64(p)
+        rank = (_clz64(value) + 1 - p).astype(np.int64)
+        sparse = tbl.select(keys).append_column(
+            "reg", pa.array(reg, pa.int64())).append_column(
+            "rank", pa.array(rank, pa.int64()))
+        g = sparse.group_by(keys + ["reg"], use_threads=False).aggregate(
+            [("rank", "max")]).rename_columns(keys + ["reg", "rank"])
+        return g.append_column(
+            "grp_part", pa.array(_key_hash(g), pa.int64()))
+
+    sch = ds.schema()
+    key_types = {k: sch.base_schema.field(k).type for k in keys}
+    out_schema = pa.schema([(k, key_types[k]) for k in keys]
+                           + [(distinct_as, pa.int64())])
+
+    def _merge(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return out_schema.empty_table()
+        g = part.drop_columns(["grp_part"]).group_by(
+            keys + ["reg"], use_threads=False).aggregate(
+            [("rank", "max")]).rename_columns(keys + ["reg", "rank"])
+        # assemble per-group register arrays: sort rows by group, walk runs
+        gid_key = pc.cast(g[keys[0]], pa.string()).combine_chunks()
+        for k in keys[1:]:
+            gid_key = pc.binary_join_element_wise(
+                gid_key, pc.cast(g[k], pa.string()).combine_chunks(), "|")
+        codes = pc.dictionary_encode(gid_key)
+        if isinstance(codes, pa.ChunkedArray):
+            codes = codes.combine_chunks()
+        gid = np.asarray(codes.indices, np.int64)
+        order = np.argsort(gid, kind="stable")
+        gid_s = gid[order]
+        reg_s = np.asarray(g["reg"], np.int64)[order]
+        rank_s = np.asarray(g["rank"], np.int64)[order]
+        starts = np.flatnonzero(np.r_[True, gid_s[1:] != gid_s[:-1]])
+        bounds = np.append(starts, len(gid_s))
+        ests, first_rows = [], []
+        m = 1 << p
+        for i in range(len(starts)):
+            lo, hi = bounds[i], bounds[i + 1]
+            regs = np.zeros(m, np.uint8)
+            regs[reg_s[lo:hi]] = rank_s[lo:hi]
+            ests.append(int(round(hll_mle(hll_counts(regs, q), p, q))))
+            first_rows.append(int(order[lo]))
+        out = g.select(keys).take(pa.array(first_rows, pa.int64()))
+        return out.append_column(
+            distinct_as, pa.array(ests, pa.int64())).cast(out_schema)
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow")
+    return exchange_map_groups(parts, "grp_part", n_parts, _merge,
+                               out_schema)

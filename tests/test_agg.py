@@ -271,3 +271,45 @@ def test_grouped_distinct_count_multikey_string_values(ray_session):
                ds, ["g1", "g2"], "v", distinct_as="nd",
                count_as="nr").take_all()}
     assert got == {("a", 1): (2, 3), ("a", 2): (1, 1), ("b", 1): (1, 3)}
+
+
+def test_grouped_approx_distinct_within_tolerance(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from sourmash_ray.stages.agg import grouped_distinct_count
+    from sourmash_ray.stages.approx import grouped_approx_distinct
+
+    rng = np.random.default_rng(31)
+    n = 40_000
+    ks = [f"g{i}" for i in rng.integers(0, 3, n)]
+    vs = rng.integers(0, 5000, n)
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array(ks, pa.string()),
+        "v": pa.array(vs, pa.int64()),
+    })).repartition(9)
+    exact = {r["k"]: r["nd"] for r in grouped_distinct_count(
+        ds, ["k"], "v", distinct_as="nd").take_all()}
+    approx = {r["k"]: r["ad"] for r in grouped_approx_distinct(
+        ds, ["k"], "v", p=14, distinct_as="ad").take_all()}
+    assert set(approx) == set(exact)
+    for k in exact:
+        assert abs(approx[k] - exact[k]) <= max(0.05 * exact[k], 3), \
+            (k, approx[k], exact[k])
+
+
+def test_grouped_approx_distinct_null_and_small(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from sourmash_ray.stages.approx import grouped_approx_distinct
+
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array(["a", "a", "a", "b"], pa.string()),
+        "v": pa.array(["x", "x", None, "y"], pa.string()),
+    }))
+    got = {r["k"]: r["ad"] for r in grouped_approx_distinct(
+        ds, ["k"], "v", distinct_as="ad").take_all()}
+    # small-range HLL is exact; NULL excluded
+    assert got == {"a": 1, "b": 1}
