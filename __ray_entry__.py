@@ -302,6 +302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": relational.revenue_by_nation,
         "customers_with_urgent_orders":
             relational.customers_with_urgent_orders,
+        "running_order_totals": relational.running_order_totals,
         "customers_no_urgent_orders":
             relational.customers_no_urgent_orders,
         "hash_split_docs": docops.hash_split_docs,
@@ -523,6 +524,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
               AND c_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "running_order_totals": """
+            SELECT o_custkey, o_orderkey,
+                   epoch_us(o_orderdate) AS ts_us,
+                   CAST(round(o_totalprice * 100) AS BIGINT)
+                       AS price_cents,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        OVER w AS BIGINT) AS running_cents,
+                   epoch_us(o_orderdate)
+                       - lag(epoch_us(o_orderdate)) OVER w AS gap_us
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey
+                         ROWS UNBOUNDED PRECEDING)
         """,
         "customers_with_urgent_orders": """
             SELECT c_custkey AS custkey, c_name, c_mktsegment

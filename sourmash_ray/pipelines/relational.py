@@ -514,3 +514,85 @@ def customers_with_urgent_orders(sf_dir: str):
 def customers_no_urgent_orders(sf_dir: str):
     """Left-anti exchange join: customers with no URGENT order."""
     return _customers_vs_urgent(sf_dir, "left anti")
+
+
+RUNNING_SCHEMA = pa.schema([
+    ("o_custkey", pa.int64()), ("o_orderkey", pa.int64()),
+    ("ts_us", pa.int64()), ("price_cents", pa.int64()),
+    ("running_cents", pa.int64()), ("gap_us", pa.int64()),
+])
+
+
+def running_totals_partition(part: pa.Table) -> pa.Table:
+    """Per-key ordered window kernel: running sum + lag gap for every
+    customer in the partition in ONE lexsort — ``sum(...) OVER
+    (PARTITION BY custkey ORDER BY date, orderkey ROWS UNBOUNDED
+    PRECEDING)`` and ``ts - lag(ts) OVER w`` with SQL semantics
+    (first-of-key gap is NULL). No per-group Python: run boundaries via
+    diff, prefix sums rebased per run."""
+    import numpy as np
+
+    ck = np.asarray(part["o_custkey"], np.int64)
+    ts = np.asarray(part["ts_us"], np.int64)
+    ok = np.asarray(part["o_orderkey"], np.int64)
+    cents = np.asarray(part["price_cents"], np.int64)
+    order = np.lexsort((ok, ts, ck))
+    ck_s, ts_s, ok_s, c_s = ck[order], ts[order], ok[order], cents[order]
+    n = len(ck_s)
+    if n == 0:
+        return RUNNING_SCHEMA.empty_table()
+    new_run = np.r_[True, ck_s[1:] != ck_s[:-1]]
+    starts = np.flatnonzero(new_run)
+    lens = np.diff(np.append(starts, n))
+    cs = np.cumsum(c_s)
+    base = np.repeat(cs[starts] - c_s[starts], lens)
+    running = cs - base
+    prev_ts = np.empty(n, np.int64)
+    prev_ts[1:] = ts_s[:-1]
+    prev_ts[0] = 0
+    gap = ts_s - prev_ts
+    return pa.table({
+        "o_custkey": pa.array(ck_s, pa.int64()),
+        "o_orderkey": pa.array(ok_s, pa.int64()),
+        "ts_us": pa.array(ts_s, pa.int64()),
+        "price_cents": pa.array(c_s, pa.int64()),
+        "running_cents": pa.array(running, pa.int64()),
+        "gap_us": pa.array(np.where(new_run, 0, gap), pa.int64(),
+                           mask=new_run),
+    }).cast(RUNNING_SCHEMA)
+
+
+def running_order_totals(sf_dir: str):
+    """Ordered window functions per key — running revenue total and
+    inter-order gap per customer (``sum() OVER`` / ``lag() OVER``): one
+    custkey-hash exchange co-locates each customer's history, then one
+    vectorized lexsort+prefix-sum pass per partition. Partitioning
+    assumption: one key's history fits a partition (the sessionize
+    contract). Money is integer cents so the prefix sums are
+    order-exact vs DuckDB."""
+    import numpy as np
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.exchange import exchange_map_groups
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        price = np.asarray(batch["o_totalprice"], np.float64)
+        ts = batch["o_orderdate"].combine_chunks().cast(
+            pa.timestamp("us")).cast(pa.int64())
+        return pa.table({
+            "o_custkey": batch["o_custkey"].combine_chunks()
+                .cast(pa.int64()),
+            "o_orderkey": batch["o_orderkey"].combine_chunks()
+                .cast(pa.int64()),
+            "ts_us": ts,
+            "price_cents": pa.array(
+                np.rint(price * 100).astype(np.int64), pa.int64()),
+        })
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+    ).map_batches(_prep, batch_format="pyarrow")
+    return exchange_map_groups(
+        ds, "o_custkey", resolve_num_partitions(DEFAULT_CONFIG),
+        running_totals_partition, RUNNING_SCHEMA)

@@ -313,3 +313,40 @@ def test_grouped_approx_distinct_null_and_small(ray_session):
         ds, ["k"], "v", distinct_as="ad").take_all()}
     # small-range HLL is exact; NULL excluded
     assert got == {"a": 1, "b": 1}
+
+
+# running-window kernel vs nested-loop oracle (no Ray needed)
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_orders = st.lists(
+    st.tuples(st.integers(0, 3),      # custkey
+              st.integers(0, 20),     # ts (ties likely)
+              st.integers(-50, 50)),  # cents
+    min_size=0, max_size=40)
+
+
+@settings(max_examples=80, deadline=None)
+@given(_orders)
+def test_running_totals_kernel_matches_nested_loop(rows):
+    import pyarrow as pa
+
+    from sourmash_ray.pipelines.relational import running_totals_partition
+
+    part = pa.table({
+        "o_custkey": pa.array([r[0] for r in rows], pa.int64()),
+        "o_orderkey": pa.array(list(range(len(rows))), pa.int64()),
+        "ts_us": pa.array([r[1] for r in rows], pa.int64()),
+        "price_cents": pa.array([r[2] for r in rows], pa.int64()),
+    })
+    got = {r["o_orderkey"]: (r["running_cents"], r["gap_us"])
+           for r in running_totals_partition(part).to_pylist()}
+    want = {}
+    for i, (ck, ts, c) in enumerate(rows):
+        hist = sorted((t, j, cc) for j, (k, t, cc) in enumerate(rows)
+                      if k == ck and (t, j) <= (ts, i))
+        run = sum(cc for _, _, cc in hist)
+        gap = ts - hist[-2][0] if len(hist) > 1 else None
+        want[i] = (run, gap)
+    assert got == want
