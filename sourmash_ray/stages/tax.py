@@ -157,3 +157,118 @@ def write_bioboxes(tax_tbl: pa.Table, out_path: str, *,
     with open(out_path, "w") as f:
         f.write("\n".join(lines) + "\n")
     return out_path
+
+
+CLASSIFICATION_SCHEMA = pa.schema([
+    ("status", pa.string()),
+    ("rank", pa.int64()),
+    ("fraction", pa.float64()),
+    ("lineage", pa.string()),
+    ("f_weighted_at_rank", pa.float64()),
+    ("bp_match_at_rank", pa.int64()),
+    ("query_ani_at_rank", pa.float64()),
+])
+
+
+def tax_genome(gather_tbl: pa.Table, lineage_of: dict, *,
+               rank: int | None = None,
+               containment_threshold: float | None = 0.1,
+               ani_threshold: float | None = None,
+               ksize: int = 31, scaled: int = 1000,
+               query_n_hashes: int | None = None,
+               n_ranks: int | None = None) -> pa.Table:
+    """``tax genome`` classification
+    (``tax_utils.py:2449-2530`` ``build_classification_result`` +
+    ``ClassificationResult.set_status:2208-2222``): walk ranks from most
+    specific upward, at each rank take the best lineage by summed
+    ``f_unique_to_query``, stop at the first rank whose best meets the
+    threshold (ANI threshold wins over containment when both given, as
+    in the reference). Returns ONE row; status ``match`` /
+    ``below_threshold`` / ``nomatch`` (no gather rows)."""
+    from ..functions.distance import containment_to_distance
+
+    if containment_threshold is not None and not (
+            0 <= containment_threshold <= 1):
+        raise ValueError(
+            "Containment threshold must be between 0 and 1 "
+            f"(input value: {containment_threshold}).")
+    if ani_threshold is not None and not 0 <= ani_threshold <= 1:
+        raise ValueError(
+            f"ANI threshold must be between 0 and 1 "
+            f"(input value: {ani_threshold}).")
+
+    if gather_tbl.num_rows == 0:
+        return pa.Table.from_pylist([{
+            "status": "nomatch", "rank": -1, "fraction": 0.0,
+            "lineage": "", "f_weighted_at_rank": 0.0,
+            "bp_match_at_rank": 0, "query_ani_at_rank": 0.0,
+        }], schema=CLASSIFICATION_SCHEMA)
+
+    matches = gather_tbl["match"].to_pylist()
+    f_uniq = np.asarray(gather_tbl["f_unique_to_query"], np.float64)
+    f_w = np.asarray(gather_tbl["f_unique_weighted"], np.float64)
+    bp = np.asarray(gather_tbl["unique_intersect_bp"], np.int64)
+    lineages = [lineage_of.get(m) for m in matches]
+    if n_ranks is None:
+        n_ranks = max((len(s.split(";")) for s in lineages if s),
+                      default=1)
+    ranks = [rank] if rank is not None else list(
+        range(n_ranks - 1, -1, -1))   # most specific first, climb up
+
+    best_row = None
+    for this_rank in ranks:
+        acc: dict[str, list] = {}
+        for i, lin in enumerate(lineages):
+            parts = lin.split(";") if lin else []
+            if len(parts) <= this_rank:
+                continue
+            key = ";".join(parts[: this_rank + 1])
+            slot = acc.setdefault(key, [0.0, 0.0, 0])
+            slot[0] += float(f_uniq[i])
+            slot[1] += float(f_w[i])
+            slot[2] += int(bp[i])
+        if not acc:
+            continue
+        # best-at-rank: max fraction, lineage tiebreak for determinism
+        lin_best, (f, w, b) = max(acc.items(),
+                                  key=lambda kv: (kv[1][0], kv[0]))
+        if query_n_hashes is None:
+            if ani_threshold is not None:
+                raise ValueError("ani_threshold needs query_n_hashes "
+                                 "to estimate query ANI")
+            ani = None                      # no query size info → no ANI
+        else:
+            ani = containment_to_distance(
+                min(1.0, f), ksize, scaled,
+                n_unique_kmers=query_n_hashes).ani
+        status = "below_threshold"
+        if ani_threshold is not None:       # ANI thresh overrides
+            if ani is not None and ani >= ani_threshold:
+                status = "match"
+        elif (containment_threshold is not None
+              and f >= containment_threshold):
+            status = "match"
+        best_row = {"status": status, "rank": this_rank, "fraction": f,
+                    "lineage": lin_best, "f_weighted_at_rank": w,
+                    "bp_match_at_rank": b,
+                    "query_ani_at_rank": float(ani or 0.0)}
+        if status == "match":
+            break
+    if best_row is None:                    # no annotated matches at all
+        best_row = {"status": "nomatch", "rank": -1, "fraction": 0.0,
+                    "lineage": "", "f_weighted_at_rank": 0.0,
+                    "bp_match_at_rank": 0, "query_ani_at_rank": 0.0}
+    return pa.Table.from_pylist([best_row],
+                                schema=CLASSIFICATION_SCHEMA)
+
+
+def tax_annotate(gather_tbl: pa.Table, lineage_of: dict) -> pa.Table:
+    """``tax annotate`` (``tax/__main__.py:380-470``): attach a
+    ``lineage`` column to gather rows by ident lookup — unannotated
+    matches get an empty string, rows are otherwise passed through
+    unchanged. The lineage dict is the broadcast side at scale
+    (`relational.broadcast_lookup_join` pattern)."""
+    lin = pa.array(
+        [lineage_of.get(m) or "" for m in gather_tbl["match"].to_pylist()],
+        pa.string())
+    return gather_tbl.append_column("lineage", lin)

@@ -107,3 +107,78 @@ def test_write_bioboxes_format(tmp_path):
     # rank 1 rows keep the full name path; unclassified skipped
     assert ["gB", "phylum", "pA|gB", "pA|gB", "60.00"] in data
     assert not any(r[0] == "unclassified" for r in data)
+
+
+# --------------------------------------------------------------------------
+# tax genome classification + tax annotate
+# --------------------------------------------------------------------------
+
+def _gather(rows):
+    import pyarrow as pa
+    return pa.table({
+        "match": pa.array([r[0] for r in rows], pa.string()),
+        "f_unique_to_query": pa.array([r[1] for r in rows], pa.float64()),
+        "f_unique_weighted": pa.array([r[2] for r in rows], pa.float64()),
+        "unique_intersect_bp": pa.array([r[3] for r in rows], pa.int64()),
+    })
+
+
+def test_tax_genome_climbs_to_matching_rank():
+    from sourmash_ray.stages.tax import tax_genome
+
+    lin = {"g1": "d__A;p__X;s__1", "g2": "d__A;p__X;s__2",
+           "g3": "d__A;p__Y;s__3"}
+    tbl = _gather([("g1", 0.06, 0.05, 600), ("g2", 0.06, 0.05, 600),
+                   ("g3", 0.03, 0.02, 300)])
+    # species rank: best 0.06 < 0.1 → climb; phylum: p__X sums 0.12 ≥ 0.1
+    row = tax_genome(tbl, lin,
+                     containment_threshold=0.1).to_pylist()[0]
+    assert row["status"] == "match"
+    assert row["rank"] == 1 and row["lineage"] == "d__A;p__X"
+    assert abs(row["fraction"] - 0.12) < 1e-12
+    assert row["bp_match_at_rank"] == 1200
+
+
+def test_tax_genome_single_rank_below_threshold():
+    from sourmash_ray.stages.tax import tax_genome
+
+    lin = {"g1": "d__A;p__X;s__1"}
+    tbl = _gather([("g1", 0.05, 0.04, 500)])
+    row = tax_genome(tbl, lin, rank=2,
+                     containment_threshold=0.1).to_pylist()[0]
+    assert row["status"] == "below_threshold"
+    assert row["rank"] == 2 and row["lineage"] == "d__A;p__X;s__1"
+
+
+def test_tax_genome_nomatch_and_empty():
+    from sourmash_ray.stages.tax import tax_genome
+
+    row = tax_genome(_gather([]), {}).to_pylist()[0]
+    assert row["status"] == "nomatch"
+    # gather rows exist but none annotated → nomatch too
+    row = tax_genome(_gather([("gX", 0.5, 0.5, 100)]), {}).to_pylist()[0]
+    assert row["status"] == "nomatch"
+
+
+def test_tax_genome_ani_threshold_overrides_containment():
+    from sourmash_ray.stages.tax import tax_genome
+
+    lin = {"g1": "d__A"}
+    tbl = _gather([("g1", 0.05, 0.04, 500)])
+    # containment 0.05 → ANI = 1 - (1 - 0.05^(1/31)) ≈ 0.908 ≥ 0.9 →
+    # match even though containment_threshold would say below
+    row = tax_genome(tbl, lin, containment_threshold=0.5,
+                     ani_threshold=0.9,
+                     query_n_hashes=10000).to_pylist()[0]
+    assert row["status"] == "match"
+    assert row["query_ani_at_rank"] > 0.9
+
+
+def test_tax_annotate_attaches_lineage():
+    from sourmash_ray.stages.tax import tax_annotate
+
+    tbl = _gather([("g1", 0.5, 0.4, 100), ("gX", 0.1, 0.1, 10)])
+    out = tax_annotate(tbl, {"g1": "d__A;p__X"})
+    assert out.column_names[-1] == "lineage"
+    assert out["lineage"].to_pylist() == ["d__A;p__X", ""]
+    assert out["match"].to_pylist() == ["g1", "gX"]
