@@ -438,3 +438,64 @@ def check_collections(locations, values, coltype: str = "name",
              found_parts.select_columns(["picklist_key"]).take_all()}
     missing = sorted(set(picked) - found)
     return matching, missing, n_examined
+
+
+OVERLAP_SCHEMA = pa.schema([
+    ("id_a", pa.string()), ("id_b", pa.string()),
+    ("md5_a", pa.string()), ("md5_b", pa.string()),
+    ("ksize", pa.int64()), ("scaled", pa.int64()), ("num", pa.int64()),
+    ("size_a", pa.int64()), ("size_b", pa.int64()),
+    ("jaccard", pa.float64()),
+    ("containment_a_in_b", pa.float64()),
+    ("containment_b_in_a", pa.float64()),
+    ("num_common", pa.int64()),
+    ("disjoint_a", pa.int64()), ("disjoint_b", pa.int64()),
+    ("num_union", pa.int64()),
+])
+
+
+def overlap_report(sigs, id_a: str, id_b: str) -> pa.Table:
+    """``sig overlap`` (``sig/__main__.py:379-470``): detailed
+    two-signature comparison — jaccard, both containments, and the raw
+    common/disjoint/union hash counts the reference prints. Exactly two
+    rows leave the Dataset (predicate pushdown); the set math is the
+    same sorted-array kernels every other op uses."""
+    from ..functions.setops import contained_by, intersect_sorted, jaccard
+    from ..functions.sketch import Sketch, SketchParams
+
+    rows = sigs.filter(
+        expr=f"conv_id == '{id_a}' or conv_id == '{id_b}'").take_all()
+    by = {}
+    for r in rows:
+        by.setdefault(r["conv_id"], r)
+    missing = [i for i in (id_a, id_b) if i not in by]
+    if missing:
+        raise ValueError(f"signature(s) not found: {missing}")
+
+    def _sk(r):
+        params = SketchParams(
+            ksize=int(r["ksize"]), scaled=int(r["scaled"]),
+            num=int(r["num"]),
+            track_abundance=r.get("abunds") is not None)
+        mins = np.asarray(r["mins"], np.uint64)
+        ab = (np.asarray(r["abunds"], np.int64)
+              if r.get("abunds") is not None else None)
+        return Sketch(mins=mins, abunds=ab, params=params,
+                      name=r["conv_id"], _md5=r["md5"])
+
+    sa, sb = _sk(by[id_a]), _sk(by[id_b])
+    common = int(intersect_sorted(sa.mins, sb.mins).size)
+    union = int(sa.mins.size + sb.mins.size - common)
+    return pa.Table.from_pylist([{
+        "id_a": id_a, "id_b": id_b, "md5_a": sa.md5, "md5_b": sb.md5,
+        "ksize": sa.params.ksize, "scaled": sa.params.scaled,
+        "num": sa.params.num,
+        "size_a": int(sa.mins.size), "size_b": int(sb.mins.size),
+        "jaccard": jaccard(sa, sb),
+        "containment_a_in_b": contained_by(sa, sb),
+        "containment_b_in_a": contained_by(sb, sa),
+        "num_common": common,
+        "disjoint_a": int(sa.mins.size) - common,
+        "disjoint_b": int(sb.mins.size) - common,
+        "num_union": union,
+    }], schema=OVERLAP_SCHEMA)

@@ -272,3 +272,52 @@ def tax_annotate(gather_tbl: pa.Table, lineage_of: dict) -> pa.Table:
         [lineage_of.get(m) or "" for m in gather_tbl["match"].to_pylist()],
         pa.string())
     return gather_tbl.append_column("lineage", lin)
+
+
+COMPARE_CSV_SCHEMA = pa.schema([
+    ("ident", pa.string()),
+    ("status", pa.string()),      # compatible | incompatible
+    ("lca", pa.string()),
+])
+
+
+def compare_lineage_dicts(a: dict, b: dict) -> tuple[pa.Table, dict]:
+    """``lca compare_csv`` (``lca/command_compare_csv.py:60-99``): for
+    every ident present in both assignments with DIFFERING lineages,
+    classify the disagreement — ``compatible`` when one lineage is an
+    ancestor (rank-boundary prefix) of the other, ``incompatible`` when
+    the trees diverge — and report the LCA (longest common rank prefix).
+    Returns (rows for differing idents sorted by ident, summary counts
+    incl. per-depth incompatibility histogram)."""
+    common = sorted(set(a) & set(b))
+    rows = []
+    n_different = n_compat = n_incompat = 0
+    incompat_depth: dict[int, int] = {}
+    for k in common:
+        va, vb = a[k], b[k]
+        if va == vb:
+            continue
+        n_different += 1
+        pa_, pb_ = va.split(";"), vb.split(";")
+        d = 0
+        while d < min(len(pa_), len(pb_)) and pa_[d] == pb_[d]:
+            d += 1
+        lca = ";".join(pa_[:d])
+        if d == min(len(pa_), len(pb_)):   # one is ancestor of the other
+            n_compat += 1
+            rows.append({"ident": k, "status": "compatible", "lca": lca})
+        else:
+            n_incompat += 1
+            incompat_depth[d] = incompat_depth.get(d, 0) + 1
+            rows.append({"ident": k, "status": "incompatible",
+                         "lca": lca})
+    summary = {
+        "n_total": len(common),
+        "n_different": n_different,
+        "n_compatible": n_compat,
+        "n_incompatible": n_incompat,
+        "missing_in_a": len(set(b) - set(a)),
+        "missing_in_b": len(set(a) - set(b)),
+        "incompatible_at_depth": incompat_depth,
+    }
+    return pa.Table.from_pylist(rows, schema=COMPARE_CSV_SCHEMA), summary

@@ -630,3 +630,29 @@ def test_watch_dataset_streams_blocks(sigs, corpus, ray_session):
                        watermark=2)
     assert out == ref
     assert out["found"]
+
+
+def test_overlap_report_matches_oracle(sigs, oracle_sketches):
+    import numpy as np
+
+    from sourmash_ray.stages.sigops import overlap_report
+
+    ids = sorted(oracle_sketches)[:2]
+    a, b = ids
+    row = overlap_report(sigs, a, b).to_pylist()[0]
+    ma = np.asarray(oracle_sketches[a]["mins"], np.uint64)
+    mb = np.asarray(oracle_sketches[b]["mins"], np.uint64)
+    common = len(np.intersect1d(ma, mb))
+    union = len(np.union1d(ma, mb))
+    assert row["num_common"] == common
+    assert row["num_union"] == union
+    assert row["disjoint_a"] == len(ma) - common
+    assert row["disjoint_b"] == len(mb) - common
+    assert row["size_a"] == len(ma) and row["size_b"] == len(mb)
+    assert abs(row["jaccard"] - (common / union if union else 1.0)) < 1e-12
+    assert abs(row["containment_a_in_b"]
+               - (common / len(ma) if len(ma) else 0.0)) < 1e-12
+    import pytest
+
+    with pytest.raises(ValueError, match="not found"):
+        overlap_report(sigs, a, "no-such-conv")

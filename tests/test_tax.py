@@ -182,3 +182,24 @@ def test_tax_annotate_attaches_lineage():
     assert out.column_names[-1] == "lineage"
     assert out["lineage"].to_pylist() == ["d__A;p__X", ""]
     assert out["match"].to_pylist() == ["g1", "gX"]
+
+
+def test_compare_lineage_dicts():
+    from sourmash_ray.stages.tax import compare_lineage_dicts
+
+    a = {"s1": "d__A;p__X;c__1", "s2": "d__A;p__X", "s3": "d__A;p__Y",
+         "s4": "d__B", "only_a": "d__A"}
+    b = {"s1": "d__A;p__X;c__1", "s2": "d__A;p__X;c__2",
+         "s3": "d__A;p__Z", "s4": "d__C", "only_b": "d__A"}
+    tbl, summary = compare_lineage_dicts(a, b)
+    rows = {r["ident"]: (r["status"], r["lca"]) for r in tbl.to_pylist()}
+    assert rows == {
+        "s2": ("compatible", "d__A;p__X"),     # ancestor relation
+        "s3": ("incompatible", "d__A"),        # diverge at rank 1
+        "s4": ("incompatible", ""),            # diverge at root
+    }
+    assert summary == {
+        "n_total": 4, "n_different": 3, "n_compatible": 1,
+        "n_incompatible": 2, "missing_in_a": 1, "missing_in_b": 1,
+        "incompatible_at_depth": {1: 1, 0: 1},
+    }
