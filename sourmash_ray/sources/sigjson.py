@@ -102,3 +102,62 @@ def sig_json_to_table(data: list) -> pa.Table:
         "abunds": pa.array(rows["abunds"], pa.list_(pa.uint64())),
         "md5": pa.array(rows["md5"], pa.string()),
     })
+
+
+def export_mash_json(sigs, conv_id: str, path: str) -> str:
+    """``sig export`` (``sig/__main__.py:1059-1084``): write one
+    signature as a mash-compatible JSON dict — kmer size, sketch size,
+    hash type/bits/seed, and the hash list. One row leaves the Dataset
+    (predicate pushdown)."""
+    import json
+
+    rows = sigs.filter(expr=f"conv_id == '{conv_id}'").take_all()
+    if not rows:
+        raise ValueError(f"signature not found: {conv_id}")
+    r = rows[0]
+    from ..functions.murmur import DEFAULT_SEED
+
+    x = {
+        "kmer": int(r["ksize"]),
+        "sketchSize": len(r["mins"]),
+        "hashType": "MurmurHash3_x64_128",
+        "hashBits": 64,
+        "hashSeed": DEFAULT_SEED,
+        "sketches": [{"hashes": [int(h) for h in r["mins"]]}],
+    }
+    with open(path, "w") as f:
+        json.dump(x, f)
+    return path
+
+
+def import_mash_csv(path: str) -> pa.Table:
+    """``sourmash import_csv`` (``commands.py:455-480``): read the legacy
+    mash CSV (``hashfn,seed,ksize,name,space-separated-hashes`` per row)
+    into signature rows. Same validation as the reference: only
+    ``murmur64`` seed 42 is accepted."""
+    import csv
+
+    import numpy as np
+
+    from ..functions.sketch import md5_of_mins
+
+    rows = []
+    with open(path, newline="") as fp:
+        for row in csv.reader(fp):
+            hashfn, hashseed, ksize, name, hashes = row
+            if hashfn != "murmur64":
+                raise ValueError(f"unsupported hash function: {hashfn}")
+            if int(hashseed) != 42:
+                raise ValueError(f"unsupported hash seed: {hashseed}")
+            mins = np.sort(np.array(
+                [int(h) for h in hashes.strip().split(" ")], np.uint64))
+            rows.append({
+                "conv_id": name,
+                "ksize": int(ksize),
+                "scaled": 0,
+                "num": len(mins),
+                "mins": mins.tolist(),
+                "abunds": None,
+                "md5": md5_of_mins(mins, int(ksize)),
+            })
+    return pa.Table.from_pylist(rows)

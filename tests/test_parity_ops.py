@@ -656,3 +656,39 @@ def test_overlap_report_matches_oracle(sigs, oracle_sketches):
 
     with pytest.raises(ValueError, match="not found"):
         overlap_report(sigs, a, "no-such-conv")
+
+
+def test_export_mash_json(sigs, oracle_sketches, tmp_path):
+    import json
+
+    from sourmash_ray.sources.sigjson import export_mash_json
+
+    cid = sorted(oracle_sketches)[0]
+    p = export_mash_json(sigs, cid, str(tmp_path / "out.msh.json"))
+    x = json.load(open(p))
+    assert x["hashType"] == "MurmurHash3_x64_128"
+    assert x["hashBits"] == 64 and x["hashSeed"] == 42
+    assert x["sketches"][0]["hashes"] == [
+        int(h) for h in oracle_sketches[cid]["mins"]]
+    assert x["sketchSize"] == len(oracle_sketches[cid]["mins"])
+
+
+def test_import_mash_csv(tmp_path):
+    import pytest
+
+    from sourmash_ray.sources.sigjson import import_mash_csv
+
+    p = tmp_path / "sigs.csv"
+    p.write_text('murmur64,42,31,convA,30 10 20\n'
+                 'murmur64,42,31,convB,5\n')
+    t = import_mash_csv(str(p))
+    rows = {r["conv_id"]: r for r in t.to_pylist()}
+    assert rows["convA"]["mins"] == [10, 20, 30]     # sorted invariant
+    assert rows["convA"]["num"] == 3
+    assert rows["convB"]["mins"] == [5]
+    assert len(rows["convA"]["md5"]) == 32
+
+    bad = tmp_path / "bad.csv"
+    bad.write_text('sha1,42,31,x,1 2\n')
+    with pytest.raises(ValueError, match="hash function"):
+        import_mash_csv(str(bad))
