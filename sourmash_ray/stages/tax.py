@@ -190,12 +190,10 @@ def tax_genome(gather_tbl: pa.Table, lineage_of: dict, *,
     if containment_threshold is not None and not (
             0 <= containment_threshold <= 1):
         raise ValueError(
-            "Containment threshold must be between 0 and 1 "
-            f"(input value: {containment_threshold}).")
+            f"containment_threshold={containment_threshold} outside [0, 1]")
     if ani_threshold is not None and not 0 <= ani_threshold <= 1:
         raise ValueError(
-            f"ANI threshold must be between 0 and 1 "
-            f"(input value: {ani_threshold}).")
+            f"ani_threshold={ani_threshold} outside [0, 1]")
 
     if gather_tbl.num_rows == 0:
         return pa.Table.from_pylist([{
