@@ -499,3 +499,65 @@ def overlap_report(sigs, id_a: str, id_b: str) -> pa.Table:
         "disjoint_b": int(sb.mins.size) - common,
         "num_union": union,
     }], schema=OVERLAP_SCHEMA)
+
+
+def plan_fromfile(entries: list[dict], build_params: list,
+                  manifest: pa.Table | None = None
+                  ) -> tuple[pa.Table, dict]:
+    """``sketch fromfile`` planning (``command_sketch.py:403-545``):
+    cross the CSV's names with the requested sketch specs, subtract what
+    an ``--already-done`` manifest covers, and report what remains to
+    build. Validation mirrors the reference: blank or duplicate names
+    are hard errors; an entry whose source file is absent for a needed
+    spec lands in ``missing`` instead of the build list.
+
+    ``entries``: dicts with ``name`` and ``source_path`` (the transcript
+    analogue of genome_filename). ``build_params``: SketchParams list —
+    a spec is "done" when the manifest holds a row with the same
+    (name, ksize, scaled, num). Returns (to_build table, summary)."""
+    seen, dups, blanks = {}, set(), 0
+    for e in entries:
+        name = e.get("name") or ""
+        if not name:
+            blanks += 1
+            continue
+        if name in seen:
+            dups.add(name)
+        else:
+            seen[name] = e.get("source_path") or ""
+    if dups:
+        raise ValueError(
+            f"{len(dups)} duplicate name entries: {sorted(dups)[:5]}")
+    if blanks:
+        raise ValueError(f"{blanks} entries with blank names")
+
+    done: set[tuple] = set()
+    if manifest is not None:
+        for r in manifest.select(
+                ["conv_id", "ksize", "scaled", "num"]).to_pylist():
+            done.add((r["conv_id"], int(r["ksize"]), int(r["scaled"]),
+                      int(r["num"])))
+
+    rows, missing = [], []
+    skipped = total = 0
+    for name, src in seen.items():
+        for p in build_params:
+            total += 1
+            key = (name, p.ksize, p.scaled, p.num)
+            if key in done:
+                skipped += 1
+            elif not src:
+                missing.append(name)
+            else:
+                rows.append({"name": name, "source_path": src,
+                             "ksize": p.ksize, "scaled": p.scaled,
+                             "num": p.num})
+    to_build = pa.Table.from_pylist(rows, schema=pa.schema([
+        ("name", pa.string()), ("source_path", pa.string()),
+        ("ksize", pa.int64()), ("scaled", pa.int64()),
+        ("num", pa.int64())]))
+    return to_build, {
+        "total_sigs": total, "n_to_build": len(rows),
+        "n_already_done": skipped, "n_missing_source": len(missing),
+        "missing": sorted(set(missing)),
+    }

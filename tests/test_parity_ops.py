@@ -692,3 +692,32 @@ def test_import_mash_csv(tmp_path):
     bad.write_text('sha1,42,31,x,1 2\n')
     with pytest.raises(ValueError, match="hash function"):
         import_mash_csv(str(bad))
+
+
+def test_plan_fromfile(sigs):
+    import pytest
+
+    from sourmash_ray.stages.sigops import describe_sigs, plan_fromfile
+
+    params = PARAMS
+    manifest = (describe_sigs(sigs)
+                .to_pandas().pipe(lambda df: df))
+    import pyarrow as pa
+    man_tbl = pa.Table.from_pandas(manifest)
+    have = manifest["conv_id"].tolist()[:3]
+    entries = ([{"name": n, "source_path": "corpus.parquet"}
+                for n in have]
+               + [{"name": "brand-new", "source_path": "x.parquet"},
+                  {"name": "no-source", "source_path": ""}])
+    to_build, summary = plan_fromfile(entries, [params], man_tbl)
+    built = {r["name"] for r in to_build.to_pylist()}
+    assert built == {"brand-new"}
+    assert summary["n_already_done"] == 3
+    assert summary["n_missing_source"] == 1
+    assert summary["missing"] == ["no-source"]
+    assert summary["total_sigs"] == 5
+
+    with pytest.raises(ValueError, match="duplicate"):
+        plan_fromfile([{"name": "a", "source_path": "x"}] * 2, [params])
+    with pytest.raises(ValueError, match="blank"):
+        plan_fromfile([{"name": "", "source_path": "x"}], [params])
