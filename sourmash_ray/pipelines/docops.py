@@ -1159,9 +1159,14 @@ def tfidf_top_terms_docs(sf_dir: str, k: int = 3):
     # N from Parquet row-group metadata — no data read
     n_docs = pads.dataset(f"{sf_dir}/documents.parquet").count_rows()
 
+    # token keys are Zipf-skewed (a stop-word's tf rows are a constant
+    # fraction of the corpus): salt the join so a hot token's probe rows
+    # spread over 8 partitions — the df build side (1 row/token) costs
+    # 8× replication, i.e. nothing
+    n_parts = resolve_num_partitions(DEFAULT_CONFIG)
     joined = hash_join_exchange(
         tf, df, key="tok", left_cols=["doc_id", "tf"], right_cols=["df"],
-        n_parts=resolve_num_partitions(DEFAULT_CONFIG))
+        n_parts=n_parts, salt=min(8, n_parts))
 
     def _score(t: pa.Table) -> pa.Table:
         tfv = np.asarray(t["tf"], np.int64)
