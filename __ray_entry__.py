@@ -307,6 +307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             relational.customers_no_urgent_orders,
         "hash_split_docs": docops.hash_split_docs,
         "shard_shuffle_docs": docops.shard_shuffle_docs,
+        "pack_docs_offsets": docops.pack_docs_offsets,
         "repetition_stats_docs": docops.repetition_stats_docs,
         "top_tokens_docs": docops.top_tokens_docs,
         "tfidf_top_terms_docs": docops.tfidf_top_terms_docs,
@@ -661,6 +662,29 @@ def oracle_sql() -> dict[str, str]:
                               substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                               AS UBIGINT) % 8 AS shard
                   FROM documents)
+        """,
+        "pack_docs_offsets": """
+            WITH s AS (
+              SELECT doc_id, n_chars,
+                     md5(CAST(doc_id AS VARCHAR)) AS h,
+                     CAST(concat('0x',
+                          substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS UBIGINT) % 8 AS shard
+              FROM documents),
+            p AS (
+              SELECT doc_id, shard, n_chars,
+                     sum(n_chars) OVER (PARTITION BY shard
+                                        ORDER BY h, doc_id
+                                        ROWS UNBOUNDED PRECEDING)
+                         - n_chars AS start
+              FROM s)
+            SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+                   CAST(start AS BIGINT) AS start_char,
+                   CAST(start // 2048 AS BIGINT) AS start_seq,
+                   CAST(start % 2048 AS BIGINT) AS start_offset,
+                   CAST((start + greatest(n_chars, 1) - 1) // 2048
+                        AS BIGINT) AS end_seq
+            FROM p
         """,
         "hash_split_docs": """
             SELECT split, lang,

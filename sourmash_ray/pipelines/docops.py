@@ -1179,3 +1179,72 @@ def tfidf_top_terms_docs(sf_dir: str, k: int = 3):
 
     scored = joined.map_batches(_score, batch_format="pyarrow")
     return grouped_topk(scored, "doc_id", "score_e4", k, "tok")
+
+
+PACK_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("shard", pa.int64()),
+    ("start_char", pa.int64()), ("start_seq", pa.int64()),
+    ("start_offset", pa.int64()), ("end_seq", pa.int64()),
+])
+
+
+def pack_docs_offsets(sf_dir: str, n_shards: int = 8,
+                      max_len: int = 2048):
+    """GPT-style sequence packing offsets — concatenate every shard's
+    document stream (the `shard_shuffle_docs` deterministic order:
+    md5-bucket shard, (md5, doc_id) order within) and cut it into
+    fixed ``max_len``-char training sequences; documents SPLIT across
+    sequence boundaries, the standard pretraining pack. Emits, per doc:
+    its global char offset in the shard stream, the sequence it starts
+    in, the offset within that sequence, and the sequence it ends in —
+    everything a loader needs to materialize sequence i without
+    scanning the stream.
+
+    Scale shape: identical to `shard_shuffle_docs` (24-byte rows through
+    the shard exchange, one lexsort + prefix-sum per partition); offsets
+    are a pure function of identity + length, so reruns and different
+    cluster sizes are byte-identical and a loader can resume mid-epoch."""
+    from ..functions.segscore import _to_bytes_array
+    from ..stages.exchange import exchange_map_groups
+
+    n_shards_u = np.uint64(n_shards)
+
+    def _key(batch: pa.Table) -> pa.Table:
+        ids_s = pc.cast(batch["doc_id"], pa.string()).combine_chunks()
+        md5 = _md5_column(ids_s)
+        shard = (_hex8_to_int(md5) % n_shards_u).astype(np.int64)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_chars": batch["n_chars"].combine_chunks().cast(pa.int64()),
+            "shard": pa.array(shard, pa.int64()),
+            "h": md5,
+        })
+
+    def _pack(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return PACK_SCHEMA.empty_table()
+        ids = np.asarray(part["doc_id"], np.int64)
+        nch = np.asarray(part["n_chars"], np.int64)
+        shard = np.asarray(part["shard"], np.int64)
+        h = _to_bytes_array(part["h"].combine_chunks())
+        order = np.lexsort((ids, h, shard))
+        s_s, n_s, i_s = shard[order], nch[order], ids[order]
+        cs = np.cumsum(n_s)
+        starts = np.flatnonzero(np.r_[True, s_s[1:] != s_s[:-1]])
+        lens = np.diff(np.r_[starts, len(s_s)])
+        base = np.repeat(cs[starts] - n_s[starts], lens)
+        start = cs - n_s - base            # char offset in shard stream
+        end = start + np.maximum(n_s, 1) - 1
+        return pa.table({
+            "doc_id": pa.array(i_s, pa.int64()),
+            "shard": pa.array(s_s, pa.int64()),
+            "start_char": pa.array(start, pa.int64()),
+            "start_seq": pa.array(start // max_len, pa.int64()),
+            "start_offset": pa.array(start % max_len, pa.int64()),
+            "end_seq": pa.array(end // max_len, pa.int64()),
+        })
+
+    keyed = _read_docs(sf_dir, ("doc_id", "n_chars")).map_batches(
+        _key, batch_format="pyarrow")
+    return exchange_map_groups(keyed, "shard", n_shards, _pack,
+                               PACK_SCHEMA)

@@ -67,3 +67,38 @@ def test_tfidf_and_top_tokens_small(ray_session, tmp_path):
     top = [(r["tok"], r["n_occurrences"])
            for r in top_tokens_docs(str(tmp_path), k=3).take_all()]
     assert top == [("cat", 3), ("dog", 3), ("owl", 3)]
+
+
+def test_pack_docs_offsets_stream_invariants(ray_session, tmp_path):
+    """Per shard: offsets are contiguous (each doc starts where the
+    previous ended), sequences cover the stream, seq/offset fields are
+    consistent with start_char."""
+    import pyarrow.parquet as pq
+
+    from sourmash_ray.pipelines.docops import pack_docs_offsets
+
+    n = 200
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(["x"] * n, pa.string()),
+        "n_chars": pa.array([(i * 37) % 500 + 1 for i in range(n)],
+                            pa.int64()),
+    }), f"{tmp_path}/documents.parquet")
+    L = 128
+    rows = pack_docs_offsets(str(tmp_path), n_shards=4,
+                             max_len=L).take_all()
+    lens = {i: (i * 37) % 500 + 1 for i in range(n)}
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert sum(len(v) for v in by_shard.values()) == n
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["start_char"])
+        expect_start = 0
+        for r in rs:
+            assert r["start_char"] == expect_start
+            assert r["start_seq"] == r["start_char"] // L
+            assert r["start_offset"] == r["start_char"] % L
+            assert r["end_seq"] == (r["start_char"]
+                                    + lens[r["doc_id"]] - 1) // L
+            expect_start += lens[r["doc_id"]]
