@@ -308,6 +308,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split_docs": docops.hash_split_docs,
         "shard_shuffle_docs": docops.shard_shuffle_docs,
         "pack_docs_offsets": docops.pack_docs_offsets,
+        "docs_global_ranked": docops.docs_global_ranked,
+        "mixing_weights_docs": docops.mixing_weights_docs,
+        "length_rank_by_lang": docops.length_rank_by_lang,
+        "pii_scan_docs": docops.pii_scan_docs,
         "repetition_stats_docs": docops.repetition_stats_docs,
         "top_tokens_docs": docops.top_tokens_docs,
         "tfidf_top_terms_docs": docops.tfidf_top_terms_docs,
@@ -685,6 +689,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST((start + greatest(n_chars, 1) - 1) // 2048
                         AS BIGINT) AS end_seq
             FROM p
+        """,
+        "docs_global_ranked": """
+            SELECT doc_id, n_chars,
+                   CAST(row_number() OVER (ORDER BY n_chars, doc_id)
+                        AS BIGINT) AS global_rank
+            FROM documents
+        """,
+        "mixing_weights_docs": """
+            WITH t AS (SELECT source, count(*) AS n_docs,
+                              CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+                       FROM documents GROUP BY source),
+            g AS (SELECT CAST(sum(sum_n_chars) AS BIGINT) AS total,
+                         count(*) AS s FROM t)
+            SELECT source, n_docs, sum_n_chars,
+                   CAST(sum_n_chars * 1000000 // total AS BIGINT)
+                       AS share_e6,
+                   CAST(total * 1000000 // (s * sum_n_chars) AS BIGINT)
+                       AS weight_e6
+            FROM t, g
+        """,
+        "length_rank_by_lang": """
+            SELECT doc_id, lang, n_chars,
+                   CAST(row_number() OVER (PARTITION BY lang
+                        ORDER BY n_chars, doc_id) AS BIGINT) AS rn,
+                   CAST(CASE WHEN count(*) OVER (PARTITION BY lang) > 1
+                        THEN (row_number() OVER (PARTITION BY lang
+                              ORDER BY n_chars, doc_id) - 1) * 1000000
+                             // (count(*) OVER (PARTITION BY lang) - 1)
+                        ELSE 0 END AS BIGINT) AS pr_e6
+            FROM documents
+        """,
+        "pii_scan_docs": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                        AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(text,
+                        '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                        AS BIGINT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(text,
+                        '\\+?\\d[\\d() -]{7,}\\d')) AS BIGINT) AS n_phones,
+                   CAST((len(regexp_extract_all(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                       + len(regexp_extract_all(text,
+                        '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                       + len(regexp_extract_all(text,
+                        '\\+?\\d[\\d() -]{7,}\\d'))) > 0 AS BIGINT)
+                       AS has_pii
+            FROM documents
         """,
         "hash_split_docs": """
             SELECT split, lang,

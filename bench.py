@@ -88,7 +88,7 @@ def run_all(sf_dir: str) -> dict:
     qs = e.queries()
     names = ["dedup_transcripts", "exact_dedup_docs", "minhash_dedup_docs",
              "simhash_docs", "ann_topk", "tumbling_window_counts",
-             "pricing_summary", "sessionize_events"]
+             "pricing_summary", "sessionize_events", "docs_global_ranked"]
     out = {}
     for name in names:
         t0 = time.perf_counter()

@@ -1248,3 +1248,153 @@ def pack_docs_offsets(sf_dir: str, n_shards: int = 8,
         _key, batch_format="pyarrow")
     return exchange_map_groups(keyed, "shard", n_shards, _pack,
                                PACK_SCHEMA)
+
+
+def docs_global_ranked(sf_dir: str):
+    """Global total-order sort of the corpus by (n_chars, doc_id) with the
+    exact 1-based rank — ``row_number() OVER (ORDER BY n_chars, doc_id)``
+    — on the range-partition sample sort (``stages/sort.py``), not Ray's
+    serial-bottlenecked ``Dataset.sort``. Output blocks ARE the range
+    partitions in order: a curriculum loader (shortest-first scheduling)
+    or a length-bucketed writer consumes them as already-sorted shards."""
+    from ..stages.sort import range_partition_sort
+
+    return range_partition_sort(
+        _read_docs(sf_dir, ("doc_id", "n_chars")), "n_chars", "doc_id",
+        schema=pa.schema([("doc_id", pa.int64()),
+                          ("n_chars", pa.int64())]))
+
+
+def mixing_weights_docs(sf_dir: str):
+    """Data-mixing weights per source: char totals via one
+    ``grouped_sums`` exchange (only per-block partials shuffle), then the
+    source-count-sized weight table finishes on the driver. Weights are
+    exact integer rationals (x1e6, floor) so the oracle compare is
+    bit-stable: ``share_e6`` = the source's share of total chars,
+    ``weight_e6`` = the up/down-sampling factor that equalizes source
+    shares (total / (n_sources * source_chars)) — the standard
+    temperature-1 uniform-mixing weight."""
+    from ..stages.agg import grouped_sums
+
+    t = grouped_sums(_read_docs(sf_dir, ("source", "n_chars")),
+                     ["source"], ["n_chars"], count_as="n_docs")
+    rows = sorted(t.take_all(), key=lambda r: r["source"])
+    total = sum(r["sum_n_chars"] for r in rows)
+    s = len(rows)
+    return pa.table({
+        "source": pa.array([r["source"] for r in rows], pa.string()),
+        "n_docs": pa.array([r["n_docs"] for r in rows], pa.int64()),
+        "sum_n_chars": pa.array([r["sum_n_chars"] for r in rows],
+                                pa.int64()),
+        "share_e6": pa.array(
+            [r["sum_n_chars"] * 1_000_000 // total for r in rows],
+            pa.int64()),
+        "weight_e6": pa.array(
+            [total * 1_000_000 // (s * r["sum_n_chars"]) for r in rows],
+            pa.int64()),
+    })
+
+
+RANK_LANG_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("lang", pa.string()),
+    ("n_chars", pa.int64()), ("rn", pa.int64()), ("pr_e6", pa.int64()),
+])
+
+
+def length_rank_by_lang(sf_dir: str, n_parts: int | None = None):
+    """Per-language length rank + percent_rank:
+    ``row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id)``
+    and the exact-integer percentile ``(rn-1)*1e6 // (n_lang-1)``. One
+    lang-hash exchange, one lexsort + run-length pass per partition —
+    every language lands whole in one partition so both the rank and the
+    group size are exact without a second shuffle. Zipf caveat: a
+    dominant language concentrates in one partition; for a one-language
+    corpus use :func:`docs_global_ranked`'s range sort instead."""
+    from ..functions.segscore import _to_bytes_array, hash_strings64
+    from ..stages.exchange import exchange_map_groups
+
+    if n_parts is None:
+        from ..config import resolve_num_partitions
+        n_parts = resolve_num_partitions(DEFAULT_CONFIG)
+
+    def _key(batch: pa.Table) -> pa.Table:
+        lang = batch["lang"].combine_chunks()
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "lang": lang,
+            "n_chars": batch["n_chars"].combine_chunks().cast(pa.int64()),
+            "lang_part": pa.array(hash_strings64(lang) % 1024, pa.int64()),
+        })
+
+    def _rank(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return RANK_LANG_SCHEMA.empty_table()
+        lb = _to_bytes_array(part["lang"].combine_chunks())
+        ids = np.asarray(part["doc_id"], np.int64)
+        nch = np.asarray(part["n_chars"], np.int64)
+        order = np.lexsort((ids, nch, lb))
+        lb_s = lb[order]
+        starts = np.flatnonzero(np.r_[True, lb_s[1:] != lb_s[:-1]])
+        lens = np.diff(np.r_[starts, len(lb_s)])
+        rn = (np.arange(len(lb_s), dtype=np.int64)
+              - np.repeat(starts, lens))
+        n_grp = np.repeat(lens, lens)
+        pr = np.where(n_grp > 1, rn * 1_000_000 // np.maximum(n_grp - 1, 1),
+                      0)
+        return pa.table({
+            "doc_id": pa.array(ids[order]),
+            "lang": part["lang"].combine_chunks().take(
+                pa.array(order, pa.int64())),
+            "n_chars": pa.array(nch[order]),
+            "rn": pa.array(rn + 1),
+            "pr_e6": pa.array(pr),
+        })
+
+    keyed = _read_docs(sf_dir, ("doc_id", "lang", "n_chars")).map_batches(
+        _key, batch_format="pyarrow")
+    return exchange_map_groups(keyed, "lang_part", n_parts, _rank,
+                               RANK_LANG_SCHEMA)
+
+
+# PII patterns — RE2 syntax, identical engine on both sides of the oracle
+# (pyarrow count_substring_regex and DuckDB regexp_extract_all are RE2)
+PII_PATTERNS = {
+    "n_emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "n_ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "n_phones": r"\+?\d[\d() -]{7,}\d",
+}
+
+
+def pii_scan_docs(sf_dir: str):
+    """Per-doc PII hit counts (emails / IPv4 / phone-shaped numbers) —
+    one RE2 pass per pattern per batch, zero shuffle. The filter/redact
+    step of a curation pipeline keys off ``has_pii``. Patterns are
+    deliberately RE2-portable so the DuckDB oracle runs the SAME regex
+    engine; a count here is a count there."""
+    def _scan(batch: pa.Table) -> pa.Table:
+        text = batch["text"].combine_chunks()
+        cols = {"doc_id": batch["doc_id"]}
+        total = None
+        for name, pat in PII_PATTERNS.items():
+            c = pc.cast(pc.count_substring_regex(text, pat), pa.int64())
+            cols[name] = c
+            total = c if total is None else pc.add(total, c)
+        cols["has_pii"] = pc.cast(pc.greater(total, 0), pa.int64())
+        return pa.table(cols)
+
+    return _read_docs(sf_dir).map_batches(_scan, batch_format="pyarrow")
+
+
+def pii_redact_docs(sf_dir: str, replacement: str = "[PII]"):
+    """Redaction twin of :func:`pii_scan_docs`: every PII match replaced
+    in-stream (``replace_substring_regex`` per pattern), emitting
+    (doc_id, text) with the same schema as the input corpus — a drop-in
+    cleaned shard writer."""
+    def _redact(batch: pa.Table) -> pa.Table:
+        text = batch["text"].combine_chunks()
+        for pat in PII_PATTERNS.values():
+            text = pc.replace_substring_regex(text, pat,
+                                              replacement=replacement)
+        return pa.table({"doc_id": batch["doc_id"], "text": text})
+
+    return _read_docs(sf_dir).map_batches(_redact, batch_format="pyarrow")

@@ -1,0 +1,117 @@
+"""Range-partition global sort, mixing weights, PII scan/redact."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sourmash_ray.stages.sort import (_assign_parts, _boundaries,
+                                      range_partition_sort)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(st.integers(-50, 50), st.integers(0, 20)),
+                min_size=0, max_size=120),
+       st.integers(1, 9))
+def test_assign_parts_respects_total_order(pairs, n_parts):
+    """Rows in partition p sort strictly before rows in partition p+1
+    under the composite (key, tie) order, and partition ids stay in
+    range — for ANY sample-derived boundaries."""
+    k = np.array([p[0] for p in pairs], np.int64)
+    t = np.array([p[1] for p in pairs], np.int64)
+    bk, bt = _boundaries(k, t, n_parts)
+    part = _assign_parts(k, t, bk, bt)
+    assert ((part >= 0) & (part < n_parts)).all()
+    comp = list(zip(k.tolist(), t.tolist(), part.tolist()))
+    comp.sort()
+    for (a, b, pa_), (c, d, pb) in zip(comp, comp[1:]):
+        assert pa_ <= pb          # partition ids monotone in total order
+    # equal composites never split across partitions
+    seen = {}
+    for key, tie, p in comp:
+        assert seen.setdefault((key, tie), p) == p
+
+
+def _write_docs(tmp_path, n_chars, langs=None, texts=None):
+    n = len(n_chars)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(texts or ["x"] * n, pa.string()),
+        "lang": pa.array(langs or ["en"] * n, pa.string()),
+        "source": pa.array([f"s{i % 3}" for i in range(n)], pa.string()),
+        "n_chars": pa.array(n_chars, pa.int64()),
+    }), f"{tmp_path}/documents.parquet")
+
+
+def test_range_sort_exact_ranks_and_skew(ray_session, tmp_path):
+    """Global ranks equal the argsort oracle, including an all-equal-key
+    corpus (every row same n_chars — the worst boundary skew)."""
+    from sourmash_ray.pipelines.docops import docs_global_ranked
+
+    rng = np.random.RandomState(7)
+    n_chars = np.r_[rng.randint(1, 40, size=300),
+                    np.full(200, 17)].astype(np.int64)
+    _write_docs(tmp_path, n_chars.tolist())
+    rows = docs_global_ranked(str(tmp_path)).take_all()
+    assert len(rows) == 500
+    got = {r["doc_id"]: r["global_rank"] for r in rows}
+    order = np.lexsort((np.arange(500), n_chars))
+    for rank0, doc in enumerate(order):
+        assert got[int(doc)] == rank0 + 1
+
+
+def test_range_sort_blocks_are_ordered_ranges(ray_session, tmp_path):
+    """Output blocks are the range partitions in global order — a
+    consumer can stream them as already-sorted shards."""
+    _write_docs(tmp_path, [(i * 131) % 997 for i in range(400)])
+    ds = range_partition_sort(
+        __import__("ray").data.read_parquet(
+            f"{tmp_path}/documents.parquet",
+            columns=["doc_id", "n_chars"]),
+        "n_chars", "doc_id", n_parts=4)
+    prev_last = None
+    for batch in ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+        if batch.num_rows == 0:
+            continue
+        r = batch["global_rank"].to_pylist()
+        assert r == sorted(r)
+        if prev_last is not None:
+            assert r[0] == prev_last + 1
+        prev_last = r[-1]
+    assert prev_last == 400
+
+
+def test_pii_scan_and_redact(ray_session, tmp_path):
+    from sourmash_ray.pipelines.docops import pii_redact_docs, pii_scan_docs
+
+    texts = [
+        "contact bob.smith+x@example.co.uk or call +1 (415) 555-0199 now",
+        "server at 10.0.255.3 and backup 192.168.1.1",
+        "no pii here at all",
+        "a@b.io mailed c_d%e@f-g.org twice",
+    ]
+    _write_docs(tmp_path, [len(t) for t in texts], texts=texts)
+    got = {r["doc_id"]: r for r in pii_scan_docs(str(tmp_path)).take_all()}
+    assert (got[0]["n_emails"], got[0]["n_phones"]) == (1, 1)
+    assert got[1]["n_ipv4"] == 2 and got[1]["has_pii"] == 1
+    assert got[2]["has_pii"] == 0
+    assert got[3]["n_emails"] == 2
+
+    red = {r["doc_id"]: r["text"]
+           for r in pii_redact_docs(str(tmp_path)).take_all()}
+    assert "example.co.uk" not in red[0] and "[PII]" in red[0]
+    assert "10.0.255.3" not in red[1]
+    assert red[2] == texts[2]
+
+
+def test_mixing_weights_uniform_target(ray_session, tmp_path):
+    """Equal-sized sources get weight 1e6/n_sources-balanced: every
+    weight_e6 equals total/(s*chars) exactly."""
+    from sourmash_ray.pipelines.docops import mixing_weights_docs
+
+    _write_docs(tmp_path, [10] * 9)  # 3 sources x 3 docs x 10 chars
+    t = mixing_weights_docs(str(tmp_path))
+    assert t.num_rows == 3
+    assert set(t["weight_e6"].to_pylist()) == {1_000_000}
+    assert set(t["share_e6"].to_pylist()) == {333_333}
