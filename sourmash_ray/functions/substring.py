@@ -5,37 +5,58 @@ The north-star analogue of the reference's hash→kmer back-mapping
 ``minhash.py:393-460``): after sketch-level similarity says two
 conversations are near-dups, find the longest EXACT shared byte span.
 
-Algorithm: binary search on span length L; at each L, murmur-hash every
-L-window of both strings (one vectorized pass, same kernel as the
-sketcher), intersect the hash sets, and confirm a surviving candidate by
-direct byte comparison (eliminating collisions). O((n+m)·log min(n,m))
-hash work, fully vectorized per probe.
+Algorithm: binary search on span length L over POLYNOMIAL rolling
+hashes. One O(n) prefix pass per string computes
+``S[i] = sum_{j<i} a[j]·B^j (mod 2^64)``; every L-window hash is then
+the position-normalized ``(S[i+L] - S[i]) · B^{-i}`` — a subtract and a
+multiply, so each binary-search probe costs O(n+m) TOTAL, independent
+of L (the previous murmur-window variant re-hashed L bytes per window,
+O(n·L) per probe — quadratic on near-identical blobs whose first probe
+is L ≈ n/2). Candidates from the hash intersection are confirmed by
+direct byte comparison, so 2^64-poly collisions cost time, never
+correctness.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-from .murmur import murmur64_fixedlen
+_B = np.uint64(0x9E3779B97F4A7C15)           # odd → invertible mod 2^64
+_BINV = np.uint64(pow(0x9E3779B97F4A7C15, -1, 1 << 64))
 
 
-def _window_hashes(data: np.ndarray, L: int) -> np.ndarray:
-    n = data.size - L + 1
+def _prefix_state(x: np.ndarray):
+    """(S, invpows) for the normalized rolling hash; uint64 arithmetic
+    wraps mod 2^64 by construction (numpy unsigned overflow)."""
+    n = x.size
+    S = np.zeros(n + 1, np.uint64)
+    invpows = np.ones(n + 1, np.uint64)
+    if n:
+        pows = np.ones(n, np.uint64)
+        if n > 1:
+            np.cumprod(np.full(n - 1, _B, np.uint64), out=pows[1:])
+        np.cumprod(np.full(n, _BINV, np.uint64), out=invpows[1:])
+        # +1 so a zero byte still contributes its positional weight
+        np.cumsum((x.astype(np.uint64) + np.uint64(1)) * pows, out=S[1:])
+    return S, invpows
+
+
+def _window_hashes(S: np.ndarray, invpows: np.ndarray,
+                   L: int) -> np.ndarray:
+    n = S.size - 1 - L + 1
     if n <= 0:
         return np.empty(0, np.uint64)
-    width = L + (-L) % 8
-    padded = np.concatenate([data, np.zeros(8, np.uint8)])
-    view = np.lib.stride_tricks.sliding_window_view(padded, width)[:n]
-    return murmur64_fixedlen(view, length=L)
+    return (S[L:L + n] - S[:n]) * invpows[:n]
 
 
-def _match_at_length(a: np.ndarray, b: np.ndarray, L: int):
+def _match_at_length(a: np.ndarray, b: np.ndarray, sa_state, sb_state,
+                     L: int):
     """Return (pos_a, pos_b) of an exact common L-substring, or None."""
-    ha = _window_hashes(a, L)
-    hb = _window_hashes(b, L)
+    ha = _window_hashes(*sa_state, L)
+    hb = _window_hashes(*sb_state, L)
     if ha.size == 0 or hb.size == 0:
         return None
-    common, ia, ib = np.intersect1d(ha, hb, return_indices=True)
+    common = np.intersect1d(ha, hb)
     if common.size == 0:
         return None
     # confirm (collision-proof): check each candidate pair of positions
@@ -58,11 +79,13 @@ def longest_common_substring(a: bytes, b: bytes) -> tuple[int, int, int]:
     """(length, start_a, start_b) of the longest exact common substring."""
     aa = np.frombuffer(a, dtype=np.uint8)
     bb = np.frombuffer(b, dtype=np.uint8)
+    sa_state = _prefix_state(aa)
+    sb_state = _prefix_state(bb)
     lo, hi = 0, min(aa.size, bb.size)
     best = (0, 0, 0)
     while lo < hi:
         mid = (lo + hi + 1) // 2
-        m = _match_at_length(aa, bb, mid)
+        m = _match_at_length(aa, bb, sa_state, sb_state, mid)
         if m is not None:
             best = (mid, m[0], m[1])
             lo = mid
