@@ -308,6 +308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split_docs": docops.hash_split_docs,
         "shard_shuffle_docs": docops.shard_shuffle_docs,
         "pack_docs_offsets": docops.pack_docs_offsets,
+        "rolling_rate_events": eventops.rolling_rate_events,
         "docs_global_ranked": docops.docs_global_ranked,
         "mixing_weights_docs": docops.mixing_weights_docs,
         "length_rank_by_lang": docops.length_rank_by_lang,
@@ -689,6 +690,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST((start + greatest(n_chars, 1) - 1) // 2048
                         AS BIGINT) AS end_seq
             FROM p
+        """,
+        "rolling_rate_events": """
+            SELECT event_id, user_id,
+                   CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                   CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts
+                        RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                        AND CURRENT ROW) AS BIGINT) AS n_trailing
+            FROM events
         """,
         "docs_global_ranked": """
             SELECT doc_id, n_chars,

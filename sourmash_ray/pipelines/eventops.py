@@ -383,3 +383,78 @@ def approx_distinct_users_by_type(sf_dir: str, p: int = 14):
                             columns=["event_type", "user_id"])
     return grouped_approx_distinct(ds, ["event_type"], "user_id", p=p,
                                    distinct_as="approx_n_users")
+
+
+ROLLING_SCHEMA = pa.schema([
+    ("event_id", pa.int64()),
+    ("user_id", pa.int64()),
+    ("ts_us", pa.int64()),
+    ("n_trailing", pa.int64()),
+])
+
+
+def rolling_merge_partition(part: pa.Table, w_us: int) -> pa.Table:
+    """Per-partition trailing-window kernel (module-level:
+    hypothesis-tested against a nested-loop oracle). For every event,
+    the count of same-user events with ``ts in [cur - w, cur]`` — SQL
+    ``count(*) OVER (PARTITION BY user ORDER BY ts RANGE BETWEEN w
+    PRECEDING AND CURRENT ROW)``, peers (equal ts) included.
+
+    Fully vectorized: one lexsort, then both frame edges are ONE
+    ``searchsorted`` each over the composite ``user*span + ts`` key —
+    the lower-edge key clips at the user's block start so an
+    out-of-range ``ts - w`` can never bleed into the previous user."""
+    import numpy as np
+
+    if part.num_rows == 0:
+        return ROLLING_SCHEMA.empty_table()
+    u = np.asarray(part["user_id"], np.int64)
+    eid = np.asarray(part["event_id"], np.int64)
+    ts = np.asarray(part["ts_us"], np.int64)
+    tmin = int(ts.min())
+    span = int(ts.max()) - tmin + 2
+    if int(u.max()) >= (2**63 - 1) // max(span, 1):
+        raise ValueError("user_id × ts span overflows the composite "
+                         "rolling key; re-partition finer")
+    ckey = u * span + (ts - tmin + 1)
+    order = np.argsort(ckey, kind="stable")
+    csorted = ckey[order]
+    hi = np.searchsorted(csorted, ckey, side="right")
+    lo_key = u * span + np.maximum(ts - w_us - tmin + 1, 0)
+    lo = np.searchsorted(csorted, lo_key, side="left")
+    return pa.table({
+        "event_id": pa.array(eid, pa.int64()),
+        "user_id": pa.array(u, pa.int64()),
+        "ts_us": pa.array(ts, pa.int64()),
+        "n_trailing": pa.array(hi - lo, pa.int64()),
+    })
+
+
+def rolling_rate_events(sf_dir: str, window_hours: int = 1):
+    """Trailing time-RANGE window per user — each event's same-user
+    event count over the preceding ``window_hours`` (rate limiting /
+    burst detection, the frame-based window family the tumbling/hopping
+    ops don't cover). One user-keyed exchange (24-byte rows), then the
+    vectorized kernel above; same partitioning contract as
+    ``sessionize_events`` (a user's history fits a partition)."""
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.exchange import exchange_map_groups
+
+    w_us = window_hours * 3600 * 1_000_000
+
+    def _key(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch["event_id"],
+            "user_id": batch["user_id"],
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+        })
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id"],
+    ).map_batches(_key, batch_format="pyarrow")
+    n_parts = resolve_num_partitions(DEFAULT_CONFIG)
+    return exchange_map_groups(
+        ds, "user_id", n_parts,
+        functools.partial(rolling_merge_partition, w_us=w_us),
+        ROLLING_SCHEMA)

@@ -454,3 +454,23 @@ def test_join_matches_pyarrow_oracle_property(ray_session, lk, rk, jt,
     want = (lt.join(rt.select(["k"] + rc), keys="k", join_type=jt)
             .select(["k", "lv"] + rc).to_pylist())
     assert _sorted(got) == _sorted(want)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_events, st.integers(0, 25))
+def test_rolling_kernel_matches_nested_loop(evs, w):
+    """Trailing RANGE-frame count: every same-user event with
+    ts in [cur - w, cur], peers included."""
+    from sourmash_ray.pipelines.eventops import rolling_merge_partition
+
+    part = pa.table({
+        "event_id": pa.array(list(range(len(evs))), pa.int64()),
+        "user_id": pa.array([e[0] for e in evs], pa.int64()),
+        "ts_us": pa.array([e[1] for e in evs], pa.int64()),
+    })
+    got = {r["event_id"]: r["n_trailing"]
+           for r in rolling_merge_partition(part, w_us=w).to_pylist()}
+    for i, (u, ts, _) in enumerate(evs):
+        want = sum(1 for (ou, ots, _) in evs
+                   if ou == u and ts - w <= ots <= ts)
+        assert got[i] == want, (i, evs, w)
