@@ -309,6 +309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shard_shuffle_docs": docops.shard_shuffle_docs,
         "pack_docs_offsets": docops.pack_docs_offsets,
         "rolling_rate_events": eventops.rolling_rate_events,
+        "budget_sample_docs": docops.budget_sample_docs,
         "docs_global_ranked": docops.docs_global_ranked,
         "mixing_weights_docs": docops.mixing_weights_docs,
         "length_rank_by_lang": docops.length_rank_by_lang,
@@ -690,6 +691,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST((start + greatest(n_chars, 1) - 1) // 2048
                         AS BIGINT) AS end_seq
             FROM p
+        """,
+        "budget_sample_docs": """
+            WITH c AS (
+              SELECT doc_id, source, n_chars,
+                     sum(n_chars) OVER (PARTITION BY source
+                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cum
+              FROM documents)
+            SELECT doc_id, source, n_chars,
+                   CAST(cum AS BIGINT) AS cum_chars
+            FROM c WHERE cum <= 4096
         """,
         "rolling_rate_events": """
             SELECT event_id, user_id,

@@ -1398,3 +1398,70 @@ def pii_redact_docs(sf_dir: str, replacement: str = "[PII]"):
         return pa.table({"doc_id": batch["doc_id"], "text": text})
 
     return _read_docs(sf_dir).map_batches(_redact, batch_format="pyarrow")
+
+
+BUDGET_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("source", pa.string()),
+    ("n_chars", pa.int64()), ("cum_chars", pa.int64()),
+])
+
+
+def budget_sample_docs(sf_dir: str, budget_chars: int = 4096,
+                       n_parts: int | None = None):
+    """Deterministic data selection to a per-source budget: within each
+    source, docs are taken in hash-priority order (md5(doc_id), doc_id —
+    the `shard_shuffle_docs` order, i.e. a uniform-but-reproducible
+    sample) while the running char total stays ≤ ``budget_chars``. The
+    standard "cap every source at B tokens" mixing step, as a pure
+    function of identity — reruns, shards and cluster sizes all select
+    the same docs, so a resumed job never double-samples.
+
+    Shape: 16-byte-plus-source rows through one source-hash exchange;
+    per partition one lexsort + segmented prefix-sum; the fact table
+    never shuffles. Emits the kept docs with their inclusive running
+    total (the loader's progress cursor)."""
+    from ..functions.segscore import _to_bytes_array, hash_strings64
+    from ..stages.exchange import exchange_map_groups
+
+    if n_parts is None:
+        from ..config import resolve_num_partitions
+        n_parts = resolve_num_partitions(DEFAULT_CONFIG)
+
+    def _key(batch: pa.Table) -> pa.Table:
+        ids_s = pc.cast(batch["doc_id"], pa.string()).combine_chunks()
+        src = batch["source"].combine_chunks()
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "source": src,
+            "n_chars": batch["n_chars"].combine_chunks().cast(pa.int64()),
+            "h": _md5_column(ids_s),
+            "src_part": pa.array(hash_strings64(src) % 1024, pa.int64()),
+        })
+
+    def _fill(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return BUDGET_SCHEMA.empty_table()
+        ids = np.asarray(part["doc_id"], np.int64)
+        nch = np.asarray(part["n_chars"], np.int64)
+        src = _to_bytes_array(part["source"].combine_chunks())
+        h = _to_bytes_array(part["h"].combine_chunks())
+        order = np.lexsort((ids, h, src))
+        src_s, nch_s = src[order], nch[order]
+        cs = np.cumsum(nch_s)
+        starts = np.flatnonzero(np.r_[True, src_s[1:] != src_s[:-1]])
+        lens = np.diff(np.r_[starts, len(src_s)])
+        base = np.repeat(cs[starts] - nch_s[starts], lens)
+        cum = cs - base                       # inclusive per-source total
+        keep = cum <= budget_chars
+        take = pa.array(order[keep], pa.int64())
+        return pa.table({
+            "doc_id": part["doc_id"].take(take),
+            "source": part["source"].take(take),
+            "n_chars": part["n_chars"].take(take),
+            "cum_chars": pa.array(cum[keep], pa.int64()),
+        }).cast(BUDGET_SCHEMA)
+
+    keyed = _read_docs(sf_dir, ("doc_id", "source", "n_chars")).map_batches(
+        _key, batch_format="pyarrow")
+    return exchange_map_groups(keyed, "src_part", n_parts, _fill,
+                               BUDGET_SCHEMA)

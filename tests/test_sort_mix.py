@@ -115,3 +115,40 @@ def test_mixing_weights_uniform_target(ray_session, tmp_path):
     assert t.num_rows == 3
     assert set(t["weight_e6"].to_pylist()) == {1_000_000}
     assert set(t["share_e6"].to_pylist()) == {333_333}
+
+
+def test_budget_sample_invariants(ray_session, tmp_path):
+    """Kept per-source totals never exceed the budget, the selection is
+    maximal in hash-priority order (the first excluded doc would
+    overflow), and reruns pick identical docs."""
+    import hashlib
+
+    from sourmash_ray.pipelines.docops import budget_sample_docs
+
+    n = 120
+    lens = [(i * 53) % 300 + 1 for i in range(n)]
+    _write_docs(tmp_path, lens)
+    B = 1500
+    rows = budget_sample_docs(str(tmp_path), budget_chars=B).take_all()
+    rows2 = budget_sample_docs(str(tmp_path), budget_chars=B).take_all()
+    assert sorted(r["doc_id"] for r in rows) == \
+        sorted(r["doc_id"] for r in rows2)
+
+    by_src = {}
+    for i in range(n):
+        h = hashlib.md5(str(i).encode()).hexdigest()
+        by_src.setdefault(f"s{i % 3}", []).append((h, i, lens[i]))
+    kept = {r["doc_id"] for r in rows}
+    for src, docs in by_src.items():
+        docs.sort()
+        cum, want = 0, []
+        for h, i, L in docs:
+            if cum + L > B:
+                break       # greedy prefix in (md5, doc_id) order
+            cum += L
+            want.append(i)
+        assert sorted(want) == sorted(i for i in kept
+                                      if f"s{i % 3}" == src)
+        got_total = sum(r["n_chars"] for r in rows
+                        if r["source"] == src)
+        assert got_total <= B
