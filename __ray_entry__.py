@@ -303,6 +303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_with_urgent_orders":
             relational.customers_with_urgent_orders,
         "running_order_totals": relational.running_order_totals,
+        "top_building_orders": relational.top_building_orders,
         "customers_no_urgent_orders":
             relational.customers_no_urgent_orders,
         "hash_split_docs": docops.hash_split_docs,
@@ -531,6 +532,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
               AND c_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "top_building_orders": """
+            SELECT o_orderkey,
+                   CAST(epoch_us(o_orderdate) AS BIGINT) AS o_date_us,
+                   CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100, 0)
+                                          AS BIGINT))) AS BIGINT)
+                       AS sum_revenue_e4
+            FROM customer, orders, lineitem
+            WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+              AND c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-06-01'
+              AND l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY o_orderkey, o_orderdate
+            ORDER BY sum_revenue_e4 DESC, o_orderkey
+            LIMIT 10
         """,
         "running_order_totals": """
             SELECT o_custkey, o_orderkey,

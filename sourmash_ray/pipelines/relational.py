@@ -596,3 +596,99 @@ def running_order_totals(sf_dir: str):
     return exchange_map_groups(
         ds, "o_custkey", resolve_num_partitions(DEFAULT_CONFIG),
         running_totals_partition, RUNNING_SCHEMA)
+
+
+def top_building_orders(sf_dir: str, segment: str = "BUILDING",
+                        cutoff: str = "1998-06-01", k: int = 10):
+    """TPC-H-Q3-style shipping-priority query — the full composition
+    test of the join family: segment-filtered customers SEMI-join
+    date-filtered orders (big-big, keys only ship), shipdate-filtered
+    lineitem revenue pre-combines per orderkey inside each block, one
+    more exchange joins revenue to orders, `grouped_sums` finishes the
+    per-order rollup, and the global top-k runs block-truncated (the
+    `topk_orders` shape — candidates sort, never the dataset). Revenue
+    is integer 1e4-scale per row so the sum is order-independent and
+    hash-exact vs DuckDB."""
+    import numpy as np
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.agg import grouped_sums
+    from ..stages.join import hash_join_exchange
+
+    n_parts = resolve_num_partitions(DEFAULT_CONFIG)
+    cut_us = int(np.datetime64(cutoff, "us").astype(np.int64))
+
+    def _cust(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["c_mktsegment"], segment))
+        return t.select(["c_custkey"])
+
+    cust = read_parquet_clean(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+    ).map_batches(_cust, batch_format="pyarrow")
+
+    def _orders(batch: pa.Table) -> pa.Table:
+        d = pc.cast(batch["o_orderdate"], pa.int64())
+        t = pa.table({"o_orderkey": batch["o_orderkey"],
+                      "o_custkey": batch["o_custkey"],
+                      "o_date_us": d})
+        return t.filter(pc.less(t["o_date_us"], cut_us))
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(_orders, batch_format="pyarrow")
+
+    qualified = hash_join_exchange(
+        orders, cust, key="custkey",
+        left_cols=["o_orderkey", "o_date_us"], right_cols=[],
+        n_parts=n_parts, left_key="o_custkey", right_key="c_custkey",
+        join_type="left semi")
+
+    def _rev(batch: pa.Table) -> pa.Table:
+        ship = pc.cast(batch["l_shipdate"], pa.int64())
+        t = batch.filter(pc.greater(ship, cut_us))
+        price = np.asarray(t["l_extendedprice"], np.float64)
+        disc = np.asarray(t["l_discount"], np.float64)
+        rev = (np.rint(price * 100).astype(np.int64)
+               * (100 - np.rint(disc * 100).astype(np.int64)))
+        ok = np.asarray(t["l_orderkey"], np.int64)
+        uniq, inv = np.unique(ok, return_inverse=True)
+        sums = np.bincount(inv, weights=rev.astype(np.float64),
+                           minlength=len(uniq))
+        return pa.table({
+            "l_orderkey": pa.array(uniq, pa.int64()),
+            "revenue_e4": pa.array(sums.astype(np.int64), pa.int64()),
+        })
+
+    items = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+    ).map_batches(_rev, batch_format="pyarrow")
+
+    joined = hash_join_exchange(
+        qualified, items, key="orderkey",
+        left_cols=["o_date_us"], right_cols=["revenue_e4"],
+        n_parts=n_parts, left_key="o_orderkey", right_key="l_orderkey")
+
+    # the exchange join names its key column `orderkey`; restore the
+    # TPC-H spelling for the output/oracle schema
+    agg = grouped_sums(joined, ["orderkey", "o_date_us"],
+                       ["revenue_e4"], n_parts=n_parts).map_batches(
+        lambda t: t.rename_columns(
+            ["o_orderkey", "o_date_us", "sum_revenue_e4"]),
+        batch_format="pyarrow")
+
+    def _block_topk(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n <= k:
+            return batch
+        rev = np.asarray(batch["sum_revenue_e4"], np.int64)
+        okey = np.asarray(batch["o_orderkey"], np.int64)
+        idx = np.lexsort((okey, -rev))[:k]
+        return batch.take(pa.array(np.sort(idx), pa.int64()))
+
+    return (agg.map_batches(_block_topk, batch_format="pyarrow")
+            .sort(["sum_revenue_e4", "o_orderkey"],
+                  descending=[True, False]).limit(k))

@@ -474,3 +474,22 @@ def test_rolling_kernel_matches_nested_loop(evs, w):
         want = sum(1 for (ou, ots, _) in evs
                    if ou == u and ts - w <= ots <= ts)
         assert got[i] == want, (i, evs, w)
+
+
+def test_top_building_orders_matches_duckdb(ray_session):
+    """Q3-style composition (semi join + big-big join + rollup + top-k)
+    vs DuckDB on the sf0.001 tables."""
+    import duckdb
+
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    got = [(r["o_orderkey"], r["o_date_us"], r["sum_revenue_e4"])
+           for r in e.queries()["top_building_orders"](sf).take_all()]
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf}/{t}.parquet')")
+    want = [tuple(r) for r in
+            con.sql(e.oracle_sql()["top_building_orders"]).fetchall()]
+    assert got == want
