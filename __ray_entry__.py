@@ -260,6 +260,22 @@ def _media_features_q(sf_dir: str):
     return media_features(sf_dir)
 
 
+def _incremental_dedup_q(sf_dir: str):
+    """Build-once (per sf_dir, cached under /tmp), then dedup the delta
+    fifth of the documents table against the persisted index."""
+    import hashlib
+    import os
+
+    from sourmash_ray.pipelines import incremental
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    idx = f"/tmp/incr_index_{key}"
+    if not (os.path.exists(f"{idx}/sigs")
+            and os.path.exists(f"{idx}/bands")):
+        incremental.build_doc_dedup_index(sf_dir, idx)
+    return incremental.incremental_dedup_docs(sf_dir, idx)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from sourmash_ray.pipelines import ann, docops, eventops, relational
 
@@ -333,6 +349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_frequency_transcripts": _hash_frequency_q,
         "lca_summarize_transcripts": _lca_summarize_q,
         "media_features": _media_features_q,
+        "incremental_dedup_docs": _incremental_dedup_q,
         # --- embeddings: similarity search ---
         "ann_topk": ann.ann_topk_bruteforce,
         "ann_topk_ivf": ann.ann_topk_ivf,
