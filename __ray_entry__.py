@@ -350,6 +350,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lca_summarize_transcripts": _lca_summarize_q,
         "media_features": _media_features_q,
         "incremental_dedup_docs": _incremental_dedup_q,
+        "ann_topk_pq": lambda sf: ann.ann_topk_pq(sf, m_sub=16,
+                                                  k_codes=128),
         # --- embeddings: similarity search ---
         "ann_topk": ann.ann_topk_bruteforce,
         "ann_topk_ivf": ann.ann_topk_ivf,

@@ -559,3 +559,186 @@ def ann_topk_ivf_index(index_dir: str, n_queries: int = 8, k: int = 5,
         glob.glob(f"{index_dir}/lists/list_id={int(i)}/*.parquet"))]
     pruned = read_parquet_clean(paths, columns=["vec_id", "embedding"])
     return _ivf_score_reduce(pruned, q_ids, qm, cents, probe_mask, k)
+
+
+# ---------------------------------------------------------------------------
+# PQ: the third scale path (product quantization, Jégou et al. 2011) —
+# memory-compressed ANN. Vectors quantize to m uint8 codes (dim·8 bytes →
+# m bytes, e.g. 64 floats → 8 bytes); queries score candidates with an
+# asymmetric-distance (ADC) table lookup, never touching raw floats. At
+# 100 TB this is what keeps the index resident: the codes table is
+# ~dim·8/m× smaller than the embeddings and the per-batch scoring cost is
+# a (n, m) gather + sum instead of an (n, dim) matmul. Composes with IVF
+# (probe lists, then ADC within them).
+# ---------------------------------------------------------------------------
+
+_PQ_PART_SCHEMA = pa.schema([
+    ("slot", pa.int64()),                 # sub * k_codes + code
+    ("vec_sum", pa.list_(pa.float64())),
+    ("n_vecs", pa.int64()),
+])
+
+
+def _pq_subsplit(mat: np.ndarray, m_sub: int) -> np.ndarray:
+    """(n, dim) unit-normalized → (n, m_sub, subdim)."""
+    n, dim = mat.shape
+    if dim % m_sub:
+        raise ValueError(f"dim={dim} not divisible by m_sub={m_sub}")
+    return mat.reshape(n, m_sub, dim // m_sub)
+
+
+def _pq_assign(sub: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, m, d) subvectors × (m, k, d) codebooks → (n, m) nearest-code
+    ids (L2 == argmax of dot - ||c||²/2)."""
+    # scores[n, m, k] = sub[n,m,:]·books[m,k,:]
+    scores = np.einsum("nmd,mkd->nmk", sub, books)
+    scores -= 0.5 * np.einsum("mkd,mkd->mk", books, books)[None]
+    return np.argmax(scores, axis=2)
+
+
+def pq_train(ds, m_sub: int = 8, k_codes: int = 32, n_iters: int = 3,
+             cfg=None) -> np.ndarray:
+    """Distributed PQ codebook training: per-subspace k-means with the
+    same constant-size-partial exchange as :func:`ivf_train_centroids`
+    — per batch, each (subspace, code) slot accumulates one subvector
+    sum + count (m·k rows per block, never the vectors); the driver
+    updates the (m, k, subdim) codebook table. Init = the ``k_codes``
+    lowest vec_ids' subvectors (deterministic, no RNG). Vectors are
+    unit-normalized first so ADC dot products approximate cosine."""
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.exchange import exchange_map_groups
+
+    cfg = cfg or DEFAULT_CONFIG
+    init = ds.sort("vec_id").limit(k_codes).take_all()
+    qm = np.array([r["embedding"] for r in init], dtype=np.float64)
+    nrm = np.linalg.norm(qm, axis=1)
+    nrm[nrm == 0] = 1.0
+    books = np.ascontiguousarray(
+        _pq_subsplit(qm / nrm[:, None], m_sub).transpose(1, 0, 2))
+    n_parts = min(m_sub * k_codes, resolve_num_partitions(cfg))
+    subdim = books.shape[2]
+
+    def _merge(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return _PQ_PART_SCHEMA.empty_table()
+        s = np.asarray(part["slot"], np.int64)
+        lst = part["vec_sum"].combine_chunks()
+        mat = np.asarray(lst.flatten(), np.float64).reshape(len(s), subdim)
+        n = np.asarray(part["n_vecs"], np.int64)
+        uniq, inv = np.unique(s, return_inverse=True)
+        sums = np.zeros((len(uniq), subdim))
+        np.add.at(sums, inv, mat)
+        counts = np.bincount(inv, weights=n, minlength=len(uniq))
+        return pa.table({
+            "slot": pa.array(uniq, pa.int64()),
+            "vec_sum": pa.array(list(sums), pa.list_(pa.float64())),
+            "n_vecs": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+
+    for _ in range(n_iters):
+        books_ref = ray.put(books)
+
+        def _partial(batch: pa.Table) -> pa.Table:
+            bb = ray.get(books_ref)
+            _, mat = _emb_matrix(batch)
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            sub = _pq_subsplit(mat / norms[:, None], m_sub)
+            codes = _pq_assign(sub, bb)                   # (n, m)
+            slots = (np.arange(m_sub)[None, :] * k_codes
+                     + codes).reshape(-1)
+            flat = sub.reshape(-1, subdim)
+            uniq, inv = np.unique(slots, return_inverse=True)
+            sums = np.zeros((len(uniq), subdim))
+            np.add.at(sums, inv, flat)
+            counts = np.bincount(inv, minlength=len(uniq))
+            return pa.table({
+                "slot": pa.array(uniq, pa.int64()),
+                "vec_sum": pa.array(list(sums), pa.list_(pa.float64())),
+                "n_vecs": pa.array(counts.astype(np.int64), pa.int64()),
+            })
+
+        parts = ds.map_batches(_partial, batch_format="pyarrow")
+        rows = exchange_map_groups(parts, "slot", n_parts, _merge,
+                                   _PQ_PART_SCHEMA).take_all()
+        for r in rows:
+            if r["n_vecs"] > 0:
+                m_i, c_i = divmod(r["slot"], k_codes)
+                books[m_i, c_i] = (np.asarray(r["vec_sum"], np.float64)
+                                   / r["n_vecs"])
+    return books
+
+
+def pq_encode(ds, books: np.ndarray):
+    """vec_id → m uint8 PQ codes (the compressed index you persist)."""
+    m_sub, k_codes = books.shape[0], books.shape[1]
+    books_ref = ray.put(books)
+
+    def _enc(batch: pa.Table) -> pa.Table:
+        bb = ray.get(books_ref)
+        ids, mat = _emb_matrix(batch)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        codes = _pq_assign(_pq_subsplit(mat / norms[:, None], m_sub), bb)
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "codes": pa.array(list(codes.astype(np.uint8)),
+                              pa.list_(pa.uint8())),
+        })
+
+    return ds.map_batches(_enc, batch_format="pyarrow")
+
+
+def ann_topk_pq(sf_dir: str, n_queries: int = 8, k: int = 5,
+                m_sub: int = 8, k_codes: int = 32, n_iters: int = 3):
+    """PQ/ADC top-k: same output schema as :func:`ann_topk_bruteforce`
+    but every candidate is scored from its m codes via per-query lookup
+    tables (``tables[q, m, code]`` summed over m) — the raw floats are
+    read once at encode time, never at query time. Approximate; recall
+    vs the brute-force twin is measured in ``tests/test_ann_pq.py``."""
+    ds = _read_emb(sf_dir)
+    books = pq_train(ds, m_sub, k_codes, n_iters)
+    q_ids, qm = _load_queries(ds, n_queries)
+    # ADC tables: (n_q, m, k) = q_sub[q,m,:]·books[m,k,:]
+    tables = np.einsum("qmd,mkd->qmk", _pq_subsplit(qm, m_sub), books)
+    state_ref = ray.put((q_ids, tables, books))
+
+    def _score(batch: pa.Table) -> pa.Table:
+        qi, tbls, bb = ray.get(state_ref)
+        ids, mat = _emb_matrix(batch)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        codes = _pq_assign(_pq_subsplit(mat / norms[:, None], m_sub), bb)
+        # sims[n, q] = sum_m tbls[q, m, codes[n, m]]
+        sims = tbls[:, np.arange(m_sub)[None, :], codes].sum(
+            axis=2).T                                   # (n, n_q)
+        n, nq = sims.shape
+        kk = min(k + 1, n)
+        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+        rows = top.reshape(-1)
+        qcol = np.repeat(qi[None, :], kk, axis=0).reshape(-1)
+        score = sims[rows, np.repeat(np.arange(nq)[None, :], kk,
+                                     axis=0).reshape(-1)]
+        return pa.table({
+            "query_id": pa.array(qcol, pa.int64()),
+            "neighbor_id": pa.array(ids[rows], pa.int64()),
+            "score": pa.array(score, pa.float64()),
+        })
+
+    partial = ds.map_batches(_score, batch_format="pyarrow")
+    tbl = pa.Table.from_pylist(partial.take_all())
+    out_rows = []
+    qids = tbl["query_id"].to_numpy()
+    nids = tbl["neighbor_id"].to_numpy()
+    scores = tbl["score"].to_numpy()
+    for q in q_ids:
+        m = (qids == q) & (nids != q)
+        order = np.lexsort((nids[m], -scores[m]))[:k]
+        for rank, j in enumerate(order, 1):
+            out_rows.append({
+                "query_id": int(q),
+                "neighbor_id": int(nids[m][j]),
+                "rank": rank,
+                "score_e4": int(round(float(scores[m][j]) * 1e4)),
+            })
+    return pa.Table.from_pylist(out_rows)
