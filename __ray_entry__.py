@@ -326,6 +326,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shard_shuffle_docs": docops.shard_shuffle_docs,
         "pack_docs_offsets": docops.pack_docs_offsets,
         "rolling_rate_events": eventops.rolling_rate_events,
+        "value_quantiles_by_type": eventops.value_quantiles_by_type,
+        "props_key_stats": eventops.props_key_stats,
+        "order_count_histogram": relational.order_count_histogram,
         "budget_sample_docs": docops.budget_sample_docs,
         "docs_global_ranked": docops.docs_global_ranked,
         "mixing_weights_docs": docops.mixing_weights_docs,
@@ -727,6 +730,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST((start + greatest(n_chars, 1) - 1) // 2048
                         AS BIGINT) AS end_seq
             FROM p
+        """,
+        "value_quantiles_by_type": """
+            SELECT event_type, q,
+                   CAST(v AS BIGINT) AS value
+            FROM (
+              SELECT event_type,
+                     unnest([0.25, 0.5, 0.75, 0.9]) AS q,
+                     unnest(quantile_disc(
+                        CAST(round(value * 100) AS BIGINT),
+                        [0.25, 0.5, 0.75, 0.9])) AS v
+              FROM events GROUP BY event_type)
+        """,
+        "props_key_stats": """
+            SELECT event_type,
+                   CAST(sum(CAST(regexp_extract(props, '[0-9]+')
+                                 AS BIGINT)) AS BIGINT) AS sum_k,
+                   count(*) AS n_events
+            FROM events
+            WHERE regexp_extract(props, '[0-9]+') <> ''
+            GROUP BY event_type
+        """,
+        "order_count_histogram": """
+            SELECT n_orders, count(*) AS n_customers
+            FROM (SELECT o_custkey, count(*) AS n_orders
+                  FROM orders GROUP BY o_custkey)
+            GROUP BY n_orders
         """,
         "budget_sample_docs": """
             WITH c AS (

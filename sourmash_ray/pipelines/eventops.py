@@ -458,3 +458,48 @@ def rolling_rate_events(sf_dir: str, window_hours: int = 1):
         ds, "user_id", n_parts,
         functools.partial(rolling_merge_partition, w_us=w_us),
         ROLLING_SCHEMA)
+
+
+def value_quantiles_by_type(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.9)):
+    """Per-event-type exact value quantiles (cents — floats are scaled
+    to integers PER ROW before the histogram, the engine's standard
+    exactness rule). Rides the (group, value)-histogram exchange of
+    `stages/agg.grouped_quantiles_disc`."""
+    from ..stages.agg import grouped_quantiles_disc
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+
+    def _cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "value_cents": pc.cast(
+                pc.round(pc.multiply(batch["value"], pa.scalar(1e2))),
+                pa.int64()),
+        })
+
+    return grouped_quantiles_disc(
+        ds.map_batches(_cents, batch_format="pyarrow"),
+        "event_type", "value_cents", list(qs))
+
+
+def props_key_stats(sf_dir: str):
+    """Semi-structured extraction: pull the integer ``k`` out of the
+    JSON ``props`` column with one RE2 pass per batch (same engine as
+    the DuckDB oracle's ``regexp_extract``), then grouped integer sums
+    — the 'parse a JSON-ish blob column at scale' shape. NULL/no-match
+    rows are excluded on both sides."""
+    from ..stages.agg import grouped_sums
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "props"])
+
+    def _extract(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch["props"].combine_chunks(),
+                             pattern=r"(?P<k>[0-9]+)")
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        t = pa.table({"event_type": batch["event_type"], "k": k})
+        return t.filter(pc.is_valid(t["k"]))
+
+    return grouped_sums(ds.map_batches(_extract, batch_format="pyarrow"),
+                        ["event_type"], ["k"], count_as="n_events")

@@ -692,3 +692,19 @@ def top_building_orders(sf_dir: str, segment: str = "BUILDING",
     return (agg.map_batches(_block_topk, batch_format="pyarrow")
             .sort(["sum_revenue_e4", "o_orderkey"],
                   descending=[True, False]).limit(k))
+
+
+def order_count_histogram(sf_dir: str):
+    """Count-of-counts re-aggregation (orders-per-customer histogram):
+    two chained `grouped_sums` exchanges — the fact table reduces to one
+    row per customer in the first partial pass, and only per-block
+    partials ever shuffle in either stage."""
+    from ..stages.agg import grouped_sums
+
+    per_cust = grouped_sums(
+        read_parquet_clean(f"{sf_dir}/orders.parquet",
+                           columns=["o_custkey"]),
+        ["o_custkey"], [], count_as="n_orders")
+    hist = grouped_sums(per_cust, ["n_orders"], [],
+                        count_as="n_customers")
+    return hist
