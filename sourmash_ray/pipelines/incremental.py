@@ -221,9 +221,10 @@ def incremental_dedup_docs(sf_dir: str, index_dir: str,
 
     old_ids = ray.get(_pair_old_ids.remote(
         ray.get(delta_ids_ref), *pairs.to_arrow_refs()))
-    sig_files = sorted({
-        int(hash_strings64(pa.array([i.decode()]))[0] % N_SIG_FILES)
-        for i in old_ids.tolist()})
+    sig_files = sorted(set(
+        (hash_strings64(pa.array([i.decode() for i in old_ids.tolist()],
+                                 pa.string()))
+         % N_SIG_FILES).tolist())) if old_ids.size else []
     paths = [f for sf in sig_files for f in sorted(
         glob.glob(f"{index_dir}/sigs/sig_file={sf}/*.parquet"))]
     old_ids_ref = ray.put(old_ids)
