@@ -355,6 +355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup_docs": _incremental_dedup_q,
         "ann_topk_pq": lambda sf: ann.ann_topk_pq(sf, m_sub=16,
                                                   k_codes=128),
+        "ann_topk_ivfpq": ann.ann_topk_ivfpq,
         # --- embeddings: similarity search ---
         "ann_topk": ann.ann_topk_bruteforce,
         "ann_topk_ivf": ann.ann_topk_ivf,

@@ -314,7 +314,11 @@ def ivf_train_centroids(ds, n_centroids: int = 16, n_iters: int = 3,
     from ..stages.exchange import exchange_map_groups
 
     cfg = cfg or DEFAULT_CONFIG
-    init = ds.sort("vec_id").limit(n_centroids).take_all()
+    # deterministic init WITHOUT a global sort (Ray 2.49's sort shuffle
+    # has a data-proportional serial component): filter the n lowest ids
+    # (vec_ids are dense from 0) and order the tiny result driver-side
+    init = sorted(ds.filter(expr=f"vec_id < {n_centroids}").take_all(),
+                  key=lambda r: r["vec_id"])
     cents = np.array([r["embedding"] for r in init], dtype=np.float64)
     nrm = np.linalg.norm(cents, axis=1)
     nrm[nrm == 0] = 1.0
@@ -609,7 +613,9 @@ def pq_train(ds, m_sub: int = 8, k_codes: int = 32, n_iters: int = 3,
     from ..stages.exchange import exchange_map_groups
 
     cfg = cfg or DEFAULT_CONFIG
-    init = ds.sort("vec_id").limit(k_codes).take_all()
+    # same sort-free deterministic init as ivf_train_centroids
+    init = sorted(ds.filter(expr=f"vec_id < {k_codes}").take_all(),
+                  key=lambda r: r["vec_id"])
     qm = np.array([r["embedding"] for r in init], dtype=np.float64)
     nrm = np.linalg.norm(qm, axis=1)
     nrm[nrm == 0] = 1.0
@@ -741,4 +747,68 @@ def ann_topk_pq(sf_dir: str, n_queries: int = 8, k: int = 5,
                 "rank": rank,
                 "score_e4": int(round(float(scores[m][j]) * 1e4)),
             })
+    return pa.Table.from_pylist(out_rows)
+
+
+def ann_topk_ivfpq(sf_dir: str, n_queries: int = 8, k: int = 5,
+                   n_centroids: int = 16, nprobe: int = 4,
+                   m_sub: int = 16, k_codes: int = 64,
+                   n_iters: int = 3):
+    """IVF+PQ — the standard billion-scale composition: the coarse
+    quantizer prunes candidates to each query's ``nprobe`` lists AND
+    every surviving candidate is scored from its m uint8 codes via ADC
+    tables. Storage touched per query ≈ (nprobe/n_centroids) of a
+    codes table that is itself ~dim·8/m× smaller than the floats. At
+    full probe (nprobe = n_centroids) the output equals
+    :func:`ann_topk_pq` at the same codebooks — the pruning is the only
+    approximation added on top of PQ (equality-tested)."""
+    ds = _read_emb(sf_dir)
+    cents = ivf_train_centroids(ds, n_centroids, n_iters)
+    books = pq_train(ds, m_sub, k_codes, n_iters)
+    q_ids, qm = _load_queries(ds, n_queries)
+    probe_mask = _probe_mask(qm, cents, nprobe)
+    tables = np.einsum("qmd,mkd->qmk", _pq_subsplit(qm, m_sub), books)
+    state_ref = ray.put((q_ids, tables, books, cents, probe_mask))
+
+    def _score(batch: pa.Table) -> pa.Table:
+        qi, tbls, bb, cc, pm = ray.get(state_ref)
+        ids, mat = _emb_matrix(batch)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        matn = mat / norms[:, None]
+        lists = np.argmax(matn @ cc.T, axis=1)
+        codes = _pq_assign(_pq_subsplit(matn, m_sub), bb)
+        sims = tbls[:, np.arange(m_sub)[None, :], codes].sum(axis=2).T
+        sims[~pm[:, lists].T] = -np.inf
+        n, nq = sims.shape
+        kk = min(k + 1, n)
+        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+        rows = top.reshape(-1)
+        qcol = np.repeat(qi[None, :], kk, axis=0).reshape(-1)
+        score = sims[rows, np.repeat(np.arange(nq)[None, :], kk,
+                                     axis=0).reshape(-1)]
+        keep = np.isfinite(score)
+        return pa.table({
+            "query_id": pa.array(qcol[keep], pa.int64()),
+            "neighbor_id": pa.array(ids[rows][keep], pa.int64()),
+            "score": pa.array(score[keep], pa.float64()),
+        })
+
+    partial = ds.map_batches(_score, batch_format="pyarrow")
+    tbl = pa.Table.from_pylist(partial.take_all())
+    out_rows = []
+    if tbl.num_rows:
+        qids = tbl["query_id"].to_numpy()
+        nids = tbl["neighbor_id"].to_numpy()
+        scores = tbl["score"].to_numpy()
+        for q in q_ids:
+            m = (qids == q) & (nids != q)
+            order = np.lexsort((nids[m], -scores[m]))[:k]
+            for rank, j in enumerate(order, 1):
+                out_rows.append({
+                    "query_id": int(q),
+                    "neighbor_id": int(nids[m][j]),
+                    "rank": rank,
+                    "score_e4": int(round(float(scores[m][j]) * 1e4)),
+                })
     return pa.Table.from_pylist(out_rows)

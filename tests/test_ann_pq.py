@@ -61,3 +61,15 @@ def test_pq_encode_compression(ray_session):
     for r in rows[:5]:
         assert len(r["codes"]) == 16
         assert all(0 <= c < 32 for c in r["codes"])
+
+
+def test_ivfpq_full_probe_equals_pq(ray_session):
+    """nprobe = n_centroids disables pruning: IVF+PQ must reproduce PQ
+    exactly at the same codebooks (deterministic training both paths)."""
+    from sourmash_ray.pipelines.ann import ann_topk_ivfpq
+
+    pq_res = ann_topk_pq(SF, n_queries=6, k=5, m_sub=16,
+                         k_codes=32).to_pylist()
+    ivfpq = ann_topk_ivfpq(SF, n_queries=6, k=5, n_centroids=8,
+                           nprobe=8, m_sub=16, k_codes=32).to_pylist()
+    assert ivfpq == pq_res
