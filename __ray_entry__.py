@@ -336,6 +336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scan_docs": docops.pii_scan_docs,
         "repetition_stats_docs": docops.repetition_stats_docs,
         "top_tokens_docs": docops.top_tokens_docs,
+        "heavy_hitters_docs": docops.heavy_hitters_docs,
         "tfidf_top_terms_docs": docops.tfidf_top_terms_docs,
         "decontaminate_docs": docops.decontaminate_docs,
         "curate_docs": docops.curate_docs,
@@ -674,6 +675,15 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY t
             ORDER BY n_occurrences DESC, tok
             LIMIT 50
+        """,
+        "heavy_hitters_docs": """
+            SELECT t AS tok, CAST(count(*) AS BIGINT) AS n_occurrences
+            FROM (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS t
+                  FROM documents)
+            WHERE t <> ''
+            GROUP BY t
+            ORDER BY n_occurrences DESC, tok
+            LIMIT 10
         """,
         "tfidf_top_terms_docs": """
             WITH tok AS (

@@ -1465,3 +1465,74 @@ def budget_sample_docs(sf_dir: str, budget_chars: int = 4096,
         _key, batch_format="pyarrow")
     return exchange_map_groups(keyed, "src_part", n_parts, _fill,
                                BUDGET_SCHEMA)
+
+
+def heavy_hitters_docs(sf_dir: str, k: int = 10, m: int = 128):
+    """Approximate-then-verify heavy hitters (Misra–Gries-style): each
+    block emits only tokens whose in-block count exceeds
+    ``block_tokens/(m+1)`` — at most m rows per block, so the exchange
+    carries O(m·blocks) rows no matter how large the vocabulary grows
+    (the frequency-bound twin of `top_tokens_docs`, which ships every
+    distinct token's partial). The dropped mass per token is
+    ≤ N/(m+1) globally, so every token with true frequency above that
+    bound survives; the top 2k survivors by approximate count then get
+    EXACT counts in one candidate-broadcast pass (32-byte membership
+    searchsorted per batch, no shuffle) and the final top-k is exact
+    whenever the k-th true count clears the bound — asserted in the
+    test, and true by orders of magnitude on Zipf text."""
+    from ..functions.segscore import _to_bytes_array
+    from ..stages.agg import grouped_sums
+
+    def _mg_partial(batch: pa.Table) -> pa.Table:
+        t = _tf_rows_batch(batch)
+        out_schema = pa.schema([("tok", pa.string()), ("tf", pa.int64())])
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        tb = _to_bytes_array(t["tok"].combine_chunks())
+        tf = np.asarray(t["tf"], np.int64)
+        order = np.argsort(tb, kind="stable")
+        tb_s, tf_s = tb[order], tf[order]
+        starts = np.flatnonzero(np.r_[True, tb_s[1:] != tb_s[:-1]])
+        sums = np.add.reduceat(tf_s, starts)
+        total = int(tf.sum())
+        keep = sums > total // (m + 1)
+        idx = order[starts[keep]]
+        return pa.table({
+            "tok": t["tok"].take(pa.array(idx, pa.int64())),
+            "tf": pa.array(sums[keep], pa.int64()),
+        })
+
+    approx = grouped_sums(
+        _read_docs(sf_dir).map_batches(_mg_partial,
+                                       batch_format="pyarrow"),
+        ["tok"], ["tf"]).take_all()
+    approx.sort(key=lambda r: (-r["sum_tf"], r["tok"]))
+    cand = np.sort(np.array([r["tok"].encode() for r in approx[:2 * k]],
+                            dtype=bytes))
+    cand_ref = _ray.put(cand)
+
+    def _exact(batch: pa.Table) -> pa.Table:
+        cset = _ray.get(cand_ref)
+        t = _tf_rows_batch(batch)
+        out_schema = pa.schema([("tok", pa.string()), ("tf", pa.int64())])
+        if t.num_rows == 0 or cset.size == 0:
+            return out_schema.empty_table()
+        tb = _to_bytes_array(t["tok"].combine_chunks())
+        w = max(tb.dtype.itemsize, cset.dtype.itemsize, 1)
+        tb_w = tb.astype(f"S{w}")
+        cs_w = cset.astype(f"S{w}")
+        pos = np.minimum(np.searchsorted(cs_w, tb_w), cs_w.size - 1)
+        hit = cs_w[pos] == tb_w
+        return pa.table({"tok": t["tok"].filter(pa.array(hit)),
+                         "tf": t["tf"].filter(pa.array(hit))})
+
+    g = grouped_sums(
+        _read_docs(sf_dir).map_batches(_exact, batch_format="pyarrow"),
+        ["tok"], ["tf"])
+
+    def _rename(t: pa.Table) -> pa.Table:
+        return pa.table({"tok": t["tok"], "n_occurrences": t["sum_tf"]})
+
+    return (g.map_batches(_rename, batch_format="pyarrow")
+            .sort(["n_occurrences", "tok"], descending=[True, False])
+            .limit(k))

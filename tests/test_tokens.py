@@ -102,3 +102,39 @@ def test_pack_docs_offsets_stream_invariants(ray_session, tmp_path):
             assert r["end_seq"] == (r["start_char"]
                                     + lens[r["doc_id"]] - 1) // L
             expect_start += lens[r["doc_id"]]
+
+
+def test_heavy_hitters_equal_exact_on_zipf(ray_session, tmp_path):
+    """Large synthetic Zipf vocabulary: the bounded-shuffle heavy-hitter
+    path returns the SAME top-k (tokens AND exact counts) as the
+    every-distinct-token exact path, and the correctness precondition
+    (k-th true count > N/(m+1)) holds with a wide margin."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from sourmash_ray.pipelines.docops import (heavy_hitters_docs,
+                                               top_tokens_docs)
+
+    rng = np.random.RandomState(5)
+    vocab = np.array([f"w{i:04d}" for i in range(2000)])
+    # Zipf ranks: p(i) ~ 1/(i+1)
+    p = 1.0 / np.arange(1, len(vocab) + 1)
+    p /= p.sum()
+    docs = [" ".join(rng.choice(vocab, size=80, p=p)) for _ in range(300)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(300), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+        "lang": pa.array(["en"] * 300, pa.string()),
+        "source": pa.array(["s"] * 300, pa.string()),
+        "n_chars": pa.array([len(d) for d in docs], pa.int64()),
+    }), f"{tmp_path}/documents.parquet")
+
+    k, m = 10, 128
+    exact = [(r["tok"], r["n_occurrences"])
+             for r in top_tokens_docs(str(tmp_path), k=k).take_all()]
+    hh = [(r["tok"], r["n_occurrences"])
+          for r in heavy_hitters_docs(str(tmp_path), k=k,
+                                      m=m).take_all()]
+    assert hh == exact
+    n_total = 300 * 80
+    assert exact[k - 1][1] > n_total // (m + 1)
