@@ -260,6 +260,12 @@ def _media_features_q(sf_dir: str):
     return media_features(sf_dir)
 
 
+def _bpe_train_q(sf_dir: str):
+    from sourmash_ray.pipelines.bpe import bpe_train_merges
+
+    return bpe_train_merges(sf_dir, n_merges=12)
+
+
 def _incremental_dedup_q(sf_dir: str):
     """Build-once (per sf_dir, cached under /tmp), then dedup the delta
     fifth of the documents table against the persisted index."""
@@ -337,6 +343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats_docs": docops.repetition_stats_docs,
         "top_tokens_docs": docops.top_tokens_docs,
         "heavy_hitters_docs": docops.heavy_hitters_docs,
+        "bpe_train_merges": _bpe_train_q,
         "tfidf_top_terms_docs": docops.tfidf_top_terms_docs,
         "decontaminate_docs": docops.decontaminate_docs,
         "curate_docs": docops.curate_docs,
