@@ -266,6 +266,12 @@ def _bpe_train_q(sf_dir: str):
     return bpe_train_merges(sf_dir, n_merges=12)
 
 
+def _bpe_counts_q(sf_dir: str):
+    from sourmash_ray.pipelines.bpe import bpe_token_counts_trained
+
+    return bpe_token_counts_trained(sf_dir, n_merges=12)
+
+
 def _incremental_dedup_q(sf_dir: str):
     """Build-once (per sf_dir, cached under /tmp), then dedup the delta
     fifth of the documents table against the persisted index."""
@@ -344,6 +350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens_docs": docops.top_tokens_docs,
         "heavy_hitters_docs": docops.heavy_hitters_docs,
         "bpe_train_merges": _bpe_train_q,
+        "bpe_token_counts_trained": _bpe_counts_q,
         "tfidf_top_terms_docs": docops.tfidf_top_terms_docs,
         "decontaminate_docs": docops.decontaminate_docs,
         "curate_docs": docops.curate_docs,

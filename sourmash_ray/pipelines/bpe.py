@@ -192,6 +192,14 @@ def _init_vocab(sf_dir: str):
 def bpe_train_merges(sf_dir: str, n_merges: int = 20) -> pa.Table:
     """The ordered merge table (the tokenizer artifact): one corpus
     pass, then ``n_merges`` vocabulary-only iterations."""
+    out, _ = _train(sf_dir, n_merges)
+    return pa.Table.from_pylist(out).cast(MERGE_SCHEMA) if out \
+        else MERGE_SCHEMA.empty_table()
+
+
+def _train(sf_dir: str, n_merges: int):
+    """(merge table rows, final vocab Dataset) — shared by the
+    merge-table query and the encoder."""
     from ..config import DEFAULT_CONFIG, resolve_num_partitions
     from ..functions.segscore import _to_bytes_array
     from ..stages.agg import grouped_sums
@@ -226,5 +234,54 @@ def bpe_train_merges(sf_dir: str, n_merges: int = 20) -> pa.Table:
         vocab = vocab.map_batches(
             lambda t, lf=left, rt=right: apply_merge_batch(t, lf, rt),
             batch_format="pyarrow").materialize()
-    return pa.Table.from_pylist(out).cast(MERGE_SCHEMA) if out \
-        else MERGE_SCHEMA.empty_table()
+    return out, vocab
+
+
+def bpe_token_counts_trained(sf_dir: str, n_merges: int = 12):
+    """Encode-side: per-document BPE token counts under the trained
+    merges. The corpus is never re-walked symbol-by-symbol — the final
+    VOCAB state already holds each word's post-merge symbol count, so
+    encoding is one broadcast (word → n_syms) lookup over the exact
+    per-(doc, word) tf rows: n_bpe_tokens(doc) = Σ tf·n_syms. Output
+    (doc_id, n_bpe_tokens)."""
+    from ..functions.segscore import _to_bytes_array
+    from .docops import _doc_tf
+
+    _, vocab = _train(sf_dir, n_merges)
+
+    @ray.remote
+    def _nsyms(*blocks):
+        tables = [t for t in blocks if t.num_rows]
+        if not tables:
+            return np.empty(0, "S1"), np.empty(0, np.int64)
+        tbl = pa.concat_tables(tables).combine_chunks()
+        w = _to_bytes_array(tbl["word"])
+        n = np.asarray(pa.compute.list_value_length(tbl["syms"]),
+                       np.int64)
+        order = np.argsort(w, kind="stable")
+        return w[order], n[order]
+
+    lut_ref = _nsyms.remote(*vocab.to_arrow_refs())
+
+    def _count(batch: pa.Table) -> pa.Table:
+        words, nsyms = ray.get(lut_ref)
+        t = batch
+        if t.num_rows == 0:
+            return pa.schema([("doc_id", pa.int64()),
+                              ("n_bpe_tokens", pa.int64())]).empty_table()
+        tb = _to_bytes_array(t["tok"].combine_chunks())
+        wmax = max(tb.dtype.itemsize, words.dtype.itemsize, 1)
+        pos = np.searchsorted(words.astype(f"S{wmax}"),
+                              tb.astype(f"S{wmax}"))
+        pos = np.minimum(pos, max(len(words) - 1, 0))
+        # every corpus token is in the vocab by construction
+        per_tok = nsyms[pos] * np.asarray(t["tf"], np.int64)
+        doc = np.asarray(t["doc_id"], np.int64)
+        uniq, inv = np.unique(doc, return_inverse=True)
+        sums = np.bincount(inv, weights=per_tok, minlength=len(uniq))
+        return pa.table({
+            "doc_id": pa.array(uniq, pa.int64()),
+            "n_bpe_tokens": pa.array(sums.astype(np.int64), pa.int64()),
+        })
+
+    return _doc_tf(sf_dir).map_batches(_count, batch_format="pyarrow")

@@ -92,3 +92,40 @@ def test_count_pairs_weighted():
     rows = {(r["left"], r["right"]): r["cnt"]
             for r in count_pairs_batch(t).to_pylist()}
     assert rows == {(b"a", b"b"): 5, (b"b", b"a"): 3}
+
+
+def test_bpe_encode_counts_match_serial(ray_session, tmp_path):
+    from sourmash_ray.pipelines.bpe import bpe_token_counts_trained
+
+    rng = np.random.RandomState(4)
+    words = ["banana", "bandana", "ananas", "nab", "abab"]
+    docs = [" ".join(rng.choice(words, size=9)) for _ in range(40)]
+    _write_corpus(tmp_path, docs)
+
+    wf = {}
+    for d in docs:
+        for w in d.split():
+            wf[w.encode()] = wf.get(w.encode(), 0) + 1
+    merges = _serial_bpe(wf, 8)
+
+    def _encode_len(w: bytes) -> int:
+        syms = [w[i:i + 1] for i in range(len(w))]
+        for l, r, _ in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == l
+                        and syms[i + 1] == r):
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    want = {i: sum(_encode_len(w.encode()) for w in d.split())
+            for i, d in enumerate(docs)}
+    got = {r["doc_id"]: r["n_bpe_tokens"]
+           for r in bpe_token_counts_trained(str(tmp_path),
+                                             n_merges=8).take_all()}
+    assert got == want
