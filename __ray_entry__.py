@@ -948,12 +948,18 @@ def oracle_sql() -> dict[str, str]:
             FROM g a JOIN g b ON a.doc_id < b.doc_id
         """,
         "cosine_pairs_exact": """
+            WITH q AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                                    x -> round(x * 10000)) AS qe
+              FROM embeddings WHERE vec_id < 100)
             SELECT * FROM (
               SELECT a.vec_id AS a, b.vec_id AS b,
-                     CAST(round(10000 * list_cosine_similarity(
-                         a.embedding, b.embedding), 0) AS BIGINT) AS score_e4
-              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-              WHERE a.vec_id < 100 AND b.vec_id < 100
+                     CAST(round(10000 * list_dot_product(a.qe, b.qe)
+                          / sqrt(list_dot_product(a.qe, a.qe)
+                                 * list_dot_product(b.qe, b.qe)))
+                          AS BIGINT) AS score_e4
+              FROM q a JOIN q b ON a.vec_id < b.vec_id
             ) WHERE score_e4 >= 2000
         """,
         "tumbling_window_counts": """

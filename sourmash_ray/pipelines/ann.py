@@ -266,19 +266,29 @@ def _emb_blob(batch: pa.Table) -> pa.Table:
 
 def cosine_pairs_exact(sf_dir: str, n_vecs: int = 100,
                        threshold_e4: int = 2000):
-    """Exact cosine for all pairs among the first ``n_vecs`` embeddings with
-    score ≥ threshold — the SQL-checkable exact twin of the LSH-bucketed
-    near-dup op (integer 1e4 scores for exact oracle hashing)."""
+    """Exact cosine for all pairs among the first ``n_vecs`` embeddings
+    with score ≥ threshold — the SQL-checkable exact twin of the
+    LSH-bucketed near-dup op.
+
+    Elements quantize to 1e4-scale integers FIRST: with |q| ≤ ~6e3 every
+    dot-product partial stays < 2^53, so float64 sums are EXACT and
+    summation order cannot perturb the score — raw-float cosine diverged
+    from DuckDB in the last ulp at sf0.1 (numpy's pairwise summation vs
+    DuckDB's serial ``list_dot_product``) and flipped a knife-edge
+    round(·1e4). The remaining ops (one multiply, one sqrt, one divide)
+    are single correctly-rounded IEEE ops, identical across engines."""
     ds = _read_emb(sf_dir).filter(expr=f"vec_id < {n_vecs}")
     rows = ds.take_all()
     rows.sort(key=lambda r: r["vec_id"])
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     m = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(m, axis=1)
-    norms[norms == 0] = 1.0
-    sims = (m / norms[:, None]) @ (m / norms[:, None]).T
+    q = np.round(m * 1e4)                 # exact integers in float64
+    num = q @ q.T                         # all partials < 2^53: exact
+    sa = np.einsum("ij,ij->i", q, q)      # exact
+    sa[sa == 0] = 1.0
+    den = np.sqrt(sa[:, None] * sa[None, :])
     iu, ju = np.triu_indices(len(ids), 1)
-    e4 = np.round(sims[iu, ju] * 1e4).astype(np.int64)
+    e4 = np.round(1e4 * num[iu, ju] / den[iu, ju]).astype(np.int64)
     keep = e4 >= threshold_e4
     return pa.table({
         "a": pa.array(ids[iu[keep]], pa.int64()),

@@ -33,7 +33,6 @@ import glob
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 import ray
 
