@@ -337,6 +337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split_docs": docops.hash_split_docs,
         "shard_shuffle_docs": docops.shard_shuffle_docs,
         "pack_docs_offsets": docops.pack_docs_offsets,
+        "chunk_docs_offsets": docops.chunk_docs_offsets,
         "rolling_rate_events": eventops.rolling_rate_events,
         "value_quantiles_by_type": eventops.value_quantiles_by_type,
         "props_key_stats": eventops.props_key_stats,
@@ -755,6 +756,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST((start + greatest(n_chars, 1) - 1) // 2048
                         AS BIGINT) AS end_seq
             FROM p
+        """,
+        "chunk_docs_offsets": """
+            SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+                   CAST(i * 448 AS BIGINT) AS chunk_start,
+                   CAST(least(i * 448 + 512, n_chars) AS BIGINT)
+                       AS chunk_end
+            FROM (SELECT doc_id, n_chars,
+                         unnest(generate_series(0,
+                             (greatest(n_chars - 64, 1) + 447) // 448
+                             - 1)) AS i
+                  FROM documents)
         """,
         "value_quantiles_by_type": """
             SELECT event_type, q,

@@ -1536,3 +1536,47 @@ def heavy_hitters_docs(sf_dir: str, k: int = 10, m: int = 128):
     return (g.map_batches(_rename, batch_format="pyarrow")
             .sort(["n_occurrences", "tok"], descending=[True, False])
             .limit(k))
+
+
+CHUNK_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("chunk_idx", pa.int64()),
+    ("chunk_start", pa.int64()), ("chunk_end", pa.int64()),
+])
+
+
+def chunk_docs_offsets(sf_dir: str, size: int = 512, overlap: int = 64):
+    """RAG-style overlapping chunk offsets: each document yields chunks
+    of ``size`` chars starting every ``size - overlap`` chars (last
+    chunk clipped at the doc end) — the retrieval-index chunking step,
+    emitted as offsets so the loader slices text lazily. Pure function
+    of n_chars: zero shuffle, one repeat/arange pair-emission per batch
+    (same chunked expansion discipline as the range-join kernel)."""
+    if overlap >= size:
+        raise ValueError("overlap must be < size")
+    stride = size - overlap
+
+    def _chunks(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return CHUNK_SCHEMA.empty_table()
+        ids = np.asarray(batch["doc_id"], np.int64)
+        nch = np.asarray(batch["n_chars"], np.int64)
+        # number of chunks: ceil(max(n - overlap, 1) / stride) for n>0;
+        # a doc shorter than size still yields its single clipped chunk
+        n_chunks = np.maximum((np.maximum(nch - overlap, 1) + stride - 1)
+                              // stride, 1)
+        doc = np.repeat(ids, n_chunks)
+        nrep = np.repeat(nch, n_chunks)
+        starts_of = np.concatenate([[0], np.cumsum(n_chunks)[:-1]])
+        idx = (np.arange(len(doc), dtype=np.int64)
+               - np.repeat(starts_of, n_chunks))
+        start = idx * stride
+        end = np.minimum(start + size, nrep)
+        return pa.table({
+            "doc_id": pa.array(doc, pa.int64()),
+            "chunk_idx": pa.array(idx, pa.int64()),
+            "chunk_start": pa.array(start, pa.int64()),
+            "chunk_end": pa.array(end, pa.int64()),
+        })
+
+    return _read_docs(sf_dir, ("doc_id", "n_chars")).map_batches(
+        _chunks, batch_format="pyarrow")

@@ -152,3 +152,27 @@ def test_budget_sample_invariants(ray_session, tmp_path):
         got_total = sum(r["n_chars"] for r in rows
                         if r["source"] == src)
         assert got_total <= B
+
+
+def test_chunk_offsets_cover_and_overlap(ray_session, tmp_path):
+    """Chunks cover every char, consecutive chunks overlap by exactly
+    `overlap` (except the clipped tail), and a short doc yields one
+    clipped chunk."""
+    from sourmash_ray.pipelines.docops import chunk_docs_offsets
+
+    lens = [100, 5, 40, 41, 1]
+    _write_docs(tmp_path, lens)
+    rows = chunk_docs_offsets(str(tmp_path), size=40,
+                              overlap=10).take_all()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk_start"], r["chunk_end"]))
+    assert sorted(by_doc[1]) == [(0, 0, 5)]
+    assert sorted(by_doc[4]) == [(0, 0, 1)]
+    for d, n in enumerate(lens):
+        ch = sorted(by_doc[d])
+        assert ch[0][1] == 0 and ch[-1][2] == n      # full coverage
+        for (i1, s1, e1), (i2, s2, e2) in zip(ch, ch[1:]):
+            assert i2 == i1 + 1 and s2 == s1 + 30    # stride
+            assert e1 - s2 >= 1                      # genuine overlap
