@@ -340,6 +340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs_offsets": docops.chunk_docs_offsets,
         "rolling_rate_events": eventops.rolling_rate_events,
         "value_quantiles_by_type": eventops.value_quantiles_by_type,
+        "winsorized_value_totals": eventops.winsorized_value_totals,
         "props_key_stats": eventops.props_key_stats,
         "order_count_histogram": relational.order_count_histogram,
         "budget_sample_docs": docops.budget_sample_docs,
@@ -778,6 +779,20 @@ def oracle_sql() -> dict[str, str]:
                         CAST(round(value * 100) AS BIGINT),
                         [0.25, 0.5, 0.75, 0.9])) AS v
               FROM events GROUP BY event_type)
+        """,
+        "winsorized_value_totals": """
+            WITH c AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events),
+            t AS (SELECT event_type,
+                         quantile_disc(cents, 0.9) AS cap
+                  FROM c GROUP BY event_type)
+            SELECT c.event_type,
+                   CAST(sum(least(c.cents, t.cap)) AS BIGINT)
+                       AS sum_clipped_cents,
+                   count(*) AS n_events
+            FROM c JOIN t ON c.event_type = t.event_type
+            GROUP BY c.event_type
         """,
         "props_key_stats": """
             SELECT event_type,

@@ -503,3 +503,54 @@ def props_key_stats(sf_dir: str):
 
     return grouped_sums(ds.map_batches(_extract, batch_format="pyarrow"),
                         ["event_type"], ["k"], count_as="n_events")
+
+
+def winsorized_value_totals(sf_dir: str, q: float = 0.9):
+    """Outlier-clipped totals per event type (winsorization — the
+    value-domain twin of the length-quantile curation gate): one
+    histogram exchange computes each type's q-quantile cent threshold
+    (`grouped_quantiles_disc`), the thresholds broadcast, and a second
+    streaming pass clips and sums. Integer cents end-to-end."""
+    from ..stages.agg import grouped_quantiles_disc, grouped_sums
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+
+    def _cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "cents": pc.cast(
+                pc.round(pc.multiply(batch["value"], pa.scalar(1e2))),
+                pa.int64()),
+        })
+
+    cents = ds.map_batches(_cents, batch_format="pyarrow")
+    import numpy as np
+
+    import ray as _r
+
+    from ..functions.segscore import _to_bytes_array
+
+    rows = grouped_quantiles_disc(cents, "event_type", "cents",
+                                  [q]).to_pylist()
+    keys = _to_bytes_array(pa.array([r["event_type"] for r in rows],
+                                    pa.string()))
+    order = np.argsort(keys, kind="stable")
+    thr_ref = _r.put((keys[order],
+                      np.array([rows[i]["value"] for i in order],
+                               np.int64)))
+
+    def _clip(batch: pa.Table) -> pa.Table:
+        tk, tv = _r.get(thr_ref)
+        et = batch["event_type"].combine_chunks()
+        eb = _to_bytes_array(et)
+        w = max(eb.dtype.itemsize, tk.dtype.itemsize, 1)
+        pos = np.searchsorted(tk.astype(f"S{w}"), eb.astype(f"S{w}"))
+        cap = tv[np.minimum(pos, len(tv) - 1)]
+        c = np.minimum(np.asarray(batch["cents"], np.int64), cap)
+        return pa.table({"event_type": et,
+                         "clipped_cents": pa.array(c, pa.int64())})
+
+    return grouped_sums(cents.map_batches(_clip, batch_format="pyarrow"),
+                        ["event_type"], ["clipped_cents"],
+                        count_as="n_events")

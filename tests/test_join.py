@@ -493,3 +493,28 @@ def test_top_building_orders_matches_duckdb(ray_session):
     want = [tuple(r) for r in
             con.sql(e.oracle_sql()["top_building_orders"]).fetchall()]
     assert got == want
+
+
+def test_composite_key_overflow_guards_raise():
+    """A user_id × ts span product past int64 must raise, not wrap."""
+    import pytest
+
+    from sourmash_ray.pipelines.eventops import (asof_merge_partition,
+                                                 rolling_merge_partition)
+
+    part = pa.table({
+        "event_id": pa.array([0, 1], pa.int64()),
+        "user_id": pa.array([2**62, 2**62], pa.int64()),
+        "ts_us": pa.array([0, 10], pa.int64()),
+    })
+    with pytest.raises(ValueError, match="overflows"):
+        rolling_merge_partition(part, w_us=5)
+
+    asof_part = pa.table({
+        "user_id": pa.array([2**62, 2**62], pa.int64()),
+        "side": pa.array([0, 1], pa.int8()),
+        "event_id": pa.array([0, 1], pa.int64()),
+        "ts_us": pa.array([10, 0], pa.int64()),
+    })
+    with pytest.raises(ValueError, match="overflows"):
+        asof_merge_partition(asof_part)
