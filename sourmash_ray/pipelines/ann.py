@@ -822,3 +822,131 @@ def ann_topk_ivfpq(sf_dir: str, n_queries: int = 8, k: int = 5,
                     "score_e4": int(round(float(scores[m][j]) * 1e4)),
                 })
     return pa.Table.from_pylist(out_rows)
+
+
+def ivfpq_build_index(sf_dir: str, out_dir: str, n_centroids: int = 16,
+                      m_sub: int = 16, k_codes: int = 64,
+                      n_iters: int = 3) -> None:
+    """Persist the full compressed index: PQ codes hive-partitioned by
+    IVF list (`lists/list_id=N/`, each row = vec_id + m uint8 codes)
+    plus the two tiny model tables (centroids, codebooks). The persisted
+    artifact is dim·8/m× smaller than the embeddings themselves — the
+    layout that keeps a 100-TB corpus's ANN index resident — and a
+    query session reads ONLY its probed lists' codes (path-level
+    pruning), never a raw float."""
+    import pyarrow.parquet as pq
+
+    ds = _read_emb(sf_dir)
+    cents = ivf_train_centroids(ds, n_centroids, n_iters)
+    books = pq_train(ds, m_sub, k_codes, n_iters)
+    state_ref = ray.put((cents, books))
+
+    def _enc(batch: pa.Table) -> pa.Table:
+        cc, bb = ray.get(state_ref)
+        ids, mat = _emb_matrix(batch)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        matn = mat / norms[:, None]
+        lists = np.argmax(matn @ cc.T, axis=1)
+        codes = _pq_assign(_pq_subsplit(matn, m_sub), bb)
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "codes": pa.array(list(codes.astype(np.uint8)),
+                              pa.list_(pa.uint8())),
+            "list_id": pa.array(lists.astype(np.int64), pa.int64()),
+        })
+
+    ds.map_batches(_enc, batch_format="pyarrow").write_parquet(
+        f"{out_dir}/lists", partition_cols=["list_id"])
+    pq.write_table(
+        pa.table({
+            "centroid": pa.array(np.arange(cents.shape[0]), pa.int64()),
+            "vec": pa.array(list(cents), pa.list_(pa.float64())),
+        }), f"{out_dir}/centroids.parquet")
+    mm, kk, dd = books.shape
+    pq.write_table(
+        pa.table({
+            "sub": pa.array(np.repeat(np.arange(mm), kk), pa.int64()),
+            "code": pa.array(np.tile(np.arange(kk), mm), pa.int64()),
+            "vec": pa.array(list(books.reshape(mm * kk, dd)),
+                            pa.list_(pa.float64())),
+        }), f"{out_dir}/codebooks.parquet")
+
+
+def ivfpq_load_books(index_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{index_dir}/codebooks.parquet").sort_by(
+        [("sub", "ascending"), ("code", "ascending")])
+    lst = t["vec"].combine_chunks()
+    dd = len(lst[0]) if len(lst) else 0
+    m = int(np.asarray(t["sub"], np.int64).max()) + 1 if t.num_rows else 0
+    k = t.num_rows // max(m, 1)
+    return np.asarray(lst.flatten(), np.float64).reshape(m, k, dd)
+
+
+def ann_topk_ivfpq_index(index_dir: str, sf_dir: str,
+                         n_queries: int = 8, k: int = 5,
+                         nprobe: int = 4):
+    """IVF+PQ top-k over the PERSISTED compressed index: centroids +
+    codebooks load from their tiny tables, queries come from the
+    embeddings table (real deployments pass external vectors), and the
+    scoring read opens ONLY the probed lists' code files — the raw
+    embedding column is read just for the query vectors."""
+    import glob
+
+    cents = ivf_load_centroids(index_dir)
+    books = ivfpq_load_books(index_dir)
+    m_sub = books.shape[0]
+    q_ids, qm = _load_queries(_read_emb(sf_dir), n_queries)
+    probe_mask = _probe_mask(qm, cents, nprobe)
+    probed = np.flatnonzero(probe_mask.any(axis=0))
+    paths = [f for i in probed for f in sorted(
+        glob.glob(f"{index_dir}/lists/list_id={int(i)}/*.parquet"))]
+    tables = np.einsum("qmd,mkd->qmk", _pq_subsplit(qm, m_sub), books)
+    state_ref = ray.put((q_ids, tables, probe_mask))
+
+    from ..sources.tables import read_parquet_clean as _rpc
+
+    def _score(batch: pa.Table) -> pa.Table:
+        qi, tbls, pm = ray.get(state_ref)
+        ids = np.asarray(batch["vec_id"], np.int64)
+        lst = batch["codes"].combine_chunks()
+        codes = np.asarray(lst.flatten(), np.uint8).reshape(
+            len(ids), m_sub).astype(np.int64)
+        lists = np.asarray(batch["list_id"], np.int64)
+        sims = tbls[:, np.arange(m_sub)[None, :], codes].sum(axis=2).T
+        sims[~pm[:, lists].T] = -np.inf
+        n, nq = sims.shape
+        kk2 = min(k + 1, n)
+        top = np.argpartition(-sims, kk2 - 1, axis=0)[:kk2]
+        rows = top.reshape(-1)
+        qcol = np.repeat(qi[None, :], kk2, axis=0).reshape(-1)
+        score = sims[rows, np.repeat(np.arange(nq)[None, :], kk2,
+                                     axis=0).reshape(-1)]
+        keep = np.isfinite(score)
+        return pa.table({
+            "query_id": pa.array(qcol[keep], pa.int64()),
+            "neighbor_id": pa.array(ids[rows][keep], pa.int64()),
+            "score": pa.array(score[keep], pa.float64()),
+        })
+
+    partial = _rpc(paths, columns=["vec_id", "codes", "list_id"]
+                   ).map_batches(_score, batch_format="pyarrow")
+    tbl = pa.Table.from_pylist(partial.take_all())
+    out_rows = []
+    if tbl.num_rows:
+        qids = tbl["query_id"].to_numpy()
+        nids = tbl["neighbor_id"].to_numpy()
+        scores = tbl["score"].to_numpy()
+        for q in q_ids:
+            m2 = (qids == q) & (nids != q)
+            order = np.lexsort((nids[m2], -scores[m2]))[:k]
+            for rank, j in enumerate(order, 1):
+                out_rows.append({
+                    "query_id": int(q),
+                    "neighbor_id": int(nids[m2][j]),
+                    "rank": rank,
+                    "score_e4": int(round(float(scores[m2][j]) * 1e4)),
+                })
+    return pa.Table.from_pylist(out_rows)

@@ -73,3 +73,25 @@ def test_ivfpq_full_probe_equals_pq(ray_session):
     ivfpq = ann_topk_ivfpq(SF, n_queries=6, k=5, n_centroids=8,
                            nprobe=8, m_sub=16, k_codes=32).to_pylist()
     assert ivfpq == pq_res
+
+
+def test_ivfpq_index_matches_inmemory(ray_session, tmp_path):
+    """The persisted compressed index (pruned list reads, codes only)
+    reproduces the in-memory IVF+PQ path exactly at equal params —
+    training is deterministic on both paths."""
+    from sourmash_ray.pipelines.ann import (ann_topk_ivfpq,
+                                            ann_topk_ivfpq_index,
+                                            ivfpq_build_index)
+
+    params = dict(n_centroids=8, m_sub=16, k_codes=32)
+    idx = str(tmp_path / "ivfpq")
+    ivfpq_build_index(SF, idx, n_iters=3, **params)
+    mem = ann_topk_ivfpq(SF, n_queries=6, k=5, nprobe=3, n_iters=3,
+                         **params).to_pylist()
+    disk = ann_topk_ivfpq_index(idx, SF, n_queries=6, k=5,
+                                nprobe=3).to_pylist()
+    assert disk == mem
+
+    import glob
+    assert glob.glob(f"{idx}/lists/list_id=*/*.parquet")
+    assert glob.glob(f"{idx}/codebooks.parquet")
