@@ -338,6 +338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shard_shuffle_docs": docops.shard_shuffle_docs,
         "pack_docs_offsets": docops.pack_docs_offsets,
         "chunk_docs_offsets": docops.chunk_docs_offsets,
+        "negative_samples_docs": docops.negative_samples_docs,
         "rolling_rate_events": eventops.rolling_rate_events,
         "value_quantiles_by_type": eventops.value_quantiles_by_type,
         "winsorized_value_totals": eventops.winsorized_value_totals,
@@ -757,6 +758,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST((start + greatest(n_chars, 1) - 1) // 2048
                         AS BIGINT) AS end_seq
             FROM p
+        """,
+        "negative_samples_docs": """
+            WITH n AS (SELECT count(*) AS total FROM documents)
+            SELECT doc_id, CAST(j AS BIGINT) AS neg_idx,
+                   CAST(CASE WHEN h = doc_id THEN (h + 1) % total
+                             ELSE h END AS BIGINT) AS neg_doc_id
+            FROM (
+              SELECT doc_id, j, total,
+                     CAST(concat('0x', substr(md5(concat(
+                          CAST(doc_id AS VARCHAR), '#',
+                          CAST(j AS VARCHAR))), 1, 8)) AS UBIGINT)
+                         % total AS h
+              FROM (SELECT doc_id,
+                           unnest(generate_series(0, 3)) AS j
+                    FROM documents), n)
         """,
         "chunk_docs_offsets": """
             SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,

@@ -1580,3 +1580,43 @@ def chunk_docs_offsets(sf_dir: str, size: int = 512, overlap: int = 64):
 
     return _read_docs(sf_dir, ("doc_id", "n_chars")).map_batches(
         _chunks, batch_format="pyarrow")
+
+
+NEG_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("neg_idx", pa.int64()),
+    ("neg_doc_id", pa.int64()),
+])
+
+
+def negative_samples_docs(sf_dir: str, k: int = 4):
+    """Deterministic negative sampling (contrastive-training prep): for
+    every document, ``k`` pseudo-random negative doc_ids derived from
+    md5(doc_id '#' j) — a pure function of identity, so every rerun,
+    shard and cluster size draws the SAME negatives (resume-safe, no
+    RNG state to ship) and the DuckDB oracle reproduces them exactly.
+    Self-collisions step to the next id. Zero shuffle."""
+    import pyarrow.dataset as pads
+
+    # N from Parquet row-group metadata — no data read
+    n_docs = pads.dataset(f"{sf_dir}/documents.parquet").count_rows()
+    n_u = np.uint64(n_docs)
+
+    def _negs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return NEG_SCHEMA.empty_table()
+        ids = np.asarray(batch["doc_id"], np.int64)
+        ids_s = pc.cast(batch["doc_id"], pa.string()).combine_chunks()
+        outs = []
+        for j in range(k):
+            key = pc.binary_join_element_wise(ids_s, f"#{j}", "")
+            h = (_hex8_to_int(_md5_column(key)) % n_u).astype(np.int64)
+            neg = np.where(h == ids, (h + 1) % n_docs, h)
+            outs.append(pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "neg_idx": pa.array(np.full(len(ids), j, np.int64)),
+                "neg_doc_id": pa.array(neg, pa.int64()),
+            }))
+        return pa.concat_tables(outs)
+
+    return _read_docs(sf_dir, ("doc_id",)).map_batches(
+        _negs, batch_format="pyarrow")
