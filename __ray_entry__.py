@@ -339,6 +339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_docs_offsets": docops.pack_docs_offsets,
         "chunk_docs_offsets": docops.chunk_docs_offsets,
         "negative_samples_docs": docops.negative_samples_docs,
+        "exact_dedup_keep_best_docs": docops.exact_dedup_keep_best_docs,
         "rolling_rate_events": eventops.rolling_rate_events,
         "value_quantiles_by_type": eventops.value_quantiles_by_type,
         "winsorized_value_totals": eventops.winsorized_value_totals,
@@ -758,6 +759,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST((start + greatest(n_chars, 1) - 1) // 2048
                         AS BIGINT) AS end_seq
             FROM p
+        """,
+        "exact_dedup_keep_best_docs": f"""
+            SELECT doc_id, text_md5, n_chars FROM (
+              SELECT doc_id, n_chars,
+                     md5(trim(regexp_replace(lower(coalesce(text, '')),
+                                             '{_WS}', ' ', 'g')))
+                         AS text_md5,
+                     row_number() OVER (
+                         PARTITION BY md5(trim(regexp_replace(
+                             lower(coalesce(text, '')), '{_WS}', ' ',
+                             'g')))
+                         ORDER BY n_chars DESC, doc_id) AS rn
+              FROM documents)
+            WHERE rn = 1
         """,
         "negative_samples_docs": """
             WITH n AS (SELECT count(*) AS total FROM documents)

@@ -1620,3 +1620,68 @@ def negative_samples_docs(sf_dir: str, k: int = 4):
 
     return _read_docs(sf_dir, ("doc_id",)).map_batches(
         _negs, batch_format="pyarrow")
+
+
+KEEP_BEST_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("text_md5", pa.string()),
+    ("n_chars", pa.int64()),
+])
+
+
+def exact_dedup_keep_best_docs(sf_dir: str, n_parts: int | None = None):
+    """Exact dedup with QUALITY-aware representative selection: within
+    each duplicate group (whitespace-normalized text md5), keep the
+    LONGEST document (doc_id tiebreak) instead of the arbitrary
+    min-id — the curation-grade variant of `exact_dedup_docs` (dup
+    groups often mix truncated and full copies; keep the full one).
+    Groups form on the md5 content-hash exchange and are resolved by a
+    run-boundary pass over the FULL md5 string — a 64-bit key hash only
+    co-locates, it never merges distinct texts. Block-local pre-pick
+    (≤1 row per (block, md5)) bounds the shuffle by distinct texts
+    per block, not rows."""
+    from ..functions.segscore import _to_bytes_array, hash_strings64
+    from ..stages.exchange import exchange_map_groups
+
+    if n_parts is None:
+        from ..config import resolve_num_partitions
+        n_parts = resolve_num_partitions(DEFAULT_CONFIG)
+
+    def _pick(t: pa.Table, with_part: bool) -> pa.Table:
+        md5 = t["text_md5"].combine_chunks()
+        mb = _to_bytes_array(md5)
+        nch = np.asarray(t["n_chars"], np.int64)
+        ids = np.asarray(t["doc_id"], np.int64)
+        order = np.lexsort((ids, -nch, mb))
+        mb_s = mb[order]
+        first = np.flatnonzero(np.r_[True, mb_s[1:] != mb_s[:-1]])
+        idx = pa.array(order[first], pa.int64())
+        out = pa.table({
+            "doc_id": t["doc_id"].take(idx),
+            "text_md5": md5.take(idx),
+            "n_chars": t["n_chars"].take(idx),
+        })
+        if with_part:
+            part = hash_strings64(out["text_md5"].combine_chunks()) % 1024
+            out = out.append_column("md5_part",
+                                    pa.array(part, pa.int64()))
+        return out
+
+    def _key(batch: pa.Table) -> pa.Table:
+        norm = normalize_column(batch["text"], "ws")
+        t = pa.table({
+            "doc_id": batch["doc_id"],
+            "text_md5": _md5_column(norm),
+            "n_chars": batch["n_chars"].combine_chunks().cast(pa.int64()),
+        })
+        return _pick(t, with_part=True)   # block-local combiner
+
+    def _merge(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return KEEP_BEST_SCHEMA.empty_table()
+        return _pick(part.drop_columns(["md5_part"]),
+                     with_part=False).cast(KEEP_BEST_SCHEMA)
+
+    keyed = _read_docs(sf_dir, ("doc_id", "text", "n_chars")).map_batches(
+        _key, batch_format="pyarrow")
+    return exchange_map_groups(keyed, "md5_part", n_parts, _merge,
+                               KEEP_BEST_SCHEMA)

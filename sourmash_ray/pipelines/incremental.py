@@ -87,9 +87,11 @@ def _band_rows(sigs, cfg: EngineConfig):
 def build_doc_dedup_index(sf_dir: str, index_dir: str,
                           cfg: EngineConfig = DEFAULT_CONFIG) -> None:
     """Persist the corpus side: band index (hive by ``band_key % N``)
-    + sig store (hive by id hash % N). Both writes stream — partitioned
-    output doubles as the resume artifact (a crashed build reruns only
-    missing partitions, the `write_parquet` contract)."""
+    + sig store (hive by id hash % N). Both writes stream; a crashed
+    build is rerun whole (the driver query guards on both directories
+    existing before reuse) — stage-level resume belongs to the job
+    wrapper (`jobs/curate_job.py` `_DONE`-marker pattern), not to
+    `write_parquet`, which does not skip existing files."""
     sigs = _docs_side(sf_dir, delta=False, cfg=cfg).materialize()
     _band_rows(sigs, cfg).write_parquet(f"{index_dir}/bands",
                                         partition_cols=["band_file"])

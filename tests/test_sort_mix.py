@@ -176,3 +176,27 @@ def test_chunk_offsets_cover_and_overlap(ray_session, tmp_path):
         for (i1, s1, e1), (i2, s2, e2) in zip(ch, ch[1:]):
             assert i2 == i1 + 1 and s2 == s1 + 30    # stride
             assert e1 - s2 >= 1                      # genuine overlap
+
+
+def test_keep_best_dedup_prefers_longest(ray_session, tmp_path):
+    """Duplicate groups keep their longest member (doc_id tiebreak).
+    NOTE: groups are keyed by NORMALIZED text md5, so same-text docs
+    tie on md5; differing n_chars metadata decides the representative."""
+    import pyarrow.parquet as pq
+
+    from sourmash_ray.pipelines.docops import exact_dedup_keep_best_docs
+
+    texts = ["alpha beta gamma", "alpha beta gamma", "alpha beta gamma",
+             "delta", "delta", "unique one"]
+    n_chars = [16, 99, 99, 5, 7, 10]   # doc1/doc2 tie at 99 → doc 1 wins
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 6, pa.string()),
+        "source": pa.array(["s"] * 6, pa.string()),
+        "n_chars": pa.array(n_chars, pa.int64()),
+    }), f"{tmp_path}/documents.parquet")
+    rows = exact_dedup_keep_best_docs(str(tmp_path)).take_all()
+    kept = {r["doc_id"] for r in rows}
+    assert kept == {1, 4, 5}
+    assert len(rows) == 3
