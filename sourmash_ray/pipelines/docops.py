@@ -1484,21 +1484,33 @@ def heavy_hitters_docs(sf_dir: str, k: int = 10, m: int = 128):
     from ..stages.agg import grouped_sums
 
     def _mg_partial(batch: pa.Table) -> pa.Table:
-        t = _tf_rows_batch(batch)
+        # block-level counts only (no per-doc granularity): tokenize →
+        # ONE argsort over the flat token bytes → run-length sums →
+        # MG threshold. Half the sort work of the tf-rows kernel.
         out_schema = pa.schema([("tok", pa.string()), ("tf", pa.int64())])
-        if t.num_rows == 0:
+        if batch.num_rows == 0:
             return out_schema.empty_table()
-        tb = _to_bytes_array(t["tok"].combine_chunks())
-        tf = np.asarray(t["tf"], np.int64)
+        text = pc.fill_null(batch["text"], "")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern(text, " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        tb = _to_bytes_array(flat)
+        nonempty = np.flatnonzero(
+            np.asarray(pc.binary_length(flat), np.int64) > 0)
+        if nonempty.size == 0:
+            return out_schema.empty_table()
+        tb = tb[nonempty]
         order = np.argsort(tb, kind="stable")
-        tb_s, tf_s = tb[order], tf[order]
+        tb_s = tb[order]
         starts = np.flatnonzero(np.r_[True, tb_s[1:] != tb_s[:-1]])
-        sums = np.add.reduceat(tf_s, starts)
-        total = int(tf.sum())
-        keep = sums > total // (m + 1)
-        idx = order[starts[keep]]
+        sums = np.diff(np.r_[starts, len(tb_s)])
+        keep = sums > len(tb_s) // (m + 1)
+        idx = nonempty[order[starts[keep]]]
         return pa.table({
-            "tok": t["tok"].take(pa.array(idx, pa.int64())),
+            "tok": flat.take(pa.array(idx, pa.int64())),
             "tf": pa.array(sums[keep], pa.int64()),
         })
 
@@ -1512,19 +1524,33 @@ def heavy_hitters_docs(sf_dir: str, k: int = 10, m: int = 128):
     cand_ref = _ray.put(cand)
 
     def _exact(batch: pa.Table) -> pa.Table:
+        # global candidate counts only — filter the FLAT token stream
+        # against the (tiny) candidate set BEFORE any sort, so the
+        # second pass costs tokenize + membership, not a full lexsort
         cset = _ray.get(cand_ref)
-        t = _tf_rows_batch(batch)
         out_schema = pa.schema([("tok", pa.string()), ("tf", pa.int64())])
-        if t.num_rows == 0 or cset.size == 0:
+        if batch.num_rows == 0 or cset.size == 0:
             return out_schema.empty_table()
-        tb = _to_bytes_array(t["tok"].combine_chunks())
+        text = pc.fill_null(batch["text"], "")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        flat = pc.split_pattern(text, " ")
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        flat = flat.flatten()
+        tb = _to_bytes_array(flat)
         w = max(tb.dtype.itemsize, cset.dtype.itemsize, 1)
-        tb_w = tb.astype(f"S{w}")
         cs_w = cset.astype(f"S{w}")
-        pos = np.minimum(np.searchsorted(cs_w, tb_w), cs_w.size - 1)
-        hit = cs_w[pos] == tb_w
-        return pa.table({"tok": t["tok"].filter(pa.array(hit)),
-                         "tf": t["tf"].filter(pa.array(hit))})
+        pos = np.minimum(np.searchsorted(cs_w, tb.astype(f"S{w}")),
+                         cs_w.size - 1)
+        # pos doubles as the candidate index: count hits per candidate
+        hit = cs_w[pos] == tb.astype(f"S{w}")
+        cnt = np.bincount(pos[hit], minlength=cs_w.size)
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            "tok": pa.array([cset[i].decode() for i in nz], pa.string()),
+            "tf": pa.array(cnt[nz], pa.int64()),
+        })
 
     g = grouped_sums(
         _read_docs(sf_dir).map_batches(_exact, batch_format="pyarrow"),
