@@ -341,6 +341,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "negative_samples_docs": docops.negative_samples_docs,
         "exact_dedup_keep_best_docs": docops.exact_dedup_keep_best_docs,
         "rolling_rate_events": eventops.rolling_rate_events,
+        "dedupe_consecutive_events": eventops.dedupe_consecutive_events,
+        "funnel_conversions_events": eventops.funnel_conversions_events,
+        "top_event_type_by_user": eventops.top_event_type_by_user,
         "value_quantiles_by_type": eventops.value_quantiles_by_type,
         "winsorized_value_totals": eventops.winsorized_value_totals,
         "props_key_stats": eventops.props_key_stats,
@@ -850,6 +853,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, n_chars,
                    CAST(cum AS BIGINT) AS cum_chars
             FROM c WHERE cum <= 4096
+        """,
+        "dedupe_consecutive_events": """
+            SELECT event_id, user_id,
+                   CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_type
+            FROM (SELECT event_id, user_id, ts, event_type,
+                         lag(event_type) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev
+                  FROM events)
+            WHERE prev IS NULL OR prev <> event_type
+        """,
+        "funnel_conversions_events": """
+            WITH a AS (SELECT user_id, min(ts) AS a_ts
+                       FROM events WHERE event_type = 'view'
+                       GROUP BY user_id),
+            b AS (SELECT a.user_id, min(e.ts) AS b_ts
+                  FROM a JOIN events e
+                    ON e.user_id = a.user_id AND e.event_type = 'click'
+                   AND e.ts >= a.a_ts
+                   AND e.ts <= a.a_ts + INTERVAL 30 MINUTE
+                  GROUP BY a.user_id)
+            SELECT a.user_id,
+                   CAST(epoch_us(a.a_ts) AS BIGINT) AS a_ts_us,
+                   CAST(epoch_us(b.b_ts) AS BIGINT) AS b_ts_us,
+                   CAST(CASE WHEN b.b_ts IS NULL THEN 0 ELSE 1 END
+                        AS BIGINT) AS converted
+            FROM a LEFT JOIN b ON a.user_id = b.user_id
+        """,
+        "top_event_type_by_user": """
+            WITH c AS (SELECT user_id, event_type, count(*) AS n
+                       FROM events GROUP BY user_id, event_type)
+            SELECT user_id, event_type, n FROM (
+              SELECT c.*, row_number() OVER (PARTITION BY user_id
+                         ORDER BY n DESC, event_type) AS rn FROM c)
+            WHERE rn = 1
         """,
         "rolling_rate_events": """
             SELECT event_id, user_id,

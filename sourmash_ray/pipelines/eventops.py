@@ -554,3 +554,172 @@ def winsorized_value_totals(sf_dir: str, q: float = 0.9):
     return grouped_sums(cents.map_batches(_clip, batch_format="pyarrow"),
                         ["event_type"], ["clipped_cents"],
                         count_as="n_events")
+
+
+DEDUPE_CONSEC_SCHEMA = pa.schema([
+    ("event_id", pa.int64()),
+    ("user_id", pa.int64()),
+    ("ts_us", pa.int64()),
+    ("event_type", pa.string()),
+])
+
+
+def dedupe_consecutive_partition(part: pa.Table) -> pa.Table:
+    """Per-partition kernel (module-level, oracle-tested): keep each
+    user's event iff it is the user's first — by (ts, event_id) — or
+    its type differs from the immediately preceding kept-or-dropped
+    event's type. SQL: ``lag(event_type) OVER (PARTITION BY user_id
+    ORDER BY ts, event_id) IS DISTINCT FROM event_type``. One lexsort,
+    one shifted compare; type equality via the S-dtype bytes view
+    (memcmp — no per-row Python)."""
+    import numpy as np
+
+    from ..functions.segscore import _to_bytes_array
+
+    if part.num_rows == 0:
+        return DEDUPE_CONSEC_SCHEMA.empty_table()
+    u = np.asarray(part["user_id"], np.int64)
+    ts = np.asarray(part["ts_us"], np.int64)
+    eid = np.asarray(part["event_id"], np.int64)
+    tb = _to_bytes_array(part["event_type"].combine_chunks())
+    order = np.lexsort((eid, ts, u))
+    u_s, t_s = u[order], tb[order]
+    keep = np.r_[True, (u_s[1:] != u_s[:-1]) | (t_s[1:] != t_s[:-1])]
+    return part.take(pa.array(order[keep], pa.int64())).select(
+        [f.name for f in DEDUPE_CONSEC_SCHEMA]).cast(DEDUPE_CONSEC_SCHEMA)
+
+
+def dedupe_consecutive_events(sf_dir: str):
+    """Sessionized event-stream compaction: drop every event whose type
+    repeats the same user's immediately preceding event (bot retries /
+    double-clicks / at-least-once delivery) — the streaming `DISTINCT
+    ON (user, run)` curation op. One user-keyed exchange of 4-column
+    rows, then the vectorized kernel above; same partitioning contract
+    as ``sessionize_events`` (a user's history fits one partition)."""
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.exchange import exchange_map_groups
+
+    def _key(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch["event_id"],
+            "user_id": batch["user_id"],
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+            "event_type": batch["event_type"],
+        })
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    ).map_batches(_key, batch_format="pyarrow")
+    n_parts = resolve_num_partitions(DEFAULT_CONFIG)
+    return exchange_map_groups(ds, "user_id", n_parts,
+                               dedupe_consecutive_partition,
+                               DEDUPE_CONSEC_SCHEMA)
+
+
+FUNNEL_SCHEMA = pa.schema([
+    ("user_id", pa.int64()),
+    ("a_ts_us", pa.int64()),
+    ("b_ts_us", pa.int64()),
+    ("converted", pa.int64()),
+])
+
+
+def funnel_merge_partition(part: pa.Table, w_us: int) -> pa.Table:
+    """Per-partition funnel kernel: for every user with ≥1 A event,
+    the first A timestamp and the first B event inside ``[a_ts,
+    a_ts + w]`` (NULL when none — no conversion). Vectorized: per-user
+    min-A via one lexsort + run boundaries; the B probe is ONE
+    ``searchsorted`` over the composite ``user*span + ts`` key (the
+    `rolling_merge_partition` trick)."""
+    import numpy as np
+
+    if part.num_rows == 0:
+        return FUNNEL_SCHEMA.empty_table()
+    u = np.asarray(part["user_id"], np.int64)
+    ts = np.asarray(part["ts_us"], np.int64)
+    is_a = np.asarray(part["is_a"], np.int64) == 1
+    ua, tsa = u[is_a], ts[is_a]
+    if ua.size == 0:
+        return FUNNEL_SCHEMA.empty_table()
+    order_a = np.lexsort((tsa, ua))
+    ua_s, tsa_s = ua[order_a], tsa[order_a]
+    first = np.r_[True, ua_s[1:] != ua_s[:-1]]
+    users, a_ts = ua_s[first], tsa_s[first]
+
+    ub, tsb = u[~is_a], ts[~is_a]
+    tmin = int(ts.min())
+    span = int(ts.max()) - tmin + 2
+    if int(u.max()) >= (2**63 - 1) // max(span, 1):
+        raise ValueError("user_id × ts span overflows the composite "
+                         "funnel key; re-partition finer")
+    ckey_b = ub * span + (tsb - tmin + 1)
+    order_b = np.argsort(ckey_b, kind="stable")
+    ckey_bs = ckey_b[order_b]
+    pos = np.searchsorted(ckey_bs, users * span + (a_ts - tmin + 1),
+                          side="left")
+    ok = pos < len(ckey_bs)
+    safe = np.minimum(pos, max(len(ckey_bs) - 1, 0))
+    b_u = ub[order_b][safe] if len(ckey_bs) else np.zeros_like(users)
+    b_ts = tsb[order_b][safe] if len(ckey_bs) else np.zeros_like(users)
+    conv = ok & (b_u == users) & (b_ts <= a_ts + w_us)
+    return pa.table({
+        "user_id": pa.array(users, pa.int64()),
+        "a_ts_us": pa.array(a_ts, pa.int64()),
+        "b_ts_us": pa.array(np.where(conv, b_ts, 0), pa.int64(),
+                            mask=~conv),
+        "converted": pa.array(conv.astype(np.int64), pa.int64()),
+    })
+
+
+def funnel_conversions_events(sf_dir: str, first_type: str = "view",
+                              then_type: str = "click",
+                              window_minutes: int = 30):
+    """Funnel conversion: per user, the first ``first_type`` event and
+    whether a ``then_type`` event follows within ``window_minutes`` —
+    the product-analytics conversion primitive. Both event streams
+    filter at the scan (only two types' rows ever leave the read), one
+    user-keyed exchange, then the vectorized kernel above."""
+    import functools as _ft
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.exchange import exchange_map_groups
+
+    w_us = window_minutes * 60 * 1_000_000
+
+    def _key(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "user_id": batch["user_id"],
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+            "is_a": pc.cast(pc.equal(batch["event_type"],
+                                     pa.scalar(first_type)), pa.int64()),
+            "keep": pc.is_in(batch["event_type"],
+                             value_set=pa.array([first_type, then_type])),
+        })
+        return t.filter(t["keep"]).drop_columns(["keep"])
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "user_id", "event_type"],
+    ).map_batches(_key, batch_format="pyarrow")
+    n_parts = resolve_num_partitions(DEFAULT_CONFIG)
+    return exchange_map_groups(
+        ds, "user_id", n_parts,
+        _ft.partial(funnel_merge_partition, w_us=w_us), FUNNEL_SCHEMA)
+
+
+def top_event_type_by_user(sf_dir: str):
+    """Per-user modal event type with a deterministic tiebreak
+    (``row_number() OVER (PARTITION BY user ORDER BY n DESC, type) = 1``)
+    — grouped mode, the categorical summary primitive. Composition of
+    the two existing exchange aggregates: `grouped_sums` on
+    (user, type) then `grouped_topk(k=1)`; the fact rows never shuffle,
+    only (user, type, n) partials do."""
+    from ..stages.agg import grouped_sums, grouped_topk
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type"])
+    counts = grouped_sums(ds, ["user_id", "event_type"], [], count_as="n")
+    top = grouped_topk(counts, key="user_id", order_col="n", k=1,
+                       tiebreak="event_type")
+    return top.select_columns(["user_id", "event_type", "n"])

@@ -1,0 +1,99 @@
+"""Event-stream curation ops: consecutive-duplicate compaction, funnel
+conversion, grouped mode — kernel tests vs nested-loop oracles plus
+end-to-end DuckDB parity on the sf0.001 tables."""
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_events = st.lists(
+    st.tuples(st.integers(0, 3),          # user_id
+              st.integers(0, 40),         # ts_us
+              st.sampled_from(["a", "b", "c"])),
+    min_size=0, max_size=40)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_events)
+def test_dedupe_consecutive_kernel_matches_nested_loop(evs):
+    from sourmash_ray.pipelines.eventops import dedupe_consecutive_partition
+
+    part = pa.table({
+        "event_id": pa.array(list(range(len(evs))), pa.int64()),
+        "user_id": pa.array([e[0] for e in evs], pa.int64()),
+        "ts_us": pa.array([e[1] for e in evs], pa.int64()),
+        "event_type": pa.array([e[2] for e in evs], pa.string()),
+    })
+    got = sorted(r["event_id"]
+                 for r in dedupe_consecutive_partition(part).to_pylist())
+    want = []
+    for u in set(e[0] for e in evs):
+        seq = sorted((ts, i) for i, (ou, ts, _) in enumerate(evs)
+                     if ou == u)
+        prev = None
+        for _, i in seq:
+            if prev is None or evs[i][2] != prev:
+                want.append(i)
+            prev = evs[i][2]
+    assert got == sorted(want), (evs, got, sorted(want))
+
+
+@settings(max_examples=60, deadline=None)
+@given(_events, st.integers(0, 25))
+def test_funnel_kernel_matches_nested_loop(evs, w):
+    """First 'a' per user; converted iff any 'b' in [a_ts, a_ts + w]."""
+    from sourmash_ray.pipelines.eventops import funnel_merge_partition
+
+    part = pa.table({
+        "user_id": pa.array([e[0] for e in evs], pa.int64()),
+        "ts_us": pa.array([e[1] for e in evs], pa.int64()),
+        "is_a": pa.array([1 if e[2] == "a" else 0 for e in evs],
+                         pa.int64()),
+    })
+    got = {r["user_id"]: (r["a_ts_us"], r["b_ts_us"], r["converted"])
+           for r in funnel_merge_partition(part, w_us=w).to_pylist()}
+    users_a = {u for (u, _, t) in evs if t == "a"}
+    assert set(got) == users_a
+    for u in users_a:
+        a_ts = min(ts for (ou, ts, t) in evs if ou == u and t == "a")
+        bs = [ts for (ou, ts, t) in evs
+              if ou == u and t != "a" and a_ts <= ts <= a_ts + w]
+        if bs:
+            assert got[u] == (a_ts, min(bs), 1), (evs, w, u)
+        else:
+            assert got[u] == (a_ts, None, 0), (evs, w, u)
+
+
+def test_funnel_kernel_overflow_guard_raises():
+    import pytest
+
+    from sourmash_ray.pipelines.eventops import funnel_merge_partition
+
+    part = pa.table({
+        "user_id": pa.array([2**62, 2**62], pa.int64()),
+        "ts_us": pa.array([0, 10], pa.int64()),
+        "is_a": pa.array([1, 0], pa.int64()),
+    })
+    with pytest.raises(ValueError, match="overflows"):
+        funnel_merge_partition(part, w_us=5)
+
+
+def _duckdb_rows(sf, sql):
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{sf}/events.parquet')")
+    return sorted(tuple(r) for r in con.sql(sql).fetchall())
+
+
+def test_event_curation_queries_match_duckdb(ray_session):
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    q, o = e.queries(), e.oracle_sql()
+    for name in ("dedupe_consecutive_events", "funnel_conversions_events",
+                 "top_event_type_by_user"):
+        got = sorted(tuple(r[c] for c in r)
+                     for r in q[name](sf).take_all())
+        want = _duckdb_rows(sf, o[name])
+        assert got == want, name
