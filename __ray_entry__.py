@@ -340,6 +340,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs_offsets": docops.chunk_docs_offsets,
         "negative_samples_docs": docops.negative_samples_docs,
         "exact_dedup_keep_best_docs": docops.exact_dedup_keep_best_docs,
+        "lexical_diversity_docs": docops.lexical_diversity_docs,
+        "quality_filter_docs": docops.quality_filter_docs,
         "rolling_rate_events": eventops.rolling_rate_events,
         "dedupe_consecutive_events": eventops.dedupe_consecutive_events,
         "funnel_conversions_events": eventops.funnel_conversions_events,
@@ -853,6 +855,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, n_chars,
                    CAST(cum AS BIGINT) AS cum_chars
             FROM c WHERE cum <= 4096
+        """,
+        "lexical_diversity_docs": """
+            WITH t AS (SELECT doc_id,
+                              list_filter(string_split(
+                                  coalesce(text, ''), ' '),
+                                  x -> len(x) > 0) AS toks
+                       FROM documents)
+            SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique,
+                   CAST(len(list_distinct(toks)) * 1000000 // len(toks)
+                        AS BIGINT) AS ttr_e6
+            FROM t WHERE len(toks) > 0
+        """,
+        "quality_filter_docs": """
+            WITH t AS (SELECT doc_id,
+                              list_filter(string_split(
+                                  coalesce(text, ''), ' '),
+                                  x -> len(x) > 0) AS toks
+                       FROM documents),
+            s AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+                         CAST(coalesce(list_sum(list_transform(
+                             toks, x -> len(x))), 0) AS BIGINT) AS sum_len,
+                         CAST(len(list_filter(toks,
+                             x -> x = 'a' OR x = 'the')) AS BIGINT)
+                             AS n_stop
+                  FROM t WHERE len(toks) > 0)
+            SELECT doc_id, n_words,
+                   CAST(sum_len * 1000 // n_words AS BIGINT) AS mwl_e3,
+                   CAST(n_stop * 1000000 // n_words AS BIGINT) AS stop_e6,
+                   CAST(CASE WHEN n_words BETWEEN 20 AND 80
+                              AND sum_len * 1000 // n_words
+                                  BETWEEN 3800 AND 5200
+                              AND n_stop * 1000000 // n_words >= 20000
+                         THEN 1 ELSE 0 END AS BIGINT) AS kept
+            FROM s
         """,
         "dedupe_consecutive_events": """
             SELECT event_id, user_id,

@@ -1711,3 +1711,112 @@ def exact_dedup_keep_best_docs(sf_dir: str, n_parts: int | None = None):
         _key, batch_format="pyarrow")
     return exchange_map_groups(keyed, "md5_part", n_parts, _merge,
                                KEEP_BEST_SCHEMA)
+
+
+# Gopher-style quality gate thresholds (repo defaults; the reference's
+# quality heuristics are length/ratio rules of exactly this shape)
+QUALITY_WORDS_LO, QUALITY_WORDS_HI = 20, 80
+QUALITY_MWL_LO_E3, QUALITY_MWL_HI_E3 = 3800, 5200
+QUALITY_STOP_MIN_E6 = 20_000
+_QUALITY_STOPWORDS = ("a", "the")
+
+
+def _doc_token_profile(batch: pa.Table):
+    """Per-doc token profile in one split + one lexsort pass: (doc_ids,
+    n_tokens, n_unique, sum_token_len, n_stopword) as numpy arrays over
+    the batch's non-empty whitespace tokens. The `_tf_rows_batch` kernel
+    shape, aggregated per document instead of per (doc, token)."""
+    n = batch.num_rows
+    text = pc.fill_null(batch["text"], "")
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks = pc.split_pattern(text, " ")
+    ntok_all = np.asarray(pc.list_value_length(toks), np.int64)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    lens = np.asarray(pc.binary_length(flat), np.int64)
+    row = np.repeat(np.arange(n, dtype=np.int64), ntok_all)
+    nonempty = lens > 0
+    rs = row[nonempty]
+    n_tokens = np.bincount(rs, minlength=n)
+    # token lengths are tiny ints — the float64 bincount sum is exact
+    sum_len = np.bincount(rs, weights=lens[nonempty],
+                          minlength=n).astype(np.int64)
+    stop = np.asarray(pc.is_in(
+        flat, value_set=pa.array(list(_QUALITY_STOPWORDS))))
+    n_stop = np.bincount(row[nonempty & stop], minlength=n)
+    from ..functions.segscore import _to_bytes_array
+
+    if rs.size:
+        tb = _to_bytes_array(flat)[nonempty]
+        order = np.lexsort((tb, rs))
+        rs_s, tb_s = rs[order], tb[order]
+        new_run = np.r_[True,
+                        (rs_s[1:] != rs_s[:-1]) | (tb_s[1:] != tb_s[:-1])]
+        n_unique = np.bincount(rs_s[new_run], minlength=n)
+    else:
+        n_unique = np.zeros(n, np.int64)
+    doc_ids = np.asarray(batch["doc_id"], np.int64)
+    return doc_ids, n_tokens, n_unique, sum_len, n_stop
+
+
+LEXDIV_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+    ("n_unique", pa.int64()), ("ttr_e6", pa.int64()),
+])
+
+
+def lexical_diversity_docs(sf_dir: str):
+    """Per-document type-token ratio (distinct-token share — the
+    repetitiveness twin of `repetition_stats_docs`): n_tokens, n_unique
+    and exact-integer ttr_e6 = n_unique·1e6 // n_tokens. Map-only (a
+    document lives in one row), zero shuffle; empty docs dropped on
+    both engines."""
+
+    def _batch(batch: pa.Table) -> pa.Table:
+        doc_ids, n_tok, n_uni, _, _ = _doc_token_profile(batch)
+        keep = n_tok > 0
+        nt, nu = n_tok[keep], n_uni[keep]
+        return pa.table({
+            "doc_id": pa.array(doc_ids[keep], pa.int64()),
+            "n_tokens": pa.array(nt, pa.int64()),
+            "n_unique": pa.array(nu, pa.int64()),
+            "ttr_e6": pa.array(nu * 1_000_000 // nt, pa.int64()),
+        }).cast(LEXDIV_SCHEMA)
+
+    return _read_docs(sf_dir).map_batches(_batch, batch_format="pyarrow")
+
+
+QUALITY_FILTER_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("n_words", pa.int64()),
+    ("mwl_e3", pa.int64()), ("stop_e6", pa.int64()),
+    ("kept", pa.int64()),
+])
+
+
+def quality_filter_docs(sf_dir: str):
+    """Composite Gopher-style quality gate: word count in range, mean
+    word length in range, stopword ratio above floor — each doc scored
+    and flagged `kept` in one map-only pass (exact integer rationals,
+    no floats). The classic pre-training curation filter; the flags
+    stay attached so downstream can audit why a doc dropped."""
+
+    def _batch(batch: pa.Table) -> pa.Table:
+        doc_ids, n_tok, _, sum_len, n_stop = _doc_token_profile(batch)
+        keep = n_tok > 0
+        nw, sl, ns = n_tok[keep], sum_len[keep], n_stop[keep]
+        mwl = sl * 1000 // nw
+        stp = ns * 1_000_000 // nw
+        kept = ((nw >= QUALITY_WORDS_LO) & (nw <= QUALITY_WORDS_HI)
+                & (mwl >= QUALITY_MWL_LO_E3) & (mwl <= QUALITY_MWL_HI_E3)
+                & (stp >= QUALITY_STOP_MIN_E6))
+        return pa.table({
+            "doc_id": pa.array(doc_ids[keep], pa.int64()),
+            "n_words": pa.array(nw, pa.int64()),
+            "mwl_e3": pa.array(mwl, pa.int64()),
+            "stop_e6": pa.array(stp, pa.int64()),
+            "kept": pa.array(kept.astype(np.int64), pa.int64()),
+        }).cast(QUALITY_FILTER_SCHEMA)
+
+    return _read_docs(sf_dir).map_batches(_batch, batch_format="pyarrow")

@@ -138,3 +138,43 @@ def test_heavy_hitters_equal_exact_on_zipf(ray_session, tmp_path):
     assert hh == exact
     n_total = 300 * 80
     assert exact[k - 1][1] > n_total // (m + 1)
+
+
+def test_doc_token_profile_edge_cases():
+    """Empty text, NULL text, multi-space runs, repeated tokens,
+    stopword counting — the profile kernel vs hand counts."""
+    import numpy as np
+
+    from sourmash_ray.pipelines.docops import _doc_token_profile
+
+    batch = pa.table({
+        "doc_id": pa.array([10, 11, 12, 13], pa.int64()),
+        "text": pa.array(["a a the  cat", "", None, "zebra"], pa.string()),
+    })
+    ids, n_tok, n_uni, sum_len, n_stop = _doc_token_profile(batch)
+    assert list(ids) == [10, 11, 12, 13]
+    assert list(n_tok) == [4, 0, 0, 1]      # double space -> empty token dropped
+    assert list(n_uni) == [3, 0, 0, 1]      # {a, the, cat}
+    assert list(sum_len) == [1 + 1 + 3 + 3, 0, 0, 5]
+    assert list(n_stop) == [3, 0, 0, 0]     # a, a, the
+    assert n_tok.dtype == np.int64 and sum_len.dtype == np.int64
+
+
+def test_lexdiv_and_quality_filter_match_duckdb(ray_session):
+    import duckdb
+
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')")
+    q, o = e.queries(), e.oracle_sql()
+    for name in ("lexical_diversity_docs", "quality_filter_docs"):
+        got = sorted(tuple(r[c] for c in r)
+                     for r in q[name](sf).take_all())
+        want = sorted(tuple(r) for r in con.sql(o[name]).fetchall())
+        assert got == want, name
+    # the gate must actually gate (both classes present)
+    kept = {r["kept"] for r in q["quality_filter_docs"](sf).take_all()}
+    assert kept == {0, 1}
