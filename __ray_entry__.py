@@ -340,6 +340,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs_offsets": docops.chunk_docs_offsets,
         "negative_samples_docs": docops.negative_samples_docs,
         "exact_dedup_keep_best_docs": docops.exact_dedup_keep_best_docs,
+        "label_centroids": ann.label_centroids,
+        "order_priority_counts": relational.order_priority_counts,
         "lexical_diversity_docs": docops.lexical_diversity_docs,
         "quality_filter_docs": docops.quality_filter_docs,
         "rolling_rate_events": eventops.rolling_rate_events,
@@ -856,6 +858,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cum AS BIGINT) AS cum_chars
             FROM c WHERE cum <= 4096
         """,
+        "order_priority_counts": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > TIMESTAMP '2000-01-01')
+            GROUP BY o_orderpriority
+        """,
+        "label_centroids": """
+            WITH u AS (
+              SELECT CAST(label AS BIGINT) AS label,
+                     CAST(round(CAST(unnest(embedding) AS DOUBLE)
+                                * 10000) AS BIGINT) AS q,
+                     CAST(generate_subscripts(embedding, 1) AS BIGINT)
+                         AS dim
+              FROM embeddings)
+            SELECT label, dim,
+                   CAST(sum(q) AS BIGINT) AS sum_e4,
+                   count(*) AS n_vecs,
+                   CAST(sum(q) // count(*) AS BIGINT) AS centroid_e4
+            FROM u GROUP BY label, dim
+        """,
         "lexical_diversity_docs": """
             WITH t AS (SELECT doc_id,
                               list_filter(string_split(
@@ -1083,7 +1107,8 @@ def oracle_sql() -> dict[str, str]:
             WITH q AS (
               SELECT vec_id,
                      list_transform(embedding,
-                                    x -> round(x * 10000)) AS qe
+                                    x -> round(CAST(x AS DOUBLE)
+                                               * 10000)) AS qe
               FROM embeddings WHERE vec_id < 100)
             SELECT * FROM (
               SELECT a.vec_id AS a, b.vec_id AS b,

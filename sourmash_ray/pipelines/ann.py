@@ -950,3 +950,70 @@ def ann_topk_ivfpq_index(index_dir: str, sf_dir: str,
                     "score_e4": int(round(float(scores[m2][j]) * 1e4)),
                 })
     return pa.Table.from_pylist(out_rows)
+
+
+LABEL_CENTROID_SCHEMA = pa.schema([
+    ("label", pa.int64()), ("dim", pa.int64()),
+    ("sum_e4", pa.int64()), ("n_vecs", pa.int64()),
+    ("centroid_e4", pa.int64()),
+])
+
+
+def label_centroids(sf_dir: str):
+    """Per-label mean embedding (class centroids — the supervised twin
+    of the k-means trainers, and the grouped VECTOR aggregate shape:
+    partial per-block per-label sums, never per-row shuffle).
+
+    Each block reduces to ≤ labels×dim (label, dim, sum, n) rows via one
+    argsort + ``np.add.reduceat``; elements quantize to 1e4-scale
+    integers FIRST (the `cosine_pairs_exact` exactness rule — every
+    partial < 2^53 so float64 sums are exact and order-insensitive),
+    then `grouped_sums` merges partials on the exchange. The centroid is
+    TRUNCATING integer division (sign·(|s|÷n)) because DuckDB ``//``
+    truncates toward zero while numpy floors — sums go negative here."""
+    from ..stages.agg import grouped_sums
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["embedding", "label"])
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        lab = np.asarray(batch["label"], np.int64)
+        lst = batch["embedding"].combine_chunks()
+        dim = len(lst[0]) if len(lst) else 0
+        if len(lab) == 0 or dim == 0:
+            return pa.schema([("label", pa.int64()), ("dim", pa.int64()),
+                              ("sum_e4", pa.int64()),
+                              ("n_vecs", pa.int64())]).empty_table()
+        mat = np.asarray(lst.flatten(), np.float64).reshape(len(lab), dim)
+        q = np.round(mat * 1e4)
+        order = np.argsort(lab, kind="stable")
+        lab_s = lab[order]
+        starts = np.flatnonzero(np.r_[True, lab_s[1:] != lab_s[:-1]])
+        sums = np.add.reduceat(q[order], starts, axis=0)
+        counts = np.diff(np.append(starts, len(lab_s)))
+        labs = lab_s[starts]
+        nlab = len(labs)
+        return pa.table({
+            "label": pa.array(np.repeat(labs, dim), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(1, dim + 1, dtype=np.int64),
+                                    nlab), pa.int64()),
+            "sum_e4": pa.array(sums.ravel().astype(np.int64), pa.int64()),
+            "n_vecs": pa.array(np.repeat(counts, dim).astype(np.int64),
+                               pa.int64()),
+        })
+
+    agg = grouped_sums(ds.map_batches(_partials, batch_format="pyarrow"),
+                       ["label", "dim"], ["sum_e4", "n_vecs"])
+
+    def _final(t: pa.Table) -> pa.Table:
+        s = np.asarray(t["sum_sum_e4"], np.int64)
+        nv = np.asarray(t["sum_n_vecs"], np.int64)
+        c = np.sign(s) * (np.abs(s) // np.maximum(nv, 1))
+        return pa.table({
+            "label": t["label"], "dim": t["dim"],
+            "sum_e4": pa.array(s, pa.int64()),
+            "n_vecs": pa.array(nv, pa.int64()),
+            "centroid_e4": pa.array(c, pa.int64()),
+        }).cast(LABEL_CENTROID_SCHEMA)
+
+    return agg.map_batches(_final, batch_format="pyarrow")

@@ -708,3 +708,43 @@ def order_count_histogram(sf_dir: str):
     hist = grouped_sums(per_cust, ["n_orders"], [],
                         count_as="n_customers")
     return hist
+
+
+def order_priority_counts(sf_dir: str, ship_after: str = "2000-01-01"):
+    """TPC-H Q4 shape: per order priority, how many orders have ≥1
+    lineitem shipped after ``ship_after`` — EXISTS-subquery semantics as
+    a big-big left-semi exchange join. The lineitem side filters at the
+    scan and block-locally dedups to distinct orderkeys (a semi join
+    only needs distinct keys), the surviving orders roll up through
+    `grouped_sums`; fact rows never shuffle twice."""
+    import numpy as np
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.agg import grouped_sums
+    from ..stages.join import hash_join_exchange
+
+    cutoff = np.datetime64(ship_after).astype("datetime64[us]").astype(
+        np.int64)
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"])
+
+    def _shipped_keys(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch["l_shipdate"], pa.int64())
+        late = np.asarray(ts, np.int64) > cutoff
+        keys = np.unique(np.asarray(batch["l_orderkey"], np.int64)[late])
+        return pa.table({"l_orderkey": pa.array(keys, pa.int64())})
+
+    shipped = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate"],
+    ).map_batches(_shipped_keys, batch_format="pyarrow")
+
+    hit = hash_join_exchange(
+        orders, shipped, key="orderkey",
+        left_cols=["o_orderpriority"], right_cols=[],
+        n_parts=resolve_num_partitions(DEFAULT_CONFIG),
+        join_type="left semi", left_key="o_orderkey",
+        right_key="l_orderkey")
+    return grouped_sums(hit, ["o_orderpriority"], [], count_as="n_orders")
