@@ -341,6 +341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "negative_samples_docs": docops.negative_samples_docs,
         "exact_dedup_keep_best_docs": docops.exact_dedup_keep_best_docs,
         "label_centroids": ann.label_centroids,
+        "knn_label_vote": ann.knn_label_vote,
         "order_priority_counts": relational.order_priority_counts,
         "lexical_diversity_docs": docops.lexical_diversity_docs,
         "quality_filter_docs": docops.quality_filter_docs,
@@ -348,6 +349,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedupe_consecutive_events": eventops.dedupe_consecutive_events,
         "funnel_conversions_events": eventops.funnel_conversions_events,
         "top_event_type_by_user": eventops.top_event_type_by_user,
+        "user_retention_cohorts": eventops.user_retention_cohorts,
+        "event_transition_counts": eventops.event_transition_counts,
         "value_quantiles_by_type": eventops.value_quantiles_by_type,
         "winsorized_value_totals": eventops.winsorized_value_totals,
         "props_key_stats": eventops.props_key_stats,
@@ -858,6 +861,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cum AS BIGINT) AS cum_chars
             FROM c WHERE cum <= 4096
         """,
+        "knn_label_vote": """
+            WITH e AS (
+              SELECT vec_id, CAST(label AS BIGINT) AS label,
+                     list_transform(embedding,
+                                    x -> round(CAST(x AS DOUBLE)
+                                               * 10000)) AS qe
+              FROM embeddings),
+            s AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     c.label,
+                     CAST(round(10000 * list_dot_product(q.qe, c.qe)
+                          / sqrt(list_dot_product(q.qe, q.qe)
+                                 * list_dot_product(c.qe, c.qe)))
+                          AS BIGINT) AS score_e4
+              FROM e q, e c
+              WHERE q.vec_id < 8 AND c.vec_id >= 8),
+            t AS (SELECT * FROM (
+                    SELECT s.*, row_number() OVER (PARTITION BY query_id
+                           ORDER BY score_e4 DESC, neighbor_id) AS rn
+                    FROM s) WHERE rn <= 5),
+            v AS (SELECT query_id, label, count(*) AS n
+                  FROM t GROUP BY query_id, label)
+            SELECT query_id, label AS pred_label, n AS n_votes FROM (
+              SELECT v.*, row_number() OVER (PARTITION BY query_id
+                     ORDER BY n DESC, label) AS rn FROM v)
+            WHERE rn = 1
+        """,
         "order_priority_counts": """
             SELECT o_orderpriority, count(*) AS n_orders
             FROM orders
@@ -940,6 +970,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN b.b_ts IS NULL THEN 0 ELSE 1 END
                         AS BIGINT) AS converted
             FROM a LEFT JOIN b ON a.user_id = b.user_id
+        """,
+        "event_transition_counts": """
+            SELECT prev_type, next_type, count(*) AS n_transitions
+            FROM (SELECT user_id, event_type AS next_type,
+                         lag(event_type) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev_type
+                  FROM events)
+            WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, next_type
+        """,
+        "user_retention_cohorts": """
+            WITH d AS (SELECT user_id,
+                              CAST(epoch_us(ts) AS BIGINT)
+                                  // 86400000000 AS day
+                       FROM events),
+            f AS (SELECT user_id, min(day) AS cohort_day
+                  FROM d GROUP BY user_id)
+            SELECT f.cohort_day, d.day - f.cohort_day AS day_offset,
+                   count(DISTINCT d.user_id) AS n_users
+            FROM d JOIN f ON d.user_id = f.user_id
+            GROUP BY f.cohort_day, d.day - f.cohort_day
         """,
         "top_event_type_by_user": """
             WITH c AS (SELECT user_id, event_type, count(*) AS n

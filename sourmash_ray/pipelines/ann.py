@@ -1017,3 +1017,72 @@ def label_centroids(sf_dir: str):
         }).cast(LABEL_CENTROID_SCHEMA)
 
     return agg.map_batches(_final, batch_format="pyarrow")
+
+
+def knn_label_vote(sf_dir: str, n_queries: int = 8, k: int = 5):
+    """k-NN classification: for each query vector (vec_id < n_queries),
+    the majority label of its k nearest corpus neighbours by EXACT
+    quantized cosine — the similarity-search → classification
+    composition, SQL-checkable end to end.
+
+    Scores use the `cosine_pairs_exact` integer-quantization rule
+    (elements → 1e4 ints, every partial < 2^53, identical IEEE op
+    sequence to the oracle). Per-batch scoring is one matmul against the
+    broadcast query matrix; per-query candidate truncation + the exact
+    global top-k ride `grouped_topk` (≤ k rows per query per block
+    shuffle), and the vote is a second tiny grouped_topk over label
+    counts — deterministic tiebreaks (neighbor id, then label) both
+    stages."""
+    import ray as _ray
+
+    from ..stages.agg import grouped_sums, grouped_topk
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding", "label"])
+    qrows = ds.filter(expr=f"vec_id < {n_queries}").take_all()
+    qrows.sort(key=lambda r: r["vec_id"])
+    qids = np.array([r["vec_id"] for r in qrows], np.int64)
+    qm = np.round(np.array([r["embedding"] for r in qrows],
+                           np.float64) * 1e4)
+    qnorm = np.einsum("ij,ij->i", qm, qm)         # exact ints in float64
+    qref = _ray.put((qids, qm, qnorm))
+
+    def _score(batch: pa.Table) -> pa.Table:
+        qi, qmat, qn = _ray.get(qref)
+        ids = np.asarray(batch["vec_id"], np.int64)
+        keep = ids >= n_queries
+        ids = ids[keep]
+        if ids.size == 0:
+            return pa.schema([
+                ("query_id", pa.int64()), ("neighbor_id", pa.int64()),
+                ("label", pa.int64()), ("score_e4", pa.int64()),
+            ]).empty_table()
+        lst = batch["embedding"].combine_chunks()
+        dim = len(lst[0])
+        mat = np.asarray(lst.flatten(), np.float64).reshape(-1, dim)[keep]
+        lab = np.asarray(batch["label"], np.int64)[keep]
+        cm = np.round(mat * 1e4)
+        num = qmat @ cm.T                          # exact: partials < 2^53
+        cn = np.einsum("ij,ij->i", cm, cm)
+        cn[cn == 0] = 1.0
+        e4 = np.round(1e4 * num / np.sqrt(qn[:, None] * cn[None, :])
+                      ).astype(np.int64)
+        nq, nc = len(qi), len(ids)
+        return pa.table({
+            "query_id": pa.array(np.repeat(qi, nc), pa.int64()),
+            "neighbor_id": pa.array(np.tile(ids, nq), pa.int64()),
+            "label": pa.array(np.tile(lab, nq), pa.int64()),
+            "score_e4": pa.array(e4.ravel(), pa.int64()),
+        })
+
+    scores = ds.map_batches(_score, batch_format="pyarrow")
+    top = grouped_topk(scores, key="query_id", order_col="score_e4",
+                       k=k, tiebreak="neighbor_id")
+    votes = grouped_sums(top.select_columns(["query_id", "label"]),
+                         ["query_id", "label"], [], count_as="n")
+    win = grouped_topk(votes, key="query_id", order_col="n", k=1,
+                       tiebreak="label")
+    return win.map_batches(
+        lambda t: pa.table({"query_id": t["query_id"],
+                            "pred_label": t["label"], "n_votes": t["n"]}),
+        batch_format="pyarrow")

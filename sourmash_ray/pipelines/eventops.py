@@ -723,3 +723,159 @@ def top_event_type_by_user(sf_dir: str):
     top = grouped_topk(counts, key="user_id", order_col="n", k=1,
                        tiebreak="event_type")
     return top.select_columns(["user_id", "event_type", "n"])
+
+
+_US_PER_DAY = 86_400_000_000
+
+RETENTION_PART_SCHEMA = pa.schema([
+    ("cohort_day", pa.int64()),
+    ("day_offset", pa.int64()),
+    ("n", pa.int64()),
+])
+
+
+def retention_merge_partition(part: pa.Table) -> pa.Table:
+    """Per-partition retention kernel: each user's full history is
+    co-located, so the cohort day (user's first active day) and the
+    distinct (user, day_offset) dedup are both exact in-partition —
+    the output is partial counts per (cohort_day, day_offset) cell,
+    summed exactly by a downstream `grouped_sums`. One lexsort for the
+    per-user min, one for the dedup."""
+    import numpy as np
+
+    if part.num_rows == 0:
+        return RETENTION_PART_SCHEMA.empty_table()
+    u = np.asarray(part["user_id"], np.int64)
+    day = np.asarray(part["ts_us"], np.int64) // _US_PER_DAY
+    order = np.lexsort((day, u))
+    u_s, d_s = u[order], day[order]
+    new_user = np.r_[True, u_s[1:] != u_s[:-1]]
+    run_id = np.cumsum(new_user) - 1
+    cohort = d_s[new_user][run_id]          # per-row cohort day
+    off = d_s - cohort
+    # distinct (user, offset): sorted by user then day, so equal rows
+    # are adjacent within a user's run
+    keep = np.r_[True, (u_s[1:] != u_s[:-1]) | (off[1:] != off[:-1])]
+    ck, ok = cohort[keep], off[keep]
+    corder = np.lexsort((ok, ck))
+    ck, ok = ck[corder], ok[corder]
+    cell = np.r_[True, (ck[1:] != ck[:-1]) | (ok[1:] != ok[:-1])]
+    cid = np.cumsum(cell) - 1
+    n = np.bincount(cid)
+    return pa.table({
+        "cohort_day": pa.array(ck[cell], pa.int64()),
+        "day_offset": pa.array(ok[cell], pa.int64()),
+        "n": pa.array(n.astype(np.int64), pa.int64()),
+    })
+
+
+def user_retention_cohorts(sf_dir: str):
+    """Cohort retention matrix: distinct active users per (cohort day =
+    user's first active day, day offset since it) — the
+    product-analytics retention primitive. One user-keyed exchange of
+    16-byte rows does cohort assignment AND the distinct-user dedup
+    in-partition (a user's history is co-located, so no self-join and
+    no count-distinct shuffle); only ≤cells partial counts reach the
+    final tiny `grouped_sums` exchange."""
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.agg import grouped_sums
+    from ..stages.exchange import exchange_map_groups
+
+    def _key(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"],
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+        })
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"],
+    ).map_batches(_key, batch_format="pyarrow")
+    n_parts = resolve_num_partitions(DEFAULT_CONFIG)
+    parts = exchange_map_groups(ds, "user_id", n_parts,
+                                retention_merge_partition,
+                                RETENTION_PART_SCHEMA)
+    return grouped_sums(parts, ["cohort_day", "day_offset"], ["n"]
+                        ).map_batches(
+        lambda t: pa.table({"cohort_day": t["cohort_day"],
+                            "day_offset": t["day_offset"],
+                            "n_users": t["sum_n"]}),
+        batch_format="pyarrow")
+
+
+TRANSITION_PART_SCHEMA = pa.schema([
+    ("prev_type", pa.string()),
+    ("next_type", pa.string()),
+    ("n", pa.int64()),
+])
+
+
+def transition_merge_partition(part: pa.Table) -> pa.Table:
+    """Per-partition Markov-transition kernel: count (prev_type,
+    next_type) over consecutive same-user events ordered by (ts,
+    event_id). One lexsort; adjacent pairs within a user run pair up by
+    a shifted view; pair counting is a second lexsort over the two
+    S-dtype columns + run-length (no Python dict)."""
+    import numpy as np
+
+    from ..functions.segscore import _to_bytes_array
+
+    if part.num_rows < 2:
+        return TRANSITION_PART_SCHEMA.empty_table()
+    u = np.asarray(part["user_id"], np.int64)
+    ts = np.asarray(part["ts_us"], np.int64)
+    eid = np.asarray(part["event_id"], np.int64)
+    tcol = part["event_type"].combine_chunks()
+    tb = _to_bytes_array(tcol)
+    order = np.lexsort((eid, ts, u))
+    u_s, t_s = u[order], tb[order]
+    same = u_s[1:] == u_s[:-1]
+    a, b = t_s[:-1][same], t_s[1:][same]
+    if a.size == 0:
+        return TRANSITION_PART_SCHEMA.empty_table()
+    porder = np.lexsort((b, a))
+    a_s, b_s = a[porder], b[porder]
+    new_run = np.r_[True, (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])]
+    n = np.bincount(np.cumsum(new_run) - 1)
+    # take the representative strings back out of the original Arrow
+    # array (no bytes→str re-decode): map run firsts to source indices
+    src = order[:-1][same][porder[new_run]]
+    src_next = order[1:][same][porder[new_run]]
+    return pa.table({
+        "prev_type": tcol.take(pa.array(src, pa.int64())),
+        "next_type": tcol.take(pa.array(src_next, pa.int64())),
+        "n": pa.array(n.astype(np.int64), pa.int64()),
+    }).cast(TRANSITION_PART_SCHEMA)
+
+
+def event_transition_counts(sf_dir: str):
+    """Event-type transition matrix (user-journey Markov counts): for
+    every consecutive same-user event pair ordered by time, count
+    (prev_type, next_type) — `lag() OVER (PARTITION BY user ORDER BY
+    ts, event_id)` then GROUP BY. One user exchange emits ≤ types²
+    partial cells per partition; a tiny `grouped_sums` finishes."""
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.agg import grouped_sums
+    from ..stages.exchange import exchange_map_groups
+
+    def _key(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch["event_id"],
+            "user_id": batch["user_id"],
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+            "event_type": batch["event_type"],
+        })
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    ).map_batches(_key, batch_format="pyarrow")
+    n_parts = resolve_num_partitions(DEFAULT_CONFIG)
+    parts = exchange_map_groups(ds, "user_id", n_parts,
+                                transition_merge_partition,
+                                TRANSITION_PART_SCHEMA)
+    return grouped_sums(parts, ["prev_type", "next_type"], ["n"]
+                        ).map_batches(
+        lambda t: pa.table({"prev_type": t["prev_type"],
+                            "next_type": t["next_type"],
+                            "n_transitions": t["sum_n"]}),
+        batch_format="pyarrow")

@@ -97,3 +97,76 @@ def test_event_curation_queries_match_duckdb(ray_session):
                      for r in q[name](sf).take_all())
         want = _duckdb_rows(sf, o[name])
         assert got == want, name
+
+
+@settings(max_examples=50, deadline=None)
+@given(_events)
+def test_retention_kernel_matches_nested_loop(evs):
+    """Partial (cohort, offset) cells over ONE partition == brute force
+    distinct-user counts (one partition holds every user's history, so
+    partials are exact here)."""
+    from sourmash_ray.pipelines.eventops import (
+        _US_PER_DAY, retention_merge_partition)
+
+    part = pa.table({
+        "user_id": pa.array([e[0] for e in evs], pa.int64()),
+        # spread ts over day boundaries
+        "ts_us": pa.array([e[1] * (_US_PER_DAY // 4) for e in evs],
+                          pa.int64()),
+    })
+    got = {(r["cohort_day"], r["day_offset"]): r["n"]
+           for r in retention_merge_partition(part).to_pylist()}
+    want = {}
+    firsts = {}
+    for u, t, _ in evs:
+        d = (t * (_US_PER_DAY // 4)) // _US_PER_DAY
+        firsts[u] = min(firsts.get(u, d), d)
+    seen = set()
+    for u, t, _ in evs:
+        d = (t * (_US_PER_DAY // 4)) // _US_PER_DAY
+        cell = (firsts[u], d - firsts[u])
+        if (u,) + cell not in seen:
+            seen.add((u,) + cell)
+            want[cell] = want.get(cell, 0) + 1
+    assert got == want, (evs, got, want)
+
+
+def test_retention_and_knn_match_duckdb(ray_session):
+    import duckdb
+
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("events", "embeddings"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf}/{t}.parquet')")
+    q, o = e.queries(), e.oracle_sql()
+    for name in ("user_retention_cohorts", "knn_label_vote"):
+        got = sorted(tuple(r[c] for c in r)
+                     for r in q[name](sf).take_all())
+        want = sorted(tuple(r) for r in con.sql(o[name]).fetchall())
+        assert got == want, name
+
+
+@settings(max_examples=50, deadline=None)
+@given(_events)
+def test_transition_kernel_matches_nested_loop(evs):
+    from sourmash_ray.pipelines.eventops import transition_merge_partition
+
+    part = pa.table({
+        "event_id": pa.array(list(range(len(evs))), pa.int64()),
+        "user_id": pa.array([e[0] for e in evs], pa.int64()),
+        "ts_us": pa.array([e[1] for e in evs], pa.int64()),
+        "event_type": pa.array([e[2] for e in evs], pa.string()),
+    })
+    got = {(r["prev_type"], r["next_type"]): r["n"]
+           for r in transition_merge_partition(part).to_pylist()}
+    want = {}
+    for u in set(e[0] for e in evs):
+        seq = sorted((ts, i) for i, (ou, ts, _) in enumerate(evs)
+                     if ou == u)
+        for (_, i), (_, j) in zip(seq, seq[1:]):
+            cell = (evs[i][2], evs[j][2])
+            want[cell] = want.get(cell, 0) + 1
+    assert got == want, (evs, got, want)
