@@ -88,7 +88,19 @@ def _verified_pairs_q(sf_dir: str):
 
 
 def _sigs_for(sf_dir: str):
-    return _pipeline_for(sf_dir)["signatures"]
+    """The corpus sketch store, materialized ONCE per sf_dir: the
+    query-parity ops (search/prefetch/gather/describe/compare) each
+    consume the signatures Dataset several times (query fetch + scan +
+    sort), and a lazy Dataset re-runs the whole sketch pipeline per
+    consumption. Sketches are the tiny derived artifact (~1000× smaller
+    than the corpus — the thing an index persists; `pipelines/
+    incremental.py` writes the same store to Parquet), so pinning them
+    in the object store is the scale-correct shape, while the flagship
+    dedup path keeps its fully streaming plan via `_pipeline_for`."""
+    cache = _pipeline_for(sf_dir)
+    if "signatures_mat" not in cache:
+        cache["signatures_mat"] = cache["signatures"].materialize()
+    return cache["signatures_mat"]
 
 
 def _clone_query_id(sigs) -> str:
