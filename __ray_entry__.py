@@ -355,6 +355,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": ann.label_centroids,
         "knn_label_vote": ann.knn_label_vote,
         "order_priority_counts": relational.order_priority_counts,
+        "brand_revenue": relational.brand_revenue,
+        "monthly_order_stats": relational.monthly_order_stats,
         "lexical_diversity_docs": docops.lexical_diversity_docs,
         "quality_filter_docs": docops.quality_filter_docs,
         "rolling_rate_events": eventops.rolling_rate_events,
@@ -872,6 +874,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, n_chars,
                    CAST(cum AS BIGINT) AS cum_chars
             FROM c WHERE cum <= 4096
+        """,
+        "brand_revenue": """
+            SELECT p_brand,
+                   CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100, 0)
+                                          AS BIGINT))) AS BIGINT)
+                       AS sum_revenue_e4,
+                   count(*) AS n_items
+            FROM lineitem, part
+            WHERE l_partkey = p_partkey
+            GROUP BY p_brand
+        """,
+        "monthly_order_stats": """
+            WITH m AS (SELECT CAST(date_trunc('month', o_orderdate)
+                                   AS TIMESTAMP) AS month,
+                              count(*) AS n_orders,
+                              CAST(sum(CAST(round(o_totalprice * 100, 0)
+                                            AS BIGINT)) AS BIGINT)
+                                  AS sum_cents
+                       FROM orders GROUP BY 1)
+            SELECT month, n_orders, sum_cents,
+                   lag(sum_cents) OVER (ORDER BY month) AS prev_cents,
+                   sum_cents - coalesce(lag(sum_cents) OVER
+                       (ORDER BY month), 0) AS delta_cents
+            FROM m
         """,
         "knn_label_vote": """
             WITH e AS (

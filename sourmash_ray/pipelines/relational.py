@@ -748,3 +748,111 @@ def order_priority_counts(sf_dir: str, ship_after: str = "2000-01-01"):
         join_type="left semi", left_key="o_orderkey",
         right_key="l_orderkey")
     return grouped_sums(hit, ["o_orderpriority"], [], count_as="n_orders")
+
+
+def brand_revenue(sf_dir: str):
+    """Star join: discounted revenue per part brand (Q19 shape without
+    the predicate soup). The part table is the DIMENSION side — small
+    relative to the fact table at any scale — so this rides
+    `broadcast_join` (build table ``ray.put`` once, per-batch pyarrow
+    join in-task, zero shuffle, zero skew sensitivity); lineitem rows
+    pre-combine per (partkey) per block before even the broadcast probe
+    so the join input is already collapsed. One tiny `grouped_sums` on
+    brand finishes."""
+    import numpy as np
+
+    from ..stages.agg import grouped_sums
+    from ..stages.join import broadcast_join
+
+    def _rev(batch: pa.Table) -> pa.Table:
+        price = np.asarray(batch["l_extendedprice"], np.float64)
+        disc = np.asarray(batch["l_discount"], np.float64)
+        rev = np.rint(price * 100).astype(np.int64) \
+            * (100 - np.rint(disc * 100).astype(np.int64))
+        pk = np.asarray(batch["l_partkey"], np.int64)
+        uniq, inv = np.unique(pk, return_inverse=True)
+        # per-item revenue_e4 ≤ ~1e9 × ~7 items/part/block: exact float64
+        sums = np.bincount(inv, weights=rev.astype(np.float64),
+                           minlength=len(uniq))
+        counts = np.bincount(inv, minlength=len(uniq))
+        return pa.table({
+            "l_partkey": pa.array(uniq, pa.int64()),
+            "revenue_e4": pa.array(sums.astype(np.int64), pa.int64()),
+            "n_li": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    ).map_batches(_rev, batch_format="pyarrow")
+
+    part = read_parquet_clean(f"{sf_dir}/part.parquet",
+                              columns=["p_partkey", "p_brand"])
+    part_tbl = pa.concat_tables(ray.get(part.to_arrow_refs()))
+    joined = broadcast_join(
+        li, part_tbl, key="partkey",
+        left_cols=["revenue_e4", "n_li"], right_cols=["p_brand"],
+        left_key="l_partkey", right_key="p_partkey")
+    agg = grouped_sums(joined, ["p_brand"], ["revenue_e4", "n_li"])
+    return agg.map_batches(
+        lambda t: pa.table({"p_brand": t["p_brand"],
+                            "sum_revenue_e4": t["sum_revenue_e4"],
+                            "n_items": t["sum_n_li"]}),
+        batch_format="pyarrow")
+
+
+MONTHLY_SCHEMA = pa.schema([
+    ("month", pa.timestamp("us")),
+    ("n_orders", pa.int64()),
+    ("sum_cents", pa.int64()),
+    ("prev_cents", pa.int64()),
+    ("delta_cents", pa.int64()),
+])
+
+
+def monthly_order_stats(sf_dir: str):
+    """Month-over-month order totals with lag/delta — the time-series
+    reporting shape (`lag(sum) OVER (ORDER BY month)`). The heavy part
+    is one `grouped_sums` exchange over (month) keys; the lag pass runs
+    on the ≤ dozens-of-rows aggregate repartitioned to one block (a
+    global ordered window over an already-aggregated series is
+    driver-scale by construction)."""
+    import numpy as np
+
+    from ..stages.agg import grouped_sums
+
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderdate", "o_totalprice"])
+
+    def _month(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "month": pc.floor_temporal(batch["o_orderdate"],
+                                       unit="month"),
+            "cents": pc.cast(
+                pc.round(pc.multiply(batch["o_totalprice"],
+                                     pa.scalar(1e2))), pa.int64()),
+        })
+
+    agg = grouped_sums(ds.map_batches(_month, batch_format="pyarrow"),
+                       ["month"], ["cents"], count_as="n_orders")
+
+    def _lag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return MONTHLY_SCHEMA.empty_table()
+        m = np.asarray(pc.cast(t["month"], pa.int64()), np.int64)
+        order = np.argsort(m, kind="stable")
+        cents = np.asarray(t["sum_cents"], np.int64)[order]
+        n = np.asarray(t["n_orders"], np.int64)[order]
+        prev = np.r_[0, cents[:-1]]
+        first = np.zeros(len(cents), bool)
+        first[0] = True
+        return pa.table({
+            "month": t["month"].take(pa.array(order, pa.int64())),
+            "n_orders": pa.array(n, pa.int64()),
+            "sum_cents": pa.array(cents, pa.int64()),
+            "prev_cents": pa.array(prev, pa.int64(), mask=first),
+            "delta_cents": pa.array(cents - prev, pa.int64()),
+        }).cast(MONTHLY_SCHEMA)
+
+    return agg.repartition(1).map_batches(_lag, batch_format="pyarrow",
+                                          batch_size=None)

@@ -63,3 +63,21 @@ def test_label_centroids_and_q4_match_duckdb(ray_session):
                      for r in q[name](sf).take_all())
         want = sorted(tuple(r) for r in con.sql(o[name]).fetchall())
         assert got == want, name
+
+
+def test_brand_revenue_and_monthly_match_duckdb(ray_session):
+    import duckdb
+
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("orders", "lineitem", "part"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf}/{t}.parquet')")
+    q, o = e.queries(), e.oracle_sql()
+    for name in ("brand_revenue", "monthly_order_stats"):
+        got = sorted(tuple(r[c] for c in r)
+                     for r in q[name](sf).take_all())
+        want = sorted(tuple(r) for r in con.sql(o[name]).fetchall())
+        assert got == want, name
