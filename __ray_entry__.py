@@ -365,6 +365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_event_type_by_user": eventops.top_event_type_by_user,
         "user_retention_cohorts": eventops.user_retention_cohorts,
         "event_transition_counts": eventops.event_transition_counts,
+        "peak_hour_by_type": eventops.peak_hour_by_type,
         "value_quantiles_by_type": eventops.value_quantiles_by_type,
         "winsorized_value_totals": eventops.winsorized_value_totals,
         "props_key_stats": eventops.props_key_stats,
@@ -1009,6 +1010,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN b.b_ts IS NULL THEN 0 ELSE 1 END
                         AS BIGINT) AS converted
             FROM a LEFT JOIN b ON a.user_id = b.user_id
+        """,
+        "peak_hour_by_type": """
+            WITH c AS (SELECT event_type,
+                              CAST(hour(ts) AS BIGINT) AS hour,
+                              count(*) AS n
+                       FROM events GROUP BY event_type, hour(ts))
+            SELECT event_type, hour, n FROM (
+              SELECT c.*, row_number() OVER (PARTITION BY event_type
+                     ORDER BY n DESC, hour) AS rn FROM c)
+            WHERE rn = 1
         """,
         "event_transition_counts": """
             SELECT prev_type, next_type, count(*) AS n_transitions

@@ -879,3 +879,28 @@ def event_transition_counts(sf_dir: str):
                             "next_type": t["next_type"],
                             "n_transitions": t["sum_n"]}),
         batch_format="pyarrow")
+
+
+def peak_hour_by_type(sf_dir: str):
+    """Argmax window per group: for every event type, the hour-of-day
+    with the most events (deterministic earliest-hour tiebreak) — the
+    'when does each signal peak' reporting shape. Composition:
+    `grouped_sums` on (type, hour-of-day) → `grouped_topk(k=1)` with a
+    STRING group key (S-dtype run grouping); the fact rows shuffle
+    only as ≤ types×24 partial cells."""
+    from ..stages.agg import grouped_sums, grouped_topk
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "event_type"])
+
+    def _hour(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "hour": pc.cast(pc.hour(batch["ts"]), pa.int64()),
+        })
+
+    counts = grouped_sums(ds.map_batches(_hour, batch_format="pyarrow"),
+                          ["event_type", "hour"], [], count_as="n")
+    top = grouped_topk(counts, key="event_type", order_col="n", k=1,
+                       tiebreak="hour")
+    return top.select_columns(["event_type", "hour", "n"])

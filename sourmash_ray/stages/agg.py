@@ -99,7 +99,8 @@ def grouped_topk(ds, key: str, order_col: str, k: int, tiebreak: str,
     shuffle carries ≤ k·(distinct keys per block) rows, not the fact
     table.
 
-    ``key`` must be numeric (the run-boundary sort is a numpy lexsort);
+    ``key`` may be numeric or string (strings sort/group via the
+    S-dtype memcmp bytes view — exact runs, not hashes);
     ``order_col`` descending, ``tiebreak`` ascending — both exact
     (IEEE negation / int64), so partial + final is bit-identical to a
     single global pass. Returns all input columns + ``rn`` (1-based).
@@ -113,7 +114,14 @@ def grouped_topk(ds, key: str, order_col: str, k: int, tiebreak: str,
     def _truncate(tbl: pa.Table, with_rank: bool):
         from ..functions.segscore import _to_bytes_array
 
-        kv = np.asarray(tbl[key])
+        kcol = tbl[key]
+        if pa.types.is_string(kcol.type) or pa.types.is_large_string(
+                kcol.type):
+            # S-dtype memcmp sorts/compares fine in lexsort — string
+            # keys group exactly (run boundaries, not hashes)
+            kv = _to_bytes_array(kcol.combine_chunks())
+        else:
+            kv = np.asarray(kcol)
         ov = np.asarray(tbl[order_col])
         tcol = tbl[tiebreak]
         if pa.types.is_string(tcol.type) or pa.types.is_large_string(

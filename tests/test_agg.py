@@ -350,3 +350,31 @@ def test_running_totals_kernel_matches_nested_loop(rows):
         gap = ts - hist[-2][0] if len(hist) > 1 else None
         want[i] = (run, gap)
     assert got == want
+
+
+def test_grouped_topk_string_key(ray_session):
+    """String group keys group by exact value (S-dtype runs) — includes
+    keys that collide on any prefix and empty string."""
+    import pyarrow as pa
+
+    import ray
+
+    from sourmash_ray.stages.agg import grouped_topk
+
+    rows = [("apple", 5, 1), ("apple", 7, 2), ("app", 9, 3),
+            ("", 4, 4), ("banana", 7, 5), ("banana", 7, 6),
+            ("apple", 7, 7)]
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array([r[0] for r in rows], pa.string()),
+        "v": pa.array([r[1] for r in rows], pa.int64()),
+        "id": pa.array([r[2] for r in rows], pa.int64()),
+    }))
+    got = sorted((r["k"], r["v"], r["id"], r["rn"]) for r in
+                 grouped_topk(ds, key="k", order_col="v", k=2,
+                              tiebreak="id", n_parts=3).take_all())
+    want = []
+    for k in {r[0] for r in rows}:
+        grp = sorted((r for r in rows if r[0] == k),
+                     key=lambda r: (-r[1], r[2]))[:2]
+        want += [(r[0], r[1], r[2], i + 1) for i, r in enumerate(grp)]
+    assert got == sorted(want)
