@@ -284,6 +284,23 @@ def _bpe_counts_q(sf_dir: str):
     return bpe_token_counts_trained(sf_dir, n_merges=12)
 
 
+def _text_search_q(sf_dir: str):
+    """Build-once persisted inverted text index (per sf_dir, cached
+    under /tmp), then a partition-pruned tf-idf bag-of-terms query."""
+    import hashlib
+    import os
+
+    from sourmash_ray.pipelines import textindex
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    idx = f"/tmp/text_index_{key}"
+    if not (os.path.exists(f"{idx}/postings")
+            and os.path.exists(f"{idx}/meta.parquet")):
+        textindex.build_text_index(sf_dir, idx)
+    return textindex.text_search_docs(idx, ["merge", "spark", "window"],
+                                      k=20)
+
+
 def _incremental_dedup_q(sf_dir: str):
     """Build-once (per sf_dir, cached under /tmp), then dedup the delta
     fifth of the documents table against the persisted index."""
@@ -366,6 +383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_retention_cohorts": eventops.user_retention_cohorts,
         "event_transition_counts": eventops.event_transition_counts,
         "peak_hour_by_type": eventops.peak_hour_by_type,
+        "text_search_docs": _text_search_q,
         "value_quantiles_by_type": eventops.value_quantiles_by_type,
         "winsorized_value_totals": eventops.winsorized_value_totals,
         "props_key_stats": eventops.props_key_stats,
@@ -1010,6 +1028,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN b.b_ts IS NULL THEN 0 ELSE 1 END
                         AS BIGINT) AS converted
             FROM a LEFT JOIN b ON a.user_id = b.user_id
+        """,
+        "text_search_docs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split(coalesce(text, ''),
+                            ' '), x -> len(x) > 0)) AS tok
+              FROM documents),
+            tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+                   WHERE tok IN ('merge', 'spark', 'window')
+                   GROUP BY doc_id, tok),
+            df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks
+                   WHERE tok IN ('merge', 'spark', 'window')
+                   GROUP BY tok),
+            n AS (SELECT count(*) AS n FROM documents),
+            s AS (SELECT tf.doc_id,
+                         CAST(sum(tf.tf * ((n.n * 10000) // df.df))
+                              AS BIGINT) AS score
+                  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+                  GROUP BY tf.doc_id)
+            SELECT doc_id, score, rn FROM (
+              SELECT s.*, CAST(row_number() OVER (ORDER BY score DESC,
+                         doc_id) AS BIGINT) AS rn FROM s)
+            WHERE rn <= 20
         """,
         "peak_hour_by_type": """
             WITH c AS (SELECT event_type,
