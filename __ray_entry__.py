@@ -384,6 +384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transition_counts": eventops.event_transition_counts,
         "peak_hour_by_type": eventops.peak_hour_by_type,
         "text_search_docs": _text_search_q,
+        "exact_decontaminate_docs": docops.exact_decontaminate_docs,
         "value_quantiles_by_type": eventops.value_quantiles_by_type,
         "winsorized_value_totals": eventops.winsorized_value_totals,
         "props_key_stats": eventops.props_key_stats,
@@ -1028,6 +1029,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN b.b_ts IS NULL THEN 0 ELSE 1 END
                         AS BIGINT) AS converted
             FROM a LEFT JOIN b ON a.user_id = b.user_id
+        """,
+        "exact_decontaminate_docs": f"""
+            WITH h AS (
+              SELECT doc_id,
+                     md5(trim(regexp_replace(lower(coalesce(text, '')),
+                                             '{_WS}', ' ', 'g'))) AS m
+              FROM documents)
+            SELECT c.doc_id,
+                   CAST(CASE WHEN b.m IS NULL THEN 0 ELSE 1 END
+                        AS BIGINT) AS contaminated
+            FROM h c LEFT JOIN (SELECT DISTINCT m FROM h
+                                WHERE doc_id < 25) b ON c.m = b.m
+            WHERE c.doc_id >= 25
         """,
         "text_search_docs": """
             WITH toks AS (

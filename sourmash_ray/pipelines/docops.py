@@ -1820,3 +1820,55 @@ def quality_filter_docs(sf_dir: str):
         }).cast(QUALITY_FILTER_SCHEMA)
 
     return _read_docs(sf_dir).map_batches(_batch, batch_format="pyarrow")
+
+
+def _bench_md5_set(path: str, nb: int) -> np.ndarray:
+    """Sorted unique normalized-text md5 bytes of the benchmark docs
+    (doc_id < nb) — built off-driver in a remote task (the
+    `_bench_trigram_set` pattern)."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(path, columns=["doc_id", "text"],
+                        filters=[("doc_id", "<", nb)])
+    md5 = _normalize_md5_batch(tbl)["text_md5"]
+    from ..functions.segscore import _to_bytes_array
+
+    if isinstance(md5, pa.ChunkedArray):
+        md5 = md5.combine_chunks()
+    return np.unique(_to_bytes_array(md5))
+
+
+def exact_decontaminate_docs(sf_dir: str, n_bench: int = 25):
+    """Exact-match benchmark decontamination — the content-hash twin of
+    the trigram `decontaminate_docs`: flag every corpus document
+    (``doc_id >= n_bench``) whose normalized-text md5 equals some
+    benchmark doc's (``doc_id < n_bench``). The bench md5 set is tiny
+    and broadcast (built off-driver), the corpus pass is one md5 +
+    one sorted-set `searchsorted` per batch, zero shuffle."""
+    from ..functions.segscore import _to_bytes_array
+
+    path = f"{sf_dir}/documents.parquet"
+    bench_ref = _ray.remote(_bench_md5_set).remote(path, n_bench)
+
+    def _flag(batch: pa.Table) -> pa.Table:
+        bench = _ray.get(bench_ref)
+        md5 = _normalize_md5_batch(batch)["text_md5"]
+        if isinstance(md5, pa.ChunkedArray):
+            md5 = md5.combine_chunks()
+        mb = _to_bytes_array(md5)
+        if bench.size:
+            w = max(mb.dtype.itemsize, bench.dtype.itemsize)
+            b_w = bench.astype(f"S{w}")
+            pos = np.minimum(np.searchsorted(b_w, mb.astype(f"S{w}")),
+                             len(b_w) - 1)
+            hit = b_w[pos] == mb.astype(f"S{w}")
+        else:
+            hit = np.zeros(len(mb), bool)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "contaminated": pa.array(hit.astype(np.int64), pa.int64()),
+        })
+
+    ds = _read_docs(sf_dir)
+    return (ds.filter(expr=f"doc_id >= {n_bench}")
+            .map_batches(_flag, batch_format="pyarrow"))

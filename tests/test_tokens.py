@@ -178,3 +178,29 @@ def test_lexdiv_and_quality_filter_match_duckdb(ray_session):
     # the gate must actually gate (both classes present)
     kept = {r["kept"] for r in q["quality_filter_docs"](sf).take_all()}
     assert kept == {0, 1}
+
+
+def test_exact_decontaminate_planted(ray_session, tmp_path):
+    """Planted leakage: corpus doc 30 repeats bench doc 2's text (with
+    different whitespace — normalization must still catch it); corpus
+    doc 31 is clean."""
+    import pyarrow.parquet as pq
+
+    from sourmash_ray.pipelines.docops import exact_decontaminate_docs
+
+    texts = {i: f"doc body {i} unique words" for i in range(25)}
+    texts[30] = "doc  body 2   unique words"   # ws-normalized == doc 2
+    texts[31] = "completely different"
+    ids = sorted(texts)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array([texts[i] for i in ids], pa.string()),
+        "lang": pa.array(["en"] * len(ids), pa.string()),
+        "source": pa.array(["s"] * len(ids), pa.string()),
+        "n_chars": pa.array([len(texts[i]) for i in ids], pa.int64()),
+    }), f"{tmp_path}/documents.parquet")
+
+    got = {r["doc_id"]: r["contaminated"]
+           for r in exact_decontaminate_docs(str(tmp_path),
+                                             n_bench=25).take_all()}
+    assert got == {30: 1, 31: 0}
