@@ -385,6 +385,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "peak_hour_by_type": eventops.peak_hour_by_type,
         "text_search_docs": _text_search_q,
         "exact_decontaminate_docs": docops.exact_decontaminate_docs,
+        "source_lang_pivot": docops.source_lang_pivot,
+        "lang_rollup_totals": docops.lang_rollup_totals,
         "value_quantiles_by_type": eventops.value_quantiles_by_type,
         "winsorized_value_totals": eventops.winsorized_value_totals,
         "props_key_stats": eventops.props_key_stats,
@@ -1029,6 +1031,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN b.b_ts IS NULL THEN 0 ELSE 1 END
                         AS BIGINT) AS converted
             FROM a LEFT JOIN b ON a.user_id = b.user_id
+        """,
+        "source_lang_pivot": """
+            SELECT source,
+                   count(*) FILTER (WHERE lang = 'de') AS n_de,
+                   count(*) FILTER (WHERE lang = 'en') AS n_en,
+                   count(*) FILTER (WHERE lang = 'es') AS n_es,
+                   count(*) FILTER (WHERE lang = 'fr') AS n_fr,
+                   count(*) FILTER (WHERE lang = 'zh') AS n_zh
+            FROM documents GROUP BY source
+        """,
+        "lang_rollup_totals": """
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+            FROM documents GROUP BY ROLLUP(lang)
         """,
         "exact_decontaminate_docs": f"""
             WITH h AS (

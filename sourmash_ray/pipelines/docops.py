@@ -1872,3 +1872,95 @@ def exact_decontaminate_docs(sf_dir: str, n_bench: int = 25):
     ds = _read_docs(sf_dir)
     return (ds.filter(expr=f"doc_id >= {n_bench}")
             .map_batches(_flag, batch_format="pyarrow"))
+
+
+_PIVOT_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def source_lang_pivot(sf_dir: str):
+    """Crosstab / PIVOT: one row per source with a count column per
+    language (`count(*) FILTER (WHERE lang = ...)` — the conditional
+    aggregation shape). Rides `grouped_sums` on (source, lang) — only
+    ≤ sources×langs partial cells shuffle — then a vectorized widen
+    pass per partition (langs are a fixed small set; an unknown lang
+    raises rather than silently dropping)."""
+    from ..stages.agg import grouped_sums
+
+    ds = _read_docs(sf_dir, columns=("source", "lang"))
+    counts = grouped_sums(ds, ["source", "lang"], [], count_as="n")
+
+    out_schema = pa.schema([("source", pa.string())] +
+                           [(f"n_{lg}", pa.int64())
+                            for lg in _PIVOT_LANGS])
+
+    def _widen(t: pa.Table) -> pa.Table:
+        # the (source, lang) cells for one source all live in one
+        # partition only if the exchange keyed by source — it keyed by
+        # (source, lang), so widen must re-merge per source locally
+        # and rely on cell-level disjointness: every (source, lang)
+        # combo appears in exactly one partition, so per-partition
+        # widening then summing nothing twice is exact with a final
+        # grouped_sums over the widened rows.
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        from ..functions.segscore import _to_bytes_array
+
+        src = t["source"].combine_chunks()
+        sb = _to_bytes_array(src)
+        order = np.argsort(sb, kind="stable")
+        sb_s = sb[order]
+        new_run = np.r_[True, sb_s[1:] != sb_s[:-1]]
+        run_id = np.cumsum(new_run) - 1
+        lang = np.asarray(pc.fill_null(
+            pc.index_in(t["lang"],
+                        value_set=pa.array(list(_PIVOT_LANGS))), -1),
+            np.int64)
+        if (lang < 0).any():
+            raise ValueError("unknown lang in source_lang_pivot")
+        n = np.asarray(t["n"], np.int64)[order]
+        wide = np.zeros((int(run_id[-1]) + 1, len(_PIVOT_LANGS)),
+                        np.int64)
+        wide[run_id, lang[order]] += n
+        firsts = np.flatnonzero(new_run)
+        cols = {"source": src.take(pa.array(order[firsts], pa.int64()))}
+        for j, lg in enumerate(_PIVOT_LANGS):
+            cols[f"n_{lg}"] = pa.array(wide[:, j], pa.int64())
+        return pa.table(cols).cast(out_schema)
+
+    wide = counts.map_batches(_widen, batch_format="pyarrow")
+    agg = grouped_sums(wide, ["source"],
+                       [f"n_{lg}" for lg in _PIVOT_LANGS])
+    return agg.map_batches(
+        lambda t: pa.table(
+            {"source": t["source"],
+             **{f"n_{lg}": t[f"sum_n_{lg}"] for lg in _PIVOT_LANGS}}),
+        batch_format="pyarrow")
+
+
+def lang_rollup_totals(sf_dir: str):
+    """GROUP BY ROLLUP(lang): per-language doc/char totals PLUS the
+    grand-total row (lang = NULL) — the subtotal/report shape. The
+    grand total derives from the per-lang aggregate (≤ langs rows), so
+    the fact table is read and shuffled exactly once."""
+    from ..stages.agg import grouped_sums
+
+    ds = _read_docs(sf_dir, columns=("lang", "n_chars"))
+    per_lang = grouped_sums(ds, ["lang"], ["n_chars"],
+                            count_as="n_docs").materialize()
+
+    def _clean(t: pa.Table) -> pa.Table:
+        return pa.table({"lang": t["lang"],
+                         "n_docs": t["n_docs"],
+                         "sum_n_chars": t["sum_n_chars"]})
+
+    import ray.data as _rd
+
+    rows = per_lang.take_all()          # ≤ distinct langs — driver-scale
+    total = pa.table({
+        "lang": pa.array([None], pa.string()),
+        "n_docs": pa.array([sum(r["n_docs"] for r in rows)], pa.int64()),
+        "sum_n_chars": pa.array([sum(r["sum_n_chars"] for r in rows)],
+                                pa.int64()),
+    })
+    return per_lang.map_batches(_clean, batch_format="pyarrow").union(
+        _rd.from_arrow(total))

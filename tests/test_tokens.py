@@ -204,3 +204,43 @@ def test_exact_decontaminate_planted(ray_session, tmp_path):
            for r in exact_decontaminate_docs(str(tmp_path),
                                              n_bench=25).take_all()}
     assert got == {30: 1, 31: 0}
+
+
+def test_pivot_and_rollup_match_duckdb(ray_session):
+    import duckdb
+
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')")
+    q, o = e.queries(), e.oracle_sql()
+    for name in ("source_lang_pivot", "lang_rollup_totals"):
+        got = sorted((tuple((c, r[c]) for c in r)
+                      for r in q[name](sf).take_all()), key=repr)
+        want_df = con.sql(o[name]).fetchdf()
+        want = sorted((tuple(zip(want_df.columns, row))
+                       for row in want_df.itertuples(index=False)),
+                      key=repr)
+        assert got == want, name
+
+
+def test_pivot_unknown_lang_raises(ray_session, tmp_path):
+    import pytest
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from sourmash_ray.pipelines.docops import source_lang_pivot
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array(["x"], pa.string()),
+        "lang": pa.array(["xx"], pa.string()),     # not in the pivot set
+        "source": pa.array(["s"], pa.string()),
+        "n_chars": pa.array([1], pa.int64()),
+    }), f"{tmp_path}/documents.parquet")
+    with pytest.raises(ray.exceptions.RayTaskError,
+                       match="unknown lang"):
+        source_lang_pivot(str(tmp_path)).take_all()
