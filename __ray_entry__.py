@@ -383,6 +383,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_retention_cohorts": eventops.user_retention_cohorts,
         "event_transition_counts": eventops.event_transition_counts,
         "peak_hour_by_type": eventops.peak_hour_by_type,
+        "event_cooccurrence_counts": eventops.event_cooccurrence_counts,
+        "lapsed_users": eventops.lapsed_users,
         "text_search_docs": _text_search_q,
         "exact_decontaminate_docs": docops.exact_decontaminate_docs,
         "source_lang_pivot": docops.source_lang_pivot,
@@ -1031,6 +1033,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN b.b_ts IS NULL THEN 0 ELSE 1 END
                         AS BIGINT) AS converted
             FROM a LEFT JOIN b ON a.user_id = b.user_id
+        """,
+        "event_cooccurrence_counts": """
+            WITH d AS (SELECT DISTINCT user_id,
+                              date_trunc('hour', ts) AS hr, event_type
+                       FROM events)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   count(*) AS n_cells
+            FROM d a JOIN d b
+              ON a.user_id = b.user_id AND a.hr = b.hr
+             AND a.event_type < b.event_type
+            GROUP BY a.event_type, b.event_type
+        """,
+        "lapsed_users": """
+            SELECT DISTINCT user_id FROM events
+            WHERE ts >= TIMESTAMP '2024-01-01'
+              AND ts < TIMESTAMP '2024-01-02'
+            EXCEPT
+            SELECT DISTINCT user_id FROM events
+            WHERE ts >= TIMESTAMP '2024-01-02'
+              AND ts < TIMESTAMP '2024-01-03'
         """,
         "source_lang_pivot": """
             SELECT source,

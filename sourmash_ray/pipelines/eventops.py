@@ -904,3 +904,152 @@ def peak_hour_by_type(sf_dir: str):
     top = grouped_topk(counts, key="event_type", order_col="n", k=1,
                        tiebreak="hour")
     return top.select_columns(["event_type", "hour", "n"])
+
+
+COOC_PART_SCHEMA = pa.schema([
+    ("type_a", pa.string()),
+    ("type_b", pa.string()),
+    ("n", pa.int64()),
+])
+
+
+def cooccurrence_merge_partition(part: pa.Table) -> pa.Table:
+    """Per-partition basket kernel: distinct event types per (user,
+    hour-truncated ts) cell, all unordered type pairs (a < b) per cell,
+    partial pair counts. One lexsort dedups (cell, type); pair emission
+    is run-length repeat/arange over cells (≤ C(types,2) pairs per
+    cell, vectorized)."""
+    import numpy as np
+
+    from ..functions.segscore import _to_bytes_array
+
+    if part.num_rows == 0:
+        return COOC_PART_SCHEMA.empty_table()
+    u = np.asarray(part["user_id"], np.int64)
+    hr = np.asarray(part["hour_us"], np.int64)
+    tcol = part["event_type"].combine_chunks()
+    tb = _to_bytes_array(tcol)
+    tmin = int(hr.min())
+    span = int(hr.max()) - tmin + 2
+    if int(u.max()) >= (2**63 - 1) // max(span, 1):
+        raise ValueError("user_id × hour span overflows the composite "
+                         "co-occurrence key; re-partition finer")
+    cell = u * span + (hr - tmin + 1)
+    order = np.lexsort((tb, cell))
+    c_s, t_s = cell[order], tb[order]
+    keep = np.r_[True, (c_s[1:] != c_s[:-1]) | (t_s[1:] != t_s[:-1])]
+    c_k, src_k = c_s[keep], order[keep]
+    # per-cell run lengths → all (i, j>i) index pairs within each run
+    starts = np.flatnonzero(np.r_[True, c_k[1:] != c_k[:-1]])
+    lens = np.diff(np.append(starts, len(c_k)))
+    npairs = lens * (lens - 1) // 2
+    if npairs.sum() == 0:
+        return COOC_PART_SCHEMA.empty_table()
+    # fully vectorized triangular pair emission: element at within-run
+    # index w of a run of length L is 'a' in (L-1-w) pairs; partner is
+    # the next 1..(L-1-w) elements — one repeat + one arange ramp
+    within = np.arange(len(c_k)) - np.repeat(starts, lens)
+    cnt = np.repeat(lens, lens) - 1 - within
+    a_idx = np.repeat(np.arange(len(c_k)), cnt)
+    csum = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+    off = np.arange(int(cnt.sum())) - np.repeat(csum, cnt) + 1
+    b_idx = a_idx + off
+    a = src_k[a_idx]
+    b = src_k[b_idx]
+    # count identical (type_a, type_b) pairs across cells in one lexsort
+    ta, tb2 = tb[a], tb[b]
+    porder = np.lexsort((tb2, ta))
+    ta_s, tb_s = ta[porder], tb2[porder]
+    new_run = np.r_[True, (ta_s[1:] != ta_s[:-1]) | (tb_s[1:] != tb_s[:-1])]
+    n = np.bincount(np.cumsum(new_run) - 1)
+    firsts = porder[new_run]
+    return pa.table({
+        "type_a": tcol.take(pa.array(a[firsts], pa.int64())),
+        "type_b": tcol.take(pa.array(b[firsts], pa.int64())),
+        "n": pa.array(n.astype(np.int64), pa.int64()),
+    }).cast(COOC_PART_SCHEMA)
+
+
+def event_cooccurrence_counts(sf_dir: str):
+    """Market-basket co-occurrence: for every (user, hour) cell, the
+    distinct unordered event-type pairs seen together, counted across
+    cells — the 'which signals fire together' shape. One user exchange
+    (hour cells are co-located per user), ≤ C(types,2) partial rows per
+    partition, tiny `grouped_sums` finish."""
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.agg import grouped_sums
+    from ..stages.exchange import exchange_map_groups
+
+    def _key(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"],
+            "hour_us": pc.cast(pc.floor_temporal(batch["ts"],
+                                                 unit="hour"), pa.int64()),
+            "event_type": batch["event_type"],
+        })
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "user_id", "event_type"],
+    ).map_batches(_key, batch_format="pyarrow")
+    n_parts = resolve_num_partitions(DEFAULT_CONFIG)
+    parts = exchange_map_groups(ds, "user_id", n_parts,
+                                cooccurrence_merge_partition,
+                                COOC_PART_SCHEMA)
+    return grouped_sums(parts, ["type_a", "type_b"], ["n"]).map_batches(
+        lambda t: pa.table({"type_a": t["type_a"],
+                            "type_b": t["type_b"],
+                            "n_cells": t["sum_n"]}),
+        batch_format="pyarrow")
+
+
+def lapsed_users(sf_dir: str, active: str = "2024-01-01",
+                 lapsed: str = "2024-01-02"):
+    """Set-difference shape (``EXCEPT``): users active on day A with no
+    activity on day B. ONE scan computes per-user (any-A, any-B) 0/1
+    flags — block-local dedup + max, then summed partials clipped at
+    read-out (sum of deduped 0/1 partials > 0 ⇔ max = 1) — no second
+    pass and no distinct shuffle."""
+    import numpy as np
+
+    from ..stages.agg import grouped_sums
+
+    day = 86_400_000_000
+    a0 = np.datetime64(active, "us").astype(np.int64)
+    a1 = a0 + day
+    b0 = np.datetime64(lapsed, "us").astype(np.int64)
+    b1 = b0 + day
+
+    def _flags(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(pc.cast(batch["ts"], pa.int64()), np.int64)
+        u = np.asarray(batch["user_id"], np.int64)
+        in_a = (ts >= a0) & (ts < a1)
+        in_b = (ts >= b0) & (ts < b1)
+        keep = in_a | in_b
+        u, in_a, in_b = u[keep], in_a[keep], in_b[keep]
+        # block-local dedup to one row per (user, flag-combo) so the
+        # summed partials stay tiny and clip-at-merge is exact
+        uniq, inv = np.unique(u, return_inverse=True)
+        fa = np.zeros(len(uniq), np.int64)
+        fb = np.zeros(len(uniq), np.int64)
+        np.maximum.at(fa, inv, in_a.astype(np.int64))
+        np.maximum.at(fb, inv, in_b.astype(np.int64))
+        return pa.table({
+            "user_id": pa.array(uniq, pa.int64()),
+            "f_a": pa.array(fa, pa.int64()),
+            "f_b": pa.array(fb, pa.int64()),
+        })
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "user_id"])
+    agg = grouped_sums(ds.map_batches(_flags, batch_format="pyarrow"),
+                       ["user_id"], ["f_a", "f_b"])
+
+    def _filter(t: pa.Table) -> pa.Table:
+        fa = np.asarray(t["sum_f_a"], np.int64) > 0
+        fb = np.asarray(t["sum_f_b"], np.int64) > 0
+        keep = fa & ~fb
+        return pa.table({"user_id": t["user_id"].filter(
+            pa.array(keep))})
+
+    return agg.map_batches(_filter, batch_format="pyarrow")

@@ -170,3 +170,45 @@ def test_transition_kernel_matches_nested_loop(evs):
             cell = (evs[i][2], evs[j][2])
             want[cell] = want.get(cell, 0) + 1
     assert got == want, (evs, got, want)
+
+
+@settings(max_examples=50, deadline=None)
+@given(_events)
+def test_cooccurrence_kernel_matches_nested_loop(evs):
+    """Partial pair counts over ONE partition == brute force distinct
+    type-pairs per (user, bucketed-ts) cell."""
+    from itertools import combinations
+
+    from sourmash_ray.pipelines.eventops import (
+        cooccurrence_merge_partition)
+
+    part = pa.table({
+        "user_id": pa.array([e[0] for e in evs], pa.int64()),
+        "hour_us": pa.array([e[1] // 10 for e in evs], pa.int64()),
+        "event_type": pa.array([e[2] for e in evs], pa.string()),
+    })
+    got = {(r["type_a"], r["type_b"]): r["n"]
+           for r in cooccurrence_merge_partition(part).to_pylist()}
+    cells = {}
+    for u, t, ty in evs:
+        cells.setdefault((u, t // 10), set()).add(ty)
+    want = {}
+    for types in cells.values():
+        for a, b in combinations(sorted(types), 2):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    assert got == want, (evs, got, want)
+
+
+def test_cooccurrence_and_lapsed_match_duckdb(ray_session):
+    import duckdb
+
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    q, o = e.queries(), e.oracle_sql()
+    for name in ("event_cooccurrence_counts", "lapsed_users"):
+        got = sorted(tuple(r[c] for c in r)
+                     for r in q[name](sf).take_all())
+        want = _duckdb_rows(sf, o[name])
+        assert got == want, name
+    assert len(q["lapsed_users"](sf).take_all()) > 0
