@@ -374,6 +374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_counts": relational.order_priority_counts,
         "brand_revenue": relational.brand_revenue,
         "monthly_order_stats": relational.monthly_order_stats,
+        "above_avg_orders": relational.above_avg_orders,
         "lexical_diversity_docs": docops.lexical_diversity_docs,
         "quality_filter_docs": docops.quality_filter_docs,
         "rolling_rate_events": eventops.rolling_rate_events,
@@ -909,6 +910,19 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem, part
             WHERE l_partkey = p_partkey
             GROUP BY p_brand
+        """,
+        "above_avg_orders": """
+            WITH c AS (SELECT o_custkey,
+                              CAST(sum(CAST(round(o_totalprice * 100, 0)
+                                            AS BIGINT)) AS BIGINT) AS s,
+                              count(*) AS n
+                       FROM orders GROUP BY o_custkey)
+            SELECT o_orderkey, o.o_custkey,
+                   CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                       AS price_cents
+            FROM orders o JOIN c ON o.o_custkey = c.o_custkey
+            WHERE CAST(round(o_totalprice * 100, 0) AS BIGINT) * c.n
+                  > c.s
         """,
         "monthly_order_stats": """
             WITH m AS (SELECT CAST(date_trunc('month', o_orderdate)

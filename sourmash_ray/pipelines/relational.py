@@ -856,3 +856,54 @@ def monthly_order_stats(sf_dir: str):
 
     return agg.repartition(1).map_batches(_lag, batch_format="pyarrow",
                                           batch_size=None)
+
+
+def above_avg_orders(sf_dir: str):
+    """Correlated-aggregate filter: orders strictly above their own
+    customer's average order value (`WHERE price > (SELECT avg(...)
+    ... same custkey)`). The per-customer aggregate (sum_cents, n) is
+    ONE `grouped_sums` exchange; the comparison joins it back to the
+    fact rows through the big-big exchange join and evaluates
+    ``price_cents · n > sum_cents`` — integer cross-multiplication, so
+    'above average' needs no division and is exact on both engines."""
+    import numpy as np
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.agg import grouped_sums
+    from ..stages.join import hash_join_exchange
+
+    def _cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"],
+            "o_custkey": batch["o_custkey"],
+            "price_cents": pc.cast(
+                pc.round(pc.multiply(batch["o_totalprice"],
+                                     pa.scalar(1e2))), pa.int64()),
+        })
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    ).map_batches(_cents, batch_format="pyarrow")
+
+    agg = grouped_sums(orders, ["o_custkey"], ["price_cents"],
+                       count_as="n_orders")
+    joined = hash_join_exchange(
+        orders, agg, key="o_custkey",
+        left_cols=["o_orderkey", "price_cents"],
+        right_cols=["sum_price_cents", "n_orders"],
+        n_parts=resolve_num_partitions(DEFAULT_CONFIG))
+
+    def _above(t: pa.Table) -> pa.Table:
+        p = np.asarray(t["price_cents"], np.int64)
+        s = np.asarray(t["sum_price_cents"], np.int64)
+        n = np.asarray(t["n_orders"], np.int64)
+        keep = p * n > s           # cents·count < 2^53: exact, no divide
+        out = t.filter(pa.array(keep))
+        return pa.table({
+            "o_orderkey": out["o_orderkey"],
+            "o_custkey": out["o_custkey"],
+            "price_cents": out["price_cents"],
+        })
+
+    return joined.map_batches(_above, batch_format="pyarrow")

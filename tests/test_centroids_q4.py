@@ -81,3 +81,20 @@ def test_brand_revenue_and_monthly_match_duckdb(ray_session):
                      for r in q[name](sf).take_all())
         want = sorted(tuple(r) for r in con.sql(o[name]).fetchall())
         assert got == want, name
+
+
+def test_above_avg_orders_matches_duckdb(ray_session):
+    import duckdb
+
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM "
+            f"read_parquet('{sf}/orders.parquet')")
+    got = sorted(tuple(r[c] for c in r) for r in
+                 e.queries()["above_avg_orders"](sf).take_all())
+    want = sorted(tuple(r) for r in
+                  con.sql(e.oracle_sql()["above_avg_orders"]).fetchall())
+    assert got == want
+    assert 0 < len(got)   # strictly-above filter is non-degenerate
