@@ -1964,3 +1964,97 @@ def lang_rollup_totals(sf_dir: str):
     })
     return per_lang.map_batches(_clean, batch_format="pyarrow").union(
         _rd.from_arrow(total))
+
+
+# --- char-trigram LM quality scoring (CCNet/KenLM-style filter) --------
+
+_TRI_CELLS = 27 ** 3
+_BYTE_CODE = np.zeros(256, np.uint32)
+for _c in range(ord("a"), ord("z") + 1):
+    _BYTE_CODE[_c] = _c - ord("a") + 1
+for _c in range(ord("A"), ord("Z") + 1):
+    _BYTE_CODE[_c] = _c - ord("A") + 1
+# every other byte (space, digits, punctuation, UTF-8 continuations)
+# maps to code 0 — the 'boundary' symbol
+
+
+def _char_trigrams(text_col):
+    """(trigram codes, per-position row id) for every in-row char
+    position of the batch, straight off the Arrow string buffers —
+    zero per-row Python. Trigram code = c0·27² + c1·27 + c2 over the
+    27-symbol alphabet."""
+    t = pc.fill_null(text_col, "")
+    if isinstance(t, pa.ChunkedArray):
+        t = t.combine_chunks()
+    b = t.cast(pa.binary())
+    n = len(b)
+    bufs = b.buffers()
+    offs = np.frombuffer(bufs[1], np.int32)[b.offset: b.offset + n + 1]
+    data = np.frombuffer(bufs[2], np.uint8)[offs[0]: offs[-1]]
+    offs = (offs - offs[0]).astype(np.int64)
+    codes = _BYTE_CODE[data]
+    lens = np.diff(offs)
+    row = np.repeat(np.arange(n, dtype=np.int64), lens)
+    if len(codes) < 3:
+        return (np.empty(0, np.uint32), np.empty(0, np.int64), n)
+    tri = codes[:-2] * 729 + codes[1:-1] * 27 + codes[2:]
+    valid = row[:-2] == row[2:]
+    return tri[valid], row[:-2][valid], n
+
+
+def train_trigram_lm(sf_dir: str) -> np.ndarray:
+    """Distributed char-trigram count fit: each block reduces its text
+    to ≤ 27³ nonzero (cell, n) rows (a 154 KB dense bincount per block,
+    emitted sparse), one `grouped_sums` exchange merges them, and the
+    ≤ 19,683-row result densifies on the driver — constant-size state
+    regardless of corpus size, the HLL-register shape."""
+    from ..stages.agg import grouped_sums
+
+    def _counts(batch: pa.Table) -> pa.Table:
+        tri, _, _ = _char_trigrams(batch["text"])
+        c = np.bincount(tri, minlength=_TRI_CELLS)
+        nz = np.flatnonzero(c)
+        return pa.table({
+            "cell": pa.array(nz.astype(np.int64), pa.int64()),
+            "n": pa.array(c[nz].astype(np.int64), pa.int64()),
+        })
+
+    rows = grouped_sums(
+        _read_docs(sf_dir).map_batches(_counts, batch_format="pyarrow"),
+        ["cell"], ["n"]).take_all()
+    dense = np.zeros(_TRI_CELLS, np.int64)
+    for r in rows:
+        dense[r["cell"]] = r["sum_n"]
+    return dense
+
+
+def trigram_lm_score_docs(sf_dir: str):
+    """Model-based quality scoring (the CCNet/KenLM filter shape): fit
+    a char-trigram LM on the corpus (one pass, constant-size state),
+    broadcast the dense count table, then score every document by its
+    mean add-1-smoothed log2 trigram probability — low scores flag
+    gibberish / out-of-domain text. Self-counting (each doc contributes
+    to the LM it is scored under) is the standard single-corpus setup.
+    Float log ⇒ no SQL oracle; serial-equality and gibberish-ranking
+    tests instead."""
+    counts = train_trigram_lm(sf_dir)
+    total = int(counts.sum())
+    lm_ref = _ray.put(
+        np.log2((counts + 1.0) / (total + _TRI_CELLS)))
+
+    def _score(batch: pa.Table) -> pa.Table:
+        logp = _ray.get(lm_ref)
+        tri, row, n = _char_trigrams(batch["text"])
+        n_tri = np.bincount(row, minlength=n)
+        sums = np.zeros(n, np.float64)
+        np.add.at(sums, row, logp[tri])
+        has = n_tri > 0
+        mean = np.where(has, sums / np.maximum(n_tri, 1), 0.0)
+        score = np.round(mean * 1000).astype(np.int64)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_trigrams": pa.array(n_tri.astype(np.int64), pa.int64()),
+            "lm_score_e3": pa.array(score, pa.int64(), mask=~has),
+        })
+
+    return _read_docs(sf_dir).map_batches(_score, batch_format="pyarrow")

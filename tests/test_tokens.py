@@ -244,3 +244,55 @@ def test_pivot_unknown_lang_raises(ray_session, tmp_path):
     with pytest.raises(ray.exceptions.RayTaskError,
                        match="unknown lang"):
         source_lang_pivot(str(tmp_path)).take_all()
+
+
+def test_trigram_lm_scores_match_serial_and_rank_gibberish(ray_session,
+                                                           tmp_path):
+    import math
+
+    import pyarrow.parquet as pq
+
+    from sourmash_ray.pipelines.docops import (_TRI_CELLS,
+                                               trigram_lm_score_docs)
+
+    texts = ["the table joins the query plan",
+             "query table scan sort merge join",
+             "zxq qqj xjz vvk wqx jzz qkx",          # gibberish
+             "table scan and merge of the plan"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["s"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), f"{tmp_path}/documents.parquet")
+
+    got = {r["doc_id"]: (r["n_trigrams"], r["lm_score_e3"])
+           for r in trigram_lm_score_docs(str(tmp_path)).take_all()}
+
+    # serial oracle: same alphabet, same smoothing, same op order
+    def code(ch):
+        return ord(ch) - ord("a") + 1 if "a" <= ch <= "z" else 0
+
+    counts = {}
+    for t in texts:
+        for i in range(len(t) - 2):
+            c = code(t[i]) * 729 + code(t[i + 1]) * 27 + code(t[i + 2])
+            counts[c] = counts.get(c, 0) + 1
+    total = sum(counts.values())
+    import numpy as np
+
+    logp = np.log2((np.array(
+        [counts.get(c, 0) for c in range(_TRI_CELLS)], np.float64) + 1.0)
+        / (total + _TRI_CELLS))
+    for d, t in enumerate(texts):
+        tri = [code(t[i]) * 729 + code(t[i + 1]) * 27 + code(t[i + 2])
+               for i in range(len(t) - 2)]
+        s = np.float64(0.0)
+        for c in tri:
+            s += logp[c]
+        want = int(np.round(s / len(tri) * 1000))
+        assert got[d] == (len(tri), want), d
+    # the gibberish doc scores strictly worst
+    scores = {d: v[1] for d, v in got.items()}
+    assert min(scores, key=scores.get) == 2
