@@ -377,6 +377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "above_avg_orders": relational.above_avg_orders,
         "lexical_diversity_docs": docops.lexical_diversity_docs,
         "trigram_lm_score_docs": docops.trigram_lm_score_docs,
+        "source_divergence_docs": docops.source_divergence_docs,
         "quality_filter_docs": docops.quality_filter_docs,
         "rolling_rate_events": eventops.rolling_rate_events,
         "dedupe_consecutive_events": eventops.dedupe_consecutive_events,

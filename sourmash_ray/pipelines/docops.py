@@ -2058,3 +2058,70 @@ def trigram_lm_score_docs(sf_dir: str):
         })
 
     return _read_docs(sf_dir).map_batches(_score, batch_format="pyarrow")
+
+
+def source_divergence_docs(sf_dir: str):
+    """Domain-shift detection: per-source KL divergence (bits) of the
+    source's char-trigram distribution from the whole-corpus
+    distribution — flags sources whose text differs systematically
+    (wrong language, boilerplate, spam). State is ≤ sources × 27³
+    (cell, n) rows through ONE grouped_sums exchange — constant in
+    corpus size, like the LM fit — and the final KL is numpy over that
+    bounded aggregate. Add-1 smoothing both sides; float log ⇒
+    rows-only (planted-shift ranking test)."""
+    from ..stages.agg import grouped_sums
+
+    def _counts(batch: pa.Table) -> pa.Table:
+        tri, row, n = _char_trigrams(batch["text"])
+        src = batch["source"].combine_chunks()
+        from ..functions.segscore import _to_bytes_array
+
+        sb = _to_bytes_array(src)
+        uniq, inv = np.unique(sb, return_inverse=True)
+        cell = inv[row].astype(np.int64) * _TRI_CELLS + tri
+        c = np.bincount(cell, minlength=len(uniq) * _TRI_CELLS)
+        nz = np.flatnonzero(c)
+        sidx = nz // _TRI_CELLS
+        first_row = np.searchsorted(np.sort(inv), np.arange(len(uniq)))
+        # map back to a representative Arrow string per unique source
+        order = np.argsort(inv, kind="stable")
+        rep = order[first_row]
+        return pa.table({
+            "source": src.take(pa.array(rep[sidx], pa.int64())),
+            "cell": pa.array((nz % _TRI_CELLS).astype(np.int64),
+                             pa.int64()),
+            "n": pa.array(c[nz].astype(np.int64), pa.int64()),
+        })
+
+    agg = grouped_sums(
+        _read_docs(sf_dir, columns=("doc_id", "text", "source"))
+        .map_batches(_counts, batch_format="pyarrow"),
+        ["source", "cell"], ["n"])              # ≤ sources×27³, constant
+    tbl = pa.concat_tables(_ray.get(agg.to_arrow_refs()))
+
+    from ..functions.segscore import _to_bytes_array
+
+    sb = _to_bytes_array(tbl["source"].combine_chunks())
+    cell = np.asarray(tbl["cell"], np.int64)
+    n = np.asarray(tbl["n" if "n" in tbl.column_names else "sum_n"],
+                   np.int64)
+    uniq, inv = np.unique(sb, return_inverse=True)
+    dense = np.zeros((len(uniq), _TRI_CELLS), np.float64)
+    dense[inv, cell] = n                       # disjoint (source, cell)
+    corpus = dense.sum(axis=0)
+    q = (corpus + 1.0) / (corpus.sum() + _TRI_CELLS)
+    p = (dense + 1.0) / (dense.sum(axis=1, keepdims=True) + _TRI_CELLS)
+    kl = (p * np.log2(p / q[None, :])).sum(axis=1)
+    # representative Arrow string per unique source (S-order == sorted)
+    order = np.argsort(inv, kind="stable")
+    firsts = order[np.searchsorted(inv[order], np.arange(len(uniq)))]
+    import ray.data as _rd
+
+    return _rd.from_arrow(pa.table({
+        "source": tbl["source"].combine_chunks().take(
+            pa.array(firsts, pa.int64())),
+        "kl_e6": pa.array(np.round(kl * 1e6).astype(np.int64),
+                          pa.int64()),
+        "n_trigrams": pa.array(dense.sum(axis=1).astype(np.int64),
+                               pa.int64()),
+    }))

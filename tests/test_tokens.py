@@ -296,3 +296,30 @@ def test_trigram_lm_scores_match_serial_and_rank_gibberish(ray_session,
     # the gibberish doc scores strictly worst
     scores = {d: v[1] for d, v in got.items()}
     assert min(scores, key=scores.get) == 2
+
+
+def test_source_divergence_planted_shift(ray_session, tmp_path):
+    """A source writing different text must rank strictly highest in
+    KL from the corpus distribution."""
+    import pyarrow.parquet as pq
+
+    from sourmash_ray.pipelines.docops import source_divergence_docs
+
+    normal = ["the table joins the query plan and scans rows"] * 8
+    weird = ["zzz qqq xxx vvv kkk jjj www zzz qqq xxx"] * 4
+    texts = normal + weird
+    srcs = ["norm_a"] * 4 + ["norm_b"] * 4 + ["weird"] * 4
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(srcs, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), f"{tmp_path}/documents.parquet")
+
+    rows = source_divergence_docs(str(tmp_path)).take_all()
+    kl = {r["source"]: r["kl_e6"] for r in rows}
+    assert set(kl) == {"norm_a", "norm_b", "weird"}
+    assert kl["weird"] > kl["norm_a"] and kl["weird"] > kl["norm_b"]
+    # identical text -> identical distribution -> identical KL
+    assert kl["norm_a"] == kl["norm_b"]
