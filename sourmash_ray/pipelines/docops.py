@@ -1735,7 +1735,9 @@ def _doc_token_profile(batch: pa.Table):
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
     flat = toks.flatten()
-    lens = np.asarray(pc.binary_length(flat), np.int64)
+    # CHARACTER length (utf8_length), matching DuckDB len() — byte
+    # length silently diverges on non-ASCII text (hypothesis-caught)
+    lens = np.asarray(pc.utf8_length(flat), np.int64)
     row = np.repeat(np.arange(n, dtype=np.int64), ntok_all)
     nonempty = lens > 0
     rs = row[nonempty]

@@ -323,3 +323,31 @@ def test_source_divergence_planted_shift(ray_session, tmp_path):
     assert kl["weird"] > kl["norm_a"] and kl["weird"] > kl["norm_b"]
     # identical text -> identical distribution -> identical KL
     assert kl["norm_a"] == kl["norm_b"]
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_doc_texts = st.lists(
+    st.text(alphabet=" abzé", min_size=0, max_size=24) | st.none(),
+    min_size=1, max_size=12)
+
+
+@settings(max_examples=80, deadline=None)
+@given(_doc_texts)
+def test_doc_token_profile_matches_python_oracle(texts):
+    """Profile kernel vs a plain-python oracle over arbitrary text —
+    multi-space runs, empty/None docs, non-ASCII bytes."""
+    from sourmash_ray.pipelines.docops import _doc_token_profile
+
+    batch = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    ids, n_tok, n_uni, sum_len, n_stop = _doc_token_profile(batch)
+    for i, t in enumerate(texts):
+        toks = [w for w in (t or "").split(" ") if w]
+        assert n_tok[i] == len(toks), (texts, i)
+        assert n_uni[i] == len(set(toks)), (texts, i)
+        assert sum_len[i] == sum(len(w) for w in toks), (texts, i)
+        assert n_stop[i] == sum(w in ("a", "the") for w in toks)
