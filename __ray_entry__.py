@@ -375,6 +375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_revenue": relational.brand_revenue,
         "monthly_order_stats": relational.monthly_order_stats,
         "above_avg_orders": relational.above_avg_orders,
+        "moving_order_totals": relational.moving_order_totals,
         "lexical_diversity_docs": docops.lexical_diversity_docs,
         "trigram_lm_score_docs": docops.trigram_lm_score_docs,
         "source_divergence_docs": docops.source_divergence_docs,
@@ -912,6 +913,18 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem, part
             WHERE l_partkey = p_partkey
             GROUP BY p_brand
+        """,
+        "moving_order_totals": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(epoch_us(o_orderdate) AS BIGINT) AS ts_us,
+                   CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                       AS price_cents,
+                   CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                        OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS moving3_cents
+            FROM orders
         """,
         "above_avg_orders": """
             WITH c AS (SELECT o_custkey,

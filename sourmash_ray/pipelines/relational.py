@@ -907,3 +907,79 @@ def above_avg_orders(sf_dir: str):
         })
 
     return joined.map_batches(_above, batch_format="pyarrow")
+
+
+MOVING_SCHEMA = pa.schema([
+    ("o_custkey", pa.int64()), ("o_orderkey", pa.int64()),
+    ("ts_us", pa.int64()), ("price_cents", pa.int64()),
+    ("moving3_cents", pa.int64()),
+])
+
+
+def moving_totals_partition(part: pa.Table, k: int = 3) -> pa.Table:
+    """ROWS-frame window kernel: per customer ordered by (date,
+    orderkey), the sum of the last ``k`` orders including the current —
+    ``sum(price) OVER (PARTITION BY custkey ORDER BY date, key ROWS
+    BETWEEN k-1 PRECEDING AND CURRENT ROW)``. One lexsort, one prefix
+    sum, one shifted difference clipped at each run start (no per-key
+    Python) — the ROWS sibling of the RANGE-frame
+    `rolling_merge_partition`."""
+    import numpy as np
+
+    if part.num_rows == 0:
+        return MOVING_SCHEMA.empty_table()
+    ck = np.asarray(part["o_custkey"], np.int64)
+    ts = np.asarray(part["ts_us"], np.int64)
+    ok = np.asarray(part["o_orderkey"], np.int64)
+    cents = np.asarray(part["price_cents"], np.int64)
+    order = np.lexsort((ok, ts, ck))
+    ck_s, c_s = ck[order], cents[order]
+    n = len(ck_s)
+    csum = np.concatenate([[0], np.cumsum(c_s)])
+    starts = np.flatnonzero(np.r_[True, ck_s[1:] != ck_s[:-1]])
+    lens = np.diff(np.append(starts, n))
+    within = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+    lo = np.arange(n, dtype=np.int64) - np.minimum(within, k - 1)
+    moving = csum[np.arange(1, n + 1)] - csum[lo]
+    return pa.table({
+        "o_custkey": pa.array(ck_s, pa.int64()),
+        "o_orderkey": pa.array(ok[order], pa.int64()),
+        "ts_us": pa.array(ts[order], pa.int64()),
+        "price_cents": pa.array(c_s, pa.int64()),
+        "moving3_cents": pa.array(moving, pa.int64()),
+    })
+
+
+def moving_order_totals(sf_dir: str, k: int = 3):
+    """ROWS-frame moving window per key (last-k-orders revenue per
+    customer) — completes the window-frame family (running = unbounded,
+    rolling = time RANGE, this = ROWS). Same one-exchange contract as
+    `running_order_totals`."""
+    import functools as _ft
+
+    import numpy as np
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.exchange import exchange_map_groups
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        price = np.asarray(batch["o_totalprice"], np.float64)
+        ts = batch["o_orderdate"].combine_chunks().cast(
+            pa.timestamp("us")).cast(pa.int64())
+        return pa.table({
+            "o_custkey": batch["o_custkey"],
+            "o_orderkey": batch["o_orderkey"],
+            "ts_us": ts,
+            "price_cents": pa.array(
+                np.rint(price * 100).astype(np.int64), pa.int64()),
+        })
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate",
+                 "o_totalprice"],
+    ).map_batches(_prep, batch_format="pyarrow")
+    n_parts = resolve_num_partitions(DEFAULT_CONFIG)
+    return exchange_map_groups(
+        ds, "o_custkey", n_parts,
+        _ft.partial(moving_totals_partition, k=k), MOVING_SCHEMA)

@@ -378,3 +378,29 @@ def test_grouped_topk_string_key(ray_session):
                      key=lambda r: (-r[1], r[2]))[:2]
         want += [(r[0], r[1], r[2], i + 1) for i, r in enumerate(grp)]
     assert got == sorted(want)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 3), st.integers(0, 20),
+                          st.integers(0, 99)),
+                min_size=0, max_size=30),
+       st.integers(1, 5))
+def test_moving_totals_kernel_matches_nested_loop(rows, k):
+    """ROWS-frame last-k sum per key vs brute force."""
+    import pyarrow as pa
+
+    from sourmash_ray.pipelines.relational import moving_totals_partition
+
+    part = pa.table({
+        "o_custkey": pa.array([r[0] for r in rows], pa.int64()),
+        "o_orderkey": pa.array(list(range(len(rows))), pa.int64()),
+        "ts_us": pa.array([r[1] for r in rows], pa.int64()),
+        "price_cents": pa.array([r[2] for r in rows], pa.int64()),
+    })
+    got = {r["o_orderkey"]: r["moving3_cents"]
+           for r in moving_totals_partition(part, k=k).to_pylist()}
+    for i, (ck, ts, c) in enumerate(rows):
+        hist = sorted((t, j, cc) for j, (kk, t, cc) in enumerate(rows)
+                      if kk == ck and (t, j) <= (ts, i))
+        want = sum(cc for _, _, cc in hist[-k:])
+        assert got[i] == want, (rows, k, i)
