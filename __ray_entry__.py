@@ -376,6 +376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "monthly_order_stats": relational.monthly_order_stats,
         "above_avg_orders": relational.above_avg_orders,
         "moving_order_totals": relational.moving_order_totals,
+        "customer_order_span": relational.customer_order_span,
         "lexical_diversity_docs": docops.lexical_diversity_docs,
         "trigram_lm_score_docs": docops.trigram_lm_score_docs,
         "source_divergence_docs": docops.source_divergence_docs,
@@ -913,6 +914,15 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem, part
             WHERE l_partkey = p_partkey
             GROUP BY p_brand
+        """,
+        "customer_order_span": """
+            SELECT o_custkey,
+                   CAST(min(epoch_us(o_orderdate)) AS BIGINT)
+                       AS min_date_us,
+                   CAST(max(epoch_us(o_orderdate)) AS BIGINT)
+                       AS max_date_us,
+                   count(*) AS n_orders
+            FROM orders GROUP BY o_custkey
         """,
         "moving_order_totals": """
             SELECT o_custkey, o_orderkey,

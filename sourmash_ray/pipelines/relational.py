@@ -983,3 +983,24 @@ def moving_order_totals(sf_dir: str, k: int = 3):
     return exchange_map_groups(
         ds, "o_custkey", n_parts,
         _ft.partial(moving_totals_partition, k=k), MOVING_SCHEMA)
+
+
+def customer_order_span(sf_dir: str):
+    """Grouped MIN/MAX: each customer's first and last order date + order
+    count (`grouped_minmax` — min-of-block-minima / max-of-block-maxima
+    partials through the exchange, the remaining core aggregate family
+    beyond sums/counts/quantiles/topk)."""
+    from ..stages.agg import grouped_minmax
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": batch["o_custkey"],
+            "date_us": pc.cast(batch["o_orderdate"], pa.int64()),
+        })
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate"],
+    ).map_batches(_prep, batch_format="pyarrow")
+    return grouped_minmax(ds, ["o_custkey"], "date_us",
+                          count_as="n_orders")

@@ -308,3 +308,66 @@ def grouped_distinct_count(ds, keys: list[str], col: str,
         return pa.table(cols)
 
     return agg.map_batches(_rename, batch_format="pyarrow")
+
+
+def grouped_minmax(ds, keys: list[str], col: str,
+                   count_as: str | None = None,
+                   n_parts: int | None = None):
+    """groupby(keys) → min(col), max(col) (+ optional count) via the
+    same block-local combiner + exchange as `grouped_sums`: min of
+    per-block minima / max of per-block maxima are exact for any
+    distribution, so only ≤ groups-per-block partial rows shuffle.
+    Output columns: ``min_<col>`` / ``max_<col>`` (+ ``count_as``)."""
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from .exchange import exchange_map_groups
+
+    if n_parts is None:
+        n_parts = resolve_num_partitions(DEFAULT_CONFIG)
+
+    def _key_hash(tbl: pa.Table) -> np.ndarray:
+        key = pc.cast(tbl[keys[0]], pa.string()).combine_chunks()
+        for k in keys[1:]:
+            key = pc.binary_join_element_wise(
+                key, pc.cast(tbl[k], pa.string()).combine_chunks(), "|")
+        return hash_strings64(key) % 1024
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        aggs = [(col, "min"), (col, "max")]
+        if count_as:
+            aggs.append((col, "count", pc.CountOptions(mode="all")))
+        g = batch.group_by(keys, use_threads=False).aggregate(aggs)
+        cols = {k: g[k] for k in keys}
+        cols[f"min_{col}"] = g[f"{col}_min"]
+        cols[f"max_{col}"] = g[f"{col}_max"]
+        if count_as:
+            cols[count_as] = pc.cast(g[f"{col}_count"], pa.int64())
+        out = pa.table(cols)
+        return out.append_column(
+            "grp_part", pa.array(_key_hash(out), pa.int64()))
+
+    sch = ds.schema()
+    key_types = {k: sch.base_schema.field(k).type for k in keys}
+    val_t = sch.base_schema.field(col).type
+    out_schema = pa.schema(
+        [(k, key_types[k]) for k in keys]
+        + [(f"min_{col}", val_t), (f"max_{col}", val_t)]
+        + ([(count_as, pa.int64())] if count_as else []))
+
+    merge_aggs = [(f"min_{col}", "min"), (f"max_{col}", "max")]
+    if count_as:
+        merge_aggs.append((count_as, "sum"))
+
+    def _merge(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return out_schema.empty_table()
+        g = part.group_by(keys, use_threads=False).aggregate(merge_aggs)
+        cols = {k: g[k] for k in keys}
+        cols[f"min_{col}"] = g[f"min_{col}_min"]
+        cols[f"max_{col}"] = g[f"max_{col}_max"]
+        if count_as:
+            cols[count_as] = pc.cast(g[f"{count_as}_sum"], pa.int64())
+        return pa.table(cols).cast(out_schema)
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow")
+    return exchange_map_groups(parts, "grp_part", n_parts, _merge,
+                               out_schema)

@@ -404,3 +404,27 @@ def test_moving_totals_kernel_matches_nested_loop(rows, k):
                       if kk == ck and (t, j) <= (ts, i))
         want = sum(cc for _, _, cc in hist[-k:])
         assert got[i] == want, (rows, k, i)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 4), st.integers(-50, 50)),
+                min_size=1, max_size=40))
+def test_grouped_minmax_matches_python(ray_session, rows):
+    import pyarrow as pa
+
+    import ray
+
+    from sourmash_ray.stages.agg import grouped_minmax
+
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array([r[0] for r in rows], pa.int64()),
+        "v": pa.array([r[1] for r in rows], pa.int64()),
+    })).repartition(3)
+    got = {r["k"]: (r["min_v"], r["max_v"], r["n"])
+           for r in grouped_minmax(ds, ["k"], "v",
+                                   count_as="n").take_all()}
+    want = {}
+    for k, v in rows:
+        lo, hi, n = want.get(k, (v, v, 0))
+        want[k] = (min(lo, v), max(hi, v), n + 1)
+    assert got == want
