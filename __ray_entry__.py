@@ -390,6 +390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "peak_hour_by_type": eventops.peak_hour_by_type,
         "event_cooccurrence_counts": eventops.event_cooccurrence_counts,
         "lapsed_users": eventops.lapsed_users,
+        "user_event_paths": eventops.user_event_paths,
         "text_search_docs": _text_search_q,
         "exact_decontaminate_docs": docops.exact_decontaminate_docs,
         "source_lang_pivot": docops.source_lang_pivot,
@@ -1083,6 +1084,13 @@ def oracle_sql() -> dict[str, str]:
               ON a.user_id = b.user_id AND a.hr = b.hr
              AND a.event_type < b.event_type
             GROUP BY a.event_type, b.event_type
+        """,
+        "user_event_paths": """
+            SELECT user_id,
+                   string_agg(event_type, ','
+                              ORDER BY ts, event_id) AS path,
+                   count(*) AS n_events
+            FROM events GROUP BY user_id
         """,
         "lapsed_users": """
             SELECT DISTINCT user_id FROM events

@@ -1053,3 +1053,68 @@ def lapsed_users(sf_dir: str, active: str = "2024-01-01",
             pa.array(keep))})
 
     return agg.map_batches(_filter, batch_format="pyarrow")
+
+
+PATHS_SCHEMA = pa.schema([
+    ("user_id", pa.int64()),
+    ("path", pa.string()),
+    ("n_events", pa.int64()),
+])
+
+
+def paths_merge_partition(part: pa.Table) -> pa.Table:
+    """Ordered string-aggregation kernel: per user, the comma-joined
+    event-type sequence ordered by (ts, event_id) — ``string_agg(type,
+    ',' ORDER BY ts, id)``. One lexsort; the join itself is
+    ``pc.binary_join`` over a ListArray built straight from the run
+    offsets (no per-user Python, no bytes concatenation loop)."""
+    import numpy as np
+
+    if part.num_rows == 0:
+        return PATHS_SCHEMA.empty_table()
+    u = np.asarray(part["user_id"], np.int64)
+    ts = np.asarray(part["ts_us"], np.int64)
+    eid = np.asarray(part["event_id"], np.int64)
+    order = np.lexsort((eid, ts, u))
+    u_s = u[order]
+    starts = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]])
+    lens = np.diff(np.append(starts, len(u_s)))
+    tcol = part["event_type"].combine_chunks()
+    sorted_types = tcol.take(pa.array(order, pa.int64()))
+    offsets = pa.array(np.append(starts, len(u_s)).astype(np.int32),
+                       pa.int32())
+    if isinstance(sorted_types, pa.ChunkedArray):
+        sorted_types = sorted_types.combine_chunks()
+    la = pa.ListArray.from_arrays(offsets, sorted_types)
+    joined = pc.binary_join(la, ",")
+    return pa.table({
+        "user_id": pa.array(u_s[starts], pa.int64()),
+        "path": joined,
+        "n_events": pa.array(lens.astype(np.int64), pa.int64()),
+    }).cast(PATHS_SCHEMA)
+
+
+def user_event_paths(sf_dir: str):
+    """Per-user ordered event sequence (behavior strings for sequence
+    modeling / clickstream mining): `string_agg(event_type, ','
+    ORDER BY ts, event_id)` per user — one user exchange, then the
+    fully vectorized kernel above. Same co-location contract as
+    `sessionize_events`."""
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.exchange import exchange_map_groups
+
+    def _key(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch["event_id"],
+            "user_id": batch["user_id"],
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+            "event_type": batch["event_type"],
+        })
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    ).map_batches(_key, batch_format="pyarrow")
+    n_parts = resolve_num_partitions(DEFAULT_CONFIG)
+    return exchange_map_groups(ds, "user_id", n_parts,
+                               paths_merge_partition, PATHS_SCHEMA)

@@ -212,3 +212,24 @@ def test_cooccurrence_and_lapsed_match_duckdb(ray_session):
         want = _duckdb_rows(sf, o[name])
         assert got == want, name
     assert len(q["lapsed_users"](sf).take_all()) > 0
+
+
+@settings(max_examples=50, deadline=None)
+@given(_events)
+def test_paths_kernel_matches_nested_loop(evs):
+    from sourmash_ray.pipelines.eventops import paths_merge_partition
+
+    part = pa.table({
+        "event_id": pa.array(list(range(len(evs))), pa.int64()),
+        "user_id": pa.array([e[0] for e in evs], pa.int64()),
+        "ts_us": pa.array([e[1] for e in evs], pa.int64()),
+        "event_type": pa.array([e[2] for e in evs], pa.string()),
+    })
+    got = {r["user_id"]: (r["path"], r["n_events"])
+           for r in paths_merge_partition(part).to_pylist()}
+    want = {}
+    for u in set(e[0] for e in evs):
+        seq = sorted((ts, i) for i, (ou, ts, _) in enumerate(evs)
+                     if ou == u)
+        want[u] = (",".join(evs[i][2] for _, i in seq), len(seq))
+    assert got == want, (evs, got, want)
