@@ -377,6 +377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "above_avg_orders": relational.above_avg_orders,
         "moving_order_totals": relational.moving_order_totals,
         "customer_order_span": relational.customer_order_span,
+        "first_order_per_customer": relational.first_order_per_customer,
         "lexical_diversity_docs": docops.lexical_diversity_docs,
         "trigram_lm_score_docs": docops.trigram_lm_score_docs,
         "source_divergence_docs": docops.source_divergence_docs,
@@ -915,6 +916,16 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem, part
             WHERE l_partkey = p_partkey
             GROUP BY p_brand
+        """,
+        "first_order_per_customer": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(epoch_us(o_orderdate) AS BIGINT) AS date_us,
+                   CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                       AS price_cents
+            FROM (SELECT o.*, row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS rn
+                  FROM orders o)
+            WHERE rn = 1
         """,
         "customer_order_span": """
             SELECT o_custkey,

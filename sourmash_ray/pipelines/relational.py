@@ -1004,3 +1004,37 @@ def customer_order_span(sf_dir: str):
     ).map_batches(_prep, batch_format="pyarrow")
     return grouped_minmax(ds, ["o_custkey"], "date_us",
                           count_as="n_orders")
+
+
+def first_order_per_customer(sf_dir: str):
+    """Argmin ROW fetch: each customer's FIRST order (whole row, not
+    just the min date — the `row_number() = 1` fetch that
+    `customer_order_span`'s min/max cannot give). Rides `grouped_topk`
+    with the order key negated (topk is DESC-ordered), deterministic
+    orderkey tiebreak; ≤1 candidate row per customer per block ever
+    shuffles."""
+    import numpy as np
+
+    from ..stages.agg import grouped_topk
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        date_us = pc.cast(batch["o_orderdate"], pa.int64())
+        return pa.table({
+            "o_custkey": batch["o_custkey"],
+            "o_orderkey": batch["o_orderkey"],
+            "date_us": date_us,
+            "neg_date_us": pc.negate_checked(date_us),
+            "price_cents": pc.cast(
+                pc.round(pc.multiply(batch["o_totalprice"],
+                                     pa.scalar(1e2))), pa.int64()),
+        })
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate",
+                 "o_totalprice"],
+    ).map_batches(_prep, batch_format="pyarrow")
+    top = grouped_topk(ds, key="o_custkey", order_col="neg_date_us",
+                       k=1, tiebreak="o_orderkey")
+    return top.select_columns(
+        ["o_custkey", "o_orderkey", "date_us", "price_cents"])

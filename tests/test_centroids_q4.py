@@ -98,3 +98,19 @@ def test_above_avg_orders_matches_duckdb(ray_session):
                   con.sql(e.oracle_sql()["above_avg_orders"]).fetchall())
     assert got == want
     assert 0 < len(got)   # strictly-above filter is non-degenerate
+
+
+def test_first_order_per_customer_matches_duckdb(ray_session):
+    import duckdb
+
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM "
+            f"read_parquet('{sf}/orders.parquet')")
+    got = sorted(tuple(r[c] for c in r) for r in
+                 e.queries()["first_order_per_customer"](sf).take_all())
+    want = sorted(tuple(r) for r in con.sql(
+        e.oracle_sql()["first_order_per_customer"]).fetchall())
+    assert got == want
