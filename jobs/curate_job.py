@@ -47,6 +47,11 @@ def main():
         "exact_dedup": docops.exact_dedup_docs,
         "curated": docops.curate_docs,
         "langid": docops.langid_docs,
+        # round-3 gates: composite Gopher rules, exact-match benchmark
+        # leakage, LM-based quality score — each another streaming pass
+        "quality_gate": docops.quality_filter_docs,
+        "exact_decontam": docops.exact_decontaminate_docs,
+        "lm_score": docops.trigram_lm_score_docs,
     }
     t0 = time.perf_counter()
     counts = {}
