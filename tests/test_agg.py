@@ -428,3 +428,70 @@ def test_grouped_minmax_matches_python(ray_session, rows):
         lo, hi, n = want.get(k, (v, v, 0))
         want[k] = (min(lo, v), max(hi, v), n + 1)
     assert got == want
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 3), st.integers(0, 120)),
+                min_size=1, max_size=30),
+       st.integers(1, 10))
+def test_sessionize_matches_nested_loop(ray_session, tmp_path_factory,
+                                        evs, gap_min):
+    """Session windows vs a brute-force grouper (gap > threshold breaks
+    a session; per-user, exchange-partitioned)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sourmash_ray.pipelines.eventops import sessionize_events
+
+    d = tmp_path_factory.mktemp("sess")
+    base = 1_700_000_000_000_000
+    minute = 60_000_000
+    pq.write_table(pa.table({
+        "event_id": pa.array(list(range(len(evs))), pa.int64()),
+        "ts": pa.array([base + t * minute for _, t in evs],
+                       pa.timestamp("us")),
+        "user_id": pa.array([u for u, _ in evs], pa.int64()),
+        "event_type": pa.array(["view"] * len(evs), pa.string()),
+        "value": pa.array([1.0] * len(evs), pa.float64()),
+        "props": pa.array(["{}"] * len(evs), pa.string()),
+    }), f"{d}/events.parquet")
+
+    got = sorted((r["user_id"], r["session_start"].timestamp(),
+                  r["n_events"])
+                 for r in sessionize_events(str(d),
+                                            gap_minutes=gap_min)
+                 .take_all())
+    want = []
+    for u in set(e[0] for e in evs):
+        ts = sorted(t for ou, t in evs if ou == u)
+        start, n = ts[0], 1
+        for prev, cur in zip(ts, ts[1:]):
+            if cur - prev > gap_min:
+                want.append((u, (base + start * minute) / 1e6, n))
+                start, n = cur, 1
+            else:
+                n += 1
+        want.append((u, (base + start * minute) / 1e6, n))
+    assert got == sorted(want), (evs, gap_min)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.integers(-1000, 1000), min_size=1, max_size=60),
+       st.floats(0.01, 0.99))
+def test_quantiles_disc_matches_duckdb_property(ray_session, vals, q):
+    """quantile_disc parity over arbitrary int lists and q — the driver
+    hash check only exercises the four fixed qs."""
+    import duckdb
+    import pyarrow as pa
+
+    import ray
+
+    from sourmash_ray.stages.agg import quantiles_disc
+
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals, pa.int64())})
+                             ).repartition(3)
+    got = quantiles_disc(ds, "v", [q]).to_pylist()[0]["value"]
+    want = duckdb.connect().execute(
+        "SELECT quantile_disc(x, ?) FROM (SELECT unnest(?) AS x)",
+        [q, vals]).fetchone()[0]
+    assert got == want, (vals, q)
