@@ -75,3 +75,29 @@ def test_quantiles_skip_null_values(ray_session):
     # group with only NULL values vanishes (n == 0), like quantile_disc
     grp = grouped_quantiles_disc(ds, "g", "v", [0.5]).to_pylist()
     assert grp == [{"g": "x", "q": 0.5, "value": 1}]
+
+
+def test_round3_doc_ops_tolerate_null_text(null_sf):
+    from sourmash_ray.pipelines import docops
+
+    lex = {r["doc_id"]: r["n_tokens"]
+           for r in docops.lexical_diversity_docs(null_sf).take_all()}
+    assert set(lex) == {0, 3, 5, 6, 7}      # NULL/'' docs dropped
+    qf = {r["doc_id"]: r["kept"]
+          for r in docops.quality_filter_docs(null_sf).take_all()}
+    assert set(qf) == {0, 3, 5, 6, 7}
+    lm = {r["doc_id"]: (r["n_trigrams"], r["lm_score_e3"])
+          for r in docops.trigram_lm_score_docs(null_sf).take_all()}
+    assert len(lm) == 8
+    assert lm[1] == (0, None) and lm[2] == (0, None)   # NULL/'' -> NULL
+    assert lm[0][0] > 0 and lm[0][1] is not None
+    # doc 6 repeats doc 0's text -> exact contamination vs bench {0,1}
+    dec = {r["doc_id"]: r["contaminated"]
+           for r in docops.exact_decontaminate_docs(
+               null_sf, n_bench=2).take_all()}
+    assert dec[6] == 1 and dec[3] == 0
+    # NULL text normalizes to '' == doc 2's '' -> bench NULL (doc 1)
+    # contaminates the empty doc 4
+    assert dec[2] == 1 and dec[4] == 1
+    kl = docops.source_divergence_docs(null_sf).take_all()
+    assert {r["source"] for r in kl} <= {f"src{i}" for i in range(8)}
