@@ -395,6 +395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_search_docs": _text_search_q,
         "exact_decontaminate_docs": docops.exact_decontaminate_docs,
         "source_lang_pivot": docops.source_lang_pivot,
+        "source_lang_unpivot": docops.source_lang_unpivot,
         "lang_rollup_totals": docops.lang_rollup_totals,
         "value_quantiles_by_type": eventops.value_quantiles_by_type,
         "winsorized_value_totals": eventops.winsorized_value_totals,
@@ -1111,6 +1112,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT user_id FROM events
             WHERE ts >= TIMESTAMP '2024-01-02'
               AND ts < TIMESTAMP '2024-01-03'
+        """,
+        "source_lang_unpivot": """
+            SELECT source, lang, count(*) AS n
+            FROM documents WHERE lang IN ('de','en','es','fr','zh')
+            GROUP BY source, lang
         """,
         "source_lang_pivot": """
             SELECT source,

@@ -2127,3 +2127,31 @@ def source_divergence_docs(sf_dir: str):
         "n_trigrams": pa.array(dense.sum(axis=1).astype(np.int64),
                                pa.int64()),
     }))
+
+
+def source_lang_unpivot(sf_dir: str):
+    """UNPIVOT / melt — the inverse of `source_lang_pivot`: the wide
+    per-source count columns back to (source, lang, n) long form, one
+    repeat/tile expansion per batch (wide rows are ≤ sources, so this
+    is driver-scale data in exchange only for the pivot upstream).
+    Zero-count cells are dropped to match the plain GROUP BY oracle."""
+
+    wide = source_lang_pivot(sf_dir)
+
+    def _melt(t: pa.Table) -> pa.Table:
+        nsrc = t.num_rows
+        nl = len(_PIVOT_LANGS)
+        if nsrc == 0:
+            return pa.schema([("source", pa.string()),
+                              ("lang", pa.string()),
+                              ("n", pa.int64())]).empty_table()
+        counts = np.stack([np.asarray(t[f"n_{lg}"], np.int64)
+                           for lg in _PIVOT_LANGS], axis=1)
+        src = t["source"].combine_chunks().take(
+            pa.array(np.repeat(np.arange(nsrc), nl), pa.int64()))
+        lang = pa.array(list(_PIVOT_LANGS) * nsrc, pa.string())
+        out = pa.table({"source": src, "lang": lang,
+                        "n": pa.array(counts.ravel(), pa.int64())})
+        return out.filter(pc.greater(out["n"], 0))
+
+    return wide.map_batches(_melt, batch_format="pyarrow")

@@ -351,3 +351,20 @@ def test_doc_token_profile_matches_python_oracle(texts):
         assert n_uni[i] == len(set(toks)), (texts, i)
         assert sum_len[i] == sum(len(w) for w in toks), (texts, i)
         assert n_stop[i] == sum(w in ("a", "the") for w in toks)
+
+
+def test_unpivot_is_pivot_inverse(ray_session):
+    """melt(pivot(x)) == plain grouped counts (zero cells dropped)."""
+    import duckdb
+
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')")
+    got = sorted((r["source"], r["lang"], r["n"]) for r in
+                 e.queries()["source_lang_unpivot"](sf).take_all())
+    want = sorted(tuple(r) for r in con.sql(
+        e.oracle_sql()["source_lang_unpivot"]).fetchall())
+    assert got == want
