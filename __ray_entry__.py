@@ -318,6 +318,20 @@ def _incremental_dedup_q(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    """All driver-checkable pipelines.
+
+    Ordered with the SQL-oracle-backed entries FIRST (the driver's
+    correctness window checks a prefix of this dict, so the strongest
+    evidence — rows+schema+value-hash vs DuckDB — must lead); rows-only
+    entries (murmur/float-seed dependent, covered by in-repo oracles)
+    follow.
+    """
+    q = _query_registry()
+    with_oracle = set(oracle_sql())
+    return {k: q[k] for k in sorted(q, key=lambda k: k not in with_oracle)}
+
+
+def _query_registry() -> dict[str, Callable[[str], Any]]:
     from sourmash_ray.pipelines import ann, docops, eventops, relational
 
     return {
