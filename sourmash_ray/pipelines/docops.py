@@ -9,6 +9,7 @@ integers or explicitly rounded so the driver's value-hash compare is exact.
 
 from __future__ import annotations
 
+import binascii
 import hashlib
 
 import numpy as np
@@ -29,10 +30,42 @@ def _read_docs(sf_dir: str, columns=("doc_id", "text")):
                               columns=list(columns))
 
 
-def _md5_column(norm: pa.Array) -> pa.Array:
-    # hashlib over the normalized utf-8 bytes — identical to DuckDB md5()
-    return pa.array([hashlib.md5(s.encode()).hexdigest()
-                     for s in norm.to_pylist()], pa.string())
+def _md5_column(norm) -> pa.Array:
+    """md5 hex of each utf-8 string — identical to DuckDB ``md5()``.
+
+    Digests straight off the Arrow offsets/data buffers: one zero-copy
+    memoryview slice per row into hashlib's C digest, raw 16-byte digests
+    packed into one preallocated buffer, ONE ``binascii.hexlify`` for the
+    whole column, and the hex column rebuilt from constant-width offsets
+    (:func:`_s_fixed_to_string_array`). No per-row Python string / bytes
+    materialization — the remaining loop is bounded by the C digest cost
+    (this is the most-reused doc kernel: exact dedup, keep-best, md5short
+    picklist, exact decontamination, hash_split, shard_shuffle)."""
+    chunks = norm.chunks if isinstance(norm, pa.ChunkedArray) else [norm]
+    md5 = hashlib.md5
+    parts = []
+    for ch in chunks:
+        n = len(ch)
+        if n == 0:
+            continue
+        width = 8 if (pa.types.is_large_string(ch.type)
+                      or pa.types.is_large_binary(ch.type)) else 4
+        bufs = ch.buffers()
+        offs = np.frombuffer(bufs[1], dtype=np.int64 if width == 8
+                             else np.int32, count=n + 1,
+                             offset=ch.offset * width)
+        data = memoryview(bufs[2])
+        raw = bytearray(16 * n)
+        lo = offs[0]
+        for i in range(n):
+            hi = offs[i + 1]
+            raw[16 * i:16 * i + 16] = md5(data[lo:hi]).digest()
+            lo = hi
+        parts.append(raw)
+    if not parts:
+        return pa.array([], pa.string())
+    hexes = np.frombuffer(binascii.hexlify(b"".join(parts)), dtype="S32")
+    return _s_fixed_to_string_array(hexes)
 
 
 def _normalize_md5_batch(batch: pa.Table) -> pa.Table:
