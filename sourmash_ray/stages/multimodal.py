@@ -58,16 +58,32 @@ class MediaFeatureExtractor:
         arr = np.frombuffer(payload, dtype=np.uint8)
         return np.bincount(arr, minlength=256).astype(np.float64)
 
+    def _hist_rows(self, batch: pa.Table) -> np.ndarray:
+        """Per-row byte histograms in ONE pass over the concatenated
+        payload buffer: a single ``np.bincount`` keyed on
+        ``row_index*256 + byte`` (the vectorized twin of calling
+        :meth:`_decode_stub` per row — equality-tested)."""
+        col = batch["payload"].combine_chunks()
+        n = len(col)
+        bufs = col.buffers()
+        width = 8 if pa.types.is_large_binary(col.type) else 4
+        offs = np.frombuffer(
+            bufs[1], dtype=np.int64 if width == 8 else np.int32,
+            count=n + 1, offset=col.offset * width).astype(np.int64)
+        data = np.frombuffer(bufs[2], dtype=np.uint8)
+        lens = np.diff(offs)
+        row_of_byte = np.repeat(np.arange(n, dtype=np.int64), lens)
+        byte_vals = data[offs[0]:offs[n]].astype(np.int64)
+        return np.bincount(row_of_byte * 256 + byte_vals,
+                           minlength=n * 256).reshape(n, 256) \
+                 .astype(np.float64)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        payloads = batch["payload"].to_pylist()
-        feats = np.zeros((len(payloads), FEATURE_DIM), np.float64)
-        for i, p in enumerate(payloads):
-            if p:
-                hist = self._decode_stub(p)
-                feats[i] = hist @ self.proj
+        n = batch.num_rows
+        feats = self._hist_rows(batch) @ self.proj
         flat = pa.array(np.round(feats, 6).reshape(-1), pa.float64())
         offs = pa.array(
-            np.arange(len(payloads) + 1, dtype=np.int32) * FEATURE_DIM)
+            np.arange(n + 1, dtype=np.int32) * FEATURE_DIM)
         return pa.table({
             "media_id": batch["media_id"],
             "kind": batch["kind"],

@@ -128,6 +128,43 @@ def test_media_features_plumbing(ray_session):
     assert a == b
 
 
+def test_media_vectorized_hist_equals_per_row_loop():
+    """The one-bincount batched histogram must be bit-identical to calling
+    the per-payload stub decode row by row (incl. sliced batches and
+    empty payloads)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from sourmash_ray.stages.multimodal import (FEATURE_DIM,
+                                                MediaFeatureExtractor,
+                                                synth_media_table)
+
+    tbl = synth_media_table("/root/testdata/sf0.001")
+    ex = MediaFeatureExtractor()
+
+    def _loop_oracle(t: pa.Table) -> np.ndarray:
+        feats = np.zeros((t.num_rows, FEATURE_DIM), np.float64)
+        for i, p in enumerate(t["payload"].to_pylist()):
+            if p:
+                feats[i] = ex._decode_stub(p) @ ex.proj
+        return np.round(feats, 6)
+
+    def _flat(out: pa.Table) -> np.ndarray:
+        return np.asarray(out["features"].combine_chunks()
+                          .flatten()).reshape(-1, FEATURE_DIM)
+
+    assert np.array_equal(_flat(ex(tbl)), _loop_oracle(tbl))
+    sl = tbl.slice(100, 50)  # nonzero Arrow offset
+    assert np.array_equal(_flat(ex(sl)), _loop_oracle(sl))
+    empty = pa.table({
+        "media_id": pa.array([7], pa.int64()),
+        "kind": pa.array(["image"]),
+        "payload": pa.array([b""], pa.binary()),
+        "n_bytes": pa.array([0], pa.int64()),
+    })
+    assert _flat(ex(empty)).sum() == 0
+
+
 def test_partition_level_resume(ray_session, tmp_path):
     """The exchange's per-partition parquet checkpoints: delete one part,
     rerun — only the missing partition recomputes; output identical."""
