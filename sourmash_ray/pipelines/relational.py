@@ -33,51 +33,75 @@ def manifest_select(sf_dir: str):
     return ds.filter(expr="l_quantity > 45")
 
 
-def picklist_semi_join(sf_dir: str):
-    """Picklist include-style semi join (``picklist.py:265-319``,
-    PickStyle.INCLUDE): orders whose customer is in a small picked set.
+# A picklist is "small by definition" — until it isn't (this pick grows
+# linearly with the customer table). Above this many picked keys the
+# broadcast set would strain the driver/worker heaps, so the op switches
+# to the big-big semi/anti exchange join (same switch pattern as verify's
+# broadcast-vs-co-group budget).
+PICKLIST_BROADCAST_BUDGET = 200_000
 
-    The picklist side is tiny → broadcast it via ray.put and filter inside
-    map_batches instead of shuffling the big side (SURVEY.md §2.6
-    broadcast-small-side row).
+
+def _picklist_join_orders(sf_dir: str, anti: bool,
+                          broadcast_budget: int = PICKLIST_BROADCAST_BUDGET):
+    """Shared body of the picklist include/exclude joins: orders whose
+    customer is (semi) / is not (anti) in the picked set.
+
+    Within ``broadcast_budget`` picked keys: ray.put the sorted key set
+    once, ``pc.is_in`` filter inside map_batches — zero shuffle. Beyond
+    it: route through :func:`stages.join.hash_join_exchange`
+    (``left semi`` / ``left anti``) — both sides ship through the key
+    exchange, nothing materializes on the driver. Both branches are
+    equality-tested against each other (``tests/test_join.py`` pattern).
     """
     cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
                                  columns=["c_custkey", "c_mktsegment"])
     picked = cust.filter(expr="c_mktsegment == 'BUILDING'")
-    keys = {r["c_custkey"] for r in picked.take_all()}
-    keys_ref = ray.put(keys)
-
-    def _filter(batch: pa.Table) -> pa.Table:
-        k = ray.get(keys_ref)
-        mask = pc.is_in(batch["o_custkey"],
-                        value_set=pa.array(sorted(k), pa.int64()))
-        return batch.filter(mask)
-
     orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_totalprice"])
-    return orders.map_batches(_filter, batch_format="pyarrow")
+
+    # One bounded pull decides the branch AND supplies the broadcast set:
+    # limit() stops the scan early when the pick is over budget.
+    head = (picked.select_columns(["c_custkey"])
+            .limit(broadcast_budget + 1).take_all())
+    if len(head) <= broadcast_budget:
+        keys = pa.array(sorted({r["c_custkey"] for r in head}), pa.int64())
+        keys_ref = ray.put(keys)
+
+        def _filter(batch: pa.Table) -> pa.Table:
+            mask = pc.is_in(batch["o_custkey"], value_set=ray.get(keys_ref))
+            if anti:
+                mask = pc.invert(mask)
+            return batch.filter(mask)
+
+        return orders.map_batches(_filter, batch_format="pyarrow")
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.join import hash_join_exchange
+
+    joined = hash_join_exchange(
+        orders, picked.select_columns(["c_custkey"]),
+        key="o_custkey", left_cols=["o_orderkey", "o_totalprice"],
+        right_cols=[], n_parts=resolve_num_partitions(DEFAULT_CONFIG),
+        join_type="left anti" if anti else "left semi",
+        right_key="c_custkey")
+    return joined.select_columns(["o_orderkey", "o_custkey",
+                                  "o_totalprice"])
+
+
+def picklist_semi_join(sf_dir: str):
+    """Picklist include-style semi join (``picklist.py:265-319``,
+    PickStyle.INCLUDE): orders whose customer is in the picked set —
+    broadcast within budget, key exchange beyond
+    (:func:`_picklist_join_orders`)."""
+    return _picklist_join_orders(sf_dir, anti=False)
 
 
 def picklist_anti_join(sf_dir: str):
     """Picklist exclude-style anti join (PickStyle.EXCLUDE,
-    ``picklist.py:49-52``)."""
-    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
-                                 columns=["c_custkey", "c_mktsegment"])
-    picked = cust.filter(expr="c_mktsegment == 'BUILDING'")
-    keys = {r["c_custkey"] for r in picked.take_all()}
-    keys_ref = ray.put(keys)
-
-    def _filter(batch: pa.Table) -> pa.Table:
-        k = ray.get(keys_ref)
-        mask = pc.invert(pc.is_in(
-            batch["o_custkey"], value_set=pa.array(sorted(k), pa.int64())))
-        return batch.filter(mask)
-
-    orders = read_parquet_clean(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_custkey", "o_totalprice"])
-    return orders.map_batches(_filter, batch_format="pyarrow")
+    ``picklist.py:49-52``) — broadcast within budget, key exchange
+    beyond (:func:`_picklist_join_orders`)."""
+    return _picklist_join_orders(sf_dir, anti=True)
 
 
 def topk_orders(sf_dir: str, k: int = 25):

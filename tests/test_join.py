@@ -518,3 +518,23 @@ def test_composite_key_overflow_guards_raise():
     })
     with pytest.raises(ValueError, match="overflows"):
         asof_merge_partition(asof_part)
+
+
+def test_picklist_joins_broadcast_equals_exchange(ray_session):
+    """The picklist semi/anti ops must return identical rows whichever
+    branch the broadcast budget selects (budget=0 forces the big-big
+    exchange path)."""
+    from sourmash_ray.pipelines.relational import _picklist_join_orders
+
+    sf = "/root/testdata/sf0.001"
+    for anti in (False, True):
+        fast = _picklist_join_orders(sf, anti=anti)
+        forced = _picklist_join_orders(sf, anti=anti, broadcast_budget=0)
+        cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+
+        def _rows(ds):
+            return sorted(tuple(r[c] for c in cols) for r in ds.take_all())
+
+        a, b = _rows(fast), _rows(forced)
+        assert a == b
+        assert len(a) > 0
