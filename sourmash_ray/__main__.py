@@ -20,15 +20,20 @@ import json
 import sys
 
 
-def _init_ray(num_cpus: int | None):
+def _init_ray(num_cpus: int | None) -> bool:
+    """Guarded init; returns True when THIS process created the session
+    (only then does the CLI shut it down — a caller-owned session, e.g.
+    the test fixture's, is left alone)."""
     import ray
 
-    if not ray.is_initialized():
-        kwargs = dict(address="local", include_dashboard=False,
-                      logging_level="ERROR")
-        if num_cpus:
-            kwargs["num_cpus"] = num_cpus
-        ray.init(**kwargs)
+    if ray.is_initialized():
+        return False
+    kwargs = dict(address="local", include_dashboard=False,
+                  logging_level="ERROR")
+    if num_cpus:
+        kwargs["num_cpus"] = num_cpus
+    ray.init(**kwargs)
+    return True
 
 
 def _sigs(args):
@@ -114,11 +119,25 @@ def main(argv=None):
     sg.add_argument("--pattern", default=None)
     sg.add_argument("--prefix", default="renamed_")
 
+    # plugin-registered subcommands (cli_script hook): `scripts <command>`
+    from . import plugins as _plugins
+
+    scripts_help = "plugin subcommands:\n  " + "\n  ".join(
+        _plugins.get_cli_scripts_descriptions())
+    scr = sub.add_parser(
+        "scripts", description=scripts_help,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+        help="plugin-registered subcommands (cli_script hook)")
+    scr_sub = scr.add_subparsers(dest="script_cmd", required=True)
+    script_objs = _plugins.add_cli_scripts(scr_sub)
+
     args = p.parse_args(argv)
-    _init_ray(args.num_cpus)
+    owns_ray = _init_ray(args.num_cpus)
     import ray
 
     try:
+        if args.cmd == "scripts":
+            return script_objs[args.script_cmd].main(args)
         from .config import DEFAULT_CONFIG
 
         if args.cmd == "sketch":
@@ -311,7 +330,8 @@ def main(argv=None):
             for r in out.take(25):
                 print(json.dumps(r))
     finally:
-        ray.shutdown()
+        if owns_ray:
+            ray.shutdown()
 
 
 if __name__ == "__main__":

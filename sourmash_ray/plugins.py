@@ -28,6 +28,72 @@ from bisect import insort
 
 _LOADERS: list[tuple[int, str, object]] = []  # (priority, name, fn)
 _SAVERS: dict[str, object] = {}               # scheme/suffix -> fn
+_CLI_SCRIPTS: dict[str, type] = {}            # command -> CommandLinePlugin
+
+
+class CommandLinePlugin:
+    """Base class for ``cli_script`` plugins — the reference's
+    plugin-registered-subcommand surface (``plugins.py:91-110``): a
+    subclass sets ``command`` (the subcommand name) and ``description``,
+    extends the argparse subparser in ``__init__(parser)`` (calling
+    ``super().__init__(parser)`` for the common flags), and implements
+    ``main(args)``. Registered classes appear under
+    ``python -m sourmash_ray scripts <command>``.
+    """
+
+    command: str | None = None
+    description: str | None = None
+
+    def __init__(self, parser):
+        parser.add_argument("-q", "--quiet", action="store_true",
+                            help="suppress non-error output")
+        parser.add_argument("-d", "--debug", action="store_true",
+                            help="provide debugging output")
+
+    def main(self, args):  # pragma: no cover - overridden by plugins
+        return 0
+
+
+def register_cli_script(script_cls: type) -> None:
+    """Register a :class:`CommandLinePlugin` subclass as a CLI
+    subcommand (the ``cli_script`` entry-point hook; explicit
+    registration replaces package-metadata discovery, as for loaders)."""
+    command = getattr(script_cls, "command", None)
+    if not command:
+        raise ValueError(
+            f"cli_script plugin {script_cls!r} provides no 'command'")
+    _CLI_SCRIPTS[command] = script_cls
+
+
+def cli_scripts() -> dict[str, type]:
+    return dict(_CLI_SCRIPTS)
+
+
+def get_cli_scripts_descriptions():
+    """One-line description per registered script (for ``scripts``
+    help text; reference ``get_cli_scripts_descriptions``)."""
+    for command in sorted(_CLI_SCRIPTS):
+        cls = _CLI_SCRIPTS[command]
+        description = (cls.description or "").strip().splitlines()
+        desc = (description[0] if description
+                else f"(no description provided by plugin {command!r})")
+        yield f"scripts {command:16s} - {desc}"
+
+
+def add_cli_scripts(subparsers) -> dict[str, "CommandLinePlugin"]:
+    """Wire every registered script into an argparse subparsers object;
+    returns ``{command: plugin instance}`` for dispatch (reference
+    ``add_cli_scripts``)."""
+    objs = {}
+    for command in sorted(_CLI_SCRIPTS):
+        cls = _CLI_SCRIPTS[command]
+        sp = subparsers.add_parser(
+            command,
+            usage=getattr(cls, "usage", None),
+            description=getattr(cls, "description", None),
+            epilog=getattr(cls, "epilog", None))
+        objs[command] = cls(sp)
+    return objs
 
 
 def register_loader(name: str, fn, priority: int = 50) -> None:

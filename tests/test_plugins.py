@@ -92,3 +92,59 @@ def test_csv_loader_and_krona_writer(ray_session, tmp_path):
     out = write_krona("/root/testdata/sf0.001", str(tmp_path / "k.tsv"))
     first = open(out).readline().strip().split("\t")
     assert first == ["fraction", "region", "nation"]
+
+
+def test_cli_script_plugin_round_trip(ray_session, tmp_path, capsys):
+    """The cli_script hook (reference plugins.py:91-188): a registered
+    CommandLinePlugin subclass becomes a `scripts <command>` subcommand
+    that parses its own args, runs under the live Ray session, and
+    returns its exit code through the CLI entry point."""
+    import json
+
+    import ray
+
+    from sourmash_ray.__main__ import main
+    from sourmash_ray.plugins import (CommandLinePlugin, _CLI_SCRIPTS,
+                                      cli_scripts,
+                                      get_cli_scripts_descriptions,
+                                      register_cli_script)
+
+    class CountDocs(CommandLinePlugin):
+        command = "count-docs"
+        description = "count documents rows via Ray Data"
+
+        def __init__(self, parser):
+            super().__init__(parser)
+            parser.add_argument("--sf", required=True)
+
+        def main(self, args):
+            import ray.data
+
+            n = ray.data.read_parquet(
+                f"{args.sf}/documents.parquet").count()
+            print(json.dumps({"docs": n, "quiet": args.quiet}))
+            return 0
+
+    class NoCommand(CommandLinePlugin):
+        pass
+
+    import pytest
+
+    with pytest.raises(ValueError, match="no 'command'"):
+        register_cli_script(NoCommand)
+
+    register_cli_script(CountDocs)
+    try:
+        assert "count-docs" in cli_scripts()
+        assert any("count-docs" in line
+                   for line in get_cli_scripts_descriptions())
+        rc = main(["scripts", "count-docs", "--sf",
+                   "/root/testdata/sf0.001", "-q"])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["docs"] > 0
+        assert out["quiet"] is True
+        # the CLI must NOT shut down a session it did not create
+        assert ray.is_initialized()
+    finally:
+        _CLI_SCRIPTS.pop("count-docs", None)
