@@ -209,6 +209,16 @@ def _compare_containment_q(sf_dir: str):
                          metric="containment")
 
 
+def _compare_ordered_q(sf_dir: str):
+    """compare + dendrogram leaf order / flat clusters — the
+    computational half of the reference's ``plot`` (fig.py:26-94):
+    single-linkage over the sparse pair rows, no scipy/matplotlib."""
+    from sourmash_ray.stages.cluster_order import compare_ordered
+
+    return compare_ordered(_sigs_for(sf_dir).limit(40).materialize(),
+                           cut=0.5)
+
+
 def _sig_downsample_q(sf_dir: str):
     from sourmash_ray.stages.sigops import describe_sigs, downsample_sigs
 
@@ -342,6 +352,7 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "multigather_transcripts": _multigather_q,
         "compare_exact_small": _compare_q,
         "compare_containment_small": _compare_containment_q,
+        "compare_ordered_small": _compare_ordered_q,
         "categorize_transcripts": _categorize_q,
         "sig_downsample": _sig_downsample_q,
         "sig_describe": _sig_describe_q,
