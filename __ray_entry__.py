@@ -439,6 +439,7 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms_docs": docops.tfidf_top_terms_docs,
         "decontaminate_docs": docops.decontaminate_docs,
         "curate_docs": docops.curate_docs,
+        "curate_job_docs": docops.curate_job_docs,
         "stratified_sample_docs": docops.stratified_sample_docs,
         "length_quantiles_docs": docops.length_quantiles_docs,
         "length_quantiles_by_lang": docops.length_quantiles_by_lang,
@@ -817,6 +818,56 @@ def oracle_sql() -> dict[str, str]:
                               substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                               AS UBIGINT) % 8 AS shard
                   FROM documents)
+        """,
+        "curate_job_docs": """
+            WITH h AS (
+              SELECT doc_id, n_chars,
+                     md5(trim(regexp_replace(lower(coalesce(text, '')),
+                              '[ \t\n\r\f\v]+', ' ', 'g'))) AS m,
+                     list_filter(string_split(coalesce(text, ''), ' '),
+                                 x -> len(x) > 0) AS toks
+              FROM documents),
+            prof AS (
+              SELECT doc_id, n_chars, m,
+                     CAST(len(toks) AS BIGINT) AS n_words,
+                     CAST(coalesce(list_sum(list_transform(
+                         toks, x -> len(x))), 0) AS BIGINT) AS sum_len,
+                     CAST(len(list_filter(toks,
+                         x -> x = 'a' OR x = 'the')) AS BIGINT) AS n_stop
+              FROM h WHERE len(toks) > 0),
+            gated AS (
+              SELECT doc_id, n_chars, m FROM prof
+              WHERE doc_id >= 25
+                AND n_words BETWEEN 20 AND 80
+                AND sum_len * 1000 // n_words BETWEEN 3800 AND 5200
+                AND n_stop * 1000000 // n_words >= 20000
+                AND m NOT IN (SELECT m FROM h WHERE doc_id < 25)),
+            dedup AS (
+              SELECT min(doc_id) AS doc_id FROM gated GROUP BY m),
+            dd AS (
+              SELECT g.doc_id, g.n_chars
+              FROM gated g JOIN dedup USING (doc_id)),
+            s AS (
+              SELECT doc_id, n_chars,
+                     md5(CAST(doc_id AS VARCHAR)) AS hh,
+                     CAST(concat('0x',
+                          substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS UBIGINT) % 8 AS shard
+              FROM dd),
+            p AS (
+              SELECT doc_id, shard, n_chars,
+                     sum(n_chars) OVER (PARTITION BY shard
+                                        ORDER BY hh, doc_id
+                                        ROWS UNBOUNDED PRECEDING)
+                         - n_chars AS start
+              FROM s)
+            SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+                   CAST(start AS BIGINT) AS start_char,
+                   CAST(start // 2048 AS BIGINT) AS start_seq,
+                   CAST(start % 2048 AS BIGINT) AS start_offset,
+                   CAST((start + greatest(n_chars, 1) - 1) // 2048
+                        AS BIGINT) AS end_seq
+            FROM p
         """,
         "pack_docs_offsets": """
             WITH s AS (

@@ -88,9 +88,19 @@ def run_all(sf_dir: str) -> dict:
     qs = e.queries()
     names = ["dedup_transcripts", "exact_dedup_docs", "minhash_dedup_docs",
              "simhash_docs", "ann_topk", "tumbling_window_counts",
-             "pricing_summary", "sessionize_events", "docs_global_ranked"]
+             "pricing_summary", "sessionize_events", "docs_global_ranked",
+             # training-data composites (round 4): the end-to-end curation
+             # job, incremental dedup vs the persisted band index, and a
+             # text-index search. The two index-backed queries are timed
+             # WARM (an untimed first call builds the /tmp-cached index)
+             # — the steady state of a daily-delta / serving workload.
+             "curate_job_docs", "incremental_dedup_docs",
+             "text_search_docs"]
+    warm_first = {"incremental_dedup_docs", "text_search_docs"}
     out = {}
     for name in names:
+        if name in warm_first:
+            _consume(qs[name](sf_dir))
         t0 = time.perf_counter()
         _consume(qs[name](sf_dir))
         out[name] = round(time.perf_counter() - t0, 3)

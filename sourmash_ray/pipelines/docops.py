@@ -1089,6 +1089,104 @@ def curate_docs(sf_dir: str, n_bench: int = 10,
             .map_batches(_keep, batch_format="pyarrow"))
 
 
+CURATE_JOB_SCHEMA = pa.schema([("doc_id", pa.int64()),
+                               ("n_chars", pa.int64())])
+
+
+def curate_job_docs(sf_dir: str, n_bench: int = 25, n_shards: int = 8,
+                    max_len: int = 2048,
+                    cfg: EngineConfig = DEFAULT_CONFIG):
+    """The full training-data curation JOB, end to end: Gopher quality
+    gate → exact-md5 benchmark decontamination → exact dedup (keep min
+    doc_id per normalized text) → GPT sequence-packing offsets over the
+    survivors. What a 100 TB pre-training run actually executes before
+    tokenization, as ONE streaming pipeline:
+
+    - stage 1 is map-only (profile + gate + bench-set membership + a
+      block-local dedup pre-pick — only candidate representatives leave
+      the block; the bench md5 set is built off-driver and broadcast);
+    - stage 2 is the one content-hash exchange resolving the global
+      representative per distinct text (md5 string co-locates AND
+      decides — no 64-bit-collision risk);
+    - stage 3 is :func:`pack_offsets`'s shard exchange (24-byte rows).
+
+    Two bounded exchanges total, both over already-reduced rows; the
+    corpus text is read exactly once. Fully SQL-expressible, so the
+    composite has a DuckDB oracle twin (the component oracles composed
+    as CTEs)."""
+    from ..config import resolve_num_partitions
+    from ..functions.segscore import _to_bytes_array, hash_strings64
+    from ..stages.exchange import exchange_map_groups
+
+    path = f"{sf_dir}/documents.parquet"
+    bench_ref = _ray.remote(_bench_md5_set).remote(path, n_bench)
+    group_parts = cfg.exec.group_parts
+    partial_schema = pa.schema([
+        ("text_md5", pa.string()), ("doc_id", pa.int64()),
+        ("n_chars", pa.int64()), ("md5_part", pa.int64())])
+
+    def _gate_partial(batch: pa.Table) -> pa.Table:
+        bench = _ray.get(bench_ref)
+        _, n_tok, _, sum_len, n_stop = _doc_token_profile(batch)
+        div = np.maximum(n_tok, 1)
+        mwl = sum_len * 1000 // div
+        stp = n_stop * 1_000_000 // div
+        md5col = _normalize_md5_batch(batch)["text_md5"]
+        if isinstance(md5col, pa.ChunkedArray):
+            md5col = md5col.combine_chunks()
+        mb = _to_bytes_array(md5col)
+        if bench.size:
+            w = max(mb.dtype.itemsize, bench.dtype.itemsize)
+            bw = bench.astype(f"S{w}")
+            pos = np.minimum(np.searchsorted(bw, mb.astype(f"S{w}")),
+                             len(bw) - 1)
+            hit = bw[pos] == mb.astype(f"S{w}")
+        else:
+            hit = np.zeros(len(mb), bool)
+        keep = ((n_tok >= QUALITY_WORDS_LO) & (n_tok <= QUALITY_WORDS_HI)
+                & (mwl >= QUALITY_MWL_LO_E3) & (mwl <= QUALITY_MWL_HI_E3)
+                & (stp >= QUALITY_STOP_MIN_E6) & ~hit)
+        ids = np.asarray(batch["doc_id"], np.int64)[keep]
+        nch = np.asarray(batch["n_chars"], np.int64)[keep]
+        m = mb[keep]
+        if not len(m):
+            return partial_schema.empty_table()
+        order = np.lexsort((ids, m))
+        m_s, ids_s, nch_s = m[order], ids[order], nch[order]
+        first = np.r_[True, m_s[1:] != m_s[:-1]]
+        u = m_s[first]
+        return pa.table({
+            "text_md5": _s_fixed_to_string_array(u),
+            "doc_id": pa.array(ids_s[first], pa.int64()),
+            "n_chars": pa.array(nch_s[first], pa.int64()),
+            "md5_part": pa.array(hash_strings64(u) % group_parts,
+                                 pa.int64()),
+        })
+
+    def _resolve(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return CURATE_JOB_SCHEMA.empty_table()
+        m = _to_bytes_array(part["text_md5"])
+        ids = np.asarray(part["doc_id"], np.int64)
+        nch = np.asarray(part["n_chars"], np.int64)
+        order = np.lexsort((ids, m))
+        m_s, ids_s, nch_s = m[order], ids[order], nch[order]
+        first = np.r_[True, m_s[1:] != m_s[:-1]]
+        return pa.table({
+            "doc_id": pa.array(ids_s[first], pa.int64()),
+            "n_chars": pa.array(nch_s[first], pa.int64()),
+        })
+
+    gated = (read_parquet_clean(
+        path, columns=["doc_id", "text", "n_chars"])
+        .filter(expr=f"doc_id >= {n_bench}")
+        .map_batches(_gate_partial, batch_format="pyarrow"))
+    kept = exchange_map_groups(gated, "md5_part",
+                               2 * resolve_num_partitions(cfg),
+                               _resolve, CURATE_JOB_SCHEMA)
+    return pack_offsets(kept, n_shards=n_shards, max_len=max_len)
+
+
 # ---------------------------------------------------------------------------
 # term frequency / TF-IDF — the vocabulary-statistics family
 # ---------------------------------------------------------------------------
@@ -1237,6 +1335,14 @@ def pack_docs_offsets(sf_dir: str, n_shards: int = 8,
     the shard exchange, one lexsort + prefix-sum per partition); offsets
     are a pure function of identity + length, so reruns and different
     cluster sizes are byte-identical and a loader can resume mid-epoch."""
+    return pack_offsets(_read_docs(sf_dir, ("doc_id", "n_chars")),
+                        n_shards=n_shards, max_len=max_len)
+
+
+def pack_offsets(ds, n_shards: int = 8, max_len: int = 2048):
+    """Sequence-packing offsets over any (doc_id, n_chars) Dataset —
+    the :func:`pack_docs_offsets` kernel, reusable downstream of a
+    curation/dedup stage (see :func:`curate_job_docs`)."""
     from ..functions.segscore import _to_bytes_array
     from ..stages.exchange import exchange_map_groups
 
@@ -1277,8 +1383,7 @@ def pack_docs_offsets(sf_dir: str, n_shards: int = 8,
             "end_seq": pa.array(end // max_len, pa.int64()),
         })
 
-    keyed = _read_docs(sf_dir, ("doc_id", "n_chars")).map_batches(
-        _key, batch_format="pyarrow")
+    keyed = ds.map_batches(_key, batch_format="pyarrow")
     return exchange_map_groups(keyed, "shard", n_shards, _pack,
                                PACK_SCHEMA)
 

@@ -200,3 +200,48 @@ def test_keep_best_dedup_prefers_longest(ray_session, tmp_path):
     kept = {r["doc_id"] for r in rows}
     assert kept == {1, 4, 5}
     assert len(rows) == 3
+
+
+def test_curate_job_composes_its_component_ops(ray_session):
+    """curate_job_docs == quality gate ∩ not-contaminated ∩ exact-dedup
+    representatives, then pack_offsets — checked by composing the
+    standalone component queries on the same corpus."""
+    from sourmash_ray.pipelines import docops
+
+    sf = "/root/testdata/sf0.001"
+    out = {r["doc_id"]: r for r in docops.curate_job_docs(sf).take_all()}
+
+    quality_kept = {r["doc_id"] for r in
+                    docops.quality_filter_docs(sf).take_all()
+                    if r["kept"] == 1}
+    clean = {r["doc_id"] for r in
+             docops.exact_decontaminate_docs(sf).take_all()
+             if r["contaminated"] == 0}
+    gated = quality_kept & clean  # doc_id >= 25 implied by decontaminate
+
+    # expected representatives: min doc_id per text_md5 WITHIN the gated
+    # set (can't reuse exact_dedup_docs reps — they dedup the full corpus)
+    import duckdb
+
+    want = {r[0] for r in duckdb.sql(f"""
+        SELECT min(doc_id) FROM (
+          SELECT doc_id,
+                 md5(trim(regexp_replace(lower(coalesce(text, '')),
+                          '[ \t\n\r\f\v]+', ' ', 'g'))) AS m
+          FROM read_parquet('{sf}/documents.parquet')
+          WHERE doc_id IN ({",".join(map(str, sorted(gated)))}))
+        GROUP BY m""").fetchall()}
+    assert set(out) == want
+
+    # offsets must agree with pack_offsets over exactly the kept docs
+    import ray.data
+
+    kept_ds = (ray.data.read_parquet(f"{sf}/documents.parquet",
+                                     columns=["doc_id", "n_chars"])
+               .filter(lambda r: r["doc_id"] in want))
+    repacked = {r["doc_id"]: r for r in
+                docops.pack_offsets(kept_ds).take_all()}
+    assert {k: (v["shard"], v["start_char"], v["end_seq"])
+            for k, v in out.items()} == \
+           {k: (v["shard"], v["start_char"], v["end_seq"])
+            for k, v in repacked.items()}
