@@ -209,6 +209,49 @@ def _compare_containment_q(sf_dir: str):
                          metric="containment")
 
 
+def _watch_q(sf_dir: str):
+    """``sourmash watch`` as a driver query: a deterministic stream
+    fixture (the turns of the corpus's first conversations in stable
+    (conv_id, turn_idx) order) watched against the sketch store —
+    incremental driver-held sketch, periodic distributed best-only scan,
+    early stop on first hit. Returns the one-row watch report."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from sourmash_ray.pipelines.sourmash_parity import watch_stream
+    from sourmash_ray.sources.transcripts import transcripts_path
+
+    sigs = _sigs_for(sf_dir)
+    turns = (ray.data.read_parquet(transcripts_path(sf_dir),
+                                   columns=["conv_id", "turn_idx", "text"])
+             .filter(expr="conv_id <= 'c0000002'")
+             .sort(["conv_id", "turn_idx"]).take_all())
+    res = watch_stream((r["text"] for r in turns), sigs,
+                       threshold=0.05, watermark=16)
+    res["best_score"] = round(float(res["best_score"] or 0.0), 6)
+    return pa.Table.from_pylist([res])
+
+
+def _sbt_search_q(sf_dir: str):
+    """SBT index build + pruned-DFS threshold search as a driver query
+    (reference ``index`` → ``search --containment`` over the tree):
+    bulk chunked partial-OR build, then the bloom-bounded descent."""
+    import numpy as np
+    import pyarrow as pa
+
+    from sourmash_ray.stages.sbt import build_sbt
+
+    sigs = _sigs_for(sf_dir).limit(64).materialize()
+    tree = build_sbt(sigs)
+    q_row = min(sigs.take_all(), key=lambda r: r["conv_id"])
+    hits = tree.search(np.asarray(q_row["mins"], np.uint64),
+                       threshold=0.05)
+    return pa.Table.from_pylist([
+        {"conv_id": h["conv_id"], "score": round(h["score"], 6)}
+        for h in hits])
+
+
 def _compare_ordered_q(sf_dir: str):
     """compare + dendrogram leaf order / flat clusters — the
     computational half of the reference's ``plot`` (fig.py:26-94):
@@ -353,6 +396,8 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "compare_exact_small": _compare_q,
         "compare_containment_small": _compare_containment_q,
         "compare_ordered_small": _compare_ordered_q,
+        "watch_transcripts": _watch_q,
+        "sbt_search_transcripts": _sbt_search_q,
         "categorize_transcripts": _categorize_q,
         "sig_downsample": _sig_downsample_q,
         "sig_describe": _sig_describe_q,
