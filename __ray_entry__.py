@@ -471,6 +471,11 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "winsorized_value_totals": eventops.winsorized_value_totals,
         "props_key_stats": eventops.props_key_stats,
         "order_count_histogram": relational.order_count_histogram,
+        "forecast_revenue": relational.forecast_revenue,
+        "linestatus_priority_counts":
+            relational.linestatus_priority_counts,
+        "promo_revenue_monthly": relational.promo_revenue_monthly,
+        "session_length_histogram": eventops.session_length_histogram,
         "budget_sample_docs": docops.budget_sample_docs,
         "docs_global_ranked": docops.docs_global_ranked,
         "mixing_weights_docs": docops.mixing_weights_docs,
@@ -863,6 +868,65 @@ def oracle_sql() -> dict[str, str]:
                               substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                               AS UBIGINT) % 8 AS shard
                   FROM documents)
+        """,
+        "forecast_revenue": """
+            SELECT CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                            * CAST(round(l_discount * 100, 0) AS BIGINT))
+                        AS BIGINT) AS revenue_e4,
+                   count(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "linestatus_priority_counts": """
+            SELECT l_linestatus,
+                   CAST(sum(CASE WHEN o_orderpriority IN
+                                      ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN
+                                      ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT)
+                       AS low_line_count
+            FROM orders, lineitem
+            WHERE o_orderkey = l_orderkey
+            GROUP BY l_linestatus
+        """,
+        "promo_revenue_monthly": """
+            SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP)
+                       AS ship_month,
+                   CAST(sum(CASE WHEN p_type = 'PROMO' THEN
+                            CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100, 0)
+                                          AS BIGINT))
+                            ELSE 0 END) AS BIGINT) AS promo_rev_e4,
+                   CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100, 0)
+                                          AS BIGINT)))
+                        AS BIGINT) AS total_rev_e4
+            FROM lineitem, part
+            WHERE l_partkey = p_partkey
+            GROUP BY 1
+        """,
+        "session_length_histogram": """
+            WITH g AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS brk
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (
+              SELECT user_id, ts,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sess
+              FROM g),
+            sess AS (
+              SELECT user_id, sess, count(*) AS n_events
+              FROM s GROUP BY user_id, sess)
+            SELECT n_events, count(*) AS n_sessions
+            FROM sess GROUP BY n_events
         """,
         "curate_job_docs": """
             WITH h AS (

@@ -1118,3 +1118,16 @@ def user_event_paths(sf_dir: str):
     n_parts = resolve_num_partitions(DEFAULT_CONFIG)
     return exchange_map_groups(ds, "user_id", n_parts,
                                paths_merge_partition, PATHS_SCHEMA)
+
+
+def session_length_histogram(sf_dir: str, gap_minutes: int = 30):
+    """Distribution of session lengths (how many sessions have k events)
+    — the engagement-shape summary on top of :func:`sessionize_events`.
+    One extra constant-size combine over the session rows; the events
+    table still crosses the wire exactly once (inside sessionize's user
+    exchange), and the histogram cells are bounded by the session-length
+    DOMAIN, not the row count."""
+    from ..stages.agg import grouped_sums
+
+    return grouped_sums(sessionize_events(sf_dir, gap_minutes),
+                        ["n_events"], [], count_as="n_sessions")

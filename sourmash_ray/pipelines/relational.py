@@ -1062,3 +1062,181 @@ def first_order_per_customer(sf_dir: str):
                        k=1, tiebreak="o_orderkey")
     return top.select_columns(
         ["o_custkey", "o_orderkey", "date_us", "price_cents"])
+
+
+def forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape — the pure filter + global aggregate: shipped in
+    1996, discount in [5%, 7%], quantity < 24; revenue = Σ price·discount
+    as an exact integer (cents × basis points = 1e-4 dollars).
+
+    The cheapest possible distributed plan: a 4-column pruned scan,
+    in-kernel predicate, ONE partial row per block through a
+    constant-key combine — at 100 TB this moves n_blocks rows, total.
+    """
+    import numpy as np
+
+    from ..stages.agg import grouped_sums
+
+    lo = np.datetime64("1996-01-01", "us")
+    hi = np.datetime64("1997-01-01", "us")
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ship = np.asarray(batch["l_shipdate"], "datetime64[us]")
+        disc = np.asarray(batch["l_discount"], np.float64)
+        qty = np.asarray(batch["l_quantity"], np.float64)
+        price = np.asarray(batch["l_extendedprice"], np.float64)
+        keep = ((ship >= lo) & (ship < hi)
+                & (disc >= 0.05) & (disc <= 0.07) & (qty < 24))
+        rev = (np.rint(price[keep] * 100).astype(np.int64)
+               * np.rint(disc[keep] * 100).astype(np.int64))
+        return pa.table({
+            "one": pa.array([0], pa.int64()),
+            "rev_e4": pa.array([int(rev.sum())], pa.int64()),
+            "n": pa.array([int(keep.sum())], pa.int64()),
+        })
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_discount", "l_quantity",
+                 "l_extendedprice"]).map_batches(
+        _partial, batch_format="pyarrow")
+    out = grouped_sums(ds, ["one"], ["rev_e4", "n"])
+    return out.map_batches(
+        lambda t: pa.table({"revenue_e4": t["sum_rev_e4"],
+                            "n_items": t["sum_n"]}),
+        batch_format="pyarrow")
+
+
+def linestatus_priority_counts(sf_dir: str):
+    """TPC-H Q12 shape — big-big join + conditional aggregation: per
+    lineitem linestatus, how many items belong to high-priority orders
+    (1-URGENT / 2-HIGH) vs the rest.
+
+    The lineitem side pre-aggregates to (orderkey, linestatus, n) inside
+    the map (block-local combine — multi-line orders collapse before the
+    wire), then one key exchange joins it against the orders projection
+    and two conditional partial sums ride :func:`grouped_sums`.
+    """
+    import numpy as np
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.agg import grouped_sums
+    from ..stages.join import hash_join_exchange
+
+    def _line_partial(batch: pa.Table) -> pa.Table:
+        ok = np.asarray(batch["l_orderkey"], np.int64)
+        st = np.asarray(
+            pc.fill_null(pc.index_in(
+                batch["l_linestatus"],
+                value_set=pa.array(["F", "O"])), -1), np.int64)
+        key = ok * 2 + st
+        order = np.argsort(key, kind="stable")
+        k_s = key[order]
+        first = np.r_[True, k_s[1:] != k_s[:-1]]
+        cnt = np.diff(np.r_[np.flatnonzero(first), len(k_s)])
+        u = k_s[first]
+        return pa.table({
+            "l_orderkey": pa.array(u // 2, pa.int64()),
+            "status_idx": pa.array(u % 2, pa.int64()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    lines = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linestatus"]).map_batches(
+        _line_partial, batch_format="pyarrow")
+
+    def _ord_prep(batch: pa.Table) -> pa.Table:
+        hi = pc.is_in(batch["o_orderpriority"],
+                      value_set=pa.array(["1-URGENT", "2-HIGH"]))
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"],
+            "is_high": pc.cast(hi, pa.int64()),
+        })
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"]).map_batches(
+        _ord_prep, batch_format="pyarrow")
+
+    joined = hash_join_exchange(
+        lines, orders, key="okey", left_cols=["status_idx", "n"],
+        right_cols=["is_high"],
+        n_parts=resolve_num_partitions(DEFAULT_CONFIG),
+        left_key="l_orderkey", right_key="o_orderkey")
+
+    statuses = np.array(["F", "O"])
+
+    def _cond(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch["n"], np.int64)
+        hi = np.asarray(batch["is_high"], np.int64)
+        si = np.asarray(batch["status_idx"], np.int64)
+        return pa.table({
+            "l_linestatus": pa.array(statuses[si], pa.string()),
+            "hi_n": pa.array(n * hi, pa.int64()),
+            "lo_n": pa.array(n * (1 - hi), pa.int64()),
+        })
+
+    out = grouped_sums(joined.map_batches(_cond, batch_format="pyarrow"),
+                       ["l_linestatus"], ["hi_n", "lo_n"])
+    return out.map_batches(
+        lambda t: pa.table({"l_linestatus": t["l_linestatus"],
+                            "high_line_count": t["sum_hi_n"],
+                            "low_line_count": t["sum_lo_n"]}),
+        batch_format="pyarrow")
+
+
+def promo_revenue_monthly(sf_dir: str):
+    """TPC-H Q14 shape — broadcast star join + conditional aggregation:
+    per ship month, PROMO-part revenue vs total revenue (both exact
+    integers at 1e-4 dollars; the ratio is the reader's one division).
+
+    The part dimension broadcasts once (``ray.put`` of a partkey →
+    is-promo table); lineitem streams through one vectorized pass and
+    only (month, 2 sums) partial cells reach the exchange.
+    """
+    import numpy as np
+
+    from ..stages.agg import grouped_sums
+
+    part = read_parquet_clean(f"{sf_dir}/part.parquet",
+                              columns=["p_partkey", "p_type"])
+    rows = part.take_all()
+    pk = np.fromiter((r["p_partkey"] for r in rows), np.int64, len(rows))
+    promo = np.fromiter((r["p_type"] == "PROMO" for r in rows), bool,
+                        len(rows))
+    order = np.argsort(pk)
+    lookup_ref = ray.put((pk[order], promo[order]))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        pk_s, promo_s = ray.get(lookup_ref)
+        lpk = np.asarray(batch["l_partkey"], np.int64)
+        pos = np.searchsorted(pk_s, lpk)
+        pos = np.minimum(pos, len(pk_s) - 1)
+        is_promo = (pk_s[pos] == lpk) & promo_s[pos]
+        price = np.asarray(batch["l_extendedprice"], np.float64)
+        disc = np.asarray(batch["l_discount"], np.float64)
+        rev = (np.rint(price * 100).astype(np.int64)
+               * (100 - np.rint(disc * 100).astype(np.int64)))
+        ship = np.asarray(batch["l_shipdate"], "datetime64[us]")
+        month = ship.astype("datetime64[M]").astype("datetime64[us]")
+        return pa.table({
+            "ship_month": pa.array(month.astype(np.int64), pa.int64()),
+            "promo_rev_e4": pa.array(rev * is_promo, pa.int64()),
+            "total_rev_e4": pa.array(rev, pa.int64()),
+        })
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"]).map_batches(_partial,
+                                            batch_format="pyarrow")
+    out = grouped_sums(ds, ["ship_month"],
+                       ["promo_rev_e4", "total_rev_e4"])
+    return out.map_batches(
+        lambda t: pa.table({
+            "ship_month": pc.cast(t["ship_month"],
+                                  pa.timestamp("us")),
+            "promo_rev_e4": t["sum_promo_rev_e4"],
+            "total_rev_e4": t["sum_total_rev_e4"]}),
+        batch_format="pyarrow")
