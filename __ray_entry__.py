@@ -476,6 +476,10 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
             relational.linestatus_priority_counts,
         "promo_revenue_monthly": relational.promo_revenue_monthly,
         "session_length_histogram": eventops.session_length_histogram,
+        "event_gap_quantiles_by_type":
+            eventops.event_gap_quantiles_by_type,
+        "top_supplier_revenue": relational.top_supplier_revenue,
+        "ntile_by_lang": docops.ntile_by_lang,
         "budget_sample_docs": docops.budget_sample_docs,
         "docs_global_ranked": docops.docs_global_ranked,
         "mixing_weights_docs": docops.mixing_weights_docs,
@@ -868,6 +872,43 @@ def oracle_sql() -> dict[str, str]:
                               substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                               AS UBIGINT) % 8 AS shard
                   FROM documents)
+        """,
+        "event_gap_quantiles_by_type": """
+            WITH g AS (
+              SELECT event_type,
+                     (CAST(epoch_us(ts) AS BIGINT)
+                      - CAST(epoch_us(lag(ts) OVER w) AS BIGINT))
+                         // 1000000 AS gap_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT event_type, q, CAST(v AS BIGINT) AS value
+            FROM (
+              SELECT event_type,
+                     unnest([0.25, 0.5, 0.75, 0.9]) AS q,
+                     unnest(quantile_disc(gap_s,
+                            [0.25, 0.5, 0.75, 0.9])) AS v
+              FROM g WHERE gap_s IS NOT NULL GROUP BY event_type)
+        """,
+        "top_supplier_revenue": """
+            WITH r AS (
+              SELECT l_suppkey,
+                     CAST(sum(CAST(round(l_extendedprice * 100, 0)
+                                   AS BIGINT)
+                              * (100 - CAST(round(l_discount * 100, 0)
+                                            AS BIGINT)))
+                          AS BIGINT) AS revenue_e4
+              FROM lineitem GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, revenue_e4
+            FROM r JOIN supplier ON l_suppkey = s_suppkey
+            ORDER BY revenue_e4 DESC, s_suppkey
+            LIMIT 10
+        """,
+        "ntile_by_lang": """
+            SELECT doc_id, lang,
+                   CAST(ntile(4) OVER (PARTITION BY lang
+                                       ORDER BY n_chars, doc_id)
+                        AS BIGINT) AS tile
+            FROM documents
         """,
         "forecast_revenue": """
             SELECT CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)

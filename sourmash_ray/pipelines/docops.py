@@ -2293,3 +2293,62 @@ def source_lang_unpivot(sf_dir: str):
         return out.filter(pc.greater(out["n"], 0))
 
     return wide.map_batches(_melt, batch_format="pyarrow")
+
+
+NTILE_SCHEMA = pa.schema([("doc_id", pa.int64()), ("lang", pa.string()),
+                          ("tile", pa.int64())])
+
+
+def ntile_by_lang(sf_dir: str, k: int = 4, n_parts: int | None = None):
+    """``NTILE(k) OVER (PARTITION BY lang ORDER BY n_chars, doc_id)`` —
+    per-language length quartiles, the bucketing behind curriculum
+    schedules and per-stratum sampling. Rides the same lang-hash
+    exchange + one-lexsort kernel as :func:`length_rank_by_lang`; the
+    NTILE split follows SQL semantics exactly (first ``n mod k`` tiles
+    take ``ceil(n/k)`` rows)."""
+    from ..functions.segscore import _to_bytes_array, hash_strings64
+    from ..stages.exchange import exchange_map_groups
+
+    if n_parts is None:
+        from ..config import resolve_num_partitions
+        n_parts = resolve_num_partitions(DEFAULT_CONFIG)
+
+    def _key(batch: pa.Table) -> pa.Table:
+        lang = batch["lang"].combine_chunks()
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "lang": lang,
+            "n_chars": batch["n_chars"].combine_chunks().cast(pa.int64()),
+            "lang_part": pa.array(hash_strings64(lang) % 1024, pa.int64()),
+        })
+
+    def _tile(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return NTILE_SCHEMA.empty_table()
+        lb = _to_bytes_array(part["lang"].combine_chunks())
+        ids = np.asarray(part["doc_id"], np.int64)
+        nch = np.asarray(part["n_chars"], np.int64)
+        order = np.lexsort((ids, nch, lb))
+        lb_s = lb[order]
+        starts = np.flatnonzero(np.r_[True, lb_s[1:] != lb_s[:-1]])
+        lens = np.diff(np.r_[starts, len(lb_s)])
+        rn = (np.arange(len(lb_s), dtype=np.int64)
+              - np.repeat(starts, lens))
+        n = np.repeat(lens, lens)
+        q, r = n // k, n % k
+        big = r * (q + 1)                 # rows covered by the big tiles
+        in_big = rn < big
+        tile = np.where(
+            in_big, rn // np.maximum(q + 1, 1),
+            r + (rn - big) // np.maximum(q, 1)) + 1
+        return pa.table({
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "lang": part["lang"].combine_chunks().take(
+                pa.array(order, pa.int64())),
+            "tile": pa.array(tile.astype(np.int64), pa.int64()),
+        })
+
+    keyed = _read_docs(sf_dir, ("doc_id", "lang", "n_chars")).map_batches(
+        _key, batch_format="pyarrow")
+    return exchange_map_groups(keyed, "lang_part", n_parts, _tile,
+                               NTILE_SCHEMA)

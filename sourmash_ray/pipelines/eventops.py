@@ -1131,3 +1131,58 @@ def session_length_histogram(sf_dir: str, gap_minutes: int = 30):
 
     return grouped_sums(sessionize_events(sf_dir, gap_minutes),
                         ["n_events"], [], count_as="n_sessions")
+
+
+GAPQ_SCHEMA = pa.schema([("event_type", pa.string()),
+                         ("gap_s", pa.int64())])
+
+
+def event_gap_quantiles_by_type(sf_dir: str,
+                                qs=(0.25, 0.5, 0.75, 0.9)):
+    """Per-type inter-event gap quantiles (whole seconds) — the
+    arrival-cadence summary behind rate-limit / anomaly thresholds.
+    One user-keyed exchange computes every user's ordered gaps in a
+    single lexsort+diff pass (the sessionize kernel shape); the gap is
+    attributed to the LATER event's type. Gaps quantize to seconds so
+    the downstream value-histogram quantile exchange
+    (:func:`~sourmash_ray.stages.agg.grouped_quantiles_disc`) stays
+    bounded by the value DOMAIN, not the event count."""
+    import numpy as np
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.agg import grouped_quantiles_disc
+    from ..stages.exchange import exchange_map_groups
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"],
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+            "event_id": batch["event_id"],
+            "event_type": batch["event_type"],
+        })
+
+    def _gaps(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return GAPQ_SCHEMA.empty_table()
+        u = np.asarray(part["user_id"], np.int64)
+        ts = np.asarray(part["ts_us"], np.int64)
+        eid = np.asarray(part["event_id"], np.int64)
+        order = np.lexsort((eid, ts, u))
+        u_s, ts_s = u[order], ts[order]
+        same = np.r_[False, u_s[1:] == u_s[:-1]]
+        gap = ts_s - np.r_[np.int64(0), ts_s[:-1]]
+        et = part["event_type"].combine_chunks().take(
+            pa.array(order[same], pa.int64()))
+        return pa.table({
+            "event_type": et,
+            "gap_s": pa.array(gap[same] // 1_000_000, pa.int64()),
+        })
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"]).map_batches(
+        _tag, batch_format="pyarrow")
+    gaps = exchange_map_groups(ds, "user_id",
+                               resolve_num_partitions(DEFAULT_CONFIG),
+                               _gaps, GAPQ_SCHEMA)
+    return grouped_quantiles_disc(gaps, "event_type", "gap_s", list(qs))

@@ -1240,3 +1240,61 @@ def promo_revenue_monthly(sf_dir: str):
             "promo_rev_e4": t["sum_promo_rev_e4"],
             "total_rev_e4": t["sum_total_rev_e4"]}),
         batch_format="pyarrow")
+
+
+def top_supplier_revenue(sf_dir: str, k: int = 10):
+    """TPC-H Q15 shape — per-supplier revenue leaderboard: exact-integer
+    revenue per l_suppkey through the partial-sum exchange, per-block
+    top-k truncation, global sort over ≤ k×blocks candidates, supplier
+    names attached from the broadcast dimension. The fact table never
+    sorts; only (suppkey, sum) cells and then ≤ k×blocks candidates
+    move."""
+    import numpy as np
+
+    from ..stages.agg import grouped_sums
+
+    def _rev(batch: pa.Table) -> pa.Table:
+        price = np.asarray(batch["l_extendedprice"], np.float64)
+        disc = np.asarray(batch["l_discount"], np.float64)
+        rev = (np.rint(price * 100).astype(np.int64)
+               * (100 - np.rint(disc * 100).astype(np.int64)))
+        return pa.table({
+            "l_suppkey": batch["l_suppkey"],
+            "rev": pa.array(rev, pa.int64()),
+        })
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(_rev, batch_format="pyarrow")
+    sums = grouped_sums(ds, ["l_suppkey"], ["rev"])
+
+    rows = read_parquet_clean(f"{sf_dir}/supplier.parquet",
+                              columns=["s_suppkey", "s_name"]).take_all()
+    sk = np.fromiter((r["s_suppkey"] for r in rows), np.int64, len(rows))
+    names = np.array([r["s_name"] for r in rows], dtype=object)
+    order = np.argsort(sk)
+    dim_ref = ray.put((sk[order], names[order]))
+
+    def _block_topk(batch: pa.Table) -> pa.Table:
+        rev = np.asarray(batch["sum_rev"], np.int64)
+        key = np.asarray(batch["l_suppkey"], np.int64)
+        if batch.num_rows > k:
+            idx = np.sort(np.lexsort((key, -rev))[:k])
+            batch = batch.take(pa.array(idx, pa.int64()))
+            rev = np.asarray(batch["sum_rev"], np.int64)
+            key = np.asarray(batch["l_suppkey"], np.int64)
+        sk_s, names_s = ray.get(dim_ref)
+        pos = np.minimum(np.searchsorted(sk_s, key), len(sk_s) - 1)
+        if not (sk_s[pos] == key).all():
+            raise ValueError("lineitem suppkey missing from supplier dim")
+        return pa.table({
+            "s_suppkey": pa.array(key, pa.int64()),
+            "s_name": pa.array([str(x) for x in names_s[pos]],
+                               pa.string()),
+            "revenue_e4": pa.array(rev, pa.int64()),
+        })
+
+    return (sums.map_batches(_block_topk, batch_format="pyarrow")
+            .sort(["revenue_e4", "s_suppkey"], descending=[True, False])
+            .limit(k))
