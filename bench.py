@@ -114,10 +114,13 @@ def main():
         # steady-state measurement: the first pass at a new scale grows
         # the per-worker scratch pools (first-touch page faults, paid once
         # per worker per job — negligible over a multi-hour 100 TB run but
-        # a large fraction of a seconds-long benchmark). Time two passes,
-        # report the second; the cold pass is included for transparency.
+        # a large fraction of a seconds-long benchmark). The machine's
+        # performance also drifts in minute-scale phases (up to 1.8× on
+        # identical code — BASELINE.md round-4 jitter section), so the
+        # reported wall is the MEDIAN of 3 warm passes; the cold pass is
+        # included for transparency.
         cold = run_flagship(SF_DIR, reps=1)
-        res = run_flagship(SF_DIR, warmup=False, reps=1)
+        res = run_flagship(SF_DIR, warmup=False, reps=3)
         res["cold_wall_s"] = cold["wall_s"]
         print("RESULT " + json.dumps(res))
         import ray

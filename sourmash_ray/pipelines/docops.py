@@ -2322,33 +2322,40 @@ def ntile_by_lang(sf_dir: str, k: int = 4, n_parts: int | None = None):
             "lang_part": pa.array(hash_strings64(lang) % 1024, pa.int64()),
         })
 
-    def _tile(part: pa.Table) -> pa.Table:
-        if part.num_rows == 0:
-            return NTILE_SCHEMA.empty_table()
-        lb = _to_bytes_array(part["lang"].combine_chunks())
-        ids = np.asarray(part["doc_id"], np.int64)
-        nch = np.asarray(part["n_chars"], np.int64)
-        order = np.lexsort((ids, nch, lb))
-        lb_s = lb[order]
-        starts = np.flatnonzero(np.r_[True, lb_s[1:] != lb_s[:-1]])
-        lens = np.diff(np.r_[starts, len(lb_s)])
-        rn = (np.arange(len(lb_s), dtype=np.int64)
-              - np.repeat(starts, lens))
-        n = np.repeat(lens, lens)
-        q, r = n // k, n % k
-        big = r * (q + 1)                 # rows covered by the big tiles
-        in_big = rn < big
-        tile = np.where(
-            in_big, rn // np.maximum(q + 1, 1),
-            r + (rn - big) // np.maximum(q, 1)) + 1
-        return pa.table({
-            "doc_id": pa.array(ids[order], pa.int64()),
-            "lang": part["lang"].combine_chunks().take(
-                pa.array(order, pa.int64())),
-            "tile": pa.array(tile.astype(np.int64), pa.int64()),
-        })
-
     keyed = _read_docs(sf_dir, ("doc_id", "lang", "n_chars")).map_batches(
         _key, batch_format="pyarrow")
-    return exchange_map_groups(keyed, "lang_part", n_parts, _tile,
+    return exchange_map_groups(keyed, "lang_part", n_parts,
+                               lambda part: ntile_partition(part, k),
                                NTILE_SCHEMA)
+
+
+def ntile_partition(part: pa.Table, k: int) -> pa.Table:
+    """Per-partition NTILE kernel (module-level for direct kernel
+    tests): one lexsort (lang, n_chars, doc_id), run boundaries, SQL
+    NTILE split — the first ``n mod k`` tiles take ``ceil(n/k)`` rows."""
+    from ..functions.segscore import _to_bytes_array
+
+    if part.num_rows == 0:
+        return NTILE_SCHEMA.empty_table()
+    lb = _to_bytes_array(part["lang"].combine_chunks())
+    ids = np.asarray(part["doc_id"], np.int64)
+    nch = np.asarray(part["n_chars"], np.int64)
+    order = np.lexsort((ids, nch, lb))
+    lb_s = lb[order]
+    starts = np.flatnonzero(np.r_[True, lb_s[1:] != lb_s[:-1]])
+    lens = np.diff(np.r_[starts, len(lb_s)])
+    rn = (np.arange(len(lb_s), dtype=np.int64)
+          - np.repeat(starts, lens))
+    n = np.repeat(lens, lens)
+    q, r = n // k, n % k
+    big = r * (q + 1)                 # rows covered by the big tiles
+    in_big = rn < big
+    tile = np.where(
+        in_big, rn // np.maximum(q + 1, 1),
+        r + (rn - big) // np.maximum(q, 1)) + 1
+    return pa.table({
+        "doc_id": pa.array(ids[order], pa.int64()),
+        "lang": part["lang"].combine_chunks().take(
+            pa.array(order, pa.int64())),
+        "tile": pa.array(tile.astype(np.int64), pa.int64()),
+    })

@@ -1161,28 +1161,34 @@ def event_gap_quantiles_by_type(sf_dir: str,
             "event_type": batch["event_type"],
         })
 
-    def _gaps(part: pa.Table) -> pa.Table:
-        if part.num_rows == 0:
-            return GAPQ_SCHEMA.empty_table()
-        u = np.asarray(part["user_id"], np.int64)
-        ts = np.asarray(part["ts_us"], np.int64)
-        eid = np.asarray(part["event_id"], np.int64)
-        order = np.lexsort((eid, ts, u))
-        u_s, ts_s = u[order], ts[order]
-        same = np.r_[False, u_s[1:] == u_s[:-1]]
-        gap = ts_s - np.r_[np.int64(0), ts_s[:-1]]
-        et = part["event_type"].combine_chunks().take(
-            pa.array(order[same], pa.int64()))
-        return pa.table({
-            "event_type": et,
-            "gap_s": pa.array(gap[same] // 1_000_000, pa.int64()),
-        })
-
     ds = read_parquet_clean(
         f"{sf_dir}/events.parquet",
         columns=["user_id", "ts", "event_id", "event_type"]).map_batches(
         _tag, batch_format="pyarrow")
     gaps = exchange_map_groups(ds, "user_id",
                                resolve_num_partitions(DEFAULT_CONFIG),
-                               _gaps, GAPQ_SCHEMA)
+                               gap_rows_partition, GAPQ_SCHEMA)
     return grouped_quantiles_disc(gaps, "event_type", "gap_s", list(qs))
+
+
+def gap_rows_partition(part: pa.Table) -> pa.Table:
+    """Per-partition inter-event gap kernel (module-level for direct
+    kernel tests): lexsort (user, ts, event_id), diff within user, gap
+    attributed to the later event's type, quantized to whole seconds."""
+    import numpy as np
+
+    if part.num_rows == 0:
+        return GAPQ_SCHEMA.empty_table()
+    u = np.asarray(part["user_id"], np.int64)
+    ts = np.asarray(part["ts_us"], np.int64)
+    eid = np.asarray(part["event_id"], np.int64)
+    order = np.lexsort((eid, ts, u))
+    u_s, ts_s = u[order], ts[order]
+    same = np.r_[False, u_s[1:] == u_s[:-1]]
+    gap = ts_s - np.r_[np.int64(0), ts_s[:-1]]
+    et = part["event_type"].combine_chunks().take(
+        pa.array(order[same], pa.int64()))
+    return pa.table({
+        "event_type": et,
+        "gap_s": pa.array(gap[same] // 1_000_000, pa.int64()),
+    })
