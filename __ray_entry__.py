@@ -479,6 +479,7 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "event_gap_quantiles_by_type":
             eventops.event_gap_quantiles_by_type,
         "top_supplier_revenue": relational.top_supplier_revenue,
+        "returned_item_revenue": relational.returned_item_revenue,
         "ntile_by_lang": docops.ntile_by_lang,
         "budget_sample_docs": docops.budget_sample_docs,
         "docs_global_ranked": docops.docs_global_ranked,
@@ -902,6 +903,26 @@ def oracle_sql() -> dict[str, str]:
             FROM r JOIN supplier ON l_suppkey = s_suppkey
             ORDER BY revenue_e4 DESC, s_suppkey
             LIMIT 10
+        """,
+        "returned_item_revenue": """
+            WITH lr AS (
+              SELECT l_orderkey,
+                     CAST(sum(CAST(round(l_extendedprice * 100, 0)
+                                   AS BIGINT)
+                              * (100 - CAST(round(l_discount * 100, 0)
+                                            AS BIGINT)))
+                          AS BIGINT) AS rev
+              FROM lineitem WHERE l_returnflag = 'R'
+              GROUP BY l_orderkey),
+            cr AS (
+              SELECT o_custkey,
+                     CAST(sum(rev) AS BIGINT) AS revenue_e4
+              FROM orders JOIN lr ON o_orderkey = l_orderkey
+              GROUP BY o_custkey)
+            SELECT c_custkey, c_name, revenue_e4
+            FROM cr JOIN customer ON o_custkey = c_custkey
+            ORDER BY revenue_e4 DESC, c_custkey
+            LIMIT 20
         """,
         "ntile_by_lang": """
             SELECT doc_id, lang,

@@ -1298,3 +1298,83 @@ def top_supplier_revenue(sf_dir: str, k: int = 10):
     return (sums.map_batches(_block_topk, batch_format="pyarrow")
             .sort(["revenue_e4", "s_suppkey"], descending=[True, False])
             .limit(k))
+
+
+def returned_item_revenue(sf_dir: str, k: int = 20):
+    """TPC-H Q10 shape — the two-join revenue leaderboard: revenue of
+    RETURNED lineitems rolled up to the ordering customer, top-k
+    customers with names attached.
+
+    Plan: lineitem pre-combines (orderkey, returned-revenue) per block
+    inside the map (the Q5 pre-aggregate rule), ONE key exchange joins
+    it to the orders projection, partial sums ride the custkey exchange,
+    per-block top-k truncation bounds the final sort to ≤ k×blocks
+    candidates, and only the ≤ k winners' names are fetched from the
+    customer table (is_in filter — the dimension never shuffles and the
+    fact rows never carry strings)."""
+    import numpy as np
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.agg import grouped_sums
+    from ..stages.join import hash_join_exchange
+
+    def _line_partial(batch: pa.Table) -> pa.Table:
+        flag = np.asarray(batch["l_returnflag"]) == "R"
+        ok = np.asarray(batch["l_orderkey"], np.int64)[flag]
+        price = np.asarray(batch["l_extendedprice"], np.float64)[flag]
+        disc = np.asarray(batch["l_discount"], np.float64)[flag]
+        rev = (np.rint(price * 100).astype(np.int64)
+               * (100 - np.rint(disc * 100).astype(np.int64)))
+        order = np.argsort(ok, kind="stable")
+        ok_s, rev_s = ok[order], rev[order]
+        first = np.r_[True, ok_s[1:] != ok_s[:-1]] if len(ok_s) else \
+            np.empty(0, bool)
+        starts = np.flatnonzero(first)
+        sums = np.add.reduceat(rev_s, starts) if starts.size else \
+            np.empty(0, np.int64)
+        return pa.table({
+            "l_orderkey": pa.array(ok_s[first], pa.int64()),
+            "rev": pa.array(sums.astype(np.int64), pa.int64()),
+        })
+
+    lines = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                 "l_discount"]).map_batches(_line_partial,
+                                            batch_format="pyarrow")
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey"])
+    joined = hash_join_exchange(
+        lines, orders, key="okey", left_cols=["rev"],
+        right_cols=["o_custkey"],
+        n_parts=resolve_num_partitions(DEFAULT_CONFIG),
+        left_key="l_orderkey", right_key="o_orderkey")
+    by_cust = grouped_sums(joined, ["o_custkey"], ["rev"])
+
+    def _block_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= k:
+            return batch
+        rev = np.asarray(batch["sum_rev"], np.int64)
+        key = np.asarray(batch["o_custkey"], np.int64)
+        idx = np.sort(np.lexsort((key, -rev))[:k])
+        return batch.take(pa.array(idx, pa.int64()))
+
+    top = (by_cust.map_batches(_block_topk, batch_format="pyarrow")
+           .sort(["sum_rev", "o_custkey"], descending=[True, False])
+           .limit(k).take_all())
+    keys = pa.array([r["o_custkey"] for r in top], pa.int64())
+    revs = {r["o_custkey"]: r["sum_rev"] for r in top}
+
+    def _names(batch: pa.Table) -> pa.Table:
+        hit = batch.filter(pc.is_in(batch["c_custkey"], value_set=keys))
+        ck = hit["c_custkey"].to_pylist()
+        return pa.table({
+            "c_custkey": hit["c_custkey"],
+            "c_name": hit["c_name"],
+            "revenue_e4": pa.array([revs[c] for c in ck], pa.int64()),
+        })
+
+    return read_parquet_clean(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name"]).map_batches(
+        _names, batch_format="pyarrow")
