@@ -481,6 +481,8 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "top_supplier_revenue": relational.top_supplier_revenue,
         "returned_item_revenue": relational.returned_item_revenue,
         "ntile_by_lang": docops.ntile_by_lang,
+        "daily_active_users": eventops.daily_active_users,
+        "global_deciles_docs": docops.global_deciles_docs,
         "budget_sample_docs": docops.budget_sample_docs,
         "docs_global_ranked": docops.docs_global_ranked,
         "mixing_weights_docs": docops.mixing_weights_docs,
@@ -903,6 +905,18 @@ def oracle_sql() -> dict[str, str]:
             FROM r JOIN supplier ON l_suppkey = s_suppkey
             ORDER BY revenue_e4 DESC, s_suppkey
             LIMIT 10
+        """,
+        "daily_active_users": """
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   count(*) AS n_events
+            FROM events GROUP BY 1
+        """,
+        "global_deciles_docs": """
+            SELECT doc_id, n_chars,
+                   CAST(ntile(10) OVER (ORDER BY n_chars, doc_id)
+                        AS BIGINT) AS tile
+            FROM documents
         """,
         "returned_item_revenue": """
             WITH lr AS (

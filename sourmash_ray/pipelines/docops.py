@@ -2359,3 +2359,37 @@ def ntile_partition(part: pa.Table, k: int) -> pa.Table:
             pa.array(order, pa.int64())),
         "tile": pa.array(tile.astype(np.int64), pa.int64()),
     })
+
+
+def global_deciles_docs(sf_dir: str, k: int = 10):
+    """Global ``NTILE(k) OVER (ORDER BY n_chars, doc_id)`` — corpus-wide
+    length deciles with no partition key, the bucketing a curriculum
+    scheduler applies across the WHOLE corpus. Rides the TeraSort range
+    sort (:func:`~sourmash_ray.stages.sort.range_partition_sort`): data
+    crosses the wire once, each block maps its exact global rank to the
+    SQL NTILE split (n from parquet metadata — no extra pass)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.sort import range_partition_sort
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    q, r = n // k, n % k
+    big = r * (q + 1)
+
+    def _tile(batch: pa.Table) -> pa.Table:
+        rn = np.asarray(batch["global_rank"], np.int64) - 1
+        in_big = rn < big
+        tile = np.where(
+            in_big, rn // max(q + 1, 1),
+            r + (rn - big) // max(q, 1)) + 1
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_chars": batch["n_chars"],
+            "tile": pa.array(tile.astype(np.int64), pa.int64()),
+        })
+
+    ranked = range_partition_sort(
+        _read_docs(sf_dir, ("doc_id", "n_chars")), "n_chars", "doc_id",
+        schema=pa.schema([("doc_id", pa.int64()),
+                          ("n_chars", pa.int64())]))
+    return ranked.map_batches(_tile, batch_format="pyarrow")

@@ -1192,3 +1192,31 @@ def gap_rows_partition(part: pa.Table) -> pa.Table:
         "event_type": et,
         "gap_s": pa.array(gap[same] // 1_000_000, pa.int64()),
     })
+
+
+def daily_active_users(sf_dir: str):
+    """DAU — ``count(DISTINCT user_id), count(*)`` per calendar day: the
+    engagement time series every event pipeline reports. Day truncation
+    happens in-kernel (integer floor of the epoch-us timestamp), then
+    the grouped-distinct machinery runs with days as keys — fact rows
+    never shuffle, only distinct (day, user) combos do."""
+    import numpy as np
+
+    from ..stages.agg import grouped_distinct_count
+
+    day_us = 86_400_000_000
+
+    def _day(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(pc.cast(batch["ts"], pa.int64()))
+        return pa.table({
+            "day": pa.array((ts // day_us) * day_us,
+                            pa.int64()).cast(pa.timestamp("us")),
+            "user_id": batch["user_id"],
+        })
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "user_id"]).map_batches(
+        _day, batch_format="pyarrow")
+    return grouped_distinct_count(ds, ["day"], "user_id",
+                                  distinct_as="n_users",
+                                  count_as="n_events")
