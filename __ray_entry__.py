@@ -416,6 +416,7 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "simhash_docs": docops.simhash_docs,
         "simhash_neardup_pairs": docops.simhash_neardup_pairs,
         "minhash_dedup_docs": docops.minhash_dedup_docs,
+        "exact_spans_docs": docops.exact_spans_docs,
         # --- relational parity (manifest/picklist/top-k/summary) ---
         "manifest_select": relational.manifest_select,
         "picklist_semi_join": relational.picklist_semi_join,

@@ -2393,3 +2393,35 @@ def global_deciles_docs(sf_dir: str, k: int = 10):
         schema=pa.schema([("doc_id", pa.int64()),
                           ("n_chars", pa.int64())]))
     return ranked.map_batches(_tile, batch_format="pyarrow")
+
+
+def exact_spans_docs(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG,
+                     min_len: int = 64):
+    """Repeated-substring detection over near-dup DOCUMENT pairs — the
+    doc-level twin of the transcripts exact-spans pass (the "dedup
+    training data by long exact matches" operator of Lee et al. 2022):
+    LSH candidates → jaccard verify → per-pair longest common substring
+    (rolling-hash probe, O(n+m) per length probed) with byte offsets.
+
+    A document is a one-turn conversation, so the whole transcripts
+    substring machinery (pruned scan, id-hash exchange blob assembly,
+    broadcast/exchange pair scorer) is reused verbatim."""
+    from ..stages.lsh import candidate_pairs
+    from ..stages.substring import exact_substring_pass
+    from ..stages.verify import verify_pairs
+
+    sigs = sketch_docs(sf_dir, cfg).materialize()
+    pairs = candidate_pairs(sigs, cfg)
+    verified = verify_pairs(pairs, sigs, cfg).materialize()
+
+    def _as_turns(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": pc.cast(t["doc_id"], pa.string()),
+            "turn_idx": pa.array(np.zeros(t.num_rows, np.int64)),
+            "text": t["text"],
+        })
+
+    docs_as_turns = _read_docs(sf_dir).map_batches(
+        _as_turns, batch_format="pyarrow")
+    return exact_substring_pass(verified.select_columns(["a", "b"]),
+                                docs_as_turns, cfg, min_len=min_len)

@@ -92,3 +92,28 @@ def test_exact_substring_exchange_equals_broadcast(ray_session):
         key(r) for r in
         exact_substring_pass(pairs, ds, forced, min_len=32).take_all()))
     assert want and got == sorted(set(want))
+
+
+def test_exact_spans_docs_spans_verify_against_text(ray_session):
+    """Doc-level exact-spans: every reported (start, len) must slice to
+    IDENTICAL bytes in the two documents' normalized texts, and planted
+    near-dup docs must surface a span."""
+    import pyarrow.parquet as pq
+
+    from sourmash_ray.functions.sketch import normalize_text
+    from sourmash_ray.pipelines.docops import exact_spans_docs
+
+    sf = "/root/testdata/sf0.001"
+    rows = exact_spans_docs(sf, min_len=32).take_all()
+    assert rows, "expected at least one near-dup doc span at sf0.001"
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["doc_id", "text"])
+    texts = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+    for r in rows:
+        ba = normalize_text(texts[int(r["a"])] or "")
+        bb = normalize_text(texts[int(r["b"])] or "")
+        ln = r["lcs_len"]
+        assert ln >= 32
+        sa, sb = r["lcs_a_start"], r["lcs_b_start"]
+        assert ba[sa:sa + ln] == bb[sb:sb + ln]
+        assert len(ba[sa:sa + ln]) == ln
