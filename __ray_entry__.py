@@ -481,9 +481,12 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
             eventops.event_gap_quantiles_by_type,
         "top_supplier_revenue": relational.top_supplier_revenue,
         "returned_item_revenue": relational.returned_item_revenue,
+        "daily_activity_reconciliation":
+            relational.daily_activity_reconciliation,
         "ntile_by_lang": docops.ntile_by_lang,
         "daily_active_users": eventops.daily_active_users,
         "global_deciles_docs": docops.global_deciles_docs,
+        "value_ranks_by_lang": docops.value_ranks_by_lang,
         "budget_sample_docs": docops.budget_sample_docs,
         "docs_global_ranked": docops.docs_global_ranked,
         "mixing_weights_docs": docops.mixing_weights_docs,
@@ -906,6 +909,27 @@ def oracle_sql() -> dict[str, str]:
             FROM r JOIN supplier ON l_suppkey = s_suppkey
             ORDER BY revenue_e4 DESC, s_suppkey
             LIMIT 10
+        """,
+        "daily_activity_reconciliation": """
+            WITH o AS (
+              SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP)
+                         AS day, count(*) AS n_orders
+              FROM orders GROUP BY 1),
+            e AS (
+              SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                     count(*) AS n_events
+              FROM events GROUP BY 1)
+            SELECT coalesce(o.day, e.day) AS day, o.n_orders, e.n_events
+            FROM o FULL OUTER JOIN e ON o.day = e.day
+        """,
+        "value_ranks_by_lang": """
+            SELECT doc_id, lang, n_chars,
+                   CAST(dense_rank() OVER w AS BIGINT) AS dense_rank,
+                   CAST(count(*) OVER (PARTITION BY lang ORDER BY n_chars
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS n_le
+            FROM documents
+            WINDOW w AS (PARTITION BY lang ORDER BY n_chars)
         """,
         "daily_active_users": """
             SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

@@ -2425,3 +2425,70 @@ def exact_spans_docs(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG,
         _as_turns, batch_format="pyarrow")
     return exact_substring_pass(verified.select_columns(["a", "b"]),
                                 docs_as_turns, cfg, min_len=min_len)
+
+
+RANKS_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("lang", pa.string()),
+    ("n_chars", pa.int64()), ("dense_rank", pa.int64()),
+    ("n_le", pa.int64()),
+])
+
+
+def value_ranks_by_lang(sf_dir: str, n_parts: int | None = None):
+    """The remaining SQL window ranks, exact-integer: per language,
+    ``dense_rank() OVER (PARTITION BY lang ORDER BY n_chars)`` and the
+    RANGE-frame running count ``count(*) OVER (PARTITION BY lang ORDER
+    BY n_chars)`` (peers included — the cume_dist numerator, so
+    cume_dist = n_le / group_n without any cross-engine float). Same
+    one-exchange + one-lexsort shape as :func:`length_rank_by_lang`."""
+    from ..functions.segscore import _to_bytes_array, hash_strings64
+    from ..stages.exchange import exchange_map_groups
+
+    if n_parts is None:
+        from ..config import resolve_num_partitions
+        n_parts = resolve_num_partitions(DEFAULT_CONFIG)
+
+    def _key(batch: pa.Table) -> pa.Table:
+        lang = batch["lang"].combine_chunks()
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "lang": lang,
+            "n_chars": batch["n_chars"].combine_chunks().cast(pa.int64()),
+            "lang_part": pa.array(hash_strings64(lang) % 1024, pa.int64()),
+        })
+
+    def _ranks(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return RANKS_SCHEMA.empty_table()
+        lb = _to_bytes_array(part["lang"].combine_chunks())
+        ids = np.asarray(part["doc_id"], np.int64)
+        nch = np.asarray(part["n_chars"], np.int64)
+        order = np.lexsort((ids, nch, lb))
+        lb_s, nch_s = lb[order], nch[order]
+        new_lang = np.r_[True, lb_s[1:] != lb_s[:-1]]
+        new_val = new_lang | np.r_[True, nch_s[1:] != nch_s[:-1]]
+        # dense_rank: per-lang cumsum of new-value flags
+        dr_global = np.cumsum(new_val)
+        lang_starts = np.flatnonzero(new_lang)
+        lang_lens = np.diff(np.r_[lang_starts, len(lb_s)])
+        dr = dr_global - np.repeat(dr_global[lang_starts] - 1, lang_lens)
+        # n_le: index of the LAST peer (ties included) within the lang,
+        # 1-based — run ends located via the next new-value boundary
+        val_starts = np.flatnonzero(new_val)
+        val_lens = np.diff(np.r_[val_starts, len(lb_s)])
+        run_end = np.repeat(val_starts + val_lens, val_lens)  # global
+        lang_base = np.repeat(lang_starts, lang_lens)
+        n_le = run_end - lang_base
+        return pa.table({
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "lang": part["lang"].combine_chunks().take(
+                pa.array(order, pa.int64())),
+            "n_chars": pa.array(nch_s, pa.int64()),
+            "dense_rank": pa.array(dr.astype(np.int64), pa.int64()),
+            "n_le": pa.array(n_le.astype(np.int64), pa.int64()),
+        })
+
+    keyed = _read_docs(sf_dir, ("doc_id", "lang", "n_chars")).map_batches(
+        _key, batch_format="pyarrow")
+    return exchange_map_groups(keyed, "lang_part", n_parts, _ranks,
+                               RANKS_SCHEMA)

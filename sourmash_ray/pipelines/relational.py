@@ -1378,3 +1378,53 @@ def returned_item_revenue(sf_dir: str, k: int = 20):
         f"{sf_dir}/customer.parquet",
         columns=["c_custkey", "c_name"]).map_batches(
         _names, batch_format="pyarrow")
+
+
+def daily_activity_reconciliation(sf_dir: str):
+    """Cross-stream reconciliation — daily order counts FULL OUTER JOIN
+    daily event counts on the calendar day: days present in either
+    stream survive, the missing side stays NULL (the data-quality diff
+    two ingest pipelines run against each other). Both sides reduce to
+    day-grain cells first (constant-size), then the full-outer key
+    exchange joins them — the only driver query exercising
+    ``hash_join_exchange``'s full-outer path."""
+    import numpy as np
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.agg import grouped_sums
+    from ..stages.join import hash_join_exchange
+
+    day_us = 86_400_000_000
+
+    def _order_day(batch: pa.Table) -> pa.Table:
+        d = np.asarray(pc.cast(batch["o_orderdate"], pa.int64()))
+        return pa.table({"oday": pa.array((d // day_us) * day_us,
+                                          pa.int64())})
+
+    def _event_day(batch: pa.Table) -> pa.Table:
+        d = np.asarray(pc.cast(batch["ts"], pa.int64()))
+        return pa.table({"eday": pa.array((d // day_us) * day_us,
+                                          pa.int64())})
+
+    orders = grouped_sums(
+        read_parquet_clean(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderdate"]).map_batches(
+            _order_day, batch_format="pyarrow"),
+        ["oday"], [], count_as="n_orders")
+    events = grouped_sums(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["ts"]).map_batches(
+            _event_day, batch_format="pyarrow"),
+        ["eday"], [], count_as="n_events")
+
+    joined = hash_join_exchange(
+        orders, events, key="day", left_cols=["n_orders"],
+        right_cols=["n_events"],
+        n_parts=resolve_num_partitions(DEFAULT_CONFIG),
+        join_type="full outer", left_key="oday", right_key="eday")
+    return joined.map_batches(
+        lambda t: pa.table({
+            "day": pc.cast(t["day"], pa.timestamp("us")),
+            "n_orders": t["n_orders"],
+            "n_events": t["n_events"]}),
+        batch_format="pyarrow")
