@@ -1186,53 +1186,132 @@ def linestatus_priority_counts(sf_dir: str):
         batch_format="pyarrow")
 
 
-def promo_revenue_monthly(sf_dir: str):
-    """TPC-H Q14 shape — broadcast star join + conditional aggregation:
-    per ship month, PROMO-part revenue vs total revenue (both exact
-    integers at 1e-4 dollars; the ratio is the reader's one division).
+def promo_revenue_monthly(sf_dir: str,
+                          broadcast_budget: int = 2_000_000):
+    """TPC-H Q14 shape — star join + conditional aggregation: per ship
+    month, PROMO-part revenue vs total revenue (both exact integers at
+    1e-4 dollars; the ratio is the reader's one division).
 
-    The part dimension broadcasts once (``ray.put`` of a partkey →
-    is-promo table); lineitem streams through one vectorized pass and
-    only (month, 2 sums) partial cells reach the exchange.
-    """
+    Within ``broadcast_budget`` part rows (parquet metadata count — no
+    scan) the part dimension broadcasts once as two sorted numpy arrays
+    (partkey, is-promo) and lineitem streams through one vectorized
+    searchsorted pass — zero shuffle. Beyond it (Q14 at TPC-H sf1000
+    has 200M parts) the op routes through the big-big key exchange:
+    lineitem pre-reduces to (partkey, month, rev) cells per block,
+    joins part's (partkey, is_promo) projection on the exchange, and
+    only (month, 2 sums) cells reach the final combine. Both branches
+    are equality-tested (``tests/test_join.py`` pattern)."""
     import numpy as np
+    import pyarrow.parquet as pq
 
     from ..stages.agg import grouped_sums
 
-    part = read_parquet_clean(f"{sf_dir}/part.parquet",
-                              columns=["p_partkey", "p_type"])
-    rows = part.take_all()
-    pk = np.fromiter((r["p_partkey"] for r in rows), np.int64, len(rows))
-    promo = np.fromiter((r["p_type"] == "PROMO" for r in rows), bool,
-                        len(rows))
-    order = np.argsort(pk)
-    lookup_ref = ray.put((pk[order], promo[order]))
-
-    def _partial(batch: pa.Table) -> pa.Table:
-        pk_s, promo_s = ray.get(lookup_ref)
-        lpk = np.asarray(batch["l_partkey"], np.int64)
-        pos = np.searchsorted(pk_s, lpk)
-        pos = np.minimum(pos, len(pk_s) - 1)
-        is_promo = (pk_s[pos] == lpk) & promo_s[pos]
+    def _rev_month(batch: pa.Table):
         price = np.asarray(batch["l_extendedprice"], np.float64)
         disc = np.asarray(batch["l_discount"], np.float64)
         rev = (np.rint(price * 100).astype(np.int64)
                * (100 - np.rint(disc * 100).astype(np.int64)))
         ship = np.asarray(batch["l_shipdate"], "datetime64[us]")
-        month = ship.astype("datetime64[M]").astype("datetime64[us]")
-        return pa.table({
-            "ship_month": pa.array(month.astype(np.int64), pa.int64()),
-            "promo_rev_e4": pa.array(rev * is_promo, pa.int64()),
-            "total_rev_e4": pa.array(rev, pa.int64()),
-        })
+        month = ship.astype("datetime64[M]").astype("datetime64[us]") \
+            .astype(np.int64)
+        return rev, month
 
-    ds = read_parquet_clean(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_partkey", "l_extendedprice", "l_discount",
-                 "l_shipdate"]).map_batches(_partial,
-                                            batch_format="pyarrow")
-    out = grouped_sums(ds, ["ship_month"],
-                       ["promo_rev_e4", "total_rev_e4"])
+    line_cols = ["l_partkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"]
+    n_parts_dim = pq.read_metadata(f"{sf_dir}/part.parquet").num_rows
+
+    if n_parts_dim <= broadcast_budget:
+        part = read_parquet_clean(f"{sf_dir}/part.parquet",
+                                  columns=["p_partkey", "p_type"])
+        rows = part.take_all()
+        pk = np.fromiter((r["p_partkey"] for r in rows), np.int64,
+                         len(rows))
+        promo = np.fromiter((r["p_type"] == "PROMO" for r in rows),
+                            bool, len(rows))
+        order = np.argsort(pk)
+        lookup_ref = ray.put((pk[order], promo[order]))
+
+        def _partial(batch: pa.Table) -> pa.Table:
+            pk_s, promo_s = ray.get(lookup_ref)
+            lpk = np.asarray(batch["l_partkey"], np.int64)
+            pos = np.minimum(np.searchsorted(pk_s, lpk), len(pk_s) - 1)
+            is_promo = (pk_s[pos] == lpk) & promo_s[pos]
+            rev, month = _rev_month(batch)
+            return pa.table({
+                "ship_month": pa.array(month, pa.int64()),
+                "promo_rev_e4": pa.array(rev * is_promo, pa.int64()),
+                "total_rev_e4": pa.array(rev, pa.int64()),
+            })
+
+        ds = read_parquet_clean(
+            f"{sf_dir}/lineitem.parquet",
+            columns=line_cols).map_batches(_partial,
+                                           batch_format="pyarrow")
+        out = grouped_sums(ds, ["ship_month"],
+                           ["promo_rev_e4", "total_rev_e4"])
+    else:
+        from ..config import DEFAULT_CONFIG, resolve_num_partitions
+        from ..stages.join import hash_join_exchange
+
+        def _line_cells(batch: pa.Table) -> pa.Table:
+            rev, month = _rev_month(batch)
+            # small month ORDINAL for the composite cell key (epoch-us
+            # values modulo anything can collide two months)
+            mo = np.asarray(batch["l_shipdate"], "datetime64[us]") \
+                .astype("datetime64[M]").astype(np.int64)
+            if len(mo) and (mo.min() < 0 or mo.max() >= (1 << 20)):
+                raise ValueError("ship month ordinal out of key range")
+            lpk = np.asarray(batch["l_partkey"], np.int64)
+            if len(lpk) and lpk.max() >= (1 << 43):
+                raise ValueError("partkey overflows the composite key")
+            key = lpk * np.int64(1 << 20) + mo
+            order = np.argsort(key, kind="stable")
+            k_s = key[order]
+            first = np.r_[True, k_s[1:] != k_s[:-1]] if len(k_s) else \
+                np.empty(0, bool)
+            starts = np.flatnonzero(first)
+            sums = np.add.reduceat(rev[order], starts) if starts.size \
+                else np.empty(0, np.int64)
+            return pa.table({
+                "l_partkey": pa.array(lpk[order][first], pa.int64()),
+                "ship_month": pa.array(month[order][first], pa.int64()),
+                "rev": pa.array(sums.astype(np.int64), pa.int64()),
+            })
+
+        lines = read_parquet_clean(
+            f"{sf_dir}/lineitem.parquet",
+            columns=line_cols).map_batches(_line_cells,
+                                           batch_format="pyarrow")
+
+        def _dim(batch: pa.Table) -> pa.Table:
+            promo = np.asarray(batch["p_type"]) == "PROMO"
+            return pa.table({
+                "p_partkey": batch["p_partkey"],
+                "is_promo": pa.array(promo.astype(np.int64), pa.int64()),
+            })
+
+        dim = read_parquet_clean(f"{sf_dir}/part.parquet",
+                                 columns=["p_partkey", "p_type"]
+                                 ).map_batches(_dim,
+                                               batch_format="pyarrow")
+        joined = hash_join_exchange(
+            lines, dim, key="pkey", left_cols=["ship_month", "rev"],
+            right_cols=["is_promo"],
+            n_parts=resolve_num_partitions(DEFAULT_CONFIG),
+            left_key="l_partkey", right_key="p_partkey")
+
+        def _cells(batch: pa.Table) -> pa.Table:
+            rev = np.asarray(batch["rev"], np.int64)
+            promo = np.asarray(batch["is_promo"], np.int64)
+            return pa.table({
+                "ship_month": batch["ship_month"],
+                "promo_rev_e4": pa.array(rev * promo, pa.int64()),
+                "total_rev_e4": pa.array(rev, pa.int64()),
+            })
+
+        out = grouped_sums(
+            joined.map_batches(_cells, batch_format="pyarrow"),
+            ["ship_month"], ["promo_rev_e4", "total_rev_e4"])
     return out.map_batches(
         lambda t: pa.table({
             "ship_month": pc.cast(t["ship_month"],
@@ -1269,35 +1348,37 @@ def top_supplier_revenue(sf_dir: str, k: int = 10):
     ).map_batches(_rev, batch_format="pyarrow")
     sums = grouped_sums(ds, ["l_suppkey"], ["rev"])
 
-    rows = read_parquet_clean(f"{sf_dir}/supplier.parquet",
-                              columns=["s_suppkey", "s_name"]).take_all()
-    sk = np.fromiter((r["s_suppkey"] for r in rows), np.int64, len(rows))
-    names = np.array([r["s_name"] for r in rows], dtype=object)
-    order = np.argsort(sk)
-    dim_ref = ray.put((sk[order], names[order]))
-
     def _block_topk(batch: pa.Table) -> pa.Table:
-        rev = np.asarray(batch["sum_rev"], np.int64)
-        key = np.asarray(batch["l_suppkey"], np.int64)
         if batch.num_rows > k:
-            idx = np.sort(np.lexsort((key, -rev))[:k])
-            batch = batch.take(pa.array(idx, pa.int64()))
             rev = np.asarray(batch["sum_rev"], np.int64)
             key = np.asarray(batch["l_suppkey"], np.int64)
-        sk_s, names_s = ray.get(dim_ref)
-        pos = np.minimum(np.searchsorted(sk_s, key), len(sk_s) - 1)
-        if not (sk_s[pos] == key).all():
-            raise ValueError("lineitem suppkey missing from supplier dim")
+            idx = np.sort(np.lexsort((key, -rev))[:k])
+            batch = batch.take(pa.array(idx, pa.int64()))
+        return batch
+
+    top = (sums.map_batches(_block_topk, batch_format="pyarrow")
+           .sort(["sum_rev", "l_suppkey"], descending=[True, False])
+           .limit(k).take_all())
+    # only the ≤ k winners' names leave the supplier dimension — the
+    # dimension itself never materializes on the driver (it can be 10M
+    # rows at TPC-H sf1000)
+    keys = pa.array([r["l_suppkey"] for r in top], pa.int64())
+    revs = {r["l_suppkey"]: r["sum_rev"] for r in top}
+
+    def _names(batch: pa.Table) -> pa.Table:
+        hit = batch.filter(pc.is_in(batch["s_suppkey"], value_set=keys))
         return pa.table({
-            "s_suppkey": pa.array(key, pa.int64()),
-            "s_name": pa.array([str(x) for x in names_s[pos]],
-                               pa.string()),
-            "revenue_e4": pa.array(rev, pa.int64()),
+            "s_suppkey": hit["s_suppkey"],
+            "s_name": hit["s_name"],
+            "revenue_e4": pa.array(
+                [revs[c] for c in hit["s_suppkey"].to_pylist()],
+                pa.int64()),
         })
 
-    return (sums.map_batches(_block_topk, batch_format="pyarrow")
-            .sort(["revenue_e4", "s_suppkey"], descending=[True, False])
-            .limit(k))
+    return read_parquet_clean(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name"]).map_batches(
+        _names, batch_format="pyarrow")
 
 
 def returned_item_revenue(sf_dir: str, k: int = 20):

@@ -538,3 +538,21 @@ def test_picklist_joins_broadcast_equals_exchange(ray_session):
         a, b = _rows(fast), _rows(forced)
         assert a == b
         assert len(a) > 0
+
+
+def test_promo_revenue_broadcast_equals_exchange(ray_session):
+    """promo_revenue_monthly must return identical cells whichever branch
+    the dimension-size budget selects (budget=0 forces the big-big
+    exchange path)."""
+    from sourmash_ray.pipelines.relational import promo_revenue_monthly
+
+    sf = "/root/testdata/sf0.001"
+
+    def _rows(ds):
+        return sorted((r["ship_month"], r["promo_rev_e4"],
+                       r["total_rev_e4"]) for r in ds.take_all())
+
+    fast = _rows(promo_revenue_monthly(sf))
+    forced = _rows(promo_revenue_monthly(sf, broadcast_budget=0))
+    assert fast == forced
+    assert len(fast) > 0
