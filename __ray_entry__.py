@@ -385,7 +385,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def _query_registry() -> dict[str, Callable[[str], Any]]:
-    from sourmash_ray.pipelines import ann, docops, eventops, relational
+    from sourmash_ray.pipelines import (ann, docops, eventops, relational,
+                                        transcriptops)
 
     return {
         # --- sourmash query parity (non-SQL; rows-only checks) ---
@@ -417,6 +418,14 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "simhash_neardup_pairs": docops.simhash_neardup_pairs,
         "minhash_dedup_docs": docops.minhash_dedup_docs,
         "exact_spans_docs": docops.exact_spans_docs,
+        # turn/conversation-grain transcript ops (rows-only here; exact
+        # DuckDB twins over the synthesized transcripts parquet live in
+        # tests/test_transcriptops.py — the driver's oracle views don't
+        # include the transcripts table)
+        "turn_dedup_transcripts": transcriptops.turn_dedup_transcripts,
+        "role_stats_transcripts": transcriptops.role_stats_transcripts,
+        "conversation_stats_transcripts":
+            transcriptops.conversation_stats_transcripts,
         # --- relational parity (manifest/picklist/top-k/summary) ---
         "manifest_select": relational.manifest_select,
         "picklist_semi_join": relational.picklist_semi_join,

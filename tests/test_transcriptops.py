@@ -1,0 +1,70 @@
+"""Turn/conversation-grain transcript ops vs exact DuckDB twins over
+the same synthesized transcripts parquet (the driver's oracle views
+don't include transcripts, so the exact check lives here)."""
+
+import duckdb
+import pytest
+
+from sourmash_ray.pipelines import transcriptops as T
+from sourmash_ray.sources.transcripts import transcripts_path
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.sql(f"CREATE VIEW turns AS SELECT * FROM "
+          f"read_parquet('{transcripts_path(SF)}/*.parquet')")
+    return c
+
+
+def test_turn_dedup_matches_duckdb(ray_session, con):
+    got = sorted(
+        (r["text_md5"], r["rep_conv_id"], r["rep_turn_idx"], r["n_dups"])
+        for r in T.turn_dedup_transcripts(SF).take_all())
+    # representative = lexicographically first (conv_id, turn_idx):
+    want = sorted(tuple(r) for r in con.sql("""
+        WITH h AS (
+          SELECT conv_id, turn_idx,
+                 md5(trim(regexp_replace(lower(coalesce(text, '')),
+                          '[ \t\n\r\f\v]+', ' ', 'g'))) AS m
+          FROM turns),
+        r AS (
+          SELECT m, conv_id, turn_idx,
+                 row_number() OVER (PARTITION BY m
+                                    ORDER BY conv_id, turn_idx) AS rn,
+                 count(*) OVER (PARTITION BY m) AS n
+          FROM h)
+        SELECT m, conv_id, CAST(turn_idx AS BIGINT), CAST(n AS BIGINT)
+        FROM r WHERE rn = 1
+    """).fetchall())
+    assert got == want
+    assert any(r[3] > 1 for r in got), "corpus should contain dup turns"
+
+
+def test_role_stats_matches_duckdb(ray_session, con):
+    got = sorted((r["role"], r["tool"], r["n_turns"], r["sum_chars"])
+                 for r in T.role_stats_transcripts(SF).take_all())
+    want = sorted(tuple(r) for r in con.sql("""
+        SELECT role, coalesce(tool, '') AS tool,
+               count(*) AS n_turns,
+               CAST(sum(len(coalesce(text, ''))) AS BIGINT) AS sum_chars
+        FROM turns GROUP BY 1, 2
+    """).fetchall())
+    assert got == want
+
+
+def test_conversation_stats_matches_duckdb(ray_session, con):
+    got = sorted((r["conv_id"], r["n_turns"], r["sum_chars"],
+                  r["n_roles"], r["duration_us"])
+                 for r in T.conversation_stats_transcripts(SF).take_all())
+    want = sorted(tuple(r) for r in con.sql("""
+        SELECT conv_id, count(*) AS n_turns,
+               CAST(sum(len(coalesce(text, ''))) AS BIGINT) AS sum_chars,
+               CAST(count(DISTINCT role) AS BIGINT) AS n_roles,
+               CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT)
+                   AS duration_us
+        FROM turns GROUP BY conv_id
+    """).fetchall())
+    assert got == want
