@@ -426,6 +426,7 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "role_stats_transcripts": transcriptops.role_stats_transcripts,
         "conversation_stats_transcripts":
             transcriptops.conversation_stats_transcripts,
+        "curate_transcripts_job": transcriptops.curate_transcripts_job,
         # --- relational parity (manifest/picklist/top-k/summary) ---
         "manifest_select": relational.manifest_select,
         "picklist_semi_join": relational.picklist_semi_join,

@@ -205,3 +205,133 @@ def conversation_stats_transcripts(sf_dir: str):
     return exchange_map_groups(keyed, "conv_part",
                                resolve_num_partitions(_cfg),
                                _profile, CONV_STATS_SCHEMA)
+
+
+CURATE_CONV_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("n_turns", pa.int64()),
+    ("sum_chars", pa.int64()), ("cluster_id", pa.string()),
+])
+
+
+def curate_transcripts_job(sf_dir: str,
+                           cfg: EngineConfig = DEFAULT_CONFIG,
+                           turns_band=(3, 40),
+                           min_chars: int = 200):
+    """The transcripts counterpart of ``curate_job_docs`` — what a
+    chat-corpus prep run executes end-to-end: per-conversation profile
+    gate (turn count in band, total chars above floor) ∘ near-dup
+    clustering, keeping ONE representative per surviving cluster (the
+    lexicographically-smallest gated conv_id). Returns the kept
+    conversations with their profile and cluster.
+
+    Shape: the profile rides one conv exchange
+    (:func:`conversation_stats_transcripts`), the clusters come from the
+    flagship pipeline (sketch exchange + banded LSH + verify +
+    union-find), and the gate∘rep-pick joins the two SMALL per-conv
+    tables (profile rows and cluster labels — corpus-sized ÷ turns/conv)
+    on a conv-hash exchange; the turn text is read by each side exactly
+    once. Composition-tested against the standalone components."""
+    import ray.data
+
+    from ..config import resolve_num_partitions
+    from ..functions.segscore import _to_bytes_array, hash_strings64
+    from ..pipelines.dedup import dedup_pipeline
+    from ..stages.exchange import exchange_map_groups
+
+    lo, hi = turns_band
+    stats = conversation_stats_transcripts(sf_dir)
+    gated = stats.filter(
+        expr=f"n_turns >= {lo} and n_turns <= {hi} "
+             f"and sum_chars >= {min_chars}")
+    clusters = dedup_pipeline(sf_dir, cfg)["clusters"]
+
+    def _tag_stats(batch: pa.Table) -> pa.Table:
+        cid = batch["conv_id"].combine_chunks()
+        return pa.table({
+            "conv_id": cid,
+            "n_turns": batch["n_turns"],
+            "sum_chars": batch["sum_chars"],
+            "cluster_id": pa.nulls(batch.num_rows, pa.string()),
+            "conv_part": pa.array(hash_strings64(cid) % 1024, pa.int64()),
+        })
+
+    def _tag_clusters(batch: pa.Table) -> pa.Table:
+        cid = batch["conv_id"].combine_chunks()
+        return pa.table({
+            "conv_id": cid,
+            "n_turns": pa.nulls(batch.num_rows, pa.int64()),
+            "sum_chars": pa.nulls(batch.num_rows, pa.int64()),
+            "cluster_id": batch["cluster_id"],
+            "conv_part": pa.array(hash_strings64(cid) % 1024, pa.int64()),
+        })
+
+    unioned = gated.map_batches(_tag_stats, batch_format="pyarrow").union(
+        clusters.map_batches(_tag_clusters, batch_format="pyarrow"))
+
+    def _pick(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return CURATE_CONV_SCHEMA.empty_table()
+        cid = _to_bytes_array(part["conv_id"].combine_chunks())
+        has_stats = np.asarray(pc.is_valid(part["n_turns"]))
+        order = np.lexsort((~has_stats, cid))  # stats row first per conv
+        cid_s = cid[order]
+        new = np.r_[True, cid_s[1:] != cid_s[:-1]]
+        conv_of = np.cumsum(new) - 1
+        # a conv survives the gate iff its stats row is present; its
+        # cluster row is always present (clusters covers every conv)
+        stats_first = new & has_stats[order]
+        n_rows = int(conv_of[-1]) + 1
+        gate_ok = np.zeros(n_rows, bool)
+        gate_ok[conv_of[stats_first]] = True
+        clu = part["cluster_id"].combine_chunks().take(
+            pa.array(order, pa.int64()))
+        clu_b = _to_bytes_array(pc.fill_null(clu, ""))
+        has_clu = np.asarray(pc.is_valid(clu))
+        # per conv: its cluster label (from the cluster row)
+        label = np.zeros(n_rows, dtype=clu_b.dtype)
+        label[conv_of[has_clu]] = clu_b[has_clu]
+        nt = np.asarray(pc.fill_null(part["n_turns"], 0), np.int64)[order]
+        sc = np.asarray(pc.fill_null(part["sum_chars"], 0),
+                        np.int64)[order]
+        n_turns = np.zeros(n_rows, np.int64)
+        sum_chars = np.zeros(n_rows, np.int64)
+        n_turns[conv_of[stats_first]] = nt[stats_first]
+        sum_chars[conv_of[stats_first]] = sc[stats_first]
+        firsts = np.flatnonzero(new)
+        keep = gate_ok
+        take = pa.array(order[firsts[keep]], pa.int64())
+        return pa.table({
+            "conv_id": part["conv_id"].combine_chunks().take(take),
+            "n_turns": pa.array(n_turns[keep], pa.int64()),
+            "sum_chars": pa.array(sum_chars[keep], pa.int64()),
+            "cluster_id": pa.array(
+                [x.decode() for x in label[keep].tolist()], pa.string()),
+        })
+
+    merged = exchange_map_groups(unioned, "conv_part",
+                                 resolve_num_partitions(cfg),
+                                 _pick, CURATE_CONV_SCHEMA)
+
+    # representative per surviving cluster: min gated conv_id. Cluster
+    # labels are conv-count-bounded strings; one more tiny exchange.
+    def _tag_cluster_key(batch: pa.Table) -> pa.Table:
+        clu = batch["cluster_id"].combine_chunks()
+        return batch.append_column(
+            "clu_part", pa.array(hash_strings64(clu) % 1024, pa.int64()))
+
+    def _rep(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return CURATE_CONV_SCHEMA.empty_table()
+        clu = _to_bytes_array(part["cluster_id"].combine_chunks())
+        cid = _to_bytes_array(part["conv_id"].combine_chunks())
+        order = np.lexsort((cid, clu))
+        clu_s = clu[order]
+        first = np.r_[True, clu_s[1:] != clu_s[:-1]]
+        take = pa.array(order[first], pa.int64())
+        return part.select(
+            ["conv_id", "n_turns", "sum_chars", "cluster_id"]).take(take)
+
+    keyed = merged.map_batches(_tag_cluster_key, batch_format="pyarrow")
+    return exchange_map_groups(keyed, "clu_part",
+                               resolve_num_partitions(cfg),
+                               _rep, CURATE_CONV_SCHEMA)

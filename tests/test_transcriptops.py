@@ -68,3 +68,33 @@ def test_conversation_stats_matches_duckdb(ray_session, con):
         FROM turns GROUP BY conv_id
     """).fetchall())
     assert got == want
+
+
+def test_curate_transcripts_job_composes_components(ray_session):
+    """curate_transcripts_job == gate(conversation_stats) ∘ one
+    representative (min gated conv_id) per dedup cluster — checked by
+    composing the standalone components."""
+    from sourmash_ray.pipelines.dedup import dedup_pipeline
+    from sourmash_ray.pipelines.transcriptops import (
+        conversation_stats_transcripts, curate_transcripts_job)
+
+    got = {r["conv_id"]: r for r in
+           curate_transcripts_job(SF).take_all()}
+
+    stats = {r["conv_id"]: r for r in
+             conversation_stats_transcripts(SF).take_all()}
+    gated = {c for c, r in stats.items()
+             if 3 <= r["n_turns"] <= 40 and r["sum_chars"] >= 200}
+    clusters = {r["conv_id"]: r["cluster_id"] for r in
+                dedup_pipeline(SF)["clusters"].take_all()}
+    by_cluster: dict = {}
+    for c in gated:
+        by_cluster.setdefault(clusters[c], []).append(c)
+    want = {min(cs) for cs in by_cluster.values()}
+
+    assert set(got) == want
+    for c, r in got.items():
+        assert r["n_turns"] == stats[c]["n_turns"]
+        assert r["sum_chars"] == stats[c]["sum_chars"]
+        assert r["cluster_id"] == clusters[c]
+    assert len(got) < len(gated), "dedup should collapse some clusters"
