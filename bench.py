@@ -110,6 +110,8 @@ def run_all(sf_dir: str) -> dict:
 def main():
     if "--single-run" in sys.argv:
         cpus = int(sys.argv[sys.argv.index("--single-run") + 1])
+        reps = (int(sys.argv[sys.argv.index("--reps") + 1])
+                if "--reps" in sys.argv else 3)
         _init_ray(cpus)
         # steady-state measurement: the first pass at a new scale grows
         # the per-worker scratch pools (first-touch page faults, paid once
@@ -120,7 +122,7 @@ def main():
         # reported wall is the MEDIAN of 3 warm passes; the cold pass is
         # included for transparency.
         cold = run_flagship(SF_DIR, reps=1)
-        res = run_flagship(SF_DIR, warmup=False, reps=3)
+        res = run_flagship(SF_DIR, warmup=False, reps=reps)
         res["cold_wall_s"] = cold["wall_s"]
         print("RESULT " + json.dumps(res))
         import ray
@@ -135,11 +137,17 @@ def main():
         # proxy for adding nodes, which multiplies bandwidth with cores);
         # 8→32 is additionally reported but is hardware-capped on one box
         # (32 cores share one memory subsystem — see BASELINE.md).
-        results = {}
-        for cpus in (2, 8, 32):
+        #
+        # Legs are INTERLEAVED (2, 8, 32 per round × 3 rounds) and the
+        # efficiency is computed per ROUND, then the median is reported:
+        # this VM's performance drifts in minute-scale phases (up to 1.8×
+        # on identical code — BASELINE.md round-4 jitter section), so legs
+        # measured ~20 min apart compare different machines. Pairing legs
+        # within a round samples both configs in the same phase.
+        def _one(cpus: int) -> dict:
             p = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--single-run",
-                 str(cpus)],
+                 str(cpus), "--reps", "1"],
                 capture_output=True, text=True,
                 env={**os.environ, "RAY_GRAFT_CPUS": str(cpus),
                      "GRAFT_SF_DIR": SCALING_SF_DIR},
@@ -150,17 +158,26 @@ def main():
                 print(p.stdout[-2000:], file=sys.stderr)
                 print(p.stderr[-2000:], file=sys.stderr)
                 raise RuntimeError(f"scaling run at {cpus} cpus failed")
-            results[cpus] = json.loads(line[-1][len("RESULT "):])
-        tp = {c: results[c]["turns_per_s"] for c in results}
+            return json.loads(line[-1][len("RESULT "):])
+
+        rounds = []
+        for _ in range(3):
+            tp = {c: _one(c)["turns_per_s"] for c in (2, 8, 32)}
+            rounds.append(tp)
+        e28 = sorted(r[8] / (4 * r[2]) for r in rounds)
+        e832 = sorted(r[32] / (4 * r[8]) for r in rounds)
+        med = len(rounds) // 2
         print(json.dumps({
-            "metric": "dedup-transcripts N→4N scaling efficiency",
-            "value": round(tp[8] / (4 * tp[2]), 4),
+            "metric": "dedup-transcripts N→4N scaling efficiency "
+                      "(median of 3 interleaved rounds)",
+            "value": round(e28[med], 4),
             "unit": "efficiency",
-            "efficiency_2_to_8": round(tp[8] / (4 * tp[2]), 4),
-            "efficiency_8_to_32": round(tp[32] / (4 * tp[8]), 4),
-            "turns_per_s": {str(c): round(tp[c], 1) for c in tp},
-            "wall_s": {str(c): round(results[c]["wall_s"], 2)
-                       for c in results},
+            "efficiency_2_to_8": round(e28[med], 4),
+            "efficiency_8_to_32": round(e832[med], 4),
+            "per_round_2_to_8": [round(x, 4) for x in e28],
+            "per_round_8_to_32": [round(x, 4) for x in e832],
+            "turns_per_s": {str(c): [round(r[c], 1) for r in rounds]
+                            for c in (2, 8, 32)},
             "sf": SCALING_SF_DIR,
         }))
         return
