@@ -5,13 +5,13 @@ store): sketch + band the EXISTING corpus once into a persisted index,
 then each delta batch is deduplicated by
 
 1. sketching ONLY the delta (the corpus is never re-read or re-sketched),
-2. probing the persisted band index for buckets the delta touches
-   (hive-partitioned by ``band_key % N_BAND_FILES`` — each lookup task
-   pairs one partition's files with the delta keys that hash there;
-   in-partition membership is one sort + searchsorted),
-3. emitting candidate pairs for touched buckets only and dropping
-   old–old pairs (already resolved when the corpus was indexed),
-4. fetching ONLY the candidate old sketches from the sig store
+2. ONE fused probe exchange keyed on ``band_key % N_BAND_FILES``: each
+   partition reads its persisted band files once, keeps old rows whose
+   bucket the delta touches, and emits candidate pairs in place with
+   old–old pairs dropped before they ever leave the partition (both
+   sides carry an ``is_new`` flag, so the old–old filter is a mask, not
+   a later broadcast-join stage),
+3. fetching ONLY the candidate old sketches from the sig store
    (hive-partitioned by id hash — partitions with no candidate are
    never opened) and verifying exact Jaccard where pairs and sketches
    meet.
@@ -20,6 +20,13 @@ Cost per delta: sketch(delta) + one scan of the touched band partitions
 + verify(candidates). Nothing scales with corpus text size except the
 band-partition scan, which is bounded by the index (24-byte rows), not
 the documents — and prunes to the touched files when the delta is small.
+
+Round-5 fusion note: the previous shape ran band-lookup, pair-emission
+and old–old-drop as three exchanges/maps with two extra materialize
+barriers and a delta-id broadcast; at small delta sizes the fixed
+~0.3–0.5 s/stage orchestration floor dominated wall time. The fused
+probe removes four sequential stages without changing semantics (the
+equality test vs the full pipeline is unchanged).
 
 Reference analogue: ``sourmash index`` once + ``sourmash search`` per
 new signature (`/root/reference/src/sourmash/commands.py:452-560`);
@@ -40,16 +47,18 @@ from ..config import EngineConfig, DEFAULT_CONFIG, resolve_num_partitions
 from ..functions.segscore import _to_bytes_array, hash_strings64
 from ..sources.tables import read_parquet_clean
 from ..stages.exchange import exchange_map_groups
-from ..stages.lsh import BandKeyer, band_keys_batch, dedup_pairs
+from ..stages.lsh import (BandKeyer, band_keys_batch, dedup_pairs,
+                          _pair_indices_sorted)
 from ..stages.verify import verify_pairs
 
 N_BAND_FILES = 64
 N_SIG_FILES = 64
 
-_KEYED_SCHEMA = pa.schema([
-    ("band_key", pa.uint64()),
-    ("band_part", pa.int64()),
-    ("conv_id", pa.string()),
+# candidate pairs with per-side novelty flags (a_new/b_new are functions
+# of the id VALUE, so dedup-by-(a,b) keeps them consistent)
+INC_PAIRS_SCHEMA = pa.schema([
+    ("a", pa.string()), ("b", pa.string()),
+    ("a_new", pa.bool_()), ("b_new", pa.bool_()),
 ])
 
 
@@ -110,11 +119,6 @@ def build_doc_dedup_index(sf_dir: str, index_dir: str,
         f"{index_dir}/sigs", partition_cols=["sig_file"])
 
 
-def _sorted_s_array(ids) -> np.ndarray:
-    a = _to_bytes_array(ids)
-    return np.sort(a) if a.size else a
-
-
 def _member_mask(keys: np.ndarray, sorted_set: np.ndarray) -> np.ndarray:
     if sorted_set.size == 0 or keys.size == 0:
         return np.zeros(keys.size, bool)
@@ -123,14 +127,81 @@ def _member_mask(keys: np.ndarray, sorted_set: np.ndarray) -> np.ndarray:
     return sorted_set[pos] == keys
 
 
+def _probe_emit(index_dir: str, cap: int, skew_limit: int = 100_000):
+    """FUSED probe over one band-file partition of DELTA band rows:
+    read the partition's persisted band files once, keep old rows whose
+    bucket the delta touches, and emit candidate pairs with old–old
+    pairs masked out in place. Equal band keys always share a band_file
+    (both are functions of band_key), so per-bucket pair semantics are
+    identical to the unfused three-stage chain."""
+    import pyarrow.parquet as pq
+
+    def fn(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return INC_PAIRS_SCHEMA.empty_table()
+        bf = int(part["band_file"][0].as_py())
+        new_keys = np.asarray(part["band_key"], np.uint64)
+        new_conv = part["conv_id"].combine_chunks()
+        files = sorted(glob.glob(
+            f"{index_dir}/bands/band_file={bf}/*.parquet"))
+        if files:
+            old = pa.concat_tables([
+                pq.read_table(f, columns=["band_key", "conv_id"])
+                for f in files])
+            touched = np.unique(new_keys)
+            ok = np.asarray(old["band_key"], np.uint64)
+            hit = _member_mask(ok, touched)
+            old = old.filter(pa.array(hit))
+            keys = np.concatenate(
+                [new_keys, np.asarray(old["band_key"], np.uint64)])
+            conv = pa.concat_arrays(
+                [new_conv, old["conv_id"].combine_chunks()])
+            is_new = np.concatenate(
+                [np.ones(len(new_keys), bool),
+                 np.zeros(old.num_rows, bool)])
+        else:
+            keys, conv, is_new = new_keys, new_conv, \
+                np.ones(len(new_keys), bool)
+        if keys.size < 2:
+            return INC_PAIRS_SCHEMA.empty_table()
+        order = np.lexsort((_to_bytes_array(conv), keys))
+        keys_s = keys[order]
+        conv_s = conv.take(pa.array(order, pa.int64()))
+        new_s = is_new[order]
+        a_idx, b_idx, _ = _pair_indices_sorted(
+            keys_s, cap, full_pairs=True, skew_limit=skew_limit)
+        if a_idx.size == 0:
+            return INC_PAIRS_SCHEMA.empty_table()
+        keep = new_s[a_idx] | new_s[b_idx]  # drop old–old in place
+        a_idx, b_idx = a_idx[keep], b_idx[keep]
+        return pa.table({
+            "a": conv_s.take(pa.array(a_idx, pa.int64())),
+            "b": conv_s.take(pa.array(b_idx, pa.int64())),
+            "a_new": pa.array(new_s[a_idx]),
+            "b_new": pa.array(new_s[b_idx]),
+        })
+
+    return fn
+
+
 @ray.remote
-def _delta_ids_remote(*blocks) -> np.ndarray:
-    tables = [t for t in blocks if t.num_rows]
-    if not tables:
+def _pair_old_ids(*blocks) -> np.ndarray:
+    """Distinct NOT-new ids across the deduped pair blocks — the only
+    sketches that must be fetched from the persisted sig store."""
+    ids: list[np.ndarray] = []
+    for t in blocks:
+        if not t.num_rows:
+            continue
+        a_old = ~np.asarray(t["a_new"], bool)
+        b_old = ~np.asarray(t["b_new"], bool)
+        if a_old.any():
+            ids.append(_to_bytes_array(t["a"].combine_chunks())[a_old])
+        if b_old.any():
+            ids.append(_to_bytes_array(t["b"].combine_chunks())[b_old])
+    if not ids:
         return np.empty(0, "S1")
-    ids = pa.concat_tables(
-        [t.select(["conv_id"]) for t in tables]).combine_chunks()
-    return np.unique(_to_bytes_array(ids["conv_id"]))
+    w = max(a.dtype.itemsize for a in ids)
+    return np.unique(np.concatenate([a.astype(f"S{w}") for a in ids]))
 
 
 def incremental_dedup_docs(sf_dir: str, index_dir: str,
@@ -138,90 +209,27 @@ def incremental_dedup_docs(sf_dir: str, index_dir: str,
                            threshold: float | None = None):
     """Verified near-dup pairs (a, b, jaccard, containments) involving
     the delta batch — delta–delta and delta–corpus; corpus-internal
-    pairs were resolved at index-build time and are filtered out before
-    verification ever sees them."""
+    pairs were resolved at index-build time and are filtered out inside
+    the fused probe before verification ever sees them."""
     import ray.data
 
-    n_parts = resolve_num_partitions(cfg)
     dsigs = _docs_side(sf_dir, delta=True, cfg=cfg).materialize()
-    dkeys = _band_rows(dsigs, cfg).materialize()
-    delta_ids_ref = _delta_ids_remote.remote(*dkeys.to_arrow_refs())
+    dkeys = _band_rows(dsigs, cfg)
 
-    def _lookup(part: pa.Table) -> pa.Table:
-        """One band partition: read its persisted files once, keep old
-        rows whose bucket the delta touches."""
-        import pyarrow.parquet as pq
-
-        if part.num_rows == 0:
-            return _KEYED_SCHEMA.empty_table()
-        bf = int(part["band_file"][0].as_py())
-        files = sorted(glob.glob(
-            f"{index_dir}/bands/band_file={bf}/*.parquet"))
-        if not files:
-            return _KEYED_SCHEMA.empty_table()
-        old = pa.concat_tables([
-            pq.read_table(f, columns=["band_key", "band_part", "conv_id"])
-            for f in files])
-        touched = np.unique(np.asarray(part["band_key"], np.uint64))
-        ok = np.asarray(old["band_key"], np.uint64)
-        pos = np.minimum(np.searchsorted(touched, ok),
-                         max(touched.size - 1, 0))
-        hit = touched[pos] == ok if touched.size else \
-            np.zeros(ok.size, bool)
-        return old.filter(pa.array(hit)).cast(_KEYED_SCHEMA)
-
-    old_hits = exchange_map_groups(dkeys, "band_file", N_BAND_FILES,
-                                   _lookup, _KEYED_SCHEMA)
-
-    # candidate pairs over touched buckets (delta + old members), then
-    # drop old–old pairs before any scoring
-    from ..stages.lsh import PAIRS_SCHEMA, _emit_pairs_part
-
-    allk = dkeys.select_columns(
-        ["band_key", "band_part", "conv_id"]).union(old_hits)
-    pairs = exchange_map_groups(
-        allk, "band_part", 2 * n_parts,
-        _emit_pairs_part(cfg.lsh.max_bucket_pairs_members,
-                         full_pairs=True), PAIRS_SCHEMA)
-    pairs = dedup_pairs(pairs, cfg.exec.group_parts,
-                        out_schema=PAIRS_SCHEMA)
-
-    def _drop_old_old(batch: pa.Table) -> pa.Table:
-        dset = ray.get(delta_ids_ref)
-        a = _to_bytes_array(batch["a"].combine_chunks())
-        b = _to_bytes_array(batch["b"].combine_chunks())
-        w = max(a.dtype.itemsize, b.dtype.itemsize,
-                dset.dtype.itemsize, 1)
-        keep = (_member_mask(a.astype(f"S{w}"), dset.astype(f"S{w}"))
-                | _member_mask(b.astype(f"S{w}"), dset.astype(f"S{w}")))
-        return batch.filter(pa.array(keep))
-
-    pairs = pairs.map_batches(_drop_old_old,
-                              batch_format="pyarrow").materialize()
+    raw_pairs = exchange_map_groups(
+        dkeys, "band_file", N_BAND_FILES,
+        _probe_emit(index_dir, cfg.lsh.max_bucket_pairs_members),
+        INC_PAIRS_SCHEMA)
+    pairs = dedup_pairs(raw_pairs, cfg.exec.group_parts,
+                        out_schema=INC_PAIRS_SCHEMA).materialize()
     if pairs.count() == 0:
         from ..stages.verify import VERIFIED_SCHEMA
 
         return ray.data.from_arrow(VERIFIED_SCHEMA.empty_table())
 
-    # fetch ONLY candidate old sketches: pair ids -> sig-store partitions
-    @ray.remote
-    def _pair_old_ids(dref, *blocks) -> np.ndarray:
-        tables = [t for t in blocks if t.num_rows]
-        if not tables:
-            return np.empty(0, "S1")
-        tbl = pa.concat_tables(tables).combine_chunks()
-        a = _to_bytes_array(tbl["a"])
-        b = _to_bytes_array(tbl["b"])
-        w = max(a.dtype.itemsize, b.dtype.itemsize, 1)
-        ids = np.unique(np.concatenate([a.astype(f"S{w}"),
-                                        b.astype(f"S{w}")]))
-        dset = dref
-        w2 = max(w, dset.dtype.itemsize, 1)
-        keep = ~_member_mask(ids.astype(f"S{w2}"), dset.astype(f"S{w2}"))
-        return ids[keep]
-
-    old_ids = ray.get(_pair_old_ids.remote(
-        ray.get(delta_ids_ref), *pairs.to_arrow_refs()))
+    # fetch ONLY candidate old sketches: pair novelty flags -> old ids ->
+    # sig-store partitions (untouched partitions are never opened)
+    old_ids = ray.get(_pair_old_ids.remote(*pairs.to_arrow_refs()))
     sig_files = sorted(set(
         (hash_strings64(pa.array([i.decode() for i in old_ids.tolist()],
                                  pa.string()))
@@ -244,5 +252,6 @@ def incremental_dedup_docs(sf_dir: str, index_dir: str,
             _filter_sigs, batch_format="pyarrow")
         sigs_all = sigs_all.union(old_sigs)
 
-    return verify_pairs(pairs, sigs_all.materialize(), cfg,
+    return verify_pairs(pairs.select_columns(["a", "b"]),
+                        sigs_all.materialize(), cfg,
                         threshold=threshold)

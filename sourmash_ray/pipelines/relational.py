@@ -1129,6 +1129,11 @@ def linestatus_priority_counts(sf_dir: str):
             pc.fill_null(pc.index_in(
                 batch["l_linestatus"],
                 value_set=pa.array(["F", "O"])), -1), np.int64)
+        if len(st) and st.min() < 0:
+            # a status outside {F, O} would collide in the composite
+            # key (ok*2 - 1 == (ok-1)*2 + 1) and wrap statuses[-1]
+            raise ValueError(
+                "unknown l_linestatus value (expected F or O)")
         key = ok * 2 + st
         order = np.argsort(key, kind="stable")
         k_s = key[order]
@@ -1234,13 +1239,24 @@ def promo_revenue_monthly(sf_dir: str,
         def _partial(batch: pa.Table) -> pa.Table:
             pk_s, promo_s = ray.get(lookup_ref)
             lpk = np.asarray(batch["l_partkey"], np.int64)
-            pos = np.minimum(np.searchsorted(pk_s, lpk), len(pk_s) - 1)
-            is_promo = (pk_s[pos] == lpk) & promo_s[pos]
             rev, month = _rev_month(batch)
+            if len(pk_s) == 0:
+                # empty dimension: inner join produces no rows
+                matched = np.zeros(len(lpk), bool)
+                is_promo = matched
+            else:
+                pos = np.minimum(np.searchsorted(pk_s, lpk),
+                                 len(pk_s) - 1)
+                matched = pk_s[pos] == lpk
+                is_promo = matched & promo_s[pos]
+            # inner-join semantics: lineitems whose partkey is absent
+            # from part are DROPPED (matches the exchange branch and
+            # the SQL oracle), not counted in total revenue
             return pa.table({
-                "ship_month": pa.array(month, pa.int64()),
-                "promo_rev_e4": pa.array(rev * is_promo, pa.int64()),
-                "total_rev_e4": pa.array(rev, pa.int64()),
+                "ship_month": pa.array(month[matched], pa.int64()),
+                "promo_rev_e4": pa.array(
+                    rev[matched] * is_promo[matched], pa.int64()),
+                "total_rev_e4": pa.array(rev[matched], pa.int64()),
             })
 
         ds = read_parquet_clean(

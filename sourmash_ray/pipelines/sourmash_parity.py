@@ -625,9 +625,16 @@ def compare_exact(sigs, cfg: EngineConfig = DEFAULT_CONFIG,
 
     blobs = sigs.select_columns(["conv_id", "mins"]).map_batches(
         mins_to_blob, batch_format="pyarrow").materialize()
-    blob_tbl = pa.concat_tables(
-        [t for t in ray.get(blobs.to_arrow_refs()) if t.num_rows]
-    ).combine_chunks()
+    blob_blocks = [t for t in ray.get(blobs.to_arrow_refs())
+                   if t.num_rows]
+    if not blob_blocks:  # 0-signature input: no pairs
+        from ray.data import from_arrow
+
+        return from_arrow(pa.table(
+            {"a": pa.array([], pa.string()),
+             "b": pa.array([], pa.string()),
+             "jaccard": pa.array([], pa.float64())}))
+    blob_tbl = pa.concat_tables(blob_blocks).combine_chunks()
     ref = ray.put(blob_tbl)
     num = cfg.sketch.num
 

@@ -184,8 +184,9 @@ def conversation_stats_transcripts(sf_dir: str):
         new_role = new_conv | np.r_[True, role_s[1:] != role_s[:-1]]
         n_roles = np.bincount(conv_id_of[new_role],
                               minlength=len(starts))
-        sum_chars = np.bincount(conv_id_of, weights=nch[order],
-                                minlength=len(starts)).astype(np.int64)
+        # reduceat keeps the sum in int64 (bincount weights go through
+        # float64, exact only below 2^53)
+        sum_chars = np.add.reduceat(nch[order], starts).astype(np.int64)
         ts_o = ts[order]
         tmin = np.minimum.reduceat(ts_o, starts)
         tmax = np.maximum.reduceat(ts_o, starts)

@@ -168,10 +168,20 @@ def compare_ordered(sigs, cfg=None, cut: float = 0.9):
     import ray
 
     cfg = cfg or DEFAULT_CONFIG
+    # ids come from the SIGNATURE list, not the pair table: a signature
+    # with no scored pair (singleton, or 0/1-signature input) must still
+    # appear in the ordering. compare is the explicitly small-n mode, so
+    # the driver-side id pull is budget-bounded by construction.
+    sigs = sigs.materialize()
+    ids = [r["conv_id"]
+           for r in sigs.select_columns(["conv_id"]).take_all()]
+    blocks = [t for t in ray.get(compare_exact(sigs, cfg).to_arrow_refs())
+              if t.num_rows]
+    if not blocks:
+        return single_linkage_leaf_order(ids, [], [],
+                                         np.empty(0, np.float64), cut=cut)
     pair_tbl = pa.concat_tables(
-        [t for t in ray.get(compare_exact(sigs, cfg).to_arrow_refs())
-         if t.num_rows], promote_options="default").combine_chunks()
-    ids = set(pair_tbl["a"].to_pylist()) | set(pair_tbl["b"].to_pylist())
+        blocks, promote_options="default").combine_chunks()
     sim = np.asarray(pair_tbl["jaccard"], np.float64)
     return single_linkage_leaf_order(
         ids, pair_tbl["a"].to_pylist(), pair_tbl["b"].to_pylist(),

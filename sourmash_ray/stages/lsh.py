@@ -110,8 +110,66 @@ def full_pair_indices(s: int, g: int, chunk_elems: int = 1 << 22):
         yield ai, bi
 
 
+PAIRS_CAPPED_SCHEMA = pa.schema([
+    ("a", pa.string()), ("b", pa.string()), ("capped", pa.bool_()),
+])
+
+
+def _pair_indices_sorted(keys: np.ndarray, cap: int, full_pairs: bool,
+                         skew_limit: int):
+    """In-run pair indices over a SORTED key vector: returns
+    (a_idx, b_idx, capped) where ``capped`` marks edges that came from a
+    star+chain-degraded bucket (pair list incomplete for that bucket —
+    connectivity preserved, enumeration not). Shared by the coarse-part
+    emitter and the fused incremental probe."""
+    if keys.size < 2:
+        z = np.empty(0, np.int64)
+        return z, z, np.empty(0, bool)
+    starts = np.flatnonzero(
+        np.concatenate([[True], keys[1:] != keys[:-1]]))
+    sizes = np.diff(np.concatenate([starts, [keys.size]]))
+    ai: list[np.ndarray] = []
+    bi: list[np.ndarray] = []
+    cp: list[np.ndarray] = []
+    for s, g in zip(starts[sizes >= 2], sizes[sizes >= 2]):
+        g = int(g)
+        s = int(s)
+        if g <= cap:
+            iu, ju = np.triu_indices(g, 1)
+            ai.append(s + iu)
+            bi.append(s + ju)
+            cp.append(np.zeros(iu.size, bool))
+        elif full_pairs and g <= skew_limit:
+            for a_idx, b_idx in full_pair_indices(s, g):
+                ai.append(a_idx)
+                bi.append(b_idx)
+                cp.append(np.zeros(a_idx.size, bool))
+        else:
+            if full_pairs:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "pair emission: bucket of %d members exceeds "
+                    "skew_limit=%d — degrading to star+chain (pair "
+                    "list incomplete for this bucket; edges carry "
+                    "capped=True)", g, skew_limit)
+            # hot bucket (boilerplate band): star to the minimum plus a
+            # chain of sorted successors — linear edges, same connected
+            # components (SURVEY.md §4 skew row)
+            idx = np.arange(s, s + g)
+            ai.append(np.concatenate(
+                [np.full(g - 1, s), idx[1:-1]]))
+            bi.append(np.concatenate([idx[1:], idx[2:]]))
+            cp.append(np.ones(2 * g - 3, bool))
+    if not ai:
+        z = np.empty(0, np.int64)
+        return z, z, np.empty(0, bool)
+    return (np.concatenate(ai), np.concatenate(bi), np.concatenate(cp))
+
+
 def _emit_pairs_part(cap: int, full_pairs: bool = False,
-                     skew_limit: int = 100_000):
+                     skew_limit: int = 100_000,
+                     capped_col: bool = False):
     """Vectorized pair emission over one COARSE partition of band keys.
 
     ``full_pairs=False`` (clustering consumers): buckets larger than
@@ -122,69 +180,62 @@ def _emit_pairs_part(cap: int, full_pairs: bool = False,
     skew, ~5·10⁹ pairs from one bucket) does the bucket degrade to
     star+chain, with a WARNING — never a silent drop.
 
+    ``capped_col=True`` appends a ``capped: bool`` column marking edges
+    from degraded buckets, so 100-TB recall accounting can distinguish
+    "no dup found" from "pairs not enumerated" (output conforms to
+    :data:`PAIRS_CAPPED_SCHEMA`).
+
     The groupby key is ``band_part = band_key % group_parts``; equal band
     keys always land in the same partition, so pair semantics are identical
     to a per-bucket groupby — but one Python call handles thousands of
     buckets: sort by (band_key, conv_id), detect runs, and only runs with
     ≥ 2 members (the rare case) get pair generation.
     """
+    out_schema = PAIRS_CAPPED_SCHEMA if capped_col else PAIRS_SCHEMA
 
     def emit(part: pa.Table) -> pa.Table:
-        empty = pa.table({"a": pa.array([], pa.string()),
-                          "b": pa.array([], pa.string())})
         if part.num_rows < 2:
-            return empty
+            return out_schema.empty_table()
         part = part.sort_by([("band_key", "ascending"),
                              ("conv_id", "ascending")])
         keys = np.asarray(part["band_key"], dtype=np.uint64)
         conv = part["conv_id"].combine_chunks()
-        starts = np.flatnonzero(
-            np.concatenate([[True], keys[1:] != keys[:-1]]))
-        sizes = np.diff(np.concatenate([starts, [keys.size]]))
-        ai: list[np.ndarray] = []
-        bi: list[np.ndarray] = []
-        for s, g in zip(starts[sizes >= 2], sizes[sizes >= 2]):
-            g = int(g)
-            s = int(s)
-            if g <= cap:
-                iu, ju = np.triu_indices(g, 1)
-                ai.append(s + iu)
-                bi.append(s + ju)
-            elif full_pairs and g <= skew_limit:
-                for a_idx, b_idx in full_pair_indices(s, g):
-                    ai.append(a_idx)
-                    bi.append(b_idx)
-            else:
-                if full_pairs:
-                    import logging
-
-                    logging.getLogger(__name__).warning(
-                        "pair emission: bucket of %d members exceeds "
-                        "skew_limit=%d — degrading to star+chain (pair "
-                        "list incomplete for this bucket)", g, skew_limit)
-                # hot bucket (boilerplate band): star to the minimum plus a
-                # chain of sorted successors — linear edges, same connected
-                # components (SURVEY.md §4 skew row)
-                idx = np.arange(s, s + g)
-                ai.append(np.concatenate(
-                    [np.full(g - 1, s), idx[1:-1]]))
-                bi.append(np.concatenate([idx[1:], idx[2:]]))
-        if not ai:
-            return empty
-        a_idx = np.concatenate(ai)
-        b_idx = np.concatenate(bi)
-        return pa.table({"a": conv.take(pa.array(a_idx, pa.int64())),
-                         "b": conv.take(pa.array(b_idx, pa.int64()))})
+        a_idx, b_idx, capped = _pair_indices_sorted(
+            keys, cap, full_pairs, skew_limit)
+        if a_idx.size == 0:
+            return out_schema.empty_table()
+        cols = {"a": conv.take(pa.array(a_idx, pa.int64())),
+                "b": conv.take(pa.array(b_idx, pa.int64()))}
+        if capped_col:
+            cols["capped"] = pa.array(capped)
+        return pa.table(cols)
 
     return emit
+
+
+def _first_distinct_pairs(tbl: pa.Table) -> pa.Table:
+    """EXACT first-occurrence distinct on (a, b), Arrow/numpy native —
+    no pandas round-trip, no hash-collision risk: each id column is
+    dictionary-encoded (exact value identity) and the two code vectors
+    combine into one collision-free int64 composite."""
+    if tbl.num_rows < 2:
+        return tbl
+    ca = np.asarray(
+        tbl["a"].combine_chunks().dictionary_encode().indices, np.int64)
+    cb = np.asarray(
+        tbl["b"].combine_chunks().dictionary_encode().indices, np.int64)
+    key = ca * np.int64(int(cb.max()) + 1) + cb
+    _, first = np.unique(key, return_index=True)
+    if first.size == tbl.num_rows:
+        return tbl
+    first.sort()  # keep original row order (deterministic "first")
+    return tbl.take(pa.array(first, pa.int64()))
 
 
 def _dedup_pairs_part(part: pa.Table) -> pa.Table:
     """Distinct (a, b) within one coarse pair partition, vectorized;
     non-key columns keep the first occurrence's values."""
-    df = part.drop_columns(["pair_part"]).to_pandas()
-    return pa.Table.from_pandas(df.drop_duplicates(["a", "b"]),
-                                preserve_index=False)
+    return _first_distinct_pairs(part.drop_columns(["pair_part"]))
 
 
 def _pair_key64(col) -> np.ndarray:
@@ -264,9 +315,8 @@ def dedup_pairs(pairs, parts: int = 1024, out_schema=None, n_parts=None):
         blocks = [t for t in ray.get(pairs.to_arrow_refs()) if t.num_rows]
         if not blocks:
             return ray.data.from_arrow(out_schema.empty_table())
-        df = pa.concat_tables(blocks).combine_chunks().to_pandas()
-        out = pa.Table.from_pandas(df.drop_duplicates(["a", "b"]),
-                                   preserve_index=False)
+        out = _first_distinct_pairs(
+            pa.concat_tables(blocks).combine_chunks())
         return ray.data.from_arrow(out.cast(out_schema))
     if n_parts is None:
         n_parts = 2 * resolve_num_partitions(_cfg)

@@ -102,3 +102,24 @@ def test_compare_ordered_end_to_end(ray_session):
     for ps in by_cluster.values():
         ps = sorted(ps)
         assert ps == list(range(ps[0], ps[0] + len(ps)))
+
+
+def test_compare_ordered_singleton_and_pairless(ray_session):
+    """0- and 1-signature inputs must not crash, and signatures with no
+    scored pair still appear as singletons (ids come from the signature
+    list, not the pair table)."""
+    from sourmash_ray.config import DEFAULT_CONFIG
+    from sourmash_ray.sources.transcripts import read_transcripts
+    from sourmash_ray.stages.sketch import sketch_transcripts
+
+    sigs = sketch_transcripts(
+        read_transcripts("/root/testdata/sf0.001"),
+        DEFAULT_CONFIG).limit(1).materialize()
+    out = compare_ordered(sigs, cut=0.5)
+    assert out.num_rows == 1
+    r = out.to_pylist()[0]
+    assert (r["leaf_order"], r["cluster_id"], r["merge_dist"]) == (
+        0, 0, 1.0)
+
+    empty = sigs.filter(lambda row: False).materialize()
+    assert compare_ordered(empty, cut=0.5).num_rows == 0

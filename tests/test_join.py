@@ -556,3 +556,68 @@ def test_promo_revenue_broadcast_equals_exchange(ray_session):
     forced = _rows(promo_revenue_monthly(sf, broadcast_budget=0))
     assert fast == forced
     assert len(fast) > 0
+
+
+def test_promo_broadcast_drops_unmatched_partkeys(ray_session, tmp_path):
+    """Broadcast branch must use INNER-join semantics: lineitems whose
+    partkey is absent from part contribute to NEITHER sum (matches the
+    exchange branch and the SQL oracle on FK-broken data); an empty part
+    dimension yields zero rows, not IndexError."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sourmash_ray.pipelines.relational import promo_revenue_monthly
+
+    d = tmp_path / "fkbroken"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2], pa.int64()),
+        "p_type": pa.array(["PROMO X", "STANDARD Y"]),
+    }), d / "part.parquet")
+    ship = pa.array([1000000, 1000001, 1000002], pa.date32())
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 2, 99], pa.int64()),  # 99 unmatched
+        "l_extendedprice": pa.array([10.0, 20.0, 40.0]),
+        "l_discount": pa.array([0.0, 0.0, 0.0]),
+        "l_shipdate": ship,
+    }), d / "lineitem.parquet")
+
+    def _rows(ds):
+        return sorted((r["ship_month"], r["promo_rev_e4"],
+                       r["total_rev_e4"]) for r in ds.take_all())
+
+    fast = _rows(promo_revenue_monthly(str(d)))
+    forced = _rows(promo_revenue_monthly(str(d), broadcast_budget=0))
+    assert fast == forced
+    # unmatched partkey 99 (price 40) must be absent from totals
+    assert sum(r[2] for r in fast) == (10_0000 + 20_0000) * 100 // 100
+
+    # empty part dimension -> inner join -> no rows, no crash
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([], pa.int64()),
+        "p_type": pa.array([], pa.string()),
+    }), d / "part.parquet")
+    assert _rows(promo_revenue_monthly(str(d))) == []
+
+
+def test_linestatus_unknown_value_raises(ray_session, tmp_path):
+    """A status outside {F, O} must raise (composite-key collision
+    guard), not silently wrap into the wrong bucket."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from sourmash_ray.pipelines.relational import linestatus_priority_counts
+
+    d = tmp_path / "badstatus"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1], pa.int64()),
+        "l_linestatus": pa.array(["Z"]),
+    }), d / "lineitem.parquet")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1], pa.int64()),
+        "o_orderpriority": pa.array(["1-URGENT"]),
+    }), d / "orders.parquet")
+    with pytest.raises(Exception, match="l_linestatus"):
+        linestatus_priority_counts(str(d)).take_all()
