@@ -69,6 +69,25 @@ def _dedup_transcripts_q(sf_dir: str):
     return _pipeline_for(sf_dir)["clusters"]
 
 
+def _dedup_transcripts_abund_q(sf_dir: str):
+    """Abundance-mode flagship twin: track_abundance sketches +
+    angular-cosine verification (rows-only; the recall-vs-oracle test
+    lives in tests/test_recall_scale.py)."""
+    import dataclasses
+
+    from sourmash_ray.config import DEFAULT_CONFIG
+    from sourmash_ray.pipelines.dedup import dedup_pipeline
+    from sourmash_ray.sources.transcripts import read_transcripts
+
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG,
+        sketch=dataclasses.replace(DEFAULT_CONFIG.sketch,
+                                   track_abundance=True))
+    out = dedup_pipeline(read_transcripts(sf_dir).limit(2000), cfg,
+                         metric="angular")
+    return out["clusters"]
+
+
 def _verified_pairs_q(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -373,15 +392,32 @@ def _incremental_dedup_q(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     """All driver-checkable pipelines.
 
-    Ordered with the SQL-oracle-backed entries FIRST (the driver's
+    Ordered with the SQL-oracle-backed entries leading (the driver's
     correctness window checks a prefix of this dict, so the strongest
-    evidence — rows+schema+value-hash vs DuckDB — must lead); rows-only
-    entries (murmur/float-seed dependent, covered by in-repo oracles)
-    follow.
+    evidence — rows+schema+value-hash vs DuckDB — must dominate), but a
+    SAMPLE of high-value rows-only entries (the flagship dedup, compare,
+    watch, the transcript composite) is interleaved inside the prefix so
+    the external driver also exercises the non-SQL surface end-to-end
+    (ADVICE round-4: don't rely solely on repo-local tests for the
+    rows-only tail). Remaining rows-only entries follow.
     """
     q = _query_registry()
     with_oracle = set(oracle_sql())
-    return {k: q[k] for k in sorted(q, key=lambda k: k not in with_oracle)}
+    sampled = [k for k in ("dedup_transcripts", "compare_exact_small",
+                           "watch_transcripts", "curate_transcripts_job",
+                           "sbt_search_transcripts")
+               if k in q and k not in with_oracle]
+    oracle_keys = [k for k in q if k in with_oracle]
+    rest = [k for k in q if k not in with_oracle and k not in sampled]
+    ordered: list[str] = []
+    si = 0
+    for i, k in enumerate(oracle_keys):
+        ordered.append(k)
+        if (i + 1) % 9 == 0 and si < len(sampled):
+            ordered.append(sampled[si])
+            si += 1
+    ordered += sampled[si:] + rest
+    return {k: q[k] for k in ordered}
 
 
 def _query_registry() -> dict[str, Callable[[str], Any]]:
@@ -405,6 +441,7 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         # --- flagship: transcripts near-dup (non-SQL; rows-only checks) ---
         "sketch_transcripts": _sketch_transcripts_q,
         "dedup_transcripts": _dedup_transcripts_q,
+        "dedup_transcripts_abund": _dedup_transcripts_abund_q,
         "verified_pairs_transcripts": _verified_pairs_q,
         "exact_spans_transcripts": _exact_spans_q,
         "containment_pairs_transcripts": _containment_pairs_q,
@@ -434,6 +471,8 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "picklist_ident_parts": relational.picklist_ident_parts,
         "picklist_md5short_docs": docops.picklist_md5short_docs,
         "tax_rollup_customers": relational.tax_rollup_customers,
+        "tax_summarize_customers": relational.tax_summarize_customers,
+        "tax_grep_customers": relational.tax_grep_customers,
         "topk_orders": relational.topk_orders,
         "grouped_topk_orders": relational.grouped_topk_orders,
         "pricing_summary": relational.pricing_summary,
@@ -625,6 +664,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT 1, r_name || ';' || n_name, count(*),
                    CAST(sum(cents) AS BIGINT)
             FROM lin GROUP BY r_name, n_name
+        """,
+        "tax_summarize_customers": """
+            WITH lin AS (
+              SELECT r_name, n_name, c_mktsegment AS seg
+              FROM customer
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey)
+            SELECT 'region' AS rank, count(*) AS lineage_count,
+                   r_name AS lineage
+            FROM lin GROUP BY r_name
+            UNION ALL
+            SELECT 'nation', count(*), r_name || ';' || n_name
+            FROM lin GROUP BY r_name, n_name
+            UNION ALL
+            SELECT 'segment', count(*),
+                   r_name || ';' || n_name || ';' || seg
+            FROM lin GROUP BY r_name, n_name, seg
+        """,
+        "tax_grep_customers": """
+            SELECT CAST(c_custkey AS VARCHAR) AS ident,
+                   r_name AS region, n_name AS nation,
+                   c_mktsegment AS segment
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE regexp_matches(n_name, '_1[0-9]$')
         """,
         "distinct_tokens_exact": f"""
             SELECT count(DISTINCT tok) AS n_distinct_tokens

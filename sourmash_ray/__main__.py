@@ -86,6 +86,36 @@ def main(argv=None):
     tp.add_argument("--csv", action="append", required=True,
                     help="lineage CSV (repeatable; .gz ok)")
     tp.add_argument("--out", required=True, help="output .sqldb path")
+    mg = sub.add_parser(
+        "migrate",
+        help="rewrite a legacy (v1-v5) SBT as the current v6 layout "
+             "(reference `sourmash migrate`)")
+    mg.add_argument("src", help="legacy .sbt.json / .sbt.zip")
+    mg.add_argument("--out", required=True,
+                    help="output .sbt.json or .sbt.zip path")
+    ts = sub.add_parser(
+        "tax-summarize",
+        help="summarize lineage spreadsheets: entry/rank counts + "
+             "per-prefix lineage counts (reference `tax summarize`)")
+    ts.add_argument("--csv", action="append", required=True,
+                    help="lineage CSV (repeatable; .gz ok)")
+    ts.add_argument("--out", default=None,
+                    help="write the lineage-count CSV here")
+    tg = sub.add_parser(
+        "tax-grep",
+        help="regex search over lineage NAMES; emits a picklist "
+             "(reference `tax grep`)")
+    tg.add_argument("pattern")
+    tg.add_argument("--csv", action="append", required=True,
+                    help="lineage CSV (repeatable; .gz ok)")
+    tg.add_argument("--rank", default=None,
+                    help="restrict the search to this rank name")
+    tg.add_argument("-v", "--invert-match", action="store_true")
+    tg.add_argument("-i", "--ignore-case", action="store_true")
+    tg.add_argument("--count", action="store_true",
+                    help="print only the match count")
+    tg.add_argument("--out", default=None,
+                    help="write the picklist CSV here")
     pk = add("picklist")
     pk.add_argument("--coltype", default="ident",
                     help="name|md5|ident|identprefix|md5short")
@@ -215,6 +245,47 @@ def main(argv=None):
             merged = merge_lineage_dbs(*reversed(dbs))  # last CSV wins
             write_lineage_sqlite(merged, args.out)
             print(json.dumps({"idents": len(merged), "out": args.out}))
+        elif args.cmd == "migrate":
+            from .stages.sbt import migrate_sbt
+
+            out = migrate_sbt(args.src, args.out)
+            print(json.dumps({"src": args.src, "out": out,
+                              "version": 6}))
+        elif args.cmd == "tax-summarize":
+            import pyarrow.csv as pacsv
+
+            from .sources.lineage_db import (load_lineage_csv,
+                                             merge_lineage_dbs)
+            from .stages.tax import tax_summarize
+
+            dbs = [load_lineage_csv(c) for c in args.csv]
+            summary, tbl = tax_summarize(merge_lineage_dbs(
+                *reversed(dbs)))
+            if args.out:
+                pacsv.write_csv(tbl, args.out)
+                summary["out"] = args.out
+            print(json.dumps(summary))
+        elif args.cmd == "tax-grep":
+            import pyarrow.csv as pacsv
+
+            from .sources.lineage_db import (load_lineage_csv,
+                                             merge_lineage_dbs)
+            from .stages.tax import tax_grep
+
+            dbs = [load_lineage_csv(c) for c in args.csv]
+            tbl = tax_grep(merge_lineage_dbs(*reversed(dbs)),
+                           args.pattern, rank=args.rank,
+                           invert=args.invert_match,
+                           ignore_case=args.ignore_case)
+            if args.count:
+                print(json.dumps({"matches": tbl.num_rows}))
+            elif args.out:
+                pacsv.write_csv(tbl, args.out)
+                print(json.dumps({"matches": tbl.num_rows,
+                                  "out": args.out}))
+            else:
+                for r in tbl.to_pylist():
+                    print(json.dumps(r))
         elif args.cmd == "tax-rollup":
             from .pipelines.relational import tax_rollup_customers
 

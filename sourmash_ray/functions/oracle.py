@@ -107,3 +107,24 @@ def oracle_clusters(pairs: set[tuple[str, str]], all_ids: list[str]) -> dict[str
         for m in members:
             out[m] = lbl
     return out
+
+
+def oracle_angular_pairs(sketches: dict[str, dict], params: SketchParams,
+                         threshold: float) -> set[tuple[str, str]]:
+    """All (a, b), a<b with ABUNDANCE angular similarity ≥ threshold —
+    O(n²) brute force over :func:`sketch_table` output (the abundance
+    twin of :func:`oracle_dup_pairs`; ``minhash.rs:635-680``
+    semantics via ``setops.angular_similarity``)."""
+    from .setops import angular_similarity
+    from .sketch import Sketch
+
+    ids = sorted(sketches)
+    sk = {i: Sketch(mins=sketches[i]["mins"],
+                    abunds=sketches[i]["abunds"], params=params)
+          for i in ids}
+    pairs = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if angular_similarity(sk[a], sk[b]) >= threshold:
+                pairs.add((a, b))
+    return pairs

@@ -89,18 +89,34 @@ def dedup_pipeline(
     *,
     checkpoint_dir: str | None = None,
     resume: bool = True,
+    metric: str = "jaccard",
 ):
     """Run the full near-dup pipeline.
 
     ``source``: an sf_dir string (synthesizes/reads the transcripts corpus)
     or an existing transcripts Dataset.
 
+    ``metric``: ``"jaccard"`` (flat sketches, default) or ``"angular"``
+    (abundance-cosine verification via :func:`stages.verify.angular_pairs`
+    — requires ``cfg.sketch.track_abundance``; the reference runs its
+    whole test matrix in both flat and abund variants,
+    ``tests/conftest.py:27-60``). In angular mode the identical-md5
+    exact-dup edges are SKIPPED: md5 digests mins only, so two sketches
+    with equal mins but different abundances can sit below the angular
+    threshold — force-merging them would be wrong. True exact duplicates
+    (equal text → equal abunds) score 1.0 and merge through verification.
+
     Returns dict of Datasets: ``signatures``, ``verified_pairs``,
     ``clusters`` (conv_id → cluster_id for every conversation).
     """
+    if metric not in ("jaccard", "angular"):
+        raise ValueError(f"unknown dedup metric {metric!r}")
+    if metric == "angular" and not cfg.sketch.track_abundance:
+        raise ValueError("metric='angular' requires "
+                         "cfg.sketch.track_abundance=True")
     if isinstance(source, str):
         ds = read_transcripts(source)
-        fingerprint = f"v2|sf={source}|cfg={cfg.sketch}|{cfg.lsh}"
+        fingerprint = f"v2|sf={source}|cfg={cfg.sketch}|{cfg.lsh}|{metric}"
     else:
         ds = source
         if checkpoint_dir:
@@ -118,9 +134,9 @@ def dedup_pipeline(
                                          for r in sample])
                        ).sum()) & 0xFFFFFFFFFFFF if sample else 0
             fingerprint = (f"v2|ds|n={n_rows}|crc={crc:x}"
-                           f"|cfg={cfg.sketch}|{cfg.lsh}")
+                           f"|cfg={cfg.sketch}|{cfg.lsh}|{metric}")
         else:
-            fingerprint = f"v2|ds|cfg={cfg.sketch}|{cfg.lsh}"
+            fingerprint = f"v2|ds|cfg={cfg.sketch}|{cfg.lsh}|{metric}"
 
     sigs = sketch_transcripts(
         ds, cfg,
@@ -144,8 +160,14 @@ def dedup_pipeline(
     # launch the exact-dup md5 exchange NOW: its raw Ray tasks run
     # concurrently with the verify materialization below (independent
     # branches over the same materialized sigs)
-    exact_edges = exact_dup_edges(sigs)
-    verified = verify_pairs(pairs, sigs, cfg)
+    exact_edges = exact_dup_edges(sigs) if metric == "jaccard" else None
+    if metric == "angular":
+        from ..stages.verify import angular_pairs
+
+        verified = angular_pairs(pairs, sigs, cfg,
+                                 threshold=cfg.verify_threshold)
+    else:
+        verified = verify_pairs(pairs, sigs, cfg)
     if checkpoint_dir:
         verified, _ = checkpoint_dataset(
             verified, os.path.join(checkpoint_dir, "verified_pairs"),
@@ -153,7 +175,9 @@ def dedup_pipeline(
     else:
         verified = verified.materialize()
 
-    edges = verified.select_columns(["a", "b"]).union(exact_edges)
+    edges = verified.select_columns(["a", "b"])
+    if exact_edges is not None:
+        edges = edges.union(exact_edges)
     clusters = assign_clusters(sigs, edges, cfg)
     if checkpoint_dir:
         clusters, _ = checkpoint_dataset(

@@ -1525,3 +1525,125 @@ def daily_activity_reconciliation(sf_dir: str):
             "n_orders": t["n_orders"],
             "n_events": t["n_events"]}),
         batch_format="pyarrow")
+
+
+def _customer_lineage_arrays(sf_dir: str):
+    """Broadcast lookup arrays for the customer lineage
+    region → nation (+ segment appended per row): dense object arrays
+    indexed by nationkey, the `tax_rollup_customers` pattern."""
+    nation = {r["n_nationkey"]: (r["n_name"], r["n_regionkey"])
+              for r in read_parquet_clean(
+                  f"{sf_dir}/nation.parquet").take_all()}
+    region = {r["r_regionkey"]: r["r_name"]
+              for r in read_parquet_clean(
+                  f"{sf_dir}/region.parquet").take_all()}
+    import numpy as np
+
+    max_nk = max(nation) if nation else -1
+    region_by_nk = np.empty(max_nk + 1, dtype=object)
+    nation_by_nk = np.empty(max_nk + 1, dtype=object)
+    for nk, (name, rk) in nation.items():
+        region_by_nk[nk] = region[rk]
+        nation_by_nk[nk] = name
+    hole = np.array([v is None for v in nation_by_nk], bool)
+    return region_by_nk, nation_by_nk, hole
+
+
+def tax_summarize_customers(sf_dir: str):
+    """``tax summarize`` over the customer lineage spreadsheet
+    (reference ``tax/__main__.py summarize():617-684`` ``-o`` output):
+    each customer carries the 3-rank lineage region;nation;mktsegment;
+    the operator counts every lineage PREFIX and emits
+    (rank, lineage, lineage_count) rows — the detailed lineage-count CSV.
+
+    Scale shape: dims broadcast, ×3 explode inside map_batches, then the
+    block-local combiner + coarse exchange of :func:`grouped_sums` —
+    only (rank, lineage) partials shuffle (cardinality is bounded by the
+    lineage tree, not the fact table)."""
+    import numpy as np
+
+    from ..stages.agg import grouped_sums
+
+    lin_ref = ray.put(_customer_lineage_arrays(sf_dir))
+    rank_names = np.array(["region", "nation", "segment"])
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        region_a, nation_a, hole_a = ray.get(lin_ref)
+        nk = np.asarray(batch["c_nationkey"], dtype=np.int64)
+        if nk.size and (nk.min() < 0 or nk.max() >= nation_a.size
+                        or hole_a[nk].any()):
+            raise ValueError("c_nationkey outside the nation dim")
+        seg = np.asarray(batch["c_mktsegment"], dtype=object)
+        r = region_a[nk]
+        rn = r + ";" + nation_a[nk]
+        rns = rn + ";" + seg
+        n = batch.num_rows
+        return pa.table({
+            "rank": pa.array(np.repeat(rank_names, n), pa.string()),
+            "lineage": pa.array(np.concatenate([r, rn, rns]),
+                                pa.string()),
+        })
+
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_nationkey", "c_mktsegment"])
+    out = grouped_sums(cust.map_batches(_explode, batch_format="pyarrow"),
+                       ["rank", "lineage"], [],
+                       count_as="lineage_count")
+    return out.map_batches(
+        lambda t: t.select(["rank", "lineage_count", "lineage"]),
+        batch_format="pyarrow")
+
+
+def tax_grep_customers(sf_dir: str, pattern: str = "_1[0-9]$",
+                       rank: str = "nation", invert: bool = False):
+    """``tax grep`` over the customer lineage spreadsheet (reference
+    ``tax/__main__.py grep():561-614``): regex search over lineage
+    NAMES restricted to one rank, emitting the picklist rows
+    (ident + rank columns, ident = customer key as string).
+
+    The regex is evaluated ONCE per dimension value (25 nations — the
+    rank being searched lives in the broadcast dim); the fact table
+    only gathers the precomputed hit mask, so the per-batch work is a
+    vectorized take — no per-row regex at scale. ``invert`` flips the
+    match (reference ``-v``)."""
+    import re
+
+    import numpy as np
+
+    region_a, nation_a, hole_a = _customer_lineage_arrays(sf_dir)
+    pat = re.compile(pattern)
+    if rank == "region":
+        hit = np.array([bool(v) and bool(pat.search(v))
+                        for v in region_a], bool)
+    elif rank == "nation":
+        hit = np.array([bool(v) and bool(pat.search(v))
+                        for v in nation_a], bool)
+    else:
+        raise ValueError(f"unknown lineage rank {rank!r} "
+                         "(segment rank matches per-row; use the pure "
+                         "stages.tax.tax_grep for arbitrary ranks)")
+    if invert:
+        hit = ~hit & ~hole_a
+    lin_ref = ray.put((region_a, nation_a, hole_a, hit))
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        region_b, nation_b, hole_b, hit_b = ray.get(lin_ref)
+        nk = np.asarray(batch["c_nationkey"], dtype=np.int64)
+        if nk.size and (nk.min() < 0 or nk.max() >= nation_b.size
+                        or hole_b[nk].any()):
+            raise ValueError("c_nationkey outside the nation dim")
+        keep = hit_b[nk]
+        ck = np.asarray(batch["c_custkey"], np.int64)[keep]
+        seg = batch["c_mktsegment"].combine_chunks().filter(
+            pa.array(keep))
+        return pa.table({
+            "ident": pa.array(ck.astype(str), pa.string()),
+            "region": pa.array(region_b[nk[keep]], pa.string()),
+            "nation": pa.array(nation_b[nk[keep]], pa.string()),
+            "segment": seg,
+        })
+
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_nationkey",
+                                       "c_mktsegment"])
+    return cust.map_batches(_filter, batch_format="pyarrow")

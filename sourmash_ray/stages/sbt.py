@@ -366,9 +366,12 @@ class SBT:
 
     @classmethod
     def load(cls, location: str) -> "SBT":
-        """v6 loader (``sbt.py:1183-1232``); earlier format versions are
-        not supported (the reference migrates them forward on load — out
-        of scope here, documented)."""
+        """SBT loader for every published description version, v1–v6
+        (``sbt.py:823-1232``): the dispatch mirrors the reference's
+        ``loaders = {1: _load_v1, ...}`` table. v6 is the native format;
+        v1–v5 go through :meth:`_load_legacy` (see its docstring for the
+        per-version dialect differences). Use :func:`migrate_sbt` to
+        rewrite a legacy tree as v6 (reference ``sourmash migrate``)."""
         zf = None
         if zipfile.is_zipfile(location):
             zf = zipfile.ZipFile(location)
@@ -389,10 +392,23 @@ class SBT:
                 with open(os.path.join(dirname, subdir, fn), "rb") as f:
                     return f.read()
 
-        version = info.get("version")
-        if version != 6:
+        version = (1 if isinstance(info, list)
+                   else int(info.get("version", 1)))
+        if version < 1 or version > 6:
             raise ValueError(
-                f"SBT format version {version} not supported (v6 only)")
+                f"SBT format version {version} not supported (v1-v6)")
+        if version < 6:
+            def _read_at(sub: str, fn: str) -> bytes:
+                if zf is not None:
+                    return zf.read(f"{sub}/{fn}" if sub else fn)
+                with open(os.path.join(dirname, sub, fn), "rb") as f:
+                    return f.read()
+
+            try:
+                return cls._load_legacy(version, info, _read_at)
+            finally:
+                if zf is not None:
+                    zf.close()
         subdir = info["storage"]["args"]["path"]
         factory = GraphFactory(*info["factory"]["args"])
         tree = cls(factory, d=int(info["d"]))
@@ -418,6 +434,111 @@ class SBT:
         if zf is not None:
             zf.close()
         return tree
+
+
+    @classmethod
+    def _load_legacy(cls, version: int, info, read_at) -> "SBT":
+        """Legacy description dialects, ``sbt.py:950-1181``:
+
+        - **v1** (``_load_v1:950``): the JSON is a bare LIST; position =
+          list index, ``None`` holes allowed, d is implicitly 2, factory
+          params come from the first internal nodegraph file, filenames
+          are relative to the json's directory.
+        - **v2** (``_load_v2:990``): dict with ``d`` + ``nodes`` mapping
+          position → node, internal and leaves MIXED (internal detected
+          by ``"internal" in name``), factory from the root nodegraph
+          file, filenames relative to the json's directory.
+        - **v3** (``_load_v3:1033``): adds ``factory.args`` +
+          ``storage.args.path`` (files under that subdir); may contain
+          ``None`` holes; carries NO ``min_n_below`` — the reference
+          back-fills it on load (``_fill_min_n_below``), replicated here
+          from the leaf table.
+        - **v4** (``_load_v4:1088``): v3 without holes, ``min_n_below``
+          present in node metadata.
+        - **v5** (``_load_v5:1132``): internal ``nodes`` and ``leaves``
+          split into separate mappings.
+
+        Leaves are ``.sig`` JSON (possibly gzip); internal nodes are
+        (possibly gzip) OXLI nodegraphs — both identical across versions.
+        """
+        if version == 1:
+            raw = {i: n for i, n in enumerate(info)}
+            d = 2
+        else:
+            raw = {int(k): v for k, v in info["nodes"].items()}
+            d = int(info["d"])
+        if version == 5:
+            internal = {k: v for k, v in raw.items() if v is not None}
+            leaves = {int(k): v for k, v in info["leaves"].items()}
+        else:
+            internal = {k: v for k, v in raw.items()
+                        if v is not None and "internal" in v["name"]}
+            leaves = {k: v for k, v in raw.items()
+                      if v is not None and "internal" not in v["name"]}
+        if not leaves:
+            raise ValueError("Empty tree!")
+
+        sub = (info["storage"]["args"]["path"] if version >= 3 else "")
+
+        nodes: dict[int, Nodegraph] = {}
+        node_meta: dict[int, dict] = {}
+        for k in sorted(internal):
+            nodes[k] = Nodegraph.from_buffer(
+                read_at(sub, internal[k]["filename"]))
+            meta = internal[k].get("metadata")
+            node_meta[k] = dict(meta) if isinstance(meta, dict) else {}
+
+        if version <= 2:
+            # factory params from the root nodegraph file
+            # (``extract_nodegraph_info``, sbt.py:963-966)
+            root = nodes[min(nodes)] if nodes else None
+            if root is None:
+                raise ValueError("no internal nodes to infer factory")
+            factory = GraphFactory(int(root.ksize),
+                                   int(root.tablesizes[0]),
+                                   len(root.tablesizes))
+        else:
+            factory = GraphFactory(*info["factory"]["args"])
+
+        tree = cls(factory, d=d)
+        tree.nodes = nodes
+        tree.node_meta = node_meta
+
+        tables, positions = [], []
+        for k in sorted(leaves):
+            data = read_at(sub, leaves[k]["filename"])
+            if data[:2] == b"\x1f\x8b":
+                data = gzip.decompress(data)
+            tables.append(sig_json_to_table(json.loads(data)))
+            positions.append(k)
+        tree._set_leaves(pa.concat_tables(tables),
+                         np.array(positions, dtype=np.int64))
+
+        # v1-v3 predate min_n_below: back-fill from the leaves the way
+        # the reference's _fill_min_n_below (sbt.py:1233-1262) walks the
+        # tree, so search() works without a migrate step
+        if any("min_n_below" not in m for m in node_meta.values()):
+            import sys as _sys
+
+            fill = {k: _sys.maxsize for k in nodes}
+            for pos, i in tree._leaf_idx.items():
+                n = max(1, len(tree.leaf_table["mins"][i]))
+                p = pos
+                while p > 0:
+                    p = (p - 1) // d
+                    if p in fill:
+                        fill[p] = min(fill[p], n)
+                if 0 in fill:
+                    fill[0] = min(fill[0], n)
+            for k, m in node_meta.items():
+                m.setdefault("min_n_below", fill[k])
+        return tree
+
+
+def migrate_sbt(location: str, out_path: str) -> str:
+    """``sourmash migrate`` (``commands.py`` migrate): load any v1-v6
+    tree and rewrite it as the current v6 layout."""
+    return SBT.load(location).save(out_path)
 
 
 def build_sbt(sigs, *, factory: GraphFactory | None = None, d: int = 2,

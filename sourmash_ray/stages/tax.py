@@ -319,3 +319,100 @@ def compare_lineage_dicts(a: dict, b: dict) -> tuple[pa.Table, dict]:
         "incompatible_at_depth": incompat_depth,
     }
     return pa.Table.from_pylist(rows, schema=COMPARE_CSV_SCHEMA), summary
+
+
+# ---------------------------------------------------------------------------
+# tax summarize / tax grep — lineage-spreadsheet utilities
+# ---------------------------------------------------------------------------
+
+_DEFAULT_RANKS = ("superkingdom", "phylum", "class", "order", "family",
+                  "genus", "species", "strain")
+
+LINEAGE_COUNT_SCHEMA = pa.schema([
+    ("rank", pa.string()),
+    ("lineage_count", pa.int64()),
+    ("lineage", pa.string()),
+])
+
+
+def tax_summarize(lineages: dict[str, str],
+                  rank_names: tuple = _DEFAULT_RANKS
+                  ) -> tuple[dict, pa.Table]:
+    """``tax summarize`` (``/root/reference/src/sourmash/tax/__main__.py``
+    ``summarize():617-684``): summary counts over a lineage spreadsheet +
+    the ``-o`` per-prefix lineage-count CSV rows.
+
+    Returns ``(summary, table)``:
+
+    - ``summary["n_lineages"]`` — number of entries (reference
+      ``len(tax_assign)``);
+    - ``summary["rank_counts"]`` — per rank, number of distinct names,
+      with the reference's global ``name_seen`` quirk preserved: a name
+      already counted at one rank is NOT recounted at another;
+    - table — one row per distinct lineage PREFIX with its count
+      (reference ``Counter`` over ``tup[:-1]`` chains), rank = the rank
+      name of the prefix's deepest entry, ordered (count desc, lineage
+      asc) for determinism where ``most_common`` ties are arbitrary.
+    """
+    from collections import Counter
+
+    rank_counts: dict[str, int] = {}
+    name_seen: set[str] = set()
+    prefix_counts: Counter = Counter()
+    for lin in lineages.values():
+        parts = lin.split(";") if lin else []
+        for d, name in enumerate(parts):
+            if name not in name_seen:
+                name_seen.add(name)
+                rname = (rank_names[d] if d < len(rank_names) else str(d))
+                rank_counts[rname] = rank_counts.get(rname, 0) + 1
+        for d in range(len(parts), 0, -1):
+            prefix_counts[";".join(parts[:d])] += 1
+
+    rows = sorted(prefix_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    depth = [len(k.split(";")) - 1 for k, _ in rows]
+    tbl = pa.table({
+        "rank": pa.array(
+            [rank_names[d] if d < len(rank_names) else str(d)
+             for d in depth], pa.string()),
+        "lineage_count": pa.array([c for _, c in rows], pa.int64()),
+        "lineage": pa.array([k for k, _ in rows], pa.string()),
+    }).cast(LINEAGE_COUNT_SCHEMA)
+    summary = {"n_lineages": len(lineages), "rank_counts": rank_counts}
+    return summary, tbl
+
+
+def tax_grep(lineages: dict[str, str], pattern: str, *,
+             rank: str | int | None = None, invert: bool = False,
+             ignore_case: bool = False,
+             rank_names: tuple = _DEFAULT_RANKS) -> pa.Table:
+    """``tax grep`` (``tax/__main__.py`` ``grep():561-614``): regex
+    search over lineage NAMES (never idents), optionally restricted to
+    one rank (name from ``rank_names`` or integer depth), with
+    ``-v``/``-i`` semantics; returns the picklist table the reference
+    writes — ``ident`` + one column per rank, rows sorted by ident."""
+    import re
+
+    pat = re.compile(pattern, re.IGNORECASE if ignore_case else 0)
+    if isinstance(rank, str):
+        if rank not in rank_names:
+            raise ValueError(f"unknown rank {rank!r}")
+        rank = rank_names.index(rank)
+
+    def _hits(parts: list[str]) -> bool:
+        for d, name in enumerate(parts):
+            if (rank is None or d == rank) and pat.search(name):
+                return True
+        return False
+
+    matched = sorted(
+        (ident, lin.split(";") if lin else [])
+        for ident, lin in lineages.items()
+        if _hits(lin.split(";") if lin else []) != invert)
+    n_cols = max((len(p) for _, p in matched), default=0)
+    cols = {"ident": pa.array([i for i, _ in matched], pa.string())}
+    for d in range(n_cols):
+        nm = rank_names[d] if d < len(rank_names) else str(d)
+        cols[nm] = pa.array(
+            [p[d] if d < len(p) else "" for _, p in matched], pa.string())
+    return pa.table(cols)

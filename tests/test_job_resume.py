@@ -1,0 +1,119 @@
+"""Job-level failure injection (VERDICT r4 item 9): SIGKILL the
+composite ``ray job submit`` entrypoints mid-stage, resubmit the
+identical command, and assert the resumed output matches a fresh
+uninterrupted run. Jobs run in SUBPROCESSES with their own local Ray
+sessions (that is the deployment shape under test — the in-test
+``ray_session`` fixture stays untouched)."""
+from __future__ import annotations
+
+import glob
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import pyarrow.parquet as pq
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF = "/root/testdata/sf0.001"
+
+
+def _run(cmd, timeout=420):
+    return subprocess.run(cmd, cwd=REPO, capture_output=True, text=True,
+                          timeout=timeout)
+
+
+def _spawn(cmd):
+    return subprocess.Popen(cmd, cwd=REPO, stdout=subprocess.DEVNULL,
+                            stderr=subprocess.DEVNULL,
+                            start_new_session=True)
+
+
+def _kill_when(proc, predicate, timeout=300):
+    """SIGKILL the whole process group as soon as ``predicate()`` is
+    true; returns whether the kill fired before the job exited."""
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        if proc.poll() is not None:
+            return False               # job finished before the trigger
+        if predicate():
+            os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+            proc.wait(timeout=60)
+            return True
+        time.sleep(0.1)
+    raise TimeoutError("kill trigger never fired")
+
+
+def _sorted_rows(path_glob):
+    files = sorted(glob.glob(path_glob))
+    assert files, f"no parquet under {path_glob}"
+    import pyarrow as pa
+
+    tbl = pa.concat_tables([pq.read_table(f) for f in files])
+    cols = sorted(tbl.column_names)
+    return sorted(tuple(r[c] for c in cols) for r in tbl.to_pylist())
+
+
+def test_curate_job_kill_mid_stage_resume(tmp_path):
+    out_killed = str(tmp_path / "killed")
+    out_fresh = str(tmp_path / "fresh")
+    cmd = [sys.executable, "jobs/curate_job.py", "--input", SF,
+           "--num-cpus", "4"]
+
+    # first attempt: kill the moment the FIRST stage commits its _DONE
+    proc = _spawn(cmd + ["--out", out_killed])
+    killed = _kill_when(
+        proc, lambda: os.path.exists(
+            os.path.join(out_killed, "exact_dedup", "_DONE")))
+    assert killed, "job finished before the kill trigger - fixture too small"
+    done_after_kill = glob.glob(os.path.join(out_killed, "*", "_DONE"))
+    assert len(done_after_kill) < 6, "all stages finished before the kill"
+
+    # resubmit the identical command: completed stages skip, rest run
+    r = _run(cmd + ["--out", out_killed])
+    assert r.returncode == 0, r.stderr[-2000:]
+    stages = json.loads(r.stdout.strip().splitlines()[-1])["stages"]
+    assert stages["exact_dedup"] == "skipped (done)"
+    assert len(glob.glob(os.path.join(out_killed, "*", "_DONE"))) == 6
+
+    # fresh uninterrupted run for comparison
+    r = _run(cmd + ["--out", out_fresh])
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    for stage in ("exact_dedup", "curated", "langid", "quality_gate",
+                  "exact_decontam", "lm_score"):
+        assert _sorted_rows(f"{out_killed}/{stage}/*.parquet") == \
+            _sorted_rows(f"{out_fresh}/{stage}/*.parquet"), stage
+
+
+def test_dedup_job_kill_mid_checkpoint_resume(tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    out_resumed = str(tmp_path / "resumed")
+    out_fresh = str(tmp_path / "fresh")
+    cmd = [sys.executable, "jobs/dedup_job.py", "--input", SF,
+           "--num-cpus", "4"]
+
+    # kill as soon as the signatures stage checkpoint commits
+    proc = _spawn(cmd + ["--checkpoint-dir", ckpt])
+    killed = _kill_when(
+        proc, lambda: os.path.exists(
+            os.path.join(ckpt, "signatures", "_LINEAGE.json")))
+    assert killed, "job finished before the kill trigger"
+    assert not os.path.exists(
+        os.path.join(ckpt, "clusters", "_LINEAGE.json"))
+
+    # resubmit with the same checkpoint dir -> resumes past signatures
+    r = _run(cmd + ["--checkpoint-dir", ckpt, "--out", out_resumed])
+    assert r.returncode == 0, r.stderr[-2000:]
+    info = json.loads(r.stdout.strip().splitlines()[-1])
+    assert info["clusters_rows"] > 0
+
+    # fresh run, no checkpoints at all
+    r = _run(cmd + ["--out", out_fresh])
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    assert _sorted_rows(f"{out_resumed}/*.parquet") == \
+        _sorted_rows(f"{out_fresh}/*.parquet")

@@ -203,3 +203,88 @@ def test_compare_lineage_dicts():
         "n_incompatible": 2, "missing_in_a": 1, "missing_in_b": 1,
         "incompatible_at_depth": {1: 1, 0: 1},
     }
+
+
+# ---------------------------------------------------------------------------
+# tax summarize / tax grep (reference tax/__main__.py:561-684)
+# ---------------------------------------------------------------------------
+
+_LIN = {
+    "gA": "Bacteria;Proteobacteria;Gammaproteo",
+    "gB": "Bacteria;Proteobacteria;Alphaproteo",
+    "gC": "Bacteria;Firmicutes",
+    "gD": "Archaea;Euryarchaeota;Gammaproteo",   # reuses a deep name
+}
+
+
+def test_tax_summarize_counts_and_prefixes():
+    from sourmash_ray.stages.tax import tax_summarize
+
+    summary, tbl = tax_summarize(_LIN)
+    assert summary["n_lineages"] == 4
+    # name_seen is GLOBAL across ranks (reference quirk): 'Gammaproteo'
+    # counts once at class even though gD carries it under Archaea too
+    assert summary["rank_counts"] == {
+        "superkingdom": 2, "phylum": 3, "class": 2}
+    by_lin = {r["lineage"]: r for r in tbl.to_pylist()}
+    assert by_lin["Bacteria"]["lineage_count"] == 3
+    assert by_lin["Bacteria"]["rank"] == "superkingdom"
+    assert by_lin["Bacteria;Proteobacteria"]["lineage_count"] == 2
+    assert by_lin["Archaea;Euryarchaeota;Gammaproteo"][
+        "lineage_count"] == 1
+    # every prefix of every lineage appears
+    assert len(by_lin) == 8
+    # ordered by count desc, lineage asc
+    counts = [r["lineage_count"] for r in tbl.to_pylist()]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_tax_grep_rank_invert_case():
+    from sourmash_ray.stages.tax import tax_grep
+
+    out = tax_grep(_LIN, "proteo")
+    # case-sensitive: matches Gammaproteo/Alphaproteo (class), not
+    # Proteobacteria
+    assert out["ident"].to_pylist() == ["gA", "gB", "gD"]
+    # rank restriction: phylum only -> class-level matches drop
+    out = tax_grep(_LIN, "Proteo", rank="phylum")
+    assert out["ident"].to_pylist() == ["gA", "gB"]
+    # invert
+    out = tax_grep(_LIN, "Proteo", invert=True)
+    assert out["ident"].to_pylist() == ["gC", "gD"]
+    # ignore_case
+    out = tax_grep(_LIN, "bacteria", ignore_case=True,
+                   rank="superkingdom")
+    assert out["ident"].to_pylist() == ["gA", "gB", "gC"]
+    assert out.column_names == ["ident", "superkingdom", "phylum",
+                                "class"]
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown rank"):
+        tax_grep(_LIN, "x", rank="kingdom")
+
+
+def test_tax_summarize_grep_cli(ray_session, tmp_path, capsys):
+    import csv as _csv
+    import json
+
+    from sourmash_ray.__main__ import main
+
+    path = tmp_path / "lin.csv"
+    with open(path, "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(["ident", "superkingdom", "phylum", "class"])
+        for k, v in _LIN.items():
+            w.writerow([k] + v.split(";"))
+
+    out_csv = str(tmp_path / "counts.csv")
+    main(["tax-summarize", "--csv", str(path), "--out", out_csv])
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert got["n_lineages"] == 4
+    with open(out_csv) as f:
+        rows = list(_csv.DictReader(f))
+    assert len(rows) == 8
+
+    main(["tax-grep", "Proteo", "--csv", str(path), "--count"])
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert got["matches"] == 2
