@@ -215,9 +215,37 @@ def _categorize_q(sf_dir: str):
 
 
 def _compare_q(sf_dir: str):
-    from sourmash_ray.pipelines.sourmash_parity import compare_exact
+    """``compare`` all-pairs over the 40 lexicographically-first
+    conversations at scaled=1 (keep-all sketches): with nothing
+    subsampled, sketch Jaccard IS the exact per-turn k-shingle set
+    Jaccard, so the pairwise matrix has a DuckDB twin (substr shingle
+    explosion) and this entry is SQL-oracle-exact rather than
+    rows-only."""
+    import dataclasses
 
-    return compare_exact(_sigs_for(sf_dir).limit(40).materialize())
+    from sourmash_ray.config import DEFAULT_CONFIG
+    from sourmash_ray.pipelines.sourmash_parity import compare_exact
+    from sourmash_ray.sources.transcripts import read_transcripts
+    from sourmash_ray.stages.sketch import sketch_transcripts
+
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG,
+        sketch=dataclasses.replace(DEFAULT_CONFIG.sketch,
+                                   scaled=1, num=0))
+    ds = read_transcripts(sf_dir)
+    ids = sorted({r["conv_id"] for r in
+                  ds.select_columns(["conv_id"]).take_all()})[:40]
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    idset = pa.array(ids, pa.string())
+
+    def _sel(batch):
+        return batch.filter(pc.is_in(batch["conv_id"], value_set=idset))
+
+    sub = ds.map_batches(_sel, batch_format="pyarrow")
+    sigs = sketch_transcripts(sub, cfg).materialize()
+    return compare_exact(sigs, cfg)
 
 
 def _compare_containment_q(sf_dir: str):
@@ -473,6 +501,25 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "tax_rollup_customers": relational.tax_rollup_customers,
         "tax_summarize_customers": relational.tax_summarize_customers,
         "tax_grep_customers": relational.tax_grep_customers,
+        "large_orders": relational.large_orders,
+        "rich_idle_customers": relational.rich_idle_customers,
+        "small_qty_revenue": relational.small_qty_revenue,
+        "volume_shipping": relational.volume_shipping,
+        "totalprice_quantiles_by_priority":
+            relational.totalprice_quantiles_by_priority,
+        "orders_reconciliation": relational.orders_reconciliation,
+        "dup_rate_by_source_docs": docops.dup_rate_by_source_docs,
+        "doc_length_histogram": docops.doc_length_histogram,
+        "tool_usage_transcripts": transcriptops.tool_usage_transcripts,
+        "conv_boundary_roles_transcripts":
+            transcriptops.conv_boundary_roles_transcripts,
+        "role_transition_transcripts":
+            transcriptops.role_transition_transcripts,
+        "conv_duration_quantiles_transcripts":
+            transcriptops.conv_duration_quantiles_transcripts,
+        "supplier_balance_by_nation":
+            relational.supplier_balance_by_nation,
+        "events_by_weekday": eventops.events_by_weekday,
         "topk_orders": relational.topk_orders,
         "grouped_topk_orders": relational.grouped_topk_orders,
         "pricing_summary": relational.pricing_summary,
@@ -628,7 +675,91 @@ def _langid_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    # The transcripts corpus is synthesized deterministically (sf+seed
+    # keyed cache); the driver's correctness window runs at sf=0.01, so
+    # transcript-grain oracles read the cached Parquet directly.
+    # Materializing here (pure pyarrow, no Ray) guarantees the cache
+    # exists even if the oracle runs before the Ray query.
+    from sourmash_ray.sources.transcripts import transcripts_path
+
+    _turns = transcripts_path("/root/testdata/sf0.01")
+    from sourmash_ray.config import DEFAULT_CONFIG as _DC
+
+    _K = _DC.sketch.ksize
     return {
+        "compare_exact_small": f"""
+            WITH sel AS (
+              SELECT DISTINCT conv_id
+              FROM read_parquet('{_turns}/*.parquet')
+              ORDER BY conv_id LIMIT 40),
+            t AS (
+              SELECT conv_id,
+                     trim(regexp_replace(lower(coalesce(text, '')),
+                          '[ \t\n\r\f\v]+', ' ', 'g')) AS nt
+              FROM read_parquet('{_turns}/*.parquet')
+              WHERE conv_id IN (SELECT conv_id FROM sel)),
+            pos AS (
+              SELECT conv_id, nt,
+                     unnest(range(1, len(nt) - {_K} + 2)) AS i
+              FROM t WHERE len(nt) >= {_K}),
+            sh AS (
+              SELECT DISTINCT conv_id,
+                     substr(nt, CAST(i AS INTEGER), {_K}) AS s
+              FROM pos),
+            sizes AS (SELECT conv_id, count(*) AS n FROM sh
+                      GROUP BY conv_id),
+            inter AS (
+              SELECT x.conv_id AS ca, y.conv_id AS cb, count(*) AS c
+              FROM sh x JOIN sh y
+                ON x.s = y.s AND x.conv_id < y.conv_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT x.conv_id AS a, y.conv_id AS b
+              FROM sel x JOIN sel y ON x.conv_id < y.conv_id)
+            SELECT p.a, p.b,
+                   CAST(coalesce(i.c, 0) AS DOUBLE) /
+                   greatest(coalesce(sa.n, 0) + coalesce(sb.n, 0)
+                            - coalesce(i.c, 0), 1) AS jaccard
+            FROM pairs p
+            LEFT JOIN inter i ON i.ca = p.a AND i.cb = p.b
+            LEFT JOIN sizes sa ON sa.conv_id = p.a
+            LEFT JOIN sizes sb ON sb.conv_id = p.b
+        """,
+        "turn_dedup_transcripts": f"""
+            WITH h AS (
+              SELECT conv_id, turn_idx,
+                     md5(trim(regexp_replace(lower(coalesce(text, '')),
+                              '[ \t\n\r\f\v]+', ' ', 'g'))) AS m
+              FROM read_parquet('{_turns}/*.parquet')),
+            r AS (
+              SELECT m, conv_id, turn_idx,
+                     row_number() OVER (PARTITION BY m
+                                        ORDER BY conv_id, turn_idx) AS rn,
+                     count(*) OVER (PARTITION BY m) AS n
+              FROM h)
+            SELECT m AS text_md5, conv_id AS rep_conv_id,
+                   CAST(turn_idx AS BIGINT) AS rep_turn_idx,
+                   CAST(n AS BIGINT) AS n_dups
+            FROM r WHERE rn = 1
+        """,
+        "role_stats_transcripts": f"""
+            SELECT role, coalesce(tool, '') AS tool,
+                   count(*) AS n_turns,
+                   CAST(sum(len(coalesce(text, ''))) AS BIGINT)
+                       AS sum_chars
+            FROM read_parquet('{_turns}/*.parquet')
+            GROUP BY 1, 2
+        """,
+        "conversation_stats_transcripts": f"""
+            SELECT conv_id, count(*) AS n_turns,
+                   CAST(sum(len(coalesce(text, ''))) AS BIGINT)
+                       AS sum_chars,
+                   CAST(count(DISTINCT role) AS BIGINT) AS n_roles,
+                   CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT)
+                       AS duration_us
+            FROM read_parquet('{_turns}/*.parquet')
+            GROUP BY conv_id
+        """,
         "langid_docs": _langid_sql(),
         "picklist_ident_parts": """
             SELECT p_partkey, split_part(p_name, ' ', 1) AS ident
@@ -664,6 +795,162 @@ def oracle_sql() -> dict[str, str]:
             SELECT 1, r_name || ';' || n_name, count(*),
                    CAST(sum(cents) AS BIGINT)
             FROM lin GROUP BY r_name, n_name
+        """,
+        "tool_usage_transcripts": f"""
+            SELECT coalesce(tool, '') AS tool, count(*) AS n_turns,
+                   CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+                   CAST(sum(len(coalesce(text, ''))) AS BIGINT)
+                       AS sum_chars
+            FROM read_parquet('{_turns}/*.parquet')
+            GROUP BY 1
+        """,
+        "conv_boundary_roles_transcripts": f"""
+            WITH r AS (
+              SELECT conv_id, role, turn_idx,
+                     row_number() OVER (PARTITION BY conv_id
+                                        ORDER BY turn_idx) AS rn_a,
+                     row_number() OVER (PARTITION BY conv_id
+                                        ORDER BY turn_idx DESC) AS rn_d,
+                     count(*) OVER (PARTITION BY conv_id) AS n
+              FROM read_parquet('{_turns}/*.parquet'))
+            SELECT f.conv_id, f.role AS first_role, l.role AS last_role,
+                   CAST(f.n AS BIGINT) AS n_turns
+            FROM r f JOIN r l ON f.conv_id = l.conv_id
+            WHERE f.rn_a = 1 AND l.rn_d = 1
+        """,
+        "role_transition_transcripts": f"""
+            WITH r AS (
+              SELECT conv_id, role,
+                     lead(role) OVER (PARTITION BY conv_id
+                                      ORDER BY turn_idx) AS nxt
+              FROM read_parquet('{_turns}/*.parquet'))
+            SELECT role AS from_role, nxt AS to_role, count(*) AS n
+            FROM r WHERE nxt IS NOT NULL GROUP BY 1, 2
+        """,
+        "conv_duration_quantiles_transcripts": f"""
+            WITH d AS (
+              SELECT conv_id,
+                     epoch_us(max(ts)) - epoch_us(min(ts)) AS dur
+              FROM read_parquet('{_turns}/*.parquet')
+              GROUP BY conv_id)
+            SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9]) AS DOUBLE) AS q,
+                   unnest(quantile_disc(CAST(dur AS BIGINT),
+                          [0.25, 0.5, 0.75, 0.9])) AS value
+            FROM d
+        """,
+        "supplier_balance_by_nation": """
+            SELECT n_name AS nation, count(*) AS n_suppliers,
+                   CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT))
+                        AS BIGINT) AS sum_acctbal_cents
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY 1
+        """,
+        "events_by_weekday": """
+            SELECT CAST(isodow(ts) AS BIGINT) AS weekday, event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(round(value * 1e6) AS BIGINT))
+                        AS BIGINT) AS sum_value_micros
+            FROM events GROUP BY 1, 2
+        """,
+        "large_orders": """
+            WITH lq AS (
+              SELECT l_orderkey,
+                     CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                          AS BIGINT) AS sum_qty
+              FROM lineitem GROUP BY 1
+              HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 150)
+            SELECT o_orderkey, c_custkey, c_name,
+                   CAST(round(o_totalprice * 100) AS BIGINT)
+                       AS total_price_cents,
+                   sum_qty
+            FROM lq JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+        """,
+        "rich_idle_customers": """
+            WITH cents AS (
+              SELECT c_custkey, c_nationkey,
+                     CAST(round(c_acctbal * 100) AS BIGINT) AS c
+              FROM customer),
+            pos AS (SELECT CAST(sum(c) AS BIGINT) AS s, count(*) AS n
+                    FROM cents WHERE c > 0),
+            rich AS (SELECT * FROM cents
+                     WHERE c * (SELECT n FROM pos) > (SELECT s FROM pos)),
+            oc AS (SELECT o_custkey, count(*) AS n FROM orders
+                   GROUP BY 1),
+            idle AS (SELECT r.* FROM rich r
+                     LEFT JOIN oc ON r.c_custkey = oc.o_custkey
+                     WHERE coalesce(oc.n, 0) < 6)
+            SELECT n_name AS nation, count(*) AS n_customers,
+                   CAST(sum(c) AS BIGINT) AS sum_acctbal_cents
+            FROM idle JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1
+        """,
+        "small_qty_revenue": """
+            WITH cells AS (
+              SELECT l_partkey,
+                     CAST(round(l_quantity) AS BIGINT) AS q,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+              FROM lineitem),
+            st AS (SELECT l_partkey, CAST(sum(q) AS BIGINT) AS sq,
+                          count(*) AS n
+                   FROM cells GROUP BY 1)
+            SELECT CAST(coalesce(sum(c.cents), 0) AS BIGINT)
+                       AS revenue_cents,
+                   count(*) AS n_items
+            FROM cells c JOIN st ON c.l_partkey = st.l_partkey
+            WHERE 5 * c.q * st.n < st.sq
+        """,
+        "volume_shipping": """
+            SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS year,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100)
+                                          AS BIGINT))) AS BIGINT)
+                       AS revenue_e4
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ns ON s_nationkey = ns.n_nationkey
+            JOIN nation nc ON c_nationkey = nc.n_nationkey
+            GROUP BY 1, 2, 3
+        """,
+        "totalprice_quantiles_by_priority": """
+            SELECT o_orderpriority,
+                   CAST(unnest([0.25, 0.5, 0.75, 0.9]) AS DOUBLE) AS q,
+                   unnest(quantile_disc(
+                       CAST(round(o_totalprice * 100) AS BIGINT),
+                       [0.25, 0.5, 0.75, 0.9])) AS value
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "orders_reconciliation": """
+            WITH ok AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+            lk AS (SELECT DISTINCT l_orderkey AS k FROM lineitem)
+            SELECT CAST(count(*) FILTER (WHERE lk.k IS NULL) AS BIGINT)
+                       AS orders_without_lineitems,
+                   CAST(count(*) FILTER (WHERE ok.k IS NULL) AS BIGINT)
+                       AS lineitem_orderkeys_without_order,
+                   CAST(count(*) FILTER (WHERE ok.k IS NOT NULL
+                                         AND lk.k IS NOT NULL) AS BIGINT)
+                       AS matched_orderkeys
+            FROM ok FULL OUTER JOIN lk ON ok.k = lk.k
+        """,
+        "dup_rate_by_source_docs": f"""
+            WITH h AS (
+              SELECT source,
+                     md5(trim(regexp_replace(lower(coalesce(text, '')),
+                                             '{_WS}', ' ', 'g'))) AS m
+              FROM documents)
+            SELECT source, count(*) AS n_docs,
+                   CAST(count(DISTINCT m) AS BIGINT) AS n_distinct,
+                   CAST(count(*) - count(DISTINCT m) AS BIGINT) AS n_dups
+            FROM h GROUP BY source
+        """,
+        "doc_length_histogram": """
+            SELECT CAST((n_chars // 256) * 256 AS BIGINT) AS bucket_lo,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY 1
         """,
         "tax_summarize_customers": """
             WITH lin AS (

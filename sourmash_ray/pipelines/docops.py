@@ -2492,3 +2492,122 @@ def value_ranks_by_lang(sf_dir: str, n_parts: int | None = None):
         _key, batch_format="pyarrow")
     return exchange_map_groups(keyed, "lang_part", n_parts, _ranks,
                                RANKS_SCHEMA)
+
+
+def dup_rate_by_source_docs(sf_dir: str):
+    """Per-source exact-duplication rate: n_docs, distinct normalized
+    texts, duplicate count — the corpus-health report a curation run
+    reads before choosing mixing weights (the per-source view of
+    :func:`exact_dedup_docs`).
+
+    Scale shape: (source, md5, n) cells pre-reduce per block; ONE md5
+    exchange co-locates equal texts, so distinct-(source, md5) pairs are
+    countable per partition; only per-partition per-source counters hit
+    the final combine."""
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..functions.segscore import _to_bytes_array, hash_strings64
+    from ..stages.agg import grouped_sums
+    from ..stages.exchange import exchange_map_groups
+    from ..stages.sketch import normalize_column
+
+    group_parts = DEFAULT_CONFIG.exec.group_parts
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        norm = normalize_column(batch["text"], "ws")
+        md5 = _md5_column(norm)
+        if isinstance(md5, pa.ChunkedArray):
+            md5 = md5.combine_chunks()
+        mb = _to_bytes_array(md5)
+        src = _to_bytes_array(batch["source"].combine_chunks())
+        order = np.lexsort((src, mb))
+        mb_s, src_s = mb[order], src[order]
+        first = np.r_[True, (mb_s[1:] != mb_s[:-1])
+                      | (src_s[1:] != src_s[:-1])] if len(mb_s) else \
+            np.empty(0, bool)
+        starts = np.flatnonzero(first)
+        cnt = np.diff(np.r_[starts, len(mb_s)])
+        take = pa.array(order[starts], pa.int64())
+        u_md5 = md5.take(take)
+        return pa.table({
+            "text_md5": u_md5,
+            "source": batch["source"].combine_chunks().take(take),
+            "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            "md5_part": pa.array(
+                hash_strings64(u_md5) % group_parts, pa.int64()),
+        })
+
+    part_schema = pa.schema([("source", pa.string()),
+                             ("n_docs", pa.int64()),
+                             ("n_distinct", pa.int64())])
+
+    def _per_part(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return part_schema.empty_table()
+        mb = _to_bytes_array(part["text_md5"].combine_chunks())
+        src = _to_bytes_array(part["source"].combine_chunks())
+        n = np.asarray(part["n"], np.int64)
+        order = np.lexsort((mb, src))
+        src_s, mb_s, n_s = src[order], mb[order], n[order]
+        new_src = np.r_[True, src_s[1:] != src_s[:-1]]
+        new_pair = new_src | np.r_[True, mb_s[1:] != mb_s[:-1]]
+        starts = np.flatnonzero(new_src)
+        src_id = np.cumsum(new_src) - 1
+        n_docs = np.bincount(src_id, weights=n_s,
+                             minlength=len(starts)).astype(np.int64)
+        n_dist = np.bincount(src_id[new_pair],
+                             minlength=len(starts)).astype(np.int64)
+        take = pa.array(order[starts], pa.int64())
+        return pa.table({
+            "source": part["source"].combine_chunks().take(take),
+            "n_docs": pa.array(n_docs, pa.int64()),
+            "n_distinct": pa.array(n_dist, pa.int64()),
+        })
+
+    keyed = _read_docs(sf_dir, ("source", "text")).map_batches(
+        _partial, batch_format="pyarrow")
+    parts = exchange_map_groups(keyed, "md5_part",
+                                resolve_num_partitions(DEFAULT_CONFIG),
+                                _per_part, part_schema)
+    out = grouped_sums(parts, ["source"], ["n_docs", "n_distinct"])
+    return out.map_batches(
+        lambda t: pa.table({
+            "source": t["source"],
+            "n_docs": t["sum_n_docs"],
+            "n_distinct": t["sum_n_distinct"],
+            "n_dups": pc.subtract(t["sum_n_docs"],
+                                  t["sum_n_distinct"])}),
+        batch_format="pyarrow")
+
+
+def doc_length_histogram(sf_dir: str, bucket: int = 256):
+    """Document-length histogram at ``bucket``-char resolution:
+    (bucket_lo, n_docs, sum_chars) — the length-distribution profile a
+    packing/chunking stage is tuned against. Pure map + block-local
+    combine; only (bucket, 2 sums) cells shuffle."""
+    from ..stages.agg import grouped_sums
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch["n_chars"], np.int64)
+        b = (n // bucket) * bucket
+        order = np.argsort(b, kind="stable")
+        b_s = b[order]
+        first = np.r_[True, b_s[1:] != b_s[:-1]] if len(b_s) else \
+            np.empty(0, bool)
+        starts = np.flatnonzero(first)
+        cnt = np.diff(np.r_[starts, len(b_s)])
+        sums = np.add.reduceat(n[order], starts) if starts.size else \
+            np.empty(0, np.int64)
+        return pa.table({
+            "bucket_lo": pa.array(b_s[first], pa.int64()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            "chars": pa.array(sums.astype(np.int64), pa.int64()),
+        })
+
+    ds = _read_docs(sf_dir, ("n_chars",)).map_batches(
+        _partial, batch_format="pyarrow")
+    out = grouped_sums(ds, ["bucket_lo"], ["n", "chars"])
+    return out.map_batches(
+        lambda t: pa.table({"bucket_lo": t["bucket_lo"],
+                            "n_docs": t["sum_n"],
+                            "sum_chars": t["sum_chars"]}),
+        batch_format="pyarrow")

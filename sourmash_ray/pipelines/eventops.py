@@ -1220,3 +1220,40 @@ def daily_active_users(sf_dir: str):
     return grouped_distinct_count(ds, ["day"], "user_id",
                                   distinct_as="n_users",
                                   count_as="n_events")
+
+
+def events_by_weekday(sf_dir: str):
+    """Event counts + exact value micro-sums per (ISO weekday,
+    event_type) — the weekly-seasonality profile (the calendar twin of
+    the hourly histogram). Map-only partials + one tiny cell
+    exchange."""
+    import numpy as np
+
+    from ..sources.tables import read_parquet_clean
+    from ..stages.agg import grouped_sums
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(pc.cast(batch["ts"], pa.int64()))
+        day = ts // 86_400_000_000
+        # 1970-01-01 was a Thursday; ISO Monday=1..Sunday=7
+        wd = ((day + 3) % 7) + 1
+        micros = np.rint(np.asarray(batch["value"], np.float64)
+                         * 1e6).astype(np.int64)
+        return pa.table({
+            "weekday": pa.array(wd.astype(np.int64), pa.int64()),
+            "event_type": batch["event_type"],
+            "value_micros": pa.array(micros, pa.int64()),
+        })
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "event_type",
+                                     "value"]).map_batches(
+        _prep, batch_format="pyarrow")
+    out = grouped_sums(ds, ["weekday", "event_type"], ["value_micros"],
+                       count_as="n_events")
+    return out.map_batches(
+        lambda t: pa.table({"weekday": t["weekday"],
+                            "event_type": t["event_type"],
+                            "n_events": t["n_events"],
+                            "sum_value_micros": t["sum_value_micros"]}),
+        batch_format="pyarrow")

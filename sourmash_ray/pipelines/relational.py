@@ -1647,3 +1647,492 @@ def tax_grep_customers(sf_dir: str, pattern: str = "_1[0-9]$",
                               columns=["c_custkey", "c_nationkey",
                                        "c_mktsegment"])
     return cust.map_batches(_filter, batch_format="pyarrow")
+
+
+def large_orders(sf_dir: str, min_qty: int = 150):
+    """TPC-H Q18 shape (large-volume orders): orders whose lineitems sum
+    to more than ``min_qty`` units, with customer attribution.
+
+    Scale shape: lineitem pre-reduces to (orderkey, qty) cells inside
+    the map (block-local combine), ONE key exchange finishes the sums
+    and filters, the surviving handful of large orders joins the orders
+    projection on a second key exchange, and the customer name attaches
+    from a broadcast dim (customers are 1/10th of orders; beyond a
+    broadcast budget the same hash_join_exchange path applies)."""
+    import numpy as np
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.agg import grouped_sums
+    from ..stages.join import hash_join_exchange
+
+    def _line_partial(batch: pa.Table) -> pa.Table:
+        ok = np.asarray(batch["l_orderkey"], np.int64)
+        qty = np.rint(np.asarray(batch["l_quantity"],
+                                 np.float64)).astype(np.int64)
+        order = np.argsort(ok, kind="stable")
+        k_s = ok[order]
+        first = np.r_[True, k_s[1:] != k_s[:-1]] if len(k_s) else \
+            np.empty(0, bool)
+        starts = np.flatnonzero(first)
+        sums = np.add.reduceat(qty[order], starts) if starts.size else \
+            np.empty(0, np.int64)
+        return pa.table({
+            "l_orderkey": pa.array(k_s[first], pa.int64()),
+            "qty": pa.array(sums.astype(np.int64), pa.int64()),
+        })
+
+    lines = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_quantity"]).map_batches(
+        _line_partial, batch_format="pyarrow")
+    sums = grouped_sums(lines, ["l_orderkey"], ["qty"])
+    big = sums.map_batches(
+        lambda t: t.filter(pc.greater(t["sum_qty"], min_qty)),
+        batch_format="pyarrow")
+
+    def _ord(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"],
+            "o_custkey": batch["o_custkey"],
+            "total_price_cents": pc.cast(pc.round(pc.multiply(
+                batch["o_totalprice"], pa.scalar(100.0))), pa.int64()),
+        })
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"]).map_batches(
+        _ord, batch_format="pyarrow")
+    joined = hash_join_exchange(
+        big, orders, key="okey", left_cols=["sum_qty"],
+        right_cols=["o_custkey", "total_price_cents"],
+        n_parts=resolve_num_partitions(DEFAULT_CONFIG),
+        left_key="l_orderkey", right_key="o_orderkey")
+
+    cust = {r["c_custkey"]: r["c_name"]
+            for r in read_parquet_clean(
+                f"{sf_dir}/customer.parquet",
+                columns=["c_custkey", "c_name"]).take_all()}
+    import numpy as np
+
+    max_ck = max(cust) if cust else -1
+    name_by_ck = np.empty(max_ck + 1, dtype=object)
+    for ck, nm in cust.items():
+        name_by_ck[ck] = nm
+    name_ref = ray.put(name_by_ck)
+
+    def _attach(batch: pa.Table) -> pa.Table:
+        names = ray.get(name_ref)
+        ck = np.asarray(batch["o_custkey"], np.int64)
+        if ck.size and (ck.min() < 0 or ck.max() >= names.size):
+            raise ValueError("o_custkey outside the customer dim")
+        return pa.table({
+            "o_orderkey": batch["okey"],
+            "c_custkey": batch["o_custkey"],
+            "c_name": pa.array(names[ck], pa.string()),
+            "total_price_cents": batch["total_price_cents"],
+            "sum_qty": batch["sum_qty"],
+        })
+
+    return joined.map_batches(_attach, batch_format="pyarrow")
+
+
+def rich_idle_customers(sf_dir: str, max_orders: int = 6):
+    """TPC-H Q22 shape: customers with above-average account balance
+    (among positive balances) but LOW purchasing activity (fewer than
+    ``max_orders`` orders; Q22's literal no-orders predicate is
+    degenerate on this corpus — every customer orders), counted per
+    nation.
+
+    The average comparison is EXACT integer arithmetic — cross-multiply
+    ``cents * n_pos > sum_pos_cents`` instead of comparing against a
+    float average (double sums are addition-order dependent across
+    engines, so a borderline customer could flip). The activity test is
+    a left-outer join against per-customer order counts on the key
+    exchange; the nation name attaches from the broadcast dim."""
+    import numpy as np
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.agg import grouped_sums
+    from ..stages.join import hash_join_exchange
+
+    cust = read_parquet_clean(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def _cents(batch: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(batch["c_acctbal"],
+                                         pa.scalar(100.0))), pa.int64())
+        return pa.table({"c_custkey": batch["c_custkey"],
+                         "c_nationkey": batch["c_nationkey"],
+                         "cents": c})
+
+    cents = cust.map_batches(_cents, batch_format="pyarrow").materialize()
+
+    def _pos_partial(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch["cents"], np.int64)
+        pos = v[v > 0]
+        return pa.table({"one": pa.array([0], pa.int64()),
+                         "s": pa.array([int(pos.sum())], pa.int64()),
+                         "n": pa.array([len(pos)], pa.int64())})
+
+    tot = grouped_sums(cents.map_batches(_pos_partial,
+                                         batch_format="pyarrow"),
+                       ["one"], ["s", "n"]).take_all()
+    sum_pos = int(tot[0]["sum_s"]) if tot else 0
+    n_pos = int(tot[0]["sum_n"]) if tot else 0
+
+    def _rich(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch["cents"], np.int64)
+        keep = v * n_pos > sum_pos          # cents > sum/n, exactly
+        return batch.filter(pa.array(keep))
+
+    rich = cents.map_batches(_rich, batch_format="pyarrow")
+    order_counts = grouped_sums(
+        read_parquet_clean(f"{sf_dir}/orders.parquet",
+                           columns=["o_custkey"]),
+        ["o_custkey"], [], count_as="n_orders")
+    joined = hash_join_exchange(
+        rich, order_counts, key="ck",
+        left_cols=["c_nationkey", "cents"], right_cols=["n_orders"],
+        n_parts=resolve_num_partitions(DEFAULT_CONFIG),
+        join_type="left outer", left_key="c_custkey",
+        right_key="o_custkey")
+
+    def _low_activity(batch: pa.Table) -> pa.Table:
+        n = np.asarray(pc.fill_null(batch["n_orders"], 0), np.int64)
+        return batch.filter(pa.array(n < max_orders))
+
+    idle = joined.map_batches(_low_activity, batch_format="pyarrow")
+
+    nation = {r["n_nationkey"]: r["n_name"]
+              for r in read_parquet_clean(
+                  f"{sf_dir}/nation.parquet").take_all()}
+    max_nk = max(nation) if nation else -1
+    nm = np.empty(max_nk + 1, dtype=object)
+    for k, v in nation.items():
+        nm[k] = v
+    nm_ref = ray.put(nm)
+
+    def _bynation(batch: pa.Table) -> pa.Table:
+        names = ray.get(nm_ref)
+        nk = np.asarray(batch["c_nationkey"], np.int64)
+        if nk.size and (nk.min() < 0 or nk.max() >= names.size):
+            raise ValueError("c_nationkey outside the nation dim")
+        return pa.table({
+            "nation": pa.array(names[nk], pa.string()),
+            "cents": batch["cents"],
+        })
+
+    # materialize the (nation, cents) rows: the anti-join's union plan
+    # reports no schema until executed, and grouped_sums needs the key
+    # type up front (rows here are one per idle customer — two thin
+    # columns, object-store resident)
+    named = idle.map_batches(_bynation,
+                             batch_format="pyarrow").materialize()
+    out = grouped_sums(named, ["nation"], ["cents"],
+                       count_as="n_customers")
+    return out.map_batches(
+        lambda t: pa.table({"nation": t["nation"],
+                            "n_customers": t["n_customers"],
+                            "sum_acctbal_cents": t["sum_cents"]}),
+        batch_format="pyarrow")
+
+
+def small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape: lineitems whose quantity is below 20% of their
+    part's average quantity — count + revenue at exact cents. The
+    threshold test is integer cross-multiplied (``5*qty*n_part <
+    sum_qty_part``) so both engines decide borderline rows identically.
+
+    Scale shape: per-part (sum, count) cells pre-reduce in the map, one
+    key exchange finishes them, and the same exchange joins the cells
+    back to the lineitem cells keyed by partkey — the classic
+    self-join-through-aggregate expressed as two passes over one
+    partitioning."""
+    import numpy as np
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.agg import grouped_sums
+    from ..stages.join import hash_join_exchange
+
+    def _cells(batch: pa.Table) -> pa.Table:
+        pk = np.asarray(batch["l_partkey"], np.int64)
+        qty = np.rint(np.asarray(batch["l_quantity"],
+                                 np.float64)).astype(np.int64)
+        price = np.asarray(batch["l_extendedprice"], np.float64)
+        cents = np.rint(price * 100).astype(np.int64)
+        return pa.table({
+            "l_partkey": pa.array(pk, pa.int64()),
+            "qty": pa.array(qty, pa.int64()),
+            "cents": pa.array(cents, pa.int64()),
+        })
+
+    lines = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"]
+    ).map_batches(_cells, batch_format="pyarrow").materialize()
+
+    stats = grouped_sums(lines.select_columns(["l_partkey", "qty"]),
+                         ["l_partkey"], ["qty"], count_as="n")
+
+    joined = hash_join_exchange(
+        lines, stats, key="pk", left_cols=["qty", "cents"],
+        right_cols=["sum_qty", "n"],
+        n_parts=resolve_num_partitions(DEFAULT_CONFIG),
+        left_key="l_partkey", right_key="l_partkey")
+
+    def _filter_sum(batch: pa.Table) -> pa.Table:
+        qty = np.asarray(batch["qty"], np.int64)
+        sq = np.asarray(batch["sum_qty"], np.int64)
+        n = np.asarray(batch["n"], np.int64)
+        keep = 5 * qty * n < sq
+        cents = np.asarray(batch["cents"], np.int64)[keep]
+        return pa.table({
+            "one": pa.array([0], pa.int64()),
+            "rev": pa.array([int(cents.sum())], pa.int64()),
+            "n_items": pa.array([int(keep.sum())], pa.int64()),
+        })
+
+    out = grouped_sums(joined.map_batches(_filter_sum,
+                                          batch_format="pyarrow"),
+                       ["one"], ["rev", "n_items"])
+    return out.map_batches(
+        lambda t: pa.table({"revenue_cents": t["sum_rev"],
+                            "n_items": t["sum_n_items"]}),
+        batch_format="pyarrow")
+
+
+def volume_shipping(sf_dir: str):
+    """TPC-H Q7 shape: revenue flow between (supplier nation, customer
+    nation) pairs per ship year. Supplier and customer nationkeys attach
+    from broadcast dims (dense int arrays — 8 bytes/key; beyond a
+    broadcast budget the lookup becomes one more hash_join_exchange);
+    lineitem joins orders on ONE key exchange; (snation, cnation, year,
+    rev) cells pre-reduce before the final combine."""
+    import numpy as np
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.agg import grouped_sums
+    from ..stages.join import hash_join_exchange
+
+    supp = read_parquet_clean(f"{sf_dir}/supplier.parquet",
+                              columns=["s_suppkey",
+                                       "s_nationkey"]).take_all()
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey",
+                                       "c_nationkey"]).take_all()
+    nation = {r["n_nationkey"]: r["n_name"]
+              for r in read_parquet_clean(
+                  f"{sf_dir}/nation.parquet").take_all()}
+
+    def _dense(rows, kf, vf):
+        mx = max((r[kf] for r in rows), default=-1)
+        a = np.full(mx + 1, -1, np.int64)
+        for r in rows:
+            a[r[kf]] = r[vf]
+        return a
+
+    s_nk = _dense(supp, "s_suppkey", "s_nationkey")
+    c_nk = _dense(cust, "c_custkey", "c_nationkey")
+    lut_ref = ray.put((s_nk, c_nk))
+
+    def _line(batch: pa.Table) -> pa.Table:
+        s_a, _ = ray.get(lut_ref)
+        sk = np.asarray(batch["l_suppkey"], np.int64)
+        if sk.size and (sk.min() < 0 or sk.max() >= s_a.size
+                        or (s_a[sk] < 0).any()):
+            raise ValueError("l_suppkey outside the supplier dim")
+        price = np.asarray(batch["l_extendedprice"], np.float64)
+        disc = np.asarray(batch["l_discount"], np.float64)
+        rev = (np.rint(price * 100).astype(np.int64)
+               * (100 - np.rint(disc * 100).astype(np.int64)))
+        year = np.asarray(batch["l_shipdate"], "datetime64[us]") \
+            .astype("datetime64[Y]").astype(np.int64) + 1970
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"],
+            "snk": pa.array(s_a[sk], pa.int64()),
+            "year": pa.array(year, pa.int64()),
+            "rev_e4": pa.array(rev, pa.int64()),
+        })
+
+    lines = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount", "l_shipdate"]).map_batches(
+        _line, batch_format="pyarrow")
+
+    def _ord(batch: pa.Table) -> pa.Table:
+        _, c_a = ray.get(lut_ref)
+        ck = np.asarray(batch["o_custkey"], np.int64)
+        if ck.size and (ck.min() < 0 or ck.max() >= c_a.size
+                        or (c_a[ck] < 0).any()):
+            raise ValueError("o_custkey outside the customer dim")
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"],
+            "cnk": pa.array(c_a[ck], pa.int64()),
+        })
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey"]).map_batches(
+        _ord, batch_format="pyarrow")
+
+    joined = hash_join_exchange(
+        lines, orders, key="okey", left_cols=["snk", "year", "rev_e4"],
+        right_cols=["cnk"],
+        n_parts=resolve_num_partitions(DEFAULT_CONFIG),
+        left_key="l_orderkey", right_key="o_orderkey")
+
+    max_nk = max(nation) if nation else -1
+    nm = np.empty(max_nk + 1, dtype=object)
+    for k, v in nation.items():
+        nm[k] = v
+    nm_ref = ray.put(nm)
+
+    def _name(batch: pa.Table) -> pa.Table:
+        names = ray.get(nm_ref)
+        snk = np.asarray(batch["snk"], np.int64)
+        cnk = np.asarray(batch["cnk"], np.int64)
+        return pa.table({
+            "supp_nation": pa.array(names[snk], pa.string()),
+            "cust_nation": pa.array(names[cnk], pa.string()),
+            "year": batch["year"],
+            "rev_e4": batch["rev_e4"],
+        })
+
+    out = grouped_sums(joined.map_batches(_name, batch_format="pyarrow"),
+                       ["supp_nation", "cust_nation", "year"],
+                       ["rev_e4"])
+    return out.map_batches(
+        lambda t: pa.table({"supp_nation": t["supp_nation"],
+                            "cust_nation": t["cust_nation"],
+                            "year": t["year"],
+                            "revenue_e4": t["sum_rev_e4"]}),
+        batch_format="pyarrow")
+
+
+def totalprice_quantiles_by_priority(sf_dir: str,
+                                     qs=(0.25, 0.5, 0.75, 0.9)):
+    """Per-priority order-value quantiles (exact discrete quantiles over
+    cents) — the relational instance of the grouped-quantile machinery
+    (``stages.agg.grouped_quantiles_disc``)."""
+    from ..stages.agg import grouped_quantiles_disc
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_totalprice"]).map_batches(
+        lambda t: pa.table({
+            "o_orderpriority": t["o_orderpriority"],
+            "cents": pc.cast(pc.round(pc.multiply(
+                t["o_totalprice"], pa.scalar(100.0))), pa.int64()),
+        }), batch_format="pyarrow")
+    return grouped_quantiles_disc(ds, "o_orderpriority", "cents",
+                                  list(qs))
+
+
+def orders_reconciliation(sf_dir: str):
+    """Key-level referential-integrity check: ONE row with the count of
+    orders that have no lineitems, distinct lineitem orderkeys with no
+    order, and matched keys — the data-quality gate a pipeline runs
+    before trusting a join. Both sides pre-dedup per block, meet on one
+    key exchange, and only three counters leave each partition."""
+    import numpy as np
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.agg import grouped_sums
+    from ..stages.exchange import exchange_map_groups
+
+    n_parts = resolve_num_partitions(DEFAULT_CONFIG)
+
+    def _okeys(batch: pa.Table) -> pa.Table:
+        k = np.unique(np.asarray(batch["o_orderkey"], np.int64))
+        return pa.table({
+            "key": pa.array(k, pa.int64()),
+            "side": pa.array(np.zeros(len(k), np.int8), pa.int8()),
+            "part": pa.array(k % n_parts, pa.int64()),
+        })
+
+    def _lkeys(batch: pa.Table) -> pa.Table:
+        k = np.unique(np.asarray(batch["l_orderkey"], np.int64))
+        return pa.table({
+            "key": pa.array(k, pa.int64()),
+            "side": pa.array(np.ones(len(k), np.int8), pa.int8()),
+            "part": pa.array(k % n_parts, pa.int64()),
+        })
+
+    o = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderkey"]).map_batches(
+        _okeys, batch_format="pyarrow")
+    l = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey"]).map_batches(
+        _lkeys, batch_format="pyarrow")
+
+    counts_schema = pa.schema([("one", pa.int64()),
+                               ("orders_only", pa.int64()),
+                               ("lineitems_only", pa.int64()),
+                               ("matched", pa.int64())])
+
+    def _count(part: pa.Table) -> pa.Table:
+        key = np.asarray(part["key"], np.int64)
+        side = np.asarray(part["side"], np.int8)
+        okeys = np.unique(key[side == 0])
+        lkeys = np.unique(key[side == 1])
+        m = np.intersect1d(okeys, lkeys, assume_unique=True).size
+        return pa.table({
+            "one": pa.array([0], pa.int64()),
+            "orders_only": pa.array([len(okeys) - m], pa.int64()),
+            "lineitems_only": pa.array([len(lkeys) - m], pa.int64()),
+            "matched": pa.array([m], pa.int64()),
+        })
+
+    parts = exchange_map_groups(o.union(l), "part", n_parts, _count,
+                                counts_schema)
+    out = grouped_sums(parts, ["one"],
+                       ["orders_only", "lineitems_only", "matched"])
+    return out.map_batches(
+        lambda t: pa.table({
+            "orders_without_lineitems": t["sum_orders_only"],
+            "lineitem_orderkeys_without_order": t["sum_lineitems_only"],
+            "matched_orderkeys": t["sum_matched"]}),
+        batch_format="pyarrow")
+
+
+def supplier_balance_by_nation(sf_dir: str):
+    """Supplier dimension rollup: per nation, supplier count + exact
+    account-balance cents (broadcast nation dim; map-only partials +
+    one tiny cell exchange)."""
+    import numpy as np
+
+    from ..stages.agg import grouped_sums
+
+    nation = {r["n_nationkey"]: r["n_name"]
+              for r in read_parquet_clean(
+                  f"{sf_dir}/nation.parquet").take_all()}
+    max_nk = max(nation) if nation else -1
+    nm = np.empty(max_nk + 1, dtype=object)
+    for k, v in nation.items():
+        nm[k] = v
+    nm_ref = ray.put(nm)
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        names = ray.get(nm_ref)
+        nk = np.asarray(batch["s_nationkey"], np.int64)
+        if nk.size and (nk.min() < 0 or nk.max() >= names.size):
+            raise ValueError("s_nationkey outside the nation dim")
+        return pa.table({
+            "nation": pa.array(names[nk], pa.string()),
+            "cents": pc.cast(pc.round(pc.multiply(
+                batch["s_acctbal"], pa.scalar(100.0))), pa.int64()),
+        })
+
+    ds = read_parquet_clean(f"{sf_dir}/supplier.parquet",
+                            columns=["s_nationkey",
+                                     "s_acctbal"]).map_batches(
+        _prep, batch_format="pyarrow")
+    out = grouped_sums(ds, ["nation"], ["cents"],
+                       count_as="n_suppliers")
+    return out.map_batches(
+        lambda t: pa.table({"nation": t["nation"],
+                            "n_suppliers": t["n_suppliers"],
+                            "sum_acctbal_cents": t["sum_cents"]}),
+        batch_format="pyarrow")

@@ -3,10 +3,11 @@
 The flagship pipeline dedups whole conversations; a chat-log curation
 run also needs TURN-grain ops (boilerplate greetings, repeated tool
 outputs, per-role accounting). These ride the same exchange kernels as
-the docs family. The driver's DuckDB oracle views don't include the
-transcripts table (it is synthesized per sf under /tmp), so these ship
-as rows-only driver queries with exact DuckDB twins in the repo's own
-tests (``tests/test_transcriptops.py``).
+the docs family. The transcripts corpus is synthesized deterministically into an
+sf+seed-keyed Parquet cache under /tmp, so oracle SQL can read it
+directly with ``read_parquet`` — since round 5 these ops are
+SQL-oracle-exact in ``__ray_entry__.oracle_sql()`` (plus the exact
+DuckDB twins in ``tests/test_transcriptops.py``).
 """
 
 from __future__ import annotations
@@ -336,3 +337,217 @@ def curate_transcripts_job(sf_dir: str,
     return exchange_map_groups(keyed, "clu_part",
                                resolve_num_partitions(cfg),
                                _rep, CURATE_CONV_SCHEMA)
+
+
+TOOL_USAGE_SCHEMA = pa.schema([
+    ("tool", pa.string()), ("n_turns", pa.int64()),
+    ("n_convs", pa.int64()), ("sum_chars", pa.int64()),
+])
+
+
+def tool_usage_transcripts(sf_dir: str):
+    """Per-tool usage profile: turn count, DISTINCT conversations using
+    the tool, total output chars (null tool → '' — the plain-text
+    turns). The distinct-conversation count rides the conv-keyed
+    exchange: conversations are co-located, so distinct (tool, conv)
+    pairs are countable per partition and only per-partition per-tool
+    counters reach the final combine."""
+    from ..config import resolve_num_partitions
+    from ..functions.segscore import _to_bytes_array, hash_strings64
+    from ..stages.agg import grouped_sums
+    from ..stages.exchange import exchange_map_groups
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch["text"].combine_chunks(), "")
+        cid = batch["conv_id"].combine_chunks()
+        return pa.table({
+            "conv_id": cid,
+            "tool": pc.fill_null(batch["tool"], ""),
+            "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+            "conv_part": pa.array(hash_strings64(cid) % 1024, pa.int64()),
+        })
+
+    part_schema = pa.schema([("tool", pa.string()),
+                             ("n_turns", pa.int64()),
+                             ("n_convs", pa.int64()),
+                             ("sum_chars", pa.int64())])
+
+    def _profile(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return part_schema.empty_table()
+        tool = _to_bytes_array(part["tool"].combine_chunks())
+        cid = _to_bytes_array(part["conv_id"].combine_chunks())
+        nch = np.asarray(part["n_chars"], np.int64)
+        order = np.lexsort((cid, tool))
+        tool_s, cid_s = tool[order], cid[order]
+        new_tool = np.r_[True, tool_s[1:] != tool_s[:-1]]
+        new_pair = new_tool | np.r_[True, cid_s[1:] != cid_s[:-1]]
+        starts = np.flatnonzero(new_tool)
+        tool_id = np.cumsum(new_tool) - 1
+        n_turns = np.diff(np.r_[starts, len(tool_s)])
+        n_convs = np.bincount(tool_id[new_pair],
+                              minlength=len(starts)).astype(np.int64)
+        sum_chars = np.add.reduceat(nch[order], starts).astype(np.int64)
+        take = pa.array(order[starts], pa.int64())
+        return pa.table({
+            "tool": part["tool"].combine_chunks().take(take),
+            "n_turns": pa.array(n_turns.astype(np.int64), pa.int64()),
+            "n_convs": pa.array(n_convs, pa.int64()),
+            "sum_chars": pa.array(sum_chars, pa.int64()),
+        })
+
+    from ..config import DEFAULT_CONFIG as _cfg
+
+    keyed = _read_turns(sf_dir, ("conv_id", "tool", "text")).map_batches(
+        _prep, batch_format="pyarrow")
+    parts = exchange_map_groups(keyed, "conv_part",
+                                resolve_num_partitions(_cfg),
+                                _profile, part_schema)
+    out = grouped_sums(parts, ["tool"],
+                       ["n_turns", "n_convs", "sum_chars"])
+    return out.map_batches(
+        lambda t: pa.table({"tool": t["tool"],
+                            "n_turns": t["sum_n_turns"],
+                            "n_convs": t["sum_n_convs"],
+                            "sum_chars": t["sum_sum_chars"]}),
+        batch_format="pyarrow").map_batches(
+        lambda t: t.cast(TOOL_USAGE_SCHEMA), batch_format="pyarrow")
+
+
+BOUNDARY_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("first_role", pa.string()),
+    ("last_role", pa.string()), ("n_turns", pa.int64()),
+])
+
+
+def conv_boundary_roles_transcripts(sf_dir: str):
+    """Per-conversation boundary roles: who opens (min turn_idx) and who
+    closes (max turn_idx) each conversation, plus turn count — the
+    opening/closing-pattern profile a dialogue-curation gate inspects
+    (e.g. drop conversations not closed by the assistant). One conv
+    exchange; boundaries fall out of one lexsort per partition."""
+    from ..config import resolve_num_partitions
+    from ..functions.segscore import _to_bytes_array, hash_strings64
+    from ..stages.exchange import exchange_map_groups
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        cid = batch["conv_id"].combine_chunks()
+        return pa.table({
+            "conv_id": cid,
+            "turn_idx": pc.cast(batch["turn_idx"], pa.int64()),
+            "role": batch["role"],
+            "conv_part": pa.array(hash_strings64(cid) % 1024, pa.int64()),
+        })
+
+    def _bounds(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return BOUNDARY_SCHEMA.empty_table()
+        cid = _to_bytes_array(part["conv_id"].combine_chunks())
+        tix = np.asarray(part["turn_idx"], np.int64)
+        order = np.lexsort((tix, cid))
+        cid_s = cid[order]
+        new = np.r_[True, cid_s[1:] != cid_s[:-1]]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(cid_s)] - 1
+        lens = np.diff(np.r_[starts, len(cid_s)])
+        role = part["role"].combine_chunks()
+        take_f = pa.array(order[starts], pa.int64())
+        take_l = pa.array(order[ends], pa.int64())
+        return pa.table({
+            "conv_id": part["conv_id"].combine_chunks().take(take_f),
+            "first_role": role.take(take_f),
+            "last_role": role.take(take_l),
+            "n_turns": pa.array(lens.astype(np.int64), pa.int64()),
+        })
+
+    from ..config import DEFAULT_CONFIG as _cfg
+
+    keyed = _read_turns(sf_dir, ("conv_id", "turn_idx", "role")
+                        ).map_batches(_prep, batch_format="pyarrow")
+    return exchange_map_groups(keyed, "conv_part",
+                               resolve_num_partitions(_cfg),
+                               _bounds, BOUNDARY_SCHEMA)
+
+
+TRANSITION_SCHEMA = pa.schema([
+    ("from_role", pa.string()), ("to_role", pa.string()),
+    ("n", pa.int64()),
+])
+
+
+def role_transition_transcripts(sf_dir: str):
+    """Corpus-wide role-transition counts: (role of turn i → role of
+    turn i+1) within each conversation under turn_idx order — the
+    dialogue-structure profile (who answers whom) a conversation-format
+    validator checks. One conv exchange; transitions fall out of one
+    lexsort per partition (adjacent rows of the same conversation)."""
+    from ..config import resolve_num_partitions
+    from ..functions.segscore import _to_bytes_array, hash_strings64
+    from ..stages.agg import grouped_sums
+    from ..stages.exchange import exchange_map_groups
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        cid = batch["conv_id"].combine_chunks()
+        return pa.table({
+            "conv_id": cid,
+            "turn_idx": pc.cast(batch["turn_idx"], pa.int64()),
+            "role": batch["role"],
+            "conv_part": pa.array(hash_strings64(cid) % 1024, pa.int64()),
+        })
+
+    part_schema = pa.schema([("from_role", pa.string()),
+                             ("to_role", pa.string()),
+                             ("n", pa.int64())])
+
+    def _trans(part: pa.Table) -> pa.Table:
+        if part.num_rows < 2:
+            return part_schema.empty_table()
+        cid = _to_bytes_array(part["conv_id"].combine_chunks())
+        tix = np.asarray(part["turn_idx"], np.int64)
+        order = np.lexsort((tix, cid))
+        cid_s = cid[order]
+        same = cid_s[1:] == cid_s[:-1]      # adjacent rows, same conv
+        role = part["role"].combine_chunks()
+        src = pa.array(order[:-1][same], pa.int64())
+        dst = pa.array(order[1:][same], pa.int64())
+        fr = _to_bytes_array(role.take(src))
+        to = _to_bytes_array(role.take(dst))
+        o2 = np.lexsort((to, fr))
+        fr_s, to_s = fr[o2], to[o2]
+        new = np.r_[True, (fr_s[1:] != fr_s[:-1])
+                    | (to_s[1:] != to_s[:-1])] if len(fr_s) else \
+            np.empty(0, bool)
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.r_[starts, len(fr_s)])
+        take = pa.array(np.asarray(o2[starts]), pa.int64())
+        return pa.table({
+            "from_role": role.take(src).take(take),
+            "to_role": role.take(dst).take(take),
+            "n": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    from ..config import DEFAULT_CONFIG as _cfg
+
+    keyed = _read_turns(sf_dir, ("conv_id", "turn_idx", "role")
+                        ).map_batches(_prep, batch_format="pyarrow")
+    parts = exchange_map_groups(keyed, "conv_part",
+                                resolve_num_partitions(_cfg),
+                                _trans, part_schema)
+    out = grouped_sums(parts, ["from_role", "to_role"], ["n"])
+    return out.map_batches(
+        lambda t: pa.table({"from_role": t["from_role"],
+                            "to_role": t["to_role"],
+                            "n": t["sum_n"]}),
+        batch_format="pyarrow")
+
+
+def conv_duration_quantiles_transcripts(sf_dir: str,
+                                        qs=(0.25, 0.5, 0.75, 0.9)):
+    """Exact discrete quantiles of conversation wall duration (µs) —
+    the derived-table quantile composition: the conv-exchange profile
+    feeds the distributed value-histogram quantile machinery."""
+    from ..stages.agg import quantiles_disc
+
+    stats = conversation_stats_transcripts(sf_dir)
+    return quantiles_disc(stats.select_columns(["duration_us"]),
+                          "duration_us", list(qs))

@@ -98,3 +98,51 @@ def test_curate_transcripts_job_composes_components(ray_session):
         assert r["sum_chars"] == stats[c]["sum_chars"]
         assert r["cluster_id"] == clusters[c]
     assert len(got) < len(gated), "dedup should collapse some clusters"
+
+
+def test_tool_usage_matches_duckdb(ray_session, con):
+    got = sorted((r["tool"], r["n_turns"], r["n_convs"], r["sum_chars"])
+                 for r in T.tool_usage_transcripts(SF).take_all())
+    want = sorted(tuple(r) for r in con.sql("""
+        SELECT coalesce(tool, '') AS tool, count(*) AS n_turns,
+               CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+               CAST(sum(len(coalesce(text, ''))) AS BIGINT) AS sum_chars
+        FROM turns GROUP BY 1
+    """).fetchall())
+    assert got == want
+
+
+def test_conv_boundary_roles_matches_duckdb(ray_session, con):
+    got = sorted((r["conv_id"], r["first_role"], r["last_role"],
+                  r["n_turns"])
+                 for r in T.conv_boundary_roles_transcripts(
+                     SF).take_all())
+    want = sorted(tuple(r) for r in con.sql("""
+        WITH r AS (
+          SELECT conv_id, role, turn_idx,
+                 row_number() OVER (PARTITION BY conv_id
+                                    ORDER BY turn_idx) AS rn_a,
+                 row_number() OVER (PARTITION BY conv_id
+                                    ORDER BY turn_idx DESC) AS rn_d,
+                 count(*) OVER (PARTITION BY conv_id) AS n
+          FROM turns)
+        SELECT f.conv_id, f.role, l.role, CAST(f.n AS BIGINT)
+        FROM r f JOIN r l ON f.conv_id = l.conv_id
+        WHERE f.rn_a = 1 AND l.rn_d = 1
+    """).fetchall())
+    assert got == want
+
+
+def test_role_transition_matches_duckdb(ray_session, con):
+    got = sorted((r["from_role"], r["to_role"], r["n"])
+                 for r in T.role_transition_transcripts(SF).take_all())
+    want = sorted(tuple(r) for r in con.sql("""
+        WITH r AS (
+          SELECT conv_id, role,
+                 lead(role) OVER (PARTITION BY conv_id
+                                  ORDER BY turn_idx) AS nxt
+          FROM turns)
+        SELECT role, nxt, count(*) FROM r
+        WHERE nxt IS NOT NULL GROUP BY 1, 2
+    """).fetchall())
+    assert got == want
