@@ -410,7 +410,7 @@ def _incremental_dedup_q(sf_dir: str):
     from sourmash_ray.pipelines import incremental
 
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    idx = f"/tmp/incr_index_{key}"
+    idx = f"/tmp/incr_index_v2_{key}"  # v2: one file per hive partition
     if not (os.path.exists(f"{idx}/sigs")
             and os.path.exists(f"{idx}/bands")):
         incremental.build_doc_dedup_index(sf_dir, idx)

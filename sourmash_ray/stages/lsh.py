@@ -292,7 +292,11 @@ def candidate_pairs(sigs, cfg: EngineConfig = DEFAULT_CONFIG,
     return dedup_pairs(pairs, parts, out_schema=PAIRS_SCHEMA)
 
 
-DRIVER_DEDUP_MAX_ROWS = 200_000
+# pair rows are thin (two ids + flags); 2M rows ≈ 100 MB on the driver
+# and the dictionary-encode + np.unique dedup runs in ~0.5 s — cheaper
+# than an extra all-to-all exchange round. Past the budget the coarse
+# pair-part exchange path engages (the 100-TB path).
+DRIVER_DEDUP_MAX_ROWS = 2_000_000
 
 
 def dedup_pairs(pairs, parts: int = 1024, out_schema=None, n_parts=None):
