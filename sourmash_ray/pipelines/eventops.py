@@ -1237,8 +1237,11 @@ def events_by_weekday(sf_dir: str):
         day = ts // 86_400_000_000
         # 1970-01-01 was a Thursday; ISO Monday=1..Sunday=7
         wd = ((day + 3) % 7) + 1
-        micros = np.rint(np.asarray(batch["value"], np.float64)
-                         * 1e6).astype(np.int64)
+        # NULL values contribute 0 to the sum (== SQL sum() ignoring
+        # NULL) while the row still counts in n_events (== count(*))
+        micros = np.rint(np.asarray(
+            pc.fill_null(batch["value"], 0.0), np.float64)
+            * 1e6).astype(np.int64)
         return pa.table({
             "weekday": pa.array(wd.astype(np.int64), pa.int64()),
             "event_type": batch["event_type"],

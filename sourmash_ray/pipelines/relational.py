@@ -1723,14 +1723,18 @@ def large_orders(sf_dir: str, min_qty: int = 150):
     def _attach(batch: pa.Table) -> pa.Table:
         names = ray.get(name_ref)
         ck = np.asarray(batch["o_custkey"], np.int64)
-        if ck.size and (ck.min() < 0 or ck.max() >= names.size):
-            raise ValueError("o_custkey outside the customer dim")
+        # inner-join semantics: orders whose custkey is absent from the
+        # customer dim DROP (matches the SQL oracle on FK-broken data)
+        ok = (ck >= 0) & (ck < names.size)
+        ok[ok] &= np.array([names[c] is not None for c in ck[ok]], bool)
+        sel = pa.array(np.flatnonzero(ok), pa.int64())
+        ckk = ck[ok]
         return pa.table({
-            "o_orderkey": batch["okey"],
-            "c_custkey": batch["o_custkey"],
-            "c_name": pa.array(names[ck], pa.string()),
-            "total_price_cents": batch["total_price_cents"],
-            "sum_qty": batch["sum_qty"],
+            "o_orderkey": batch["okey"].take(sel),
+            "c_custkey": pa.array(ckk, pa.int64()),
+            "c_name": pa.array(names[ckk], pa.string()),
+            "total_price_cents": batch["total_price_cents"].take(sel),
+            "sum_qty": batch["sum_qty"].take(sel),
         })
 
     return joined.map_batches(_attach, batch_format="pyarrow")
@@ -1816,11 +1820,12 @@ def rich_idle_customers(sf_dir: str, max_orders: int = 6):
     def _bynation(batch: pa.Table) -> pa.Table:
         names = ray.get(nm_ref)
         nk = np.asarray(batch["c_nationkey"], np.int64)
-        if nk.size and (nk.min() < 0 or nk.max() >= names.size):
-            raise ValueError("c_nationkey outside the nation dim")
+        ok = (nk >= 0) & (nk < names.size)
+        ok[ok] &= np.array([names[k] is not None for k in nk[ok]], bool)
+        sel = pa.array(np.flatnonzero(ok), pa.int64())
         return pa.table({
-            "nation": pa.array(names[nk], pa.string()),
-            "cents": batch["cents"],
+            "nation": pa.array(names[nk[ok]], pa.string()),
+            "cents": batch["cents"].take(sel),
         })
 
     # materialize the (nation, cents) rows: the anti-join's union plan
@@ -1939,17 +1944,19 @@ def volume_shipping(sf_dir: str):
     def _line(batch: pa.Table) -> pa.Table:
         s_a, _ = ray.get(lut_ref)
         sk = np.asarray(batch["l_suppkey"], np.int64)
-        if sk.size and (sk.min() < 0 or sk.max() >= s_a.size
-                        or (s_a[sk] < 0).any()):
-            raise ValueError("l_suppkey outside the supplier dim")
-        price = np.asarray(batch["l_extendedprice"], np.float64)
-        disc = np.asarray(batch["l_discount"], np.float64)
+        # inner-join semantics: unmatched suppkeys drop, as in the oracle
+        ok = (sk >= 0) & (sk < s_a.size)
+        ok[ok] &= s_a[sk[ok]] >= 0
+        sel = pa.array(np.flatnonzero(ok), pa.int64())
+        sk = sk[ok]
+        price = np.asarray(batch["l_extendedprice"], np.float64)[ok]
+        disc = np.asarray(batch["l_discount"], np.float64)[ok]
         rev = (np.rint(price * 100).astype(np.int64)
                * (100 - np.rint(disc * 100).astype(np.int64)))
-        year = np.asarray(batch["l_shipdate"], "datetime64[us]") \
+        year = np.asarray(batch["l_shipdate"], "datetime64[us]")[ok] \
             .astype("datetime64[Y]").astype(np.int64) + 1970
         return pa.table({
-            "l_orderkey": batch["l_orderkey"],
+            "l_orderkey": batch["l_orderkey"].take(sel),
             "snk": pa.array(s_a[sk], pa.int64()),
             "year": pa.array(year, pa.int64()),
             "rev_e4": pa.array(rev, pa.int64()),
@@ -1964,12 +1971,12 @@ def volume_shipping(sf_dir: str):
     def _ord(batch: pa.Table) -> pa.Table:
         _, c_a = ray.get(lut_ref)
         ck = np.asarray(batch["o_custkey"], np.int64)
-        if ck.size and (ck.min() < 0 or ck.max() >= c_a.size
-                        or (c_a[ck] < 0).any()):
-            raise ValueError("o_custkey outside the customer dim")
+        ok = (ck >= 0) & (ck < c_a.size)
+        ok[ok] &= c_a[ck[ok]] >= 0
+        sel = pa.array(np.flatnonzero(ok), pa.int64())
         return pa.table({
-            "o_orderkey": batch["o_orderkey"],
-            "cnk": pa.array(c_a[ck], pa.int64()),
+            "o_orderkey": batch["o_orderkey"].take(sel),
+            "cnk": pa.array(c_a[ck[ok]], pa.int64()),
         })
 
     orders = read_parquet_clean(
@@ -2117,12 +2124,14 @@ def supplier_balance_by_nation(sf_dir: str):
     def _prep(batch: pa.Table) -> pa.Table:
         names = ray.get(nm_ref)
         nk = np.asarray(batch["s_nationkey"], np.int64)
-        if nk.size and (nk.min() < 0 or nk.max() >= names.size):
-            raise ValueError("s_nationkey outside the nation dim")
+        ok = (nk >= 0) & (nk < names.size)
+        ok[ok] &= np.array([names[k] is not None for k in nk[ok]], bool)
+        sel = pa.array(np.flatnonzero(ok), pa.int64())
         return pa.table({
-            "nation": pa.array(names[nk], pa.string()),
+            "nation": pa.array(names[nk[ok]], pa.string()),
             "cents": pc.cast(pc.round(pc.multiply(
-                batch["s_acctbal"], pa.scalar(100.0))), pa.int64()),
+                batch["s_acctbal"].take(sel), pa.scalar(100.0))),
+                pa.int64()),
         })
 
     ds = read_parquet_clean(f"{sf_dir}/supplier.parquet",

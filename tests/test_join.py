@@ -621,3 +621,71 @@ def test_linestatus_unknown_value_raises(ray_session, tmp_path):
     }), d / "orders.parquet")
     with pytest.raises(Exception, match="l_linestatus"):
         linestatus_priority_counts(str(d)).take_all()
+
+
+def test_new_broadcast_lookups_inner_join_on_fk_broken_data(
+        ray_session, tmp_path):
+    """large_orders / volume_shipping / supplier_balance_by_nation must
+    DROP rows whose FK is absent from the broadcast dim — matching
+    their SQL oracles' inner joins on FK-broken data (the ADVICE-r4
+    promo_revenue class of bug)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sourmash_ray.pipelines.relational import (
+        large_orders, supplier_balance_by_nation, volume_shipping)
+
+    d = tmp_path / "fk"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0, 1], pa.int32()),
+        "n_name": pa.array(["N_A", "N_B"]),
+        "n_regionkey": pa.array([0, 0], pa.int32()),
+    }), d / "nation.parquet")
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1, 2], pa.int64()),
+        "s_name": pa.array(["s1", "s2"]),
+        "s_nationkey": pa.array([0, 7], pa.int64()),   # 7 missing
+        "s_acctbal": pa.array([10.0, 20.0]),
+    }), d / "supplier.parquet")
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1], pa.int64()),
+        "c_name": pa.array(["c1"]),
+        "c_nationkey": pa.array([0], pa.int64()),
+        "c_acctbal": pa.array([5.0]),
+        "c_mktsegment": pa.array(["X"]),
+    }), d / "customer.parquet")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([10, 11], pa.int64()),
+        "o_custkey": pa.array([1, 99], pa.int64()),    # 99 missing
+        "o_totalprice": pa.array([100.0, 200.0]),
+    }), d / "orders.parquet")
+    ship = pa.array([12000, 12001, 12002], pa.date32())
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([10, 11, 10], pa.int64()),
+        "l_suppkey": pa.array([1, 1, 55], pa.int64()),  # 55 missing
+        "l_quantity": pa.array([200.0, 300.0, 400.0]),
+        "l_extendedprice": pa.array([10.0, 20.0, 30.0]),
+        "l_discount": pa.array([0.0, 0.0, 0.0]),
+        "l_shipdate": ship,
+    }), d / "lineitem.parquet")
+
+    con = duckdb.connect()
+    for t in ("nation", "supplier", "customer", "orders", "lineitem"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{d}/{t}.parquet')")
+    import __ray_entry__ as E
+
+    oracles = E.oracle_sql()
+    for name, fn in (("large_orders", large_orders),
+                     ("volume_shipping", volume_shipping),
+                     ("supplier_balance_by_nation",
+                      supplier_balance_by_nation)):
+        df = fn(str(d)).to_pandas()
+        want = con.sql(oracles[name]).df()
+        a = df[sorted(df.columns)].astype(str)
+        b = want[sorted(want.columns)].astype(str)
+        assert sorted(map(tuple, a.values.tolist())) == \
+            sorted(map(tuple, b.values.tolist())), name

@@ -82,3 +82,44 @@ def test_first_distinct_pairs_trivial():
     assert _first_distinct_pairs(tbl).num_rows == 0
     one = pa.table({"a": pa.array(["p"]), "b": pa.array(["q"])})
     assert _first_distinct_pairs(one).equals(one)
+
+
+def test_pair_indices_sorted_property_vs_bruteforce():
+    """Random sorted key vectors: with full_pairs and no cap pressure,
+    emitted pairs == all in-run index pairs; with a small cap, uncapped
+    runs still emit exactly triu and capped runs stay connected."""
+    rng = np.random.default_rng(11)
+    from sourmash_ray.stages.lsh import _pair_indices_sorted
+
+    for trial in range(20):
+        keys = np.sort(rng.integers(0, 12, rng.integers(0, 60)
+                                    ).astype(np.uint64))
+        a, b, capped = _pair_indices_sorted(keys, cap=100,
+                                            full_pairs=True,
+                                            skew_limit=1000)
+        want = {(i, j) for i in range(len(keys))
+                for j in range(i + 1, len(keys))
+                if keys[i] == keys[j]}
+        assert set(zip(a.tolist(), b.tolist())) == want
+        assert not capped.any()
+        assert (a < b).all()
+
+
+def test_first_distinct_pairs_property():
+    rng = np.random.default_rng(13)
+    import pandas as pd
+
+    from sourmash_ray.stages.lsh import _first_distinct_pairs
+
+    for trial in range(10):
+        n = int(rng.integers(0, 300))
+        tbl = pa.table({
+            "a": pa.array([f"x{v}" for v in rng.integers(0, 9, n)]),
+            "b": pa.array([str(v) for v in rng.integers(0, 9, n)]),
+            "p": pa.array(rng.integers(0, 100, n), pa.int64()),
+        })
+        got = _first_distinct_pairs(tbl)
+        want = pa.Table.from_pandas(
+            tbl.to_pandas().drop_duplicates(["a", "b"]),
+            preserve_index=False)
+        assert got.equals(want), trial

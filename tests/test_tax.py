@@ -288,3 +288,42 @@ def test_tax_summarize_grep_cli(ray_session, tmp_path, capsys):
     main(["tax-grep", "Proteo", "--csv", str(path), "--count"])
     got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert got["matches"] == 2
+
+
+def test_tax_summarize_property_vs_bruteforce():
+    """Random lineage dicts: prefix counts == brute-force Counter over
+    all prefixes; rank_counts == first-seen-name histogram."""
+    import numpy as np
+
+    from sourmash_ray.stages.tax import tax_summarize
+
+    rng = np.random.default_rng(5)
+    names = [f"n{i}" for i in range(6)]
+    for trial in range(15):
+        lin = {}
+        for i in range(int(rng.integers(0, 25))):
+            depth = int(rng.integers(0, 4))
+            lin[f"id{i}"] = ";".join(
+                names[int(rng.integers(0, len(names)))]
+                for _ in range(depth))
+        summary, tbl = tax_summarize(lin)
+        from collections import Counter
+
+        want = Counter()
+        for v in lin.values():
+            parts = v.split(";") if v else []
+            for d in range(1, len(parts) + 1):
+                want[";".join(parts[:d])] += 1
+        got = {r["lineage"]: r["lineage_count"] for r in tbl.to_pylist()}
+        assert got == dict(want), trial
+        assert summary["n_lineages"] == len(lin)
+        seen = set()
+        want_rc: dict = {}
+        ranks = ("superkingdom", "phylum", "class", "order", "family",
+                 "genus", "species", "strain")
+        for v in lin.values():
+            for d, nm in enumerate(v.split(";") if v else []):
+                if nm not in seen:
+                    seen.add(nm)
+                    want_rc[ranks[d]] = want_rc.get(ranks[d], 0) + 1
+        assert summary["rank_counts"] == want_rc
