@@ -509,6 +509,7 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
             relational.totalprice_quantiles_by_priority,
         "orders_reconciliation": relational.orders_reconciliation,
         "dup_rate_by_source_docs": docops.dup_rate_by_source_docs,
+        "interleave_sources_docs": docops.interleave_sources_docs,
         "doc_length_histogram": docops.doc_length_histogram,
         "tool_usage_transcripts": transcriptops.tool_usage_transcripts,
         "conv_boundary_roles_transcripts":
@@ -934,6 +935,17 @@ def oracle_sql() -> dict[str, str]:
                                          AND lk.k IS NOT NULL) AS BIGINT)
                        AS matched_orderkeys
             FROM ok FULL OUTER JOIN lk ON ok.k = lk.k
+        """,
+        "interleave_sources_docs": """
+            WITH r AS (
+              SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY doc_id) - 1 AS r
+              FROM documents)
+            SELECT doc_id, source,
+                   CAST(row_number() OVER (ORDER BY r, source, doc_id)
+                        - 1 AS BIGINT) AS pos
+            FROM r
         """,
         "dup_rate_by_source_docs": f"""
             WITH h AS (

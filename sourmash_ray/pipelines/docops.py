@@ -2611,3 +2611,83 @@ def doc_length_histogram(sf_dir: str, bucket: int = 256):
                             "n_docs": t["sum_n"],
                             "sum_chars": t["sum_chars"]}),
         batch_format="pyarrow")
+
+
+INTERLEAVE_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("source", pa.string()),
+    ("pos", pa.int64()),
+])
+
+
+def interleave_sources_docs(sf_dir: str, n_parts: int | None = None):
+    """Deterministic round-robin interleave across sources — the global
+    training ORDER a mixture run feeds the loader (position 0 = first
+    source's first doc, then one doc from each source in turn; a source
+    that runs dry drops out of the rotation). Complements
+    ``mixing_weights_docs`` (which only reports proportions).
+
+    Closed form, no global sort: with per-source counts ``c`` (tiny
+    dim, broadcast) and per-source rank ``r`` (by doc_id; one
+    source-hash exchange — every source lands whole in a partition),
+    the round-robin position is
+
+        pos = Σ_{s'} min(c_{s'}, r)  +  |{s' < s : c_{s'} > r}|
+
+    i.e. the count of (r', s') pairs lexicographically before (r, s).
+    Per batch this is one (n × k) numpy reduction with k = #sources.
+    """
+    from ..config import resolve_num_partitions
+    from ..functions.segscore import _to_bytes_array, hash_strings64
+    from ..stages.agg import grouped_sums
+    from ..stages.exchange import exchange_map_groups
+
+    if n_parts is None:
+        n_parts = resolve_num_partitions(DEFAULT_CONFIG)
+
+    counts_rows = grouped_sums(
+        _read_docs(sf_dir, ("source",)), ["source"], [],
+        count_as="n").take_all()
+    sources = sorted(r["source"] for r in counts_rows)
+    counts = np.array([dict((r["source"], r["n"]) for r in counts_rows)
+                       [s] for s in sources], np.int64)
+    sidx_of = {s: i for i, s in enumerate(sources)}
+    lut_ref = _ray.put((sources, counts, sidx_of))
+
+    def _key(batch: pa.Table) -> pa.Table:
+        src = batch["source"].combine_chunks()
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "source": src,
+            "src_part": pa.array(hash_strings64(src) % 1024, pa.int64()),
+        })
+
+    def _pos(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return INTERLEAVE_SCHEMA.empty_table()
+        srcs, cnts, of = _ray.get(lut_ref)
+        sb = _to_bytes_array(part["source"].combine_chunks())
+        ids = np.asarray(part["doc_id"], np.int64)
+        order = np.lexsort((ids, sb))
+        sb_s, ids_s = sb[order], ids[order]
+        starts = np.flatnonzero(np.r_[True, sb_s[1:] != sb_s[:-1]])
+        lens = np.diff(np.r_[starts, len(sb_s)])
+        r = (np.arange(len(sb_s), dtype=np.int64)
+             - np.repeat(starts, lens))
+        src_col = part["source"].combine_chunks().take(
+            pa.array(order, pa.int64()))
+        sidx = np.fromiter((of[s] for s in src_col.to_pylist()),
+                           np.int64, len(sb_s))
+        k = len(cnts)
+        cmin = np.minimum(cnts[None, :], r[:, None]).sum(axis=1)
+        before = ((cnts[None, :] > r[:, None])
+                  & (np.arange(k)[None, :] < sidx[:, None])).sum(axis=1)
+        return pa.table({
+            "doc_id": pa.array(ids_s, pa.int64()),
+            "source": src_col,
+            "pos": pa.array(cmin + before, pa.int64()),
+        })
+
+    keyed = _read_docs(sf_dir, ("doc_id", "source")).map_batches(
+        _key, batch_format="pyarrow")
+    return exchange_map_groups(keyed, "src_part", n_parts, _pos,
+                               INTERLEAVE_SCHEMA)
