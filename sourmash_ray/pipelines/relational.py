@@ -1612,19 +1612,26 @@ def tax_grep_customers(sf_dir: str, pattern: str = "_1[0-9]$",
 
     region_a, nation_a, hole_a = _customer_lineage_arrays(sf_dir)
     pat = re.compile(pattern)
+    seg_rank = rank == "segment"
     if rank == "region":
         hit = np.array([bool(v) and bool(pat.search(v))
                         for v in region_a], bool)
     elif rank == "nation":
         hit = np.array([bool(v) and bool(pat.search(v))
                         for v in nation_a], bool)
+    elif seg_rank:
+        # segment lives on the fact row, not a dim — but it is a
+        # low-cardinality column, so the regex still evaluates once per
+        # DISTINCT value per batch (memoized), never per row
+        hit = np.zeros(0, bool)
     else:
         raise ValueError(f"unknown lineage rank {rank!r} "
-                         "(segment rank matches per-row; use the pure "
-                         "stages.tax.tax_grep for arbitrary ranks)")
-    if invert:
+                         "(use the pure stages.tax.tax_grep for "
+                         "arbitrary ranks)")
+    if invert and not seg_rank:
         hit = ~hit & ~hole_a
     lin_ref = ray.put((region_a, nation_a, hole_a, hit))
+    seg_memo: dict = {}
 
     def _filter(batch: pa.Table) -> pa.Table:
         region_b, nation_b, hole_b, hit_b = ray.get(lin_ref)
@@ -1632,7 +1639,18 @@ def tax_grep_customers(sf_dir: str, pattern: str = "_1[0-9]$",
         if nk.size and (nk.min() < 0 or nk.max() >= nation_b.size
                         or hole_b[nk].any()):
             raise ValueError("c_nationkey outside the nation dim")
-        keep = hit_b[nk]
+        if seg_rank:
+            seg_col = batch["c_mktsegment"].combine_chunks()
+            for v in seg_col.unique().to_pylist():
+                if v not in seg_memo:
+                    seg_memo[v] = bool(v) and bool(pat.search(v))
+            matched = pa.array(
+                [v for v, ok in seg_memo.items() if ok], pa.string())
+            keep = np.asarray(pc.is_in(seg_col, value_set=matched))
+            if invert:
+                keep = ~keep
+        else:
+            keep = hit_b[nk]
         ck = np.asarray(batch["c_custkey"], np.int64)[keep]
         seg = batch["c_mktsegment"].combine_chunks().filter(
             pa.array(keep))

@@ -62,3 +62,17 @@ def test_index_layout_is_partitioned(ray_session, tmp_path):
     build_doc_dedup_index(SF, idx, DEFAULT_CONFIG)
     assert glob.glob(f"{idx}/bands/band_file=*/*.parquet")
     assert glob.glob(f"{idx}/sigs/sig_file=*/*.parquet")
+
+
+def test_index_one_file_per_partition(ray_session, tmp_path):
+    """File-count discipline: each band/sig hive partition must land as
+    ONE Parquet file (block-grain files made probe file-open overhead
+    dominate the incremental wall — BASELINE.md round 5)."""
+    import glob
+
+    idx = str(tmp_path / "idx")
+    build_doc_dedup_index(SF, idx, DEFAULT_CONFIG)
+    for part in glob.glob(f"{idx}/bands/band_file=*") + glob.glob(
+            f"{idx}/sigs/sig_file=*"):
+        files = glob.glob(f"{part}/*.parquet")
+        assert len(files) == 1, part

@@ -101,3 +101,40 @@ def test_round3_doc_ops_tolerate_null_text(null_sf):
     assert dec[2] == 1 and dec[4] == 1
     kl = docops.source_divergence_docs(null_sf).take_all()
     assert {r["source"] for r in kl} <= {f"src{i}" for i in range(8)}
+
+
+def test_round5_doc_ops_tolerate_null_text(null_sf):
+    """dup_rate_by_source / doc_length_histogram / interleave on the
+    null-text fixture: no crash, DuckDB-parity semantics."""
+    import duckdb
+
+    from sourmash_ray.pipelines.docops import (doc_length_histogram,
+                                               dup_rate_by_source_docs,
+                                               interleave_sources_docs)
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{null_sf}/documents.parquet')")
+
+    got = sorted((r["source"], r["n_docs"], r["n_distinct"], r["n_dups"])
+                 for r in dup_rate_by_source_docs(null_sf).take_all())
+    want = sorted(tuple(r) for r in con.sql("""
+        WITH h AS (SELECT source,
+            md5(trim(regexp_replace(lower(coalesce(text,'')),
+                     '[ \t\n\r\f\v]+', ' ', 'g'))) AS m FROM documents)
+        SELECT source, count(*), CAST(count(DISTINCT m) AS BIGINT),
+               CAST(count(*) - count(DISTINCT m) AS BIGINT)
+        FROM h GROUP BY source""").fetchall())
+    assert got == want
+
+    got = sorted((r["bucket_lo"], r["n_docs"], r["sum_chars"])
+                 for r in doc_length_histogram(null_sf).take_all())
+    want = sorted(tuple(r) for r in con.sql("""
+        SELECT CAST((n_chars // 256) * 256 AS BIGINT), count(*),
+               CAST(sum(n_chars) AS BIGINT)
+        FROM documents GROUP BY 1""").fetchall())
+    assert got == want
+
+    got = sorted((r["doc_id"], r["source"], r["pos"])
+                 for r in interleave_sources_docs(null_sf).take_all())
+    assert [g[2] for g in got] == list(range(8))  # 8 sources, 1 doc each

@@ -327,3 +327,25 @@ def test_tax_summarize_property_vs_bruteforce():
                     seen.add(nm)
                     want_rc[ranks[d]] = want_rc.get(ranks[d], 0) + 1
         assert summary["rank_counts"] == want_rc
+
+
+def test_tax_grep_customers_segment_rank(ray_session):
+    """Distributed tax_grep over the per-row segment rank equals the
+    DuckDB regex filter (regex memoized per distinct value)."""
+    import duckdb
+
+    from sourmash_ray.pipelines.relational import tax_grep_customers
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(r["ident"] for r in tax_grep_customers(
+        sf, pattern="^SEG", rank="segment").take_all())
+    want = sorted(str(r[0]) for r in duckdb.sql(f"""
+        SELECT c_custkey FROM read_parquet('{sf}/customer.parquet')
+        WHERE regexp_matches(c_mktsegment, '^SEG')""").fetchall())
+    assert got == want
+    inv = sorted(r["ident"] for r in tax_grep_customers(
+        sf, pattern="^SEG", rank="segment", invert=True).take_all())
+    alln = sorted(str(r[0]) for r in duckdb.sql(f"""
+        SELECT c_custkey FROM read_parquet('{sf}/customer.parquet')
+        """).fetchall())
+    assert sorted(got + inv) == alln
