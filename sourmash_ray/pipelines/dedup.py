@@ -96,10 +96,13 @@ def dedup_pipeline(
     ``source``: an sf_dir string (synthesizes/reads the transcripts corpus)
     or an existing transcripts Dataset.
 
-    ``metric``: ``"jaccard"`` (flat sketches, default) or ``"angular"``
-    (abundance-cosine verification via :func:`stages.verify.angular_pairs`
-    — requires ``cfg.sketch.track_abundance``; the reference runs its
-    whole test matrix in both flat and abund variants,
+    ``metric``: ``"jaccard"`` (flat sketches, default),
+    ``"max_containment"`` (keeps prefix/subset duplicates whose Jaccard
+    is diluted by length difference — ``minhash.py:881-905``), or
+    ``"angular"`` (abundance-cosine verification via
+    :func:`stages.verify.angular_pairs` — requires
+    ``cfg.sketch.track_abundance``; the reference runs its whole test
+    matrix in both flat and abund variants,
     ``tests/conftest.py:27-60``). In angular mode the identical-md5
     exact-dup edges are SKIPPED: md5 digests mins only, so two sketches
     with equal mins but different abundances can sit below the angular
@@ -109,7 +112,7 @@ def dedup_pipeline(
     Returns dict of Datasets: ``signatures``, ``verified_pairs``,
     ``clusters`` (conv_id → cluster_id for every conversation).
     """
-    if metric not in ("jaccard", "angular"):
+    if metric not in ("jaccard", "angular", "max_containment"):
         raise ValueError(f"unknown dedup metric {metric!r}")
     if metric == "angular" and not cfg.sketch.track_abundance:
         raise ValueError("metric='angular' requires "
@@ -160,14 +163,17 @@ def dedup_pipeline(
     # launch the exact-dup md5 exchange NOW: its raw Ray tasks run
     # concurrently with the verify materialization below (independent
     # branches over the same materialized sigs)
-    exact_edges = exact_dup_edges(sigs) if metric == "jaccard" else None
+    # exact md5 edges are valid for jaccard AND max_containment
+    # (identical mins => both scores are 1.0) but NOT for angular
+    # (equal mins with different abunds can sit below threshold)
+    exact_edges = exact_dup_edges(sigs) if metric != "angular" else None
     if metric == "angular":
         from ..stages.verify import angular_pairs
 
         verified = angular_pairs(pairs, sigs, cfg,
                                  threshold=cfg.verify_threshold)
     else:
-        verified = verify_pairs(pairs, sigs, cfg)
+        verified = verify_pairs(pairs, sigs, cfg, metric=metric)
     if checkpoint_dir:
         verified, _ = checkpoint_dataset(
             verified, os.path.join(checkpoint_dir, "verified_pairs"),

@@ -513,3 +513,34 @@ def test_angular_mode_requires_abundance(ray_session):
     with pytest.raises(ValueError, match="track_abundance"):
         dedup_pipeline(ray.data.from_arrow(corpus), DEFAULT_CONFIG,
                        metric="angular")
+
+
+def test_recall_max_containment_mode(ray_session):
+    """Containment-mode flagship: same pipeline with max_containment
+    verification; recall >= 0.99 vs the brute-force containment
+    oracle (subset/prefix duplicates that Jaccard dilutes)."""
+    import ray.data
+
+    from sourmash_ray.functions.oracle import sketch_table
+    from sourmash_ray.functions.setops import max_containment
+    from sourmash_ray.functions.sketch import Sketch
+    from sourmash_ray.pipelines.dedup import dedup_pipeline
+
+    corpus = synth_transcripts(150, seed=52)
+    out = dedup_pipeline(ray.data.from_arrow(corpus), DEFAULT_CONFIG,
+                         metric="max_containment")
+    label = {r["conv_id"]: r["cluster_id"]
+             for r in out["clusters"].take_all()}
+
+    sketches = sketch_table(corpus, DEFAULT_CONFIG.sketch)
+    ids = sorted(sketches)
+    sk = {i: Sketch(mins=sketches[i]["mins"], abunds=None,
+                    params=DEFAULT_CONFIG.sketch) for i in ids}
+    thr = DEFAULT_CONFIG.verify_threshold
+    truth = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
+             if len(sk[a].mins) and len(sk[b].mins)
+             and max_containment(sk[a], sk[b]) >= thr}
+    assert truth
+    hit = sum(1 for a, b in truth if label[a] == label[b])
+    recall = hit / len(truth)
+    assert recall >= 0.99, f"recall {recall:.4f} over {len(truth)} pairs"
