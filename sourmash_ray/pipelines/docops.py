@@ -2512,7 +2512,13 @@ def dup_rate_by_source_docs(sf_dir: str):
 
     group_parts = DEFAULT_CONFIG.exec.group_parts
 
+    partial_schema = pa.schema([
+        ("text_md5", pa.string()), ("source", pa.string()),
+        ("n", pa.int64()), ("md5_part", pa.int64())])
+
     def _partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return partial_schema.empty_table()
         norm = normalize_column(batch["text"], "ws")
         md5 = _md5_column(norm)
         if isinstance(md5, pa.ChunkedArray):

@@ -1852,6 +1852,13 @@ def rich_idle_customers(sf_dir: str, max_orders: int = 6):
     # columns, object-store resident)
     named = idle.map_batches(_bynation,
                              batch_format="pyarrow").materialize()
+    if named.count() == 0:     # e.g. no positive balances at all
+        from ray.data import from_arrow
+
+        return from_arrow(pa.table({
+            "nation": pa.array([], pa.string()),
+            "n_customers": pa.array([], pa.int64()),
+            "sum_acctbal_cents": pa.array([], pa.int64())}))
     out = grouped_sums(named, ["nation"], ["cents"],
                        count_as="n_customers")
     return out.map_batches(

@@ -54,6 +54,16 @@ def main():
 
     qs = e.queries()
     oracles = e.oracle_sql()
+    # transcript-grain oracles embed the DRIVER's sf0.01 cache path
+    # (oracle_sql() takes no sf); when this harness sweeps another sf,
+    # point them at that sf's cache so the comparison stays like-for-like
+    from sourmash_ray.sources.transcripts import transcripts_path
+
+    default_turns = transcripts_path("/root/testdata/sf0.01")
+    this_turns = transcripts_path(SF_DIR)
+    if this_turns != default_turns:
+        oracles = {k: v.replace(default_turns, this_turns)
+                   for k, v in oracles.items()}
     fails = []
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
