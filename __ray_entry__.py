@@ -69,6 +69,31 @@ def _dedup_transcripts_q(sf_dir: str):
     return _pipeline_for(sf_dir)["clusters"]
 
 
+def _dedup_transcripts_windowed_q(sf_dir: str):
+    """Time-horizon dedup (rows-only; horizon-restricted equality vs
+    the full pipeline is tested in tests/test_recall_scale.py). The
+    window derives from the corpus span so every sf gets ~8 buckets."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from sourmash_ray.pipelines.dedup import dedup_transcripts_windowed
+    from sourmash_ray.sources.transcripts import read_transcripts
+
+    ds = read_transcripts(sf_dir)
+    def _span(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64())
+        return pa.table({
+            "lo": pa.array([pc.min(us).as_py() or 0], pa.int64()),
+            "hi": pa.array([pc.max(us).as_py() or 0], pa.int64()),
+        })
+
+    t = ds.select_columns(["ts"]).map_batches(
+        _span, batch_format="pyarrow").take_all()
+    span = (max(r["hi"] for r in t) - min(r["lo"] for r in t)) if t else 1
+    window_us = max(1, span // 8)
+    return dedup_transcripts_windowed(ds, window_us)["clusters"]
+
+
 def _dedup_transcripts_abund_q(sf_dir: str):
     """Abundance-mode flagship twin: track_abundance sketches +
     angular-cosine verification (rows-only; the recall-vs-oracle test
@@ -470,6 +495,7 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "sketch_transcripts": _sketch_transcripts_q,
         "dedup_transcripts": _dedup_transcripts_q,
         "dedup_transcripts_abund": _dedup_transcripts_abund_q,
+        "dedup_transcripts_windowed": _dedup_transcripts_windowed_q,
         "verified_pairs_transcripts": _verified_pairs_q,
         "exact_spans_transcripts": _exact_spans_q,
         "containment_pairs_transcripts": _containment_pairs_q,

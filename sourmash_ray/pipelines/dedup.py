@@ -192,3 +192,208 @@ def dedup_pipeline(
 
     return {"signatures": sigs, "verified_pairs": verified,
             "clusters": clusters}
+
+
+# ---------------------------------------------------------------------------
+# time-windowed near-dup dedup (duplicates within a time horizon)
+# ---------------------------------------------------------------------------
+
+def conv_windows(ds, window_us: int):
+    """(conv_id, window) — each conversation's time bucket
+    ``min(ts) // window_us``. One conv-keyed exchange (conversations
+    land whole in a partition, so the min is exact)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..config import resolve_num_partitions
+    from ..functions.segscore import _to_bytes_array, hash_strings64
+    from ..stages.exchange import exchange_map_groups
+
+    schema = pa.schema([("conv_id", pa.string()),
+                        ("window", pa.int64())])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        cid = batch["conv_id"].combine_chunks()
+        return pa.table({
+            "conv_id": cid,
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+            "conv_part": pa.array(hash_strings64(cid) % 1024, pa.int64()),
+        })
+
+    def _win(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return schema.empty_table()
+        cid = _to_bytes_array(part["conv_id"].combine_chunks())
+        ts = np.asarray(part["ts_us"], np.int64)
+        order = np.argsort(cid, kind="stable")
+        cid_s = cid[order]
+        new = np.r_[True, cid_s[1:] != cid_s[:-1]]
+        starts = np.flatnonzero(new)
+        tmin = np.minimum.reduceat(ts[order], starts)
+        take = pa.array(order[starts], pa.int64())
+        return pa.table({
+            "conv_id": part["conv_id"].combine_chunks().take(take),
+            "window": pa.array(tmin // window_us, pa.int64()),
+        })
+
+    keyed = ds.select_columns(["conv_id", "ts"]).map_batches(
+        _prep, batch_format="pyarrow")
+    return exchange_map_groups(keyed, "conv_part",
+                               resolve_num_partitions(DEFAULT_CONFIG),
+                               _win, schema)
+
+
+def attach_windows(sigs, windows, n_parts: int = None):
+    """sigs + (conv_id, window) → sigs with a ``window`` column, via a
+    conv-hash exchange co-group (NOT ``pa.Table.join`` — Acero rejects
+    the list<u64> sketch columns; the in-partition attach is one sorted
+    numpy lookup, list columns ride untouched)."""
+    import numpy as np
+
+    from ..config import resolve_num_partitions
+    from ..functions.segscore import _to_bytes_array, hash_strings64
+    from ..stages.exchange import exchange_map_groups
+    from ..stages.sketch import SIG_SCHEMA
+
+    if n_parts is None:
+        n_parts = resolve_num_partitions(DEFAULT_CONFIG)
+    out_schema = pa.schema(list(SIG_SCHEMA)
+                           + [pa.field("window", pa.int64())])
+    padded = pa.schema(list(out_schema) + [pa.field("side", pa.int8()),
+                                           pa.field("cp", pa.int64())])
+
+    def _tag_sigs(batch: pa.Table) -> pa.Table:
+        cid = batch["conv_id"].combine_chunks()
+        cols = {f.name: batch[f.name] for f in SIG_SCHEMA}
+        cols["window"] = pa.nulls(batch.num_rows, pa.int64())
+        cols["side"] = pa.array(
+            np.zeros(batch.num_rows, np.int8), pa.int8())
+        cols["cp"] = pa.array(hash_strings64(cid) % 1024, pa.int64())
+        return pa.table(cols).cast(padded)
+
+    def _tag_wnd(batch: pa.Table) -> pa.Table:
+        cid = batch["conv_id"].combine_chunks()
+        n = batch.num_rows
+        cols = {}
+        for f in SIG_SCHEMA:
+            cols[f.name] = (cid if f.name == "conv_id"
+                            else pa.nulls(n, f.type))
+        cols["window"] = batch["window"]
+        cols["side"] = pa.array(np.ones(n, np.int8), pa.int8())
+        cols["cp"] = pa.array(hash_strings64(cid) % 1024, pa.int64())
+        return pa.table(cols).cast(padded)
+
+    both = sigs.map_batches(_tag_sigs, batch_format="pyarrow").union(
+        windows.map_batches(_tag_wnd, batch_format="pyarrow"))
+
+    def _attach(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return out_schema.empty_table()
+        side = np.asarray(part["side"], np.int8)
+        cid = _to_bytes_array(part["conv_id"].combine_chunks())
+        is_sig = side == 0
+        wrows = np.flatnonzero(~is_sig)
+        w_ids = cid[wrows]
+        w_vals = np.asarray(part["window"], np.int64)[wrows]
+        order = np.argsort(w_ids, kind="stable")
+        w_ids_s, w_vals_s = w_ids[order], w_vals[order]
+        srows = np.flatnonzero(is_sig)
+        s_ids = cid[srows]
+        if w_ids_s.size == 0:
+            raise ValueError("no window rows for this partition")
+        pos = np.minimum(np.searchsorted(w_ids_s, s_ids),
+                         w_ids_s.size - 1)
+        if not (w_ids_s[pos] == s_ids).all():
+            raise ValueError("signature without a window row")
+        take = pa.array(srows, pa.int64())
+        cols = {f.name: part[f.name].take(take) for f in SIG_SCHEMA}
+        cols["window"] = pa.array(w_vals_s[pos], pa.int64())
+        return pa.table(cols).cast(out_schema)
+
+    return exchange_map_groups(both, "cp", n_parts, _attach, out_schema)
+
+
+def dedup_transcripts_windowed(source, window_us: int,
+                               cfg: EngineConfig = DEFAULT_CONFIG):
+    """Near-dup dedup WITHIN A TIME HORIZON: only conversation pairs
+    whose start-time windows are equal or adjacent (``|Δwindow| ≤ 1``,
+    i.e. within ``2·window_us`` of each other at the bucket grain) are
+    candidates — the streaming-corpus shape where duplicates arrive
+    close in time and time-scoping bounds every LSH bucket's membership
+    regardless of corpus age (the per-(band, window) bucket is the unit
+    of work, so a year of crawl never concentrates into one bucket).
+
+    Mechanism: each signature emits its band keys REKEYED by window w
+    and w+1 (one murmur fold per copy); a pair ≤ 1 window apart shares
+    the higher window's copy, pairs further apart never meet. Within
+    the horizon, recall is identical to the unwindowed pipeline (same
+    band ⇒ same windowed bucket). md5 exact-dup edges are deliberately
+    NOT emitted: identical texts share all bands, so within-horizon
+    exact dups are already candidates, and beyond-horizon ones are out
+    of the operator's contract.
+
+    Returns dict of Datasets: ``signatures`` (with ``window``),
+    ``verified_pairs``, ``clusters``.
+    """
+    import numpy as np
+
+    from ..config import resolve_num_partitions
+    from ..functions.murmur import _np_fmix64
+    from ..stages.exchange import exchange_map_groups
+    from ..stages.lsh import (PAIRS_SCHEMA, _emit_pairs_part, BandKeyer,
+                              band_keys_batch, dedup_pairs)
+
+    if isinstance(source, str):
+        ds = read_transcripts(source)
+    else:
+        ds = source
+    sigs = sketch_transcripts(ds, cfg).materialize()
+    wnd = conv_windows(ds, window_us)
+    sigs_w = attach_windows(sigs, wnd).materialize()
+
+    lsh = cfg.lsh
+    parts = cfg.exec.group_parts
+    keyer = BandKeyer(lsh.num_perm, lsh.bands, lsh.rows, parts)
+
+    def _windowed_keys(batch: pa.Table) -> pa.Table:
+        keyed = keyer(batch)            # (band_key, band_part, conv_id)
+        if keyed.num_rows == 0:
+            return keyed
+        # rows align with the non-empty-sketch subset in batch order;
+        # rebuild the window vector the same way the keyer filtered
+        from ..functions.perm import MAX_U64
+
+        perms0 = np.asarray(
+            batch["perms"].combine_chunks().flatten(),
+            dtype=np.uint64).reshape(batch.num_rows, lsh.num_perm)[:, 0]
+        w = np.asarray(batch["window"], np.int64)[perms0 != MAX_U64]
+        w_rep = np.repeat(w, lsh.bands).astype(np.uint64)
+        bk = np.asarray(keyed["band_key"], np.uint64)
+        old = np.seterr(over="ignore")
+        try:
+            k0 = _np_fmix64(bk ^ _np_fmix64(w_rep))
+            k1 = _np_fmix64(bk ^ _np_fmix64(w_rep + np.uint64(1)))
+        finally:
+            np.seterr(**old)
+        keys = np.concatenate([k0, k1])
+        conv = keyed["conv_id"].combine_chunks()
+        conv2 = pa.concat_arrays([conv, conv])
+        return pa.table({
+            "band_key": pa.array(keys, pa.uint64()),
+            "band_part": pa.array(
+                (keys % np.uint64(parts)).astype(np.int64), pa.int64()),
+            "conv_id": conv2,
+        })
+
+    keyed = sigs_w.select_columns(["conv_id", "perms", "window"]
+                                  ).map_batches(_windowed_keys,
+                                                batch_format="pyarrow")
+    pairs = exchange_map_groups(
+        keyed, "band_part", 2 * resolve_num_partitions(cfg),
+        _emit_pairs_part(lsh.max_bucket_pairs_members), PAIRS_SCHEMA)
+    pairs = dedup_pairs(pairs, parts, out_schema=PAIRS_SCHEMA)
+    verified = verify_pairs(pairs, sigs_w, cfg).materialize()
+    clusters = assign_clusters(sigs_w, verified.select_columns(
+        ["a", "b"]), cfg)
+    return {"signatures": sigs_w, "verified_pairs": verified,
+            "clusters": clusters}

@@ -544,3 +544,42 @@ def test_recall_max_containment_mode(ray_session):
     hit = sum(1 for a, b in truth if label[a] == label[b])
     recall = hit / len(truth)
     assert recall >= 0.99, f"recall {recall:.4f} over {len(truth)} pairs"
+
+
+def test_windowed_dedup_equals_horizon_restricted(ray_session):
+    """Time-windowed dedup == the full pipeline's verified pairs
+    restricted to |window_a - window_b| <= 1 (identical scores), and
+    pairs beyond the horizon are excluded."""
+    import ray.data
+
+    from sourmash_ray.pipelines.dedup import (dedup_pipeline,
+                                              dedup_transcripts_windowed)
+
+    corpus = synth_transcripts(120, seed=61)
+    ts = corpus["ts"].cast(pa.int64()).to_pylist()
+    cid = corpus["conv_id"].to_pylist()
+    tmin: dict = {}
+    for c, t in zip(cid, ts):
+        tmin[c] = min(tmin.get(c, t), t)
+    span = max(tmin.values()) - min(tmin.values())
+    window_us = max(1, span // 5)      # ~6 windows
+    w = {c: t // window_us for c, t in tmin.items()}
+
+    src = ray.data.from_arrow(corpus)
+    full = dedup_pipeline(src, DEFAULT_CONFIG)
+    ver_full = {(r["a"], r["b"]): round(r["jaccard"], 12)
+                for r in full["verified_pairs"].take_all()}
+    out = dedup_transcripts_windowed(src, window_us, DEFAULT_CONFIG)
+    ver_win = {(r["a"], r["b"]): round(r["jaccard"], 12)
+               for r in out["verified_pairs"].take_all()}
+
+    want = {p: j for p, j in ver_full.items()
+            if abs(w[p[0]] - w[p[1]]) <= 1}
+    assert ver_win == want
+    assert ver_win, "fixture must contain within-horizon pairs"
+    # the horizon must actually exclude something in this fixture, else
+    # the test is vacuous
+    assert len(want) < len(ver_full)
+    # clusters cover every conversation
+    labels = {r["conv_id"] for r in out["clusters"].take_all()}
+    assert labels == set(tmin)
