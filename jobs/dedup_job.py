@@ -38,6 +38,14 @@ def main():
     ap.add_argument("--out", default=None,
                     help="output dir for clusters Parquet")
     ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--metric", default="jaccard",
+                    choices=["jaccard", "max_containment", "angular"],
+                    help="verification metric (angular requires "
+                         "track_abundance sketches and skips md5 "
+                         "exact edges)")
+    ap.add_argument("--window-us", type=int, default=None,
+                    help="time-horizon mode: only pairs within "
+                         "adjacent min-ts windows are candidates")
     ap.add_argument("--num-cpus", type=int, default=None,
                     help="local-mode only; ignored on a cluster")
     args = ap.parse_args()
@@ -53,12 +61,27 @@ def main():
                           include_dashboard=False)
         ray.init(**kwargs)
 
+    import dataclasses
+
     from sourmash_ray.config import DEFAULT_CONFIG
-    from sourmash_ray.pipelines.dedup import dedup_pipeline
+    from sourmash_ray.pipelines.dedup import (dedup_pipeline,
+                                              dedup_transcripts_windowed)
+
+    cfg = DEFAULT_CONFIG
+    if args.metric == "angular":
+        cfg = dataclasses.replace(
+            cfg, sketch=dataclasses.replace(cfg.sketch,
+                                            track_abundance=True))
 
     t0 = time.perf_counter()
-    out = dedup_pipeline(args.input, DEFAULT_CONFIG,
-                         checkpoint_dir=args.checkpoint_dir)
+    if args.window_us:
+        if args.metric != "jaccard":
+            raise SystemExit("--window-us supports jaccard only")
+        out = dedup_transcripts_windowed(args.input, args.window_us, cfg)
+    else:
+        out = dedup_pipeline(args.input, cfg,
+                             checkpoint_dir=args.checkpoint_dir,
+                             metric=args.metric)
     clusters = out["clusters"]
     if args.out:
         clusters.write_parquet(args.out)
