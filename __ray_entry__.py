@@ -239,20 +239,21 @@ def _categorize_q(sf_dir: str):
     return categorize(sigs.limit(64).materialize(), sigs, threshold=0.05)
 
 
-def _compare_q(sf_dir: str):
-    """``compare`` all-pairs over the 40 lexicographically-first
-    conversations at scaled=1 (keep-all sketches): with nothing
-    subsampled, sketch Jaccard IS the exact per-turn k-shingle set
-    Jaccard, so the pairwise matrix has a DuckDB twin (substr shingle
-    explosion) and this entry is SQL-oracle-exact rather than
-    rows-only."""
+def _exact_sigs_40(sf_dir: str):
+    """Scaled=1 (keep-all) sketches of the 40 lexicographically-first
+    conversations: with nothing subsampled, sketch set ops ARE exact
+    per-conversation k-shingle set ops, so every query built on this
+    collection has a DuckDB twin (substr shingle explosion) and can be
+    SQL-oracle-exact rather than rows-only."""
     import dataclasses
 
     from sourmash_ray.config import DEFAULT_CONFIG
-    from sourmash_ray.pipelines.sourmash_parity import compare_exact
     from sourmash_ray.sources.transcripts import read_transcripts
     from sourmash_ray.stages.sketch import sketch_transcripts
 
+    cache = _pipeline_for(sf_dir)
+    if "exact_sigs_40" in cache:
+        return cache["exact_sigs_40"], cache["exact_cfg_40"]
     cfg = dataclasses.replace(
         DEFAULT_CONFIG,
         sketch=dataclasses.replace(DEFAULT_CONFIG.sketch,
@@ -270,15 +271,55 @@ def _compare_q(sf_dir: str):
 
     sub = ds.map_batches(_sel, batch_format="pyarrow")
     sigs = sketch_transcripts(sub, cfg).materialize()
+    cache["exact_sigs_40"], cache["exact_cfg_40"] = sigs, cfg
+    return sigs, cfg
+
+
+def _compare_q(sf_dir: str):
+    """``compare`` all-pairs over the exact 40-conversation collection
+    (SQL-oracle-exact; see :func:`_exact_sigs_40`)."""
+    from sourmash_ray.pipelines.sourmash_parity import compare_exact
+
+    sigs, cfg = _exact_sigs_40(sf_dir)
     return compare_exact(sigs, cfg)
 
 
 def _compare_containment_q(sf_dir: str):
-    """compare --containment matrix variant (sparse asymmetric form)."""
+    """compare --containment matrix variant (sparse asymmetric form) —
+    on the scaled=1 collection the two columns are exact shingle-set
+    containments |A∩B|/|A| and |A∩B|/|B|, so this is SQL-oracle-exact."""
     from sourmash_ray.pipelines.sourmash_parity import compare_exact
 
-    return compare_exact(_sigs_for(sf_dir).limit(40).materialize(),
-                         metric="containment")
+    sigs, cfg = _exact_sigs_40(sf_dir)
+    return compare_exact(sigs, cfg, metric="containment")
+
+
+def _sig_describe_exact_q(sf_dir: str):
+    """``sig describe`` over the scaled=1 collection minus the (murmur-
+    blob-derived, non-SQL) md5short column: n_mins is the distinct
+    k-shingle count and sum_abundance the total shingle-position count
+    per conversation — both DuckDB-expressible."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from sourmash_ray.stages.sigops import describe_sigs
+
+    sigs, _cfg = _exact_sigs_40(sf_dir)
+
+    def _cast(batch: pa.Table) -> pa.Table:
+        # int casts so the Arrow schema matches the DuckDB twin's
+        # (sig store keeps scaled/num unsigned)
+        return pa.table({
+            "conv_id": batch["conv_id"],
+            "ksize": batch["ksize"],
+            "scaled": pc.cast(batch["scaled"], pa.int64()),
+            "num": pc.cast(batch["num"], pa.int32()),
+            "n_mins": batch["n_mins"],
+            "sum_abundance": batch["sum_abundance"],
+        })
+
+    return describe_sigs(sigs).map_batches(
+        _cast, batch_format="pyarrow")
 
 
 def _watch_q(sf_dir: str):
@@ -491,6 +532,7 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "categorize_transcripts": _categorize_q,
         "sig_downsample": _sig_downsample_q,
         "sig_describe": _sig_describe_q,
+        "sig_describe_exact": _sig_describe_exact_q,
         # --- flagship: transcripts near-dup (non-SQL; rows-only checks) ---
         "sketch_transcripts": _sketch_transcripts_q,
         "dedup_transcripts": _dedup_transcripts_q,
@@ -751,6 +793,74 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN inter i ON i.ca = p.a AND i.cb = p.b
             LEFT JOIN sizes sa ON sa.conv_id = p.a
             LEFT JOIN sizes sb ON sb.conv_id = p.b
+        """,
+        "compare_containment_small": f"""
+            WITH sel AS (
+              SELECT DISTINCT conv_id
+              FROM read_parquet('{_turns}/*.parquet')
+              ORDER BY conv_id LIMIT 40),
+            t AS (
+              SELECT conv_id,
+                     trim(regexp_replace(lower(coalesce(text, '')),
+                          '[ \t\n\r\f\v]+', ' ', 'g')) AS nt
+              FROM read_parquet('{_turns}/*.parquet')
+              WHERE conv_id IN (SELECT conv_id FROM sel)),
+            pos AS (
+              SELECT conv_id, nt,
+                     unnest(range(1, len(nt) - {_K} + 2)) AS i
+              FROM t WHERE len(nt) >= {_K}),
+            sh AS (
+              SELECT DISTINCT conv_id,
+                     substr(nt, CAST(i AS INTEGER), {_K}) AS s
+              FROM pos),
+            sizes AS (SELECT conv_id, count(*) AS n FROM sh
+                      GROUP BY conv_id),
+            inter AS (
+              SELECT x.conv_id AS ca, y.conv_id AS cb, count(*) AS c
+              FROM sh x JOIN sh y
+                ON x.s = y.s AND x.conv_id < y.conv_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT x.conv_id AS a, y.conv_id AS b
+              FROM sel x JOIN sel y ON x.conv_id < y.conv_id)
+            SELECT p.a, p.b,
+                   CAST(coalesce(i.c, 0) AS DOUBLE) /
+                   greatest(coalesce(sa.n, 0), 1) AS containment_ab,
+                   CAST(coalesce(i.c, 0) AS DOUBLE) /
+                   greatest(coalesce(sb.n, 0), 1) AS containment_ba
+            FROM pairs p
+            LEFT JOIN inter i ON i.ca = p.a AND i.cb = p.b
+            LEFT JOIN sizes sa ON sa.conv_id = p.a
+            LEFT JOIN sizes sb ON sb.conv_id = p.b
+        """,
+        "sig_describe_exact": f"""
+            WITH sel AS (
+              SELECT DISTINCT conv_id
+              FROM read_parquet('{_turns}/*.parquet')
+              ORDER BY conv_id LIMIT 40),
+            t AS (
+              SELECT conv_id,
+                     trim(regexp_replace(lower(coalesce(text, '')),
+                          '[ \t\n\r\f\v]+', ' ', 'g')) AS nt
+              FROM read_parquet('{_turns}/*.parquet')
+              WHERE conv_id IN (SELECT conv_id FROM sel)),
+            pos AS (
+              SELECT conv_id, nt,
+                     unnest(range(1, len(nt) - {_K} + 2)) AS i
+              FROM t WHERE len(nt) >= {_K}),
+            stats AS (
+              SELECT conv_id,
+                     count(DISTINCT substr(nt, CAST(i AS INTEGER), {_K}))
+                         AS n_mins,
+                     count(*) AS sum_abundance
+              FROM pos GROUP BY conv_id)
+            SELECT conv_id,
+                   CAST({_K} AS INTEGER) AS ksize,
+                   CAST(1 AS BIGINT) AS scaled,
+                   CAST(0 AS INTEGER) AS num,
+                   CAST(n_mins AS BIGINT) AS n_mins,
+                   CAST(sum_abundance AS BIGINT) AS sum_abundance
+            FROM stats
         """,
         "turn_dedup_transcripts": f"""
             WITH h AS (
