@@ -497,7 +497,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """
     q = _query_registry()
     with_oracle = set(oracle_sql())
-    sampled = [k for k in ("dedup_transcripts", "compare_exact_small",
+    sampled = [k for k in ("dedup_transcripts", "tiered_dedup_docs",
                            "watch_transcripts", "curate_transcripts_job",
                            "sbt_search_transcripts")
                if k in q and k not in with_oracle]
@@ -516,7 +516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def _query_registry() -> dict[str, Callable[[str], Any]]:
     from sourmash_ray.pipelines import (ann, docops, eventops, relational,
-                                        transcriptops)
+                                        tiered, transcriptops)
 
     return {
         # --- sourmash query parity (non-SQL; rows-only checks) ---
@@ -550,6 +550,12 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "simhash_docs": docops.simhash_docs,
         "simhash_neardup_pairs": docops.simhash_neardup_pairs,
         "minhash_dedup_docs": docops.minhash_dedup_docs,
+        # tier-dedup cascade (the graft axis): exact → simhash → minhash,
+        # each tier over the previous tier's survivors; rows-only (the
+        # near tiers are not SQL-expressible) with an independent serial
+        # cascade oracle in tests/test_tiered.py
+        "tiered_dedup_docs": tiered.tiered_dedup_docs,
+        "tier_report_docs": tiered.tier_report_docs,
         "exact_spans_docs": docops.exact_spans_docs,
         # turn/conversation-grain transcript ops (rows-only here; exact
         # DuckDB twins over the synthesized transcripts parquet live in

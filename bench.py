@@ -95,7 +95,10 @@ def run_all(sf_dir: str) -> dict:
              # WARM (an untimed first call builds the /tmp-cached index)
              # — the steady state of a daily-delta / serving workload.
              "curate_job_docs", "incremental_dedup_docs",
-             "text_search_docs", "curate_transcripts_job"]
+             "text_search_docs", "curate_transcripts_job",
+             # round 5: the tier-dedup cascade (exact → simhash → minhash,
+             # each tier over the previous tier's survivors)
+             "tiered_dedup_docs"]
     warm_first = {"incremental_dedup_docs", "text_search_docs"}
     out = {}
     for name in names:

@@ -577,13 +577,17 @@ def _simhash_pairs_part(max_hamming: int):
     return emit
 
 
-def simhash_neardup_pairs(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG,
+def simhash_neardup_pairs(source, cfg: EngineConfig = DEFAULT_CONFIG,
                           max_hamming: int = 3):
     """SimHash near-dup pairs: 64-bit fingerprints banded into 4×16-bit
     chunks (pigeonhole: any pair within Hamming distance 3 shares at least
     one exact chunk), candidates verified by popcount of the XOR — inside
     the band partition (the simhash travels as a payload column; nothing
     is ever materialized on the driver).
+
+    ``source``: an sf_dir string (fingerprints the documents table) or an
+    existing (doc_id, simhash) Dataset — the tiered cascade passes the
+    exact-survivor subset here.
 
     Output: (a, b, hamming) for pairs with distance ≤ ``max_hamming``,
     exact vs brute force (see test_recall_scale).
@@ -592,7 +596,8 @@ def simhash_neardup_pairs(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG,
     from ..stages.exchange import exchange_map_groups
     from ..stages.lsh import dedup_pairs
 
-    sims = simhash_docs(sf_dir, cfg)
+    sims = (simhash_docs(source, cfg) if isinstance(source, str)
+            else source)
 
     def _chunks(batch: pa.Table) -> pa.Table:
         sh = np.asarray(batch["simhash"], dtype=np.uint64)

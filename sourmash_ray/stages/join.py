@@ -148,11 +148,30 @@ def hash_join_exchange(left, right, key: str, left_cols: list[str],
             return out_schema.empty_table()
         if join_type == "left anti" and rt.num_rows == 0:
             return lt.select(out_names).cast(out_schema)
+        if semi:
+            return _semi_anti_filter(lt, rt, key, join_type,
+                                     out_names, out_schema)
         return (lt.join(rt, keys=key, join_type=join_type,
                         use_threads=False)
                 .select(out_names).cast(out_schema))
 
     return exchange_map_groups(both, "__part", n_parts, _join, out_schema)
+
+
+def _semi_anti_filter(lt: pa.Table, rt: pa.Table, key: str,
+                      join_type: str, out_names, out_schema) -> pa.Table:
+    """Semi/anti join without Acero: membership needs only the key, and
+    left rows pass through wholesale — so payload columns of ANY type
+    (incl. list<...>, which Acero's hash join rejects as non-key fields)
+    ride along untouched. Semantics match ``Table.join``: a NULL left key
+    never matches (dropped by semi, kept by anti)."""
+    import pyarrow.compute as pc
+
+    vs = rt[key].combine_chunks().drop_null().unique()
+    match = pc.fill_null(
+        pc.is_in(lt[key].combine_chunks(), value_set=vs), False)
+    keep = match if join_type == "left semi" else pc.invert(match)
+    return lt.filter(keep).select(out_names).cast(out_schema)
 
 
 def broadcast_join(left, right_table: pa.Table, key: str,
@@ -201,6 +220,9 @@ def broadcast_join(left, right_table: pa.Table, key: str,
             return out_schema.empty_table()
         if join_type == "left anti" and r.num_rows == 0:
             return lt.cast(out_schema)
+        if semi:
+            return _semi_anti_filter(lt, r, key, join_type,
+                                     out_names, out_schema)
         return (lt.join(r, keys=key, join_type=join_type,
                         use_threads=False)
                 .select(out_names).cast(out_schema))

@@ -689,3 +689,33 @@ def test_new_broadcast_lookups_inner_join_on_fk_broken_data(
         b = want[sorted(want.columns)].astype(str)
         assert sorted(map(tuple, a.values.tolist())) == \
             sorted(map(tuple, b.values.tolist())), name
+
+
+def test_semi_anti_list_payload_and_null_keys(ray_session):
+    """Semi/anti joins carry list<...> payload columns (Acero's hash join
+    rejects non-flat non-key fields; the semi/anti path filters on an
+    is_in mask instead) and apply SQL key semantics: a NULL left key
+    never matches — dropped by semi, kept by anti — and a NULL right key
+    matches nothing."""
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, None, 3], pa.int64()),
+        "mins": pa.array([[1, 2], [3], [4, 5, 6], []],
+                         pa.list_(pa.uint64())),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([2, None, 9], pa.int64())}))
+    semi = hash_join_exchange(left, right, "k", ["mins"], [],
+                              n_parts=4, join_type="left semi").take_all()
+    assert [(r["k"], r["mins"]) for r in semi] == [(2, [3])]
+    anti = hash_join_exchange(left, right, "k", ["mins"], [],
+                              n_parts=4, join_type="left anti").take_all()
+    assert _sorted([{"k": r["k"]} for r in anti]) == _sorted(
+        [{"k": 1}, {"k": None}, {"k": 3}])
+    # oracle: in-memory Acero join on the key-only projection agrees
+    lt = pa.table({"k": pa.array([1, 2, None, 3], pa.int64())})
+    rt = pa.table({"k": pa.array([2, None, 9], pa.int64())})
+    want_anti = sorted(lt.join(rt, keys="k", join_type="left anti")
+                       ["k"].to_pylist(), key=lambda v: (v is None, v))
+    got_anti = sorted((r["k"] for r in anti),
+                      key=lambda v: (v is None, v))
+    assert got_anti == want_anti

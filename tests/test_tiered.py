@@ -1,0 +1,198 @@
+"""Tiered dedup cascade — pipeline output vs an independent serial
+cascade oracle (hashlib md5 + brute-force pairwise fingerprint compare +
+driver union-find), plus structural invariants."""
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from sourmash_ray.config import DEFAULT_CONFIG
+from sourmash_ray.pipelines.docops import DocSketcher, SimHasher
+from sourmash_ray.pipelines.tiered import (TIER_SCHEMA, tier_report_docs,
+                                           tiered_dedup_docs)
+
+_WS = re.compile(r"[ \t\n\r\f\v]+")
+
+
+def _mk_docs(texts, ids=None):
+    ids = list(range(len(texts))) if ids is None else ids
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+
+
+def _uf_min(members, edges):
+    """Union-find; label = min member id of each component."""
+    parent = {m: m for m in members}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return {m: find(m) for m in members}
+
+
+def _popcount(x: int) -> int:
+    return bin(x).count("1")
+
+
+def _serial_cascade(ids, texts, cfg=DEFAULT_CONFIG, max_hamming=3):
+    """The oracle: run the same three tiers serially on the driver with
+    independent/primitive implementations (md5 via hashlib; simhash and
+    sketches via the engine's pure per-batch kernels but BRUTE-FORCE
+    all-pairs candidates instead of banding/LSH; union-find per tier)."""
+    label = {}
+    rep = {}
+    # tier 0: exact md5 of ws-normalized text (independent normalization)
+    seen: dict[str, int] = {}
+    surv = []
+    for i in sorted(range(len(ids)), key=lambda j: ids[j]):
+        norm = _WS.sub(" ", texts[i].lower()).strip()
+        m = hashlib.md5(norm.encode()).hexdigest()
+        if m in seen:
+            label[ids[i]] = "exact"
+            rep[ids[i]] = seen[m]
+        else:
+            seen[m] = ids[i]
+            surv.append(i)
+    # tier 1: brute-force simhash hamming <= max_hamming over survivors
+    batch = pa.table({"doc_id": pa.array([ids[i] for i in surv], pa.int64()),
+                      "text": pa.array([texts[i] for i in surv])})
+    sh = np.asarray(SimHasher(cfg)(batch)["simhash"], np.uint64)
+    sids = [ids[i] for i in surv]
+    edges = [(min(sids[x], sids[y]), max(sids[x], sids[y]))
+             for x in range(len(sids)) for y in range(x + 1, len(sids))
+             if _popcount(int(sh[x]) ^ int(sh[y])) <= max_hamming]
+    comp = _uf_min(sids, edges)
+    surv2 = []
+    for i in surv:
+        if comp[ids[i]] != ids[i]:
+            label[ids[i]] = "simhash"
+            rep[ids[i]] = comp[ids[i]]
+        else:
+            surv2.append(i)
+    # tier 2: brute-force verified-jaccard pairs over simhash survivors
+    batch2 = pa.table({"doc_id": pa.array([ids[i] for i in surv2],
+                                          pa.int64()),
+                       "text": pa.array([texts[i] for i in surv2])})
+    sk = DocSketcher(cfg)(batch2)
+    mins = [set(np.asarray(m, np.uint64).tolist())
+            for m in sk["mins"].to_pylist()]
+    sids2 = [ids[i] for i in surv2]
+    thr = cfg.verify_threshold
+    edges2 = []
+    for x in range(len(sids2)):
+        for y in range(x + 1, len(sids2)):
+            u = len(mins[x] | mins[y])
+            if u and len(mins[x] & mins[y]) / u >= thr:
+                edges2.append((min(sids2[x], sids2[y]),
+                               max(sids2[x], sids2[y])))
+    comp2 = _uf_min(sids2, edges2)
+    for i in surv2:
+        if comp2[ids[i]] != ids[i]:
+            label[ids[i]] = "minhash"
+            rep[ids[i]] = comp2[ids[i]]
+        else:
+            label[ids[i]] = "kept"
+            rep[ids[i]] = ids[i]
+    return {i: (label[i], rep[i]) for i in ids}
+
+
+_BASE = ("the quick brown fox jumps over the lazy dog while the rain in "
+         "spain falls mainly on the plain and stays there quietly all "
+         "through the long afternoon until the sun finally sets behind "
+         "the western hills")
+_OTHER = ("import numpy as np and compute the singular value "
+          "decomposition of the design matrix before fitting the ridge "
+          "regression model with cross validated regularization strength")
+
+
+def test_tiered_cascade_hand_corpus(ray_session):
+    """Hand-built corpus covering all four labels; pipeline == serial
+    oracle exactly (labels and reps)."""
+    texts = [
+        _BASE,                                   # 0 kept (rep of exacts)
+        _BASE.replace(" ", "  "),                # 1 exact dup of 0
+        "  " + _BASE + "\n",                     # 2 exact dup of 0
+        _BASE + " with one small trailing change here",  # 3 near dup
+        _BASE.replace("quietly", "loudly"),      # 4 near dup
+        _OTHER,                                  # 5 kept
+        _OTHER,                                  # 6 exact dup of 5
+        "completely different tiny text unlike anything else with "
+        "enough length to clear the shingle window threshold easily",  # 7
+    ]
+    docs = _mk_docs(texts)
+    got = {r["doc_id"]: (r["tier"], r["rep_doc_id"])
+           for r in tiered_dedup_docs(docs).take_all()}
+    want = _serial_cascade(list(range(len(texts))), texts)
+    assert got == want
+    # the constructed exact dups really land in tier 'exact'
+    assert got[1] == ("exact", 0) and got[2] == ("exact", 0)
+    assert got[6] == ("exact", 5)
+    assert got[0] == ("kept", 0) and got[7][0] == "kept"
+    # near dups were eliminated by a NEAR tier (simhash or minhash)
+    assert got[3][0] in ("simhash", "minhash") and got[3][1] == 0
+    assert got[4][0] in ("simhash", "minhash") and got[4][1] == 0
+
+
+def test_tiered_cascade_testdata_sf0001(ray_session):
+    """Composition equality on the sf0.001 documents table: the
+    distributed cascade (exchanges, banding, LSH) matches the serial
+    brute-force cascade doc for doc."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                        columns=["doc_id", "text"])
+    ids = tbl["doc_id"].to_pylist()
+    texts = tbl["text"].to_pylist()
+    want = _serial_cascade(ids, [t or "" for t in texts])
+    got = {r["doc_id"]: (r["tier"], r["rep_doc_id"])
+           for r in tiered_dedup_docs(
+               "/root/testdata/sf0.001").take_all()}
+    assert got == want
+
+
+def test_tiered_invariants_and_report(ray_session):
+    """One row per doc; kept rows self-rep; eliminated reps strictly
+    smaller; report counts match the label rows."""
+    texts = [_BASE, _BASE, _BASE + " x", _OTHER, _OTHER + " changed a bit",
+             "short but long enough unique filler text about gardens and "
+             "rivers flowing gently to the sea under a pale morning sky"]
+    ids = [10, 3, 7, 20, 15, 4]
+    docs = _mk_docs(texts, ids)
+    rows = tiered_dedup_docs(docs).take_all()
+    assert sorted(r["doc_id"] for r in rows) == sorted(ids)
+    for r in rows:
+        if r["tier"] == "kept":
+            assert r["rep_doc_id"] == r["doc_id"]
+        else:
+            assert r["rep_doc_id"] < r["doc_id"]
+    rep = {r["tier"]: r["n_docs"]
+           for r in tier_report_docs(docs).take_all()}
+    from collections import Counter
+
+    assert rep == dict(Counter(r["tier"] for r in rows))
+
+
+def test_tiered_empty_input(ray_session):
+    docs = ray.data.from_arrow(TIER_SCHEMA.empty_table().select([])
+                               .add_column(0, "doc_id",
+                                           pa.array([], pa.int64()))
+                               .add_column(1, "text",
+                                           pa.array([], pa.string())))
+    out = tiered_dedup_docs(docs)
+    assert out.count() == 0
+    assert set(out.schema().names) == {"doc_id", "tier", "rep_doc_id"}
