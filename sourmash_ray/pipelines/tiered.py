@@ -138,6 +138,49 @@ def _eliminations_from_pairs(pairs, a_col: str, b_col: str,
     return labels.map_batches(_emit, batch_format="pyarrow")
 
 
+# dup-id broadcast budget: ids are 8 B/row, so 64 MiB covers ~8M
+# eliminated docs per tier — beyond that the cascade falls back to the
+# hash-exchange anti-join (the id set no longer belongs on every worker)
+_BCAST_IDS_LIMIT = 64 << 20
+
+
+def _surviving(left, elim_list, key: str, left_cols: list[str],
+               cfg: EngineConfig, n_parts: int, to_string: bool = False):
+    """Rows of ``left`` whose id is in NONE of the (materialized)
+    elimination Datasets. The dup-id set is the SMALL side (dups are the
+    minority of a corpus), so the default is a broadcast anti-join —
+    map-only, no exchange round; the cascade chains three of these and
+    each saved exchange is one less sequential-stage floor. Above the
+    budget it degrades to the big-big hash-exchange anti-join."""
+    import ray as _r
+
+    from ..stages.join import broadcast_join
+
+    total = sum((e.size_bytes() or 0) for e in elim_list)
+    if total <= _BCAST_IDS_LIMIT:
+        blocks = []
+        for e in elim_list:
+            blocks.extend(_r.get(
+                e.select_columns(["doc_id"]).to_arrow_refs()))
+        blocks = [b for b in blocks if b.num_rows] or \
+            [pa.table({"doc_id": pa.array([], pa.int64())})]
+        ids = pa.concat_tables(blocks).combine_chunks()
+        col = (pc.cast(ids["doc_id"], pa.string()) if to_string
+               else ids["doc_id"])
+        return broadcast_join(left, pa.table({key: col}), key,
+                              left_cols, [], join_type="left anti")
+    elim = elim_list[0]
+    for e in elim_list[1:]:
+        elim = elim.union(e)
+    elim_ids = elim.map_batches(
+        lambda t: pa.table({
+            key: (pc.cast(t["doc_id"], pa.string()) if to_string
+                  else pc.cast(t["doc_id"], pa.int64()))}),
+        batch_format="pyarrow")
+    return hash_join_exchange(left, elim_ids, key, left_cols, [],
+                              n_parts, join_type="left anti")
+
+
 def _with_tier(ds, tier: str):
     def _fn(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -174,9 +217,8 @@ def tiered_dedup_docs(source, cfg: EngineConfig = DEFAULT_CONFIG, *,
     # ---- tier 1: simhash over exact survivors -----------------------
     sh = SimHasher(cfg)
     sims = docs.map_batches(lambda t: sh(t), batch_format="pyarrow")
-    sims_surv = hash_join_exchange(
-        sims, exact.select_columns(["doc_id"]), "doc_id",
-        ["simhash"], [], n_parts, join_type="left anti")
+    sims_surv = _surviving(sims, [exact], "doc_id", ["simhash"],
+                           cfg, n_parts)
     sim_pairs = simhash_neardup_pairs(sims_surv, cfg, max_hamming)
     sim_elim = _eliminations_from_pairs(sim_pairs, "a", "b",
                                         cfg).materialize()
@@ -187,25 +229,17 @@ def tiered_dedup_docs(source, cfg: EngineConfig = DEFAULT_CONFIG, *,
 
     sk = DocSketcher(cfg)
     sigs = docs.map_batches(lambda t: sk(t), batch_format="pyarrow")
-    elim01 = exact.union(sim_elim).select_columns(["doc_id"])
-    elim01_str = elim01.map_batches(
-        lambda t: pa.table(
-            {"conv_id": pc.cast(t["doc_id"], pa.string())}),
-        batch_format="pyarrow")
-    sigs_surv = hash_join_exchange(
-        sigs, elim01_str, "conv_id",
-        ["mins", "md5", "perms"], [], n_parts,
-        join_type="left anti").materialize()
+    sigs_surv = _surviving(sigs, [exact, sim_elim], "conv_id",
+                           ["mins", "md5", "perms"], cfg, n_parts,
+                           to_string=True).materialize()
     cand = candidate_pairs(sigs_surv, cfg, distinct=False)
     ver = verify_pairs(cand, sigs_surv, cfg, threshold=minhash_threshold)
     min_elim = _eliminations_from_pairs(ver, "a", "b", cfg).materialize()
 
     # ---- assemble: one labeled row per doc --------------------------
-    all_elim = exact.union(sim_elim).union(min_elim)
-    kept_ids = hash_join_exchange(
-        docs.select_columns(["doc_id"]),
-        all_elim.select_columns(["doc_id"]),
-        "doc_id", [], [], n_parts, join_type="left anti")
+    kept_ids = _surviving(docs.select_columns(["doc_id"]),
+                          [exact, sim_elim, min_elim], "doc_id", [],
+                          cfg, n_parts)
     kept = kept_ids.map_batches(
         lambda t: pa.table({
             "doc_id": pc.cast(t["doc_id"], pa.int64()),
