@@ -556,6 +556,8 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         # cascade oracle in tests/test_tiered.py
         "tiered_dedup_docs": tiered.tiered_dedup_docs,
         "tier_report_docs": tiered.tier_report_docs,
+        "tiered_dedup_transcripts": tiered.tiered_dedup_transcripts,
+        "tier_report_transcripts": tiered.tier_report_transcripts,
         "exact_spans_docs": docops.exact_spans_docs,
         # turn/conversation-grain transcript ops (rows-only here; exact
         # DuckDB twins over the synthesized transcripts parquet live in

@@ -96,9 +96,10 @@ def run_all(sf_dir: str) -> dict:
              # — the steady state of a daily-delta / serving workload.
              "curate_job_docs", "incremental_dedup_docs",
              "text_search_docs", "curate_transcripts_job",
-             # round 5: the tier-dedup cascade (exact → simhash → minhash,
-             # each tier over the previous tier's survivors)
-             "tiered_dedup_docs"]
+             # round 5: the tier-dedup cascades (each tier over the
+             # previous tier's survivors): docs exact → simhash → minhash;
+             # transcripts exact → jaccard → containment
+             "tiered_dedup_docs", "tiered_dedup_transcripts"]
     warm_first = {"incremental_dedup_docs", "text_search_docs"}
     out = {}
     for name in names:

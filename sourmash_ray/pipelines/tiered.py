@@ -266,3 +266,238 @@ def tier_report_docs(source, cfg: EngineConfig = DEFAULT_CONFIG, *,
                               ).materialize()
     return grouped_sums(tiers.select_columns(["tier"]), ["tier"], [],
                         count_as="n_docs")
+
+
+# ---------------------------------------------------------------------------
+# transcripts-grain cascade: exact (sig md5) → jaccard-near → containment
+# ---------------------------------------------------------------------------
+
+TIER_T_SCHEMA = pa.schema([
+    ("conv_id", pa.string()),
+    ("tier", pa.string()),
+    ("rep_conv_id", pa.string()),
+])
+
+_ELIM_T_SCHEMA = pa.schema([
+    ("conv_id", pa.string()),
+    ("rep_conv_id", pa.string()),
+])
+
+
+def _exact_sig_eliminations(sigs, cfg: EngineConfig, n_parts: int):
+    """Tier 0 at sketch grain: conversations whose sketch md5 (digest of
+    the retained mins — the flagship's exact-dup edge key,
+    ``pipelines/dedup.py``) already appeared under a lexicographically
+    smaller conv_id. Equal text always gives an equal sketch, so
+    text-exact dups are a subset; the (rare) mins-collision of unequal
+    texts is a Jaccard-1.0 near-dup — legitimately 'exact' at this grain."""
+    from ..functions.segscore import _to_bytes_array, hash_strings64
+
+    group_parts = cfg.exec.group_parts
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "md5": batch["md5"],
+            "conv_id": batch["conv_id"],
+            "md5_part": pa.array(
+                hash_strings64(batch["md5"]) % group_parts, pa.int64()),
+        })
+
+    def _merge(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return _ELIM_T_SCHEMA.empty_table()
+        md5 = _to_bytes_array(part["md5"])
+        ids = _to_bytes_array(part["conv_id"].combine_chunks())
+        order = np.lexsort((ids, md5))
+        md5_s = md5[order]
+        first = np.concatenate([[True], md5_s[1:] != md5_s[:-1]])
+        grp = np.cumsum(first) - 1
+        col = part["conv_id"].combine_chunks().take(
+            pa.array(order, pa.int64()))
+        reps = col.take(pa.array(np.flatnonzero(first)[grp], pa.int64()))
+        keep = pa.array(~first)
+        return pa.table({
+            "conv_id": col.filter(keep),
+            "rep_conv_id": reps.filter(keep),
+        })
+
+    parts = sigs.select_columns(["conv_id", "md5"]).map_batches(
+        _partial, batch_format="pyarrow")
+    return exchange_map_groups(parts, "md5_part", n_parts, _merge,
+                               _ELIM_T_SCHEMA)
+
+
+def _eliminations_from_str_pairs(pairs, cfg: EngineConfig):
+    """String-id duplicate pairs → (conv_id, rep_conv_id) for non-min
+    members (connected_components is string-native; its component label
+    is the lexicographic min member)."""
+    from ..stages.cluster import connected_components
+
+    labels = connected_components(pairs.select_columns(["a", "b"]), cfg)
+
+    def _emit(batch: pa.Table) -> pa.Table:
+        keep = pc.not_equal(batch["node"], batch["label"])
+        return pa.table({
+            "conv_id": pc.filter(batch["node"].combine_chunks(), keep),
+            "rep_conv_id": pc.filter(batch["label"].combine_chunks(),
+                                     keep),
+        })
+
+    return labels.map_batches(_emit, batch_format="pyarrow")
+
+
+def _surviving_t(left, elim_list, left_cols: list[str],
+                 cfg: EngineConfig, n_parts: int):
+    """String-keyed twin of :func:`_surviving` (key column ``conv_id``)."""
+    import ray as _r
+
+    from ..stages.join import broadcast_join
+
+    total = sum((e.size_bytes() or 0) for e in elim_list)
+    if total <= _BCAST_IDS_LIMIT:
+        blocks = []
+        for e in elim_list:
+            blocks.extend(_r.get(
+                e.select_columns(["conv_id"]).to_arrow_refs()))
+        blocks = [b for b in blocks if b.num_rows] or \
+            [pa.table({"conv_id": pa.array([], pa.string())})]
+        ids = pa.concat_tables(blocks).combine_chunks()
+        return broadcast_join(left, ids, "conv_id", left_cols, [],
+                              join_type="left anti")
+    elim = elim_list[0]
+    for e in elim_list[1:]:
+        elim = elim.union(e)
+    return hash_join_exchange(
+        left, elim.select_columns(["conv_id"]), "conv_id", left_cols,
+        [], n_parts, join_type="left anti")
+
+
+def _drop_pairs_touching(pairs_tbl: pa.Table, elim_ids) -> pa.Table:
+    """Driver-side pair filter: drop rows whose a OR b is eliminated.
+    ``elim_ids``: pa.Array of conv_ids. Pairs are the tiny side here
+    (near-dup edges), so this runs where the pair table already lives."""
+    if pairs_tbl.num_rows == 0 or len(elim_ids) == 0:
+        return pairs_tbl
+    bad_a = pc.is_in(pairs_tbl["a"], value_set=elim_ids)
+    bad_b = pc.is_in(pairs_tbl["b"], value_set=elim_ids)
+    keep = pc.invert(pc.or_(bad_a, bad_b))
+    return pairs_tbl.filter(pc.fill_null(keep, True))
+
+
+def _with_tier_t(ds, tier: str):
+    def _fn(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": batch["conv_id"],
+            "tier": pa.array([tier] * batch.num_rows, pa.string()),
+            "rep_conv_id": batch["rep_conv_id"],
+        })
+
+    return ds.map_batches(_fn, batch_format="pyarrow")
+
+
+def tiered_dedup_transcripts(source, cfg: EngineConfig = DEFAULT_CONFIG, *,
+                             containment_threshold: float = 0.9):
+    """Conversation-grain tier cascade over the transcripts corpus:
+
+    - **tier 'exact'** — sketch-md5 groups (the flagship's exact-dup key).
+    - **tier 'jaccard'** — LSH candidates verified at
+      ``cfg.verify_threshold`` Jaccard among exact survivors: global
+      near-dups.
+    - **tier 'containment'** — pairs at ``max_containment ≥
+      containment_threshold`` among jaccard survivors: prefix/subset
+      duplicates whose Jaccard is diluted by length difference
+      (``minhash.py:881-905`` containment rationale).
+
+    Candidates are banded ONCE over the exact survivors and scored ONCE
+    (the verify kernel already returns jaccard + both containments;
+    jaccard ≤ max_containment, so thresholding the scan at
+    ``min(cfg.verify_threshold, containment_threshold)`` on
+    max_containment keeps a superset of both tiers' edges) — the
+    containment tier then just re-filters the scored pair table, no
+    second band exchange or verify pass.
+
+    Returns (conv_id, tier, rep_conv_id), one row per conversation;
+    reps are the lexicographic-min member of the duplicate group among
+    that tier's input (rep chains across tiers as in
+    :func:`tiered_dedup_docs`).
+
+    ``source``: sf_dir string or a transcripts Dataset.
+    """
+    import ray.data
+
+    from ..sources.transcripts import read_transcripts
+    from ..stages.lsh import candidate_pairs
+    from ..stages.sketch import sketch_transcripts
+    from ..stages.verify import verify_pairs
+
+    ds = read_transcripts(source) if isinstance(source, str) else source
+    n_parts = 2 * resolve_num_partitions(cfg)
+    sigs = sketch_transcripts(ds, cfg).materialize()
+    if sigs.count() == 0:
+        return ray.data.from_arrow(TIER_T_SCHEMA.empty_table())
+
+    # ---- tier 0: sketch-exact ----------------------------------------
+    exact = _exact_sig_eliminations(sigs, cfg, n_parts).materialize()
+
+    # ---- one banding + one scoring pass over exact survivors ---------
+    sigs1 = _surviving_t(sigs, [exact], ["mins", "md5", "perms"],
+                         cfg, n_parts).materialize()
+    cand = candidate_pairs(sigs1, cfg, distinct=False)
+    floor = min(cfg.verify_threshold, containment_threshold)
+    scored = verify_pairs(cand, sigs1, cfg, threshold=floor,
+                          metric="max_containment").materialize()
+
+    # ---- tier 1: jaccard near-dups ------------------------------------
+    jac_pairs = scored.map_batches(
+        lambda t, thr=cfg.verify_threshold: t.filter(
+            pc.fill_null(pc.greater_equal(t["jaccard"], thr), False)),
+        batch_format="pyarrow")
+    jac = _eliminations_from_str_pairs(jac_pairs, cfg).materialize()
+
+    # ---- tier 2: containment (subset/prefix) dups ---------------------
+    jac_ids = pa.concat_tables(
+        [b.select(["conv_id"]) for b in
+         _ray_blocks(jac)] or
+        [pa.table({"conv_id": pa.array([], pa.string())})]
+    )["conv_id"].combine_chunks()
+    con_pairs = scored.map_batches(
+        lambda t, thr=containment_threshold, bad=jac_ids:
+        _drop_pairs_touching(
+            t.filter(pc.fill_null(pc.greater_equal(
+                pc.max_element_wise(t["containment_ab"],
+                                    t["containment_ba"]), thr), False)),
+            bad),
+        batch_format="pyarrow")
+    con = _eliminations_from_str_pairs(con_pairs, cfg).materialize()
+
+    # ---- assemble ------------------------------------------------------
+    kept_ids = _surviving_t(sigs.select_columns(["conv_id"]),
+                            [exact, jac, con], [], cfg, n_parts)
+    kept = kept_ids.map_batches(
+        lambda t: pa.table({
+            "conv_id": t["conv_id"],
+            "tier": pa.array(["kept"] * t.num_rows, pa.string()),
+            "rep_conv_id": t["conv_id"],
+        }), batch_format="pyarrow")
+    return (_with_tier_t(exact, "exact")
+            .union(_with_tier_t(jac, "jaccard"))
+            .union(_with_tier_t(con, "containment"))
+            .union(kept))
+
+
+def _ray_blocks(ds):
+    import ray as _r
+
+    return [b for b in _r.get(ds.to_arrow_refs()) if b.num_rows]
+
+
+def tier_report_transcripts(source, cfg: EngineConfig = DEFAULT_CONFIG, *,
+                            containment_threshold: float = 0.9):
+    """(tier, n_convs) accounting rows for the transcripts cascade."""
+    from ..stages.agg import grouped_sums
+
+    tiers = tiered_dedup_transcripts(
+        source, cfg, containment_threshold=containment_threshold
+    ).materialize()
+    return grouped_sums(tiers.select_columns(["tier"]), ["tier"], [],
+                        count_as="n_convs")

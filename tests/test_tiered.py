@@ -196,3 +196,91 @@ def test_tiered_empty_input(ray_session):
     out = tiered_dedup_docs(docs)
     assert out.count() == 0
     assert set(out.schema().names) == {"doc_id", "tier", "rep_doc_id"}
+
+
+def _serial_transcript_cascade(sigs_rows, jthr, cthr):
+    """Serial oracle over the engine's signature table: md5 grouping for
+    tier 'exact', brute-force all-pairs set math over the retained mins
+    for 'jaccard' and 'containment', union-find per tier."""
+    ids = [r["conv_id"] for r in sigs_rows]
+    md5 = {r["conv_id"]: r["md5"] for r in sigs_rows}
+    mins = {r["conv_id"]: set(np.asarray(r["mins"], np.uint64).tolist())
+            for r in sigs_rows}
+    label, rep = {}, {}
+    seen: dict[str, str] = {}
+    surv = []
+    for c in sorted(ids):
+        if md5[c] in seen:
+            label[c], rep[c] = "exact", seen[md5[c]]
+        else:
+            seen[md5[c]] = c
+            surv.append(c)
+
+    def _near(pool, score_fn, thr):
+        edges = []
+        for i in range(len(pool)):
+            for j in range(i + 1, len(pool)):
+                a, b = pool[i], pool[j]
+                if score_fn(mins[a], mins[b]) >= thr:
+                    edges.append((min(a, b), max(a, b)))
+        return _uf_min(pool, edges)
+
+    def _jac(x, y):
+        u = len(x | y)
+        return len(x & y) / u if u else 0.0
+
+    def _maxc(x, y):
+        c = len(x & y)
+        return max(c / len(x) if x else 0.0, c / len(y) if y else 0.0)
+
+    comp = _near(surv, _jac, jthr)
+    surv2 = []
+    for c in surv:
+        if comp[c] != c:
+            label[c], rep[c] = "jaccard", comp[c]
+        else:
+            surv2.append(c)
+    comp2 = _near(surv2, _maxc, cthr)
+    for c in surv2:
+        if comp2[c] != c:
+            label[c], rep[c] = "containment", comp2[c]
+        else:
+            label[c], rep[c] = "kept", c
+    return {c: (label[c], rep[c]) for c in ids}
+
+
+def test_tiered_transcripts_vs_serial_oracle(ray_session):
+    """Distributed transcripts cascade == serial cascade over the same
+    signature table (exchange/banding/survivor-filter composition)."""
+    from sourmash_ray.pipelines.tiered import tiered_dedup_transcripts
+    from sourmash_ray.sources.transcripts import read_transcripts
+    from sourmash_ray.stages.sketch import sketch_transcripts
+
+    sf = "/root/testdata/sf0.001"
+    sigs_rows = sketch_transcripts(read_transcripts(sf),
+                                   DEFAULT_CONFIG).take_all()
+    want = _serial_transcript_cascade(
+        sigs_rows, DEFAULT_CONFIG.verify_threshold, 0.9)
+    got = {r["conv_id"]: (r["tier"], r["rep_conv_id"])
+           for r in tiered_dedup_transcripts(sf).take_all()}
+    assert got == want
+    assert set(v[0] for v in got.values()) >= {"exact", "jaccard", "kept"}
+
+
+def test_tiered_transcripts_report_and_invariants(ray_session):
+    from sourmash_ray.pipelines.tiered import (tier_report_transcripts,
+                                               tiered_dedup_transcripts)
+
+    sf = "/root/testdata/sf0.001"
+    rows = tiered_dedup_transcripts(sf).take_all()
+    assert len(rows) == len({r["conv_id"] for r in rows})
+    for r in rows:
+        if r["tier"] == "kept":
+            assert r["rep_conv_id"] == r["conv_id"]
+        else:
+            assert r["rep_conv_id"] < r["conv_id"]
+    from collections import Counter
+
+    rep = {r["tier"]: r["n_convs"]
+           for r in tier_report_transcripts(sf).take_all()}
+    assert rep == dict(Counter(r["tier"] for r in rows))
