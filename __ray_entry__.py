@@ -581,6 +581,15 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "rich_idle_customers": relational.rich_idle_customers,
         "small_qty_revenue": relational.small_qty_revenue,
         "volume_shipping": relational.volume_shipping,
+        "profit_by_nation_year": relational.profit_by_nation_year,
+        "supplier_part_breadth": relational.supplier_part_breadth,
+        "brand_size_supplier_counts":
+            relational.brand_size_supplier_counts,
+        "cheapest_supplier_per_brand":
+            relational.cheapest_supplier_per_brand,
+        "region_order_rollup": relational.region_order_rollup,
+        "quantity_value_histogram":
+            relational.quantity_value_histogram,
         "totalprice_quantiles_by_priority":
             relational.totalprice_quantiles_by_priority,
         "orders_reconciliation": relational.orders_reconciliation,
@@ -1059,6 +1068,77 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ns ON s_nationkey = ns.n_nationkey
             JOIN nation nc ON c_nationkey = nc.n_nationkey
             GROUP BY 1, 2, 3
+        """,
+        "profit_by_nation_year": """
+            SELECT n_name AS nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS year,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100)
+                                          AS BIGINT))) AS BIGINT)
+                       AS profit_e4
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%red%'
+            GROUP BY 1, 2
+        """,
+        "supplier_part_breadth": """
+            WITH b AS (
+              SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts
+              FROM lineitem GROUP BY 1
+              HAVING count(DISTINCT l_partkey) >= 8)
+            SELECT s_name, n_name AS nation,
+                   CAST(b.n_parts AS BIGINT) AS n_parts
+            FROM b
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+        """,
+        "brand_size_supplier_counts": """
+            SELECT p_brand, p_size,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT)
+                       AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY 1, 2
+        """,
+        "cheapest_supplier_per_brand": """
+            WITH ranked AS (
+              SELECT p_brand,
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+                         AS cents,
+                     l_suppkey,
+                     row_number() OVER (
+                       PARTITION BY p_brand
+                       ORDER BY round(l_extendedprice * 100),
+                                l_suppkey) AS rn
+              FROM lineitem JOIN part ON l_partkey = p_partkey)
+            SELECT r.p_brand, r.cents AS min_price_cents,
+                   s.s_name, n.n_name AS nation
+            FROM ranked r
+            JOIN supplier s ON r.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE r.rn = 1
+        """,
+        "quantity_value_histogram": """
+            SELECT CAST(round(l_quantity) AS BIGINT) AS quantity,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100)
+                                          AS BIGINT))) AS BIGINT)
+                       AS revenue_e4
+            FROM lineitem GROUP BY 1
+        """,
+        "region_order_rollup": """
+            SELECT coalesce(r_name, '*') AS region,
+                   coalesce(n_name, '*') AS nation,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS total_cents
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP(r_name, n_name)
         """,
         "totalprice_quantiles_by_priority": """
             SELECT o_orderpriority,

@@ -2170,3 +2170,434 @@ def supplier_balance_by_nation(sf_dir: str):
                             "n_suppliers": t["n_suppliers"],
                             "sum_acctbal_cents": t["sum_cents"]}),
         batch_format="pyarrow")
+
+
+def profit_by_nation_year(sf_dir: str, token: str = "red"):
+    """TPC-H Q9 shape (minus the absent partsupp cost side): revenue by
+    (supplier nation, ship year) for lineitems of parts whose name
+    contains ``token``. Both dimension attaches are broadcast lookups
+    (part → bool mask, supplier → nationkey: dense int/bool arrays,
+    1 bit–8 B per key), so the fact table never shuffles — the only
+    exchange is the tiny (nation, year) cell combine. Money kept as the
+    engine-wide e4 integer (cents × (100 − disc_cents)) so the DuckDB
+    twin hashes exactly."""
+    import numpy as np
+
+    from ..stages.agg import grouped_sums
+
+    part = read_parquet_clean(f"{sf_dir}/part.parquet",
+                              columns=["p_partkey", "p_name"]).take_all()
+    supp = read_parquet_clean(f"{sf_dir}/supplier.parquet",
+                              columns=["s_suppkey",
+                                       "s_nationkey"]).take_all()
+    nation = {r["n_nationkey"]: r["n_name"]
+              for r in read_parquet_clean(
+                  f"{sf_dir}/nation.parquet").take_all()}
+    max_pk = max((r["p_partkey"] for r in part), default=-1)
+    p_ok = np.zeros(max_pk + 1, bool)
+    for r in part:
+        if token in (r["p_name"] or ""):
+            p_ok[r["p_partkey"]] = True
+    max_sk = max((r["s_suppkey"] for r in supp), default=-1)
+    s_nk = np.full(max_sk + 1, -1, np.int64)
+    for r in supp:
+        s_nk[r["s_suppkey"]] = r["s_nationkey"]
+    max_nk = max(nation, default=-1)
+    nm = np.empty(max_nk + 1, dtype=object)
+    for k, v in nation.items():
+        nm[k] = v
+    lut_ref = ray.put((p_ok, s_nk, nm))
+
+    def _line(batch: pa.Table) -> pa.Table:
+        p_a, s_a, names = ray.get(lut_ref)
+        pk = np.asarray(batch["l_partkey"], np.int64)
+        sk = np.asarray(batch["l_suppkey"], np.int64)
+        # inner-join semantics throughout: rows whose part misses the
+        # pattern, or whose FK misses the dimension, drop
+        ok = (pk >= 0) & (pk < p_a.size) & (sk >= 0) & (sk < s_a.size)
+        ok[ok] &= p_a[pk[ok]] & (s_a[sk[ok]] >= 0)
+        nk = s_a[sk[ok]]
+        ok2 = np.array([names[k] is not None for k in nk], bool) \
+            if nk.size else np.empty(0, bool)
+        sel = np.flatnonzero(ok)[ok2]
+        nk = nk[ok2]
+        take = pa.array(sel, pa.int64())
+        price = np.asarray(batch["l_extendedprice"], np.float64)[sel]
+        disc = np.asarray(batch["l_discount"], np.float64)[sel]
+        rev = (np.rint(price * 100).astype(np.int64)
+               * (100 - np.rint(disc * 100).astype(np.int64)))
+        year = np.asarray(batch["l_shipdate"], "datetime64[us]")[sel] \
+            .astype("datetime64[Y]").astype(np.int64) + 1970
+        return pa.table({
+            "nation": pa.array(names[nk], pa.string()),
+            "year": pa.array(year, pa.int64()),
+            "rev_e4": pa.array(rev, pa.int64()),
+        })
+
+    lines = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice",
+                 "l_discount", "l_shipdate"]).map_batches(
+        _line, batch_format="pyarrow")
+    out = grouped_sums(lines, ["nation", "year"], ["rev_e4"])
+    return out.map_batches(
+        lambda t: pa.table({"nation": t["nation"],
+                            "year": t["year"],
+                            "profit_e4": t["sum_rev_e4"]}),
+        batch_format="pyarrow")
+
+
+def supplier_part_breadth(sf_dir: str, min_parts: int = 8):
+    """TPC-H Q20 shape (minus partsupp): suppliers that shipped at least
+    ``min_parts`` DISTINCT parts, with their nation. The distinct-count
+    never shuffles raw facts: each block emits its distinct (suppkey,
+    partkey) combos (bounded by the true distinct count), ONE key
+    exchange co-locates a supplier's combos, and only (suppkey,
+    n_parts ≥ threshold) survivors fetch their name/nation."""
+    import numpy as np
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.exchange import exchange_map_groups
+
+    n_parts_ex = resolve_num_partitions(DEFAULT_CONFIG)
+    group_parts = DEFAULT_CONFIG.exec.group_parts
+
+    def _combos(batch: pa.Table) -> pa.Table:
+        sk = np.asarray(batch["l_suppkey"], np.int64)
+        pk = np.asarray(batch["l_partkey"], np.int64)
+        u = np.unique(np.stack([sk, pk], axis=1), axis=0)
+        return pa.table({
+            "suppkey": pa.array(u[:, 0], pa.int64()),
+            "partkey": pa.array(u[:, 1], pa.int64()),
+            "sk_part": pa.array(u[:, 0] % group_parts, pa.int64()),
+        })
+
+    combo_schema = pa.schema([("suppkey", pa.int64()),
+                              ("n_parts", pa.int64())])
+
+    def _count(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return combo_schema.empty_table()
+        sk = np.asarray(part["suppkey"], np.int64)
+        pk = np.asarray(part["partkey"], np.int64)
+        u = np.unique(np.stack([sk, pk], axis=1), axis=0)
+        s, counts = np.unique(u[:, 0], return_counts=True)
+        keep = counts >= min_parts
+        return pa.table({
+            "suppkey": pa.array(s[keep], pa.int64()),
+            "n_parts": pa.array(counts[keep].astype(np.int64),
+                                pa.int64()),
+        })
+
+    combos = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_partkey"]).map_batches(
+        _combos, batch_format="pyarrow")
+    winners = exchange_map_groups(combos, "sk_part", n_parts_ex,
+                                  _count, combo_schema).take_all()
+    # names fetched only for winners (post-threshold, Q15/Q10 pattern)
+    supp = {r["s_suppkey"]: (r["s_name"], r["s_nationkey"])
+            for r in read_parquet_clean(
+                f"{sf_dir}/supplier.parquet",
+                columns=["s_suppkey", "s_name",
+                         "s_nationkey"]).take_all()}
+    nation = {r["n_nationkey"]: r["n_name"]
+              for r in read_parquet_clean(
+                  f"{sf_dir}/nation.parquet").take_all()}
+    rows = []
+    for r in winners:
+        hit = supp.get(r["suppkey"])
+        if hit is None:
+            continue                      # inner-join: FK miss drops
+        name, nk = hit
+        if nk not in nation:
+            continue
+        rows.append({"s_name": name, "nation": nation[nk],
+                     "n_parts": r["n_parts"]})
+    import ray.data
+
+    tbl_schema = pa.schema([("s_name", pa.string()),
+                            ("nation", pa.string()),
+                            ("n_parts", pa.int64())])
+    if not rows:
+        return ray.data.from_arrow(tbl_schema.empty_table())
+    return ray.data.from_arrow(
+        pa.Table.from_pylist(rows, schema=tbl_schema))
+
+
+def brand_size_supplier_counts(sf_dir: str):
+    """TPC-H Q16 shape (minus the absent partsupp/comment columns):
+    DISTINCT supplier count per (p_brand, p_size), derived from shipped
+    lineitems. The part attributes attach from broadcast dense arrays
+    (brand dictionary index + size, 8 B/partkey), each block emits its
+    distinct (brand, size, suppkey) combos, ONE composite-key exchange
+    co-locates a cell's combos, and only (brand, size, count) cells
+    leave the partitions."""
+    import numpy as np
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.exchange import exchange_map_groups
+
+    part = read_parquet_clean(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_size"]).take_all()
+    brands = sorted({r["p_brand"] for r in part})
+    b_idx = {b: i for i, b in enumerate(brands)}
+    max_pk = max((r["p_partkey"] for r in part), default=-1)
+    p_b = np.full(max_pk + 1, -1, np.int64)
+    p_s = np.full(max_pk + 1, -1, np.int64)
+    for r in part:
+        p_b[r["p_partkey"]] = b_idx[r["p_brand"]]
+        p_s[r["p_partkey"]] = r["p_size"]
+    lut_ref = ray.put((p_b, p_s))
+    group_parts = DEFAULT_CONFIG.exec.group_parts
+    # composite cell key: sizes are small ints, brands a tiny dict —
+    # overflow-guarded like the month-ordinal keys elsewhere
+    max_size = max((r["p_size"] for r in part), default=0) + 1
+
+    def _combos(batch: pa.Table) -> pa.Table:
+        b_a, s_a = ray.get(lut_ref)
+        pk = np.asarray(batch["l_partkey"], np.int64)
+        sk = np.asarray(batch["l_suppkey"], np.int64)
+        ok = (pk >= 0) & (pk < b_a.size)
+        ok[ok] &= b_a[pk[ok]] >= 0      # inner join: FK miss drops
+        pk, sk = pk[ok], sk[ok]
+        cell = (b_a[pk] * max_size + s_a[pk])
+        u = np.unique(np.stack([cell, sk], axis=1), axis=0)
+        return pa.table({
+            "cell": pa.array(u[:, 0], pa.int64()),
+            "suppkey": pa.array(u[:, 1], pa.int64()),
+            "cell_part": pa.array(u[:, 0] % group_parts, pa.int64()),
+        })
+
+    out_schema = pa.schema([("cell", pa.int64()),
+                            ("supplier_cnt", pa.int64())])
+
+    def _count(p: pa.Table) -> pa.Table:
+        if p.num_rows == 0:
+            return out_schema.empty_table()
+        c = np.asarray(p["cell"], np.int64)
+        s = np.asarray(p["suppkey"], np.int64)
+        u = np.unique(np.stack([c, s], axis=1), axis=0)
+        cells, counts = np.unique(u[:, 0], return_counts=True)
+        return pa.table({
+            "cell": pa.array(cells, pa.int64()),
+            "supplier_cnt": pa.array(counts.astype(np.int64),
+                                     pa.int64()),
+        })
+
+    combos = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey"]).map_batches(
+        _combos, batch_format="pyarrow")
+    cells = exchange_map_groups(combos, "cell_part",
+                                resolve_num_partitions(DEFAULT_CONFIG),
+                                _count, out_schema)
+    b_names = np.array(brands, dtype=object)
+    nm_ref = ray.put(b_names)
+
+    def _name(batch: pa.Table) -> pa.Table:
+        names = ray.get(nm_ref)
+        cell = np.asarray(batch["cell"], np.int64)
+        return pa.table({
+            "p_brand": pa.array(names[cell // max_size], pa.string()),
+            "p_size": pa.array((cell % max_size).astype(np.int32),
+                               pa.int32()),
+            "supplier_cnt": batch["supplier_cnt"],
+        })
+
+    return cells.map_batches(_name, batch_format="pyarrow")
+
+
+def cheapest_supplier_per_brand(sf_dir: str):
+    """TPC-H Q2 shape (minus partsupp): per part brand, the single
+    cheapest shipped lineitem (min extendedprice cents, supplier key as
+    the deterministic tiebreak) with its supplier's name and nation.
+    Grouped ARGMIN: each block keeps one candidate per brand, the
+    driver folds the tiny (brands × blocks) candidate set, and names
+    are fetched only for the ≤|brands| winners (Q15/Q10 pattern)."""
+    import numpy as np
+
+    import ray.data
+
+    part = read_parquet_clean(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand"]).take_all()
+    brands = sorted({r["p_brand"] for r in part})
+    b_idx = {b: i for i, b in enumerate(brands)}
+    max_pk = max((r["p_partkey"] for r in part), default=-1)
+    p_b = np.full(max_pk + 1, -1, np.int64)
+    for r in part:
+        p_b[r["p_partkey"]] = b_idx[r["p_brand"]]
+    lut_ref = ray.put(p_b)
+
+    def _cand(batch: pa.Table) -> pa.Table:
+        b_a = ray.get(lut_ref)
+        pk = np.asarray(batch["l_partkey"], np.int64)
+        sk = np.asarray(batch["l_suppkey"], np.int64)
+        ok = (pk >= 0) & (pk < b_a.size)
+        ok[ok] &= b_a[pk[ok]] >= 0
+        b = b_a[pk[ok]]
+        sk = sk[ok]
+        cents = np.rint(np.asarray(batch["l_extendedprice"],
+                                   np.float64)[ok] * 100).astype(np.int64)
+        order = np.lexsort((sk, cents, b))
+        b_s = b[order]
+        first = np.concatenate([[True], b_s[1:] != b_s[:-1]]) \
+            if b_s.size else np.empty(0, bool)
+        sel = order[first] if b_s.size else np.empty(0, np.int64)
+        return pa.table({
+            "brand_idx": pa.array(b[sel], pa.int64()),
+            "cents": pa.array(cents[sel], pa.int64()),
+            "suppkey": pa.array(sk[sel], pa.int64()),
+        })
+
+    cands = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey",
+                 "l_extendedprice"]).map_batches(
+        _cand, batch_format="pyarrow").take_all()
+    best: dict[int, tuple[int, int]] = {}
+    for r in cands:
+        key = (r["cents"], r["suppkey"])
+        if r["brand_idx"] not in best or key < best[r["brand_idx"]]:
+            best[r["brand_idx"]] = key
+    supp = {r["s_suppkey"]: (r["s_name"], r["s_nationkey"])
+            for r in read_parquet_clean(
+                f"{sf_dir}/supplier.parquet",
+                columns=["s_suppkey", "s_name",
+                         "s_nationkey"]).take_all()}
+    nation = {r["n_nationkey"]: r["n_name"]
+              for r in read_parquet_clean(
+                  f"{sf_dir}/nation.parquet").take_all()}
+    schema = pa.schema([("p_brand", pa.string()),
+                        ("min_price_cents", pa.int64()),
+                        ("s_name", pa.string()),
+                        ("nation", pa.string())])
+    rows = []
+    for bi in sorted(best):
+        cents, sk = best[bi]
+        hit = supp.get(sk)
+        if hit is None or hit[1] not in nation:
+            continue                      # inner-join: FK miss drops
+        rows.append({"p_brand": brands[bi], "min_price_cents": cents,
+                     "s_name": hit[0], "nation": nation[hit[1]]})
+    if not rows:
+        return ray.data.from_arrow(schema.empty_table())
+    return ray.data.from_arrow(pa.Table.from_pylist(rows, schema=schema))
+
+
+def region_order_rollup(sf_dir: str):
+    """GROUP BY ROLLUP shape: order count + revenue at (region, nation),
+    per-region subtotal, and grand total — the multi-level report a
+    warehouse rollup produces in one pass. Fact rows never shuffle: the
+    customer→nation→region attach is a broadcast dense-array lookup,
+    grouped_sums reduces to ≤|nations| cells, and the subtotal levels
+    expand from that tiny cell table on the driver. Subtotal marker is
+    '*' (COALESCE in the SQL twin) so no NULL rides the hash compare."""
+    import numpy as np
+
+    import ray.data
+
+    from ..stages.agg import grouped_sums
+
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey",
+                                       "c_nationkey"]).take_all()
+    nation = {r["n_nationkey"]: (r["n_name"], r["n_regionkey"])
+              for r in read_parquet_clean(
+                  f"{sf_dir}/nation.parquet").take_all()}
+    region = {r["r_regionkey"]: r["r_name"]
+              for r in read_parquet_clean(
+                  f"{sf_dir}/region.parquet").take_all()}
+    max_ck = max((r["c_custkey"] for r in cust), default=-1)
+    c_nk = np.full(max_ck + 1, -1, np.int64)
+    for r in cust:
+        c_nk[r["c_custkey"]] = r["c_nationkey"]
+    lut_ref = ray.put(c_nk)
+
+    def _ord(batch: pa.Table) -> pa.Table:
+        c_a = ray.get(lut_ref)
+        ck = np.asarray(batch["o_custkey"], np.int64)
+        ok = (ck >= 0) & (ck < c_a.size)
+        ok[ok] &= c_a[ck[ok]] >= 0        # inner join: FK miss drops
+        sel = pa.array(np.flatnonzero(ok), pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(
+            batch["o_totalprice"].take(sel), pa.scalar(100.0))),
+            pa.int64())
+        return pa.table({
+            "nk": pa.array(c_a[ck[ok]], pa.int64()),
+            "cents": cents,
+        })
+
+    cells = grouped_sums(
+        read_parquet_clean(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_totalprice"]).map_batches(
+            _ord, batch_format="pyarrow"),
+        ["nk"], ["cents"], count_as="n_orders").take_all()
+    schema = pa.schema([("region", pa.string()), ("nation", pa.string()),
+                        ("n_orders", pa.int64()),
+                        ("total_cents", pa.int64())])
+    rows = []
+    reg_tot: dict[str, list[int]] = {}
+    g = [0, 0]
+    for c in cells:
+        nk = c["nk"]
+        if nk not in nation or nation[nk][1] not in region:
+            continue
+        n_name, rk = nation[nk]
+        r_name = region[rk]
+        rows.append({"region": r_name, "nation": n_name,
+                     "n_orders": c["n_orders"],
+                     "total_cents": c["sum_cents"]})
+        t = reg_tot.setdefault(r_name, [0, 0])
+        t[0] += c["n_orders"]
+        t[1] += c["sum_cents"]
+        g[0] += c["n_orders"]
+        g[1] += c["sum_cents"]
+    for r_name, (n, s) in reg_tot.items():
+        rows.append({"region": r_name, "nation": "*", "n_orders": n,
+                     "total_cents": s})
+    if rows:
+        rows.append({"region": "*", "nation": "*", "n_orders": g[0],
+                     "total_cents": g[1]})
+    if not rows:
+        return ray.data.from_arrow(schema.empty_table())
+    return ray.data.from_arrow(pa.Table.from_pylist(rows, schema=schema))
+
+
+def quantity_value_histogram(sf_dir: str):
+    """Lineitem quantity spectrum: per integer quantity, row count and
+    exact revenue sum (e4 integer) — the fact-table twin of
+    ``doc_length_histogram``. Pure block-local bincount partials on a
+    bounded key domain; the exchange carries ≤|distinct quantities|
+    rows per block."""
+    import numpy as np
+
+    from ..stages.agg import grouped_sums
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        qty = np.rint(np.asarray(batch["l_quantity"],
+                                 np.float64)).astype(np.int64)
+        price = np.asarray(batch["l_extendedprice"], np.float64)
+        disc = np.asarray(batch["l_discount"], np.float64)
+        rev = (np.rint(price * 100).astype(np.int64)
+               * (100 - np.rint(disc * 100).astype(np.int64)))
+        return pa.table({
+            "quantity": pa.array(qty, pa.int64()),
+            "rev_e4": pa.array(rev, pa.int64()),
+        })
+
+    out = grouped_sums(
+        read_parquet_clean(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_quantity", "l_extendedprice",
+                     "l_discount"]).map_batches(
+            _prep, batch_format="pyarrow"),
+        ["quantity"], ["rev_e4"], count_as="n_lines")
+    return out.map_batches(
+        lambda t: pa.table({"quantity": t["quantity"],
+                            "n_lines": t["n_lines"],
+                            "revenue_e4": t["sum_rev_e4"]}),
+        batch_format="pyarrow")
