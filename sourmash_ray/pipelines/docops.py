@@ -578,7 +578,7 @@ def _simhash_pairs_part(max_hamming: int):
 
 
 def simhash_neardup_pairs(source, cfg: EngineConfig = DEFAULT_CONFIG,
-                          max_hamming: int = 3):
+                          max_hamming: int = 3, distinct: bool = True):
     """SimHash near-dup pairs: 64-bit fingerprints banded into 4×16-bit
     chunks (pigeonhole: any pair within Hamming distance 3 shares at least
     one exact chunk), candidates verified by popcount of the XOR — inside
@@ -591,6 +591,11 @@ def simhash_neardup_pairs(source, cfg: EngineConfig = DEFAULT_CONFIG,
 
     Output: (a, b, hamming) for pairs with distance ≤ ``max_hamming``,
     exact vs brute force (see test_recall_scale).
+
+    ``distinct=False`` skips the final pair-dedup exchange (a pair found
+    via several chunks repeats, same hamming) — for consumers that
+    tolerate multi-edges (connected components in the tiered cascade)
+    it saves one sequential exchange round.
     """
     from ..config import resolve_num_partitions
     from ..stages.exchange import exchange_map_groups
@@ -622,6 +627,8 @@ def simhash_neardup_pairs(source, cfg: EngineConfig = DEFAULT_CONFIG,
     pairs = exchange_map_groups(
         keyed, "band_part", 2 * resolve_num_partitions(cfg),
         _simhash_pairs_part(max_hamming), SIMPAIRS_SCHEMA)
+    if not distinct:
+        return pairs
     # a pair found via several chunks repeats with the same hamming —
     # distinct by (a, b), first occurrence kept
     return dedup_pairs(pairs, cfg.exec.group_parts,

@@ -219,7 +219,10 @@ def tiered_dedup_docs(source, cfg: EngineConfig = DEFAULT_CONFIG, *,
     sims = docs.map_batches(lambda t: sh(t), batch_format="pyarrow")
     sims_surv = _surviving(sims, [exact], "doc_id", ["simhash"],
                            cfg, n_parts)
-    sim_pairs = simhash_neardup_pairs(sims_surv, cfg, max_hamming)
+    # distinct=False: connected components tolerate multi-edges, so the
+    # pair-dedup exchange round is pure floor here
+    sim_pairs = simhash_neardup_pairs(sims_surv, cfg, max_hamming,
+                                      distinct=False)
     sim_elim = _eliminations_from_pairs(sim_pairs, "a", "b",
                                         cfg).materialize()
 
