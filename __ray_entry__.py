@@ -558,6 +558,7 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "tier_report_docs": tiered.tier_report_docs,
         "tiered_dedup_transcripts": tiered.tiered_dedup_transcripts,
         "tier_report_transcripts": tiered.tier_report_transcripts,
+        "residual_dup_rate_docs": tiered.residual_dup_rate,
         "exact_spans_docs": docops.exact_spans_docs,
         # turn/conversation-grain transcript ops (rows-only here; exact
         # DuckDB twins over the synthesized transcripts parquet live in

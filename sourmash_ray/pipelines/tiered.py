@@ -504,3 +504,76 @@ def tier_report_transcripts(source, cfg: EngineConfig = DEFAULT_CONFIG, *,
     ).materialize()
     return grouped_sums(tiers.select_columns(["tier"]), ["tier"], [],
                         count_as="n_convs")
+
+
+def residual_dup_rate(source, cfg: EngineConfig = DEFAULT_CONFIG, *,
+                      n_sample: int = 256, threshold: float | None = None):
+    """Post-dedup quality audit: estimated residual near-dup rate among
+    the cascade's KEPT documents, by exhaustive verification of a
+    deterministic sample — the acceptance check a 100 TB dedup run
+    reports next to its tier counts. Sampling is by md5-order of the
+    doc id (uniform, seedless, reproducible); the sample's sketches are
+    verified all-pairs with the same Jaccard kernel the minhash tier
+    used, so the estimate is an unbiased check OF the cascade, not a
+    re-run of it. Output: one row
+    (n_kept, n_sampled, n_pairs_checked, n_dup_pairs, dup_rate_ppm).
+    """
+    import ray.data
+
+    from ..functions.segscore import (_local_idx, hash_strings64,
+                                      pair_jaccard_stats)
+
+    thr = cfg.verify_threshold if threshold is None else threshold
+    tiers = tiered_dedup_docs(source, cfg).materialize()
+    kept = tiers.map_batches(
+        lambda t: t.filter(pc.equal(t["tier"], "kept")).select(
+            ["doc_id"]),
+        batch_format="pyarrow").materialize()
+    n_kept = kept.count()
+    # deterministic uniform sample: smallest n_sample md5(doc_id) values
+    samp_rows = kept.map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "h": pa.array(hash_strings64(
+                pc.cast(t["doc_id"], pa.string())), pa.int64()),
+        }), batch_format="pyarrow").sort("h").take(n_sample)
+    ids = pa.array(sorted(r["doc_id"] for r in samp_rows), pa.int64())
+    docs = _docs(source)
+    sk = DocSketcher(cfg)
+
+    def _sample_sigs(batch: pa.Table) -> pa.Table:
+        sel = batch.filter(pc.is_in(batch["doc_id"], value_set=ids))
+        return sk(sel)
+
+    sig_tbl = pa.concat_tables(
+        [b for b in _ray_blocks(
+            docs.map_batches(_sample_sigs, batch_format="pyarrow"))]
+        or [sk(pa.table({"doc_id": pa.array([], pa.int64()),
+                         "text": pa.array([], pa.string())}))]
+    ).combine_chunks()
+    n = sig_tbl.num_rows
+    n_pairs = n * (n - 1) // 2
+    n_dup = 0
+    if n >= 2:
+        mins = sig_tbl["mins"].combine_chunks()
+        offs = np.asarray(mins.offsets, np.int64)
+        vals = np.asarray(mins.values, np.uint64) if len(mins.values) \
+            else np.empty(0, np.uint64)
+        iu, ju = np.triu_indices(n, k=1)
+        la = (offs[iu + 1] - offs[iu])
+        lb = (offs[ju + 1] - offs[ju])
+        a_idx = np.repeat(offs[iu], la) + _local_idx(la)
+        b_idx = np.repeat(offs[ju], lb) + _local_idx(lb)
+        ao = np.concatenate([[0], np.cumsum(la)]).astype(np.int64)
+        bo = np.concatenate([[0], np.cumsum(lb)]).astype(np.int64)
+        _c, cj, dj = pair_jaccard_stats(vals[a_idx], ao, vals[b_idx], bo)
+        n_dup = int(((cj / np.maximum(dj, 1)) >= thr).sum())
+    rate_ppm = int(round(n_dup / n_pairs * 1_000_000)) if n_pairs else 0
+    return ray.data.from_arrow(pa.table({
+        "n_kept": pa.array([n_kept], pa.int64()),
+        "n_sampled": pa.array([n], pa.int64()),
+        "n_pairs_checked": pa.array([n_pairs], pa.int64()),
+        "n_dup_pairs": pa.array([n_dup], pa.int64()),
+        "dup_rate_ppm": pa.array([rate_ppm], pa.int64()),
+    }))
+

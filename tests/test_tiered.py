@@ -284,3 +284,43 @@ def test_tiered_transcripts_report_and_invariants(ray_session):
     rep = {r["tier"]: r["n_convs"]
            for r in tier_report_transcripts(sf).take_all()}
     assert rep == dict(Counter(r["tier"] for r in rows))
+
+
+def test_residual_dup_rate(ray_session):
+    """Auditor reports 0 residual near-dups among the cascade's kept
+    docs at the cascade's own threshold, and DOES find the planted
+    below-threshold pair when audited at a looser threshold (positive
+    control: the sample path and the pair kernel actually fire)."""
+    from sourmash_ray.pipelines.tiered import residual_dup_rate
+
+    row = residual_dup_rate("/root/testdata/sf0.001",
+                            n_sample=64).take_all()[0]
+    assert row["n_dup_pairs"] == 0 and row["dup_rate_ppm"] == 0
+    assert row["n_sampled"] == 64
+    assert row["n_pairs_checked"] == 64 * 63 // 2
+
+    # planted pair: ~half-shared text → sketch jaccard in (0.2, 0.5):
+    # survives the 0.5-threshold cascade, caught by a 0.2 audit
+    half = ("the shared first half of this document talks at length "
+            "about rivers and mountains and the slow turning of the "
+            "seasons across the wide northern valley floor")
+    t_a = half + " while the unique tail of document a describes a "
+    t_a += "completely different topic namely the maintenance of old "
+    t_a += "sailing boats in brackish harbor water"
+    t_b = half + " whereas document b instead wanders into a long "
+    t_b += "discussion of sourdough baking hydration ratios and the "
+    t_b += "care of a decades old starter culture"
+    sk = DocSketcher(DEFAULT_CONFIG)(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array([t_a, t_b])}))
+    m = [set(np.asarray(x, np.uint64).tolist())
+         for x in sk["mins"].to_pylist()]
+    j = len(m[0] & m[1]) / len(m[0] | m[1])
+    assert 0.2 < j < DEFAULT_CONFIG.verify_threshold, j
+    docs = _mk_docs([t_a, t_b])
+    strict = residual_dup_rate(docs, n_sample=8).take_all()[0]
+    assert strict["n_dup_pairs"] == 0      # cascade kept both, rightly
+    loose = residual_dup_rate(docs, n_sample=8,
+                              threshold=0.2).take_all()[0]
+    assert loose["n_dup_pairs"] == 1
+    assert loose["dup_rate_ppm"] == 1_000_000
