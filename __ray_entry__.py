@@ -589,6 +589,10 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "cheapest_supplier_per_brand":
             relational.cheapest_supplier_per_brand,
         "region_order_rollup": relational.region_order_rollup,
+        "orders_yoy_growth": relational.orders_yoy_growth,
+        "column_profile_docs": docops.column_profile_docs,
+        "customer_segment_profile":
+            relational.customer_segment_profile,
         "quantity_value_histogram":
             relational.quantity_value_histogram,
         "totalprice_quantiles_by_priority":
@@ -1128,6 +1132,60 @@ def oracle_sql() -> dict[str, str]:
                                           AS BIGINT))) AS BIGINT)
                        AS revenue_e4
             FROM lineitem GROUP BY 1
+        """,
+        "column_profile_docs": """
+            SELECT 'doc_id' AS col_name,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(*) - count(doc_id) AS BIGINT) AS n_nulls,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct
+            FROM documents
+            UNION ALL
+            SELECT 'text' AS col_name,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(*) - count(text) AS BIGINT) AS n_nulls,
+                   CAST(count(DISTINCT text) AS BIGINT) AS n_distinct
+            FROM documents
+            UNION ALL
+            SELECT 'lang' AS col_name,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(*) - count(lang) AS BIGINT) AS n_nulls,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_distinct
+            FROM documents
+            UNION ALL
+            SELECT 'source' AS col_name,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(*) - count(source) AS BIGINT) AS n_nulls,
+                   CAST(count(DISTINCT source) AS BIGINT) AS n_distinct
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars' AS col_name,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(*) - count(n_chars) AS BIGINT) AS n_nulls,
+                   CAST(count(DISTINCT n_chars) AS BIGINT) AS n_distinct
+            FROM documents
+        """,
+        "customer_segment_profile": """
+            SELECT c_mktsegment AS segment,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(count(DISTINCT c_nationkey) AS BIGINT)
+                       AS n_nations,
+                   CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                        AS BIGINT) AS sum_acctbal_cents
+            FROM customer GROUP BY 1
+        """,
+        "orders_yoy_growth": """
+            WITH y AS (
+              SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+                     CAST(count(*) AS BIGINT) AS n_orders,
+                     CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS total_cents
+              FROM orders GROUP BY 1)
+            SELECT year, n_orders, total_cents,
+                   CAST(n_orders - lag(n_orders, 1, n_orders)
+                        OVER (ORDER BY year) AS BIGINT) AS orders_delta,
+                   CAST(total_cents - lag(total_cents, 1, total_cents)
+                        OVER (ORDER BY year) AS BIGINT) AS cents_delta
+            FROM y
         """,
         "region_order_rollup": """
             SELECT coalesce(r_name, '*') AS region,

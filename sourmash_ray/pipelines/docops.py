@@ -2709,3 +2709,116 @@ def interleave_sources_docs(sf_dir: str, n_parts: int | None = None):
         _key, batch_format="pyarrow")
     return exchange_map_groups(keyed, "src_part", n_parts, _pos,
                                INTERLEAVE_SCHEMA)
+
+
+def column_profile_docs(sf_dir: str):
+    """Data-profiling pass over the documents table: per column, row
+    count, NULL count, and exact distinct count — the schema-audit a
+    pipeline runs before trusting a new corpus drop. Null counts are
+    block-partial sums; distinct counts reuse the block-distinct →
+    key-exchange shape (each block emits its distinct values once, so
+    the shuffle is bounded by the true cardinality, never the corpus)."""
+    import numpy as np
+
+    import ray.data
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..functions.segscore import hash_strings64
+    from ..stages.exchange import exchange_map_groups
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    group_parts = DEFAULT_CONFIG.exec.group_parts
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        names, nulls, rows_, vhash = [], [], [], []
+        for i, c in enumerate(cols):
+            col = batch[c].combine_chunks()
+            nn = int(col.null_count)
+            # distinct via a 64-bit value hash (column index folded in so
+            # equal values in different columns never collide)
+            sv = pc.fill_null(col if pa.types.is_string(col.type)
+                              else pc.cast(col, pa.string()), "")
+            h = hash_strings64(sv).astype(np.uint64)
+            valid = ~np.asarray(pc.is_null(col), bool)
+            hv = np.unique(h[valid])
+            names.append(c)
+            nulls.append(nn)
+            rows_.append(len(col))
+            vhash.append(hv)
+        n_out = sum(len(v) for v in vhash)
+        col_idx = np.concatenate(
+            [np.full(len(v), i, np.int64)
+             for i, v in enumerate(vhash)]) if n_out else \
+            np.empty(0, np.int64)
+        hs = np.concatenate(vhash) if n_out else np.empty(0, np.uint64)
+        stats = pa.table({
+            "col_idx": pa.array(np.arange(len(cols)), pa.int64()),
+            "n_rows": pa.array(rows_, pa.int64()),
+            "n_nulls": pa.array(nulls, pa.int64()),
+            "vh": pa.array(np.zeros(len(cols), np.uint64), pa.uint64()),
+            "is_stat": pa.array([True] * len(cols)),
+            "part": pa.array(np.arange(len(cols)) % group_parts,
+                             pa.int64()),
+        })
+        vals = pa.table({
+            "col_idx": pa.array(col_idx, pa.int64()),
+            "n_rows": pa.array(np.zeros(n_out, np.int64), pa.int64()),
+            "n_nulls": pa.array(np.zeros(n_out, np.int64), pa.int64()),
+            "vh": pa.array(hs, pa.uint64()),
+            "is_stat": pa.array(np.zeros(n_out, bool)),
+            "part": pa.array(
+                ((hs % np.uint64(group_parts)).astype(np.int64)
+                 * len(cols) + col_idx) % group_parts, pa.int64()),
+        })
+        return pa.concat_tables([stats, vals])
+
+    out_schema = pa.schema([("col_idx", pa.int64()),
+                            ("n_rows", pa.int64()),
+                            ("n_nulls", pa.int64()),
+                            ("n_distinct", pa.int64())])
+
+    def _merge(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return out_schema.empty_table()
+        is_stat = np.asarray(part["is_stat"], bool)
+        ci = np.asarray(part["col_idx"], np.int64)
+        out = {}
+        for idx in np.unique(ci):
+            m = ci == idx
+            ms = m & is_stat
+            mv = m & ~is_stat
+            vh = np.asarray(part["vh"], np.uint64)[mv]
+            out[int(idx)] = (
+                int(np.asarray(part["n_rows"], np.int64)[ms].sum()),
+                int(np.asarray(part["n_nulls"], np.int64)[ms].sum()),
+                int(np.unique(vh).size))
+        return pa.table({
+            "col_idx": pa.array(list(out), pa.int64()),
+            "n_rows": pa.array([v[0] for v in out.values()], pa.int64()),
+            "n_nulls": pa.array([v[1] for v in out.values()],
+                                pa.int64()),
+            "n_distinct": pa.array([v[2] for v in out.values()],
+                                   pa.int64()),
+        })
+
+    parts = _read_docs(sf_dir, columns=cols).map_batches(
+        _partial, batch_format="pyarrow")
+    merged = exchange_map_groups(
+        parts, "part", resolve_num_partitions(DEFAULT_CONFIG),
+        _merge, out_schema).take_all()
+    agg: dict[int, list[int]] = {}
+    for r in merged:
+        a = agg.setdefault(r["col_idx"], [0, 0, 0])
+        a[0] += r["n_rows"]
+        a[1] += r["n_nulls"]
+        a[2] += r["n_distinct"]
+    schema = pa.schema([("col_name", pa.string()),
+                        ("n_rows", pa.int64()),
+                        ("n_nulls", pa.int64()),
+                        ("n_distinct", pa.int64())])
+    rows = [{"col_name": cols[i], "n_rows": agg[i][0],
+             "n_nulls": agg[i][1], "n_distinct": agg[i][2]}
+            for i in sorted(agg)]
+    if not rows:
+        return ray.data.from_arrow(schema.empty_table())
+    return ray.data.from_arrow(pa.Table.from_pylist(rows, schema=schema))

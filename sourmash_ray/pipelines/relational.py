@@ -2601,3 +2601,116 @@ def quantity_value_histogram(sf_dir: str):
                             "n_lines": t["n_lines"],
                             "revenue_e4": t["sum_rev_e4"]}),
         batch_format="pyarrow")
+
+
+def orders_yoy_growth(sf_dir: str):
+    """Year-over-year order growth: per order year, count + revenue and
+    their deltas vs the previous year (LAG window shape; first year's
+    delta is 0 by the lag-default convention so no NULL rides the hash
+    compare). One grouped_sums to ≤|years| cells; the window math runs
+    on the driver over that tiny table."""
+    import numpy as np
+
+    import ray.data
+
+    from ..stages.agg import grouped_sums
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        year = np.asarray(batch["o_orderdate"], "datetime64[us]") \
+            .astype("datetime64[Y]").astype(np.int64) + 1970
+        cents = pc.cast(pc.round(pc.multiply(
+            batch["o_totalprice"], pa.scalar(100.0))), pa.int64())
+        return pa.table({
+            "year": pa.array(year, pa.int64()),
+            "cents": cents,
+        })
+
+    cells = grouped_sums(
+        read_parquet_clean(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderdate", "o_totalprice"]).map_batches(
+            _prep, batch_format="pyarrow"),
+        ["year"], ["cents"], count_as="n_orders").take_all()
+    cells.sort(key=lambda r: r["year"])
+    schema = pa.schema([("year", pa.int64()), ("n_orders", pa.int64()),
+                        ("total_cents", pa.int64()),
+                        ("orders_delta", pa.int64()),
+                        ("cents_delta", pa.int64())])
+    rows = []
+    for i, c in enumerate(cells):
+        pn = cells[i - 1]["n_orders"] if i else c["n_orders"]
+        ps = cells[i - 1]["sum_cents"] if i else c["sum_cents"]
+        rows.append({"year": c["year"], "n_orders": c["n_orders"],
+                     "total_cents": c["sum_cents"],
+                     "orders_delta": c["n_orders"] - pn,
+                     "cents_delta": c["sum_cents"] - ps})
+    if not rows:
+        return ray.data.from_arrow(schema.empty_table())
+    return ray.data.from_arrow(pa.Table.from_pylist(rows, schema=schema))
+
+
+def customer_segment_profile(sf_dir: str):
+    """Per market segment: customer count, DISTINCT nation count, and
+    exact account-balance cents sum — the mixed count/distinct/sum
+    profile row a segmentation report opens with. Blocks emit
+    (segment, nation) distinct pairs plus (segment, count, cents)
+    partials; both are ≤|segments × nations| per block, so the driver
+    fold is dimension-sized."""
+    import numpy as np
+
+    import ray.data
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        seg = batch["c_mktsegment"].combine_chunks()
+        nk = np.asarray(batch["c_nationkey"], np.int64)
+        cents = np.rint(np.asarray(batch["c_acctbal"],
+                                   np.float64) * 100).astype(np.int64)
+        import pyarrow.compute as _pc
+
+        d = _pc.dictionary_encode(seg)
+        si = np.asarray(d.indices, np.int64)
+        n_seg = len(d.dictionary)
+        cnt = np.bincount(si, minlength=n_seg).astype(np.int64)
+        # exact int sums (bincount weights would go through float64)
+        sums = np.zeros(n_seg, np.int64)
+        np.add.at(sums, si, cents)
+        pairs = np.unique(si * 1_000_003 + nk)
+        return pa.table({
+            "segment": pa.concat_arrays(
+                [d.dictionary,
+                 d.dictionary.take(pa.array(pairs // 1_000_003,
+                                            pa.int64()))]),
+            "n_customers": pa.array(
+                np.concatenate([cnt, np.zeros(len(pairs), np.int64)]),
+                pa.int64()),
+            "cents": pa.array(
+                np.concatenate([sums, np.zeros(len(pairs), np.int64)]),
+                pa.int64()),
+            "nationkey": pa.array(
+                np.concatenate([np.full(n_seg, -1, np.int64),
+                                pairs % 1_000_003]), pa.int64()),
+        })
+
+    parts = read_parquet_clean(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_mktsegment", "c_nationkey",
+                 "c_acctbal"]).map_batches(
+        _partial, batch_format="pyarrow").take_all()
+    agg: dict[str, list] = {}
+    for r in parts:
+        a = agg.setdefault(r["segment"], [0, 0, set()])
+        if r["nationkey"] < 0:
+            a[0] += r["n_customers"]
+            a[1] += r["cents"]
+        else:
+            a[2].add(r["nationkey"])
+    schema = pa.schema([("segment", pa.string()),
+                        ("n_customers", pa.int64()),
+                        ("n_nations", pa.int64()),
+                        ("sum_acctbal_cents", pa.int64())])
+    rows = [{"segment": s, "n_customers": v[0],
+             "n_nations": len(v[2]), "sum_acctbal_cents": v[1]}
+            for s, v in sorted(agg.items())]
+    if not rows:
+        return ray.data.from_arrow(schema.empty_table())
+    return ray.data.from_arrow(pa.Table.from_pylist(rows, schema=schema))
