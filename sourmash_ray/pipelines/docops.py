@@ -246,17 +246,24 @@ class DocSketcher:
         self.seeds = perm_seeds(cfg.lsh.num_perm, cfg.sketch.seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        p = self.cfg.sketch
+        norm = normalize_column(batch["text"], p.normalization)
+        hashes, rows, _ = batch_shingle_hashes(norm, p.ksize, p.seed)
+        return self.from_hashes(batch["doc_id"], hashes, rows, len(batch))
+
+    def from_hashes(self, doc_id, hashes: np.ndarray, rows: np.ndarray,
+                    n_rows: int) -> pa.Table:
+        """Sketch table from precomputed shingle hashes — shared with the
+        cascade's fused one-scan sketcher."""
         from ..functions.perm import MAX_U64
         from ..stages.sketch import _fmix64_mat, _retain_per_row
 
         p = self.cfg.sketch
-        norm = normalize_column(batch["text"], p.normalization)
-        hashes, rows, _ = batch_shingle_hashes(norm, p.ksize, p.seed)
-        offsets, mins, _ = _retain_per_row(hashes, rows, len(batch), p)
+        offsets, mins, _ = _retain_per_row(hashes, rows, n_rows, p)
         num_perm = self.cfg.lsh.num_perm
         # per-seed fmix + reduceat over all rows at once (the
         # make_merge_part_fn path) instead of a per-row perm_minima loop
-        perms = np.full((len(batch), num_perm), MAX_U64, np.uint64)
+        perms = np.full((n_rows, num_perm), MAX_U64, np.uint64)
         if mins.size:
             per_row = np.diff(offsets)
             nonempty = per_row > 0
@@ -272,14 +279,14 @@ class DocSketcher:
                 np.seterr(**old)
         flat = pa.array(perms.reshape(-1), pa.uint64())
         perm_offs = pa.array(
-            np.arange(len(batch) + 1, dtype=np.int32) * self.cfg.lsh.num_perm)
+            np.arange(n_rows + 1, dtype=np.int32) * self.cfg.lsh.num_perm)
         return pa.table({
-            "conv_id": pc.cast(batch["doc_id"], pa.string()),
+            "conv_id": pc.cast(doc_id, pa.string()),
             "mins": pa.ListArray.from_arrays(
                 pa.array(offsets, pa.int32()), pa.array(mins, pa.uint64())),
             "md5": pa.array(
                 [md5_of_mins(mins[offsets[i]:offsets[i + 1]], p.ksize)
-                 for i in range(len(batch))], pa.string()),
+                 for i in range(n_rows)], pa.string()),
             "perms": pa.ListArray.from_arrays(perm_offs, flat),
         })
 
@@ -315,7 +322,16 @@ class SimHasher:
         p = self.cfg.sketch
         norm = normalize_column(batch["text"], p.normalization)
         hashes, rows, _ = batch_shingle_hashes(norm, p.ksize, p.seed)
-        n = len(batch)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "simhash": self.from_hashes(hashes, rows, len(batch)),
+        })
+
+    @staticmethod
+    def from_hashes(hashes: np.ndarray, rows: np.ndarray,
+                    n: int) -> pa.Array:
+        """SimHash column from precomputed shingle hashes — shared with
+        the cascade's fused one-scan sketcher."""
         votes = np.zeros((n, 64), np.int64)
         if hashes.size:
             bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
@@ -324,10 +340,7 @@ class SimHasher:
         sim = ((votes > 0).astype(np.uint64)
                << np.arange(64, dtype=np.uint64)[None, :]).sum(
                    axis=1, dtype=np.uint64)
-        return pa.table({
-            "doc_id": batch["doc_id"],
-            "simhash": pa.array(sim, pa.uint64()),
-        })
+        return pa.array(sim, pa.uint64())
 
 
 def simhash_docs(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG):

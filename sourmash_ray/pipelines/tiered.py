@@ -77,7 +77,9 @@ def _exact_eliminations(docs, cfg: EngineConfig, n_parts: int):
     group_parts = cfg.exec.group_parts
 
     def _partial(batch: pa.Table) -> pa.Table:
-        t = _normalize_md5_batch(batch)
+        # fused-cascade input already carries text_md5 (one-scan sketcher)
+        t = (batch if "text_md5" in batch.schema.names
+             else _normalize_md5_batch(batch))
         md5 = t["text_md5"]
         return pa.table({
             "text_md5": md5,
@@ -192,6 +194,40 @@ def _with_tier(ds, tier: str):
     return ds.map_batches(_fn, batch_format="pyarrow")
 
 
+class _CascadeDocSketcher:
+    """ONE text scan for the whole docs cascade: exact-dup md5 + simhash
+    + minhash sketch columns in a single pass. ``normalize_column`` and
+    the shingle-hash kernel run once and feed all three tiers — at corpus
+    scale the text scan dominates, so 3 scans → 1 is the cascade's
+    biggest single saving (the sketch table it emits is ~1000× smaller
+    than the corpus and is the only thing later tiers touch)."""
+
+    def __init__(self, cfg: EngineConfig):
+        self.cfg = cfg
+        self.mink = DocSketcher(cfg)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..stages.sketch import batch_shingle_hashes, normalize_column
+
+        from .docops import _md5_column
+
+        p = self.cfg.sketch
+        norm = normalize_column(batch["text"], p.normalization)
+        # exact tier hashes the "ws"-normalized text (DuckDB-oracle
+        # convention); reuse norm when the sketch normalization agrees
+        norm_ws = (norm if p.normalization == "ws"
+                   else normalize_column(batch["text"], "ws"))
+        hashes, rows, _ = batch_shingle_hashes(norm, p.ksize, p.seed)
+        n = len(batch)
+        sig = self.mink.from_hashes(batch["doc_id"], hashes, rows, n)
+        return (sig
+                .append_column("doc_id",
+                               pc.cast(batch["doc_id"], pa.int64()))
+                .append_column("text_md5", _md5_column(norm_ws))
+                .append_column("simhash",
+                               SimHasher.from_hashes(hashes, rows, n)))
+
+
 def tiered_dedup_docs(source, cfg: EngineConfig = DEFAULT_CONFIG, *,
                       max_hamming: int = 3,
                       minhash_threshold: float | None = None):
@@ -206,19 +242,22 @@ def tiered_dedup_docs(source, cfg: EngineConfig = DEFAULT_CONFIG, *,
     docs = _docs(source)
     n_parts = 2 * resolve_num_partitions(cfg)
 
-    # 0-doc input: typed empty (checked cheaply up front — a guard on the
-    # assembled union would re-execute the whole cascade just to count)
-    if docs.select_columns(["doc_id"]).limit(1).count() == 0:
+    # ---- one text scan: md5 + simhash + minhash sketches ------------
+    csk = _CascadeDocSketcher(cfg)
+    sketches = docs.map_batches(lambda t: csk(t),
+                                batch_format="pyarrow").materialize()
+    if sketches.count() == 0:
         return ray.data.from_arrow(TIER_SCHEMA.empty_table())
 
     # ---- tier 0: exact ----------------------------------------------
-    exact = _exact_eliminations(docs, cfg, n_parts).materialize()
+    exact = _exact_eliminations(
+        sketches.select_columns(["doc_id", "text_md5"]), cfg,
+        n_parts).materialize()
 
     # ---- tier 1: simhash over exact survivors -----------------------
-    sh = SimHasher(cfg)
-    sims = docs.map_batches(lambda t: sh(t), batch_format="pyarrow")
-    sims_surv = _surviving(sims, [exact], "doc_id", ["simhash"],
-                           cfg, n_parts)
+    sims_surv = _surviving(
+        sketches.select_columns(["doc_id", "simhash"]), [exact],
+        "doc_id", ["simhash"], cfg, n_parts)
     # distinct=False: connected components tolerate multi-edges, so the
     # pair-dedup exchange round is pure floor here
     sim_pairs = simhash_neardup_pairs(sims_surv, cfg, max_hamming,
@@ -230,8 +269,7 @@ def tiered_dedup_docs(source, cfg: EngineConfig = DEFAULT_CONFIG, *,
     from ..stages.lsh import candidate_pairs
     from ..stages.verify import verify_pairs
 
-    sk = DocSketcher(cfg)
-    sigs = docs.map_batches(lambda t: sk(t), batch_format="pyarrow")
+    sigs = sketches.select_columns(["conv_id", "mins", "md5", "perms"])
     sigs_surv = _surviving(sigs, [exact, sim_elim], "conv_id",
                            ["mins", "md5", "perms"], cfg, n_parts,
                            to_string=True).materialize()
@@ -240,7 +278,7 @@ def tiered_dedup_docs(source, cfg: EngineConfig = DEFAULT_CONFIG, *,
     min_elim = _eliminations_from_pairs(ver, "a", "b", cfg).materialize()
 
     # ---- assemble: one labeled row per doc --------------------------
-    kept_ids = _surviving(docs.select_columns(["doc_id"]),
+    kept_ids = _surviving(sketches.select_columns(["doc_id"]),
                           [exact, sim_elim, min_elim], "doc_id", [],
                           cfg, n_parts)
     kept = kept_ids.map_batches(
