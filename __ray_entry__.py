@@ -322,6 +322,57 @@ def _sig_describe_exact_q(sf_dir: str):
         _cast, batch_format="pyarrow")
 
 
+def _exact_query_id(sf_dir: str) -> tuple:
+    """Deterministic query choice for the small search/prefetch twins:
+    the smallest conv_id that shares ≥1 shingle with some other member
+    of the scaled=1 collection (the lex-first conv overlaps nothing, so
+    a fixed 'first id' rule would make both queries degenerate-empty —
+    and an empty Ray Dataset loses its schema, failing the compare).
+    The SQL twin derives the same id as min(a) over positive-overlap
+    pairs."""
+    from sourmash_ray.pipelines.sourmash_parity import compare_exact
+
+    cache = _pipeline_for(sf_dir)
+    if "exact_qid" in cache:
+        return cache["exact_qid"], cache["exact_sigs_40"], \
+            cache["exact_cfg_40"]
+    sigs, cfg = _exact_sigs_40(sf_dir)
+    pairs = compare_exact(sigs, cfg).take_all()
+    hit = [r["a"] for r in pairs if r["jaccard"] > 0]
+    qid = min(hit) if hit else min(
+        r["conv_id"] for r in sigs.select_columns(["conv_id"]).take_all())
+    cache["exact_qid"] = qid
+    return qid, sigs, cfg
+
+
+def _prefetch_exact_q(sf_dir: str):
+    """``prefetch`` over the scaled=1 collection: every subject sharing
+    ≥ 1 hash with the query conversation (see :func:`_exact_query_id`).
+    With nothing subsampled these are exact k-shingle set stats
+    (overlap, jaccard, both containments), so the op is
+    SQL-oracle-exact; the murmur-derived md5 column is dropped."""
+    from sourmash_ray.pipelines.sourmash_parity import prefetch
+
+    qid, sigs, cfg = _exact_query_id(sf_dir)
+    return prefetch(sigs, qid, cfg, threshold_hashes=1).drop_columns(
+        ["md5"])
+
+
+def _search_exact_q(sf_dir: str):
+    """``search --threshold=0`` (report-everything mode) over the
+    scaled=1 collection against the :func:`_exact_query_id` conversation
+    — exact k-shingle jaccard for all 39 subjects including the
+    zero-overlap ones, SQL-oracle-exact (md5 tiebreak column dropped;
+    the driver compare is order-insensitive so the score sort is
+    irrelevant to the hash). A fixed positive threshold was degenerate-
+    empty at some scale factors, which both weakens the check and trips
+    the empty-Dataset schema-loss quirk."""
+    from sourmash_ray.pipelines.sourmash_parity import search
+
+    qid, sigs, cfg = _exact_query_id(sf_dir)
+    return search(sigs, qid, cfg, threshold=0.0).drop_columns(["md5"])
+
+
 def _watch_q(sf_dir: str):
     """``sourmash watch`` as a driver query: a deterministic stream
     fixture (the turns of the corpus's first conversations in stable
@@ -526,6 +577,8 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "multigather_transcripts": _multigather_q,
         "compare_exact_small": _compare_q,
         "compare_containment_small": _compare_containment_q,
+        "prefetch_exact_small": _prefetch_exact_q,
+        "search_exact_small": _search_exact_q,
         "compare_ordered_small": _compare_ordered_q,
         "watch_transcripts": _watch_q,
         "sbt_search_transcripts": _sbt_search_q,
@@ -709,6 +762,7 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "ann_topk": ann.ann_topk_bruteforce,
         "ann_topk_ivf": ann.ann_topk_ivf,
         "embedding_neardup_pairs": ann.embedding_neardup_pairs,
+        "embedding_neardup_exact": ann.embedding_neardup_exact,
         "cosine_pairs_exact": ann.cosine_pairs_exact,
         "ngram_jaccard_pairs": docops.ngram_jaccard_pairs,
         # --- events: windowed aggregates ---
@@ -854,6 +908,111 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN inter i ON i.ca = p.a AND i.cb = p.b
             LEFT JOIN sizes sa ON sa.conv_id = p.a
             LEFT JOIN sizes sb ON sb.conv_id = p.b
+        """,
+        "prefetch_exact_small": f"""
+            WITH sel AS (
+              SELECT DISTINCT conv_id
+              FROM read_parquet('{_turns}/*.parquet')
+              ORDER BY conv_id LIMIT 40),
+            t AS (
+              SELECT conv_id,
+                     trim(regexp_replace(lower(coalesce(text, '')),
+                          '[ \t\n\r\f\v]+', ' ', 'g')) AS nt
+              FROM read_parquet('{_turns}/*.parquet')
+              WHERE conv_id IN (SELECT conv_id FROM sel)),
+            pos AS (
+              SELECT conv_id, nt,
+                     unnest(range(1, len(nt) - {_K} + 2)) AS i
+              FROM t WHERE len(nt) >= {_K}),
+            sh AS (
+              SELECT DISTINCT conv_id,
+                     substr(nt, CAST(i AS INTEGER), {_K}) AS s
+              FROM pos),
+            inter_all AS (
+              SELECT x.conv_id AS ca
+              FROM sh x JOIN sh y
+                ON x.s = y.s AND x.conv_id < y.conv_id
+              GROUP BY 1),
+            qid AS (SELECT coalesce((SELECT min(ca) FROM inter_all),
+                                    (SELECT min(conv_id) FROM sel))
+                        AS q),
+            qs AS (SELECT s FROM sh
+                   WHERE conv_id = (SELECT q FROM qid)),
+            nq AS (SELECT count(*) AS n FROM qs),
+            sizes AS (SELECT conv_id, count(*) AS n FROM sh
+                      GROUP BY conv_id),
+            inter AS (
+              SELECT sh.conv_id, count(*) AS c
+              FROM sh JOIN qs ON sh.s = qs.s
+              WHERE sh.conv_id <> (SELECT q FROM qid)
+              GROUP BY 1)
+            SELECT i.conv_id AS match,
+                   CAST(i.c AS DOUBLE)
+                       / ((SELECT n FROM nq) + z.n - i.c) AS jaccard,
+                   CAST(i.c AS DOUBLE)
+                       / greatest((SELECT n FROM nq), 1)
+                       AS containment_query,
+                   CAST(i.c AS DOUBLE) / greatest(z.n, 1)
+                       AS containment_match,
+                   CAST(i.c AS BIGINT) AS overlap,
+                   CAST(z.n AS BIGINT) AS n_hashes_match
+            FROM inter i JOIN sizes z ON z.conv_id = i.conv_id
+            WHERE i.c >= 1
+        """,
+        "search_exact_small": f"""
+            WITH sel AS (
+              SELECT DISTINCT conv_id
+              FROM read_parquet('{_turns}/*.parquet')
+              ORDER BY conv_id LIMIT 40),
+            t AS (
+              SELECT conv_id,
+                     trim(regexp_replace(lower(coalesce(text, '')),
+                          '[ \t\n\r\f\v]+', ' ', 'g')) AS nt
+              FROM read_parquet('{_turns}/*.parquet')
+              WHERE conv_id IN (SELECT conv_id FROM sel)),
+            pos AS (
+              SELECT conv_id, nt,
+                     unnest(range(1, len(nt) - {_K} + 2)) AS i
+              FROM t WHERE len(nt) >= {_K}),
+            sh AS (
+              SELECT DISTINCT conv_id,
+                     substr(nt, CAST(i AS INTEGER), {_K}) AS s
+              FROM pos),
+            inter_all AS (
+              SELECT x.conv_id AS ca
+              FROM sh x JOIN sh y
+                ON x.s = y.s AND x.conv_id < y.conv_id
+              GROUP BY 1),
+            qid AS (SELECT coalesce((SELECT min(ca) FROM inter_all),
+                                    (SELECT min(conv_id) FROM sel))
+                        AS q),
+            qs AS (SELECT s FROM sh
+                   WHERE conv_id = (SELECT q FROM qid)),
+            nq AS (SELECT count(*) AS n FROM qs),
+            sizes AS (SELECT conv_id, count(*) AS n FROM sh
+                      GROUP BY conv_id),
+            inter AS (
+              SELECT sh.conv_id, count(*) AS c
+              FROM sh JOIN qs ON sh.s = qs.s
+              WHERE sh.conv_id <> (SELECT q FROM qid)
+              GROUP BY 1)
+            SELECT s.conv_id AS match,
+                   CAST(coalesce(i.c, 0) AS DOUBLE)
+                       / greatest((SELECT n FROM nq)
+                                  + coalesce(z.n, 0)
+                                  - coalesce(i.c, 0), 1) AS jaccard,
+                   CAST(coalesce(i.c, 0) AS DOUBLE)
+                       / greatest((SELECT n FROM nq), 1)
+                       AS containment_query,
+                   CAST(coalesce(i.c, 0) AS DOUBLE)
+                       / greatest(coalesce(z.n, 0), 1)
+                       AS containment_match,
+                   CAST(coalesce(i.c, 0) AS BIGINT) AS overlap,
+                   CAST(coalesce(z.n, 0) AS BIGINT) AS n_hashes_match
+            FROM sel s
+            LEFT JOIN sizes z ON z.conv_id = s.conv_id
+            LEFT JOIN inter i ON i.conv_id = s.conv_id
+            WHERE s.conv_id <> (SELECT q FROM qid)
         """,
         "sig_describe_exact": f"""
             WITH sel AS (
@@ -2303,6 +2462,22 @@ def oracle_sql() -> dict[str, str]:
                             / len(list_distinct(list_concat(a.gs, b.gs)))
                    END)) AS BIGINT) AS jaccard_e4
             FROM g a JOIN g b ON a.doc_id < b.doc_id
+        """,
+        "embedding_neardup_exact": """
+            WITH q AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                                    x -> round(CAST(x AS DOUBLE)
+                                               * 10000)) AS qe
+              FROM embeddings)
+            SELECT * FROM (
+              SELECT a.vec_id AS a, b.vec_id AS b,
+                     CAST(round(10000 * list_dot_product(a.qe, b.qe)
+                          / sqrt(list_dot_product(a.qe, a.qe)
+                                 * list_dot_product(b.qe, b.qe)))
+                          AS BIGINT) AS score_e4
+              FROM q a JOIN q b ON a.vec_id < b.vec_id
+            ) WHERE score_e4 >= 4000
         """,
         "cosine_pairs_exact": """
             WITH q AS (

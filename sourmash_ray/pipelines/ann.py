@@ -108,6 +108,53 @@ def ann_topk_bruteforce(sf_dir: str, n_queries: int = 8, k: int = 5):
     return pa.Table.from_pylist(out_rows)
 
 
+def embedding_neardup_exact(sf_dir: str, threshold_e4: int = 4000):
+    """Brute-force all-pairs cosine ≥ threshold over the WHOLE embeddings
+    table — the exact baseline the LSH variant
+    (:func:`embedding_neardup_pairs`) approximates, and the distributed
+    big sibling of the driver-local :func:`cosine_pairs_exact`. The
+    corpus matrix is ``ray.put``-broadcast once (embeddings are the
+    small O(n·d) side); each batch computes its block-row of the
+    similarity matrix against the broadcast side and keeps only (a < b)
+    hits, so every true pair appears exactly once with no pair-dedup
+    exchange. O(n²d) compute — the LSH path is the corpus-scale path.
+
+    Cross-engine exactness uses cosine_pairs_exact's scheme: elements
+    quantize to 1e4-scale integers FIRST, so every dot partial is an
+    exact float64 integer (< 2^53) and BLAS block order cannot perturb
+    the sum; the remaining multiply/sqrt/divide are single IEEE ops,
+    identical in DuckDB."""
+    ds = _read_emb(sf_dir)
+    blocks = [b for b in ray.get(ds.to_arrow_refs()) if b.num_rows]
+    if not blocks:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "score_e4": pa.array([], pa.int64())})
+    all_ids, all_mat = _emb_matrix(pa.concat_tables(blocks))
+    gq = np.round(all_mat * 1e4)          # exact integers in float64
+    gs = np.einsum("ij,ij->i", gq, gq)    # exact
+    gs[gs == 0] = 1.0
+    ref = ray.put((all_ids, gq, gs))
+
+    def _block(batch: pa.Table) -> pa.Table:
+        ids, mat = _emb_matrix(batch)
+        q = np.round(mat * 1e4)
+        sa = np.einsum("ij,ij->i", q, q)
+        sa[sa == 0] = 1.0
+        g_ids, g_q, g_s = ray.get(ref)
+        num = q @ g_q.T                   # exact integer partials
+        e4 = np.round(1e4 * num / np.sqrt(sa[:, None] * g_s[None, :]))
+        mask = (e4 >= threshold_e4) & (g_ids[None, :] > ids[:, None])
+        ii, jj = np.nonzero(mask)
+        return pa.table({
+            "a": pa.array(ids[ii], pa.int64()),
+            "b": pa.array(g_ids[jj], pa.int64()),
+            "score_e4": pa.array(e4[ii, jj].astype(np.int64), pa.int64()),
+        })
+
+    return ds.map_batches(_block, batch_format="pyarrow")
+
+
 class HyperplaneBucketer:
     """Random-hyperplane LSH bucketing: sign-bit signature of ``n_bits``
     projections → bucket key. Stateful: the projection matrix is built once
