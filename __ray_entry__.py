@@ -643,6 +643,8 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
             relational.cheapest_supplier_per_brand,
         "region_order_rollup": relational.region_order_rollup,
         "orders_yoy_growth": relational.orders_yoy_growth,
+        "waiting_suppliers": relational.waiting_suppliers,
+        "nation_market_share": relational.nation_market_share,
         "column_profile_docs": docops.column_profile_docs,
         "customer_segment_profile":
             relational.customer_segment_profile,
@@ -1345,6 +1347,59 @@ def oracle_sql() -> dict[str, str]:
                    CAST(total_cents - lag(total_cents, 1, total_cents)
                         OVER (ORDER BY year) AS BIGINT) AS cents_delta
             FROM y
+        """,
+        "nation_market_share": """
+            WITH tn AS (
+              SELECT n_nationkey, n_regionkey FROM nation
+              WHERE n_name = 'NATION_7'),
+            rn AS (
+              SELECT n_nationkey FROM nation
+              WHERE n_regionkey = (SELECT n_regionkey FROM tn)),
+            l AS (
+              SELECT l_orderkey,
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                       AS rev,
+                     CASE WHEN s.s_nationkey =
+                              (SELECT n_nationkey FROM tn)
+                          THEN 1 ELSE 0 END AS is_t
+              FROM lineitem
+              JOIN supplier s ON s.s_suppkey = l_suppkey),
+            j AS (
+              SELECT CAST(year(o.o_orderdate) AS BIGINT) AS year,
+                     l.rev, l.is_t
+              FROM l JOIN orders o ON o.o_orderkey = l.l_orderkey
+              JOIN customer c ON c.c_custkey = o.o_custkey
+              WHERE c.c_nationkey IN (SELECT n_nationkey FROM rn))
+            SELECT year,
+                   CAST(sum(rev * is_t) AS BIGINT) AS nation_rev_e4,
+                   CAST(sum(rev) AS BIGINT) AS total_rev_e4,
+                   CAST(floor(10000.0 * sum(rev * is_t)
+                              / greatest(sum(rev), 1)) AS BIGINT)
+                       AS share_e4
+            FROM j GROUP BY 1
+        """,
+        "waiting_suppliers": """
+            WITH f AS (
+              SELECT o_orderkey, o_orderdate FROM orders
+              WHERE o_orderstatus = 'F'),
+            g AS (
+              SELECT l_orderkey, l_suppkey, max(l_shipdate) AS ms
+              FROM lineitem GROUP BY 1, 2),
+            j AS (
+              SELECT g.l_orderkey AS ok, g.l_suppkey AS sk,
+                     CASE WHEN g.ms > f.o_orderdate + INTERVAL 90 DAY
+                          THEN 1 ELSE 0 END AS late
+              FROM g JOIN f ON g.l_orderkey = f.o_orderkey),
+            o AS (
+              SELECT ok, count(*) AS n_supp, sum(late) AS n_late,
+                     max(CASE WHEN late = 1 THEN sk END) AS late_sk
+              FROM j GROUP BY 1)
+            SELECT s.s_name AS s_name,
+                   CAST(count(*) AS BIGINT) AS numwait
+            FROM o JOIN supplier s ON s.s_suppkey = o.late_sk
+            WHERE o.n_supp >= 2 AND o.n_late = 1
+            GROUP BY 1
         """,
         "region_order_rollup": """
             SELECT coalesce(r_name, '*') AS region,

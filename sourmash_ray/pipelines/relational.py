@@ -2714,3 +2714,270 @@ def customer_segment_profile(sf_dir: str):
     if not rows:
         return ray.data.from_arrow(schema.empty_table())
     return ray.data.from_arrow(pa.Table.from_pylist(rows, schema=schema))
+
+
+_WAIT_PART_SCHEMA = pa.schema([
+    ("ok", pa.int64()), ("sk", pa.int64()), ("ts", pa.int64()),
+    ("is_order", pa.bool_()), ("part", pa.int64())])
+_WAIT_SUPP_SCHEMA = pa.schema([("s_suppkey", pa.int64())])
+
+
+def waiting_suppliers(sf_dir: str, late_days: int = 90):
+    """TPC-H Q21 shape adapted to this corpus's columns (lineitem has no
+    receipt/commit dates): among 'F'-status orders with ≥ 2 distinct
+    suppliers, credit the supplier that was the ONLY late one (its last
+    line shipped > ``late_days`` after the order date) — per supplier,
+    how many orders it alone kept waiting.
+
+    ONE orderkey exchange carries both sides: lineitem block-combines to
+    (orderkey, suppkey, max_shipdate) partials (≤ distinct pairs per
+    block, never raw lines) and unions with the filtered (orderkey,
+    orderdate) order rows; the per-order EXISTS / NOT-EXISTS logic runs
+    vectorized inside each partition merge. The surviving one-row-per-
+    waiting-order stream is supplier-sized, so the count rollup and the
+    broadcast name attach are dimension-scale."""
+    import numpy as np
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.agg import grouped_sums
+    from ..stages.exchange import exchange_map_groups
+
+    n_parts = resolve_num_partitions(DEFAULT_CONFIG)
+    group_parts = DEFAULT_CONFIG.exec.group_parts
+    late_us = np.int64(late_days) * 86_400_000_000
+
+    def _lines(batch: pa.Table) -> pa.Table:
+        ok = np.asarray(batch["l_orderkey"], np.int64)
+        sk = np.asarray(batch["l_suppkey"], np.int64)
+        ts = np.asarray(batch["l_shipdate"],
+                        "datetime64[us]").astype(np.int64)
+        order = np.lexsort((sk, ok))
+        ok, sk, ts = ok[order], sk[order], ts[order]
+        first = np.concatenate([[True], (ok[1:] != ok[:-1])
+                                | (sk[1:] != sk[:-1])]) \
+            if ok.size else np.empty(0, bool)
+        starts = np.flatnonzero(first)
+        ms = np.maximum.reduceat(ts, starts) if ok.size else \
+            np.empty(0, np.int64)
+        ok, sk = ok[starts], sk[starts]
+        return pa.table({
+            "ok": pa.array(ok, pa.int64()),
+            "sk": pa.array(sk, pa.int64()),
+            "ts": pa.array(ms, pa.int64()),
+            "is_order": pa.array(np.zeros(ok.size, bool)),
+            "part": pa.array(ok % group_parts, pa.int64()),
+        })
+
+    def _orders(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch["o_orderstatus"], pa.scalar("F"))
+        t = batch.filter(keep)
+        ok = np.asarray(t["o_orderkey"], np.int64)
+        od = np.asarray(t["o_orderdate"],
+                        "datetime64[us]").astype(np.int64)
+        return pa.table({
+            "ok": pa.array(ok, pa.int64()),
+            "sk": pa.array(np.full(ok.size, -1, np.int64), pa.int64()),
+            "ts": pa.array(od, pa.int64()),
+            "is_order": pa.array(np.ones(ok.size, bool)),
+            "part": pa.array(ok % group_parts, pa.int64()),
+        })
+
+    lines = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"]).map_batches(
+        _lines, batch_format="pyarrow")
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus",
+                 "o_orderdate"]).map_batches(
+        _orders, batch_format="pyarrow")
+
+    def _merge(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return _WAIT_SUPP_SCHEMA.empty_table()
+        ok = np.asarray(part["ok"], np.int64)
+        sk = np.asarray(part["sk"], np.int64)
+        ts = np.asarray(part["ts"], np.int64)
+        iso = np.asarray(part["is_order"], bool)
+        o_ok, o_ts = ok[iso], ts[iso]
+        p_ok, p_sk, p_ts = ok[~iso], sk[~iso], ts[~iso]
+        # cross-block max per (orderkey, suppkey) pair
+        order = np.lexsort((p_sk, p_ok))
+        p_ok, p_sk, p_ts = p_ok[order], p_sk[order], p_ts[order]
+        if p_ok.size:
+            first = np.concatenate([[True], (p_ok[1:] != p_ok[:-1])
+                                    | (p_sk[1:] != p_sk[:-1])])
+            starts = np.flatnonzero(first)
+            p_ts = np.maximum.reduceat(p_ts, starts)
+            p_ok, p_sk = p_ok[starts], p_sk[starts]
+        # inner join: order date per pair row ('F' orders only)
+        so = np.argsort(o_ok)
+        o_ok, o_ts = o_ok[so], o_ts[so]
+        pos = np.searchsorted(o_ok, p_ok)
+        posc = np.minimum(pos, max(o_ok.size - 1, 0))
+        hit = o_ok.size > 0
+        m = (o_ok[posc] == p_ok) if hit else np.zeros(p_ok.size, bool)
+        p_ok, p_sk, p_ts, posc = p_ok[m], p_sk[m], p_ts[m], posc[m]
+        late = p_ts > (o_ts[posc] + late_us)
+        # per-order supplier count + late count (+ the single late sk)
+        if not p_ok.size:
+            return _WAIT_SUPP_SCHEMA.empty_table()
+        first_o = np.concatenate([[True], p_ok[1:] != p_ok[:-1]])
+        starts = np.flatnonzero(first_o)
+        n_supp = np.diff(np.concatenate([starts, [p_ok.size]]))
+        n_late = np.add.reduceat(late.astype(np.int64), starts)
+        keep_o = (n_supp >= 2) & (n_late == 1)
+        grp = np.cumsum(first_o) - 1
+        credit = late & keep_o[grp]
+        return pa.table({"s_suppkey": pa.array(p_sk[credit],
+                                               pa.int64())})
+
+    waited = exchange_map_groups(lines.union(orders), "part", n_parts,
+                                 _merge, _WAIT_SUPP_SCHEMA)
+    counts = grouped_sums(waited, ["s_suppkey"], [], count_as="numwait")
+
+    supp = {r["s_suppkey"]: r["s_name"]
+            for r in read_parquet_clean(
+                f"{sf_dir}/supplier.parquet",
+                columns=["s_suppkey", "s_name"]).take_all()}
+    name_ref = ray.put(supp)
+
+    def _name(batch: pa.Table) -> pa.Table:
+        names = ray.get(name_ref)
+        sks = np.asarray(batch["s_suppkey"], np.int64)
+        keep = np.array([k in names for k in sks], bool) \
+            if sks.size else np.empty(0, bool)
+        return pa.table({
+            "s_name": pa.array([names[k] for k in sks[keep]],
+                               pa.string()),
+            "numwait": pc.filter(batch["numwait"], pa.array(keep)),
+        })
+
+    return counts.map_batches(_name, batch_format="pyarrow")
+
+
+def nation_market_share(sf_dir: str, nation_name: str = "NATION_7"):
+    """TPC-H Q8 shape: per order year, the share of region revenue
+    supplied by one nation — revenue of lineitems whose supplier is from
+    ``nation_name``, over all revenue from orders placed by customers in
+    that nation's REGION.
+
+    Scale plan mirrors Q5's two-exchange spine: orders ⋈ customer on
+    custkey (customers outside the region drop at the join — inner
+    semantics), then lineitem partials ⋈ that on orderkey. The lineitem
+    side block-combines to one (orderkey, total_e4, nation_e4) row per
+    orderkey per block BEFORE the shuffle, with the supplier→nation
+    lookup a dense broadcast array (dim-sized). share_e4 =
+    floor(1e4·nation/total) — floor, not round: half-to-even vs
+    half-away can disagree at an exact .5, floor cannot."""
+    import numpy as np
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.agg import grouped_sums
+    from ..stages.join import hash_join_exchange
+
+    n_parts = resolve_num_partitions(DEFAULT_CONFIG)
+
+    nation = read_parquet_clean(f"{sf_dir}/nation.parquet").take_all()
+    target = [r for r in nation if r["n_name"] == nation_name]
+    if not target:
+        return ray.data.from_arrow(pa.schema(
+            [("year", pa.int64()), ("nation_rev_e4", pa.int64()),
+             ("total_rev_e4", pa.int64()),
+             ("share_e4", pa.int64())]).empty_table())
+    target_nk = target[0]["n_nationkey"]
+    region_key = target[0]["n_regionkey"]
+    region_nks = {r["n_nationkey"] for r in nation
+                  if r["n_regionkey"] == region_key}
+
+    supp = read_parquet_clean(f"{sf_dir}/supplier.parquet",
+                              columns=["s_suppkey",
+                                       "s_nationkey"]).take_all()
+    max_sk = max((r["s_suppkey"] for r in supp), default=-1)
+    s_nk = np.full(max_sk + 1, -1, np.int64)
+    for r in supp:
+        s_nk[r["s_suppkey"]] = r["s_nationkey"]
+    lut_ref = ray.put(s_nk)
+
+    def _lines(batch: pa.Table) -> pa.Table:
+        s_a = ray.get(lut_ref)
+        sk = np.asarray(batch["l_suppkey"], np.int64)
+        ok = np.asarray(batch["l_orderkey"], np.int64)
+        # inner-join semantics: lines whose supplier misses the dim drop
+        m = (sk >= 0) & (sk < s_a.size)
+        m[m] &= s_a[sk[m]] >= 0
+        ok, sk = ok[m], sk[m]
+        price = np.asarray(batch["l_extendedprice"], np.float64)[m]
+        disc = np.asarray(batch["l_discount"], np.float64)[m]
+        rev = (np.rint(price * 100).astype(np.int64)
+               * (100 - np.rint(disc * 100).astype(np.int64)))
+        is_t = (s_a[sk] == target_nk).astype(np.int64)
+        uniq, inv = np.unique(ok, return_inverse=True)
+        tot = np.bincount(inv, weights=rev.astype(np.float64),
+                          minlength=len(uniq))
+        tgt = np.bincount(inv, weights=(rev * is_t).astype(np.float64),
+                          minlength=len(uniq))
+        # per-order e4 sums < 2^53: float64 bincount is exact
+        return pa.table({
+            "l_orderkey": pa.array(uniq, pa.int64()),
+            "tot_e4": pa.array(tot.astype(np.int64), pa.int64()),
+            "tgt_e4": pa.array(tgt.astype(np.int64), pa.int64()),
+        })
+
+    rk_arr = pa.array(sorted(region_nks), pa.int64())
+
+    def _cust(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(pc.cast(batch["c_nationkey"], pa.int64()),
+                        value_set=rk_arr)
+        t = batch.filter(keep)
+        return pa.table({
+            "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+        })
+
+    def _orders(batch: pa.Table) -> pa.Table:
+        year = np.asarray(batch["o_orderdate"], "datetime64[us]") \
+            .astype("datetime64[Y]").astype(np.int64) + 1970
+        return pa.table({
+            "o_orderkey": pc.cast(batch["o_orderkey"], pa.int64()),
+            "o_custkey": pc.cast(batch["o_custkey"], pa.int64()),
+            "year": pa.array(year, pa.int64()),
+        })
+
+    cust = read_parquet_clean(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"]).map_batches(
+        _cust, batch_format="pyarrow")
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey",
+                 "o_orderdate"]).map_batches(
+        _orders, batch_format="pyarrow")
+    co = hash_join_exchange(orders, cust, key="custkey",
+                            left_cols=["o_orderkey", "year"],
+                            right_cols=[], n_parts=n_parts,
+                            left_key="o_custkey",
+                            right_key="c_custkey")
+    lines = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"]).map_batches(
+        _lines, batch_format="pyarrow")
+    col = hash_join_exchange(co, lines, key="orderkey",
+                             left_cols=["year"],
+                             right_cols=["tot_e4", "tgt_e4"],
+                             n_parts=n_parts, left_key="o_orderkey",
+                             right_key="l_orderkey")
+    agg = grouped_sums(col, ["year"], ["tot_e4", "tgt_e4"])
+
+    def _share(batch: pa.Table) -> pa.Table:
+        tot = np.asarray(batch["sum_tot_e4"], np.int64)
+        tgt = np.asarray(batch["sum_tgt_e4"], np.int64)
+        share = np.floor(1e4 * tgt / np.maximum(tot, 1)).astype(np.int64)
+        return pa.table({
+            "year": batch["year"],
+            "nation_rev_e4": pa.array(tgt, pa.int64()),
+            "total_rev_e4": pa.array(tot, pa.int64()),
+            "share_e4": pa.array(share, pa.int64()),
+        })
+
+    return agg.map_batches(_share, batch_format="pyarrow")
