@@ -373,6 +373,50 @@ def _search_exact_q(sf_dir: str):
     return search(sigs, qid, cfg, threshold=0.0).drop_columns(["md5"])
 
 
+def _categorize_exact_q(sf_dir: str):
+    """``categorize`` (1-NN best-match labeling) over the scaled=1
+    collection, exact twin: for each of the 8 lexicographically-first
+    conversations, the other member with the highest exact k-shingle
+    jaccard (> 0), ties broken by smaller conv_id — an explicit
+    deterministic tiebreak instead of the production op's murmur-md5
+    one, which is what makes this variant SQL-expressible. Pair scores
+    come from the distributed compare_exact all-pairs pass; the
+    per-query argmax folds ≤39 rows per query on the driver."""
+    import pandas as pd
+
+    from sourmash_ray.pipelines.sourmash_parity import compare_exact
+
+    sigs, cfg = _exact_sigs_40(sf_dir)
+    qids = sorted(r["conv_id"] for r in
+                  sigs.select_columns(["conv_id"]).take_all())[:8]
+    pairs = compare_exact(sigs, cfg).take_all()
+    best: dict[str, tuple] = {}
+    for r in pairs:
+        if r["jaccard"] <= 0:
+            continue
+        for q, m in ((r["a"], r["b"]), (r["b"], r["a"])):
+            if q not in qids:
+                continue
+            cur = best.get(q)
+            # max jaccard, then lexicographically-smallest match
+            if cur is None or (r["jaccard"], _NEG(m)) > (cur[1], _NEG(cur[0])):
+                best[q] = (m, r["jaccard"])
+    rows = [{"query": q, "best_match": best[q][0],
+             "jaccard": best[q][1]} for q in sorted(best)]
+    return pd.DataFrame(rows, columns=["query", "best_match", "jaccard"])
+
+
+class _NEG(str):
+    """Reverse-ordering str wrapper: (jaccard, _NEG(id)) sorts by
+    jaccard DESC then id ASC under a single max()."""
+
+    def __lt__(self, other):          # pragma: no cover - trivial
+        return str.__gt__(self, other)
+
+    def __gt__(self, other):
+        return str.__lt__(self, other)
+
+
 def _watch_q(sf_dir: str):
     """``sourmash watch`` as a driver query: a deterministic stream
     fixture (the turns of the corpus's first conversations in stable
@@ -578,6 +622,7 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "compare_exact_small": _compare_q,
         "compare_containment_small": _compare_containment_q,
         "prefetch_exact_small": _prefetch_exact_q,
+        "categorize_exact_small": _categorize_exact_q,
         "search_exact_small": _search_exact_q,
         "compare_ordered_small": _compare_ordered_q,
         "watch_transcripts": _watch_q,
@@ -910,6 +955,54 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN inter i ON i.ca = p.a AND i.cb = p.b
             LEFT JOIN sizes sa ON sa.conv_id = p.a
             LEFT JOIN sizes sb ON sb.conv_id = p.b
+        """,
+        "categorize_exact_small": f"""
+            WITH sel AS (
+              SELECT DISTINCT conv_id
+              FROM read_parquet('{_turns}/*.parquet')
+              ORDER BY conv_id LIMIT 40),
+            t AS (
+              SELECT conv_id,
+                     trim(regexp_replace(lower(coalesce(text, '')),
+                          '[ \t\n\r\f\v]+', ' ', 'g')) AS nt
+              FROM read_parquet('{_turns}/*.parquet')
+              WHERE conv_id IN (SELECT conv_id FROM sel)),
+            pos AS (
+              SELECT conv_id, nt,
+                     unnest(range(1, len(nt) - {_K} + 2)) AS i
+              FROM t WHERE len(nt) >= {_K}),
+            sh AS (
+              SELECT DISTINCT conv_id,
+                     substr(nt, CAST(i AS INTEGER), {_K}) AS s
+              FROM pos),
+            sizes AS (SELECT conv_id, count(*) AS n FROM sh
+                      GROUP BY conv_id),
+            inter AS (
+              SELECT x.conv_id AS ca, y.conv_id AS cb, count(*) AS c
+              FROM sh x JOIN sh y
+                ON x.s = y.s AND x.conv_id < y.conv_id
+              GROUP BY 1, 2),
+            bi AS (
+              SELECT ca AS query, cb AS match, c FROM inter
+              UNION ALL
+              SELECT cb AS query, ca AS match, c FROM inter),
+            j AS (
+              SELECT b.query, b.match,
+                     CAST(b.c AS DOUBLE)
+                         / greatest(sa.n + sb.n - b.c, 1) AS jaccard
+              FROM bi b
+              JOIN sizes sa ON sa.conv_id = b.query
+              JOIN sizes sb ON sb.conv_id = b.match),
+            q8 AS (SELECT conv_id FROM sel ORDER BY conv_id LIMIT 8)
+            SELECT query, match AS best_match, jaccard FROM (
+              SELECT j.*,
+                     row_number() OVER (PARTITION BY query
+                                        ORDER BY jaccard DESC,
+                                                 match ASC) AS rn
+              FROM j
+              WHERE query IN (SELECT conv_id FROM q8)
+                AND jaccard > 0)
+            WHERE rn = 1
         """,
         "prefetch_exact_small": f"""
             WITH sel AS (
