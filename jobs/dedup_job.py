@@ -48,6 +48,14 @@ def main():
                          "adjacent min-ts windows are candidates")
     ap.add_argument("--num-cpus", type=int, default=None,
                     help="local-mode only; ignored on a cluster")
+    ap.add_argument("--tiered", default=None,
+                    choices=["docs", "transcripts"],
+                    help="run the tier-dedup cascade instead of the "
+                         "flat pipeline: 'docs' = exact->simhash->"
+                         "minhash over <input>/documents.parquet, "
+                         "'transcripts' = exact(sig-md5)->jaccard->"
+                         "containment; output is the one-row-per-"
+                         "record (id, tier, rep) table")
     args = ap.parse_args()
 
     import ray
@@ -74,6 +82,31 @@ def main():
                                             track_abundance=True))
 
     t0 = time.perf_counter()
+    if args.tiered:
+        if args.metric != "jaccard" or args.window_us:
+            raise SystemExit("--tiered is incompatible with --metric/"
+                             "--window-us (the cascade fixes its own "
+                             "tier metrics)")
+        from sourmash_ray.pipelines.tiered import (tiered_dedup_docs,
+                                                   tiered_dedup_transcripts)
+
+        fn = (tiered_dedup_docs if args.tiered == "docs"
+              else tiered_dedup_transcripts)
+        tiers = fn(args.input, cfg)
+        if args.out:
+            tiers.write_parquet(args.out)
+        n = tiers.count()
+        wall = time.perf_counter() - t0
+        print(json.dumps({
+            "job": f"tiered_dedup_{args.tiered}",
+            "input": args.input,
+            "rows": n,
+            "wall_s": round(wall, 2),
+            "cluster_cpus": ray.cluster_resources().get("CPU"),
+            "out": args.out,
+        }))
+        ray.shutdown()
+        return
     if args.window_us:
         if args.metric != "jaccard":
             raise SystemExit("--window-us supports jaccard only")

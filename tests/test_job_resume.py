@@ -117,3 +117,23 @@ def test_dedup_job_kill_mid_checkpoint_resume(tmp_path):
 
     assert _sorted_rows(f"{out_resumed}/*.parquet") == \
         _sorted_rows(f"{out_fresh}/*.parquet")
+
+
+def test_dedup_job_tiered_mode(tmp_path):
+    """--tiered docs runs the cascade end-to-end from the job
+    entrypoint, writes the (doc_id, tier, rep_doc_id) table, and covers
+    every input row exactly once."""
+    out = str(tmp_path / "tiers")
+    r = _run([sys.executable, "jobs/dedup_job.py", "--input", SF,
+              "--tiered", "docs", "--out", out, "--num-cpus", "4"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["job"] == "tiered_dedup_docs"
+    tbl = pq.read_table(out)
+    n_docs = pq.read_table(f"{SF}/documents.parquet",
+                           columns=["doc_id"]).num_rows
+    assert tbl.num_rows == rep["rows"] == n_docs
+    ids = sorted(tbl["doc_id"].to_pylist())
+    assert ids == sorted(set(ids))  # one labeled row per doc
+    assert set(tbl["tier"].to_pylist()) <= {"exact", "simhash",
+                                            "minhash", "kept"}
