@@ -691,6 +691,7 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "waiting_suppliers": relational.waiting_suppliers,
         "nation_market_share": relational.nation_market_share,
         "column_profile_docs": docops.column_profile_docs,
+        "cross_source_dup_matrix": docops.cross_source_dup_matrix,
         "customer_segment_profile":
             relational.customer_segment_profile,
         "quantity_value_histogram":
@@ -1386,6 +1387,20 @@ def oracle_sql() -> dict[str, str]:
                                           AS BIGINT))) AS BIGINT)
                        AS revenue_e4
             FROM lineitem GROUP BY 1
+        """,
+        "cross_source_dup_matrix": """
+            WITH h AS (
+              SELECT md5(trim(regexp_replace(lower(coalesce(text, '')),
+                              '[ \t\n\r\f\v]+', ' ', 'g'))) AS m,
+                     coalesce(source, '') AS s
+              FROM documents),
+            g AS (SELECT m, s, count(*) AS n FROM h GROUP BY 1, 2)
+            SELECT a.s AS src_a, b.s AS src_b,
+                   CAST(count(*) AS BIGINT) AS n_groups
+            FROM g a JOIN g b
+              ON a.m = b.m
+             AND (a.s < b.s OR (a.s = b.s AND a.n >= 2))
+            GROUP BY 1, 2
         """,
         "column_profile_docs": """
             SELECT 'doc_id' AS col_name,

@@ -2835,3 +2835,109 @@ def column_profile_docs(sf_dir: str):
     if not rows:
         return ray.data.from_arrow(schema.empty_table())
     return ray.data.from_arrow(pa.Table.from_pylist(rows, schema=schema))
+
+
+_XSRC_PART_SCHEMA = pa.schema([
+    ("text_md5", pa.string()), ("source", pa.string()),
+    ("n", pa.int64()), ("md5_part", pa.int64())])
+_XSRC_PAIR_SCHEMA = pa.schema([
+    ("src_a", pa.string()), ("src_b", pa.string()),
+    ("n_groups", pa.int64())])
+
+
+def cross_source_dup_matrix(sf_dir: str):
+    """Cross-source duplication matrix: for every unordered source pair
+    (src_a ≤ src_b), the number of exact-dup groups (normalized-text md5
+    classes) containing documents from BOTH sources — the diagonal
+    counts groups with ≥ 2 docs of the same source. The curation signal
+    behind "which crawls re-crawl each other": at web scale most dup
+    bytes are cross-snapshot, and this matrix says which pairs to
+    dedup-join first.
+
+    Shuffle math: blocks pre-combine to distinct (md5, source, count)
+    partials, ONE md5-keyed exchange co-locates a group's sources, and
+    each group emits ≤ |sources|² pair rows — the second exchange
+    (pair-cell rollup) is |sources|²-bounded, never corpus-bounded."""
+    import numpy as np
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..functions.segscore import hash_strings64
+    from ..stages.agg import grouped_sums
+    from ..stages.exchange import exchange_map_groups
+
+    group_parts = DEFAULT_CONFIG.exec.group_parts
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        md5 = _normalize_md5_batch(batch)["text_md5"]
+        src = pc.fill_null(batch["source"], "")
+        t = pa.table({"m": md5, "s": src})
+        import pyarrow.compute as _pc
+
+        g = t.group_by(["m", "s"]).aggregate([([], "count_all")])
+        m = g["m"].combine_chunks()
+        return pa.table({
+            "text_md5": m,
+            "source": g["s"],
+            "n": pc.cast(g["count_all"], pa.int64()),
+            "md5_part": pa.array(hash_strings64(m) % group_parts,
+                                 pa.int64()),
+        })
+
+    def _pairs(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return _XSRC_PAIR_SCHEMA.empty_table()
+        from ..functions.segscore import _to_bytes_array
+
+        m = _to_bytes_array(part["text_md5"])
+        src = np.asarray(part["source"], dtype=object)
+        n = np.asarray(part["n"], np.int64)
+        order = np.lexsort((src, m))
+        m, src, n = m[order], src[order], n[order]
+        # cross-block combine of per-(group, source) counts
+        same = np.concatenate([[False], (m[1:] == m[:-1])
+                               & (src[1:] == src[:-1])]) \
+            if m.size else np.empty(0, bool)
+        starts = np.flatnonzero(~same)
+        n = np.add.reduceat(n, starts)
+        m, src = m[starts], src[starts]
+        first = np.concatenate([[True], m[1:] != m[:-1]])
+        gstarts = np.flatnonzero(first)
+        gsizes = np.diff(np.concatenate([gstarts, [m.size]]))
+        # diagonal cells vectorized; the Python loop touches ONLY
+        # multi-source groups (the rare cross-crawl dups), never the
+        # singleton mass
+        diag = n >= 2
+        a_list, b_list = [src[diag]], [src[diag]]
+        multi = gsizes >= 2
+        for s0, sz in zip(gstarts[multi], gsizes[multi]):
+            ss = src[s0:s0 + sz]          # sorted within group
+            ii, jj = np.triu_indices(sz, 1)
+            a_list.append(ss[ii])
+            b_list.append(ss[jj])
+        a_out = np.concatenate(a_list) if a_list else \
+            np.empty(0, object)
+        b_out = np.concatenate(b_list) if b_list else \
+            np.empty(0, object)
+        return pa.table({
+            "src_a": pa.array(a_out, pa.string()),
+            "src_b": pa.array(b_out, pa.string()),
+            "n_groups": pa.array(np.ones(len(a_out), np.int64),
+                                 pa.int64()),
+        })
+
+    parts = _read_docs(sf_dir, columns=["doc_id", "text",
+                                        "source"]).map_batches(
+        _partial, batch_format="pyarrow")
+    pairs = exchange_map_groups(parts, "md5_part",
+                                resolve_num_partitions(DEFAULT_CONFIG),
+                                _pairs, _XSRC_PAIR_SCHEMA)
+    agg = grouped_sums(pairs, ["src_a", "src_b"], ["n_groups"])
+    out = agg.map_batches(
+        lambda t: pa.table({"src_a": t["src_a"], "src_b": t["src_b"],
+                            "n_groups": t["sum_n_groups"]}),
+        batch_format="pyarrow").materialize()
+    if out.count() == 0:
+        # a dup-free corpus yields an empty matrix — return it TYPED
+        # (an empty Dataset loses its schema; the known engine quirk)
+        return _XSRC_PAIR_SCHEMA.empty_table()
+    return out

@@ -136,3 +136,26 @@ def test_nation_market_share_unknown_nation_typed_empty(ray_session):
     assert out.count() == 0
     assert set(out.schema().names) == {"year", "nation_rev_e4",
                                        "total_rev_e4", "share_e4"}
+
+
+def test_cross_source_dup_matrix_hand_fixture(ray_session, tmp_path):
+    """Groups: m1 = {A, A, B} -> (A,A) + (A,B); m2 = {B, C} -> (B,C);
+    m3 = {C} singleton -> nothing. Diagonal counts same-source >=2."""
+    from sourmash_ray.pipelines.docops import cross_source_dup_matrix
+
+    docs = [
+        (0, "x y z", "A"), (1, "x  y z ", "A"), (2, "X Y Z", "B"),
+        (3, "q r", "B"), (4, "q r", "C"),
+        (5, "unique text", "C"),
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "text": pa.array([d[1] for d in docs], pa.string()),
+        "source": pa.array([d[2] for d in docs], pa.string()),
+    }), f"{tmp_path}/documents.parquet")
+    res = cross_source_dup_matrix(str(tmp_path))
+    rows = (res.take_all() if hasattr(res, "take_all")
+            else res.to_pylist())
+    got = {(r["src_a"], r["src_b"]): r["n_groups"] for r in rows}
+    # "x y z" normalizes ws-equal across all three docs (lower+collapse)
+    assert got == {("A", "A"): 1, ("A", "B"): 1, ("B", "C"): 1}
