@@ -138,3 +138,48 @@ def test_round5_doc_ops_tolerate_null_text(null_sf):
     got = sorted((r["doc_id"], r["source"], r["pos"])
                  for r in interleave_sources_docs(null_sf).take_all())
     assert [g[2] for g in got] == list(range(8))  # 8 sources, 1 doc each
+
+
+def test_column_profile_nulls_match_duckdb(null_sf):
+    import duckdb
+
+    from sourmash_ray.pipelines import docops
+
+    got = {r["col_name"]: (r["n_rows"], r["n_nulls"], r["n_distinct"])
+           for r in docops.column_profile_docs(null_sf).take_all()}
+    con = duckdb.connect()
+    for col in ("doc_id", "text", "lang", "source", "n_chars"):
+        want = con.execute(f"""
+            SELECT count(*), count(*) - count({col}),
+                   count(DISTINCT {col})
+            FROM read_parquet('{null_sf}/documents.parquet')
+        """).fetchone()
+        assert got[col] == tuple(int(x) for x in want), col
+
+
+def test_cross_source_dup_matrix_null_text(null_sf):
+    """NULL text and '' normalize to the same md5 group; their two
+    sources form a cross-source dup pair (DuckDB coalesce parity)."""
+    import duckdb
+
+    from sourmash_ray.pipelines import docops
+
+    res = docops.cross_source_dup_matrix(null_sf)
+    rows = (res.take_all() if hasattr(res, "take_all")
+            else res.to_pylist())
+    got = {(r["src_a"], r["src_b"]): r["n_groups"] for r in rows}
+    want = dict()
+    for a, b, n in duckdb.connect().execute(f"""
+        WITH h AS (
+          SELECT md5(trim(regexp_replace(lower(coalesce(text, '')),
+                          '[ \t\n\r\f\v]+', ' ', 'g'))) AS m,
+                 coalesce(source, '') AS s
+          FROM read_parquet('{null_sf}/documents.parquet')),
+        g AS (SELECT m, s, count(*) AS n FROM h GROUP BY 1, 2)
+        SELECT a.s, b.s, count(*) FROM g a JOIN g b
+          ON a.m = b.m AND (a.s < b.s OR (a.s = b.s AND a.n >= 2))
+        GROUP BY 1, 2
+    """).fetchall():
+        want[(a, b)] = int(n)
+    assert got == want
+    assert got  # the NULL/''/dup-text groups must appear
