@@ -322,6 +322,62 @@ def _sig_describe_exact_q(sf_dir: str):
         _cast, batch_format="pyarrow")
 
 
+def _snapshot_b_dir(sf_dir: str) -> str:
+    """Deterministic second snapshot for the diff demo, cached under
+    /tmp: drop doc_id % 10 == 0 (removed), append ' +changed+' to the
+    text of doc_id % 7 == 0 (changed — the marker survives ws
+    normalization, unlike a case flip), add a fresh doc id+10M for
+    doc_id % 13 == 0 (added). The SQL twin re-derives the same snapshot
+    inline from the documents view."""
+    import hashlib
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out = f"/tmp/snapshot_b_v1_{tag}"
+    if os.path.exists(f"{out}/documents.parquet"):
+        return out
+    from sourmash_ray.sources.tables import read_parquet_clean
+
+    import numpy as np
+
+    blocks = []
+    for blk in read_parquet_clean(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text"]).iter_batches(
+            batch_format="pyarrow"):
+        ids = np.asarray(pc.cast(blk["doc_id"], pa.int64()), np.int64)
+        txt = np.asarray(pc.fill_null(blk["text"], ""), dtype=object)
+        kept = ids % 10 != 0
+        k_ids, k_txt = ids[kept], txt[kept].copy()
+        chg = k_ids % 7 == 0
+        k_txt[chg] = [t + " +changed+" for t in k_txt[chg]]
+        add_m = ids % 13 == 0
+        a_ids = ids[add_m] + 10_000_000
+        a_txt = [f"added doc {i}" for i in ids[add_m]]
+        blocks.append(pa.table({
+            "doc_id": pa.array(np.concatenate([k_ids, a_ids]),
+                               pa.int64()),
+            "text": pa.array(list(k_txt) + a_txt, pa.string()),
+        }))
+    tmp = f"{out}.building"
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(pa.concat_tables(blocks), f"{tmp}/documents.parquet")
+    os.replace(tmp, out)
+    return out
+
+
+def _snapshot_diff_q(sf_dir: str):
+    """Corpus-snapshot diff (added/removed/changed) against the
+    deterministic derived snapshot — see :func:`_snapshot_b_dir`."""
+    from sourmash_ray.pipelines.docops import snapshot_diff_docs
+
+    return snapshot_diff_docs(sf_dir, _snapshot_b_dir(sf_dir))
+
+
 def _exact_query_id(sf_dir: str) -> tuple:
     """Deterministic query choice for the small search/prefetch twins:
     the smallest conv_id that shares ≥1 shingle with some other member
@@ -692,6 +748,7 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "nation_market_share": relational.nation_market_share,
         "column_profile_docs": docops.column_profile_docs,
         "cross_source_dup_matrix": docops.cross_source_dup_matrix,
+        "snapshot_diff_docs": _snapshot_diff_q,
         "customer_segment_profile":
             relational.customer_segment_profile,
         "quantity_value_histogram":
@@ -1387,6 +1444,35 @@ def oracle_sql() -> dict[str, str]:
                                           AS BIGINT))) AS BIGINT)
                        AS revenue_e4
             FROM lineitem GROUP BY 1
+        """,
+        "snapshot_diff_docs": """
+            WITH norm AS (
+              SELECT doc_id, coalesce(text, '') AS tx FROM documents),
+            a AS (
+              SELECT doc_id,
+                     md5(trim(regexp_replace(lower(tx),
+                              '[ \t\n\r\f\v]+', ' ', 'g'))) AS m
+              FROM norm),
+            braw AS (
+              SELECT doc_id,
+                     tx || CASE WHEN doc_id % 7 = 0
+                                THEN ' +changed+' ELSE '' END AS tx
+              FROM norm WHERE doc_id % 10 <> 0
+              UNION ALL
+              SELECT doc_id + 10000000,
+                     'added doc ' || CAST(doc_id AS VARCHAR)
+              FROM norm WHERE doc_id % 13 = 0),
+            b AS (
+              SELECT doc_id,
+                     md5(trim(regexp_replace(lower(tx),
+                              '[ \t\n\r\f\v]+', ' ', 'g'))) AS m
+              FROM braw)
+            SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                   CASE WHEN a.doc_id IS NULL THEN 'added'
+                        WHEN b.doc_id IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status
+            FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+            WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.m <> b.m
         """,
         "cross_source_dup_matrix": """
             WITH h AS (

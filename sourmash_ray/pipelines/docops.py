@@ -2941,3 +2941,54 @@ def cross_source_dup_matrix(sf_dir: str):
         # (an empty Dataset loses its schema; the known engine quirk)
         return _XSRC_PAIR_SCHEMA.empty_table()
     return out
+
+
+def snapshot_diff_docs(dir_a: str, dir_b: str):
+    """Two-snapshot corpus diff — the daily crawl-delta audit: which
+    docs were ADDED, REMOVED, or CHANGED (same doc_id, different
+    normalized-text md5) between snapshot A and snapshot B. Each side
+    reduces to its (doc_id, md5) fingerprint in the map pass (the text
+    never shuffles), ONE full-outer doc_id exchange joins them, and
+    only the changed surface is emitted — the unchanged mass (the
+    overwhelming majority of a daily delta) dies inside the join
+    partition."""
+    import numpy as np
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.join import hash_join_exchange
+
+    n_parts = resolve_num_partitions(DEFAULT_CONFIG)
+
+    def _fp(col_name):
+        def _f(batch: pa.Table) -> pa.Table:
+            t = _normalize_md5_batch(batch)
+            return pa.table({
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                col_name: t["text_md5"],
+            })
+        return _f
+
+    a = _read_docs(dir_a).map_batches(_fp("md5_a"),
+                                      batch_format="pyarrow")
+    b = _read_docs(dir_b).map_batches(_fp("md5_b"),
+                                      batch_format="pyarrow")
+    j = hash_join_exchange(a, b, key="doc_id", left_cols=["md5_a"],
+                           right_cols=["md5_b"], n_parts=n_parts,
+                           join_type="full outer")
+
+    def _status(batch: pa.Table) -> pa.Table:
+        ma = batch["md5_a"].combine_chunks()
+        mb = batch["md5_b"].combine_chunks()
+        a_null = np.asarray(pc.is_null(ma), bool)
+        b_null = np.asarray(pc.is_null(mb), bool)
+        neq = np.asarray(pc.fill_null(pc.not_equal(ma, mb), False), bool)
+        status = np.where(a_null, "added",
+                          np.where(b_null, "removed", "changed"))
+        keep = a_null | b_null | neq
+        return pa.table({
+            "doc_id": pc.filter(pc.cast(batch["doc_id"], pa.int64()),
+                                pa.array(keep)),
+            "status": pa.array(status[keep], pa.string()),
+        })
+
+    return j.map_batches(_status, batch_format="pyarrow")

@@ -159,3 +159,26 @@ def test_cross_source_dup_matrix_hand_fixture(ray_session, tmp_path):
     got = {(r["src_a"], r["src_b"]): r["n_groups"] for r in rows}
     # "x y z" normalizes ws-equal across all three docs (lower+collapse)
     assert got == {("A", "A"): 1, ("A", "B"): 1, ("B", "C"): 1}
+
+
+def test_snapshot_diff_docs_hand_fixture(ray_session, tmp_path):
+    from sourmash_ray.pipelines.docops import snapshot_diff_docs
+
+    a = tmp_path / "a"
+    b = tmp_path / "b"
+    a.mkdir()
+    b.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["same", "will change", "gone", None],
+                         pa.string()),
+    }), f"{a}/documents.parquet")
+    pq.write_table(pa.table({
+        # doc 4: None in A vs "" in B — ws-normalize-equal, NOT changed
+        "doc_id": pa.array([1, 2, 4, 5], pa.int64()),
+        "text": pa.array(["same", "did change", "", "brand new"],
+                         pa.string()),
+    }), f"{b}/documents.parquet")
+    got = {r["doc_id"]: r["status"]
+           for r in snapshot_diff_docs(str(a), str(b)).take_all()}
+    assert got == {2: "changed", 3: "removed", 5: "added"}
