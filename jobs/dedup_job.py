@@ -92,7 +92,7 @@ def main():
 
         fn = (tiered_dedup_docs if args.tiered == "docs"
               else tiered_dedup_transcripts)
-        tiers = fn(args.input, cfg)
+        tiers = fn(args.input, cfg, checkpoint_dir=args.checkpoint_dir)
         if args.out:
             tiers.write_parquet(args.out)
         n = tiers.count()

@@ -36,6 +36,8 @@ propagation above).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -194,6 +196,55 @@ def _with_tier(ds, tier: str):
     return ds.map_batches(_fn, batch_format="pyarrow")
 
 
+def _ckpt(ds, checkpoint_dir, stage: str, fingerprint: str,
+          resume: bool = True, schema: pa.Schema | None = None):
+    """Tier-boundary materialize: plain object-store materialize without
+    a checkpoint dir, else a resumable Parquet stage checkpoint with a
+    lineage manifest (the north rule's per-partition lineage + metrics)
+    — a killed cascade resumes after its last completed tier.
+
+    ``schema``: an EMPTY stage (e.g. a tier that eliminated nothing)
+    writes one typed empty Parquet file under it — ``write_parquet`` of
+    an empty Dataset writes nothing at all, which would break both the
+    lineage scan and the resume read."""
+    if checkpoint_dir is None:
+        return ds.materialize()
+    import json as _json
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from ..state.checkpoint import checkpoint_dataset
+
+    path = os.path.join(checkpoint_dir, stage)
+    marker = os.path.join(path, "_LINEAGE.json")
+    if resume and os.path.exists(marker):
+        with open(marker) as f:
+            lineage = _json.load(f)
+        if lineage.get("fingerprint") == fingerprint:
+            return ray.data.read_parquet(path).materialize()
+        shutil.rmtree(path, ignore_errors=True)
+    ds = ds.materialize()
+    if ds.count() == 0 and schema is None:
+        # nothing to persist and no type to persist it under — skip the
+        # checkpoint; recomputing an empty stage on resume is free
+        return ds
+    if schema is not None and ds.count() == 0:
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(path, exist_ok=True)
+        pq.write_table(schema.empty_table(),
+                       os.path.join(path, "empty-0.parquet"))
+        with open(marker, "w") as f:
+            _json.dump({"stage": stage, "fingerprint": fingerprint,
+                        "rows": 0, "partitions": []}, f, indent=1)
+        return ray.data.from_arrow(schema.empty_table())
+    out, _ = checkpoint_dataset(ds, path, stage=stage,
+                                fingerprint=fingerprint, resume=False)
+    return out.materialize()
+
+
 class _CascadeDocSketcher:
     """ONE text scan for the whole docs cascade: exact-dup md5 + simhash
     + minhash sketch columns in a single pass. ``normalize_column`` and
@@ -230,29 +281,42 @@ class _CascadeDocSketcher:
 
 def tiered_dedup_docs(source, cfg: EngineConfig = DEFAULT_CONFIG, *,
                       max_hamming: int = 3,
-                      minhash_threshold: float | None = None):
+                      minhash_threshold: float | None = None,
+                      checkpoint_dir: str | None = None,
+                      resume: bool = True):
     """Run the exact → simhash → minhash cascade; see module docstring.
 
     ``source``: an sf_dir string or a (doc_id, text) Dataset.
+    ``checkpoint_dir`` (path sources only): persist each tier boundary
+    (fused sketch table + the three elimination tables) as a resumable
+    Parquet stage checkpoint — a killed cascade resumes after its last
+    completed tier.
     Returns a Dataset with exactly one ``(doc_id, tier, rep_doc_id)``
     row per input document.
     """
     import ray.data
 
+    if checkpoint_dir is not None and not isinstance(source, str):
+        raise ValueError("checkpoint_dir requires a path source (a "
+                         "Dataset source has no stable fingerprint to "
+                         "key resume on)")
+    fp = (f"tiers-v1|sf={source}|cfg={cfg.sketch}|{cfg.lsh}"
+          f"|hamming={max_hamming}|thr={minhash_threshold}")
     docs = _docs(source)
     n_parts = 2 * resolve_num_partitions(cfg)
 
     # ---- one text scan: md5 + simhash + minhash sketches ------------
     csk = _CascadeDocSketcher(cfg)
-    sketches = docs.map_batches(lambda t: csk(t),
-                                batch_format="pyarrow").materialize()
+    sketches = _ckpt(docs.map_batches(lambda t: csk(t),
+                                      batch_format="pyarrow"),
+                     checkpoint_dir, "sketches", fp, resume)
     if sketches.count() == 0:
         return ray.data.from_arrow(TIER_SCHEMA.empty_table())
 
     # ---- tier 0: exact ----------------------------------------------
-    exact = _exact_eliminations(
-        sketches.select_columns(["doc_id", "text_md5"]), cfg,
-        n_parts).materialize()
+    exact = _ckpt(_exact_eliminations(
+        sketches.select_columns(["doc_id", "text_md5"]), cfg, n_parts),
+        checkpoint_dir, "tier_exact", fp, resume, _ELIM_SCHEMA)
 
     # ---- tier 1: simhash over exact survivors -----------------------
     sims_surv = _surviving(
@@ -262,8 +326,9 @@ def tiered_dedup_docs(source, cfg: EngineConfig = DEFAULT_CONFIG, *,
     # pair-dedup exchange round is pure floor here
     sim_pairs = simhash_neardup_pairs(sims_surv, cfg, max_hamming,
                                       distinct=False)
-    sim_elim = _eliminations_from_pairs(sim_pairs, "a", "b",
-                                        cfg).materialize()
+    sim_elim = _ckpt(_eliminations_from_pairs(sim_pairs, "a", "b", cfg),
+                     checkpoint_dir, "tier_simhash", fp, resume,
+                     _ELIM_SCHEMA)
 
     # ---- tier 2: minhash LSH + verify over simhash survivors --------
     from ..stages.lsh import candidate_pairs
@@ -275,7 +340,9 @@ def tiered_dedup_docs(source, cfg: EngineConfig = DEFAULT_CONFIG, *,
                            to_string=True).materialize()
     cand = candidate_pairs(sigs_surv, cfg, distinct=False)
     ver = verify_pairs(cand, sigs_surv, cfg, threshold=minhash_threshold)
-    min_elim = _eliminations_from_pairs(ver, "a", "b", cfg).materialize()
+    min_elim = _ckpt(_eliminations_from_pairs(ver, "a", "b", cfg),
+                     checkpoint_dir, "tier_minhash", fp, resume,
+                     _ELIM_SCHEMA)
 
     # ---- assemble: one labeled row per doc --------------------------
     kept_ids = _surviving(sketches.select_columns(["doc_id"]),
@@ -437,7 +504,9 @@ def _with_tier_t(ds, tier: str):
 
 
 def tiered_dedup_transcripts(source, cfg: EngineConfig = DEFAULT_CONFIG, *,
-                             containment_threshold: float = 0.9):
+                             containment_threshold: float = 0.9,
+                             checkpoint_dir: str | None = None,
+                             resume: bool = True):
     """Conversation-grain tier cascade over the transcripts corpus:
 
     - **tier 'exact'** — sketch-md5 groups (the flagship's exact-dup key).
@@ -471,29 +540,41 @@ def tiered_dedup_transcripts(source, cfg: EngineConfig = DEFAULT_CONFIG, *,
     from ..stages.sketch import sketch_transcripts
     from ..stages.verify import verify_pairs
 
+    if checkpoint_dir is not None and not isinstance(source, str):
+        raise ValueError("checkpoint_dir requires a path source (a "
+                         "Dataset source has no stable fingerprint to "
+                         "key resume on)")
+    fp = (f"tiers-t-v1|sf={source}|cfg={cfg.sketch}|{cfg.lsh}"
+          f"|cthr={containment_threshold}")
     ds = read_transcripts(source) if isinstance(source, str) else source
     n_parts = 2 * resolve_num_partitions(cfg)
-    sigs = sketch_transcripts(ds, cfg).materialize()
+    sigs = _ckpt(sketch_transcripts(ds, cfg), checkpoint_dir,
+                 "signatures", fp, resume)
     if sigs.count() == 0:
         return ray.data.from_arrow(TIER_T_SCHEMA.empty_table())
 
     # ---- tier 0: sketch-exact ----------------------------------------
-    exact = _exact_sig_eliminations(sigs, cfg, n_parts).materialize()
+    exact = _ckpt(_exact_sig_eliminations(sigs, cfg, n_parts),
+                  checkpoint_dir, "tier_exact", fp, resume,
+                  _ELIM_T_SCHEMA)
 
     # ---- one banding + one scoring pass over exact survivors ---------
     sigs1 = _surviving_t(sigs, [exact], ["mins", "md5", "perms"],
                          cfg, n_parts).materialize()
     cand = candidate_pairs(sigs1, cfg, distinct=False)
     floor = min(cfg.verify_threshold, containment_threshold)
-    scored = verify_pairs(cand, sigs1, cfg, threshold=floor,
-                          metric="max_containment").materialize()
+    scored = _ckpt(verify_pairs(cand, sigs1, cfg, threshold=floor,
+                                metric="max_containment"),
+                   checkpoint_dir, "scored_pairs", fp, resume)
 
     # ---- tier 1: jaccard near-dups ------------------------------------
     jac_pairs = scored.map_batches(
         lambda t, thr=cfg.verify_threshold: t.filter(
             pc.fill_null(pc.greater_equal(t["jaccard"], thr), False)),
         batch_format="pyarrow")
-    jac = _eliminations_from_str_pairs(jac_pairs, cfg).materialize()
+    jac = _ckpt(_eliminations_from_str_pairs(jac_pairs, cfg),
+                checkpoint_dir, "tier_jaccard", fp, resume,
+                _ELIM_T_SCHEMA)
 
     # ---- tier 2: containment (subset/prefix) dups ---------------------
     jac_ids = pa.concat_tables(
@@ -509,7 +590,9 @@ def tiered_dedup_transcripts(source, cfg: EngineConfig = DEFAULT_CONFIG, *,
                                     t["containment_ba"]), thr), False)),
             bad),
         batch_format="pyarrow")
-    con = _eliminations_from_str_pairs(con_pairs, cfg).materialize()
+    con = _ckpt(_eliminations_from_str_pairs(con_pairs, cfg),
+                checkpoint_dir, "tier_containment", fp, resume,
+                _ELIM_T_SCHEMA)
 
     # ---- assemble ------------------------------------------------------
     kept_ids = _surviving_t(sigs.select_columns(["conv_id"]),

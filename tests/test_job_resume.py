@@ -137,3 +137,32 @@ def test_dedup_job_tiered_mode(tmp_path):
     assert ids == sorted(set(ids))  # one labeled row per doc
     assert set(tbl["tier"].to_pylist()) <= {"exact", "simhash",
                                             "minhash", "kept"}
+
+
+def test_tiered_job_kill_mid_tier_resume(tmp_path):
+    """SIGKILL the tiered cascade after its sketch checkpoint commits;
+    resubmitting with the same checkpoint dir resumes past completed
+    tiers and the resumed output is content-identical to a fresh run."""
+    ckpt = str(tmp_path / "ckpt")
+    out_resumed = str(tmp_path / "resumed")
+    out_fresh = str(tmp_path / "fresh")
+    cmd = [sys.executable, "jobs/dedup_job.py", "--input", SF,
+           "--tiered", "docs", "--num-cpus", "4"]
+
+    proc = _spawn(cmd + ["--checkpoint-dir", ckpt])
+    killed = _kill_when(
+        proc, lambda: os.path.exists(
+            os.path.join(ckpt, "sketches", "_LINEAGE.json")))
+    assert killed, "job finished before the kill trigger"
+    assert not os.path.exists(
+        os.path.join(ckpt, "tier_minhash", "_LINEAGE.json"))
+
+    r = _run(cmd + ["--checkpoint-dir", ckpt, "--out", out_resumed])
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["rows"] > 0
+
+    r = _run(cmd + ["--out", out_fresh])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert _sorted_rows(f"{out_resumed}/*.parquet") == \
+        _sorted_rows(f"{out_fresh}/*.parquet")
