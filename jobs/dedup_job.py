@@ -48,6 +48,10 @@ def main():
                          "adjacent min-ts windows are candidates")
     ap.add_argument("--num-cpus", type=int, default=None,
                     help="local-mode only; ignored on a cluster")
+    ap.add_argument("--audit", action="store_true",
+                    help="with --tiered docs: append a residual-dup-"
+                         "rate audit of the kept set (sampled all-pairs "
+                         "verify) to the metrics line")
     ap.add_argument("--tiered", default=None,
                     choices=["docs", "transcripts"],
                     help="run the tier-dedup cascade instead of the "
@@ -93,18 +97,32 @@ def main():
         fn = (tiered_dedup_docs if args.tiered == "docs"
               else tiered_dedup_transcripts)
         tiers = fn(args.input, cfg, checkpoint_dir=args.checkpoint_dir)
+        if args.audit or args.out:
+            tiers = tiers.materialize()
         if args.out:
             tiers.write_parquet(args.out)
         n = tiers.count()
+        audit = None
+        if args.audit:
+            if args.tiered != "docs":
+                raise SystemExit("--audit supports --tiered docs only")
+            from sourmash_ray.pipelines.tiered import residual_dup_rate
+
+            audit = residual_dup_rate(args.input, cfg,
+                                      tiers=tiers).take_all()[0]
         wall = time.perf_counter() - t0
-        print(json.dumps({
+        rep = {
             "job": f"tiered_dedup_{args.tiered}",
             "input": args.input,
             "rows": n,
             "wall_s": round(wall, 2),
             "cluster_cpus": ray.cluster_resources().get("CPU"),
             "out": args.out,
-        }))
+            "checkpoint_dir": args.checkpoint_dir,
+        }
+        if audit is not None:
+            rep["audit"] = {k: int(v) for k, v in audit.items()}
+        print(json.dumps(rep))
         ray.shutdown()
         return
     if args.window_us:

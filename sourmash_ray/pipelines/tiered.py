@@ -628,7 +628,8 @@ def tier_report_transcripts(source, cfg: EngineConfig = DEFAULT_CONFIG, *,
 
 
 def residual_dup_rate(source, cfg: EngineConfig = DEFAULT_CONFIG, *,
-                      n_sample: int = 256, threshold: float | None = None):
+                      n_sample: int = 256, threshold: float | None = None,
+                      tiers=None):
     """Post-dedup quality audit: estimated residual near-dup rate among
     the cascade's KEPT documents, by exhaustive verification of a
     deterministic sample — the acceptance check a 100 TB dedup run
@@ -645,7 +646,10 @@ def residual_dup_rate(source, cfg: EngineConfig = DEFAULT_CONFIG, *,
                                       pair_jaccard_stats)
 
     thr = cfg.verify_threshold if threshold is None else threshold
-    tiers = tiered_dedup_docs(source, cfg).materialize()
+    # ``tiers``: audit a cascade the caller already ran (the job-level
+    # --audit path) instead of re-running it here
+    if tiers is None:
+        tiers = tiered_dedup_docs(source, cfg).materialize()
     kept = tiers.map_batches(
         lambda t: t.filter(pc.equal(t["tier"], "kept")).select(
             ["doc_id"]),
