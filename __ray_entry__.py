@@ -473,6 +473,36 @@ class _NEG(str):
         return str.__lt__(self, other)
 
 
+_SWEEP_E4 = (2500, 5000, 7500, 9000, 9999)
+
+
+def _threshold_sweep_q(sf_dir: str):
+    """One-banding-pass LSH threshold sweep over the full transcripts
+    corpus (rows-only: candidate recall is LSH-bounded)."""
+    from sourmash_ray.pipelines.dedup import neardup_threshold_sweep
+
+    return neardup_threshold_sweep(
+        sf_dir, thresholds=[t / 10000.0 for t in _SWEEP_E4])
+
+
+def _threshold_sweep_exact_q(sf_dir: str):
+    """Threshold-sweep tuning curve over the scaled=1 collection: pair
+    counts at each Jaccard threshold from the EXACT all-pairs compare
+    (so the curve is ground truth, not LSH-candidate-bounded) — the
+    SQL-oracle-exact twin of the one-banding-pass
+    ``neardup_threshold_sweep``."""
+    import pandas as pd
+
+    from sourmash_ray.pipelines.sourmash_parity import compare_exact
+
+    sigs, cfg = _exact_sigs_40(sf_dir)
+    js = [r["jaccard"] for r in compare_exact(sigs, cfg).take_all()]
+    rows = [{"threshold_e4": t,
+             "n_pairs": sum(1 for j in js if j >= t / 10000.0)}
+            for t in _SWEEP_E4]
+    return pd.DataFrame(rows, columns=["threshold_e4", "n_pairs"])
+
+
 def _watch_q(sf_dir: str):
     """``sourmash watch`` as a driver query: a deterministic stream
     fixture (the turns of the corpus's first conversations in stable
@@ -679,6 +709,8 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "compare_containment_small": _compare_containment_q,
         "prefetch_exact_small": _prefetch_exact_q,
         "categorize_exact_small": _categorize_exact_q,
+        "threshold_sweep_exact_small": _threshold_sweep_exact_q,
+        "neardup_threshold_sweep": _threshold_sweep_q,
         "search_exact_small": _search_exact_q,
         "compare_ordered_small": _compare_ordered_q,
         "watch_transcripts": _watch_q,
@@ -1013,6 +1045,49 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN inter i ON i.ca = p.a AND i.cb = p.b
             LEFT JOIN sizes sa ON sa.conv_id = p.a
             LEFT JOIN sizes sb ON sb.conv_id = p.b
+        """,
+        "threshold_sweep_exact_small": f"""
+            WITH sel AS (
+              SELECT DISTINCT conv_id
+              FROM read_parquet('{_turns}/*.parquet')
+              ORDER BY conv_id LIMIT 40),
+            t AS (
+              SELECT conv_id,
+                     trim(regexp_replace(lower(coalesce(text, '')),
+                          '[ \t\n\r\f\v]+', ' ', 'g')) AS nt
+              FROM read_parquet('{_turns}/*.parquet')
+              WHERE conv_id IN (SELECT conv_id FROM sel)),
+            pos AS (
+              SELECT conv_id, nt,
+                     unnest(range(1, len(nt) - {_K} + 2)) AS i
+              FROM t WHERE len(nt) >= {_K}),
+            sh AS (
+              SELECT DISTINCT conv_id,
+                     substr(nt, CAST(i AS INTEGER), {_K}) AS s
+              FROM pos),
+            sizes AS (SELECT conv_id, count(*) AS n FROM sh
+                      GROUP BY conv_id),
+            inter AS (
+              SELECT x.conv_id AS ca, y.conv_id AS cb, count(*) AS c
+              FROM sh x JOIN sh y
+                ON x.s = y.s AND x.conv_id < y.conv_id
+              GROUP BY 1, 2),
+            prs AS (
+              SELECT x.conv_id AS a, y.conv_id AS b
+              FROM sel x JOIN sel y ON x.conv_id < y.conv_id),
+            jac AS (
+              SELECT CAST(coalesce(i.c, 0) AS DOUBLE) /
+                     greatest(coalesce(sa.n, 0) + coalesce(sb.n, 0)
+                              - coalesce(i.c, 0), 1) AS j
+              FROM prs p
+              LEFT JOIN inter i ON i.ca = p.a AND i.cb = p.b
+              LEFT JOIN sizes sa ON sa.conv_id = p.a
+              LEFT JOIN sizes sb ON sb.conv_id = p.b),
+            thr AS (SELECT unnest([2500, 5000, 7500, 9000, 9999]) AS t)
+            SELECT CAST(t AS BIGINT) AS threshold_e4,
+                   CAST(count(*) FILTER (WHERE j >= t / 10000.0)
+                        AS BIGINT) AS n_pairs
+            FROM jac CROSS JOIN thr GROUP BY 1
         """,
         "categorize_exact_small": f"""
             WITH sel AS (

@@ -397,3 +397,45 @@ def dedup_transcripts_windowed(source, window_us: int,
         ["a", "b"]), cfg)
     return {"signatures": sigs_w, "verified_pairs": verified,
             "clusters": clusters}
+
+
+def neardup_threshold_sweep(source, cfg: EngineConfig = DEFAULT_CONFIG, *,
+                            thresholds=(0.25, 0.5, 0.75, 0.9, 0.9999)):
+    """Near-dup tuning curve: how many verified pairs survive each
+    candidate Jaccard threshold — the knob-setting report an operator
+    reads before committing a 100 TB dedup threshold. ONE banding pass
+    and ONE scoring pass at min(thresholds); every curve point is a
+    vectorized count over the same scored pair table (block partials →
+    a |thresholds|-sized driver fold), so sweeping 5 thresholds costs
+    the same as checking 1. Banded-candidate recall bounds apply as in
+    the flagship (SCALE.md §3); pairs below min(thresholds) are never
+    scored. Output: (threshold_e4, n_pairs)."""
+    import numpy as np
+
+    import ray.data
+
+    thr = sorted(float(t) for t in thresholds)
+    if not thr:
+        raise ValueError("thresholds must be non-empty")
+    ds = read_transcripts(source) if isinstance(source, str) else source
+    sigs = sketch_transcripts(ds, cfg).materialize()
+    pairs = candidate_pairs(sigs, cfg)
+    ver = verify_pairs(pairs, sigs, cfg, threshold=thr[0])
+
+    def _count(batch: pa.Table) -> pa.Table:
+        j = np.asarray(batch["jaccard"], np.float64)
+        return pa.table({
+            "threshold_e4": pa.array(
+                [int(round(t * 1e4)) for t in thr], pa.int64()),
+            "n_pairs": pa.array([int((j >= t).sum()) for t in thr],
+                                pa.int64()),
+        })
+
+    agg: dict[int, int] = {int(round(t * 1e4)): 0 for t in thr}
+    for row in ver.map_batches(_count,
+                               batch_format="pyarrow").take_all():
+        agg[row["threshold_e4"]] += row["n_pairs"]
+    return ray.data.from_arrow(pa.table({
+        "threshold_e4": pa.array(sorted(agg), pa.int64()),
+        "n_pairs": pa.array([agg[k] for k in sorted(agg)], pa.int64()),
+    }))

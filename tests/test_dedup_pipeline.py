@@ -106,3 +106,26 @@ def test_transcripts_roundtrip_text_equality(tmp_path):
     a = tbl.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
     b = back.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
     assert a.equals(b)
+
+
+def test_threshold_sweep_matches_bruteforce(ray_session, corpus):
+    """The one-banding-pass sweep's curve equals the brute-force
+    all-pairs curve at every threshold (planted corpus: LSH recall 1)."""
+    import itertools
+
+    import ray.data
+
+    from sourmash_ray.pipelines.dedup import neardup_threshold_sweep
+
+    thr = [0.25, 0.5, 0.75, 0.9, 0.9999]
+    got = {r["threshold_e4"]: r["n_pairs"]
+           for r in neardup_threshold_sweep(
+               ray.data.from_arrow(corpus), CFG,
+               thresholds=thr).take_all()}
+    sk = sketch_table(corpus, PARAMS)
+    js = [jaccard_mins(sk[a]["mins"], sk[b]["mins"], PARAMS)
+          for a, b in itertools.combinations(sorted(sk), 2)]
+    want = {int(round(t * 1e4)): sum(1 for j in js if j >= t)
+            for t in thr}
+    assert got == want
+    assert got[2500] >= got[9999] > 0  # curve is monotone + non-trivial
