@@ -2726,11 +2726,14 @@ def interleave_sources_docs(sf_dir: str, n_parts: int | None = None):
 
 def column_profile_docs(sf_dir: str):
     """Data-profiling pass over the documents table: per column, row
-    count, NULL count, and exact distinct count — the schema-audit a
-    pipeline runs before trusting a new corpus drop. Null counts are
+    count, NULL count, and distinct count — the schema-audit a pipeline
+    runs before trusting a new corpus drop. Null counts are
     block-partial sums; distinct counts reuse the block-distinct →
     key-exchange shape (each block emits its distinct values once, so
-    the shuffle is bounded by the true cardinality, never the corpus)."""
+    the shuffle is bounded by the true cardinality, never the corpus).
+    Distinctness is over a 64-bit value hash — collision probability
+    ~n²/2⁶⁵, i.e. exact in practice at any per-column cardinality this
+    table can hold, but not adversarially exact."""
     import numpy as np
 
     import ray.data
