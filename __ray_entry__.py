@@ -366,7 +366,15 @@ def _snapshot_b_dir(sf_dir: str) -> str:
     tmp = f"{out}.building"
     os.makedirs(tmp, exist_ok=True)
     pq.write_table(pa.concat_tables(blocks), f"{tmp}/documents.parquet")
-    os.replace(tmp, out)
+    try:
+        os.replace(tmp, out)
+    except OSError:
+        # another builder won the atomic rename — use its result
+        import shutil
+
+        if not os.path.exists(f"{out}/documents.parquet"):
+            raise
+        shutil.rmtree(tmp, ignore_errors=True)
     return out
 
 
