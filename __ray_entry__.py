@@ -322,6 +322,20 @@ def _sig_describe_exact_q(sf_dir: str):
         _cast, batch_format="pyarrow")
 
 
+def _tiers_docs_q(sf_dir: str):
+    """Docs tier cascade, run once per sf and shared by the three
+    cascade-grain driver queries (tiered_dedup_docs itself, the tier
+    report, and the residual-dup audit) — the report/audit consume the
+    SAME cascade output a real run would hand them, instead of paying
+    two more full cascades inside the driver window."""
+    from sourmash_ray.pipelines.tiered import tiered_dedup_docs
+
+    cache = _pipeline_for(sf_dir)
+    if "tiers_docs" not in cache:
+        cache["tiers_docs"] = tiered_dedup_docs(sf_dir).materialize()
+    return cache["tiers_docs"]
+
+
 def _snapshot_b_dir(sf_dir: str) -> str:
     """Deterministic second snapshot for the diff demo, cached under
     /tmp: drop doc_id % 10 == 0 (removed), append ' +changed+' to the
@@ -748,11 +762,13 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         # each tier over the previous tier's survivors; rows-only (the
         # near tiers are not SQL-expressible) with an independent serial
         # cascade oracle in tests/test_tiered.py
-        "tiered_dedup_docs": tiered.tiered_dedup_docs,
-        "tier_report_docs": tiered.tier_report_docs,
+        "tiered_dedup_docs": _tiers_docs_q,
+        "tier_report_docs": lambda sf: tiered.tier_report_docs(
+            sf, tiers=_tiers_docs_q(sf)),
         "tiered_dedup_transcripts": tiered.tiered_dedup_transcripts,
         "tier_report_transcripts": tiered.tier_report_transcripts,
-        "residual_dup_rate_docs": tiered.residual_dup_rate,
+        "residual_dup_rate_docs": lambda sf: tiered.residual_dup_rate(
+            sf, tiers=_tiers_docs_q(sf)),
         "exact_spans_docs": docops.exact_spans_docs,
         # turn/conversation-grain transcript ops (rows-only here; exact
         # DuckDB twins over the synthesized transcripts parquet live in

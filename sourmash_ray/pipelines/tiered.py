@@ -362,16 +362,19 @@ def tiered_dedup_docs(source, cfg: EngineConfig = DEFAULT_CONFIG, *,
 
 def tier_report_docs(source, cfg: EngineConfig = DEFAULT_CONFIG, *,
                      max_hamming: int = 3,
-                     minhash_threshold: float | None = None):
+                     minhash_threshold: float | None = None,
+                     tiers=None):
     """Docs eliminated / kept per tier — the cascade's accounting row
-    set: (tier, n_docs), the number a 100 TB curation run reports."""
+    set: (tier, n_docs), the number a 100 TB curation run reports.
+    ``tiers``: report on a cascade the caller already ran."""
     from ..stages.agg import grouped_sums
 
     # materialized: grouped_sums reads ds.schema(), which a lazy map over
     # a hash_join_exchange union reports as None (Ray 2.49 quirk)
-    tiers = tiered_dedup_docs(source, cfg, max_hamming=max_hamming,
-                              minhash_threshold=minhash_threshold
-                              ).materialize()
+    if tiers is None:
+        tiers = tiered_dedup_docs(source, cfg, max_hamming=max_hamming,
+                                  minhash_threshold=minhash_threshold
+                                  ).materialize()
     return grouped_sums(tiers.select_columns(["tier"]), ["tier"], [],
                         count_as="n_docs")
 
