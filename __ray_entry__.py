@@ -778,6 +778,8 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "role_stats_transcripts": transcriptops.role_stats_transcripts,
         "conversation_stats_transcripts":
             transcriptops.conversation_stats_transcripts,
+        "pack_transcripts_offsets":
+            transcriptops.pack_transcripts_offsets,
         "curate_transcripts_job": transcriptops.curate_transcripts_job,
         # --- relational parity (manifest/picklist/top-k/summary) ---
         "manifest_select": relational.manifest_select,
@@ -1319,6 +1321,32 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_chars
             FROM read_parquet('{_turns}/*.parquet')
             GROUP BY 1, 2
+        """,
+        "pack_transcripts_offsets": f"""
+            WITH c AS (
+              SELECT conv_id,
+                     CAST(sum(len(coalesce(text, ''))) AS BIGINT)
+                         AS n_chars
+              FROM read_parquet('{_turns}/*.parquet') GROUP BY 1),
+            s AS (
+              SELECT conv_id, n_chars, md5(conv_id) AS h,
+                     CAST(concat('0x', substr(md5(conv_id), 1, 8))
+                          AS UBIGINT) % 8 AS shard
+              FROM c),
+            p AS (
+              SELECT conv_id, shard, n_chars,
+                     sum(n_chars) OVER (PARTITION BY shard
+                                        ORDER BY h, conv_id
+                                        ROWS UNBOUNDED PRECEDING)
+                         - n_chars AS start
+              FROM s)
+            SELECT conv_id, CAST(shard AS BIGINT) AS shard,
+                   CAST(start AS BIGINT) AS start_char,
+                   CAST(start // 8192 AS BIGINT) AS start_seq,
+                   CAST(start % 8192 AS BIGINT) AS start_offset,
+                   CAST((start + greatest(n_chars, 1) - 1) // 8192
+                        AS BIGINT) AS end_seq
+            FROM p
         """,
         "conversation_stats_transcripts": f"""
             SELECT conv_id, count(*) AS n_turns,

@@ -551,3 +551,70 @@ def conv_duration_quantiles_transcripts(sf_dir: str,
     stats = conversation_stats_transcripts(sf_dir)
     return quantiles_disc(stats.select_columns(["duration_us"]),
                           "duration_us", list(qs))
+
+
+PACK_T_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("shard", pa.int64()),
+    ("start_char", pa.int64()), ("start_seq", pa.int64()),
+    ("start_offset", pa.int64()), ("end_seq", pa.int64())])
+
+
+def pack_transcripts_offsets(sf_dir: str, n_shards: int = 8,
+                             max_len: int = 8192):
+    """Conversation-grain sequence packing — the transcripts twin of
+    ``pack_docs_offsets``: concatenate each shard's conversation stream
+    (md5(conv_id) shard assignment, (md5, conv_id) order within) and
+    cut it into fixed ``max_len``-char training sequences; conversations
+    split across sequence boundaries as in standard pretraining packs.
+    Per conversation: global char offset in its shard stream, the
+    sequence it starts in, the in-sequence offset, and the sequence it
+    ends in. Offsets are a pure function of identity + length, so
+    reruns and different cluster sizes are byte-identical and a loader
+    resumes mid-epoch without scanning. One conv exchange (char totals)
+    + one shard exchange (prefix sums over 24-byte rows)."""
+    from ..functions.segscore import _to_bytes_array
+    from ..stages.exchange import exchange_map_groups
+    from .docops import _hex8_to_int, _md5_column
+
+    stats = conversation_stats_transcripts(sf_dir)
+    n_shards_u = np.uint64(n_shards)
+
+    def _key(batch: pa.Table) -> pa.Table:
+        ids = batch["conv_id"].combine_chunks()
+        h = _md5_column(ids)
+        shard = (_hex8_to_int(h) % n_shards_u).astype(np.int64)
+        return pa.table({
+            "conv_id": ids,
+            "n_chars": pc.cast(batch["sum_chars"], pa.int64()),
+            "shard": pa.array(shard, pa.int64()),
+            "h": h,
+        })
+
+    def _pack(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return PACK_T_SCHEMA.empty_table()
+        ids = part["conv_id"].combine_chunks()
+        idb = _to_bytes_array(ids)
+        nch = np.asarray(part["n_chars"], np.int64)
+        shard = np.asarray(part["shard"], np.int64)
+        h = _to_bytes_array(part["h"].combine_chunks())
+        order = np.lexsort((idb, h, shard))
+        s_s, n_s = shard[order], nch[order]
+        cs = np.cumsum(n_s)
+        starts = np.flatnonzero(np.r_[True, s_s[1:] != s_s[:-1]])
+        lens = np.diff(np.r_[starts, len(s_s)])
+        base = np.repeat(cs[starts] - n_s[starts], lens)
+        start = cs - n_s - base
+        end = start + np.maximum(n_s, 1) - 1
+        return pa.table({
+            "conv_id": ids.take(pa.array(order, pa.int64())),
+            "shard": pa.array(s_s, pa.int64()),
+            "start_char": pa.array(start, pa.int64()),
+            "start_seq": pa.array(start // max_len, pa.int64()),
+            "start_offset": pa.array(start % max_len, pa.int64()),
+            "end_seq": pa.array(end // max_len, pa.int64()),
+        })
+
+    keyed = stats.map_batches(_key, batch_format="pyarrow")
+    return exchange_map_groups(keyed, "shard", n_shards, _pack,
+                               PACK_T_SCHEMA)
