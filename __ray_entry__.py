@@ -780,6 +780,8 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
             transcriptops.conversation_stats_transcripts,
         "pack_transcripts_offsets":
             transcriptops.pack_transcripts_offsets,
+        "transcripts_global_ranked":
+            transcriptops.transcripts_global_ranked,
         "curate_transcripts_job": transcriptops.curate_transcripts_job,
         # --- relational parity (manifest/picklist/top-k/summary) ---
         "manifest_select": relational.manifest_select,
@@ -1321,6 +1323,21 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_chars
             FROM read_parquet('{_turns}/*.parquet')
             GROUP BY 1, 2
+        """,
+        "transcripts_global_ranked": f"""
+            WITH c AS (
+              SELECT conv_id,
+                     CAST(sum(len(coalesce(text, ''))) AS BIGINT)
+                         AS sum_chars
+              FROM read_parquet('{_turns}/*.parquet') GROUP BY 1)
+            SELECT conv_id, sum_chars,
+                   CAST(row_number() OVER (
+                        ORDER BY sum_chars,
+                                 CAST(concat('0x',
+                                      substr(md5(conv_id), 1, 15))
+                                      AS UBIGINT)) AS BIGINT)
+                       AS global_rank
+            FROM c
         """,
         "pack_transcripts_offsets": f"""
             WITH c AS (

@@ -618,3 +618,47 @@ def pack_transcripts_offsets(sf_dir: str, n_shards: int = 8,
     keyed = stats.map_batches(_key, batch_format="pyarrow")
     return exchange_map_groups(keyed, "shard", n_shards, _pack,
                                PACK_T_SCHEMA)
+
+
+_HEX15_POW = (np.uint64(16) ** np.arange(14, -1, -1, dtype=np.uint64))
+
+
+def transcripts_global_ranked(sf_dir: str):
+    """Curriculum ordering of the transcripts corpus: every conversation
+    with its exact 1-based global rank by (total chars, md5-tiebreak) —
+    ``row_number() OVER (ORDER BY sum_chars, hex60(md5(conv_id)))`` on
+    the range-partition sample sort, the transcripts twin of
+    ``docs_global_ranked``. The tiebreak is the first 15 md5 hex digits
+    as an integer (60 bits — string conv_ids can't ride the int64 sort
+    key directly, and the md5 fold is reproducible in SQL), so rank is
+    a pure function of identity + length: a curriculum loader shards it
+    without coordination."""
+    from ..functions.segscore import _to_bytes_array
+    from ..stages.sort import range_partition_sort
+    from .docops import _md5_column
+
+    def _tie(batch: pa.Table) -> pa.Table:
+        ids = batch["conv_id"].combine_chunks()
+        h = _md5_column(ids)
+        s = _to_bytes_array(h)
+        m = s.view(np.uint8).reshape(len(s), -1)[:, :15] \
+            .astype(np.uint64)
+        digits = m - np.uint64(48) - np.uint64(39) * (m >= 97)
+        return pa.table({
+            "conv_id": ids,
+            "sum_chars": pc.cast(batch["sum_chars"], pa.int64()),
+            "tie": pa.array((digits @ _HEX15_POW).astype(np.int64),
+                            pa.int64()),
+        })
+
+    stats = conversation_stats_transcripts(sf_dir).select_columns(
+        ["conv_id", "sum_chars"]).map_batches(
+        _tie, batch_format="pyarrow")
+    ranked = range_partition_sort(
+        stats, "sum_chars", "tie",
+        schema=pa.schema([("conv_id", pa.string()),
+                          ("sum_chars", pa.int64()),
+                          ("tie", pa.int64())]))
+    return ranked.map_batches(
+        lambda t: t.select(["conv_id", "sum_chars", "global_rank"]),
+        batch_format="pyarrow")
