@@ -782,6 +782,8 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
             transcriptops.pack_transcripts_offsets,
         "transcripts_global_ranked":
             transcriptops.transcripts_global_ranked,
+        "hash_split_transcripts":
+            transcriptops.hash_split_transcripts,
         "curate_transcripts_job": transcriptops.curate_transcripts_job,
         # --- relational parity (manifest/picklist/top-k/summary) ---
         "manifest_select": relational.manifest_select,
@@ -1323,6 +1325,28 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_chars
             FROM read_parquet('{_turns}/*.parquet')
             GROUP BY 1, 2
+        """,
+        "hash_split_transcripts": f"""
+            WITH c AS (
+              SELECT conv_id, count(*) AS n_turns,
+                     CAST(sum(len(coalesce(text, ''))) AS BIGINT)
+                         AS sum_chars
+              FROM read_parquet('{_turns}/*.parquet') GROUP BY 1),
+            a AS (
+              SELECT CASE
+                       WHEN CAST(concat('0x',
+                            substr(md5(conv_id), 1, 8)) AS UBIGINT)
+                            % 100 < 80 THEN 'train'
+                       WHEN CAST(concat('0x',
+                            substr(md5(conv_id), 1, 8)) AS UBIGINT)
+                            % 100 < 90 THEN 'valid'
+                       ELSE 'test' END AS split,
+                     n_turns, sum_chars
+              FROM c)
+            SELECT split, CAST(count(*) AS BIGINT) AS n_convs,
+                   CAST(sum(n_turns) AS BIGINT) AS n_turns,
+                   CAST(sum(sum_chars) AS BIGINT) AS sum_chars
+            FROM a GROUP BY 1
         """,
         "transcripts_global_ranked": f"""
             WITH c AS (

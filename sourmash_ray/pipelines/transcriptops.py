@@ -662,3 +662,41 @@ def transcripts_global_ranked(sf_dir: str):
     return ranked.map_batches(
         lambda t: t.select(["conv_id", "sum_chars", "global_rank"]),
         batch_format="pyarrow")
+
+
+def hash_split_transcripts(sf_dir: str):
+    """Deterministic train/valid/test split at conversation grain — the
+    transcripts twin of ``hash_split_docs``, keyed on md5(conv_id)
+    (first 8 hex % 100: <80 train, <90 valid, else test). Id-hash
+    assignment is a pure function of identity: stable across reruns,
+    shards and cluster sizes, and a near-dup leaked across splits is
+    auditable by recomputing the hash. Output: per-split conversation
+    count, turn count, and char sum (3 rows from one grouped_sums
+    exchange over per-conv stats)."""
+    from ..stages.agg import grouped_sums
+    from .docops import _hex8_to_int, _md5_column
+
+    splits = np.array(["train", "valid", "test"])
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        ids = batch["conv_id"].combine_chunks()
+        b = _hex8_to_int(_md5_column(ids)) % np.uint64(100)
+        si = np.where(b < 80, 0, np.where(b < 90, 1, 2))
+        return pa.table({
+            "split": pa.array(splits[si], pa.string()),
+            "n_convs": pa.array(np.ones(len(ids), np.int64), pa.int64()),
+            "n_turns": pc.cast(batch["n_turns"], pa.int64()),
+            "sum_chars": pc.cast(batch["sum_chars"], pa.int64()),
+        })
+
+    stats = conversation_stats_transcripts(sf_dir).select_columns(
+        ["conv_id", "n_turns", "sum_chars"]).map_batches(
+        _assign, batch_format="pyarrow")
+    t = grouped_sums(stats, ["split"],
+                     ["n_convs", "n_turns", "sum_chars"])
+    return t.map_batches(
+        lambda b: pa.table({"split": b["split"],
+                            "n_convs": b["sum_n_convs"],
+                            "n_turns": b["sum_n_turns"],
+                            "sum_chars": b["sum_sum_chars"]}),
+        batch_format="pyarrow")
