@@ -182,3 +182,68 @@ def test_snapshot_diff_docs_hand_fixture(ray_session, tmp_path):
     got = {r["doc_id"]: r["status"]
            for r in snapshot_diff_docs(str(a), str(b)).take_all()}
     assert got == {2: "changed", 3: "removed", 5: "added"}
+
+
+def test_waiting_suppliers_random_fixtures_match_duckdb(ray_session,
+                                                        tmp_path):
+    """Seeded random order/lineitem tables (heavy key reuse, status mix,
+    ship dates straddling the 90-day fence) — the only-late-supplier
+    logic must equal the DuckDB formulation on every draw."""
+    from sourmash_ray.pipelines.relational import waiting_suppliers
+
+    rng = np.random.default_rng(7)
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    for trial in range(6):
+        d = tmp_path / f"t{trial}"
+        d.mkdir()
+        n_ord, n_li = 30, 150
+        pq.write_table(pa.table({
+            "o_orderkey": pa.array(range(1, n_ord + 1), pa.int64()),
+            "o_custkey": pa.array([1] * n_ord, pa.int64()),
+            "o_orderstatus": pa.array(
+                rng.choice(["F", "O", "P"], n_ord).tolist()),
+            "o_totalprice": pa.array([1.0] * n_ord),
+            "o_orderdate": pa.array(
+                [base + np.timedelta64(int(x) * DAY_US, "us")
+                 for x in rng.integers(0, 30, n_ord)],
+                pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1-URGENT"] * n_ord),
+        }), f"{d}/orders.parquet")
+        pq.write_table(pa.table({
+            "l_orderkey": pa.array(
+                rng.integers(1, n_ord + 1, n_li), pa.int64()),
+            "l_suppkey": pa.array(rng.integers(1, 6, n_li), pa.int64()),
+            "l_shipdate": pa.array(
+                [base + np.timedelta64(int(x) * DAY_US, "us")
+                 for x in rng.integers(0, 200, n_li)],
+                pa.timestamp("us")),
+        }), f"{d}/lineitem.parquet")
+        pq.write_table(pa.table({
+            "s_suppkey": pa.array(range(1, 6), pa.int64()),
+            "s_name": pa.array([f"S{i}" for i in range(1, 6)]),
+            "s_nationkey": pa.array([0] * 5, pa.int64()),
+        }), f"{d}/supplier.parquet")
+
+        got = {r["s_name"]: r["numwait"]
+               for r in waiting_suppliers(str(d)).take_all()}
+        want = dict(duckdb.connect().execute(f"""
+            WITH f AS (SELECT o_orderkey, o_orderdate
+                       FROM read_parquet('{d}/orders.parquet')
+                       WHERE o_orderstatus = 'F'),
+            g AS (SELECT l_orderkey, l_suppkey, max(l_shipdate) AS ms
+                  FROM read_parquet('{d}/lineitem.parquet')
+                  GROUP BY 1, 2),
+            j AS (SELECT g.l_orderkey AS ok, g.l_suppkey AS sk,
+                         CASE WHEN g.ms > f.o_orderdate
+                                       + INTERVAL 90 DAY
+                              THEN 1 ELSE 0 END AS late
+                  FROM g JOIN f ON g.l_orderkey = f.o_orderkey),
+            o AS (SELECT ok, count(*) AS n_supp, sum(late) AS n_late,
+                         max(CASE WHEN late = 1 THEN sk END) AS late_sk
+                  FROM j GROUP BY 1)
+            SELECT s.s_name, count(*) FROM o
+            JOIN read_parquet('{d}/supplier.parquet') s
+              ON s.s_suppkey = o.late_sk
+            WHERE o.n_supp >= 2 AND o.n_late = 1 GROUP BY 1
+        """).fetchall())
+        assert got == want, f"trial {trial}"
