@@ -784,6 +784,11 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
             transcriptops.transcripts_global_ranked,
         "hash_split_transcripts":
             transcriptops.hash_split_transcripts,
+        "turn_length_quantiles_by_role":
+            transcriptops.turn_length_quantiles_by_role,
+        "role_by_turn_position": transcriptops.role_by_turn_position,
+        "tool_call_rate_by_role":
+            transcriptops.tool_call_rate_by_role,
         "curate_transcripts_job": transcriptops.curate_transcripts_job,
         # --- relational parity (manifest/picklist/top-k/summary) ---
         "manifest_select": relational.manifest_select,
@@ -1325,6 +1330,31 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_chars
             FROM read_parquet('{_turns}/*.parquet')
             GROUP BY 1, 2
+        """,
+        "role_by_turn_position": f"""
+            SELECT least(CAST(turn_idx AS BIGINT), 10) AS position,
+                   role, CAST(count(*) AS BIGINT) AS n_turns
+            FROM read_parquet('{_turns}/*.parquet') GROUP BY 1, 2
+        """,
+        "tool_call_rate_by_role": f"""
+            WITH t AS (
+              SELECT role,
+                     CASE WHEN coalesce(tool, '') <> '' THEN 1
+                          ELSE 0 END AS has_tool
+              FROM read_parquet('{_turns}/*.parquet'))
+            SELECT role, CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(sum(has_tool) AS BIGINT) AS n_tool_turns,
+                   CAST(sum(has_tool) * 1000000
+                        // greatest(count(*), 1) AS BIGINT)
+                       AS tool_rate_ppm
+            FROM t GROUP BY 1
+        """,
+        "turn_length_quantiles_by_role": f"""
+            SELECT role,
+                   CAST(unnest([0.25, 0.5, 0.75, 0.9]) AS DOUBLE) AS q,
+                   unnest(quantile_disc(len(coalesce(text, '')),
+                          [0.25, 0.5, 0.75, 0.9])) AS value
+            FROM read_parquet('{_turns}/*.parquet') GROUP BY role
         """,
         "hash_split_transcripts": f"""
             WITH c AS (

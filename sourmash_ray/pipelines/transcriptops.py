@@ -700,3 +700,80 @@ def hash_split_transcripts(sf_dir: str):
                             "n_turns": b["sum_n_turns"],
                             "sum_chars": b["sum_sum_chars"]}),
         batch_format="pyarrow")
+
+
+def turn_length_quantiles_by_role(sf_dir: str,
+                                  qs=(0.25, 0.5, 0.75, 0.9)):
+    """Per-role turn-length quantiles — the truncation-policy input for
+    a chat-training pipeline (how long are assistant vs user vs tool
+    turns, exactly). Same discrete-quantile machinery as the docs
+    per-language variant: block-local value compression, one role-keyed
+    exchange, exact quantile_disc semantics vs DuckDB."""
+    from ..sources.transcripts import read_transcripts
+    from ..stages.agg import grouped_quantiles_disc
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "role": batch["role"],
+            "n_chars": pc.cast(pc.utf8_length(
+                pc.fill_null(batch["text"], "")), pa.int64()),
+        })
+
+    ds = read_transcripts(sf_dir).select_columns(
+        ["role", "text"]).map_batches(_prep, batch_format="pyarrow")
+    return grouped_quantiles_disc(ds, "role", "n_chars", list(qs))
+
+
+def role_by_turn_position(sf_dir: str, cap: int = 10):
+    """Conversation-shape profile: per (turn position, role) counts with
+    positions capped at ``cap`` (the tail bucket) — who speaks when,
+    the sanity check that catches role-alternation corruption in a
+    transcript drop. One grouped_sums exchange over (min(turn_idx, cap),
+    role) cells."""
+    from ..sources.transcripts import read_transcripts
+    from ..stages.agg import grouped_sums
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        idx = np.minimum(np.asarray(batch["turn_idx"], np.int64), cap)
+        return pa.table({
+            "position": pa.array(idx, pa.int64()),
+            "role": batch["role"],
+        })
+
+    ds = read_transcripts(sf_dir).select_columns(
+        ["turn_idx", "role"]).map_batches(_prep, batch_format="pyarrow")
+    return grouped_sums(ds, ["position", "role"], [], count_as="n_turns")
+
+
+def tool_call_rate_by_role(sf_dir: str):
+    """Per-role tool-call usage: turn count, tool-call count, and the
+    rate in exact ppm (floor) — the agent-pipeline metric for how
+    tool-heavy each role's turns are. Block partials → one role-keyed
+    grouped_sums; the ppm division is a single exact-integer op."""
+    from ..sources.transcripts import read_transcripts
+    from ..stages.agg import grouped_sums
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        tool = pc.fill_null(batch["tool"], "")
+        has = pc.cast(pc.not_equal(tool, pa.scalar("")), pa.int64())
+        return pa.table({
+            "role": batch["role"],
+            "n_tool_turns": has,
+        })
+
+    ds = read_transcripts(sf_dir).select_columns(
+        ["role", "tool"]).map_batches(_prep, batch_format="pyarrow")
+    t = grouped_sums(ds, ["role"], ["n_tool_turns"], count_as="n_turns")
+
+    def _rate(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch["n_turns"], np.int64)
+        k = np.asarray(batch["sum_n_tool_turns"], np.int64)
+        return pa.table({
+            "role": batch["role"],
+            "n_turns": pa.array(n, pa.int64()),
+            "n_tool_turns": pa.array(k, pa.int64()),
+            "tool_rate_ppm": pa.array(
+                (k * 1_000_000) // np.maximum(n, 1), pa.int64()),
+        })
+
+    return t.map_batches(_rate, batch_format="pyarrow")
