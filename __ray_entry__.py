@@ -933,6 +933,7 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         # --- embeddings: similarity search ---
         "ann_topk": ann.ann_topk_bruteforce,
         "ann_topk_ivf": ann.ann_topk_ivf,
+        "ann_recall_report": ann.ann_recall_report,
         "embedding_neardup_pairs": ann.embedding_neardup_pairs,
         "embedding_neardup_exact": ann.embedding_neardup_exact,
         "cosine_pairs_exact": ann.cosine_pairs_exact,

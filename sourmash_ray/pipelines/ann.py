@@ -1133,3 +1133,39 @@ def knn_label_vote(sf_dir: str, n_queries: int = 8, k: int = 5):
         lambda t: pa.table({"query_id": t["query_id"],
                             "pred_label": t["label"], "n_votes": t["n"]}),
         batch_format="pyarrow")
+
+
+def ann_recall_report(sf_dir: str, n_queries: int = 8, k: int = 5,
+                      variants: tuple = ("ivf", "pq", "ivfpq")):
+    """ANN index quality accounting: recall@k of each approximate
+    variant against the exact brute-force top-k, per index — the tuning
+    report an embedding-dedup run files next to residual_dup_rate. Each
+    variant's neighbor sets intersect the exact sets per query (a
+    driver-side fold over k·|queries| rows); output one row per variant:
+    (variant, n_queries, k, mean_recall_ppm). Deterministic (every index
+    here is seeded), so reruns are byte-identical."""
+    exact = ann_topk_bruteforce(sf_dir, n_queries=n_queries, k=k)
+    ex: dict[int, set] = {}
+    for r in exact.to_pylist():
+        ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    fns = {"ivf": ann_topk_ivf, "pq": ann_topk_pq,
+           "ivfpq": ann_topk_ivfpq}
+    rows = []
+    for name in variants:
+        res = fns[name](sf_dir, n_queries=n_queries, k=k)
+        got: dict[int, set] = {}
+        for r in (res.to_pylist() if isinstance(res, pa.Table)
+                  else res.take_all()):
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        recs = [len(got.get(q, set()) & s) * 1_000_000 // max(len(s), 1)
+                for q, s in sorted(ex.items())]
+        rows.append({
+            "variant": name,
+            "n_queries": len(ex),
+            "k": k,
+            "mean_recall_ppm": int(sum(recs) // max(len(recs), 1)),
+        })
+    return pa.Table.from_pylist(rows, schema=pa.schema(
+        [("variant", pa.string()), ("n_queries", pa.int64()),
+         ("k", pa.int64()), ("mean_recall_ppm", pa.int64())]))
