@@ -324,3 +324,30 @@ def test_residual_dup_rate(ray_session):
                               threshold=0.2).take_all()[0]
     assert loose["n_dup_pairs"] == 1
     assert loose["dup_rate_ppm"] == 1_000_000
+
+
+def test_fused_cascade_sketcher_equals_separate_kernels(ray_session):
+    """_CascadeDocSketcher's one-pass columns are exactly what the three
+    standalone kernels produce (md5 of ws-norm text, SimHasher, and
+    DocSketcher mins/md5/perms) — the fusion must never drift from the
+    kernels it amortizes."""
+    import pyarrow as pa
+
+    from sourmash_ray.config import DEFAULT_CONFIG
+    from sourmash_ray.pipelines.docops import (DocSketcher, SimHasher,
+                                               _normalize_md5_batch)
+    from sourmash_ray.pipelines.tiered import _CascadeDocSketcher
+
+    batch = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["hello world hello", "HELLO  world hello",
+                          None, "short"], pa.string()),
+    })
+    fused = _CascadeDocSketcher(DEFAULT_CONFIG)(batch)
+    assert fused["text_md5"].to_pylist() == \
+        _normalize_md5_batch(batch)["text_md5"].to_pylist()
+    assert fused["simhash"].to_pylist() == \
+        SimHasher(DEFAULT_CONFIG)(batch)["simhash"].to_pylist()
+    sig = DocSketcher(DEFAULT_CONFIG)(batch)
+    for col in ("conv_id", "mins", "md5", "perms"):
+        assert fused[col].to_pylist() == sig[col].to_pylist(), col
