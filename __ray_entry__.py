@@ -641,6 +641,18 @@ def _media_features_q(sf_dir: str):
     return media_features(sf_dir)
 
 
+def _media_resize_q(sf_dir: str):
+    from sourmash_ray.stages.multimodal import media_resize
+
+    return media_resize(sf_dir)
+
+
+def _media_frames_q(sf_dir: str):
+    from sourmash_ray.stages.multimodal import media_frames
+
+    return media_frames(sf_dir)
+
+
 def _bpe_train_q(sf_dir: str):
     from sourmash_ray.pipelines.bpe import bpe_train_merges
 
@@ -926,6 +938,8 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "hash_frequency_transcripts": _hash_frequency_q,
         "lca_summarize_transcripts": _lca_summarize_q,
         "media_features": _media_features_q,
+        "media_resize": _media_resize_q,
+        "media_frames": _media_frames_q,
         "incremental_dedup_docs": _incremental_dedup_q,
         "ann_topk_pq": lambda sf: ann.ann_topk_pq(sf, m_sub=16,
                                                   k_codes=128),

@@ -128,3 +128,126 @@ def media_features(sf_dir: str):
         concurrency=(1, 4),
         num_cpus=1,
     )
+
+
+IMG_H, IMG_W = 32, 32
+FRAME_BYTES = 64
+
+
+def _payload_buffer(batch: pa.Table):
+    """(offsets, data, lens) views over the concatenated payload buffer."""
+    col = batch["payload"].combine_chunks()
+    n = len(col)
+    bufs = col.buffers()
+    width = 8 if pa.types.is_large_binary(col.type) else 4
+    offs = np.frombuffer(
+        bufs[1], dtype=np.int64 if width == 8 else np.int32,
+        count=n + 1, offset=col.offset * width).astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    return offs, data, np.diff(offs)
+
+
+class MediaResizer:
+    """Actor-pool RESIZE stage: stub-decode each image payload to a fixed
+    (IMG_H, IMG_W) grayscale array (bytes truncated / zero-padded — a
+    real deployment swaps only the decode), then block-mean resize to
+    ``(out_h, out_w)``. Fully vectorized: one scatter builds the (n, H·W)
+    pixel matrix straight off the Arrow payload buffer, one reshape-mean
+    does every resize in the batch. Output pixels ride as ``list<float>``
+    rows (rounded, so reruns hash identically)."""
+
+    def __init__(self, out_h: int = 8, out_w: int = 8):
+        if IMG_H % out_h or IMG_W % out_w:
+            raise ValueError("output dims must divide the decode dims")
+        self.out_h, self.out_w = out_h, out_w
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        offs, data, lens = _payload_buffer(batch)
+        hw = IMG_H * IMG_W
+        px = np.zeros(n * hw, np.float64)
+        take = np.minimum(lens, hw)
+        rows = np.repeat(np.arange(n, dtype=np.int64), take)
+        local = np.concatenate(
+            [np.arange(t, dtype=np.int64) for t in take]) \
+            if n else np.empty(0, np.int64)
+        src = np.repeat(offs[:-1], take) + local
+        px[rows * hw + local] = data[src]
+        img = px.reshape(n, IMG_H, IMG_W)
+        small = img.reshape(n, self.out_h, IMG_H // self.out_h,
+                            self.out_w, IMG_W // self.out_w) \
+            .mean(axis=(2, 4))
+        flat = pa.array(np.round(small.reshape(-1), 6), pa.float64())
+        po = pa.array(np.arange(n + 1, dtype=np.int32)
+                      * (self.out_h * self.out_w))
+        return pa.table({
+            "media_id": batch["media_id"],
+            "pixels": pa.ListArray.from_arrays(po, flat),
+        })
+
+
+class FrameSampler:
+    """Actor-pool FRAME-SAMPLE stage: treat each payload as a sequence of
+    fixed ``FRAME_BYTES`` frames and emit every ``stride``-th frame as
+    its OWN row — the row-expanding (flat-map-shaped) stage a video
+    pipeline puts before per-frame featurization. One fancy-gather
+    copies all selected frames in the batch at once; trailing partial
+    frames are dropped (codec-padding convention)."""
+
+    def __init__(self, stride: int = 4):
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        offs, data, lens = _payload_buffer(batch)
+        n_frames = lens // FRAME_BYTES
+        n_sel = (n_frames + self.stride - 1) // self.stride
+        media = np.repeat(np.asarray(batch["media_id"], np.int64),
+                          n_sel)
+        fidx = (np.concatenate(
+            [np.arange(k, dtype=np.int64) for k in n_sel])
+            if n else np.empty(0, np.int64)) * self.stride
+        starts = np.repeat(offs[:-1], n_sel) + fidx * FRAME_BYTES
+        if starts.size:
+            gathered = data[starts[:, None]
+                            + np.arange(FRAME_BYTES)[None, :]]
+            payload = pa.Array.from_buffers(
+                pa.binary(), len(starts),
+                [None,
+                 pa.py_buffer(np.arange(0, (len(starts) + 1)
+                                        * FRAME_BYTES, FRAME_BYTES,
+                                        dtype=np.int32).tobytes()),
+                 pa.py_buffer(np.ascontiguousarray(gathered)
+                              .tobytes())])
+        else:
+            payload = pa.array([], pa.binary())
+        return pa.table({
+            "media_id": pa.array(media, pa.int64()),
+            "frame_idx": pa.array(fidx, pa.int64()),
+            "frame": payload,
+        })
+
+
+def media_resize(sf_dir: str, out_h: int = 8, out_w: int = 8):
+    """Resize pipeline over the image rows of the synthetic media table."""
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    tbl = synth_media_table(sf_dir)
+    imgs = tbl.filter(pc.equal(tbl["kind"], "image"))
+    return ray.data.from_arrow(imgs).map_batches(
+        MediaResizer, fn_constructor_kwargs={"out_h": out_h,
+                                             "out_w": out_w},
+        batch_format="pyarrow", batch_size=128, concurrency=(1, 4),
+        num_cpus=1)
+
+
+def media_frames(sf_dir: str, stride: int = 4):
+    """Frame-sample pipeline over every payload of the media table."""
+    import ray.data
+
+    return ray.data.from_arrow(synth_media_table(sf_dir)).map_batches(
+        FrameSampler, fn_constructor_kwargs={"stride": stride},
+        batch_format="pyarrow", batch_size=128, concurrency=(1, 4),
+        num_cpus=1)

@@ -333,3 +333,61 @@ def test_lca_partial_tuple_order_regression():
     })
     out = {r["lineage"]: r["count"] for r in _lca_partial(part).to_pylist()}
     assert out == {"a": 3, "a;b": 2}
+
+
+def test_media_resize_matches_per_row_reference(ray_session):
+    import numpy as np
+
+    from sourmash_ray.stages.multimodal import (IMG_H, IMG_W,
+                                                MediaResizer,
+                                                synth_media_table)
+
+    SF = "/root/testdata/sf0.001"
+    import pyarrow.compute as pc
+
+    tbl = synth_media_table(SF)
+    imgs = tbl.filter(pc.equal(tbl["kind"], "image")).slice(0, 16)
+    out = MediaResizer(out_h=8, out_w=8)(imgs)
+    got = {m: p for m, p in zip(out["media_id"].to_pylist(),
+                                out["pixels"].to_pylist())}
+    for mid, payload in zip(imgs["media_id"].to_pylist(),
+                            imgs["payload"].to_pylist()):
+        px = np.zeros(IMG_H * IMG_W)
+        raw = np.frombuffer(payload, np.uint8)[:IMG_H * IMG_W]
+        px[:len(raw)] = raw
+        ref = px.reshape(IMG_H, IMG_W).reshape(8, 4, 8, 4).mean(
+            axis=(1, 3))
+        assert np.allclose(got[mid], np.round(ref.reshape(-1), 6)), mid
+
+
+def test_media_frames_matches_per_row_reference(ray_session):
+    import numpy as np
+
+    from sourmash_ray.stages.multimodal import (FRAME_BYTES,
+                                                FrameSampler,
+                                                synth_media_table)
+
+    tbl = synth_media_table("/root/testdata/sf0.001").slice(0, 20)
+    out = FrameSampler(stride=3)(tbl)
+    got = {(m, f): fr for m, f, fr in zip(
+        out["media_id"].to_pylist(), out["frame_idx"].to_pylist(),
+        out["frame"].to_pylist())}
+    want = {}
+    for mid, payload in zip(tbl["media_id"].to_pylist(),
+                            tbl["payload"].to_pylist()):
+        nf = len(payload) // FRAME_BYTES
+        for f in range(0, nf, 3):
+            want[(mid, f)] = payload[f * FRAME_BYTES:
+                                     (f + 1) * FRAME_BYTES]
+    assert got == want
+    assert want  # fixture non-degenerate
+
+
+def test_media_pipelines_run(ray_session):
+    from sourmash_ray.stages.multimodal import media_frames, media_resize
+
+    SF = "/root/testdata/sf0.001"
+    r = media_resize(SF).take_all()
+    assert r and all(len(x["pixels"]) == 64 for x in r[:5])
+    f = media_frames(SF)
+    assert f.count() > 0
