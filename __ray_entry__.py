@@ -653,6 +653,12 @@ def _media_frames_q(sf_dir: str):
     return media_frames(sf_dir)
 
 
+def _media_stats_q(sf_dir: str):
+    from sourmash_ray.stages.multimodal import media_payload_stats
+
+    return media_payload_stats(sf_dir)
+
+
 def _bpe_train_q(sf_dir: str):
     from sourmash_ray.pipelines.bpe import bpe_train_merges
 
@@ -940,6 +946,10 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "media_features": _media_features_q,
         "media_resize": _media_resize_q,
         "media_frames": _media_frames_q,
+        "media_payload_stats": _media_stats_q,
+        "embedding_dim_profile": ann.embedding_dim_profile,
+        "conv_tool_chain_counts": transcriptops.conv_tool_chain_counts,
+        "prefix_dup_inventory": docops.prefix_dup_inventory,
         "incremental_dedup_docs": _incremental_dedup_q,
         "ann_topk_pq": lambda sf: ann.ann_topk_pq(sf, m_sub=16,
                                                   k_codes=128),
@@ -1015,6 +1025,11 @@ def oracle_sql() -> dict[str, str]:
     from sourmash_ray.sources.transcripts import transcripts_path
 
     _turns = transcripts_path("/root/testdata/sf0.01")
+    # Same contract for the synthetic media table (deterministic function
+    # of documents.parquet, cached once under /tmp).
+    from sourmash_ray.stages.multimodal import media_path
+
+    _media = media_path("/root/testdata/sf0.01")
     from sourmash_ray.config import DEFAULT_CONFIG as _DC
 
     _K = _DC.sketch.ksize
@@ -1479,6 +1494,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT 1, r_name || ';' || n_name, count(*),
                    CAST(sum(cents) AS BIGINT)
             FROM lin GROUP BY r_name, n_name
+        """,
+        "conv_tool_chain_counts": f"""
+            WITH c AS (
+              SELECT conv_id,
+                     string_agg(tool, '>' ORDER BY turn_idx) AS chain
+              FROM read_parquet('{_turns}/*.parquet')
+              WHERE tool IS NOT NULL AND tool <> ''
+              GROUP BY conv_id)
+            SELECT chain, count(*) AS n_convs FROM c GROUP BY chain
+        """,
+        "media_payload_stats": f"""
+            WITH m AS (
+              SELECT media_id, kind, n_bytes, hex(payload) AS h
+              FROM read_parquet('{_media}/*.parquet')),
+            b AS (
+              SELECT media_id, kind, n_bytes, h,
+                     unnest(range(0, length(h) // 2)) AS j
+              FROM m),
+            v AS (
+              SELECT media_id, kind, n_bytes,
+                     strpos('123456789ABCDEF', substr(h, 2*j+1, 1)) * 16
+                   + strpos('123456789ABCDEF', substr(h, 2*j+2, 1)) AS byte
+              FROM b),
+            per AS (
+              SELECT media_id, kind, any_value(n_bytes) AS n_bytes,
+                     CAST(sum(byte) AS BIGINT) AS sum_byte
+              FROM v GROUP BY media_id, kind)
+            SELECT kind, count(*) AS n_media,
+                   CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+                   CAST(sum(sum_byte) AS BIGINT) AS sum_byte_values,
+                   min(n_bytes) AS min_bytes, max(n_bytes) AS max_bytes
+            FROM per GROUP BY kind
+        """,
+        "embedding_dim_profile": """
+            WITH v AS (
+              SELECT unnest(range(1, len(embedding) + 1)) AS dim,
+                     CAST(round(CAST(unnest(embedding) AS DOUBLE)
+                                * 10000) AS BIGINT) AS e4
+              FROM embeddings)
+            SELECT dim, count(*) AS n, CAST(sum(e4) AS BIGINT) AS sum_e4,
+                   min(e4) AS min_e4, max(e4) AS max_e4
+            FROM v GROUP BY dim
+        """,
+        "prefix_dup_inventory": """
+            WITH p AS (
+              SELECT doc_id, substr(coalesce(text, ''), 1, 64) AS prefix,
+                     md5(coalesce(text, '')) AS h
+              FROM documents)
+            SELECT prefix, count(*) AS n_docs,
+                   CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_md5,
+                   min(doc_id) AS min_doc_id
+            FROM p GROUP BY prefix HAVING count(*) >= 2
         """,
         "tool_usage_transcripts": f"""
             SELECT coalesce(tool, '') AS tool, count(*) AS n_turns,

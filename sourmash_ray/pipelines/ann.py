@@ -1169,3 +1169,51 @@ def ann_recall_report(sf_dir: str, n_queries: int = 8, k: int = 5,
     return pa.Table.from_pylist(rows, schema=pa.schema(
         [("variant", pa.string()), ("n_queries", pa.int64()),
          ("k", pa.int64()), ("mean_recall_ppm", pa.int64())]))
+
+
+def embedding_dim_profile(sf_dir: str):
+    """Per-dimension profile of the embedding column: count, sum, min and
+    max of the 1e4-quantized values — the column-health audit an
+    embedding-table ingest runs before indexing (dead dimensions, scale
+    drift, clipped values all show here). One pruned scan; each block
+    reduces to ``dim`` partial rows (the classic combiner shape), and the
+    final combine over ``dim × n_blocks`` rows is provably driver-scale.
+
+    Quantization follows cosine_pairs_exact's scheme (elements → 1e4
+    integers, exact in float64) so sums are bit-stable across engines.
+    """
+    ds = _read_emb(sf_dir).map_batches(_dim_profile_partial,
+                                       batch_format="pyarrow")
+    parts = ds.take_all()
+    if not parts:
+        return pa.table({"dim": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64()),
+                         "sum_e4": pa.array([], pa.int64()),
+                         "min_e4": pa.array([], pa.int64()),
+                         "max_e4": pa.array([], pa.int64())})
+    import pandas as pd
+
+    df = pd.DataFrame(parts)
+    g = df.groupby("dim", sort=True).agg(
+        n=("n", "sum"), sum_e4=("sum_e4", "sum"),
+        min_e4=("min_e4", "min"), max_e4=("max_e4", "max")).reset_index()
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def _dim_profile_partial(batch: pa.Table) -> pa.Table:
+    _, mat = _emb_matrix(batch)
+    if mat.size == 0:
+        return pa.table({"dim": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64()),
+                         "sum_e4": pa.array([], pa.int64()),
+                         "min_e4": pa.array([], pa.int64()),
+                         "max_e4": pa.array([], pa.int64())})
+    q = np.round(mat * 1e4)               # exact integers in float64
+    d = mat.shape[1]
+    return pa.table({
+        "dim": pa.array(np.arange(1, d + 1, dtype=np.int64)),
+        "n": pa.array(np.full(d, mat.shape[0], dtype=np.int64)),
+        "sum_e4": pa.array(q.sum(axis=0).astype(np.int64)),
+        "min_e4": pa.array(q.min(axis=0).astype(np.int64)),
+        "max_e4": pa.array(q.max(axis=0).astype(np.int64)),
+    })

@@ -2995,3 +2995,87 @@ def snapshot_diff_docs(dir_a: str, dir_b: str):
         })
 
     return j.map_batches(_status, batch_format="pyarrow")
+
+
+PREFIX_DUP_SCHEMA = pa.schema([
+    ("prefix", pa.string()), ("n_docs", pa.int64()),
+    ("n_distinct_md5", pa.int64()), ("min_doc_id", pa.int64())])
+
+
+def prefix_dup_inventory(sf_dir: str, prefix_chars: int = 64,
+                         cfg: EngineConfig = DEFAULT_CONFIG):
+    """Prefix-collision inventory: every ``prefix_chars``-character text
+    prefix shared by ≥ 2 documents, with how many docs share it and how
+    many DISTINCT full texts hide behind it — the "tier-0b" report that
+    sizes the gap between exact dedup and near-dup (boilerplate headers,
+    templated pages). ``n_distinct_md5 > 1`` rows are exactly the groups
+    an exact pass cannot collapse but a near-dup tier should look at.
+
+    Shape: block-local (prefix, md5) cell combiner (n, min_id per cell),
+    one prefix-keyed exchange, per-partition rollup — distinct-text
+    counting rides the same pair-dedup-then-reduceat pattern as
+    ``cross_source_dup_matrix``. Prefixes slice by codepoint
+    (``utf8_slice_codeunits`` == SQL ``substr`` on this ASCII corpus).
+    """
+    from ..config import resolve_num_partitions
+    from ..functions.segscore import _to_bytes_array, hash_strings64
+    from ..stages.exchange import exchange_map_groups
+
+    group_parts = cfg.exec.group_parts
+
+    def _cells(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch["text"].combine_chunks(), "")
+        prefix = pc.utf8_slice_codeunits(text, 0, prefix_chars)
+        md5 = _md5_column(text)
+        if isinstance(md5, pa.ChunkedArray):
+            md5 = md5.combine_chunks()
+        pb, mb = _to_bytes_array(prefix), _to_bytes_array(md5)
+        ids = np.asarray(batch["doc_id"], np.int64)
+        order = np.lexsort((ids, mb, pb))
+        pb_s, mb_s, ids_s = pb[order], mb[order], ids[order]
+        first = np.r_[True, (pb_s[1:] != pb_s[:-1])
+                      | (mb_s[1:] != mb_s[:-1])] if len(pb_s) else \
+            np.empty(0, bool)
+        starts = np.flatnonzero(first)
+        cnt = np.diff(np.r_[starts, len(pb_s)])
+        take = pa.array(order[first], pa.int64())
+        u = pb_s[first]
+        return pa.table({
+            "prefix": prefix.take(take),
+            "text_md5": _s_fixed_to_string_array(mb_s[first])
+            if len(u) else pa.array([], pa.string()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            "min_id": pa.array(ids_s[first], pa.int64()),
+            "prefix_part": pa.array(hash_strings64(u) % group_parts,
+                                    pa.int64()),
+        })
+
+    def _rollup(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return PREFIX_DUP_SCHEMA.empty_table()
+        pb = _to_bytes_array(part["prefix"].combine_chunks())
+        mb = _to_bytes_array(part["text_md5"].combine_chunks())
+        n = np.asarray(part["n"], np.int64)
+        mid = np.asarray(part["min_id"], np.int64)
+        order = np.lexsort((mb, pb))
+        pb_s, mb_s = pb[order], mb[order]
+        new_p = np.r_[True, pb_s[1:] != pb_s[:-1]]
+        new_pair = new_p | np.r_[True, mb_s[1:] != mb_s[:-1]]
+        starts = np.flatnonzero(new_p)
+        ends = np.r_[starts, len(pb_s)]
+        n_docs = np.add.reduceat(n[order], starts)
+        n_md5 = np.add.reduceat(new_pair.astype(np.int64), starts)
+        min_id = np.minimum.reduceat(mid[order], starts)
+        keep = n_docs >= 2
+        take = pa.array(order[starts[keep]], pa.int64())
+        return pa.table({
+            "prefix": part["prefix"].combine_chunks().take(take),
+            "n_docs": pa.array(n_docs[keep], pa.int64()),
+            "n_distinct_md5": pa.array(n_md5[keep], pa.int64()),
+            "min_doc_id": pa.array(min_id[keep], pa.int64()),
+        })
+
+    cells = _read_docs(sf_dir).map_batches(_cells, batch_format="pyarrow")
+    return exchange_map_groups(cells, "prefix_part",
+                               resolve_num_partitions(cfg),
+                               _rollup, PREFIX_DUP_SCHEMA)

@@ -777,3 +777,73 @@ def tool_call_rate_by_role(sf_dir: str):
         })
 
     return t.map_batches(_rate, batch_format="pyarrow")
+
+
+def conv_tool_chain_counts(sf_dir: str):
+    """Tool-CHAIN frequency: for every conversation, the '>'-joined
+    sequence of tool names over its tool-calling turns (turn_idx order),
+    counted across the corpus — the agent-behavior profile ("which tool
+    sequences do assistants actually run?") that a transcript curation
+    pass uses to spot degenerate loops. NULL and '' both mean "no tool
+    call"; conversations with no tool turns don't chain (same as SQL's
+    WHERE tool IS NOT NULL AND tool <> '' + GROUP BY conv).
+
+    One conv exchange; chains assemble per partition from one lexsort +
+    one ``pc.binary_join`` over a ListArray built straight from group
+    offsets (no per-conv Python), and only (chain, count) partials reach
+    the final combine."""
+    from ..config import DEFAULT_CONFIG as _cfg
+    from ..config import resolve_num_partitions
+    from ..functions.segscore import _to_bytes_array, hash_strings64
+    from ..stages.agg import grouped_sums
+    from ..stages.exchange import exchange_map_groups
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(batch["tool"]),
+                       pc.not_equal(batch["tool"], ""))
+        t = batch.filter(keep)
+        cid = t["conv_id"].combine_chunks()
+        return pa.table({
+            "conv_id": cid,
+            "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+            "tool": t["tool"],
+            "conv_part": pa.array(hash_strings64(cid) % 1024, pa.int64()),
+        })
+
+    part_schema = pa.schema([("chain", pa.string()),
+                             ("n_convs", pa.int64())])
+
+    def _chains(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return part_schema.empty_table()
+        cid = _to_bytes_array(part["conv_id"].combine_chunks())
+        tix = np.asarray(part["turn_idx"], np.int64)
+        order = np.lexsort((tix, cid))
+        cid_s = cid[order]
+        starts = np.flatnonzero(np.r_[True, cid_s[1:] != cid_s[:-1]])
+        offsets = pa.array(np.r_[starts, len(cid_s)].astype(np.int32))
+        tools = part["tool"].combine_chunks().take(
+            pa.array(order, pa.int64()))
+        chains = pc.binary_join(
+            pa.ListArray.from_arrays(offsets, tools), ">")
+        ch = _to_bytes_array(chains)
+        o2 = np.argsort(ch, kind="stable")
+        ch_s = ch[o2]
+        new = np.r_[True, ch_s[1:] != ch_s[:-1]]
+        st = np.flatnonzero(new)
+        cnt = np.diff(np.r_[st, len(ch_s)])
+        return pa.table({
+            "chain": chains.take(pa.array(o2[st], pa.int64())),
+            "n_convs": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    keyed = _read_turns(sf_dir, ("conv_id", "turn_idx", "tool")
+                        ).map_batches(_prep, batch_format="pyarrow")
+    parts = exchange_map_groups(keyed, "conv_part",
+                                resolve_num_partitions(_cfg),
+                                _chains, part_schema)
+    out = grouped_sums(parts, ["chain"], ["n_convs"])
+    return out.map_batches(
+        lambda t: pa.table({"chain": t["chain"],
+                            "n_convs": t["sum_n_convs"]}),
+        batch_format="pyarrow")

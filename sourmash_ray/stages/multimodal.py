@@ -16,6 +16,7 @@ import zlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
@@ -251,3 +252,84 @@ def media_frames(sf_dir: str, stride: int = 4):
         FrameSampler, fn_constructor_kwargs={"stride": stride},
         batch_format="pyarrow", batch_size=128, concurrency=(1, 4),
         num_cpus=1)
+
+
+def media_path(sf_dir: str) -> str:
+    """Materialize (once) and return the cached Parquet directory for the
+    synthetic media table at this scale — the same deterministic-cache
+    contract as ``sources.transcripts.transcripts_path``, so DuckDB
+    oracles can read the identical bytes the engine reads. Bucketed into
+    4 files for read parallelism; idempotent via atomic rename."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..sources.transcripts import CACHE_ROOT, sf_of_dir
+
+    out = os.path.join(CACHE_ROOT, f"media_sf{sf_of_dir(sf_dir)}")
+    if os.path.isdir(out):
+        return out
+    tbl = synth_media_table(sf_dir)
+    tmp = out + f".tmp{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    bucket = np.asarray(tbl["media_id"], np.int64) % 4
+    for b in range(4):
+        pq.write_table(tbl.filter(pa.array(bucket == b)),
+                       os.path.join(tmp, f"part-{b:02d}.parquet"))
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)  # another writer won
+    return out
+
+
+MEDIA_STATS_SCHEMA = pa.schema([
+    ("kind", pa.string()), ("n_media", pa.int64()),
+    ("total_bytes", pa.int64()), ("sum_byte_values", pa.int64()),
+    ("min_bytes", pa.int64()), ("max_bytes", pa.int64())])
+
+
+def _media_stats_partial(batch: pa.Table) -> pa.Table:
+    offs, data, lens = _payload_buffer(batch)
+    per = np.add.reduceat(data.astype(np.int64), offs[:-1]) \
+        if data.size else np.zeros(batch.num_rows, np.int64)
+    per[lens == 0] = 0                    # reduceat quirk on empty rows
+    kind = batch["kind"].combine_chunks()
+    rows = []
+    for k in pc.unique(kind).to_pylist():
+        m = np.asarray(pc.equal(kind, k))
+        rows.append({"kind": k, "n_media": int(m.sum()),
+                     "total_bytes": int(lens[m].sum()),
+                     "sum_byte_values": int(per[m].sum()),
+                     "min_bytes": int(lens[m].min()),
+                     "max_bytes": int(lens[m].max())})
+    return pa.Table.from_pylist(rows, schema=MEDIA_STATS_SCHEMA)
+
+
+def media_payload_stats(sf_dir: str):
+    """Per-kind byte audit of the media table: row count, total payload
+    bytes, the SUM of all byte values (an order-insensitive integrity
+    checksum over every payload byte), min/max payload size — the
+    ingest-time sanity profile a multimodal pipeline runs before paying
+    for decode. Vectorized straight off the Arrow binary buffers
+    (one reduceat per block); per-block partials reduce to |kinds| rows,
+    so the final combine is provably driver-scale."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        media_path(sf_dir), columns=["kind", "payload"]).map_batches(
+        _media_stats_partial, batch_format="pyarrow")
+    rows = ds.take_all()
+    if not rows:
+        return MEDIA_STATS_SCHEMA.empty_table()
+    import pandas as pd
+
+    g = (pd.DataFrame(rows).groupby("kind", sort=True)
+         .agg(n_media=("n_media", "sum"), total_bytes=("total_bytes", "sum"),
+              sum_byte_values=("sum_byte_values", "sum"),
+              min_bytes=("min_bytes", "min"), max_bytes=("max_bytes", "max"))
+         .reset_index())
+    return pa.Table.from_pandas(g, preserve_index=False).cast(
+        MEDIA_STATS_SCHEMA)

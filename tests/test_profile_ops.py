@@ -1,0 +1,115 @@
+"""Exact DuckDB twins for the round-5 profile/inventory operators:
+embedding_dim_profile, media_payload_stats, conv_tool_chain_counts,
+prefix_dup_inventory. Each runs the distributed pipeline at sf0.001 and
+compares value-exactly against an independent SQL formulation over the
+same bytes (the oracle_sql() entries run the same comparison at sf0.01
+under the driver)."""
+
+import duckdb
+import pytest
+
+from sourmash_ray.sources.transcripts import transcripts_path
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.sql(f"CREATE VIEW turns AS SELECT * FROM "
+          f"read_parquet('{transcripts_path(SF)}/*.parquet')")
+    c.sql(f"CREATE VIEW documents AS SELECT * FROM "
+          f"read_parquet('{SF}/documents.parquet')")
+    c.sql(f"CREATE VIEW embeddings AS SELECT * FROM "
+          f"read_parquet('{SF}/embeddings.parquet')")
+    return c
+
+
+def test_embedding_dim_profile_matches_duckdb(ray_session, con):
+    from sourmash_ray.pipelines.ann import embedding_dim_profile
+
+    got = sorted(map(tuple, embedding_dim_profile(SF).to_pandas()
+                     .itertuples(index=False)))
+    want = sorted(tuple(r) for r in con.sql("""
+        WITH v AS (
+          SELECT unnest(range(1, len(embedding) + 1)) AS dim,
+                 CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000)
+                      AS BIGINT) AS e4
+          FROM embeddings)
+        SELECT dim, count(*), CAST(sum(e4) AS BIGINT), min(e4), max(e4)
+        FROM v GROUP BY dim
+    """).fetchall())
+    assert got == want and len(got) == 64
+
+
+def test_media_payload_stats_matches_duckdb(ray_session, con):
+    from sourmash_ray.stages.multimodal import (media_path,
+                                                media_payload_stats)
+
+    got = sorted(map(tuple, media_payload_stats(SF).to_pandas()
+                     .itertuples(index=False)))
+    want = sorted(tuple(r) for r in con.sql(f"""
+        WITH m AS (
+          SELECT media_id, kind, n_bytes, hex(payload) AS h
+          FROM read_parquet('{media_path(SF)}/*.parquet')),
+        b AS (SELECT media_id, kind, n_bytes, h,
+                     unnest(range(0, length(h) // 2)) AS j FROM m),
+        v AS (SELECT media_id, kind, n_bytes,
+                     strpos('123456789ABCDEF', substr(h, 2*j+1, 1)) * 16
+                   + strpos('123456789ABCDEF', substr(h, 2*j+2, 1)) AS byte
+              FROM b),
+        per AS (SELECT media_id, kind, any_value(n_bytes) AS n_bytes,
+                       CAST(sum(byte) AS BIGINT) AS s
+                FROM v GROUP BY media_id, kind)
+        SELECT kind, count(*), CAST(sum(n_bytes) AS BIGINT),
+               CAST(sum(s) AS BIGINT), min(n_bytes), max(n_bytes)
+        FROM per GROUP BY kind
+    """).fetchall())
+    assert got == want and len(got) == 2
+
+
+def test_media_cache_matches_synth_table(ray_session):
+    """media_path's cached parquet is byte-identical to a fresh
+    synth_media_table derivation (the determinism the oracle relies on)."""
+    import pyarrow.parquet as pq
+
+    from sourmash_ray.stages.multimodal import media_path, synth_media_table
+
+    cached = pq.read_table(media_path(SF)).sort_by("media_id")
+    fresh = synth_media_table(SF).sort_by("media_id")
+    assert cached.equals(fresh)
+
+
+def test_conv_tool_chain_counts_matches_duckdb(ray_session, con):
+    from sourmash_ray.pipelines.transcriptops import conv_tool_chain_counts
+
+    got = sorted((r["chain"], r["n_convs"])
+                 for r in conv_tool_chain_counts(SF).take_all())
+    want = sorted(tuple(r) for r in con.sql("""
+        WITH c AS (
+          SELECT conv_id, string_agg(tool, '>' ORDER BY turn_idx) AS chain
+          FROM turns WHERE tool IS NOT NULL AND tool <> ''
+          GROUP BY conv_id)
+        SELECT chain, count(*) FROM c GROUP BY chain
+    """).fetchall())
+    assert got == want and got  # non-degenerate fixture
+
+
+def test_prefix_dup_inventory_matches_duckdb(ray_session, con):
+    from sourmash_ray.pipelines.docops import prefix_dup_inventory
+
+    got = sorted(map(tuple, prefix_dup_inventory(SF).to_pandas()
+                     .itertuples(index=False)))
+    want = sorted(tuple(r) for r in con.sql("""
+        WITH p AS (
+          SELECT doc_id, substr(coalesce(text, ''), 1, 64) AS prefix,
+                 md5(coalesce(text, '')) AS h
+          FROM documents)
+        SELECT prefix, count(*), CAST(count(DISTINCT h) AS BIGINT),
+               min(doc_id)
+        FROM p GROUP BY prefix HAVING count(*) >= 2
+    """).fetchall())
+    assert got == want and got
+    # the whole point of the inventory: at least one prefix group hides
+    # >1 distinct text (an exact pass can't collapse it)
+    assert any(r[2] > 1 for r in got)

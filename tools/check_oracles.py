@@ -64,6 +64,13 @@ def main():
     if this_turns != default_turns:
         oracles = {k: v.replace(default_turns, this_turns)
                    for k, v in oracles.items()}
+    from sourmash_ray.stages.multimodal import media_path
+
+    default_media = media_path("/root/testdata/sf0.01")
+    this_media = media_path(SF_DIR)
+    if this_media != default_media:
+        oracles = {k: v.replace(default_media, this_media)
+                   for k, v in oracles.items()}
     fails = []
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
