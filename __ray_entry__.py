@@ -785,6 +785,8 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
             sf, tiers=_tiers_docs_q(sf)),
         "tiered_dedup_transcripts": tiered.tiered_dedup_transcripts,
         "tier_report_transcripts": tiered.tier_report_transcripts,
+        "tiered_dedup_embeddings": tiered.tiered_dedup_embeddings,
+        "tier_report_embeddings": tiered.tier_report_embeddings,
         "residual_dup_rate_docs": lambda sf: tiered.residual_dup_rate(
             sf, tiers=_tiers_docs_q(sf)),
         "exact_spans_docs": docops.exact_spans_docs,

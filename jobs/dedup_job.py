@@ -53,7 +53,7 @@ def main():
                          "rate audit of the kept set (sampled all-pairs "
                          "verify) to the metrics line")
     ap.add_argument("--tiered", default=None,
-                    choices=["docs", "transcripts"],
+                    choices=["docs", "transcripts", "embeddings"],
                     help="run the tier-dedup cascade instead of the "
                          "flat pipeline: 'docs' = exact->simhash->"
                          "minhash over <input>/documents.parquet, "
@@ -91,11 +91,13 @@ def main():
             raise SystemExit("--tiered is incompatible with --metric/"
                              "--window-us (the cascade fixes its own "
                              "tier metrics)")
-        from sourmash_ray.pipelines.tiered import (tiered_dedup_docs,
-                                                   tiered_dedup_transcripts)
+        from sourmash_ray.pipelines.tiered import (
+            tiered_dedup_docs, tiered_dedup_embeddings,
+            tiered_dedup_transcripts)
 
-        fn = (tiered_dedup_docs if args.tiered == "docs"
-              else tiered_dedup_transcripts)
+        fn = {"docs": tiered_dedup_docs,
+              "transcripts": tiered_dedup_transcripts,
+              "embeddings": tiered_dedup_embeddings}[args.tiered]
         tiers = fn(args.input, cfg, checkpoint_dir=args.checkpoint_dir)
         if args.audit or args.out:
             tiers = tiers.materialize()

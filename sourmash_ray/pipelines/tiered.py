@@ -705,3 +705,225 @@ def residual_dup_rate(source, cfg: EngineConfig = DEFAULT_CONFIG, *,
         "dup_rate_ppm": pa.array([rate_ppm], pa.int64()),
     }))
 
+
+
+# ---------------------------------------------------------------------------
+# embeddings-grain cascade: exact (quantized bytes) → cosine-hi → cosine-lo
+# ---------------------------------------------------------------------------
+
+TIER_E_SCHEMA = pa.schema([
+    ("vec_id", pa.int64()),
+    ("tier", pa.string()),
+    ("rep_vec_id", pa.int64()),
+])
+
+
+def _emb_sketch_batch(batch: pa.Table) -> pa.Table:
+    """ONE embedding scan for the whole cascade: per vector, the
+    1e4-quantized float64 blob (exact-integer cosine partials — the
+    ``cosine_pairs_exact`` determinism scheme) and the md5 of its int64
+    bytes (the exact tier's key: bit-identical at e4 resolution). The
+    emitted table is the only thing later tiers touch; raw floats are
+    never re-read."""
+    import hashlib
+
+    from .ann import _emb_matrix
+
+    ids, mat = _emb_matrix(batch)
+    n, dim = (mat.shape if mat.ndim == 2 and mat.size else (len(ids), 0))
+    q = np.round(mat * 1e4) if mat.size else mat.reshape(n, 0)
+    qi = np.ascontiguousarray(q.astype(np.int64))
+    row_bytes = qi.view(np.uint8).reshape(n, 8 * dim) if n and dim else \
+        np.empty((n, 0), np.uint8)
+    md5s = [hashlib.md5(row_bytes[i].tobytes()).hexdigest()
+            for i in range(n)]
+    flat = np.ascontiguousarray(q, dtype=np.float64).reshape(-1)
+    offs = np.arange(n + 1, dtype=np.int32) * (8 * dim)
+    blob = pa.Array.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(offs), pa.py_buffer(flat.view(np.uint8))])
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text_md5": pa.array(md5s, pa.string()),
+        "blob": blob,
+    })
+
+
+def _keyed_from_blob(proj: np.ndarray, n_bits: int, n_tables: int,
+                     group_parts: int):
+    """Hyperplane band keys straight off the quantized blob column (sign
+    of q·h == sign of v·h under positive scaling, so banding the
+    quantized vectors is the same LSH family)."""
+    def _fn(batch: pa.Table) -> pa.Table:
+        blob = batch["blob"].combine_chunks()
+        n = len(blob)
+        data = np.frombuffer(blob.buffers()[2], np.uint8) \
+            if blob.buffers()[2] is not None else np.empty(0, np.uint8)
+        dim = proj.shape[0]
+        mat = data.view(np.float64).reshape(n, dim) if n else \
+            np.empty((0, dim))
+        bits = ((mat @ proj) > 0).reshape(n, n_tables, n_bits)
+        key = (bits.astype(np.uint64)
+               << np.arange(n_bits, dtype=np.uint64)[None, None, :]).sum(
+                   axis=2, dtype=np.uint64)
+        key = key * np.uint64(n_tables + 1) + np.arange(
+            n_tables, dtype=np.uint64)[None, :]
+        keys = key.reshape(-1)
+        return pa.table({
+            "band_key": pa.array(keys, pa.uint64()),
+            "band_part": pa.array(
+                (keys % np.uint64(group_parts)).astype(np.int64),
+                pa.int64()),
+            "conv_id": pc.cast(
+                pa.array(np.repeat(np.asarray(batch["doc_id"], np.int64),
+                                   n_tables), pa.int64()), pa.string()),
+        })
+
+    return _fn
+
+
+def _with_tier_e(ds, tier: str):
+    def _fn(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "vec_id": pc.cast(batch["doc_id"], pa.int64()),
+            "tier": pa.array([tier] * batch.num_rows, pa.string()),
+            "rep_vec_id": pc.cast(batch["rep_doc_id"], pa.int64()),
+        })
+
+    return ds.map_batches(_fn, batch_format="pyarrow")
+
+
+def tiered_dedup_embeddings(source, cfg: EngineConfig = DEFAULT_CONFIG, *,
+                            hi: float = 0.45, lo: float = 0.35,
+                            n_bits: int = 4, n_tables: int = 16,
+                            seed: int = 42,
+                            checkpoint_dir: str | None = None,
+                            resume: bool = True):
+    """Embedding-grain tier cascade — the third modality of the tier-dedup
+    family (docs, transcripts, embeddings):
+
+    - **tier 'exact'** — vectors bit-identical at 1e4 quantization (one
+      md5-of-int64-bytes exchange; re-encoded/re-uploaded embeddings).
+    - **tier 'cosine_hi'** — exact cosine ≥ ``hi`` among exact survivors
+      (semantic clones).
+    - **tier 'cosine_lo'** — ``lo`` ≤ cosine < ``hi`` among hi survivors
+      (near-neighbors a stricter curation pass also drops).
+
+    Candidates band ONCE (multi-table hyperplane LSH over the quantized
+    blobs) and score ONCE at threshold ``lo`` — both cosine tiers
+    re-filter the same scored pair table, exactly the transcripts
+    cascade's one-pass split. Scores use the exact-integer-dot scheme,
+    so tier boundaries are bit-stable across runs and engines. Defaults
+    sit below the synthetic corpus's max inter-vector cosine (~0.52) so
+    the demo cascade is non-degenerate; production embeddings would run
+    hi≈0.99 / lo≈0.95 with ``n_bits`` scaled ~log2(n/64).
+
+    ``source``: sf_dir string or a (vec_id, embedding) Dataset.
+    Returns (vec_id, tier, rep_vec_id), one row per vector; rep chains
+    across tiers as in :func:`tiered_dedup_docs`.
+    """
+    import ray.data
+
+    from ..stages.lsh import PAIRS_SCHEMA, _emit_pairs_part, dedup_pairs
+    from ..stages.verify import CosineScorer, score_pairs
+    from .ann import _read_emb
+
+    if checkpoint_dir is not None and not isinstance(source, str):
+        raise ValueError("checkpoint_dir requires a path source (a "
+                         "Dataset source has no stable fingerprint to "
+                         "key resume on)")
+    fp = (f"tiers-e-v1|sf={source}|hi={hi}|lo={lo}|bits={n_bits}"
+          f"|tables={n_tables}|seed={seed}")
+    emb = _read_emb(source) if isinstance(source, str) else source
+    n_parts = 2 * resolve_num_partitions(cfg)
+    group_parts = cfg.exec.group_parts
+
+    sketches = _ckpt(emb.map_batches(_emb_sketch_batch,
+                                     batch_format="pyarrow"),
+                     checkpoint_dir, "sketches", fp, resume)
+    if sketches.count() == 0:
+        return ray.data.from_arrow(TIER_E_SCHEMA.empty_table())
+    first = sketches.take(1)[0]
+    dim = len(first["blob"]) // 8
+
+    # ---- tier 0: exact at e4 resolution ------------------------------
+    exact = _ckpt(_exact_eliminations(
+        sketches.select_columns(["doc_id", "text_md5"]), cfg, n_parts),
+        checkpoint_dir, "tier_exact", fp, resume, _ELIM_SCHEMA)
+
+    # ---- one banding + one scoring pass over exact survivors ---------
+    surv = _surviving(sketches.select_columns(["doc_id", "blob"]),
+                      [exact], "doc_id", ["blob"], cfg,
+                      n_parts).materialize()
+    rng = np.random.default_rng(seed)
+    proj = rng.standard_normal((dim, n_tables * n_bits))
+    keyed = surv.map_batches(
+        _keyed_from_blob(proj, n_bits, n_tables, group_parts),
+        batch_format="pyarrow")
+    # full_pairs: the scored table feeds TWO tiers; the clustering
+    # star+chain cap would silently break the lo tier's components
+    pairs = exchange_map_groups(
+        keyed, "band_part", n_parts,
+        _emit_pairs_part(cfg.lsh.max_bucket_pairs_members,
+                         full_pairs=True), PAIRS_SCHEMA)
+    pairs = dedup_pairs(pairs, group_parts, out_schema=PAIRS_SCHEMA)
+    blobs = surv.map_batches(
+        lambda t: pa.table({"conv_id": pc.cast(t["doc_id"], pa.string()),
+                            "blob": t["blob"]}),
+        batch_format="pyarrow")
+    scored = _ckpt(
+        score_pairs(pairs, blobs, cfg, CosineScorer(lo, round_to=6),
+                    size_hint_bytes=surv.size_bytes() or 0),
+        checkpoint_dir, "scored_pairs", fp, resume)
+
+    # ---- tier 1: cosine ≥ hi ------------------------------------------
+    hi_pairs = scored.map_batches(
+        lambda t, thr=hi: t.filter(
+            pc.fill_null(pc.greater_equal(t["cosine"], thr), False)),
+        batch_format="pyarrow")
+    hi_elim = _ckpt(_eliminations_from_pairs(hi_pairs, "a", "b", cfg),
+                    checkpoint_dir, "tier_cosine_hi", fp, resume,
+                    _ELIM_SCHEMA)
+
+    # ---- tier 2: lo ≤ cosine < hi among hi survivors --------------------
+    hi_ids = pa.concat_tables(
+        [b.select(["doc_id"]) for b in _ray_blocks(hi_elim)] or
+        [pa.table({"doc_id": pa.array([], pa.int64())})]
+    )["doc_id"].combine_chunks()
+    hi_ids_str = pc.cast(hi_ids, pa.string())
+    lo_pairs = scored.map_batches(
+        lambda t, thr=hi, bad=hi_ids_str: _drop_pairs_touching(
+            t.filter(pc.fill_null(pc.less(t["cosine"], thr), False)),
+            bad),
+        batch_format="pyarrow")
+    lo_elim = _ckpt(_eliminations_from_pairs(lo_pairs, "a", "b", cfg),
+                    checkpoint_dir, "tier_cosine_lo", fp, resume,
+                    _ELIM_SCHEMA)
+
+    # ---- assemble -------------------------------------------------------
+    kept_ids = _surviving(sketches.select_columns(["doc_id"]),
+                          [exact, hi_elim, lo_elim], "doc_id", [],
+                          cfg, n_parts)
+    kept = kept_ids.map_batches(
+        lambda t: pa.table({
+            "vec_id": pc.cast(t["doc_id"], pa.int64()),
+            "tier": pa.array(["kept"] * t.num_rows, pa.string()),
+            "rep_vec_id": pc.cast(t["doc_id"], pa.int64()),
+        }), batch_format="pyarrow")
+    return (_with_tier_e(exact, "exact")
+            .union(_with_tier_e(hi_elim, "cosine_hi"))
+            .union(_with_tier_e(lo_elim, "cosine_lo"))
+            .union(kept))
+
+
+def tier_report_embeddings(source, cfg: EngineConfig = DEFAULT_CONFIG, *,
+                           hi: float = 0.45, lo: float = 0.35,
+                           tiers=None):
+    """(tier, n_vecs) accounting rows for the embeddings cascade."""
+    from ..stages.agg import grouped_sums
+
+    if tiers is None:
+        tiers = tiered_dedup_embeddings(source, cfg, hi=hi, lo=lo
+                                        ).materialize()
+    return grouped_sums(tiers.select_columns(["tier"]), ["tier"], [],
+                        count_as="n_vecs")

@@ -166,3 +166,45 @@ def test_tiered_job_kill_mid_tier_resume(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert _sorted_rows(f"{out_resumed}/*.parquet") == \
         _sorted_rows(f"{out_fresh}/*.parquet")
+
+
+def test_dedup_job_tiered_embeddings_mode(tmp_path):
+    """--tiered embeddings runs the third-modality cascade end-to-end
+    from the job entrypoint and labels every vector exactly once."""
+    out = str(tmp_path / "etiers")
+    r = _run([sys.executable, "jobs/dedup_job.py", "--input", SF,
+              "--tiered", "embeddings", "--out", out, "--num-cpus", "4"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["job"] == "tiered_dedup_embeddings"
+    tbl = pq.read_table(out)
+    n_vecs = pq.read_table(f"{SF}/embeddings.parquet",
+                           columns=["vec_id"]).num_rows
+    assert tbl.num_rows == rep["rows"] == n_vecs
+    ids = sorted(tbl["vec_id"].to_pylist())
+    assert ids == sorted(set(ids))
+    assert set(tbl["tier"].to_pylist()) <= {"exact", "cosine_hi",
+                                            "cosine_lo", "kept"}
+
+
+def test_tiered_embeddings_checkpoint_resume(tmp_path):
+    """Kill the embeddings cascade after the sketch checkpoint commits;
+    a resubmit with the same checkpoint dir completes and its output is
+    content-identical to a fresh uncheckpointed run."""
+    ckpt = str(tmp_path / "eckpt")
+    out_resumed = str(tmp_path / "eout_resumed")
+    out_fresh = str(tmp_path / "eout_fresh")
+    cmd = [sys.executable, "jobs/dedup_job.py", "--input", SF,
+           "--tiered", "embeddings", "--num-cpus", "4"]
+    proc = _spawn(cmd + ["--checkpoint-dir", ckpt])
+    killed = _kill_when(
+        proc, lambda: os.path.exists(
+            os.path.join(ckpt, "sketches", "_LINEAGE.json")))
+    assert killed, "job finished before the kill trigger"
+
+    r = _run(cmd + ["--checkpoint-dir", ckpt, "--out", out_resumed])
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = _run(cmd + ["--out", out_fresh])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert _sorted_rows(f"{out_resumed}/*.parquet") == \
+        _sorted_rows(f"{out_fresh}/*.parquet")

@@ -351,3 +351,115 @@ def test_fused_cascade_sketcher_equals_separate_kernels(ray_session):
     sig = DocSketcher(DEFAULT_CONFIG)(batch)
     for col in ("conv_id", "mins", "md5", "perms"):
         assert fused[col].to_pylist() == sig[col].to_pylist(), col
+
+
+def _serial_embedding_cascade(ids, mat, hi=0.45, lo=0.35):
+    """Serial oracle for the embeddings cascade: quantize → exact-bytes
+    groups → brute-force exact-integer cosine → hi-tier components →
+    lo-tier components among hi survivors (same arithmetic as the
+    engine's CosineScorer: exact int dots, sqrt of exact int norms)."""
+    q = np.round(np.asarray(mat, np.float64) * 1e4)
+    label, rep = {}, {}
+    seen: dict[bytes, int] = {}
+    surv = []
+    for j in sorted(range(len(ids)), key=lambda j: ids[j]):
+        key = q[j].astype(np.int64).tobytes()
+        if key in seen:
+            label[ids[j]] = "exact"
+            rep[ids[j]] = seen[key]
+        else:
+            seen[key] = ids[j]
+            surv.append(j)
+    qs = q[surv]
+    sids = [ids[j] for j in surv]
+    norms = np.linalg.norm(qs, axis=1)
+    norms[norms == 0] = 1.0
+    cos = (qs @ qs.T) / (norms[:, None] * norms[None, :])
+    iu, ju = np.triu_indices(len(sids), k=1)
+    keep = cos[iu, ju] >= lo                   # the scorer's raw filter
+    pair_cos = np.round(cos[iu, ju][keep], 6)  # the emitted column
+    pe = list(zip(iu[keep], ju[keep], pair_cos))
+    hi_edges = [(min(sids[x], sids[y]), max(sids[x], sids[y]))
+                for x, y, c in pe if c >= hi]
+    comp = _uf_min(sids, hi_edges)
+    surv2 = [i for i in sids if comp[i] == i]
+    for i in sids:
+        if comp[i] != i:
+            label[i] = "cosine_hi"
+            rep[i] = comp[i]
+    s2 = set(surv2)
+    lo_edges = [(min(sids[x], sids[y]), max(sids[x], sids[y]))
+                for x, y, c in pe
+                if c < hi and sids[x] in s2 and sids[y] in s2]
+    comp2 = _uf_min(surv2, lo_edges)
+    for i in surv2:
+        if comp2[i] != i:
+            label[i] = "cosine_lo"
+            rep[i] = comp2[i]
+        else:
+            label[i] = "kept"
+            rep[i] = i
+    return {i: (label[i], rep[i]) for i in ids}
+
+
+def test_tiered_embeddings_hand_corpus(ray_session):
+    """All four labels on a constructed vector set; pipeline == serial
+    oracle exactly."""
+    from sourmash_ray.pipelines.tiered import tiered_dedup_embeddings
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(64)
+    v2 = rng.standard_normal(64)
+    v4 = rng.standard_normal(64)
+    u = rng.standard_normal(64)
+    u -= (u @ v4) / (v4 @ v4) * v4
+    v5 = (0.40 * v4 / np.linalg.norm(v4)
+          + np.sqrt(1 - 0.16) * u / np.linalg.norm(u))
+    vecs = [base, base.copy(),                        # exact pair
+            v2, v2 + 0.02 * rng.standard_normal(64),  # cosine_hi pair
+            v4, v5,                                    # cosine_lo pair
+            rng.standard_normal(64)]                   # isolated
+    f32 = np.asarray(vecs, np.float32)
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in f32],
+                              pa.list_(pa.float32())),
+    }))
+    got = {r["vec_id"]: (r["tier"], r["rep_vec_id"])
+           for r in tiered_dedup_embeddings(
+               ds, n_bits=2, n_tables=32).take_all()}
+    want = _serial_embedding_cascade(list(range(len(vecs))),
+                                     np.asarray(f32, np.float64))
+    assert got == want
+    assert got[1] == ("exact", 0) and got[3] == ("cosine_hi", 2)
+    assert got[5] == ("cosine_lo", 4) and got[6] == ("kept", 6)
+
+
+def test_tiered_embeddings_testdata_sf0001(ray_session):
+    """Distributed cascade == serial brute-force cascade on the real
+    sf0.001 embeddings table (banding at n_bits=2/n_tables=32, where
+    per-pair recall at cos 0.35 is ~1-3e-7 — deterministic given the
+    seed; a miss would fail loudly here)."""
+    import pyarrow.parquet as pq
+
+    from sourmash_ray.pipelines.tiered import (tier_report_embeddings,
+                                               tiered_dedup_embeddings)
+
+    tbl = pq.read_table("/root/testdata/sf0.001/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    ids = tbl["vec_id"].to_pylist()
+    mat = np.asarray(tbl["embedding"].combine_chunks().flatten(),
+                     np.float64).reshape(len(ids), -1)
+    want = _serial_embedding_cascade(ids, mat)
+    tiers = tiered_dedup_embeddings("/root/testdata/sf0.001",
+                                    n_bits=2, n_tables=32).materialize()
+    got = {r["vec_id"]: (r["tier"], r["rep_vec_id"])
+           for r in tiers.take_all()}
+    assert got == want
+    # report counts match the label rows
+    rep = {r["tier"]: r["n_vecs"]
+           for r in tier_report_embeddings(
+               "/root/testdata/sf0.001", tiers=tiers).take_all()}
+    from collections import Counter
+
+    assert rep == dict(Counter(v[0] for v in want.values()))
