@@ -336,6 +336,18 @@ def _tiers_docs_q(sf_dir: str):
     return cache["tiers_docs"]
 
 
+def _tiers_emb_q(sf_dir: str):
+    """Embeddings tier cascade, run once per sf and shared by its four
+    cascade-grain driver queries (the cascade itself, its report, the
+    residual-cosine audit, and the cross-modal agreement matrix)."""
+    from sourmash_ray.pipelines.tiered import tiered_dedup_embeddings
+
+    cache = _pipeline_for(sf_dir)
+    if "tiers_emb" not in cache:
+        cache["tiers_emb"] = tiered_dedup_embeddings(sf_dir).materialize()
+    return cache["tiers_emb"]
+
+
 def _snapshot_b_dir(sf_dir: str) -> str:
     """Deterministic second snapshot for the diff demo, cached under
     /tmp: drop doc_id % 10 == 0 (removed), append ' +changed+' to the
@@ -659,6 +671,12 @@ def _media_stats_q(sf_dir: str):
     return media_payload_stats(sf_dir)
 
 
+def _media_hist_q(sf_dir: str):
+    from sourmash_ray.stages.multimodal import media_size_histogram
+
+    return media_size_histogram(sf_dir)
+
+
 def _bpe_train_q(sf_dir: str):
     from sourmash_ray.pipelines.bpe import bpe_train_merges
 
@@ -785,8 +803,13 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
             sf, tiers=_tiers_docs_q(sf)),
         "tiered_dedup_transcripts": tiered.tiered_dedup_transcripts,
         "tier_report_transcripts": tiered.tier_report_transcripts,
-        "tiered_dedup_embeddings": tiered.tiered_dedup_embeddings,
-        "tier_report_embeddings": tiered.tier_report_embeddings,
+        "tiered_dedup_embeddings": _tiers_emb_q,
+        "tier_report_embeddings": lambda sf: tiered.tier_report_embeddings(
+            sf, tiers=_tiers_emb_q(sf)),
+        "tier_agreement_matrix": lambda sf: tiered.tier_agreement_matrix(
+            sf, doc_tiers=_tiers_docs_q(sf), emb_tiers=_tiers_emb_q(sf)),
+        "residual_cosine_rate": lambda sf: tiered.residual_cosine_rate(
+            sf, tiers=_tiers_emb_q(sf)),
         "residual_dup_rate_docs": lambda sf: tiered.residual_dup_rate(
             sf, tiers=_tiers_docs_q(sf)),
         "exact_spans_docs": docops.exact_spans_docs,
@@ -949,9 +972,13 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "media_resize": _media_resize_q,
         "media_frames": _media_frames_q,
         "media_payload_stats": _media_stats_q,
+        "media_size_histogram": _media_hist_q,
         "embedding_dim_profile": ann.embedding_dim_profile,
+        "embedding_norm_quantiles": ann.embedding_norm_quantiles,
         "conv_tool_chain_counts": transcriptops.conv_tool_chain_counts,
         "prefix_dup_inventory": docops.prefix_dup_inventory,
+        "token_length_histogram": docops.token_length_histogram,
+        "user_activity_span": eventops.user_activity_span,
         "incremental_dedup_docs": _incremental_dedup_q,
         "ann_topk_pq": lambda sf: ann.ann_topk_pq(sf, m_sub=16,
                                                   k_codes=128),
@@ -1548,6 +1575,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_md5,
                    min(doc_id) AS min_doc_id
             FROM p GROUP BY prefix HAVING count(*) >= 2
+        """,
+        "media_size_histogram": f"""
+            SELECT kind, (n_bytes // 32) * 32 AS bucket,
+                   count(*) AS n_media
+            FROM read_parquet('{_media}/*.parquet')
+            GROUP BY 1, 2
+        """,
+        "embedding_norm_quantiles": """
+            WITH v AS (
+              SELECT vec_id,
+                     CAST(round(CAST(unnest(embedding) AS DOUBLE)
+                                * 10000) AS BIGINT) AS e4
+              FROM embeddings),
+            n AS (SELECT vec_id, CAST(sum(e4 * e4) AS BIGINT) AS norm2
+                  FROM v GROUP BY vec_id)
+            SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9]) AS DOUBLE) AS q,
+                   CAST(unnest(quantile_disc(norm2,
+                        [0.25, 0.5, 0.75, 0.9])) AS BIGINT) AS value
+            FROM n
+        """,
+        "token_length_histogram": """
+            SELECT length(t) AS token_len, count(*) AS n_tokens
+            FROM (SELECT unnest(string_split(coalesce(text, ''), ' '))
+                      AS t
+                  FROM documents)
+            WHERE t <> ''
+            GROUP BY 1
+        """,
+        "user_activity_span": """
+            SELECT user_id, count(*) AS n_events,
+                   CAST(min(epoch_us(ts)) AS BIGINT) AS first_ts_us,
+                   CAST(max(epoch_us(ts)) AS BIGINT) AS last_ts_us,
+                   CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT)
+                       AS span_us
+            FROM events GROUP BY user_id
         """,
         "tool_usage_transcripts": f"""
             SELECT coalesce(tool, '') AS tool, count(*) AS n_turns,

@@ -1217,3 +1217,22 @@ def _dim_profile_partial(batch: pa.Table) -> pa.Table:
         "min_e4": pa.array(q.min(axis=0).astype(np.int64)),
         "max_e4": pa.array(q.max(axis=0).astype(np.int64)),
     })
+
+
+def embedding_norm_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.9)):
+    """Exact discrete quantiles of the quantized squared L2 norm
+    (sum of e4²; every partial an exact float64 integer) — the scale
+    audit that catches unnormalized or clipped embedding batches before
+    they poison cosine thresholds. Rides the shared distributed
+    value-histogram quantile exchange."""
+    from ..stages.agg import quantiles_disc
+
+    def _norm(batch: pa.Table) -> pa.Table:
+        _, mat = _emb_matrix(batch)
+        q = np.round(mat * 1e4)
+        return pa.table({"norm2_e8": pa.array(
+            np.einsum("ij,ij->i", q, q).astype(np.int64)
+            if mat.size else np.empty(0, np.int64), pa.int64())})
+
+    ds = _read_emb(sf_dir).map_batches(_norm, batch_format="pyarrow")
+    return quantiles_disc(ds, "norm2_e8", list(qs))

@@ -3079,3 +3079,24 @@ def prefix_dup_inventory(sf_dir: str, prefix_chars: int = 64,
     return exchange_map_groups(cells, "prefix_part",
                                resolve_num_partitions(cfg),
                                _rollup, PREFIX_DUP_SCHEMA)
+
+
+def token_length_histogram(sf_dir: str):
+    """Corpus-wide token-LENGTH histogram (space-split tokens, the
+    ``top_tokens`` family's convention) — the tokenizer-budget profile
+    (subword fertility, outlier-token detection) a BPE training run
+    reads first. One map pass: lengths come straight off the flattened
+    split values; only (length, count) partials shuffle."""
+    from ..stages.agg import grouped_sums
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch["text"].combine_chunks(), "")
+        splits = pc.split_pattern(text, " ")
+        if isinstance(splits, pa.ChunkedArray):
+            splits = splits.combine_chunks()
+        lens = pc.cast(pc.utf8_length(splits.flatten()), pa.int64())
+        return pa.table({"token_len":
+                         lens.filter(pc.greater(lens, 0))})
+
+    ds = _read_docs(sf_dir).map_batches(_prep, batch_format="pyarrow")
+    return grouped_sums(ds, ["token_len"], [], count_as="n_tokens")

@@ -1260,3 +1260,31 @@ def events_by_weekday(sf_dir: str):
                             "n_events": t["n_events"],
                             "sum_value_micros": t["sum_value_micros"]}),
         batch_format="pyarrow")
+
+
+def user_activity_span(sf_dir: str):
+    """Per-user activity envelope: event count, first/last event time
+    (µs) and the span between them — the account-age / activity-window
+    profile an event-cohort analysis starts from. Grouped min/max
+    partials through the key exchange; the span is a map over the
+    already-aggregated rows."""
+    from ..stages.agg import grouped_minmax
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+        })
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"]).map_batches(
+        _prep, batch_format="pyarrow")
+    mm = grouped_minmax(ds, ["user_id"], "ts_us", count_as="n_events")
+    return mm.map_batches(
+        lambda t: pa.table({
+            "user_id": t["user_id"],
+            "n_events": t["n_events"],
+            "first_ts_us": t["min_ts_us"],
+            "last_ts_us": t["max_ts_us"],
+            "span_us": pc.subtract(t["max_ts_us"], t["min_ts_us"]),
+        }), batch_format="pyarrow")

@@ -927,3 +927,91 @@ def tier_report_embeddings(source, cfg: EngineConfig = DEFAULT_CONFIG, *,
                                         ).materialize()
     return grouped_sums(tiers.select_columns(["tier"]), ["tier"], [],
                         count_as="n_vecs")
+
+
+def tier_agreement_matrix(source, cfg: EngineConfig = DEFAULT_CONFIG, *,
+                          doc_tiers=None, emb_tiers=None):
+    """Cross-MODALITY cascade audit: the (doc_tier × embedding_tier)
+    contingency matrix over ids labeled by BOTH the text cascade and the
+    embedding cascade (vec_id ≡ doc_id in this corpus — the embeddings
+    are document embeddings). Disagreement cells are the interesting
+    ones: text-kept but embedding-dup = paraphrase/template mass the
+    text tiers can't see; text-dup but embedding-kept = near-identical
+    text whose embeddings drifted (an encoder-version smell). One id
+    exchange joins the two label tables; only (pair-of-tiers, count)
+    cells leave it."""
+    from ..stages.agg import grouped_sums
+
+    if doc_tiers is None:
+        doc_tiers = tiered_dedup_docs(source, cfg).materialize()
+    if emb_tiers is None:
+        emb_tiers = tiered_dedup_embeddings(source, cfg).materialize()
+    n_parts = resolve_num_partitions(cfg)
+    d = doc_tiers.map_batches(
+        lambda t: pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                            "doc_tier": t["tier"]}),
+        batch_format="pyarrow")
+    e = emb_tiers.map_batches(
+        lambda t: pa.table({"doc_id": pc.cast(t["vec_id"], pa.int64()),
+                            "emb_tier": t["tier"]}),
+        batch_format="pyarrow")
+    joined = hash_join_exchange(d, e, "doc_id", ["doc_tier"],
+                                ["emb_tier"], n_parts)
+    return grouped_sums(joined.select_columns(["doc_tier", "emb_tier"]),
+                        ["doc_tier", "emb_tier"], [], count_as="n_items")
+
+
+def residual_cosine_rate(source, cfg: EngineConfig = DEFAULT_CONFIG, *,
+                         n_sample: int = 256, lo: float = 0.35,
+                         tiers=None):
+    """Embeddings-cascade acceptance audit (the :func:`residual_dup_rate`
+    twin): estimated residual near-dup rate among KEPT vectors by
+    exhaustive exact-integer cosine over a deterministic hash-ordered
+    sample. Output: one row
+    (n_kept, n_sampled, n_pairs_checked, n_dup_pairs, dup_rate_ppm)."""
+    import ray.data
+
+    from ..functions.segscore import hash_strings64
+    from .ann import _emb_matrix, _read_emb
+
+    if tiers is None:
+        tiers = tiered_dedup_embeddings(source, cfg).materialize()
+    kept = tiers.map_batches(
+        lambda t: t.filter(pc.equal(t["tier"], "kept")).select(
+            ["vec_id"]),
+        batch_format="pyarrow").materialize()
+    n_kept = kept.count()
+    samp_rows = kept.map_batches(
+        lambda t: pa.table({
+            "vec_id": t["vec_id"],
+            "h": pa.array(hash_strings64(
+                pc.cast(t["vec_id"], pa.string())), pa.int64()),
+        }), batch_format="pyarrow").sort("h").take(n_sample)
+    ids = pa.array(sorted(r["vec_id"] for r in samp_rows), pa.int64())
+    emb = _read_emb(source) if isinstance(source, str) else source
+    sample = pa.concat_tables(
+        [b for b in _ray_blocks(emb.map_batches(
+            lambda t: t.filter(pc.is_in(t["vec_id"], value_set=ids)),
+            batch_format="pyarrow"))]
+        or [pa.table({"vec_id": pa.array([], pa.int64()),
+                      "embedding": pa.array([], pa.list_(pa.float32()))})]
+    ).combine_chunks()
+    n = sample.num_rows
+    n_pairs = n * (n - 1) // 2
+    n_dup = 0
+    if n >= 2:
+        _, mat = _emb_matrix(sample)
+        q = np.round(mat * 1e4)
+        norms = np.linalg.norm(q, axis=1)
+        norms[norms == 0] = 1.0
+        cos = (q @ q.T) / (norms[:, None] * norms[None, :])
+        iu, ju = np.triu_indices(n, k=1)
+        n_dup = int((cos[iu, ju] >= lo).sum())
+    rate_ppm = int(round(n_dup / n_pairs * 1_000_000)) if n_pairs else 0
+    return ray.data.from_arrow(pa.table({
+        "n_kept": pa.array([n_kept], pa.int64()),
+        "n_sampled": pa.array([n], pa.int64()),
+        "n_pairs_checked": pa.array([n_pairs], pa.int64()),
+        "n_dup_pairs": pa.array([n_dup], pa.int64()),
+        "dup_rate_ppm": pa.array([rate_ppm], pa.int64()),
+    }))

@@ -333,3 +333,26 @@ def media_payload_stats(sf_dir: str):
          .reset_index())
     return pa.Table.from_pandas(g, preserve_index=False).cast(
         MEDIA_STATS_SCHEMA)
+
+
+def media_size_histogram(sf_dir: str, width: int = 32):
+    """Per-kind payload-size histogram (``width``-byte buckets) — the
+    batch-size / block-size sizing input for the decode actor pool
+    (payload size drives ``batch_size`` for large-binary stages).
+    Map-only bucketing; only (kind, bucket, count) cells shuffle."""
+    import ray.data
+
+    from ..stages.agg import grouped_sums
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        nb = pc.cast(batch["n_bytes"], pa.int64())
+        return pa.table({
+            "kind": batch["kind"],
+            "bucket": pc.multiply(pc.divide(nb, width),
+                                  pa.scalar(width, pa.int64())),
+        })
+
+    ds = ray.data.read_parquet(
+        media_path(sf_dir), columns=["kind", "n_bytes"]).map_batches(
+        _prep, batch_format="pyarrow")
+    return grouped_sums(ds, ["kind", "bucket"], [], count_as="n_media")

@@ -113,3 +113,67 @@ def test_prefix_dup_inventory_matches_duckdb(ray_session, con):
     # the whole point of the inventory: at least one prefix group hides
     # >1 distinct text (an exact pass can't collapse it)
     assert any(r[2] > 1 for r in got)
+
+
+def test_token_length_histogram_matches_duckdb(ray_session, con):
+    from sourmash_ray.pipelines.docops import token_length_histogram
+
+    got = sorted((r["token_len"], r["n_tokens"])
+                 for r in token_length_histogram(SF).take_all())
+    want = sorted(tuple(r) for r in con.sql("""
+        SELECT length(t), count(*)
+        FROM (SELECT unnest(string_split(coalesce(text,''), ' ')) AS t
+              FROM documents)
+        WHERE t <> '' GROUP BY 1
+    """).fetchall())
+    assert got == want and got
+
+
+def test_embedding_norm_quantiles_matches_duckdb(ray_session, con):
+    from sourmash_ray.pipelines.ann import embedding_norm_quantiles
+
+    got = {r["q"]: r["value"]
+           for r in embedding_norm_quantiles(SF).to_pylist()}
+    want = dict(con.sql("""
+        WITH v AS (SELECT vec_id,
+                          CAST(round(CAST(unnest(embedding) AS DOUBLE)
+                               * 10000) AS BIGINT) AS e4
+                   FROM embeddings),
+        n AS (SELECT vec_id, CAST(sum(e4*e4) AS BIGINT) AS norm2
+              FROM v GROUP BY vec_id)
+        SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9]) AS DOUBLE),
+               unnest(quantile_disc(norm2, [0.25, 0.5, 0.75, 0.9]))
+        FROM n
+    """).fetchall())
+    assert got == want and len(got) == 4
+
+
+def test_user_activity_span_matches_duckdb(ray_session, con):
+    from sourmash_ray.pipelines.eventops import user_activity_span
+
+    c2 = con
+    c2.sql(f"CREATE VIEW IF NOT EXISTS events AS SELECT * FROM "
+           f"read_parquet('{SF}/events.parquet')")
+    got = sorted(map(tuple, user_activity_span(SF).to_pandas()
+                     .itertuples(index=False)))
+    want = sorted(tuple(r) for r in c2.sql("""
+        SELECT user_id, count(*),
+               CAST(min(epoch_us(ts)) AS BIGINT),
+               CAST(max(epoch_us(ts)) AS BIGINT),
+               CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT)
+        FROM events GROUP BY user_id
+    """).fetchall())
+    assert got == want and got
+
+
+def test_media_size_histogram_matches_duckdb(ray_session, con):
+    from sourmash_ray.stages.multimodal import (media_path,
+                                                media_size_histogram)
+
+    got = sorted(map(tuple, media_size_histogram(SF).to_pandas()
+                     .itertuples(index=False)))
+    want = sorted(tuple(r) for r in con.sql(f"""
+        SELECT kind, (n_bytes // 32) * 32, count(*)
+        FROM read_parquet('{media_path(SF)}/*.parquet') GROUP BY 1, 2
+    """).fetchall())
+    assert got == want and got

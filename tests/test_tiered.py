@@ -463,3 +463,57 @@ def test_tiered_embeddings_testdata_sf0001(ray_session):
     from collections import Counter
 
     assert rep == dict(Counter(v[0] for v in want.values()))
+
+
+def test_tier_agreement_and_residual_cosine(ray_session):
+    """Cross-modal agreement matrix is a true contingency table of the
+    two cascades (cells == brute-force pandas crosstab; total == corpus
+    size) and the residual-cosine audit of the cascade's kept set is
+    clean at its own threshold when sampling covers every kept vector."""
+    from sourmash_ray.pipelines.tiered import (residual_cosine_rate,
+                                               tier_agreement_matrix,
+                                               tiered_dedup_docs,
+                                               tiered_dedup_embeddings)
+
+    SF = "/root/testdata/sf0.001"
+    dt = tiered_dedup_docs(SF).materialize()
+    et = tiered_dedup_embeddings(SF).materialize()
+    got = {(r["doc_tier"], r["emb_tier"]): r["n_items"]
+           for r in tier_agreement_matrix(
+               SF, doc_tiers=dt, emb_tiers=et).take_all()}
+    dmap = {r["doc_id"]: r["tier"] for r in dt.take_all()}
+    emap = {r["vec_id"]: r["tier"] for r in et.take_all()}
+    from collections import Counter
+
+    want = Counter((dmap[i], emap[i]) for i in dmap if i in emap)
+    assert got == dict(want)
+    assert sum(got.values()) == len(emap)
+
+    audit = residual_cosine_rate(SF, n_sample=10 ** 9,
+                                 tiers=et).take_all()[0]
+    assert audit["n_sampled"] == audit["n_kept"]
+    # the audit's dup count == an independent brute-force count over the
+    # kept set (default-banding cascades CAN leave residuals — finding
+    # them is the audit's job, so assert agreement, not zero)
+    import pyarrow.parquet as pq
+
+    kept_ids = sorted(r["vec_id"] for r in et.take_all()
+                      if r["tier"] == "kept")
+    tbl = pq.read_table(f"{SF}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    emap2 = {v: e for v, e in zip(tbl["vec_id"].to_pylist(),
+                                  tbl["embedding"].to_pylist())}
+    q = np.round(np.array([emap2[i] for i in kept_ids], np.float64)
+                 * 1e4)
+    norms = np.linalg.norm(q, axis=1)
+    norms[norms == 0] = 1.0
+    cos = (q @ q.T) / (norms[:, None] * norms[None, :])
+    iu, ju = np.triu_indices(len(kept_ids), k=1)
+    want_dup = int((cos[iu, ju] >= 0.35).sum())
+    assert audit["n_dup_pairs"] == want_dup
+    assert audit["n_pairs_checked"] == len(iu)
+    # and with recall-saturating banding the cascade leaves NO residual
+    et2 = tiered_dedup_embeddings(SF, n_bits=2, n_tables=32).materialize()
+    audit2 = residual_cosine_rate(SF, n_sample=10 ** 9,
+                                  tiers=et2).take_all()[0]
+    assert audit2["n_dup_pairs"] == 0 and audit2["dup_rate_ppm"] == 0
