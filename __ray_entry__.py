@@ -677,6 +677,12 @@ def _media_hist_q(sf_dir: str):
     return media_size_histogram(sf_dir)
 
 
+def _media_ratio_q(sf_dir: str):
+    from sourmash_ray.stages.multimodal import media_compression_ratio
+
+    return media_compression_ratio(sf_dir)
+
+
 def _bpe_train_q(sf_dir: str):
     from sourmash_ray.pipelines.bpe import bpe_train_merges
 
@@ -979,6 +985,9 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "prefix_dup_inventory": docops.prefix_dup_inventory,
         "token_length_histogram": docops.token_length_histogram,
         "user_activity_span": eventops.user_activity_span,
+        "ship_delay_histogram": relational.ship_delay_histogram,
+        "media_compression_ratio": _media_ratio_q,
+        "conv_role_balance": transcriptops.conv_role_balance,
         "incremental_dedup_docs": _incremental_dedup_q,
         "ann_topk_pq": lambda sf: ann.ann_topk_pq(sf, m_sub=16,
                                                   k_codes=128),
@@ -1602,6 +1611,39 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
             WHERE t <> ''
             GROUP BY 1
+        """,
+        "ship_delay_histogram": """
+            WITH d AS (
+              SELECT (epoch_us(l_shipdate) - epoch_us(o_orderdate))
+                         // 86400000000 AS days
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+            SELECT ((days + 100000) // 7) * 7 - 100000
+                       AS delay_bucket_days,
+                   count(*) AS n_items
+            FROM d GROUP BY 1
+        """,
+        "media_compression_ratio": f"""
+            SELECT (m.n_bytes * 100) // greatest(d.n_chars, 1)
+                       AS ratio_pct,
+                   count(*) AS n_media
+            FROM read_parquet('{_media}/*.parquet') m
+            JOIN documents d ON m.media_id = d.doc_id
+            GROUP BY 1
+        """,
+        "conv_role_balance": f"""
+            SELECT conv_id,
+                   CAST(count(*) FILTER (role = 'user') AS BIGINT)
+                       AS user_turns,
+                   CAST(count(*) FILTER (role = 'assistant') AS BIGINT)
+                       AS assistant_turns,
+                   CAST(coalesce(sum(length(coalesce(text, '')))
+                        FILTER (role = 'user'), 0) AS BIGINT)
+                       AS user_chars,
+                   CAST(coalesce(sum(length(coalesce(text, '')))
+                        FILTER (role = 'assistant'), 0) AS BIGINT)
+                       AS assistant_chars
+            FROM read_parquet('{_turns}/*.parquet')
+            GROUP BY conv_id
         """,
         "user_activity_span": """
             SELECT user_id, count(*) AS n_events,

@@ -2981,3 +2981,60 @@ def nation_market_share(sf_dir: str, nation_name: str = "NATION_7"):
         })
 
     return agg.map_batches(_share, batch_format="pyarrow")
+
+
+_DELAY_SHIFT_DAYS = 100_000
+
+
+def ship_delay_histogram(sf_dir: str, bucket_days: int = 7):
+    """Order→ship latency profile: histogram of (l_shipdate −
+    o_orderdate) in ``bucket_days`` buckets — the fulfillment-latency
+    rollup that needs the big-big orderkey join before it can aggregate.
+    One orderkey exchange (lineitem ⋈ orders ships each projected row
+    once), then only (bucket, count) cells move.
+
+    Bucketing shifts delays by +100000 days first: DuckDB's ``//``
+    truncates toward zero while numpy floors, so both engines bucket on
+    a non-negative operand (where they agree) and shift back. Delays
+    below the shift raise rather than silently diverge (the composite
+    month-key overflow-guard discipline)."""
+    from ..stages.agg import grouped_sums
+    from ..stages.join import hash_join_exchange
+
+    lhs = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate"]).map_batches(
+        lambda t: pa.table({
+            "okey": pc.cast(t["l_orderkey"], pa.int64()),
+            "ship_us": pc.cast(t["l_shipdate"], pa.int64()),
+        }), batch_format="pyarrow")
+    rhs = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate"]).map_batches(
+        lambda t: pa.table({
+            "okey": pc.cast(t["o_orderkey"], pa.int64()),
+            "order_us": pc.cast(t["o_orderdate"], pa.int64()),
+        }), batch_format="pyarrow")
+    from ..config import DEFAULT_CONFIG as _cfg
+    from ..config import resolve_num_partitions
+
+    joined = hash_join_exchange(lhs, rhs, "okey", ["ship_us"],
+                                ["order_us"],
+                                resolve_num_partitions(_cfg))
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        us = np.asarray(batch["ship_us"], np.int64) \
+            - np.asarray(batch["order_us"], np.int64)
+        days = us // 86_400_000_000
+        if days.size and days.min() < -_DELAY_SHIFT_DAYS:
+            raise ValueError("ship delay below the bucket shift — "
+                             "raise _DELAY_SHIFT_DAYS")
+        b = ((days + _DELAY_SHIFT_DAYS) // bucket_days) * bucket_days \
+            - _DELAY_SHIFT_DAYS
+        return pa.table({"delay_bucket_days": pa.array(b, pa.int64())})
+
+    return grouped_sums(joined.map_batches(_bucket,
+                                           batch_format="pyarrow"),
+                        ["delay_bucket_days"], [], count_as="n_items")

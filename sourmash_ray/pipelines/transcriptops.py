@@ -847,3 +847,72 @@ def conv_tool_chain_counts(sf_dir: str):
         lambda t: pa.table({"chain": t["chain"],
                             "n_convs": t["sum_n_convs"]}),
         batch_format="pyarrow")
+
+
+ROLE_BALANCE_SCHEMA = pa.schema([
+    ("conv_id", pa.string()),
+    ("user_turns", pa.int64()), ("assistant_turns", pa.int64()),
+    ("user_chars", pa.int64()), ("assistant_chars", pa.int64()),
+])
+
+
+def _role_balance_pivot(part: pa.Table) -> pa.Table:
+    """Partition kernel for :func:`conv_role_balance` (module-level so
+    tests can drive the unknown-role guard directly)."""
+    from ..functions.segscore import _to_bytes_array
+
+    if part.num_rows == 0:
+        return ROLE_BALANCE_SCHEMA.empty_table()
+    role = _to_bytes_array(part["role"].combine_chunks())
+    is_user = role == b"user"
+    if not (is_user | (role == b"assistant")).all():
+        raise ValueError("unknown role in transcripts (expected "
+                         "user/assistant)")
+    cid = _to_bytes_array(part["conv_id"].combine_chunks())
+    nch = np.asarray(part["n_chars"], np.int64)
+    order = np.argsort(cid, kind="stable")
+    cid_s = cid[order]
+    starts = np.flatnonzero(np.r_[True, cid_s[1:] != cid_s[:-1]])
+    u = is_user[order].astype(np.int64)
+    nch_s = nch[order]
+    return pa.table({
+        "conv_id": part["conv_id"].combine_chunks().take(
+            pa.array(order[starts], pa.int64())),
+        "user_turns": pa.array(
+            np.add.reduceat(u, starts), pa.int64()),
+        "assistant_turns": pa.array(
+            np.add.reduceat(1 - u, starts), pa.int64()),
+        "user_chars": pa.array(
+            np.add.reduceat(nch_s * u, starts), pa.int64()),
+        "assistant_chars": pa.array(
+            np.add.reduceat(nch_s * (1 - u), starts), pa.int64()),
+    })
+
+
+def conv_role_balance(sf_dir: str):
+    """Per-conversation role pivot: user/assistant turn and char counts
+    side by side — the balance profile a dialogue-quality gate reads
+    (monologues, missing-assistant rows). One conv exchange; the pivot
+    is two masked ``np.add.reduceat`` passes per partition. Roles other
+    than user/assistant raise (the linestatus discipline: silent
+    re-bucketing of an unknown category corrupts counts)."""
+    from ..config import DEFAULT_CONFIG as _cfg
+    from ..config import resolve_num_partitions
+    from ..functions.segscore import hash_strings64
+    from ..stages.exchange import exchange_map_groups
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch["text"].combine_chunks(), "")
+        cid = batch["conv_id"].combine_chunks()
+        return pa.table({
+            "conv_id": cid,
+            "role": batch["role"],
+            "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+            "conv_part": pa.array(hash_strings64(cid) % 1024, pa.int64()),
+        })
+
+    keyed = _read_turns(sf_dir, ("conv_id", "role", "text")
+                        ).map_batches(_prep, batch_format="pyarrow")
+    return exchange_map_groups(keyed, "conv_part",
+                               resolve_num_partitions(_cfg),
+                               _role_balance_pivot, ROLE_BALANCE_SCHEMA)

@@ -356,3 +356,45 @@ def media_size_histogram(sf_dir: str, width: int = 32):
         media_path(sf_dir), columns=["kind", "n_bytes"]).map_batches(
         _prep, batch_format="pyarrow")
     return grouped_sums(ds, ["kind", "bucket"], [], count_as="n_media")
+
+
+def media_compression_ratio(sf_dir: str):
+    """Cross-MODAL size audit: histogram of payload-bytes per 100 source
+    chars ((n_bytes·100) // n_chars) — the compression/encode-efficiency
+    profile that joins the media table back to its source documents (the
+    lineage join every derived-modality table needs). Media side joins
+    docs on id via one key exchange; only (ratio, count) cells leave."""
+    import ray.data
+
+    from ..config import DEFAULT_CONFIG as _cfg
+    from ..config import resolve_num_partitions
+    from ..sources.tables import read_parquet_clean
+    from ..stages.agg import grouped_sums
+    from ..stages.join import hash_join_exchange
+
+    m = ray.data.read_parquet(
+        media_path(sf_dir), columns=["media_id", "n_bytes"]).map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.cast(t["media_id"], pa.int64()),
+            "n_bytes": pc.cast(t["n_bytes"], pa.int64()),
+        }), batch_format="pyarrow")
+    d = read_parquet_clean(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "n_chars"]).map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_chars": pc.cast(t["n_chars"], pa.int64()),
+        }), batch_format="pyarrow")
+    joined = hash_join_exchange(m, d, "doc_id", ["n_bytes"],
+                                ["n_chars"],
+                                resolve_num_partitions(_cfg))
+
+    def _ratio(batch: pa.Table) -> pa.Table:
+        nb = np.asarray(batch["n_bytes"], np.int64)
+        nc = np.maximum(np.asarray(batch["n_chars"], np.int64), 1)
+        return pa.table({"ratio_pct":
+                         pa.array(nb * 100 // nc, pa.int64())})
+
+    return grouped_sums(joined.map_batches(_ratio,
+                                           batch_format="pyarrow"),
+                        ["ratio_pct"], [], count_as="n_media")

@@ -177,3 +177,84 @@ def test_media_size_histogram_matches_duckdb(ray_session, con):
         FROM read_parquet('{media_path(SF)}/*.parquet') GROUP BY 1, 2
     """).fetchall())
     assert got == want and got
+
+
+def test_ship_delay_histogram_matches_duckdb(ray_session, con):
+    from sourmash_ray.pipelines.relational import ship_delay_histogram
+
+    c2 = con
+    for t in ("orders", "lineitem"):
+        c2.sql(f"CREATE VIEW IF NOT EXISTS {t} AS SELECT * FROM "
+               f"read_parquet('{SF}/{t}.parquet')")
+    got = sorted((r["delay_bucket_days"], r["n_items"])
+                 for r in ship_delay_histogram(SF).take_all())
+    want = sorted(tuple(r) for r in c2.sql("""
+        WITH d AS (SELECT (epoch_us(l_shipdate) - epoch_us(o_orderdate))
+                              // 86400000000 AS days
+                   FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        SELECT ((days + 100000) // 7) * 7 - 100000, count(*)
+        FROM d GROUP BY 1
+    """).fetchall())
+    assert got == want and got
+    # the synthetic corpus has negative delays — the very case the
+    # truncate-vs-floor shift exists for
+    assert any(b < 0 for b, _ in got)
+
+
+def test_media_compression_ratio_matches_duckdb(ray_session, con):
+    from sourmash_ray.stages.multimodal import (media_compression_ratio,
+                                                media_path)
+
+    got = sorted((r["ratio_pct"], r["n_media"])
+                 for r in media_compression_ratio(SF).take_all())
+    want = sorted(tuple(r) for r in con.sql(f"""
+        SELECT (m.n_bytes * 100) // greatest(d.n_chars, 1), count(*)
+        FROM read_parquet('{media_path(SF)}/*.parquet') m
+        JOIN documents d ON m.media_id = d.doc_id GROUP BY 1
+    """).fetchall())
+    assert got == want and got
+
+
+def test_conv_role_balance_matches_duckdb(ray_session, con):
+    from sourmash_ray.pipelines.transcriptops import conv_role_balance
+
+    got = sorted(map(tuple, conv_role_balance(SF).to_pandas()
+                     .itertuples(index=False)))
+    want = sorted(tuple(r) for r in con.sql("""
+        SELECT conv_id,
+               CAST(count(*) FILTER (role = 'user') AS BIGINT),
+               CAST(count(*) FILTER (role = 'assistant') AS BIGINT),
+               CAST(coalesce(sum(length(coalesce(text, '')))
+                    FILTER (role = 'user'), 0) AS BIGINT),
+               CAST(coalesce(sum(length(coalesce(text, '')))
+                    FILTER (role = 'assistant'), 0) AS BIGINT)
+        FROM turns GROUP BY conv_id
+    """).fetchall())
+    assert got == want and got
+
+
+def test_conv_role_balance_rejects_unknown_role(ray_session):
+    """The actual partition kernel raises on an unknown role instead of
+    silently re-bucketing it (linestatus discipline)."""
+    import pyarrow as pa
+
+    from sourmash_ray.pipelines.transcriptops import _role_balance_pivot
+
+    part = pa.table({
+        "conv_id": pa.array(["c1", "c1"]),
+        "role": pa.array(["user", "system"]),
+        "n_chars": pa.array([3, 4], "int64"),
+        "conv_part": pa.array([0, 0], "int64"),
+    })
+    with pytest.raises(ValueError, match="unknown role"):
+        _role_balance_pivot(part)
+    # and the happy path still pivots
+    ok = _role_balance_pivot(pa.table({
+        "conv_id": pa.array(["c1", "c1", "c2"]),
+        "role": pa.array(["user", "assistant", "user"]),
+        "n_chars": pa.array([3, 4, 5], "int64"),
+        "conv_part": pa.array([0, 0, 0], "int64"),
+    })).to_pylist()
+    assert {r["conv_id"]: (r["user_turns"], r["assistant_turns"],
+                           r["user_chars"], r["assistant_chars"])
+            for r in ok} == {"c1": (1, 1, 3, 4), "c2": (1, 0, 5, 0)}
