@@ -98,8 +98,10 @@ def run_all(sf_dir: str) -> dict:
              "text_search_docs", "curate_transcripts_job",
              # round 5: the tier-dedup cascades (each tier over the
              # previous tier's survivors): docs exact → simhash → minhash;
-             # transcripts exact → jaccard → containment
-             "tiered_dedup_docs", "tiered_dedup_transcripts"]
+             # transcripts exact → jaccard → containment; embeddings
+             # exact(quantized bytes) → cosine-hi → cosine-lo
+             "tiered_dedup_docs", "tiered_dedup_transcripts",
+             "tiered_dedup_embeddings"]
     warm_first = {"incremental_dedup_docs", "text_search_docs"}
     out = {}
     for name in names:

@@ -757,11 +757,20 @@ def _keyed_from_blob(proj: np.ndarray, n_bits: int, n_tables: int,
     def _fn(batch: pa.Table) -> pa.Table:
         blob = batch["blob"].combine_chunks()
         n = len(blob)
-        data = np.frombuffer(blob.buffers()[2], np.uint8) \
-            if blob.buffers()[2] is not None else np.empty(0, np.uint8)
         dim = proj.shape[0]
-        mat = data.view(np.float64).reshape(n, dim) if n else \
-            np.empty((0, dim))
+        if n:
+            bufs = blob.buffers()
+            width = 8 if pa.types.is_large_binary(blob.type) else 4
+            offs = np.frombuffer(
+                bufs[1], dtype=np.int64 if width == 8 else np.int32,
+                count=n + 1, offset=blob.offset * width).astype(np.int64)
+            # fixed-width rows, but honor the actual offsets (a sliced
+            # array's data buffer does not start at 0)
+            data = np.frombuffer(bufs[2], np.uint8,
+                                 count=offs[n] - offs[0], offset=offs[0])
+            mat = data.view(np.float64).reshape(n, dim)
+        else:
+            mat = np.empty((0, dim))
         bits = ((mat @ proj) > 0).reshape(n, n_tables, n_bits)
         key = (bits.astype(np.uint64)
                << np.arange(n_bits, dtype=np.uint64)[None, None, :]).sum(

@@ -517,3 +517,31 @@ def test_tier_agreement_and_residual_cosine(ray_session):
     audit2 = residual_cosine_rate(SF, n_sample=10 ** 9,
                                   tiers=et2).take_all()[0]
     assert audit2["n_dup_pairs"] == 0 and audit2["dup_rate_ppm"] == 0
+
+
+def test_keyed_from_blob_honors_array_offset(ray_session):
+    """Band keys from a SLICED blob column equal keys from the same rows
+    in an offset-0 column (the Arrow data buffer of a slice does not
+    start at byte 0 — regression for the offsets-buffer handling)."""
+    from sourmash_ray.pipelines.tiered import (_emb_sketch_batch,
+                                               _keyed_from_blob)
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((10, 16))
+    tbl = pa.table({
+        "vec_id": pa.array(range(10), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+    sk = _emb_sketch_batch(tbl)
+    proj = rng.standard_normal((16, 8))
+    fn = _keyed_from_blob(proj, 4, 2, 64)
+    whole = fn(sk).to_pydict()
+    sliced = fn(sk.slice(4, 5)).to_pydict()
+    base = {(c, k): b for c, k, b in zip(whole["conv_id"],
+                                         whole["band_key"],
+                                         whole["band_part"])}
+    for c, k, b in zip(sliced["conv_id"], sliced["band_key"],
+                       sliced["band_part"]):
+        assert (c, k) in base and base[(c, k)] == b
+    assert len(sliced["conv_id"]) == 10  # 5 rows × 2 tables
