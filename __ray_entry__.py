@@ -988,6 +988,10 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "ship_delay_histogram": relational.ship_delay_histogram,
         "media_compression_ratio": _media_ratio_q,
         "conv_role_balance": transcriptops.conv_role_balance,
+        "events_value_histogram": eventops.events_value_histogram,
+        "event_hour_profile": eventops.event_hour_profile,
+        "order_fanout_histogram": relational.order_fanout_histogram,
+        "dup_cluster_size_histogram": docops.dup_cluster_size_histogram,
         "incremental_dedup_docs": _incremental_dedup_q,
         "ann_topk_pq": lambda sf: ann.ann_topk_pq(sf, m_sub=16,
                                                   k_codes=128),
@@ -1612,6 +1616,27 @@ def oracle_sql() -> dict[str, str]:
             WHERE t <> ''
             GROUP BY 1
         """,
+        "events_value_histogram": """
+            SELECT event_type,
+                   ((CAST(round(value * 1000000, 0) AS BIGINT)
+                     + 1099511627776) // 5000000) * 5000000
+                       - 1099511627776 AS bucket_micros,
+                   count(*) AS n_events
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        """,
+        "event_hour_profile": """
+            SELECT event_type,
+                   (epoch_us(ts) // 3600000000) % 24 AS hour,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        """,
+        "order_fanout_histogram": """
+            WITH per AS (SELECT l_orderkey, count(*) AS n_items
+                         FROM lineitem GROUP BY l_orderkey)
+            SELECT n_items, count(*) AS n_orders
+            FROM per GROUP BY n_items
+        """,
         "ship_delay_histogram": """
             WITH d AS (
               SELECT (epoch_us(l_shipdate) - epoch_us(o_orderdate))
@@ -2082,6 +2107,15 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS rep_doc_id,
                    count(*) AS n_docs
             FROM documents GROUP BY 1
+        """,
+        "dup_cluster_size_histogram": f"""
+            WITH g AS (
+              SELECT md5(trim(regexp_replace(lower(coalesce(text, '')),
+                                             '{_WS}', ' ', 'g'))) AS h,
+                     count(*) AS n_docs
+              FROM documents GROUP BY 1)
+            SELECT n_docs AS group_size, count(*) AS n_groups
+            FROM g GROUP BY 1
         """,
         "token_stats_docs": f"""
             WITH t AS (

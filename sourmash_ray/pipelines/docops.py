@@ -3100,3 +3100,21 @@ def token_length_histogram(sf_dir: str):
 
     ds = _read_docs(sf_dir).map_batches(_prep, batch_format="pyarrow")
     return grouped_sums(ds, ["token_len"], [], count_as="n_tokens")
+
+
+def dup_cluster_size_histogram(sf_dir: str,
+                               cfg: EngineConfig = DEFAULT_CONFIG):
+    """Distribution of EXACT-dup group sizes (how many docs share one
+    normalized text): the shape that tells a dedup run whether its mass
+    is a few giant boilerplate clusters or a long tail of pairs — the
+    skew-forecast for every downstream bucket/band stage. Composes
+    :func:`exact_dedup_docs` (one md5 exchange) with one tiny
+    (size, count) cell exchange."""
+    from ..stages.agg import grouped_sums
+
+    groups = exact_dedup_docs(sf_dir, cfg)
+    return grouped_sums(
+        groups.map_batches(
+            lambda t: pa.table({"group_size": t["n_docs"]}),
+            batch_format="pyarrow"),
+        ["group_size"], [], count_as="n_groups")

@@ -1288,3 +1288,59 @@ def user_activity_span(sf_dir: str):
             "last_ts_us": t["max_ts_us"],
             "span_us": pc.subtract(t["max_ts_us"], t["min_ts_us"]),
         }), batch_format="pyarrow")
+
+
+def events_value_histogram(sf_dir: str, bucket_micros: int = 5_000_000):
+    """Histogram of event values (µ-scaled, ``bucket_micros`` buckets)
+    per event type — the payload-magnitude profile an ingest validator
+    alerts on. Values are non-negative in this corpus but the bucketing
+    still shifts (truncate-vs-floor discipline); NULL values are
+    dropped, matching SQL's GROUP BY on a NULL-propagating expression.
+    Map-only bucketing; only (type, bucket, count) cells shuffle."""
+    import numpy as np
+
+    from ..stages.agg import grouped_sums
+
+    SHIFT = 1 << 40
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch["value"]))
+        v = np.asarray(
+            pc.cast(pc.round(pc.multiply(t["value"], pa.scalar(1e6))),
+                    pa.int64()), np.int64)
+        if v.size and v.min() < -SHIFT:
+            raise ValueError("value below the bucket shift")
+        b = ((v + SHIFT) // bucket_micros) * bucket_micros - SHIFT
+        return pa.table({
+            "event_type": t["event_type"],
+            "bucket_micros": pa.array(b, pa.int64()),
+        })
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"]).map_batches(
+        _prep, batch_format="pyarrow")
+    return grouped_sums(ds, ["event_type", "bucket_micros"], [],
+                        count_as="n_events")
+
+
+def event_hour_profile(sf_dir: str):
+    """Turns-of-the-clock profile: events per (event_type, hour-of-day)
+    — the diurnal-load matrix a capacity planner reads. Map-only;
+    |types|×24 cells shuffle."""
+    from ..stages.agg import grouped_sums
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        us = np.asarray(pc.cast(batch["ts"], pa.int64()), np.int64)
+        hour = (us // 3_600_000_000) % 24
+        return pa.table({
+            "event_type": batch["event_type"],
+            "hour": pa.array(hour, pa.int64()),
+        })
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "ts"]).map_batches(
+        _prep, batch_format="pyarrow")
+    return grouped_sums(ds, ["event_type", "hour"], [],
+                        count_as="n_events")

@@ -3038,3 +3038,26 @@ def ship_delay_histogram(sf_dir: str, bucket_days: int = 7):
     return grouped_sums(joined.map_batches(_bucket,
                                            batch_format="pyarrow"),
                         ["delay_bucket_days"], [], count_as="n_items")
+
+
+def order_fanout_histogram(sf_dir: str):
+    """Distribution of lineitems-per-order — the fanout profile that
+    sizes the orderkey exchange's skew risk. Two-level aggregate: the
+    per-order count rides one orderkey exchange (block partials
+    pre-combine), the histogram over those counts is a second tiny cell
+    exchange — the same derived-table composition as
+    ``order_count_histogram`` one level down."""
+    from ..stages.agg import grouped_sums
+
+    per_order = grouped_sums(
+        read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey"]).map_batches(
+            lambda t: pa.table({
+                "okey": pc.cast(t["l_orderkey"], pa.int64())}),
+            batch_format="pyarrow"),
+        ["okey"], [], count_as="n_items")
+    return grouped_sums(
+        per_order.map_batches(
+            lambda t: pa.table({"n_items": t["n_items"]}),
+            batch_format="pyarrow"),
+        ["n_items"], [], count_as="n_orders")

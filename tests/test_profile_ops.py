@@ -258,3 +258,63 @@ def test_conv_role_balance_rejects_unknown_role(ray_session):
     assert {r["conv_id"]: (r["user_turns"], r["assistant_turns"],
                            r["user_chars"], r["assistant_chars"])
             for r in ok} == {"c1": (1, 1, 3, 4), "c2": (1, 0, 5, 0)}
+
+
+def test_batch4_histograms_match_duckdb(ray_session, con):
+    """events_value_histogram, event_hour_profile, order_fanout_histogram
+    and dup_cluster_size_histogram vs independent SQL at sf0.001."""
+    from sourmash_ray.pipelines.docops import dup_cluster_size_histogram
+    from sourmash_ray.pipelines.eventops import (event_hour_profile,
+                                                 events_value_histogram)
+    from sourmash_ray.pipelines.relational import order_fanout_histogram
+
+    c2 = con
+    for t in ("events", "lineitem"):
+        c2.sql(f"CREATE VIEW IF NOT EXISTS {t} AS SELECT * FROM "
+               f"read_parquet('{SF}/{t}.parquet')")
+
+    got = sorted((r["event_type"], r["bucket_micros"], r["n_events"])
+                 for r in events_value_histogram(SF).take_all())
+    want = sorted(tuple(r) for r in c2.sql("""
+        SELECT event_type,
+               ((CAST(round(value * 1000000, 0) AS BIGINT)
+                 + 1099511627776) // 5000000) * 5000000
+                   - 1099511627776,
+               count(*)
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    """).fetchall())
+    assert got == want and got
+
+    got = sorted((r["event_type"], r["hour"], r["n_events"])
+                 for r in event_hour_profile(SF).take_all())
+    want = sorted(tuple(r) for r in c2.sql("""
+        SELECT event_type, (epoch_us(ts) // 3600000000) % 24, count(*)
+        FROM events GROUP BY 1, 2
+    """).fetchall())
+    assert got == want and got
+
+    got = sorted((r["n_items"], r["n_orders"])
+                 for r in order_fanout_histogram(SF).take_all())
+    want = sorted(tuple(r) for r in c2.sql("""
+        WITH per AS (SELECT l_orderkey, count(*) AS n FROM lineitem
+                     GROUP BY 1)
+        SELECT n, count(*) FROM per GROUP BY 1
+    """).fetchall())
+    assert got == want and got
+
+    got = sorted((r["group_size"], r["n_groups"])
+                 for r in dup_cluster_size_histogram(SF).take_all())
+    want = sorted(tuple(r) for r in c2.sql(r"""
+        WITH g AS (
+          SELECT md5(trim(regexp_replace(lower(coalesce(text, '')),
+                                         '[ \t\n\r\f\v]+', ' ', 'g'))),
+                 count(*) AS n
+          FROM documents GROUP BY 1)
+        SELECT n, count(*) FROM g GROUP BY 1
+    """).fetchall())
+    assert got == want and got
+    # sf0.001 documents carry no exact dups (cross_source_dup_matrix is
+    # typed-empty there too) — the histogram is all size-1 groups and
+    # total groups == total docs
+    n_docs = c2.sql("SELECT count(*) FROM documents").fetchone()[0]
+    assert sum(s * n for s, n in got) == n_docs
