@@ -683,6 +683,12 @@ def _media_ratio_q(sf_dir: str):
     return media_compression_ratio(sf_dir)
 
 
+def _media_ratio_quant_q(sf_dir: str):
+    from sourmash_ray.stages.multimodal import media_ratio_quantiles
+
+    return media_ratio_quantiles(sf_dir)
+
+
 def _bpe_train_q(sf_dir: str):
     from sourmash_ray.pipelines.bpe import bpe_train_merges
 
@@ -992,6 +998,10 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "event_hour_profile": eventops.event_hour_profile,
         "order_fanout_histogram": relational.order_fanout_histogram,
         "dup_cluster_size_histogram": docops.dup_cluster_size_histogram,
+        "turn_gap_quantiles": transcriptops.turn_gap_quantiles,
+        "media_ratio_quantiles": _media_ratio_quant_q,
+        "order_status_priority_matrix":
+            relational.order_status_priority_matrix,
         "incremental_dedup_docs": _incremental_dedup_q,
         "ann_topk_pq": lambda sf: ann.ann_topk_pq(sf, m_sub=16,
                                                   k_codes=128),
@@ -1615,6 +1625,37 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
             WHERE t <> ''
             GROUP BY 1
+        """,
+        "turn_gap_quantiles": f"""
+            WITH g AS (
+              SELECT epoch_us(lead(ts) OVER (PARTITION BY conv_id
+                                             ORDER BY turn_idx))
+                     - epoch_us(ts) AS gap_us
+              FROM read_parquet('{_turns}/*.parquet'))
+            SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9]) AS DOUBLE) AS q,
+                   CAST(unnest(quantile_disc(gap_us,
+                        [0.25, 0.5, 0.75, 0.9])) AS BIGINT) AS value
+            FROM g WHERE gap_us IS NOT NULL
+        """,
+        "media_ratio_quantiles": f"""
+            WITH r AS (
+              SELECT m.kind,
+                     (m.n_bytes * 100) // greatest(d.n_chars, 1)
+                         AS ratio
+              FROM read_parquet('{_media}/*.parquet') m
+              JOIN documents d ON m.media_id = d.doc_id)
+            SELECT kind,
+                   CAST(unnest([0.25, 0.5, 0.75, 0.9]) AS DOUBLE) AS q,
+                   CAST(unnest(quantile_disc(ratio,
+                        [0.25, 0.5, 0.75, 0.9])) AS BIGINT) AS value
+            FROM r GROUP BY kind
+        """,
+        "order_status_priority_matrix": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS total_cents
+            FROM orders GROUP BY 1, 2
         """,
         "events_value_histogram": """
             SELECT event_type,

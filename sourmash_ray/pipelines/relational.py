@@ -3061,3 +3061,30 @@ def order_fanout_histogram(sf_dir: str):
             lambda t: pa.table({"n_items": t["n_items"]}),
             batch_format="pyarrow"),
         ["n_items"], [], count_as="n_orders")
+
+
+def order_status_priority_matrix(sf_dir: str):
+    """Order count + total value by (status, priority) — the queue-state
+    contingency a fulfillment dashboard leads with. Map-only cents
+    quantization; |statuses|×|priorities| cells shuffle."""
+    from ..stages.agg import grouped_sums
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderpriority",
+                 "o_totalprice"]).map_batches(
+        lambda t: pa.table({
+            "o_orderstatus": t["o_orderstatus"],
+            "o_orderpriority": t["o_orderpriority"],
+            "cents": pc.cast(pc.round(pc.multiply(
+                t["o_totalprice"], pa.scalar(1e2))), pa.int64()),
+        }), batch_format="pyarrow")
+    out = grouped_sums(ds, ["o_orderstatus", "o_orderpriority"],
+                       ["cents"], count_as="n_orders")
+    return out.map_batches(
+        lambda t: pa.table({
+            "o_orderstatus": t["o_orderstatus"],
+            "o_orderpriority": t["o_orderpriority"],
+            "n_orders": t["n_orders"],
+            "total_cents": t["sum_cents"],
+        }), batch_format="pyarrow")

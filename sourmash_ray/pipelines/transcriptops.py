@@ -916,3 +916,46 @@ def conv_role_balance(sf_dir: str):
     return exchange_map_groups(keyed, "conv_part",
                                resolve_num_partitions(_cfg),
                                _role_balance_pivot, ROLE_BALANCE_SCHEMA)
+
+
+def turn_gap_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.9)):
+    """Exact discrete quantiles of the INTER-TURN gap (µs between
+    consecutive turns of a conversation) — the latency profile that
+    separates live chats from batch-imported logs. One conv exchange
+    emits the gaps (adjacent same-conv rows after one lexsort); the
+    shared value-histogram quantile machinery reduces them."""
+    from ..config import DEFAULT_CONFIG as _cfg
+    from ..config import resolve_num_partitions
+    from ..functions.segscore import _to_bytes_array, hash_strings64
+    from ..stages.agg import quantiles_disc
+    from ..stages.exchange import exchange_map_groups
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        cid = batch["conv_id"].combine_chunks()
+        return pa.table({
+            "conv_id": cid,
+            "turn_idx": pc.cast(batch["turn_idx"], pa.int64()),
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+            "conv_part": pa.array(hash_strings64(cid) % 1024, pa.int64()),
+        })
+
+    gap_schema = pa.schema([("gap_us", pa.int64())])
+
+    def _gaps(part: pa.Table) -> pa.Table:
+        if part.num_rows < 2:
+            return gap_schema.empty_table()
+        cid = _to_bytes_array(part["conv_id"].combine_chunks())
+        tix = np.asarray(part["turn_idx"], np.int64)
+        ts = np.asarray(part["ts_us"], np.int64)
+        order = np.lexsort((tix, cid))
+        cid_s, ts_s = cid[order], ts[order]
+        same = cid_s[1:] == cid_s[:-1]
+        return pa.table({"gap_us": pa.array(
+            (ts_s[1:] - ts_s[:-1])[same], pa.int64())})
+
+    keyed = _read_turns(sf_dir, ("conv_id", "turn_idx", "ts")
+                        ).map_batches(_prep, batch_format="pyarrow")
+    gaps = exchange_map_groups(keyed, "conv_part",
+                               resolve_num_partitions(_cfg),
+                               _gaps, gap_schema)
+    return quantiles_disc(gaps, "gap_us", list(qs))

@@ -398,3 +398,50 @@ def media_compression_ratio(sf_dir: str):
     return grouped_sums(joined.map_batches(_ratio,
                                            batch_format="pyarrow"),
                         ["ratio_pct"], [], count_as="n_media")
+
+
+def media_ratio_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.9)):
+    """Per-KIND exact discrete quantiles of the compression ratio
+    (payload bytes per 100 source chars) — :func:`media_compression_ratio`
+    composed with the grouped value-histogram quantile machinery (the
+    encode-efficiency SLO per modality). Same lineage join; only
+    (kind, ratio, count) cells then (kind, q, value) rows move."""
+    import ray.data
+
+    from ..config import DEFAULT_CONFIG as _cfg
+    from ..config import resolve_num_partitions
+    from ..sources.tables import read_parquet_clean
+    from ..stages.agg import grouped_quantiles_disc
+    from ..stages.join import hash_join_exchange
+
+    m = ray.data.read_parquet(
+        media_path(sf_dir),
+        columns=["media_id", "kind", "n_bytes"]).map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.cast(t["media_id"], pa.int64()),
+            "kind": t["kind"],
+            "n_bytes": pc.cast(t["n_bytes"], pa.int64()),
+        }), batch_format="pyarrow")
+    d = read_parquet_clean(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "n_chars"]).map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_chars": pc.cast(t["n_chars"], pa.int64()),
+        }), batch_format="pyarrow")
+    from ..config import resolve_num_partitions as _rnp
+
+    joined = hash_join_exchange(m, d, "doc_id", ["kind", "n_bytes"],
+                                ["n_chars"], _rnp(_cfg))
+
+    def _ratio(batch: pa.Table) -> pa.Table:
+        nb = np.asarray(batch["n_bytes"], np.int64)
+        nc = np.maximum(np.asarray(batch["n_chars"], np.int64), 1)
+        return pa.table({
+            "kind": batch["kind"],
+            "ratio_pct": pa.array(nb * 100 // nc, pa.int64()),
+        })
+
+    return grouped_quantiles_disc(
+        joined.map_batches(_ratio, batch_format="pyarrow"),
+        "kind", "ratio_pct", list(qs))

@@ -318,3 +318,54 @@ def test_batch4_histograms_match_duckdb(ray_session, con):
     # total groups == total docs
     n_docs = c2.sql("SELECT count(*) FROM documents").fetchone()[0]
     assert sum(s * n for s, n in got) == n_docs
+
+
+def test_batch5_quantiles_and_matrix_match_duckdb(ray_session, con):
+    """turn_gap_quantiles, media_ratio_quantiles, and
+    order_status_priority_matrix vs independent SQL at sf0.001."""
+    from sourmash_ray.pipelines.relational import (
+        order_status_priority_matrix)
+    from sourmash_ray.pipelines.transcriptops import turn_gap_quantiles
+    from sourmash_ray.stages.multimodal import (media_path,
+                                                media_ratio_quantiles)
+
+    c2 = con
+    c2.sql(f"CREATE VIEW IF NOT EXISTS orders AS SELECT * FROM "
+           f"read_parquet('{SF}/orders.parquet')")
+
+    got = {r["q"]: r["value"] for r in turn_gap_quantiles(SF).to_pylist()}
+    want = dict(c2.sql("""
+        WITH g AS (SELECT epoch_us(lead(ts) OVER (PARTITION BY conv_id
+                                                  ORDER BY turn_idx))
+                          - epoch_us(ts) AS gap_us FROM turns)
+        SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9]) AS DOUBLE),
+               CAST(unnest(quantile_disc(gap_us,
+                    [0.25, 0.5, 0.75, 0.9])) AS BIGINT)
+        FROM g WHERE gap_us IS NOT NULL
+    """).fetchall())
+    assert got == want and len(got) == 4
+
+    got = {(r["kind"], r["q"]): r["value"]
+           for r in media_ratio_quantiles(SF).to_pylist()}
+    want = {(k, q): v for k, q, v in c2.sql(f"""
+        WITH r AS (SELECT m.kind,
+                          (m.n_bytes * 100) // greatest(d.n_chars, 1)
+                              AS ratio
+                   FROM read_parquet('{media_path(SF)}/*.parquet') m
+                   JOIN documents d ON m.media_id = d.doc_id)
+        SELECT kind, CAST(unnest([0.25, 0.5, 0.75, 0.9]) AS DOUBLE),
+               CAST(unnest(quantile_disc(ratio,
+                    [0.25, 0.5, 0.75, 0.9])) AS BIGINT)
+        FROM r GROUP BY kind
+    """).fetchall()}
+    assert got == want and len(got) == 8
+
+    got = sorted(map(tuple, order_status_priority_matrix(SF).to_pandas()
+                     .itertuples(index=False)))
+    want = sorted(tuple(r) for r in c2.sql("""
+        SELECT o_orderstatus, o_orderpriority, count(*),
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT)
+        FROM orders GROUP BY 1, 2
+    """).fetchall())
+    assert got == want and got
