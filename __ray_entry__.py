@@ -412,6 +412,65 @@ def _snapshot_diff_q(sf_dir: str):
     return snapshot_diff_docs(sf_dir, _snapshot_b_dir(sf_dir))
 
 
+def _emb_snapshot_b_dir(sf_dir: str) -> str:
+    """Deterministic second EMBEDDINGS snapshot for the diff demo,
+    cached under /tmp: drop vec_id % 10 == 0 (removed), add 0.25 to
+    the FIRST element for vec_id % 7 == 0 (changed — survives e4
+    quantization), append reversed-vector rows id+10M for
+    vec_id % 13 == 0 (added). Embeddings are stored as float64 so the
+    cached values are bit-identical to the SQL twin's inline
+    DOUBLE-arithmetic derivation."""
+    import hashlib
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out = f"/tmp/emb_snapshot_b_v1_{tag}"
+    if os.path.exists(f"{out}/embeddings.parquet"):
+        return out
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"], np.int64)
+    col = t["embedding"].combine_chunks()
+    mat = np.asarray(col.flatten(), np.float64).reshape(len(ids), -1)
+    keep = ids % 10 != 0
+    kept_ids, kept = ids[keep], mat[keep].copy()
+    chg = kept_ids % 7 == 0
+    kept[chg, 0] += 0.25
+    add_m = ids % 13 == 0
+    add_ids = ids[add_m] + 10_000_000
+    added = mat[add_m][:, ::-1]
+    all_ids = np.concatenate([kept_ids, add_ids])
+    all_mat = np.concatenate([kept, added])
+    n, d = all_mat.shape
+    flat = pa.array(np.ascontiguousarray(all_mat).reshape(-1),
+                    pa.float64())
+    offs = pa.array(np.arange(n + 1, dtype=np.int32) * d)
+    tbl = pa.table({
+        "vec_id": pa.array(all_ids, pa.int64()),
+        "embedding": pa.ListArray.from_arrays(offs, flat),
+    })
+    tmp = out + f".tmp{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(tbl, f"{tmp}/embeddings.parquet")
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def _emb_snapshot_diff_q(sf_dir: str):
+    from sourmash_ray.pipelines.ann import snapshot_diff_embeddings
+
+    return snapshot_diff_embeddings(sf_dir, _emb_snapshot_b_dir(sf_dir))
+
+
 def _exact_query_id(sf_dir: str) -> tuple:
     """Deterministic query choice for the small search/prefetch twins:
     the smallest conv_id that shares ≥1 shingle with some other member
@@ -998,6 +1057,7 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "event_hour_profile": eventops.event_hour_profile,
         "order_fanout_histogram": relational.order_fanout_histogram,
         "dup_cluster_size_histogram": docops.dup_cluster_size_histogram,
+        "snapshot_diff_embeddings": _emb_snapshot_diff_q,
         "turn_gap_quantiles": transcriptops.turn_gap_quantiles,
         "media_ratio_quantiles": _media_ratio_quant_q,
         "order_status_priority_matrix":
@@ -1625,6 +1685,38 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
             WHERE t <> ''
             GROUP BY 1
+        """,
+        "snapshot_diff_embeddings": """
+            WITH a AS (
+              SELECT vec_id,
+                     md5(array_to_string(list_transform(embedding,
+                         x -> CAST(round(CAST(x AS DOUBLE) * 10000)
+                                   AS BIGINT)), ',')) AS fp
+              FROM embeddings),
+            braw AS (
+              SELECT vec_id,
+                     CASE WHEN vec_id % 7 = 0
+                          THEN list_prepend(
+                                 CAST(embedding[1] AS DOUBLE) + 0.25,
+                                 CAST(embedding[2:] AS DOUBLE[]))
+                          ELSE CAST(embedding AS DOUBLE[]) END AS emb
+              FROM embeddings WHERE vec_id % 10 <> 0
+              UNION ALL
+              SELECT vec_id + 10000000,
+                     list_reverse(CAST(embedding AS DOUBLE[]))
+              FROM embeddings WHERE vec_id % 13 = 0),
+            b AS (
+              SELECT vec_id,
+                     md5(array_to_string(list_transform(emb,
+                         x -> CAST(round(x * 10000) AS BIGINT)), ','))
+                         AS fp
+              FROM braw)
+            SELECT coalesce(a.vec_id, b.vec_id) AS vec_id,
+                   CASE WHEN a.vec_id IS NULL THEN 'added'
+                        WHEN b.vec_id IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status
+            FROM a FULL OUTER JOIN b ON a.vec_id = b.vec_id
+            WHERE a.vec_id IS NULL OR b.vec_id IS NULL OR a.fp <> b.fp
         """,
         "turn_gap_quantiles": f"""
             WITH g AS (

@@ -1236,3 +1236,64 @@ def embedding_norm_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.9)):
 
     ds = _read_emb(sf_dir).map_batches(_norm, batch_format="pyarrow")
     return quantiles_disc(ds, "norm2_e8", list(qs))
+
+
+def _emb_fp_batch(col_name: str):
+    """(vec_id, md5-of-e4-CSV) fingerprint map — the embedding analogue
+    of the docs snapshot fingerprint: quantize to 1e4 integers (exact in
+    float64), render the canonical comma-joined decimal string fully
+    vectorized (cast → ListArray → binary_join), md5 it. DuckDB computes
+    the identical string via array_to_string(list_transform(...)), so
+    the fingerprints agree byte-for-byte."""
+    from .docops import _md5_column
+
+    def _f(batch: pa.Table) -> pa.Table:
+        ids, mat = _emb_matrix(batch)
+        q = np.round(mat * 1e4).astype(np.int64)
+        n, d = q.shape if q.ndim == 2 else (len(ids), 0)
+        s = pc.cast(pa.array(q.reshape(-1)), pa.string())
+        offs = pa.array(np.arange(n + 1, dtype=np.int32) * d)
+        csv = pc.binary_join(pa.ListArray.from_arrays(offs, s), ",")
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            col_name: _md5_column(csv),
+        })
+
+    return _f
+
+
+def snapshot_diff_embeddings(dir_a: str, dir_b: str):
+    """Two-snapshot EMBEDDING-table diff: vectors ADDED, REMOVED, or
+    CHANGED (same vec_id, different e4-quantized values) between
+    snapshots — the re-embed audit a training pipeline runs after an
+    encoder upgrade. Each side reduces to its (vec_id, fingerprint) in
+    the map pass (vectors never shuffle), ONE full-outer vec_id exchange
+    joins them, and only the changed surface is emitted."""
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.join import hash_join_exchange
+
+    n_parts = resolve_num_partitions(DEFAULT_CONFIG)
+    a = _read_emb(dir_a).map_batches(_emb_fp_batch("fp_a"),
+                                     batch_format="pyarrow")
+    b = _read_emb(dir_b).map_batches(_emb_fp_batch("fp_b"),
+                                     batch_format="pyarrow")
+    j = hash_join_exchange(a, b, key="vec_id", left_cols=["fp_a"],
+                           right_cols=["fp_b"], n_parts=n_parts,
+                           join_type="full outer")
+
+    def _status(batch: pa.Table) -> pa.Table:
+        ma = batch["fp_a"].combine_chunks()
+        mb = batch["fp_b"].combine_chunks()
+        a_null = np.asarray(pc.is_null(ma), bool)
+        b_null = np.asarray(pc.is_null(mb), bool)
+        neq = np.asarray(pc.fill_null(pc.not_equal(ma, mb), False), bool)
+        status = np.where(a_null, "added",
+                          np.where(b_null, "removed", "changed"))
+        keep = a_null | b_null | neq
+        return pa.table({
+            "vec_id": pc.filter(pc.cast(batch["vec_id"], pa.int64()),
+                                pa.array(keep)),
+            "status": pa.array(status[keep], pa.string()),
+        })
+
+    return j.map_batches(_status, batch_format="pyarrow")

@@ -369,3 +369,44 @@ def test_batch5_quantiles_and_matrix_match_duckdb(ray_session, con):
         FROM orders GROUP BY 1, 2
     """).fetchall())
     assert got == want and got
+
+
+def test_snapshot_diff_embeddings_matches_duckdb(ray_session, con):
+    import __ray_entry__ as E
+
+    got = sorted((r["vec_id"], r["status"])
+                 for r in E._emb_snapshot_diff_q(SF).take_all())
+    want = sorted(tuple(r) for r in con.sql("""
+        WITH a AS (
+          SELECT vec_id,
+                 md5(array_to_string(list_transform(embedding,
+                     x -> CAST(round(CAST(x AS DOUBLE) * 10000)
+                               AS BIGINT)), ',')) AS fp
+          FROM embeddings),
+        braw AS (
+          SELECT vec_id,
+                 CASE WHEN vec_id % 7 = 0
+                      THEN list_prepend(
+                             CAST(embedding[1] AS DOUBLE) + 0.25,
+                             CAST(embedding[2:] AS DOUBLE[]))
+                      ELSE CAST(embedding AS DOUBLE[]) END AS emb
+          FROM embeddings WHERE vec_id % 10 <> 0
+          UNION ALL
+          SELECT vec_id + 10000000,
+                 list_reverse(CAST(embedding AS DOUBLE[]))
+          FROM embeddings WHERE vec_id % 13 = 0),
+        b AS (SELECT vec_id,
+                     md5(array_to_string(list_transform(emb,
+                         x -> CAST(round(x * 10000) AS BIGINT)), ','))
+                         AS fp
+              FROM braw)
+        SELECT coalesce(a.vec_id, b.vec_id),
+               CASE WHEN a.vec_id IS NULL THEN 'added'
+                    WHEN b.vec_id IS NULL THEN 'removed'
+                    ELSE 'changed' END
+        FROM a FULL OUTER JOIN b ON a.vec_id = b.vec_id
+        WHERE a.vec_id IS NULL OR b.vec_id IS NULL OR a.fp <> b.fp
+    """).fetchall())
+    assert got == want and got
+    statuses = {s for _, s in got}
+    assert statuses == {"added", "removed", "changed"}
