@@ -793,6 +793,22 @@ def _incremental_dedup_q(sf_dir: str):
     return incremental.incremental_dedup_docs(sf_dir, idx)
 
 
+def _incremental_emb_q(sf_dir: str):
+    """Embeddings twin: delta vectors vs the persisted hyperplane band
+    index + quantized blob store (build-once per sf_dir)."""
+    import hashlib
+    import os
+
+    from sourmash_ray.pipelines import incremental
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    idx = f"/tmp/incr_emb_index_v1_{key}"
+    if not (os.path.exists(f"{idx}/sigs")
+            and os.path.exists(f"{idx}/bands")):
+        incremental.build_emb_dedup_index(sf_dir, idx)
+    return incremental.incremental_dedup_embeddings(sf_dir, idx)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """All driver-checkable pipelines.
 
@@ -1063,6 +1079,7 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "order_status_priority_matrix":
             relational.order_status_priority_matrix,
         "incremental_dedup_docs": _incremental_dedup_q,
+        "incremental_dedup_embeddings": _incremental_emb_q,
         "ann_topk_pq": lambda sf: ann.ann_topk_pq(sf, m_sub=16,
                                                   k_codes=128),
         "ann_topk_ivfpq": ann.ann_topk_ivfpq,

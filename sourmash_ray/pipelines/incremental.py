@@ -40,6 +40,7 @@ import glob
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
@@ -307,3 +308,215 @@ def incremental_dedup_docs(sf_dir: str, index_dir: str,
     return verify_pairs(pairs.select_columns(["a", "b"]),
                         sigs_all.materialize(), cfg,
                         threshold=threshold)
+
+
+def _dedup_and_old_ids(raw_pairs, cfg: EngineConfig):
+    """Shared delta-probe tail: dedup the flagged candidate pairs and
+    extract the distinct NOT-new ids (the only payloads to fetch from
+    the persisted store). Small-delta path does both in one driver pass
+    (the orchestration floor IS the cost at small deltas); above the
+    budget it degrades to the pair-part exchange + a remote reduce.
+    Returns (pairs_dataset | None-if-empty, old_ids S-array)."""
+    import ray.data
+
+    from ..stages.lsh import DRIVER_DEDUP_MAX_ROWS, _first_distinct_pairs
+
+    if raw_pairs.count() <= DRIVER_DEDUP_MAX_ROWS:
+        blocks = [t for t in ray.get(raw_pairs.to_arrow_refs())
+                  if t.num_rows]
+        if not blocks:
+            return None, np.empty(0, "S1")
+        tbl = _first_distinct_pairs(
+            pa.concat_tables(blocks).combine_chunks())
+        pairs = ray.data.from_arrow(tbl.cast(INC_PAIRS_SCHEMA))
+        ids: list[np.ndarray] = []
+        a_old = ~np.asarray(tbl["a_new"], bool)
+        b_old = ~np.asarray(tbl["b_new"], bool)
+        if a_old.any():
+            ids.append(_to_bytes_array(tbl["a"].combine_chunks())[a_old])
+        if b_old.any():
+            ids.append(_to_bytes_array(tbl["b"].combine_chunks())[b_old])
+        if ids:
+            w = max(a.dtype.itemsize for a in ids)
+            old_ids = np.unique(
+                np.concatenate([a.astype(f"S{w}") for a in ids]))
+        else:
+            old_ids = np.empty(0, "S1")
+        return pairs, old_ids
+    pairs = dedup_pairs(raw_pairs, cfg.exec.group_parts,
+                        out_schema=INC_PAIRS_SCHEMA).materialize()
+    if pairs.count() == 0:
+        return None, np.empty(0, "S1")
+    return pairs, ray.get(_pair_old_ids.remote(*pairs.to_arrow_refs()))
+
+
+def _sig_store_paths(index_dir: str, old_ids: np.ndarray) -> list[str]:
+    """Only the sig-store partitions holding candidate old ids."""
+    if not old_ids.size:
+        return []
+    sig_files = sorted(set(
+        (hash_strings64(pa.array([i.decode() for i in old_ids.tolist()],
+                                 pa.string()))
+         % N_SIG_FILES).tolist()))
+    return [f for sf in sig_files for f in sorted(
+        glob.glob(f"{index_dir}/sigs/sig_file={sf}/*.parquet"))]
+
+
+# ---------------------------------------------------------------------------
+# embeddings: delta vectors vs a persisted hyperplane band index
+# ---------------------------------------------------------------------------
+
+_EMB_BITS, _EMB_TABLES, _EMB_SEED = 4, 16, 42
+
+
+def _emb_blob_side(sf_dir: str, delta: bool):
+    """(conv_id string, blob) rows for one side — single sketch pass."""
+    from ..pipelines.ann import _read_emb
+    from ..pipelines.tiered import _emb_sketch_batch
+
+    def _f(batch: pa.Table) -> pa.Table:
+        mod = np.asarray(batch["vec_id"], np.int64) % 5
+        keep = (mod == 0) if delta else (mod != 0)
+        t = _emb_sketch_batch(batch.filter(pa.array(keep)))
+        return pa.table({
+            "conv_id": pc.cast(t["doc_id"], pa.string()),
+            "blob": t["blob"],
+        })
+
+    return _read_emb(sf_dir).map_batches(_f, batch_format="pyarrow")
+
+
+def _emb_band_rows(blobs, dim: int, group_parts: int):
+    """Hyperplane band keys (+ band_file) from the quantized blob rows —
+    the embedding analogue of :func:`_band_rows`."""
+    rng = np.random.default_rng(_EMB_SEED)
+    proj = rng.standard_normal((dim, _EMB_TABLES * _EMB_BITS))
+    keyed = blobs.map_batches(
+        _make_blob_keyer(proj, group_parts), batch_format="pyarrow")
+
+    def _bf(t: pa.Table) -> pa.Table:
+        bf = (np.asarray(t["band_key"], np.uint64)
+              % np.uint64(N_BAND_FILES)).astype(np.int64)
+        return t.append_column("band_file", pa.array(bf, pa.int64()))
+
+    return keyed.map_batches(_bf, batch_format="pyarrow")
+
+
+def _make_blob_keyer(proj, group_parts):
+    from ..pipelines.tiered import _keyed_from_blob
+
+    inner = _keyed_from_blob(proj, _EMB_BITS, _EMB_TABLES, group_parts)
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        # _keyed_from_blob reads a doc_id int column; adapt from the
+        # string conv_id rows of the blob store
+        t = pa.table({
+            "doc_id": pc.cast(batch["conv_id"], pa.int64()),
+            "blob": batch["blob"],
+        })
+        return inner(t)
+
+    return _fn
+
+
+def build_emb_dedup_index(sf_dir: str, index_dir: str,
+                          cfg: EngineConfig = DEFAULT_CONFIG) -> None:
+    """Persist the embedding corpus side: hyperplane band index (hive by
+    ``band_key % N_BAND_FILES``, one file per partition) + quantized
+    blob store (hive by id hash % N_SIG_FILES) — the
+    :func:`build_doc_dedup_index` layout with blobs instead of mins, so
+    the SAME fused probe reads it."""
+    blobs = _emb_blob_side(sf_dir, delta=False).materialize()
+    first = blobs.take(1)
+    dim = (len(first[0]["blob"]) // 8) if first else 0
+    group_parts = cfg.exec.group_parts
+
+    bands = _emb_band_rows(blobs, dim, group_parts)
+    band_schema = pa.schema([
+        ("band_key", pa.uint64()), ("band_part", pa.int64()),
+        ("conv_id", pa.string()), ("band_file", pa.int64()),
+    ])
+    exchange_map_groups(
+        bands.select_columns(
+            ["band_key", "band_part", "conv_id", "band_file"]),
+        "band_file", N_BAND_FILES, lambda t: t,
+        band_schema).write_parquet(f"{index_dir}/bands",
+                                   partition_cols=["band_file"])
+
+    def _sf(t: pa.Table) -> pa.Table:
+        sf = (hash_strings64(t["conv_id"].combine_chunks())
+              % N_SIG_FILES).astype(np.int64)
+        return pa.table({
+            "conv_id": t["conv_id"],
+            "blob": t["blob"],
+            "sig_file": pa.array(sf, pa.int64()),
+        })
+
+    sig_schema = pa.schema([
+        ("conv_id", pa.string()), ("blob", pa.binary()),
+        ("sig_file", pa.int64()),
+    ])
+    exchange_map_groups(
+        blobs.map_batches(_sf, batch_format="pyarrow"),
+        "sig_file", N_SIG_FILES,
+        lambda t: t.cast(sig_schema), sig_schema).write_parquet(
+        f"{index_dir}/sigs", partition_cols=["sig_file"])
+
+
+def incremental_dedup_embeddings(sf_dir: str, index_dir: str,
+                                 cfg: EngineConfig = DEFAULT_CONFIG,
+                                 threshold: float = 0.35):
+    """Cosine near-dup pairs (a, b, cosine ≥ threshold) involving the
+    DELTA vectors — delta–delta and delta–corpus; corpus-internal pairs
+    are dropped inside the same fused probe the docs path uses
+    (:func:`_probe_emit` is payload-agnostic: it pairs ids by band key).
+    Cost per delta: quantize(delta) + touched band partitions + exact
+    integer cosine over candidate blobs only."""
+    import ray.data
+
+    from ..stages.verify import CosineScorer, score_pairs
+    from .ann import NEARDUP_SCHEMA
+
+    dblobs = _emb_blob_side(sf_dir, delta=True).materialize()
+    first = dblobs.take(1)
+    dim = (len(first[0]["blob"]) // 8) if first else 0
+    dkeys = _emb_band_rows(dblobs, dim, cfg.exec.group_parts)
+
+    raw_pairs = exchange_map_groups(
+        dkeys, "band_file", N_BAND_FILES,
+        _probe_emit(index_dir, cfg.lsh.max_bucket_pairs_members),
+        INC_PAIRS_SCHEMA).materialize()
+    pairs, old_ids = _dedup_and_old_ids(raw_pairs, cfg)
+    if pairs is None:
+        return ray.data.from_arrow(NEARDUP_SCHEMA.empty_table())
+    paths = _sig_store_paths(index_dir, old_ids)
+    old_ids_ref = ray.put(old_ids)
+
+    def _filter_blobs(batch: pa.Table) -> pa.Table:
+        oset = ray.get(old_ids_ref)
+        ids = _to_bytes_array(batch["conv_id"].combine_chunks())
+        w = max(ids.dtype.itemsize, oset.dtype.itemsize, 1)
+        keep = _member_mask(ids.astype(f"S{w}"), oset.astype(f"S{w}"))
+        return batch.select(["conv_id", "blob"]).filter(pa.array(keep))
+
+    blobs_all = dblobs
+    if paths:
+        blobs_all = blobs_all.union(read_parquet_clean(
+            paths, columns=["conv_id", "blob"]).map_batches(
+            _filter_blobs, batch_format="pyarrow"))
+    scored = score_pairs(pairs.select_columns(["a", "b"]),
+                         blobs_all.materialize(), cfg,
+                         CosineScorer(threshold, round_to=6),
+                         size_hint_bytes=dblobs.size_bytes() or 0)
+
+    def _to_int_pairs(batch: pa.Table) -> pa.Table:
+        a = np.array([int(x) for x in batch["a"].to_pylist()], np.int64)
+        b = np.array([int(x) for x in batch["b"].to_pylist()], np.int64)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table({
+            "a": pa.array(lo, pa.int64()),
+            "b": pa.array(hi, pa.int64()),
+            "cosine": batch["cosine"],
+        })
+
+    return scored.map_batches(_to_int_pairs, batch_format="pyarrow")
