@@ -245,50 +245,15 @@ def incremental_dedup_docs(sf_dir: str, index_dir: str,
         dkeys, "band_file", N_BAND_FILES,
         _probe_emit(index_dir, cfg.lsh.max_bucket_pairs_members),
         INC_PAIRS_SCHEMA).materialize()
-    from ..stages.lsh import DRIVER_DEDUP_MAX_ROWS, _first_distinct_pairs
+    # small-delta fast path inside: ONE driver pass does pair dedup AND
+    # old-id extraction (the orchestration floor IS the cost at small
+    # delta sizes); above the budget, exchange + remote reduce
+    pairs, old_ids = _dedup_and_old_ids(raw_pairs, cfg)
+    if pairs is None:
+        from ..stages.verify import VERIFIED_SCHEMA
 
-    if raw_pairs.count() <= DRIVER_DEDUP_MAX_ROWS:
-        # small-delta fast path: ONE driver pass does pair dedup AND
-        # old-id extraction (saves a dataset round-trip per stage —
-        # the orchestration floor IS the cost at small delta sizes)
-        blocks = [t for t in ray.get(raw_pairs.to_arrow_refs())
-                  if t.num_rows]
-        if not blocks:
-            from ..stages.verify import VERIFIED_SCHEMA
-
-            return ray.data.from_arrow(VERIFIED_SCHEMA.empty_table())
-        tbl = _first_distinct_pairs(
-            pa.concat_tables(blocks).combine_chunks())
-        pairs = ray.data.from_arrow(tbl.cast(INC_PAIRS_SCHEMA))
-        ids: list[np.ndarray] = []
-        a_old = ~np.asarray(tbl["a_new"], bool)
-        b_old = ~np.asarray(tbl["b_new"], bool)
-        if a_old.any():
-            ids.append(_to_bytes_array(tbl["a"].combine_chunks())[a_old])
-        if b_old.any():
-            ids.append(_to_bytes_array(tbl["b"].combine_chunks())[b_old])
-        if ids:
-            w = max(a.dtype.itemsize for a in ids)
-            old_ids = np.unique(
-                np.concatenate([a.astype(f"S{w}") for a in ids]))
-        else:
-            old_ids = np.empty(0, "S1")
-    else:
-        pairs = dedup_pairs(raw_pairs, cfg.exec.group_parts,
-                            out_schema=INC_PAIRS_SCHEMA).materialize()
-        if pairs.count() == 0:
-            from ..stages.verify import VERIFIED_SCHEMA
-
-            return ray.data.from_arrow(VERIFIED_SCHEMA.empty_table())
-        # fetch ONLY candidate old sketches: pair novelty flags ->
-        # old ids -> sig-store partitions
-        old_ids = ray.get(_pair_old_ids.remote(*pairs.to_arrow_refs()))
-    sig_files = sorted(set(
-        (hash_strings64(pa.array([i.decode() for i in old_ids.tolist()],
-                                 pa.string()))
-         % N_SIG_FILES).tolist())) if old_ids.size else []
-    paths = [f for sf in sig_files for f in sorted(
-        glob.glob(f"{index_dir}/sigs/sig_file={sf}/*.parquet"))]
+        return ray.data.from_arrow(VERIFIED_SCHEMA.empty_table())
+    paths = _sig_store_paths(index_dir, old_ids)
     old_ids_ref = ray.put(old_ids)
 
     def _filter_sigs(batch: pa.Table) -> pa.Table:
