@@ -106,12 +106,20 @@ def main():
         n = tiers.count()
         audit = None
         if args.audit:
-            if args.tiered != "docs":
-                raise SystemExit("--audit supports --tiered docs only")
-            from sourmash_ray.pipelines.tiered import residual_dup_rate
+            if args.tiered == "docs":
+                from sourmash_ray.pipelines.tiered import residual_dup_rate
 
-            audit = residual_dup_rate(args.input, cfg,
-                                      tiers=tiers).take_all()[0]
+                audit = residual_dup_rate(args.input, cfg,
+                                          tiers=tiers).take_all()[0]
+            elif args.tiered == "embeddings":
+                from sourmash_ray.pipelines.tiered import (
+                    residual_cosine_rate)
+
+                audit = residual_cosine_rate(args.input, cfg,
+                                             tiers=tiers).take_all()[0]
+            else:
+                raise SystemExit("--audit supports --tiered "
+                                 "docs/embeddings only")
         wall = time.perf_counter() - t0
         rep = {
             "job": f"tiered_dedup_{args.tiered}",

@@ -208,3 +208,16 @@ def test_tiered_embeddings_checkpoint_resume(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert _sorted_rows(f"{out_resumed}/*.parquet") == \
         _sorted_rows(f"{out_fresh}/*.parquet")
+
+
+def test_dedup_job_tiered_embeddings_audit(tmp_path):
+    """--tiered embeddings --audit reports the residual-cosine audit
+    row from the job entrypoint."""
+    r = _run([sys.executable, "jobs/dedup_job.py", "--input", SF,
+              "--tiered", "embeddings", "--audit", "--num-cpus", "4"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    audit = rep["audit"]
+    assert audit["n_kept"] > 0 and audit["n_pairs_checked"] > 0
+    assert set(audit) == {"n_kept", "n_sampled", "n_pairs_checked",
+                          "n_dup_pairs", "dup_rate_ppm"}
