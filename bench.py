@@ -95,6 +95,7 @@ def run_all(sf_dir: str) -> dict:
              # WARM (an untimed first call builds the /tmp-cached index)
              # — the steady state of a daily-delta / serving workload.
              "curate_job_docs", "incremental_dedup_docs",
+             "incremental_dedup_embeddings",
              "text_search_docs", "curate_transcripts_job",
              # round 5: the tier-dedup cascades (each tier over the
              # previous tier's survivors): docs exact → simhash → minhash;
@@ -102,7 +103,8 @@ def run_all(sf_dir: str) -> dict:
              # exact(quantized bytes) → cosine-hi → cosine-lo
              "tiered_dedup_docs", "tiered_dedup_transcripts",
              "tiered_dedup_embeddings"]
-    warm_first = {"incremental_dedup_docs", "text_search_docs"}
+    warm_first = {"incremental_dedup_docs", "text_search_docs",
+                  "incremental_dedup_embeddings"}
     out = {}
     for name in names:
         if name in warm_first:
