@@ -1078,6 +1078,11 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "media_ratio_quantiles": _media_ratio_quant_q,
         "order_status_priority_matrix":
             relational.order_status_priority_matrix,
+        "hapax_rate_by_source": docops.hapax_rate_by_source_docs,
+        "stopword_rate_by_source": docops.stopword_rate_by_source_docs,
+        "vocab_overlap_sources": docops.vocab_overlap_sources_docs,
+        "label_dispersion": ann.label_dispersion,
+        "vector_sparsity_profile": ann.vector_sparsity_profile,
         "incremental_dedup_docs": _incremental_dedup_q,
         "incremental_dedup_embeddings": _incremental_emb_q,
         "ann_topk_pq": lambda sf: ann.ann_topk_pq(sf, m_sub=16,
@@ -1108,6 +1113,12 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
 # ---------------------------------------------------------------------------
 
 _WS = "[ \\t\\n\\r\\f\\v]+"
+
+# the stopword_rate operator's fixed audit vocabulary, mirrored verbatim
+# from sourmash_ray.pipelines.docops.STOPWORDS (import is lazy there)
+_STOPWORDS_SQL = ", ".join(
+    f"'{w}'" for w in ("the", "a", "an", "of", "to", "and", "in", "is",
+                       "it", "for"))
 
 
 def _langid_sql() -> str:
@@ -1702,6 +1713,81 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
             WHERE t <> ''
             GROUP BY 1
+        """,
+        "hapax_rate_by_source": """
+            WITH tf AS (
+              SELECT source, t AS tok, count(*) AS c
+              FROM (SELECT source, unnest(string_split(
+                        coalesce(text, ''), ' ')) AS t
+                    FROM documents)
+              WHERE t <> '' GROUP BY source, t)
+            SELECT source, count(*) AS n_distinct,
+                   CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_hapax,
+                   CAST(1000000 * sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                        // count(*) AS BIGINT) AS hapax_ppm
+            FROM tf GROUP BY source
+        """,
+        "stopword_rate_by_source": f"""
+            SELECT source, count(*) AS n_tokens,
+                   CAST(sum(CASE WHEN t IN ({_STOPWORDS_SQL}) THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_stop,
+                   CAST(1000000 * sum(CASE WHEN t IN ({_STOPWORDS_SQL})
+                            THEN 1 ELSE 0 END) // count(*) AS BIGINT)
+                       AS stop_ppm
+            FROM (SELECT source, unnest(string_split(
+                      coalesce(text, ''), ' ')) AS t
+                  FROM documents)
+            WHERE t <> '' GROUP BY source
+        """,
+        "vocab_overlap_sources": """
+            WITH st AS (
+              SELECT DISTINCT source, t AS tok
+              FROM (SELECT source, unnest(string_split(
+                        coalesce(text, ''), ' ')) AS t
+                    FROM documents)
+              WHERE t <> ''),
+            tot AS (SELECT source, count(*) AS n FROM st GROUP BY source),
+            com AS (SELECT a.source AS sa, b.source AS sb, count(*) AS c
+                    FROM st a JOIN st b
+                      ON a.tok = b.tok AND a.source < b.source
+                    GROUP BY 1, 2)
+            SELECT ta.source AS source_a, tb.source AS source_b,
+                   CAST(coalesce(c.c, 0) AS BIGINT) AS n_common,
+                   CAST(ta.n AS BIGINT) AS n_a, CAST(tb.n AS BIGINT) AS n_b,
+                   CAST(1000000 * coalesce(c.c, 0)
+                        // (ta.n + tb.n - coalesce(c.c, 0)) AS BIGINT)
+                       AS jaccard_ppm
+            FROM tot ta JOIN tot tb ON ta.source < tb.source
+            LEFT JOIN com c ON c.sa = ta.source AND c.sb = tb.source
+        """,
+        "label_dispersion": """
+            WITH u AS (
+              SELECT CAST(label AS BIGINT) AS label,
+                     CAST(generate_subscripts(embedding, 1) AS BIGINT)
+                         AS dim,
+                     CAST(round(CAST(unnest(embedding) AS DOUBLE)
+                                * 10000) AS BIGINT) AS q
+              FROM embeddings),
+            pd AS (SELECT label, dim, count(*) AS n,
+                          CAST(sum(q) AS BIGINT) AS s,
+                          CAST(sum(q * q) AS BIGINT) AS ss
+                   FROM u GROUP BY label, dim)
+            SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
+                   CAST(sum(ss) AS BIGINT) AS ssq_e8,
+                   CAST(sum(n * ss - s * s) AS BIGINT) AS dispersion
+            FROM pd GROUP BY label
+        """,
+        "vector_sparsity_profile": """
+            WITH per AS (
+              SELECT vec_id,
+                     sum(CASE WHEN abs(CAST(round(CAST(e AS DOUBLE)
+                              * 10000) AS BIGINT)) <= 500
+                         THEN 1 ELSE 0 END) AS c
+              FROM (SELECT vec_id, unnest(embedding) AS e FROM embeddings)
+              GROUP BY vec_id)
+            SELECT CAST(c AS BIGINT) AS n_small_dims, count(*) AS n_vecs
+            FROM per GROUP BY c
         """,
         "snapshot_diff_embeddings": """
             WITH a AS (

@@ -1297,3 +1297,145 @@ def snapshot_diff_embeddings(dir_a: str, dir_b: str):
         })
 
     return j.map_batches(_status, batch_format="pyarrow")
+
+
+LABEL_DISPERSION_SCHEMA = pa.schema([
+    ("label", pa.int64()), ("n_vecs", pa.int64()),
+    ("ssq_e8", pa.int64()), ("dispersion", pa.int64()),
+])
+
+
+def label_dispersion(sf_dir: str):
+    """Per-label within-cluster scatter, EXACT in integers: for each
+    label, ``dispersion = Σ_dims (n·Σq² − (Σq)²)`` over the 1e4-quantized
+    elements — n² times the per-dim variance summed over dims, the
+    separability audit for `label_centroids` / `knn_label_vote` (a label
+    whose dispersion rivals the inter-centroid gap cannot be voted
+    reliably). Same partial shape as `label_centroids` (one argsort +
+    `np.add.reduceat` per block, ≤ labels×dim rows out), one
+    `grouped_sums` exchange on (label, dim), then a second exchange over
+    the ≤ labels×dim cell table folds dims per label; ``n_vecs`` rides
+    the dim-1 cell so the fold is a plain sum. int64 bounds are guarded
+    (n·Σq² must stay below 2^62), not silently wrapped."""
+    from ..stages.agg import grouped_sums
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["embedding", "label"])
+    part_schema = pa.schema([
+        ("label", pa.int64()), ("dim", pa.int64()), ("sum_e4", pa.int64()),
+        ("sumsq_e8", pa.int64()), ("n_vecs", pa.int64())])
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        lab = np.asarray(batch["label"], np.int64)
+        lst = batch["embedding"].combine_chunks()
+        dim = len(lst[0]) if len(lst) else 0
+        if len(lab) == 0 or dim == 0:
+            return part_schema.empty_table()
+        mat = np.asarray(lst.flatten(), np.float64).reshape(len(lab), dim)
+        q = np.round(mat * 1e4)
+        order = np.argsort(lab, kind="stable")
+        lab_s = lab[order]
+        starts = np.flatnonzero(np.r_[True, lab_s[1:] != lab_s[:-1]])
+        sums = np.add.reduceat(q[order], starts, axis=0)
+        sumsq = np.add.reduceat(q[order] ** 2, starts, axis=0)
+        counts = np.diff(np.append(starts, len(lab_s)))
+        labs = lab_s[starts]
+        nlab = len(labs)
+        return pa.table({
+            "label": pa.array(np.repeat(labs, dim), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(1, dim + 1, dtype=np.int64),
+                                    nlab), pa.int64()),
+            "sum_e4": pa.array(sums.ravel().astype(np.int64), pa.int64()),
+            "sumsq_e8": pa.array(sumsq.ravel().astype(np.int64),
+                                 pa.int64()),
+            "n_vecs": pa.array(np.repeat(counts, dim).astype(np.int64),
+                               pa.int64()),
+        }).cast(part_schema)
+
+    agg = grouped_sums(ds.map_batches(_partials, batch_format="pyarrow"),
+                       ["label", "dim"], ["sum_e4", "sumsq_e8", "n_vecs"])
+
+    cell_schema = pa.schema([
+        ("label", pa.int64()), ("disp", pa.int64()), ("ssq", pa.int64()),
+        ("n_once", pa.int64())])
+
+    def _cells(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return cell_schema.empty_table()
+        s = np.asarray(t["sum_sum_e4"], np.int64)
+        ss = np.asarray(t["sum_sumsq_e8"], np.int64)
+        n = np.asarray(t["sum_n_vecs"], np.int64)
+        # overflow guard in float64 BEFORE the int64 multiply: exact-int
+        # contract, never a silent wrap
+        if (n.astype(np.float64) * ss.astype(np.float64)).max(initial=0.0) \
+                > 2.0 ** 62 or np.abs(s.astype(np.float64)).max(
+                    initial=0.0) ** 2 > 2.0 ** 62:
+            raise OverflowError(
+                "label_dispersion: n·Σq² exceeds 2^62; rescale the "
+                "quantization or shard the label dimension")
+        dim = np.asarray(t["dim"], np.int64)
+        return pa.table({
+            "label": t["label"],
+            "disp": pa.array(n * ss - s * s, pa.int64()),
+            "ssq": pa.array(ss, pa.int64()),
+            "n_once": pa.array(np.where(dim == 1, n, 0), pa.int64()),
+        }).cast(cell_schema)
+
+    folded = grouped_sums(agg.map_batches(_cells, batch_format="pyarrow"),
+                          ["label"], ["disp", "ssq", "n_once"])
+
+    def _final(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "label": t["label"],
+            "n_vecs": t["sum_n_once"],
+            "ssq_e8": t["sum_ssq"],
+            "dispersion": t["sum_disp"],
+        }).cast(LABEL_DISPERSION_SCHEMA)
+
+    return folded.map_batches(_final, batch_format="pyarrow")
+
+
+SPARSITY_SCHEMA = pa.schema([
+    ("n_small_dims", pa.int64()), ("n_vecs", pa.int64()),
+])
+
+
+def vector_sparsity_profile(sf_dir: str, threshold_e4: int = 500):
+    """Histogram of per-vector near-zero dimension counts (|q| ≤
+    ``threshold_e4`` at 1e4 quantization) — the effective-dimensionality
+    audit that decides whether PQ sub-quantizers / IVF coarse lists are
+    sized against dense or hollow vectors. Map-only partial bincounts
+    (one |q|≤T reduction per block) into a ≤ dim+1-row `grouped_sums`
+    exchange; all-integer output."""
+    from ..stages.agg import grouped_sums
+
+    part_schema = pa.schema([("n_small_dims", pa.int64()),
+                             ("n", pa.int64())])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["vec_id"], np.int64)
+        lst = batch["embedding"].combine_chunks()
+        dim = len(lst[0]) if len(lst) else 0
+        if len(ids) == 0 or dim == 0:
+            return part_schema.empty_table()
+        mat = np.asarray(lst.flatten(), np.float64).reshape(len(ids), dim)
+        cnt = (np.abs(np.round(mat * 1e4)) <= threshold_e4).sum(axis=1)
+        bc = np.bincount(cnt.astype(np.int64), minlength=0)
+        nz = np.flatnonzero(bc)
+        return pa.table({
+            "n_small_dims": pa.array(nz.astype(np.int64), pa.int64()),
+            "n": pa.array(bc[nz].astype(np.int64), pa.int64()),
+        }).cast(part_schema)
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    agg = grouped_sums(ds.map_batches(_partial, batch_format="pyarrow"),
+                       ["n_small_dims"], ["n"])
+
+    def _final(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_small_dims": t["n_small_dims"],
+            "n_vecs": t["sum_n"],
+        }).cast(SPARSITY_SCHEMA)
+
+    return agg.map_batches(_final, batch_format="pyarrow")

@@ -3118,3 +3118,298 @@ def dup_cluster_size_histogram(sf_dir: str,
             lambda t: pa.table({"group_size": t["n_docs"]}),
             batch_format="pyarrow"),
         ["group_size"], [], count_as="n_groups")
+
+# ---------------------------------------------------------------------------
+# vocabulary-by-source — the cross-source corpus-audit family
+# ---------------------------------------------------------------------------
+
+_SOURCE_TF_SCHEMA = pa.schema([
+    ("source", pa.string()), ("tok", pa.string()), ("tf", pa.int64()),
+])
+
+
+def _source_tf_rows_batch(batch: pa.Table) -> pa.Table:
+    """(source, tok, tf) partial term frequencies for every non-empty
+    whitespace token — the `_tf_rows_batch` kernel keyed by the SOURCE
+    column instead of the document row, so a block reduces to at most
+    |sources-in-block| × |block vocabulary| rows before any shuffle."""
+    from ..functions.segscore import _to_bytes_array
+
+    n = batch.num_rows
+    text = pc.fill_null(batch["text"], "")
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    src = batch["source"]
+    if isinstance(src, pa.ChunkedArray):
+        src = src.combine_chunks()
+    enc = pc.fill_null(src, "").dictionary_encode()
+    codes = np.asarray(enc.indices, np.int64)
+    toks = pc.split_pattern(text, " ")
+    ntok = np.asarray(pc.list_value_length(toks), np.int64)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    row = np.repeat(np.arange(n, dtype=np.int64), ntok)
+    nonempty = np.flatnonzero(
+        np.asarray(pc.binary_length(flat), np.int64) > 0)
+    if nonempty.size == 0:
+        return _SOURCE_TF_SCHEMA.empty_table()
+    tb = _to_bytes_array(flat)[nonempty]
+    sc = codes[row[nonempty]]
+    order = np.lexsort((tb, sc))
+    sc_s, tb_s = sc[order], tb[order]
+    new_run = np.r_[True, (sc_s[1:] != sc_s[:-1]) | (tb_s[1:] != tb_s[:-1])]
+    run_len = np.bincount(np.cumsum(new_run) - 1)
+    first_flat_idx = nonempty[order[new_run]]
+    return pa.table({
+        "source": enc.dictionary.take(
+            pa.array(sc_s[new_run], pa.int64())),
+        "tok": flat.take(pa.array(first_flat_idx, pa.int64())),
+        "tf": pa.array(run_len.astype(np.int64), pa.int64()),
+    }).cast(_SOURCE_TF_SCHEMA)
+
+
+def _source_tf(sf_dir: str):
+    return _read_docs(sf_dir, columns=("source", "text")).map_batches(
+        _source_tf_rows_batch, batch_format="pyarrow")
+
+
+HAPAX_SCHEMA = pa.schema([
+    ("source", pa.string()), ("n_distinct", pa.int64()),
+    ("n_hapax", pa.int64()), ("hapax_ppm", pa.int64()),
+])
+
+
+def hapax_rate_by_source_docs(sf_dir: str):
+    """Hapax-legomenon rate per source: the fraction (ppm) of each
+    source's distinct vocabulary that occurs exactly once in that source
+    — the classic corpus-freshness / OCR-noise signal (a high hapax rate
+    flags garbled extraction; a collapsing one flags template spam).
+
+    One (source, tok) `grouped_sums` exchange carries only the partial
+    vocabulary; after it every (source, tok) row is globally unique, so
+    per-block hapax/distinct counting composes exactly under the final
+    per-source sum. All-integer output (ppm by floor division)."""
+    from ..stages.agg import grouped_sums
+
+    g = grouped_sums(_source_tf(sf_dir), ["source", "tok"], ["tf"])
+    part_schema = pa.schema([("source", pa.string()),
+                             ("n_distinct", pa.int64()),
+                             ("n_hapax", pa.int64())])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        enc = t["source"].combine_chunks().dictionary_encode()
+        codes = np.asarray(enc.indices, np.int64)
+        tf = np.asarray(t["sum_tf"], np.int64)
+        n_src = len(enc.dictionary)
+        nd = np.bincount(codes, minlength=n_src).astype(np.int64)
+        nh = np.bincount(codes[tf == 1], minlength=n_src).astype(np.int64)
+        return pa.table({
+            "source": enc.dictionary,
+            "n_distinct": pa.array(nd, pa.int64()),
+            "n_hapax": pa.array(nh, pa.int64()),
+        }).cast(part_schema)
+
+    agg = grouped_sums(g.map_batches(_partial, batch_format="pyarrow"),
+                       ["source"], ["n_distinct", "n_hapax"])
+
+    def _final(t: pa.Table) -> pa.Table:
+        nd = np.asarray(t["sum_n_distinct"], np.int64)
+        nh = np.asarray(t["sum_n_hapax"], np.int64)
+        # a source only reaches here with >= 1 distinct token
+        return pa.table({
+            "source": t["source"],
+            "n_distinct": pa.array(nd, pa.int64()),
+            "n_hapax": pa.array(nh, pa.int64()),
+            "hapax_ppm": pa.array(1_000_000 * nh // nd, pa.int64()),
+        }).cast(HAPAX_SCHEMA)
+
+    return agg.map_batches(_final, batch_format="pyarrow")
+
+
+# fixed audit vocabulary: function words a quality gate treats as
+# non-content; the list is part of the operator contract (mirrored
+# verbatim in the oracle SQL) — NOT derived from the data
+STOPWORDS = ("the", "a", "an", "of", "to", "and", "in", "is", "it", "for")
+
+STOPWORD_SCHEMA = pa.schema([
+    ("source", pa.string()), ("n_tokens", pa.int64()),
+    ("n_stop", pa.int64()), ("stop_ppm", pa.int64()),
+])
+
+
+def stopword_rate_by_source_docs(sf_dir: str):
+    """Stopword mass per source (ppm of all tokens that are function
+    words) — the Gopher-style lexical-quality signal aggregated to the
+    source grain, where a near-zero rate flags non-prose (code, tables,
+    minified text) and an outlier-high one flags keyword stuffing.
+
+    Map-only partials (one `is_in` mask + two bincounts per block) into
+    a |sources|-row `grouped_sums` exchange; sources whose texts produce
+    zero tokens emit nothing, matching the SQL twin's `WHERE t <> ''`."""
+    from ..stages.agg import grouped_sums
+
+    part_schema = pa.schema([("source", pa.string()),
+                             ("n_tokens", pa.int64()),
+                             ("n_stop", pa.int64())])
+    stop_set = pa.array(STOPWORDS, pa.string())
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        text = pc.fill_null(batch["text"], "")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        src = batch["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        enc = pc.fill_null(src, "").dictionary_encode()
+        codes = np.asarray(enc.indices, np.int64)
+        toks = pc.split_pattern(text, " ")
+        ntok = np.asarray(pc.list_value_length(toks), np.int64)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        row = np.repeat(np.arange(n, dtype=np.int64), ntok)
+        nonempty = np.asarray(pc.binary_length(flat), np.int64) > 0
+        if not nonempty.any():
+            return part_schema.empty_table()
+        sc = codes[row[nonempty]]
+        stop = np.asarray(pc.is_in(flat, value_set=stop_set),
+                          bool)[nonempty]
+        n_src = len(enc.dictionary)
+        nt = np.bincount(sc, minlength=n_src).astype(np.int64)
+        ns = np.bincount(sc[stop], minlength=n_src).astype(np.int64)
+        keep = nt > 0
+        return pa.table({
+            "source": enc.dictionary.filter(pa.array(keep)),
+            "n_tokens": pa.array(nt[keep], pa.int64()),
+            "n_stop": pa.array(ns[keep], pa.int64()),
+        }).cast(part_schema)
+
+    agg = grouped_sums(
+        _read_docs(sf_dir, columns=("source", "text")).map_batches(
+            _partial, batch_format="pyarrow"),
+        ["source"], ["n_tokens", "n_stop"])
+
+    def _final(t: pa.Table) -> pa.Table:
+        nt = np.asarray(t["sum_n_tokens"], np.int64)
+        ns = np.asarray(t["sum_n_stop"], np.int64)
+        return pa.table({
+            "source": t["source"],
+            "n_tokens": pa.array(nt, pa.int64()),
+            "n_stop": pa.array(ns, pa.int64()),
+            "stop_ppm": pa.array(1_000_000 * ns // nt, pa.int64()),
+        }).cast(STOPWORD_SCHEMA)
+
+    return agg.map_batches(_final, batch_format="pyarrow")
+
+
+VOCAB_OVERLAP_SCHEMA = pa.schema([
+    ("source_a", pa.string()), ("source_b", pa.string()),
+    ("n_common", pa.int64()), ("n_a", pa.int64()), ("n_b", pa.int64()),
+    ("jaccard_ppm", pa.int64()),
+])
+
+
+def vocab_overlap_sources_docs(sf_dir: str):
+    """Pairwise distinct-vocabulary Jaccard between sources — the
+    corpus-mixing audit (which sources are re-crawls / mirrors of each
+    other BEFORE paying for a document-grain near-dup pass). The
+    source-grain twin of the sketch `jaccard` kernels
+    (reference `src/sourmash/minhash.py` `similarity`), computed exactly.
+
+    Shape: block-local distinct (source, tok) rows exchange ON THE TOKEN
+    key (all sources of a token co-locate), each partition folds its
+    tokens to source-bitmask counts (`np.bitwise_or.reduceat`, memory
+    O(distinct masks), never |sources|² per token), and only
+    (source_a, source_b, partial_count) cells — ≤ |sources|² per
+    partition — leave the reduce. Final assembly is a driver-side pass
+    over the ≤ |sources|² aggregated cells. Requires |sources| ≤ 63
+    (bitmask width); raises beyond."""
+    from ..config import resolve_num_partitions
+    from ..functions.segscore import _to_bytes_array, hash_strings64
+    from ..stages.agg import grouped_sums
+    from ..stages.exchange import exchange_map_groups
+
+    part_in = pa.schema([("source", pa.string()), ("tok", pa.string()),
+                         ("tok_part", pa.int64())])
+    n_parts = resolve_num_partitions(DEFAULT_CONFIG)
+
+    def _distinct(batch: pa.Table) -> pa.Table:
+        st = _source_tf_rows_batch(batch)
+        tok = st["tok"].combine_chunks()
+        return pa.table({
+            "source": st["source"], "tok": tok,
+            "tok_part": pa.array(hash_strings64(tok) % n_parts, pa.int64()),
+        }).cast(part_in)
+
+    cell_schema = pa.schema([("source_a", pa.string()),
+                             ("source_b", pa.string()), ("n", pa.int64())])
+
+    def _cells(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return cell_schema.empty_table()
+        enc = part["source"].combine_chunks().dictionary_encode()
+        names = enc.dictionary.to_pylist()
+        if len(names) > 63:
+            raise ValueError(
+                f"vocab_overlap_sources: {len(names)} sources exceed the "
+                "63-bit mask; shard the source dimension first")
+        sc = np.asarray(enc.indices, np.int64)
+        tb = _to_bytes_array(part["tok"].combine_chunks())
+        order = np.lexsort((sc, tb))
+        tb_s, sc_s = tb[order], sc[order]
+        new_tok = np.r_[True, tb_s[1:] != tb_s[:-1]]
+        # drop duplicate (source, tok) rows from different upstream blocks
+        new_pair = new_tok | np.r_[True, sc_s[1:] != sc_s[:-1]]
+        tb_s, sc_s = tb_s[new_pair], sc_s[new_pair]
+        new_tok = np.r_[True, tb_s[1:] != tb_s[:-1]]
+        starts = np.flatnonzero(new_tok)
+        masks = np.bitwise_or.reduceat(
+            np.int64(1) << sc_s, starts)
+        um, uc = np.unique(masks, return_counts=True)
+        rows_a, rows_b, rows_n = [], [], []
+        nd = np.bincount(sc_s, minlength=len(names)).astype(np.int64)
+        for i, nm in enumerate(names):
+            rows_a.append(nm); rows_b.append(nm); rows_n.append(int(nd[i]))
+        for i in range(len(names)):
+            ai = (um >> i) & 1
+            for j in range(i + 1, len(names)):
+                c = int(uc[(ai & ((um >> j) & 1)) == 1].sum())
+                if c:
+                    a, b = sorted((names[i], names[j]))
+                    rows_a.append(a); rows_b.append(b); rows_n.append(c)
+        return pa.table({
+            "source_a": pa.array(rows_a, pa.string()),
+            "source_b": pa.array(rows_b, pa.string()),
+            "n": pa.array(rows_n, pa.int64()),
+        }).cast(cell_schema)
+
+    distinct = _read_docs(sf_dir, columns=("source", "text")).map_batches(
+        _distinct, batch_format="pyarrow")
+    cells = exchange_map_groups(distinct, "tok_part", n_parts, _cells,
+                                cell_schema)
+    agg = grouped_sums(cells, ["source_a", "source_b"], ["n"])
+
+    # <= |sources|^2 aggregated cells: driver-side final assembly
+    rows = agg.take_all()
+    tot = {r["source_a"]: r["sum_n"] for r in rows
+           if r["source_a"] == r["source_b"]}
+    com = {(r["source_a"], r["source_b"]): r["sum_n"] for r in rows
+           if r["source_a"] != r["source_b"]}
+    names = sorted(tot)
+    out = {k: [] for k in ("source_a", "source_b", "n_common", "n_a",
+                           "n_b", "jaccard_ppm")}
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            c = int(com.get((a, b), 0))
+            na, nb = int(tot[a]), int(tot[b])
+            out["source_a"].append(a)
+            out["source_b"].append(b)
+            out["n_common"].append(c)
+            out["n_a"].append(na)
+            out["n_b"].append(nb)
+            out["jaccard_ppm"].append(1_000_000 * c // (na + nb - c))
+    return pa.table(out).cast(VOCAB_OVERLAP_SCHEMA)

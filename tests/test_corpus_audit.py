@@ -1,0 +1,187 @@
+"""Exact DuckDB twins for the cross-source corpus-audit operators
+(hapax rate, stopword mass, pairwise vocabulary Jaccard) and the
+embeddings-audit pair (label dispersion, sparsity profile). Each runs
+the distributed pipeline at sf0.001 and compares value-exactly against
+an independent SQL formulation over the same bytes; the oracle_sql()
+entries run the same comparison at sf0.01 under the driver."""
+
+import duckdb
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.sql(f"CREATE VIEW documents AS SELECT * FROM "
+          f"read_parquet('{SF}/documents.parquet')")
+    c.sql(f"CREATE VIEW embeddings AS SELECT * FROM "
+          f"read_parquet('{SF}/embeddings.parquet')")
+    return c
+
+
+def test_hapax_rate_matches_duckdb(ray_session, con):
+    from sourmash_ray.pipelines.docops import hapax_rate_by_source_docs
+
+    got = sorted(map(tuple, hapax_rate_by_source_docs(SF).to_pandas()
+                     .itertuples(index=False)))
+    want = sorted(tuple(r) for r in con.sql("""
+        WITH tf AS (
+          SELECT source, t AS tok, count(*) AS c
+          FROM (SELECT source, unnest(string_split(coalesce(text,''),' '))
+                    AS t FROM documents)
+          WHERE t <> '' GROUP BY source, t)
+        SELECT source, count(*),
+               CAST(sum(CASE WHEN c=1 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(1000000*sum(CASE WHEN c=1 THEN 1 ELSE 0 END)
+                    // count(*) AS BIGINT)
+        FROM tf GROUP BY source
+    """).fetchall())
+    assert got == want and len(got) == 20
+    # non-degenerate: at least one source has a hapax
+    assert any(r[2] > 0 for r in got)
+
+
+def test_stopword_rate_matches_duckdb(ray_session, con):
+    from sourmash_ray.pipelines.docops import (STOPWORDS,
+                                               stopword_rate_by_source_docs)
+
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    got = sorted(map(tuple, stopword_rate_by_source_docs(SF).to_pandas()
+                     .itertuples(index=False)))
+    want = sorted(tuple(r) for r in con.sql(f"""
+        SELECT source, count(*),
+               CAST(sum(CASE WHEN t IN ({sw}) THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(1000000*sum(CASE WHEN t IN ({sw}) THEN 1 ELSE 0 END)
+                    // count(*) AS BIGINT)
+        FROM (SELECT source, unnest(string_split(coalesce(text,''),' '))
+                  AS t FROM documents)
+        WHERE t <> '' GROUP BY source
+    """).fetchall())
+    assert got == want and len(got) == 20
+    assert any(r[2] > 0 for r in got)
+
+
+def test_stopword_sql_literal_in_sync():
+    """The oracle_sql literal and docops.STOPWORDS must never drift."""
+    import __ray_entry__ as e
+    from sourmash_ray.pipelines.docops import STOPWORDS
+
+    assert e._STOPWORDS_SQL == ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def test_vocab_overlap_matches_duckdb(ray_session, con):
+    from sourmash_ray.pipelines.docops import vocab_overlap_sources_docs
+
+    got = sorted(map(tuple, vocab_overlap_sources_docs(SF).to_pandas()
+                     .itertuples(index=False)))
+    want = sorted(tuple(r) for r in con.sql("""
+        WITH st AS (
+          SELECT DISTINCT source, t AS tok
+          FROM (SELECT source, unnest(string_split(coalesce(text,''),' '))
+                    AS t FROM documents)
+          WHERE t <> ''),
+        tot AS (SELECT source, count(*) AS n FROM st GROUP BY source),
+        com AS (SELECT a.source AS sa, b.source AS sb, count(*) AS c
+                FROM st a JOIN st b
+                  ON a.tok = b.tok AND a.source < b.source
+                GROUP BY 1, 2)
+        SELECT ta.source, tb.source, CAST(coalesce(c.c,0) AS BIGINT),
+               CAST(ta.n AS BIGINT), CAST(tb.n AS BIGINT),
+               CAST(1000000*coalesce(c.c,0)
+                    // (ta.n + tb.n - coalesce(c.c,0)) AS BIGINT)
+        FROM tot ta JOIN tot tb ON ta.source < tb.source
+        LEFT JOIN com c ON c.sa = ta.source AND c.sb = tb.source
+    """).fetchall())
+    assert got == want and len(got) == 190  # 20 choose 2
+
+
+def test_vocab_overlap_disjoint_and_partial(ray_session, tmp_path):
+    """Hand corpus where the SQL twin can't be consulted blind: one
+    disjoint pair (jaccard 0), one partial overlap, exact expected ppm."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sourmash_ray.pipelines.docops import vocab_overlap_sources_docs
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["x y z", "x y q", "only unique words"]),
+        "source": pa.array(["sA", "sB", "sC"]),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = {(r["source_a"], r["source_b"]):
+           (r["n_common"], r["n_a"], r["n_b"], r["jaccard_ppm"])
+           for r in vocab_overlap_sources_docs(str(tmp_path)).to_pylist()}
+    assert got == {
+        ("sA", "sB"): (2, 3, 3, 1_000_000 * 2 // 4),
+        ("sA", "sC"): (0, 3, 3, 0),
+        ("sB", "sC"): (0, 3, 3, 0),
+    }
+
+
+def test_label_dispersion_matches_duckdb(ray_session, con):
+    from sourmash_ray.pipelines.ann import label_dispersion
+
+    got = sorted(map(tuple, label_dispersion(SF).to_pandas()
+                     .itertuples(index=False)))
+    want = sorted(tuple(r) for r in con.sql("""
+        WITH u AS (SELECT CAST(label AS BIGINT) AS label,
+                          CAST(generate_subscripts(embedding,1) AS BIGINT)
+                              AS dim,
+                          CAST(round(CAST(unnest(embedding) AS DOUBLE)
+                               * 10000) AS BIGINT) AS q
+                   FROM embeddings),
+        pd AS (SELECT label, dim, count(*) AS n,
+                      CAST(sum(q) AS BIGINT) AS s,
+                      CAST(sum(q*q) AS BIGINT) AS ss
+               FROM u GROUP BY label, dim)
+        SELECT label, CAST(max(n) AS BIGINT), CAST(sum(ss) AS BIGINT),
+               CAST(sum(n*ss - s*s) AS BIGINT)
+        FROM pd GROUP BY label
+    """).fetchall())
+    assert got == want and len(got) == 10
+    assert all(r[3] > 0 for r in got)  # real scatter in every label
+
+
+def test_label_dispersion_single_vector_is_zero(ray_session, tmp_path):
+    """n=1 labels must report dispersion 0 (n·Σq² − (Σq)² with n=1 and a
+    single vector collapses exactly)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sourmash_ray.pipelines.ann import label_dispersion
+
+    t = pa.table({
+        "vec_id": pa.array([0, 1, 2], pa.int64()),
+        "embedding": pa.array([[0.5, -0.25], [0.1, 0.2], [0.3, 0.2]],
+                              pa.list_(pa.float32())),
+        "label": pa.array([7, 8, 8], pa.int32()),
+    })
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+    got = {r["label"]: (r["n_vecs"], r["dispersion"])
+           for r in label_dispersion(str(tmp_path)).take_all()}
+    assert got[7] == (1, 0)
+    # label 8: dims (1000,3000) and (2000,2000): 2*(1e6+9e6)-(4000**2)
+    #          + 2*(4e6+4e6)-(4000**2) = 4_000_000 + 0
+    assert got[8] == (2, 4_000_000)
+
+
+def test_vector_sparsity_matches_duckdb(ray_session, con):
+    from sourmash_ray.pipelines.ann import vector_sparsity_profile
+
+    got = sorted(map(tuple, vector_sparsity_profile(SF).to_pandas()
+                     .itertuples(index=False)))
+    want = sorted(tuple(r) for r in con.sql("""
+        WITH per AS (
+          SELECT vec_id,
+                 sum(CASE WHEN abs(CAST(round(CAST(e AS DOUBLE)*10000)
+                          AS BIGINT)) <= 500 THEN 1 ELSE 0 END) AS c
+          FROM (SELECT vec_id, unnest(embedding) AS e FROM embeddings)
+          GROUP BY vec_id)
+        SELECT CAST(c AS BIGINT), count(*) FROM per GROUP BY c
+    """).fetchall())
+    assert got == want and len(got) > 5
+    # histogram covers every vector exactly once
+    assert sum(r[1] for r in got) == 500
