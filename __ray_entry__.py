@@ -1078,6 +1078,10 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "media_ratio_quantiles": _media_ratio_quant_q,
         "order_status_priority_matrix":
             relational.order_status_priority_matrix,
+        "char_class_profile_docs": docops.char_class_profile_docs,
+        "customer_order_gap_quantiles":
+            relational.customer_order_gap_quantiles,
+        "doc_embedding_coverage": ann.doc_embedding_coverage,
         "hapax_rate_by_source": docops.hapax_rate_by_source_docs,
         "stopword_rate_by_source": docops.stopword_rate_by_source_docs,
         "vocab_overlap_sources": docops.vocab_overlap_sources_docs,
@@ -1713,6 +1717,55 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
             WHERE t <> ''
             GROUP BY 1
+        """,
+        "char_class_profile_docs": """
+            SELECT lang,
+                   CAST(sum(length(t)) AS BIGINT) AS n_chars,
+                   CAST(sum(length(t) - length(regexp_replace(t,
+                        '[a-zA-Z]', '', 'g'))) AS BIGINT) AS n_alpha,
+                   CAST(sum(length(t) - length(regexp_replace(t,
+                        '[0-9]', '', 'g'))) AS BIGINT) AS n_digit,
+                   CAST(sum(length(t) - length(replace(t, ' ', '')))
+                        AS BIGINT) AS n_space,
+                   CAST(sum(length(regexp_replace(replace(t, ' ', ''),
+                        '[a-zA-Z0-9]', '', 'g'))) AS BIGINT) AS n_other
+            FROM (SELECT lang, coalesce(text, '') AS t FROM documents)
+            GROUP BY lang
+        """,
+        "customer_order_gap_quantiles": """
+            WITH l AS (
+              SELECT o_custkey,
+                     lag(o_orderdate) OVER w AS prev, o_orderdate
+              FROM orders
+              WINDOW w AS (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey)),
+            g AS (
+              SELECT o_custkey,
+                     (CAST(epoch_us(o_orderdate) AS BIGINT)
+                      - CAST(epoch_us(prev) AS BIGINT))
+                         // 86400000000 AS gap_days
+              FROM l WHERE prev IS NOT NULL)
+            SELECT c_mktsegment, q, CAST(v AS BIGINT) AS value
+            FROM (
+              SELECT c_mktsegment,
+                     unnest([0.25, 0.5, 0.75, 0.9]) AS q,
+                     unnest(quantile_disc(gap_days,
+                            [0.25, 0.5, 0.75, 0.9])) AS v
+              FROM g JOIN customer ON c_custkey = o_custkey
+              GROUP BY c_mktsegment)
+        """,
+        "doc_embedding_coverage": """
+            WITH d AS (SELECT DISTINCT doc_id AS id FROM documents),
+            v AS (SELECT DISTINCT vec_id AS id FROM embeddings),
+            j AS (SELECT d.id AS did, v.id AS vid
+                  FROM d FULL OUTER JOIN v ON d.id = v.id)
+            SELECT CAST(sum(CASE WHEN did IS NOT NULL AND vid IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS matched,
+                   CAST(sum(CASE WHEN vid IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS docs_without_vec,
+                   CAST(sum(CASE WHEN did IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS vecs_without_doc
+            FROM j
         """,
         "hapax_rate_by_source": """
             WITH tf AS (

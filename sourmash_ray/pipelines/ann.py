@@ -1439,3 +1439,69 @@ def vector_sparsity_profile(sf_dir: str, threshold_e4: int = 500):
         }).cast(SPARSITY_SCHEMA)
 
     return agg.map_batches(_final, batch_format="pyarrow")
+
+
+COVERAGE_SCHEMA = pa.schema([
+    ("matched", pa.int64()), ("docs_without_vec", pa.int64()),
+    ("vecs_without_doc", pa.int64()),
+])
+
+
+def doc_embedding_coverage(sf_dir: str):
+    """Cross-modality referential-integrity audit: ONE row counting
+    doc ids with an embedding row, docs missing a vector, and vectors
+    whose source doc is gone — the gate an embedding-dependent stage
+    (ANN dedup, clustering) runs before trusting vec_id ≡ doc_id
+    lineage. Same shape as `orders_reconciliation`: both sides pre-dedup
+    per block, meet on one id exchange, three counters per partition."""
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.agg import grouped_sums
+    from ..stages.exchange import exchange_map_groups
+
+    n_parts = resolve_num_partitions(DEFAULT_CONFIG)
+
+    def _side(col: str, side_val: int):
+        def _keys(batch: pa.Table) -> pa.Table:
+            k = np.unique(np.asarray(batch[col], np.int64))
+            return pa.table({
+                "key": pa.array(k, pa.int64()),
+                "side": pa.array(np.full(len(k), side_val, np.int8),
+                                 pa.int8()),
+                "part": pa.array(k % n_parts, pa.int64()),
+            })
+        return _keys
+
+    d = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"]).map_batches(
+        _side("doc_id", 0), batch_format="pyarrow")
+    v = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id"]).map_batches(
+        _side("vec_id", 1), batch_format="pyarrow")
+
+    counts_schema = pa.schema([
+        ("one", pa.int64()), ("docs_only", pa.int64()),
+        ("vecs_only", pa.int64()), ("matched", pa.int64())])
+
+    def _count(part: pa.Table) -> pa.Table:
+        key = np.asarray(part["key"], np.int64)
+        side = np.asarray(part["side"], np.int8)
+        dk = np.unique(key[side == 0])
+        vk = np.unique(key[side == 1])
+        m = np.intersect1d(dk, vk, assume_unique=True).size
+        return pa.table({
+            "one": pa.array([0], pa.int64()),
+            "docs_only": pa.array([len(dk) - m], pa.int64()),
+            "vecs_only": pa.array([len(vk) - m], pa.int64()),
+            "matched": pa.array([m], pa.int64()),
+        })
+
+    parts = exchange_map_groups(d.union(v), "part", n_parts, _count,
+                                counts_schema)
+    out = grouped_sums(parts, ["one"],
+                       ["docs_only", "vecs_only", "matched"])
+    return out.map_batches(
+        lambda t: pa.table({
+            "matched": t["sum_matched"],
+            "docs_without_vec": t["sum_docs_only"],
+            "vecs_without_doc": t["sum_vecs_only"],
+        }).cast(COVERAGE_SCHEMA), batch_format="pyarrow")

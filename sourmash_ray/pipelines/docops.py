@@ -3413,3 +3413,77 @@ def vocab_overlap_sources_docs(sf_dir: str):
             out["n_b"].append(nb)
             out["jaccard_ppm"].append(1_000_000 * c // (na + nb - c))
     return pa.table(out).cast(VOCAB_OVERLAP_SCHEMA)
+
+
+CHAR_CLASS_SCHEMA = pa.schema([
+    ("lang", pa.string()), ("n_chars", pa.int64()), ("n_alpha", pa.int64()),
+    ("n_digit", pa.int64()), ("n_space", pa.int64()), ("n_other", pa.int64()),
+])
+
+
+def char_class_profile_docs(sf_dir: str):
+    """Character-class census per language (alpha / digit / space /
+    other, in CHARACTERS): the encoding-sanity audit a multilingual
+    corpus runs before tokenizer training — a lang whose alpha mass
+    collapses or digit mass spikes flags mojibake or table dumps.
+    Map-only: three Arrow kernels per block (`utf8_length`,
+    `count_substring_regex`, `count_substring`), partial sums per lang,
+    one |langs|-row `grouped_sums` exchange. All-integer output."""
+    from ..stages.agg import grouped_sums
+
+    part_schema = pa.schema([
+        ("lang", pa.string()), ("n_chars", pa.int64()),
+        ("n_alpha", pa.int64()), ("n_digit", pa.int64()),
+        ("n_space", pa.int64())])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch["text"], "")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        lang = batch["lang"]
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        enc = pc.fill_null(lang, "").dictionary_encode()
+        codes = np.asarray(enc.indices, np.int64)
+        n_src = len(enc.dictionary)
+        tot = np.asarray(pc.utf8_length(text), np.int64)
+        al = np.asarray(pc.count_substring_regex(text, "[a-zA-Z]"),
+                        np.int64)
+        dg = np.asarray(pc.count_substring_regex(text, "[0-9]"), np.int64)
+        sp = np.asarray(pc.count_substring(text, " "), np.int64)
+        return pa.table({
+            "lang": enc.dictionary,
+            "n_chars": pa.array(np.bincount(codes, weights=tot,
+                                            minlength=n_src)
+                                .astype(np.int64), pa.int64()),
+            "n_alpha": pa.array(np.bincount(codes, weights=al,
+                                            minlength=n_src)
+                                .astype(np.int64), pa.int64()),
+            "n_digit": pa.array(np.bincount(codes, weights=dg,
+                                            minlength=n_src)
+                                .astype(np.int64), pa.int64()),
+            "n_space": pa.array(np.bincount(codes, weights=sp,
+                                            minlength=n_src)
+                                .astype(np.int64), pa.int64()),
+        }).cast(part_schema)
+
+    agg = grouped_sums(
+        _read_docs(sf_dir, columns=("lang", "text")).map_batches(
+            _partial, batch_format="pyarrow"),
+        ["lang"], ["n_chars", "n_alpha", "n_digit", "n_space"])
+
+    def _final(t: pa.Table) -> pa.Table:
+        tot = np.asarray(t["sum_n_chars"], np.int64)
+        al = np.asarray(t["sum_n_alpha"], np.int64)
+        dg = np.asarray(t["sum_n_digit"], np.int64)
+        sp = np.asarray(t["sum_n_space"], np.int64)
+        return pa.table({
+            "lang": t["lang"],
+            "n_chars": pa.array(tot, pa.int64()),
+            "n_alpha": pa.array(al, pa.int64()),
+            "n_digit": pa.array(dg, pa.int64()),
+            "n_space": pa.array(sp, pa.int64()),
+            "n_other": pa.array(tot - al - dg - sp, pa.int64()),
+        }).cast(CHAR_CLASS_SCHEMA)
+
+    return agg.map_batches(_final, batch_format="pyarrow")

@@ -3088,3 +3088,70 @@ def order_status_priority_matrix(sf_dir: str):
             "n_orders": t["n_orders"],
             "total_cents": t["sum_cents"],
         }), batch_format="pyarrow")
+
+
+GAP_DAYS_SCHEMA = pa.schema([
+    ("o_custkey", pa.int64()), ("gap_days", pa.int64()),
+])
+
+
+def _order_gap_rows(part: pa.Table) -> pa.Table:
+    """Per-partition inter-order gap kernel: lexsort (custkey, orderdate,
+    orderkey), diff within customer, whole days (orderdates are
+    midnight-aligned so DuckDB's day-boundary diff equals the floor)."""
+    import numpy as np
+
+    if part.num_rows == 0:
+        return GAP_DAYS_SCHEMA.empty_table()
+    ck = np.asarray(part["o_custkey"], np.int64)
+    ts = np.asarray(part["date_us"], np.int64)
+    ok = np.asarray(part["o_orderkey"], np.int64)
+    order = np.lexsort((ok, ts, ck))
+    ck_s, ts_s = ck[order], ts[order]
+    same = np.r_[False, ck_s[1:] == ck_s[:-1]]
+    gap = ts_s - np.r_[np.int64(0), ts_s[:-1]]
+    return pa.table({
+        "o_custkey": pa.array(ck_s[same], pa.int64()),
+        "gap_days": pa.array(gap[same] // 86_400_000_000, pa.int64()),
+    }).cast(GAP_DAYS_SCHEMA)
+
+
+def customer_order_gap_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.9)):
+    """Per-market-segment quantiles of a customer's days between
+    consecutive orders — the purchase-cadence profile (the relational
+    twin of `event_gap_quantiles_by_type`, with the grouping dimension
+    living in ANOTHER table). One custkey exchange computes every
+    customer's ordered gaps in a single lexsort+diff pass, the gap rows
+    (|orders| − |customers|) join segment on the custkey-keyed exchange
+    join, and the per-segment quantiles ride the value-histogram
+    exchange (bounded by segments × day domain, not order count)."""
+    import numpy as np
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.agg import grouped_quantiles_disc
+    from ..stages.exchange import exchange_map_groups
+    from ..stages.join import hash_join_exchange
+
+    n_parts = resolve_num_partitions(DEFAULT_CONFIG)
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": batch["o_custkey"],
+            "date_us": pc.cast(batch["o_orderdate"], pa.int64()),
+            "o_orderkey": batch["o_orderkey"],
+        })
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderkey"]).map_batches(
+        _tag, batch_format="pyarrow")
+    gaps = exchange_map_groups(orders, "o_custkey", n_parts,
+                               _order_gap_rows, GAP_DAYS_SCHEMA)
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_mktsegment"])
+    joined = hash_join_exchange(
+        gaps, cust, key="custkey", left_key="o_custkey",
+        right_key="c_custkey", left_cols=["gap_days"],
+        right_cols=["c_mktsegment"], n_parts=n_parts)
+    return grouped_quantiles_disc(joined, "c_mktsegment", "gap_days",
+                                  list(qs))

@@ -185,3 +185,99 @@ def test_vector_sparsity_matches_duckdb(ray_session, con):
     assert got == want and len(got) > 5
     # histogram covers every vector exactly once
     assert sum(r[1] for r in got) == 500
+
+
+def test_char_class_profile_matches_duckdb(ray_session, con):
+    from sourmash_ray.pipelines.docops import char_class_profile_docs
+
+    got = sorted(map(tuple, char_class_profile_docs(SF).to_pandas()
+                     .itertuples(index=False)))
+    want = sorted(tuple(r) for r in con.sql("""
+        SELECT lang, CAST(sum(length(t)) AS BIGINT),
+               CAST(sum(length(t) - length(regexp_replace(t,'[a-zA-Z]','','g'))) AS BIGINT),
+               CAST(sum(length(t) - length(regexp_replace(t,'[0-9]','','g'))) AS BIGINT),
+               CAST(sum(length(t) - length(replace(t,' ',''))) AS BIGINT),
+               CAST(sum(length(regexp_replace(replace(t,' ',''),'[a-zA-Z0-9]','','g'))) AS BIGINT)
+        FROM (SELECT lang, coalesce(text,'') AS t FROM documents)
+        GROUP BY lang
+    """).fetchall())
+    assert got == want and len(got) == 5
+
+
+def test_char_class_profile_hand_fixture(ray_session, tmp_path):
+    """Digits / punctuation / NULL text — classes the synth corpus barely
+    exercises; n_other picks up punctuation and the class sums tile
+    n_chars exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sourmash_ray.pipelines.docops import char_class_profile_docs
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["ab 12!", None, "x,y.z"]),
+        "lang": pa.array(["aa", "aa", "bb"]),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = {r["lang"]: (r["n_chars"], r["n_alpha"], r["n_digit"],
+                       r["n_space"], r["n_other"])
+           for r in char_class_profile_docs(str(tmp_path)).take_all()}
+    assert got == {"aa": (6, 2, 2, 1, 1), "bb": (5, 3, 0, 0, 2)}
+
+
+def test_customer_order_gap_quantiles_matches_duckdb(ray_session, con):
+    from sourmash_ray.pipelines.relational import (
+        customer_order_gap_quantiles)
+
+    c2 = con
+    c2.sql(f"CREATE VIEW IF NOT EXISTS orders AS SELECT * FROM "
+           f"read_parquet('{SF}/orders.parquet')")
+    c2.sql(f"CREATE VIEW IF NOT EXISTS customer AS SELECT * FROM "
+           f"read_parquet('{SF}/customer.parquet')")
+    got = sorted(map(tuple, customer_order_gap_quantiles(SF).to_pandas()
+                     .itertuples(index=False)))
+    want = sorted((s, float(q), v) for s, q, v in c2.sql("""
+        WITH l AS (
+          SELECT o_custkey, lag(o_orderdate) OVER w AS prev, o_orderdate
+          FROM orders
+          WINDOW w AS (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey)),
+        g AS (SELECT o_custkey,
+                     (CAST(epoch_us(o_orderdate) AS BIGINT)
+                      - CAST(epoch_us(prev) AS BIGINT)) // 86400000000
+                         AS gap_days
+              FROM l WHERE prev IS NOT NULL)
+        SELECT c_mktsegment, q, CAST(v AS BIGINT)
+        FROM (SELECT c_mktsegment, unnest([0.25,0.5,0.75,0.9]) AS q,
+                     unnest(quantile_disc(gap_days, [0.25,0.5,0.75,0.9]))
+                         AS v
+              FROM g JOIN customer ON c_custkey = o_custkey
+              GROUP BY c_mktsegment)
+    """).fetchall())
+    assert got == want and len(got) == 20  # 5 segments x 4 quantiles
+
+
+def test_doc_embedding_coverage(ray_session, con, tmp_path):
+    from sourmash_ray.pipelines.ann import doc_embedding_coverage
+
+    # sf0.001: 500 docs, 500 vecs, ids coincide fully
+    row = doc_embedding_coverage(SF).take_all()[0]
+    assert (row["matched"], row["docs_without_vec"],
+            row["vecs_without_doc"]) == (500, 0, 0)
+
+    # hand fixture with holes on both sides
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2, 5], pa.int64()),
+        "text": pa.array(["a", "b", "c", "d"]),
+    }), tmp_path / "documents.parquet")
+    pq.write_table(pa.table({
+        "vec_id": pa.array([1, 2, 9], pa.int64()),
+        "embedding": pa.array([[0.1], [0.2], [0.3]],
+                              pa.list_(pa.float32())),
+    }), tmp_path / "embeddings.parquet")
+    row = doc_embedding_coverage(str(tmp_path)).take_all()[0]
+    assert (row["matched"], row["docs_without_vec"],
+            row["vecs_without_doc"]) == (2, 2, 1)
