@@ -1079,6 +1079,9 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "order_status_priority_matrix":
             relational.order_status_priority_matrix,
         "char_class_profile_docs": docops.char_class_profile_docs,
+        "centroid_distance_matrix": ann.centroid_distance_matrix,
+        "conv_depth_histogram": transcriptops.conv_depth_histogram,
+        "user_event_type_diversity": eventops.user_event_type_diversity,
         "customer_order_gap_quantiles":
             relational.customer_order_gap_quantiles,
         "doc_embedding_coverage": ann.doc_embedding_coverage,
@@ -1717,6 +1720,38 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
             WHERE t <> ''
             GROUP BY 1
+        """,
+        "centroid_distance_matrix": """
+            WITH u AS (
+              SELECT CAST(label AS BIGINT) AS label,
+                     CAST(round(CAST(unnest(embedding) AS DOUBLE)
+                                * 10000) AS BIGINT) AS q,
+                     CAST(generate_subscripts(embedding, 1) AS BIGINT)
+                         AS dim
+              FROM embeddings),
+            c AS (SELECT label, dim,
+                         CAST(sum(q) // count(*) AS BIGINT) AS ce
+                  FROM u GROUP BY label, dim)
+            SELECT a.label AS label_a, b.label AS label_b,
+                   CAST(sum((a.ce - b.ce) * (a.ce - b.ce)) AS BIGINT)
+                       AS dist_sq_e8
+            FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+            GROUP BY 1, 2
+        """,
+        "conv_depth_histogram": f"""
+            WITH per AS (
+              SELECT conv_id, count(*) AS n
+              FROM read_parquet('{_turns}/*.parquet')
+              GROUP BY conv_id)
+            SELECT CAST(n AS BIGINT) AS n_turns, count(*) AS n_convs
+            FROM per GROUP BY n
+        """,
+        "user_event_type_diversity": """
+            WITH per AS (
+              SELECT user_id, count(DISTINCT event_type) AS n
+              FROM events GROUP BY user_id)
+            SELECT CAST(n AS BIGINT) AS n_types, count(*) AS n_users
+            FROM per GROUP BY n
         """,
         "char_class_profile_docs": """
             SELECT lang,

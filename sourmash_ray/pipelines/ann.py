@@ -1505,3 +1505,41 @@ def doc_embedding_coverage(sf_dir: str):
             "docs_without_vec": t["sum_docs_only"],
             "vecs_without_doc": t["sum_vecs_only"],
         }).cast(COVERAGE_SCHEMA), batch_format="pyarrow")
+
+
+CENTROID_DIST_SCHEMA = pa.schema([
+    ("label_a", pa.int64()), ("label_b", pa.int64()),
+    ("dist_sq_e8", pa.int64()),
+])
+
+
+def centroid_distance_matrix(sf_dir: str):
+    """Pairwise squared L2 distance between label centroids (1e4-scale
+    truncated-integer centroids, so the matrix is exact and
+    order-insensitive) — read together with `label_dispersion` this is
+    the between/within separability ratio that predicts `knn_label_vote`
+    reliability. The heavy lifting is `label_centroids`' one exchange;
+    the ≤ labels×dim centroid table is driver-scale by construction, so
+    the pair fold is a single numpy pass here."""
+    cent = label_centroids(sf_dir).take_all()
+    if not cent:
+        return CENTROID_DIST_SCHEMA.empty_table()
+    labels = sorted({r["label"] for r in cent})
+    dims = sorted({r["dim"] for r in cent})
+    li = {v: i for i, v in enumerate(labels)}
+    di = {v: i for i, v in enumerate(dims)}
+    m = np.zeros((len(labels), len(dims)), np.int64)
+    for r in cent:
+        m[li[r["label"]], di[r["dim"]]] = r["centroid_e4"]
+    out_a, out_b, out_d = [], [], []
+    for i, a in enumerate(labels):
+        for j in range(i + 1, len(labels)):
+            d = m[i] - m[j]
+            out_a.append(a)
+            out_b.append(labels[j])
+            out_d.append(int(np.dot(d, d)))
+    return pa.table({
+        "label_a": pa.array(out_a, pa.int64()),
+        "label_b": pa.array(out_b, pa.int64()),
+        "dist_sq_e8": pa.array(out_d, pa.int64()),
+    }).cast(CENTROID_DIST_SCHEMA)

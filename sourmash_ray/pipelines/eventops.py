@@ -1344,3 +1344,22 @@ def event_hour_profile(sf_dir: str):
         _prep, batch_format="pyarrow")
     return grouped_sums(ds, ["event_type", "hour"], [],
                         count_as="n_events")
+
+
+def user_event_type_diversity(sf_dir: str):
+    """Histogram of per-user event-type breadth (n_types → n_users):
+    the engagement-diversity profile — monocultures (1 type) are bots /
+    scrapers, broad users are the retention cohort. Fact rows never
+    shuffle: block-distinct (user, type) combos ride the
+    `grouped_distinct_count` exchange, then one ≤|type-domain| cell
+    exchange."""
+    from ..stages.agg import grouped_distinct_count, grouped_sums
+
+    per = grouped_distinct_count(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["user_id", "event_type"]),
+        ["user_id"], "event_type", distinct_as="n_types")
+    return grouped_sums(
+        per.map_batches(lambda t: pa.table({"n_types": t["n_types"]}),
+                        batch_format="pyarrow"),
+        ["n_types"], [], count_as="n_users")

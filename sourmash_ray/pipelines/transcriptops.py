@@ -959,3 +959,19 @@ def turn_gap_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.9)):
                                resolve_num_partitions(_cfg),
                                _gaps, gap_schema)
     return quantiles_disc(gaps, "gap_us", list(qs))
+
+
+def conv_depth_histogram(sf_dir: str):
+    """Conversation-length histogram (n_turns → n_convs): the shape
+    that sizes every per-conversation kernel's worst case (a fat tail
+    here is the skew the flagship's salted band exchange exists for).
+    Only (conv_id) combos shuffle — one conv-keyed count exchange, then
+    a ≤|depth-domain|-row cell exchange."""
+    from ..stages.agg import grouped_sums
+
+    per = grouped_sums(_read_turns(sf_dir, ["conv_id"]),
+                       ["conv_id"], [], count_as="n_turns")
+    return grouped_sums(
+        per.map_batches(lambda t: pa.table({"n_turns": t["n_turns"]}),
+                        batch_format="pyarrow"),
+        ["n_turns"], [], count_as="n_convs")

@@ -281,3 +281,66 @@ def test_doc_embedding_coverage(ray_session, con, tmp_path):
     row = doc_embedding_coverage(str(tmp_path)).take_all()[0]
     assert (row["matched"], row["docs_without_vec"],
             row["vecs_without_doc"]) == (2, 2, 1)
+
+
+def test_centroid_distance_matrix_matches_duckdb(ray_session, con):
+    from sourmash_ray.pipelines.ann import centroid_distance_matrix
+
+    got = sorted(map(tuple, centroid_distance_matrix(SF).to_pandas()
+                     .itertuples(index=False)))
+    want = sorted(tuple(r) for r in con.sql("""
+        WITH u AS (
+          SELECT CAST(label AS BIGINT) AS label,
+                 CAST(round(CAST(unnest(embedding) AS DOUBLE)*10000)
+                      AS BIGINT) AS q,
+                 CAST(generate_subscripts(embedding,1) AS BIGINT) AS dim
+          FROM embeddings),
+        c AS (SELECT label, dim, CAST(sum(q) // count(*) AS BIGINT) AS ce
+              FROM u GROUP BY label, dim)
+        SELECT a.label, b.label,
+               CAST(sum((a.ce - b.ce)*(a.ce - b.ce)) AS BIGINT)
+        FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+        GROUP BY 1, 2
+    """).fetchall())
+    assert got == want and len(got) == 45  # 10 choose 2
+    assert all(r[2] > 0 for r in got)
+
+
+def test_conv_depth_histogram_matches_duckdb(ray_session):
+    import duckdb
+
+    from sourmash_ray.pipelines.transcriptops import conv_depth_histogram
+    from sourmash_ray.sources.transcripts import transcripts_path
+
+    c = duckdb.connect()
+    got = sorted((r["n_turns"], r["n_convs"])
+                 for r in conv_depth_histogram(SF).take_all())
+    want = sorted(tuple(r) for r in c.sql(f"""
+        WITH per AS (SELECT conv_id, count(*) AS n
+                     FROM read_parquet('{transcripts_path(SF)}/*.parquet')
+                     GROUP BY conv_id)
+        SELECT CAST(n AS BIGINT), count(*) FROM per GROUP BY n
+    """).fetchall())
+    assert got == want and len(got) > 1
+    # histogram mass == conversation count
+    n_convs = c.sql(f"SELECT count(DISTINCT conv_id) FROM read_parquet("
+                    f"'{transcripts_path(SF)}/*.parquet')").fetchone()[0]
+    assert sum(r[1] for r in got) == n_convs
+
+
+def test_user_event_type_diversity_matches_duckdb(ray_session):
+    import duckdb
+
+    from sourmash_ray.pipelines.eventops import user_event_type_diversity
+
+    c = duckdb.connect()
+    c.sql(f"CREATE VIEW events AS SELECT * FROM "
+          f"read_parquet('{SF}/events.parquet')")
+    got = sorted((r["n_types"], r["n_users"])
+                 for r in user_event_type_diversity(SF).take_all())
+    want = sorted(tuple(r) for r in c.sql("""
+        WITH per AS (SELECT user_id, count(DISTINCT event_type) AS n
+                     FROM events GROUP BY user_id)
+        SELECT CAST(n AS BIGINT), count(*) FROM per GROUP BY n
+    """).fetchall())
+    assert got == want and got
