@@ -412,6 +412,78 @@ def _snapshot_diff_q(sf_dir: str):
     return snapshot_diff_docs(sf_dir, _snapshot_b_dir(sf_dir))
 
 
+def _turns_snapshot_b_dir(sf_dir: str) -> str:
+    """Deterministic second TRANSCRIPTS snapshot (conversation grain)
+    for the diff demo, cached under /tmp. With cnum = the first digit
+    run of conv_id: drop convs with cnum % 10 == 0 (removed), append
+    ' +changed+' to the turn_idx==0 text of cnum % 7 == 0 (changed),
+    add a '_snap'-suffixed UNMODIFIED copy of cnum % 13 == 0 (added).
+    The SQL twin re-derives the same snapshot inline from the turns
+    parquet. Row-local by construction — no conversation grouping
+    needed to build it."""
+    import hashlib
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from sourmash_ray.sources.transcripts import transcripts_path
+
+    src = transcripts_path(sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out = f"/tmp/turns_snapshot_b_v1_{tag}"
+    if os.path.exists(f"{out}/turns.parquet"):
+        return out
+    t = pq.read_table(src, columns=["conv_id", "turn_idx", "text"])
+    cid = t["conv_id"].combine_chunks()
+    num = pc.struct_field(
+        pc.extract_regex(cid, r"(?P<n>[0-9]+)"), "n")
+    cnum = np.asarray(pc.cast(num, pa.int64()), np.int64)
+    ti = np.asarray(pc.cast(t["turn_idx"], pa.int64()), np.int64)
+    txt = np.asarray(pc.fill_null(t["text"], ""), dtype=object)
+    add_m = cnum % 13 == 0
+    add_cid = pc.binary_join_element_wise(
+        cid.filter(pa.array(add_m)), "_snap", "")
+    add_tbl = pa.table({
+        "conv_id": add_cid,
+        "turn_idx": pa.array(ti[add_m], pa.int64()),
+        "text": pa.array(list(txt[add_m]), pa.string()),
+    })
+    keep = cnum % 10 != 0
+    k_txt = txt[keep].copy()
+    chg = (cnum[keep] % 7 == 0) & (ti[keep] == 0)
+    k_txt[chg] = [s + " +changed+" for s in k_txt[chg]]
+    kept_tbl = pa.table({
+        "conv_id": cid.filter(pa.array(keep)),
+        "turn_idx": pa.array(ti[keep], pa.int64()),
+        "text": pa.array(list(k_txt), pa.string()),
+    })
+    tmp = f"{out}.building"
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(pa.concat_tables([kept_tbl, add_tbl]),
+                   f"{tmp}/turns.parquet")
+    try:
+        os.replace(tmp, out)
+    except OSError:
+        import shutil
+
+        if not os.path.exists(f"{out}/turns.parquet"):
+            raise
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def _turns_snapshot_diff_q(sf_dir: str):
+    """Transcripts-snapshot diff at conversation grain against the
+    deterministic derived snapshot — see :func:`_turns_snapshot_b_dir`."""
+    from sourmash_ray.pipelines.transcriptops import (
+        snapshot_diff_transcripts)
+
+    return snapshot_diff_transcripts(sf_dir, _turns_snapshot_b_dir(sf_dir))
+
+
 def _emb_snapshot_b_dir(sf_dir: str) -> str:
     """Deterministic second EMBEDDINGS snapshot for the diff demo,
     cached under /tmp: drop vec_id % 10 == 0 (removed), add 0.25 to
@@ -843,6 +915,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def _query_registry() -> dict[str, Callable[[str], Any]]:
     from sourmash_ray.pipelines import (ann, docops, eventops, relational,
                                         tiered, transcriptops)
+    from sourmash_ray.stages import multimodal
 
     return {
         # --- sourmash query parity (non-SQL; rows-only checks) ---
@@ -1080,6 +1153,9 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
             relational.order_status_priority_matrix,
         "char_class_profile_docs": docops.char_class_profile_docs,
         "centroid_distance_matrix": ann.centroid_distance_matrix,
+        "conv_lexical_diversity": transcriptops.conv_lexical_diversity,
+        "snapshot_diff_transcripts": _turns_snapshot_diff_q,
+        "media_kind_lang_matrix": multimodal.media_kind_lang_matrix,
         "conv_depth_histogram": transcriptops.conv_depth_histogram,
         "user_event_type_diversity": eventops.user_event_type_diversity,
         "customer_order_gap_quantiles":
@@ -1737,6 +1813,57 @@ def oracle_sql() -> dict[str, str]:
                        AS dist_sq_e8
             FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
             GROUP BY 1, 2
+        """,
+        "conv_lexical_diversity": f"""
+            WITH tok AS (
+              SELECT conv_id, t
+              FROM (SELECT conv_id, unnest(string_split(
+                        coalesce(text, ''), ' ')) AS t
+                    FROM read_parquet('{_turns}/*.parquet'))
+              WHERE t <> '')
+            SELECT conv_id, count(*) AS n_tokens,
+                   CAST(count(DISTINCT t) AS BIGINT) AS n_distinct,
+                   CAST(1000000 * count(DISTINCT t) // count(*)
+                        AS BIGINT) AS ttr_ppm
+            FROM tok GROUP BY conv_id
+        """,
+        "snapshot_diff_transcripts": f"""
+            WITH ta AS (
+              SELECT conv_id, turn_idx, coalesce(text, '') AS text,
+                     CAST(regexp_extract(conv_id, '[0-9]+') AS BIGINT)
+                         AS cnum
+              FROM read_parquet('{_turns}/*.parquet')),
+            bk AS (
+              SELECT conv_id, turn_idx,
+                     CASE WHEN cnum % 7 = 0 AND turn_idx = 0
+                          THEN text || ' +changed+' ELSE text END AS text
+              FROM ta WHERE cnum % 10 <> 0),
+            badd AS (
+              SELECT conv_id || '_snap' AS conv_id, turn_idx, text
+              FROM ta WHERE cnum % 13 = 0),
+            b AS (SELECT * FROM bk UNION ALL SELECT * FROM badd),
+            fa AS (SELECT conv_id,
+                          md5(string_agg(text, chr(31)
+                              ORDER BY turn_idx)) AS fp
+                   FROM ta GROUP BY conv_id),
+            fb AS (SELECT conv_id,
+                          md5(string_agg(text, chr(31)
+                              ORDER BY turn_idx)) AS fp
+                   FROM b GROUP BY conv_id)
+            SELECT coalesce(fa.conv_id, fb.conv_id) AS conv_id,
+                   CASE WHEN fa.conv_id IS NULL THEN 'added'
+                        WHEN fb.conv_id IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status
+            FROM fa FULL OUTER JOIN fb ON fa.conv_id = fb.conv_id
+            WHERE fa.conv_id IS NULL OR fb.conv_id IS NULL
+               OR fa.fp <> fb.fp
+        """,
+        "media_kind_lang_matrix": f"""
+            SELECT kind, lang, count(*) AS n_media,
+                   CAST(sum(n_bytes) AS BIGINT) AS sum_bytes
+            FROM read_parquet('{_media}/*.parquet') m
+            JOIN documents d ON d.doc_id = m.media_id
+            GROUP BY kind, lang
         """,
         "conv_depth_histogram": f"""
             WITH per AS (

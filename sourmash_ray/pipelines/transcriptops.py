@@ -975,3 +975,172 @@ def conv_depth_histogram(sf_dir: str):
         per.map_batches(lambda t: pa.table({"n_turns": t["n_turns"]}),
                         batch_format="pyarrow"),
         ["n_turns"], [], count_as="n_convs")
+
+
+LEXDIV_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("n_tokens", pa.int64()),
+    ("n_distinct", pa.int64()), ("ttr_ppm", pa.int64()),
+])
+
+
+def conv_lexical_diversity(sf_dir: str):
+    """Per-conversation type-token ratio (distinct tokens / tokens, ppm)
+    — the transcript-grain twin of `lexical_diversity_docs`: a
+    collapsing TTR flags looping agents / template spam, an inflated one
+    flags garbled decode. ONE conv-keyed exchange; each partition
+    tokenizes and counts all its conversations in one split + lexsort
+    pass. Conversations with zero tokens emit nothing (matching the SQL
+    twin's ``WHERE t <> ''``)."""
+    from ..config import DEFAULT_CONFIG as _cfg
+    from ..config import resolve_num_partitions
+    from ..functions.segscore import _to_bytes_array, hash_strings64
+    from ..stages.exchange import exchange_map_groups
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        cid = batch["conv_id"].combine_chunks()
+        return pa.table({
+            "conv_id": cid,
+            "text": pc.fill_null(batch["text"].combine_chunks(), ""),
+            "conv_part": pa.array(hash_strings64(cid) % 1024, pa.int64()),
+        })
+
+    def _ttr(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return LEXDIV_SCHEMA.empty_table()
+        cid = part["conv_id"].combine_chunks()
+        toks = pc.split_pattern(part["text"].combine_chunks(), " ")
+        ntok = np.asarray(pc.list_value_length(toks), np.int64)
+        flat = toks.flatten()
+        row_cid = _to_bytes_array(cid)[
+            np.repeat(np.arange(part.num_rows, dtype=np.int64), ntok)]
+        nonempty = np.asarray(pc.binary_length(flat), np.int64) > 0
+        if not nonempty.any():
+            return LEXDIV_SCHEMA.empty_table()
+        tb = _to_bytes_array(flat)[nonempty]
+        rc = row_cid[nonempty]
+        order = np.lexsort((tb, rc))
+        rc_s, tb_s = rc[order], tb[order]
+        new_conv = np.r_[True, rc_s[1:] != rc_s[:-1]]
+        starts = np.flatnonzero(new_conv)
+        n_tok = np.diff(np.r_[starts, len(rc_s)]).astype(np.int64)
+        new_tok = new_conv | np.r_[True, tb_s[1:] != tb_s[:-1]]
+        n_dis = np.bincount(np.cumsum(new_conv) - 1,
+                            weights=new_tok).astype(np.int64)
+        # conv_id strings back from the ORIGINAL array: map the first
+        # sorted flat position to its source row
+        src_rows = np.repeat(np.arange(part.num_rows, dtype=np.int64),
+                             ntok)[nonempty][order[starts]]
+        return pa.table({
+            "conv_id": cid.take(pa.array(src_rows, pa.int64())),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_distinct": pa.array(n_dis, pa.int64()),
+            "ttr_ppm": pa.array(1_000_000 * n_dis // n_tok, pa.int64()),
+        }).cast(LEXDIV_SCHEMA)
+
+    keyed = _read_turns(sf_dir, ("conv_id", "text")).map_batches(
+        _prep, batch_format="pyarrow")
+    return exchange_map_groups(keyed, "conv_part",
+                               resolve_num_partitions(_cfg),
+                               _ttr, LEXDIV_SCHEMA)
+
+
+SNAPSHOT_DIFF_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("status", pa.string()),
+])
+
+
+def _conv_fingerprints(turns_ds, fp_col: str):
+    """(conv_id, md5-of-ordered-turn-texts) per conversation: one
+    conv-keyed exchange; each partition orders its conversations' turns
+    (turn_idx, then conv) and folds them into ONE `binary_join` +
+    one column-wide md5 pass (no per-row Python)."""
+    from ..config import DEFAULT_CONFIG as _cfg
+    from ..config import resolve_num_partitions
+    from ..functions.segscore import _to_bytes_array, hash_strings64
+    from ..pipelines.docops import _md5_column
+    from ..stages.exchange import exchange_map_groups
+
+    out_schema = pa.schema([("conv_id", pa.string()),
+                            (fp_col, pa.string())])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        cid = batch["conv_id"].combine_chunks()
+        return pa.table({
+            "conv_id": cid,
+            "turn_idx": pc.cast(batch["turn_idx"], pa.int64()),
+            "text": pc.fill_null(batch["text"].combine_chunks(), ""),
+            "conv_part": pa.array(hash_strings64(cid) % 1024, pa.int64()),
+        })
+
+    def _fp(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return out_schema.empty_table()
+        cid = part["conv_id"].combine_chunks()
+        cb = _to_bytes_array(cid)
+        ti = np.asarray(part["turn_idx"], np.int64)
+        order = np.lexsort((ti, cb))
+        cb_s = cb[order]
+        new_conv = np.r_[True, cb_s[1:] != cb_s[:-1]]
+        starts = np.flatnonzero(new_conv)
+        text_s = part["text"].combine_chunks().take(
+            pa.array(order, pa.int64()))
+        offsets = np.r_[starts, len(cb_s)].astype(np.int32)
+        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                         text_s)
+        joined = pc.binary_join(lists, "\x1f")
+        return pa.table({
+            "conv_id": cid.take(pa.array(order[starts], pa.int64())),
+            fp_col: _md5_column(joined.combine_chunks()
+                                if isinstance(joined, pa.ChunkedArray)
+                                else joined),
+        }).cast(out_schema)
+
+    keyed = turns_ds.map_batches(_prep, batch_format="pyarrow")
+    return exchange_map_groups(keyed, "conv_part",
+                               resolve_num_partitions(_cfg),
+                               _fp, out_schema)
+
+
+def snapshot_diff_transcripts(sf_dir: str, dir_b: str):
+    """Two-snapshot TRANSCRIPTS diff at conversation grain — which
+    conversations were ADDED, REMOVED, or CHANGED (same conv_id,
+    different ordered-turn-text fingerprint) between snapshot A (the
+    sf_dir corpus) and snapshot B (a turns-shaped Parquet directory).
+    The third modality of the snapshot-diff family (docs:
+    `snapshot_diff_docs`; embeddings: `snapshot_diff_embeddings`): each
+    side reduces to per-conv md5 fingerprints on its own conv exchange
+    (turn text never crosses twice), one full-outer conv_id exchange
+    join, and only the changed surface is emitted."""
+    import ray.data
+
+    from ..config import DEFAULT_CONFIG as _cfg
+    from ..config import resolve_num_partitions
+    from ..sources.transcripts import transcripts_path
+    from ..stages.join import hash_join_exchange
+
+    cols = ["conv_id", "turn_idx", "text"]
+    a = _conv_fingerprints(
+        ray.data.read_parquet(transcripts_path(sf_dir), columns=cols),
+        "fp_a")
+    b = _conv_fingerprints(
+        ray.data.read_parquet(dir_b, columns=cols), "fp_b")
+    j = hash_join_exchange(a, b, key="conv_id", left_cols=["fp_a"],
+                           right_cols=["fp_b"],
+                           n_parts=resolve_num_partitions(_cfg),
+                           join_type="full outer")
+
+    def _status(batch: pa.Table) -> pa.Table:
+        fa = batch["fp_a"].combine_chunks()
+        fb = batch["fp_b"].combine_chunks()
+        a_null = np.asarray(pc.is_null(fa), bool)
+        b_null = np.asarray(pc.is_null(fb), bool)
+        neq = np.asarray(pc.fill_null(pc.not_equal(fa, fb), False), bool)
+        status = np.where(a_null, "added",
+                          np.where(b_null, "removed", "changed"))
+        keep = a_null | b_null | neq
+        return pa.table({
+            "conv_id": pc.filter(batch["conv_id"], pa.array(keep)),
+            "status": pa.array(status[keep], pa.string()),
+        }).cast(SNAPSHOT_DIFF_SCHEMA)
+
+    return j.map_batches(_status, batch_format="pyarrow")

@@ -445,3 +445,49 @@ def media_ratio_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.9)):
     return grouped_quantiles_disc(
         joined.map_batches(_ratio, batch_format="pyarrow"),
         "kind", "ratio_pct", list(qs))
+
+
+MEDIA_KIND_LANG_SCHEMA = pa.schema([
+    ("kind", pa.string()), ("lang", pa.string()),
+    ("n_media", pa.int64()), ("sum_bytes", pa.int64()),
+])
+
+
+def media_kind_lang_matrix(sf_dir: str):
+    """Media-kind × source-language contingency (count + payload bytes
+    per cell): the corpus-composition audit for a multimodal mix —
+    which languages carry which modalities, and how many bytes each cell
+    contributes to the training mix. One id-keyed exchange join
+    (media_id ≡ doc_id lineage, same as `media_compression_ratio`),
+    then only ≤ kinds×langs cells ride the final exchange."""
+    import ray.data
+
+    from ..config import DEFAULT_CONFIG as _cfg
+    from ..config import resolve_num_partitions
+    from ..sources.tables import read_parquet_clean
+    from ..stages.agg import grouped_sums
+    from ..stages.join import hash_join_exchange
+
+    m = ray.data.read_parquet(
+        media_path(sf_dir), columns=["media_id", "kind", "n_bytes"]
+        ).map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.cast(t["media_id"], pa.int64()),
+            "kind": t["kind"],
+            "n_bytes": pc.cast(t["n_bytes"], pa.int64()),
+        }), batch_format="pyarrow")
+    d = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    joined = hash_join_exchange(m, d, "doc_id", ["kind", "n_bytes"],
+                                ["lang"],
+                                resolve_num_partitions(_cfg))
+    agg = grouped_sums(joined.map_batches(
+        lambda t: pa.table({"kind": t["kind"], "lang": t["lang"],
+                            "n_bytes": t["n_bytes"]}),
+        batch_format="pyarrow"),
+        ["kind", "lang"], ["n_bytes"], count_as="n_media")
+    return agg.map_batches(
+        lambda t: pa.table({
+            "kind": t["kind"], "lang": t["lang"],
+            "n_media": t["n_media"], "sum_bytes": t["sum_n_bytes"],
+        }).cast(MEDIA_KIND_LANG_SCHEMA), batch_format="pyarrow")

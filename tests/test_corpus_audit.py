@@ -344,3 +344,84 @@ def test_user_event_type_diversity_matches_duckdb(ray_session):
         SELECT CAST(n AS BIGINT), count(*) FROM per GROUP BY n
     """).fetchall())
     assert got == want and got
+
+
+def test_conv_lexical_diversity_matches_duckdb(ray_session):
+    import duckdb
+
+    from sourmash_ray.pipelines.transcriptops import conv_lexical_diversity
+    from sourmash_ray.sources.transcripts import transcripts_path
+
+    c = duckdb.connect()
+    got = sorted(map(tuple, conv_lexical_diversity(SF).to_pandas()
+                     .itertuples(index=False)))
+    want = sorted(tuple(r) for r in c.sql(f"""
+        WITH tok AS (
+          SELECT conv_id, t
+          FROM (SELECT conv_id, unnest(string_split(coalesce(text,''),' '))
+                    AS t
+                FROM read_parquet('{transcripts_path(SF)}/*.parquet'))
+          WHERE t <> '')
+        SELECT conv_id, count(*), CAST(count(DISTINCT t) AS BIGINT),
+               CAST(1000000 * count(DISTINCT t) // count(*) AS BIGINT)
+        FROM tok GROUP BY conv_id
+    """).fetchall())
+    assert got == want and len(got) > 50
+    # TTR is a ratio: every row in (0, 1e6]
+    assert all(0 < r[3] <= 1_000_000 for r in got)
+
+
+def test_snapshot_diff_transcripts_matches_duckdb(ray_session):
+    import duckdb
+
+    from __ray_entry__ import _turns_snapshot_b_dir
+    from sourmash_ray.pipelines.transcriptops import (
+        snapshot_diff_transcripts)
+    from sourmash_ray.sources.transcripts import transcripts_path
+
+    c = duckdb.connect()
+    got = sorted((r["conv_id"], r["status"])
+                 for r in snapshot_diff_transcripts(
+                     SF, _turns_snapshot_b_dir(SF)).take_all())
+    want = sorted(tuple(r) for r in c.sql(f"""
+        WITH ta AS (
+          SELECT conv_id, turn_idx, coalesce(text,'') AS text,
+                 CAST(regexp_extract(conv_id, '[0-9]+') AS BIGINT) AS cnum
+          FROM read_parquet('{transcripts_path(SF)}/*.parquet')),
+        bk AS (SELECT conv_id, turn_idx,
+                      CASE WHEN cnum % 7 = 0 AND turn_idx = 0
+                           THEN text || ' +changed+' ELSE text END AS text
+               FROM ta WHERE cnum % 10 <> 0),
+        badd AS (SELECT conv_id || '_snap' AS conv_id, turn_idx, text
+                 FROM ta WHERE cnum % 13 = 0),
+        b AS (SELECT * FROM bk UNION ALL SELECT * FROM badd),
+        fa AS (SELECT conv_id, md5(string_agg(text, chr(31)
+                      ORDER BY turn_idx)) AS fp FROM ta GROUP BY conv_id),
+        fb AS (SELECT conv_id, md5(string_agg(text, chr(31)
+                      ORDER BY turn_idx)) AS fp FROM b GROUP BY conv_id)
+        SELECT coalesce(fa.conv_id, fb.conv_id),
+               CASE WHEN fa.conv_id IS NULL THEN 'added'
+                    WHEN fb.conv_id IS NULL THEN 'removed'
+                    ELSE 'changed' END
+        FROM fa FULL OUTER JOIN fb ON fa.conv_id = fb.conv_id
+        WHERE fa.conv_id IS NULL OR fb.conv_id IS NULL OR fa.fp <> fb.fp
+    """).fetchall())
+    assert got == want and got
+    # every status class is exercised by the derivation
+    statuses = {s for _, s in got}
+    assert statuses == {"added", "removed", "changed"}
+
+
+def test_media_kind_lang_matrix_matches_duckdb(ray_session, con):
+    from sourmash_ray.stages.multimodal import (media_kind_lang_matrix,
+                                                media_path)
+
+    got = sorted(map(tuple, media_kind_lang_matrix(SF).to_pandas()
+                     .itertuples(index=False)))
+    want = sorted(tuple(r) for r in con.sql(f"""
+        SELECT kind, lang, count(*), CAST(sum(n_bytes) AS BIGINT)
+        FROM read_parquet('{media_path(SF)}/*.parquet') m
+        JOIN documents d ON d.doc_id = m.media_id
+        GROUP BY kind, lang
+    """).fetchall())
+    assert got == want and len(got) == 10  # 2 kinds x 5 langs
