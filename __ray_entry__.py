@@ -1154,6 +1154,10 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "char_class_profile_docs": docops.char_class_profile_docs,
         "centroid_distance_matrix": ann.centroid_distance_matrix,
         "conv_lexical_diversity": transcriptops.conv_lexical_diversity,
+        "exact_dedup_conversations":
+            transcriptops.exact_dedup_conversations,
+        "split_leakage_transcripts":
+            transcriptops.split_leakage_transcripts,
         "snapshot_diff_transcripts": _turns_snapshot_diff_q,
         "media_kind_lang_matrix": multimodal.media_kind_lang_matrix,
         "conv_depth_histogram": transcriptops.conv_depth_histogram,
@@ -1826,6 +1830,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1000000 * count(DISTINCT t) // count(*)
                         AS BIGINT) AS ttr_ppm
             FROM tok GROUP BY conv_id
+        """,
+        "exact_dedup_conversations": f"""
+            WITH f AS (
+              SELECT conv_id,
+                     md5(string_agg(coalesce(text, ''), chr(31)
+                         ORDER BY turn_idx)) AS fp
+              FROM read_parquet('{_turns}/*.parquet')
+              GROUP BY conv_id)
+            SELECT fp, count(*) AS n_convs,
+                   min(conv_id) AS rep_conv_id
+            FROM f GROUP BY fp HAVING count(*) >= 2
+        """,
+        "split_leakage_transcripts": f"""
+            WITH f AS (
+              SELECT conv_id,
+                     md5(string_agg(coalesce(text, ''), chr(31)
+                         ORDER BY turn_idx)) AS fp,
+                     CASE WHEN CAST(concat('0x', substr(md5(conv_id),
+                               1, 8)) AS UBIGINT) % 10 < 8
+                          THEN 1 ELSE 0 END AS is_train
+              FROM read_parquet('{_turns}/*.parquet')
+              GROUP BY conv_id),
+            g AS (SELECT fp, count(*) AS n_convs,
+                         CAST(sum(is_train) AS BIGINT) AS n_train,
+                         CAST(count(*) - sum(is_train) AS BIGINT)
+                             AS n_heldout,
+                         min(conv_id) AS rep_conv_id
+                  FROM f GROUP BY fp)
+            SELECT fp, n_convs, n_train, n_heldout, rep_conv_id
+            FROM g WHERE n_train > 0 AND n_heldout > 0
         """,
         "snapshot_diff_transcripts": f"""
             WITH ta AS (

@@ -1144,3 +1144,123 @@ def snapshot_diff_transcripts(sf_dir: str, dir_b: str):
         }).cast(SNAPSHOT_DIFF_SCHEMA)
 
     return j.map_batches(_status, batch_format="pyarrow")
+
+
+CONV_EXACT_DEDUP_SCHEMA = pa.schema([
+    ("fp", pa.string()), ("n_convs", pa.int64()),
+    ("rep_conv_id", pa.string()),
+])
+
+SPLIT_LEAK_SCHEMA = pa.schema([
+    ("fp", pa.string()), ("n_convs", pa.int64()),
+    ("n_train", pa.int64()), ("n_heldout", pa.int64()),
+    ("rep_conv_id", pa.string()),
+])
+
+
+def _conv_fp_groups(sf_dir: str, merge_fn, out_schema):
+    """Shared spine for conversation-fingerprint group ops: per-conv
+    md5 fingerprints (one conv exchange, `_conv_fingerprints`), then a
+    second exchange on the fingerprint key so each group resolves in
+    exactly one partition."""
+    import ray.data
+
+    from ..config import DEFAULT_CONFIG as _cfg
+    from ..config import resolve_num_partitions
+    from ..functions.segscore import hash_strings64
+    from ..sources.transcripts import transcripts_path
+    from ..stages.exchange import exchange_map_groups
+
+    n_parts = resolve_num_partitions(_cfg)
+    fps = _conv_fingerprints(
+        ray.data.read_parquet(transcripts_path(sf_dir),
+                              columns=["conv_id", "turn_idx", "text"]),
+        "fp")
+
+    def _key(t: pa.Table) -> pa.Table:
+        fp = t["fp"].combine_chunks()
+        return pa.table({
+            "conv_id": t["conv_id"], "fp": fp,
+            "fp_part": pa.array(hash_strings64(fp) % n_parts, pa.int64()),
+        })
+
+    return exchange_map_groups(fps.map_batches(_key,
+                                               batch_format="pyarrow"),
+                               "fp_part", n_parts, merge_fn, out_schema)
+
+
+def _fp_group_stats(part: pa.Table):
+    """(sorted-run view of one partition's fingerprint groups):
+    returns (fp_bytes_sorted, group starts, group sizes, rep conv_id
+    Arrow take indices, sorted original order) for reuse by both
+    group ops."""
+    from ..functions.segscore import _to_bytes_array
+
+    fpb = _to_bytes_array(part["fp"].combine_chunks())
+    cb = _to_bytes_array(part["conv_id"].combine_chunks())
+    order = np.lexsort((cb, fpb))
+    fp_s = fpb[order]
+    new = np.r_[True, fp_s[1:] != fp_s[:-1]]
+    starts = np.flatnonzero(new)
+    sizes = np.diff(np.r_[starts, len(fp_s)])
+    return order, starts, sizes
+
+
+def exact_dedup_conversations(sf_dir: str):
+    """EXACT duplicate-conversation groups: conversations whose ordered
+    turn texts are byte-identical (same `_conv_fingerprints` md5),
+    with group size and the lexicographically-smallest conv as
+    representative — tier 0 of the transcripts cascade made standalone
+    and SQL-checkable (the fingerprint is pure SQL: md5 of the ordered
+    string_agg). Near-dup variants (the flagship's LSH tiers) do NOT
+    appear here; only byte-exact re-logs do."""
+    def _groups(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return CONV_EXACT_DEDUP_SCHEMA.empty_table()
+        order, starts, sizes = _fp_group_stats(part)
+        dup = sizes >= 2
+        take = pa.array(order[starts[dup]], pa.int64())
+        return pa.table({
+            "fp": part["fp"].combine_chunks().take(take),
+            "n_convs": pa.array(sizes[dup].astype(np.int64), pa.int64()),
+            "rep_conv_id": part["conv_id"].combine_chunks().take(take),
+        }).cast(CONV_EXACT_DEDUP_SCHEMA)
+
+    return _conv_fp_groups(sf_dir, _groups, CONV_EXACT_DEDUP_SCHEMA)
+
+
+def split_leakage_transcripts(sf_dir: str, train_buckets: int = 8,
+                              n_buckets: int = 10):
+    """Eval-hygiene audit: exact-duplicate conversation groups that SPAN
+    an id-hash train/heldout split (bucket = first 8 md5 hex digits of
+    conv_id mod ``n_buckets``; train = bucket < ``train_buckets``, the
+    `hash_split_docs` idiom) — each leaking group is a heldout example
+    whose byte-identical twin is in training. This is the measurement
+    behind "dedup BEFORE you split": an id-keyed split cannot see
+    content duplicates, and this op counts exactly what slipped
+    through. (A digit-run-keyed split would be leak-proof here only by
+    accident of the synth ids; the md5 bucket models the realistic
+    arbitrary-id split.)"""
+    def _leaks(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return SPLIT_LEAK_SCHEMA.empty_table()
+        from ..pipelines.docops import _hex8_to_int, _md5_column
+
+        cid = part["conv_id"].combine_chunks()
+        b = _hex8_to_int(_md5_column(cid)) % np.uint64(n_buckets)
+        is_train = b < train_buckets
+        order, starts, sizes = _fp_group_stats(part)
+        tr = np.add.reduceat(is_train[order].astype(np.int64), starts)
+        n = sizes.astype(np.int64)
+        ho = n - tr
+        leak = (tr > 0) & (ho > 0)
+        take = pa.array(order[starts[leak]], pa.int64())
+        return pa.table({
+            "fp": part["fp"].combine_chunks().take(take),
+            "n_convs": pa.array(n[leak], pa.int64()),
+            "n_train": pa.array(tr[leak], pa.int64()),
+            "n_heldout": pa.array(ho[leak], pa.int64()),
+            "rep_conv_id": cid.take(take),
+        }).cast(SPLIT_LEAK_SCHEMA)
+
+    return _conv_fp_groups(sf_dir, _leaks, SPLIT_LEAK_SCHEMA)

@@ -425,3 +425,56 @@ def test_media_kind_lang_matrix_matches_duckdb(ray_session, con):
         GROUP BY kind, lang
     """).fetchall())
     assert got == want and len(got) == 10  # 2 kinds x 5 langs
+
+
+def test_exact_dedup_conversations_matches_duckdb(ray_session):
+    import duckdb
+
+    from sourmash_ray.pipelines.transcriptops import (
+        exact_dedup_conversations)
+    from sourmash_ray.sources.transcripts import transcripts_path
+
+    c = duckdb.connect()
+    got = sorted(map(tuple, exact_dedup_conversations(SF).to_pandas()
+                     .itertuples(index=False)))
+    want = sorted(tuple(r) for r in c.sql(f"""
+        WITH f AS (SELECT conv_id,
+                          md5(string_agg(coalesce(text,''), chr(31)
+                              ORDER BY turn_idx)) AS fp
+                   FROM read_parquet('{transcripts_path(SF)}/*.parquet')
+                   GROUP BY conv_id)
+        SELECT fp, count(*), min(conv_id)
+        FROM f GROUP BY fp HAVING count(*) >= 2
+    """).fetchall())
+    assert got == want and got  # synth corpus HAS exact conv re-logs
+
+
+def test_split_leakage_transcripts_matches_duckdb(ray_session):
+    import duckdb
+
+    from sourmash_ray.pipelines.transcriptops import (
+        split_leakage_transcripts)
+    from sourmash_ray.sources.transcripts import transcripts_path
+
+    c = duckdb.connect()
+    got = sorted(map(tuple, split_leakage_transcripts(SF).to_pandas()
+                     .itertuples(index=False)))
+    want = sorted(tuple(r) for r in c.sql(f"""
+        WITH f AS (
+          SELECT conv_id,
+                 md5(string_agg(coalesce(text,''), chr(31)
+                     ORDER BY turn_idx)) AS fp,
+                 CASE WHEN CAST(concat('0x', substr(md5(conv_id), 1, 8))
+                           AS UBIGINT) % 10 < 8
+                      THEN 1 ELSE 0 END AS it
+          FROM read_parquet('{transcripts_path(SF)}/*.parquet')
+          GROUP BY conv_id),
+        g AS (SELECT fp, count(*) AS c, CAST(sum(it) AS BIGINT) AS tr,
+                     CAST(count(*) - sum(it) AS BIGINT) AS ho,
+                     min(conv_id) AS rep
+              FROM f GROUP BY fp)
+        SELECT fp, c, tr, ho, rep FROM g WHERE tr > 0 AND ho > 0
+    """).fetchall())
+    assert got == want and got  # leaks exist at sf0.001 (2 groups)
+    # a leaking group has members on BOTH sides by definition
+    assert all(r[2] > 0 and r[3] > 0 for r in got)
