@@ -1164,6 +1164,7 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "user_event_type_diversity": eventops.user_event_type_diversity,
         "customer_order_gap_quantiles":
             relational.customer_order_gap_quantiles,
+        "customer_rfm_segments": relational.customer_rfm_segments,
         "doc_embedding_coverage": ann.doc_embedding_coverage,
         "hapax_rate_by_source": docops.hapax_rate_by_source_docs,
         "stopword_rate_by_source": docops.stopword_rate_by_source_docs,
@@ -1927,6 +1928,33 @@ def oracle_sql() -> dict[str, str]:
                         '[a-zA-Z0-9]', '', 'g'))) AS BIGINT) AS n_other
             FROM (SELECT lang, coalesce(text, '') AS t FROM documents)
             GROUP BY lang
+        """,
+        "customer_rfm_segments": """
+            WITH per AS (
+              SELECT o_custkey, max(o_orderdate) AS last_d, count(*) AS n,
+                     CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS cents
+              FROM orders GROUP BY o_custkey),
+            mx AS (SELECT max(last_d) AS m FROM per),
+            t AS (
+              SELECT CASE WHEN (CAST(epoch_us(m) AS BIGINT)
+                                - CAST(epoch_us(last_d) AS BIGINT))
+                               // 86400000000 <= 90 THEN 0
+                          WHEN (CAST(epoch_us(m) AS BIGINT)
+                                - CAST(epoch_us(last_d) AS BIGINT))
+                               // 86400000000 <= 270 THEN 1
+                          ELSE 2 END AS r_tier,
+                     CASE WHEN n >= 12 THEN 0 WHEN n >= 9 THEN 1
+                          ELSE 2 END AS f_tier,
+                     CASE WHEN cents >= 280000000 THEN 0
+                          WHEN cents >= 200000000 THEN 1
+                          ELSE 2 END AS m_tier
+              FROM per, mx)
+            SELECT CAST(r_tier AS BIGINT) AS r_tier,
+                   CAST(f_tier AS BIGINT) AS f_tier,
+                   CAST(m_tier AS BIGINT) AS m_tier,
+                   count(*) AS n_customers
+            FROM t GROUP BY 1, 2, 3
         """,
         "customer_order_gap_quantiles": """
             WITH l AS (

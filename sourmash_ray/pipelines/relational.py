@@ -3155,3 +3155,100 @@ def customer_order_gap_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.9)):
         right_cols=["c_mktsegment"], n_parts=n_parts)
     return grouped_quantiles_disc(joined, "c_mktsegment", "gap_days",
                                   list(qs))
+
+
+RFM_SCHEMA = pa.schema([
+    ("r_tier", pa.int64()), ("f_tier", pa.int64()),
+    ("m_tier", pa.int64()), ("n_customers", pa.int64()),
+])
+
+_RFM_PER_CUST = pa.schema([
+    ("o_custkey", pa.int64()), ("last_us", pa.int64()),
+    ("n_orders", pa.int64()), ("cents", pa.int64()),
+])
+
+
+def customer_rfm_segments(sf_dir: str,
+                          recency_days=(90, 270),
+                          frequency=(12, 9),
+                          monetary_cents=(280_000_000, 200_000_000)):
+    """RFM segmentation: every customer bucketed into
+    (recency, frequency, monetary) tiers — tier 0 best — and counted
+    per cell; the classic CRM contingency, all-integer (days since
+    the GLOBAL latest order, order count, exact cents). One custkey
+    exchange folds each customer's orders into (last_ts, n, cents) in
+    a lexsort+reduceat pass; the global anchor date is a Ray `max()`
+    over the per-customer table (one tiny column pass); tiering is
+    map-only and only ≤ 27 cells ride the final exchange. Thresholds
+    are fixed operator parameters (mirrored in the SQL twin), not
+    data-dependent quantiles — rerun-stable across shards and sf."""
+    import numpy as np
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.agg import grouped_sums
+    from ..stages.exchange import exchange_map_groups
+
+    n_parts = resolve_num_partitions(DEFAULT_CONFIG)
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": batch["o_custkey"],
+            "date_us": pc.cast(batch["o_orderdate"], pa.int64()),
+            "cents": pc.cast(pc.round(pc.multiply(
+                batch["o_totalprice"], pa.scalar(100.0))), pa.int64()),
+        })
+
+    def _per_cust(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return _RFM_PER_CUST.empty_table()
+        ck = np.asarray(part["o_custkey"], np.int64)
+        ts = np.asarray(part["date_us"], np.int64)
+        ce = np.asarray(part["cents"], np.int64)
+        order = np.argsort(ck, kind="stable")
+        ck_s = ck[order]
+        starts = np.flatnonzero(np.r_[True, ck_s[1:] != ck_s[:-1]])
+        return pa.table({
+            "o_custkey": pa.array(ck_s[starts], pa.int64()),
+            "last_us": pa.array(np.maximum.reduceat(ts[order], starts),
+                                pa.int64()),
+            "n_orders": pa.array(
+                np.diff(np.r_[starts, len(ck_s)]).astype(np.int64),
+                pa.int64()),
+            "cents": pa.array(np.add.reduceat(ce[order], starts),
+                              pa.int64()),
+        }).cast(_RFM_PER_CUST)
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"]).map_batches(
+        _tag, batch_format="pyarrow")
+    per = exchange_map_groups(orders, "o_custkey", n_parts, _per_cust,
+                              _RFM_PER_CUST).materialize()
+    gmax = per.max("last_us")
+    day_us = 86_400_000_000
+    r1, r2 = recency_days
+    f1, f2 = frequency
+    m1, m2 = monetary_cents
+
+    def _tiers(t: pa.Table) -> pa.Table:
+        rec = (np.int64(gmax) - np.asarray(t["last_us"], np.int64)) \
+            // day_us
+        n = np.asarray(t["n_orders"], np.int64)
+        ce = np.asarray(t["cents"], np.int64)
+        return pa.table({
+            "r_tier": pa.array(
+                np.where(rec <= r1, 0, np.where(rec <= r2, 1, 2))
+                .astype(np.int64), pa.int64()),
+            "f_tier": pa.array(
+                np.where(n >= f1, 0, np.where(n >= f2, 1, 2))
+                .astype(np.int64), pa.int64()),
+            "m_tier": pa.array(
+                np.where(ce >= m1, 0, np.where(ce >= m2, 1, 2))
+                .astype(np.int64), pa.int64()),
+        })
+
+    agg = grouped_sums(per.map_batches(_tiers, batch_format="pyarrow"),
+                       ["r_tier", "f_tier", "m_tier"],
+                       [], count_as="n_customers")
+    return agg.map_batches(lambda t: t.cast(RFM_SCHEMA),
+                           batch_format="pyarrow")

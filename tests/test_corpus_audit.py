@@ -478,3 +478,44 @@ def test_split_leakage_transcripts_matches_duckdb(ray_session):
     assert got == want and got  # leaks exist at sf0.001 (2 groups)
     # a leaking group has members on BOTH sides by definition
     assert all(r[2] > 0 and r[3] > 0 for r in got)
+
+
+def test_customer_rfm_segments_matches_duckdb(ray_session):
+    import duckdb
+
+    from sourmash_ray.pipelines.relational import customer_rfm_segments
+
+    c = duckdb.connect()
+    c.sql(f"CREATE VIEW orders AS SELECT * FROM "
+          f"read_parquet('{SF}/orders.parquet')")
+    got = sorted(map(tuple, customer_rfm_segments(SF).to_pandas()
+                     .itertuples(index=False)))
+    want = sorted(tuple(r) for r in c.sql("""
+        WITH per AS (SELECT o_custkey, max(o_orderdate) AS last_d,
+                            count(*) AS n,
+                            CAST(sum(CAST(round(o_totalprice*100)
+                                 AS BIGINT)) AS BIGINT) AS cents
+                     FROM orders GROUP BY o_custkey),
+        mx AS (SELECT max(last_d) AS m FROM per),
+        t AS (SELECT CASE WHEN (CAST(epoch_us(m) AS BIGINT)
+                               - CAST(epoch_us(last_d) AS BIGINT))
+                               // 86400000000 <= 90 THEN 0
+                          WHEN (CAST(epoch_us(m) AS BIGINT)
+                               - CAST(epoch_us(last_d) AS BIGINT))
+                               // 86400000000 <= 270 THEN 1
+                          ELSE 2 END AS r,
+                     CASE WHEN n >= 12 THEN 0 WHEN n >= 9 THEN 1
+                          ELSE 2 END AS f,
+                     CASE WHEN cents >= 280000000 THEN 0
+                          WHEN cents >= 200000000 THEN 1
+                          ELSE 2 END AS m
+              FROM per, mx)
+        SELECT CAST(r AS BIGINT), CAST(f AS BIGINT), CAST(m AS BIGINT),
+               count(*)
+        FROM t GROUP BY 1, 2, 3
+    """).fetchall())
+    assert got == want and len(got) > 5
+    # cell mass == customer universe (every customer lands in one cell)
+    n_cust = c.sql("SELECT count(DISTINCT o_custkey) FROM orders"
+                   ).fetchone()[0]
+    assert sum(r[3] for r in got) == n_cust
