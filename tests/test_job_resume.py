@@ -221,3 +221,56 @@ def test_dedup_job_tiered_embeddings_audit(tmp_path):
     assert audit["n_kept"] > 0 and audit["n_pairs_checked"] > 0
     assert set(audit) == {"n_kept", "n_sampled", "n_pairs_checked",
                           "n_dup_pairs", "dup_rate_ppm"}
+
+
+def test_audit_job_end_to_end(tmp_path):
+    """audit_job runs the whole audit suite at sf0.001 in a subprocess
+    (its own Ray session), emits one AUDIT JSON line with exact headline
+    scalars, and persists every audit's full table under --out."""
+    out = str(tmp_path / "audit_out")
+    r = _run([sys.executable, "jobs/audit_job.py", "--input", SF,
+              "--out", out, "--num-cpus", "4"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = [ln for ln in r.stdout.splitlines() if ln.startswith("AUDIT ")]
+    assert line
+    m = json.loads(line[-1][len("AUDIT "):])
+    # exact expectations, independently verifiable at sf0.001
+    assert m["coverage"] == {"matched": 500, "docs_without_vec": 0,
+                             "vecs_without_doc": 0}
+    # duckdb twins of the two fingerprint audits
+    import duckdb
+
+    from sourmash_ray.sources.transcripts import transcripts_path
+
+    c = duckdb.connect()
+    ng, nd = c.sql(f"""
+        WITH f AS (SELECT conv_id, md5(string_agg(coalesce(text,''),
+                          chr(31) ORDER BY turn_idx)) AS fp
+                   FROM read_parquet('{transcripts_path(SF)}/*.parquet')
+                   GROUP BY conv_id),
+        g AS (SELECT fp, count(*) AS c FROM f GROUP BY fp
+              HAVING count(*) >= 2)
+        SELECT count(*), CAST(coalesce(sum(c), 0) AS BIGINT) FROM g
+    """).fetchone()
+    assert m["conv_dups"] == {"n_groups": ng, "n_dup_convs": nd}
+    assert m["leakage"]["n_leaking_groups"] > 0
+    assert m["vocab_overlap"]["n_pairs"] == 190
+    assert 0 < m["lexdiv"]["min_ttr_ppm"] <= 1_000_000
+    # persisted tables match the headline counts
+    assert len(_sorted_rows(f"{out}/conv_dups/*.parquet")) == ng
+    assert len(_sorted_rows(f"{out}/leakage/*.parquet")) \
+        == m["leakage"]["n_leaking_groups"]
+    assert len(_sorted_rows(f"{out}/vocab_overlap/*.parquet")) == 190
+
+
+def test_audit_job_subset_selection():
+    """--audits runs only the named audits and rejects unknown names."""
+    r = _run([sys.executable, "jobs/audit_job.py", "--input", SF,
+              "--audits", "coverage", "--num-cpus", "4"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    m = json.loads([ln for ln in r.stdout.splitlines()
+                    if ln.startswith("AUDIT ")][-1][len("AUDIT "):])
+    assert "coverage" in m and "conv_dups" not in m
+    r2 = _run([sys.executable, "jobs/audit_job.py", "--input", SF,
+               "--audits", "nope", "--num-cpus", "4"])
+    assert r2.returncode != 0
