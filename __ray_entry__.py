@@ -1165,6 +1165,11 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "customer_order_gap_quantiles":
             relational.customer_order_gap_quantiles,
         "customer_rfm_segments": relational.customer_rfm_segments,
+        "events_weekday_hour_heatmap":
+            eventops.events_weekday_hour_heatmap,
+        "first_tool_position_histogram":
+            transcriptops.first_tool_position_histogram,
+        "length_quantiles_by_split": docops.length_quantiles_by_split,
         "doc_embedding_coverage": ann.doc_embedding_coverage,
         "hapax_rate_by_source": docops.hapax_rate_by_source_docs,
         "stopword_rate_by_source": docops.stopword_rate_by_source_docs,
@@ -1928,6 +1933,40 @@ def oracle_sql() -> dict[str, str]:
                         '[a-zA-Z0-9]', '', 'g'))) AS BIGINT) AS n_other
             FROM (SELECT lang, coalesce(text, '') AS t FROM documents)
             GROUP BY lang
+        """,
+        "events_weekday_hour_heatmap": """
+            SELECT CAST(isodow(ts) AS BIGINT) AS weekday,
+                   CAST(hour(ts) AS BIGINT) AS hour,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS sum_cents
+            FROM events GROUP BY 1, 2
+        """,
+        "first_tool_position_histogram": f"""
+            WITH f AS (
+              SELECT conv_id, min(turn_idx) AS ft
+              FROM read_parquet('{_turns}/*.parquet')
+              WHERE tool IS NOT NULL AND tool <> ''
+              GROUP BY conv_id)
+            SELECT CAST(ft AS BIGINT) AS first_tool, count(*) AS n_convs
+            FROM f GROUP BY ft
+        """,
+        "length_quantiles_by_split": """
+            WITH s AS (
+              SELECT CASE WHEN b < 80 THEN 'train'
+                          WHEN b < 90 THEN 'valid'
+                          ELSE 'test' END AS split, n_chars
+              FROM (SELECT n_chars,
+                           CAST(concat('0x',
+                                substr(md5(coalesce(text, '')), 1, 8))
+                                AS UBIGINT) % 100 AS b
+                    FROM documents))
+            SELECT split, q, CAST(v AS BIGINT) AS value
+            FROM (
+              SELECT split, unnest([0.25, 0.5, 0.75, 0.9]) AS q,
+                     unnest(quantile_disc(n_chars,
+                            [0.25, 0.5, 0.75, 0.9])) AS v
+              FROM s GROUP BY split)
         """,
         "customer_rfm_segments": """
             WITH per AS (

@@ -3487,3 +3487,29 @@ def char_class_profile_docs(sf_dir: str):
         }).cast(CHAR_CLASS_SCHEMA)
 
     return agg.map_batches(_final, batch_format="pyarrow")
+
+
+def length_quantiles_by_split(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.9)):
+    """Per-SPLIT document-length quantiles — the post-split sanity check
+    that the content-hash train/valid/test assignment
+    (`hash_split_docs`) did not skew the length distribution (a split
+    whose quantiles diverge signals a content-correlated bucket bug).
+    Split assignment is recomputed in-kernel (pure function of the
+    text), lengths ride the grouped value-histogram quantile exchange
+    (bounded by splits × length domain)."""
+    from ..stages.agg import grouped_quantiles_disc
+
+    splits = np.array(["train", "valid", "test"])
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch["text"].combine_chunks(), "")
+        b = _hex8_to_int(_md5_column(text)) % np.uint64(100)
+        idx = np.where(b < 80, 0, np.where(b < 90, 1, 2))
+        return pa.table({
+            "split": pa.array(splits[idx], pa.string()),
+            "n_chars": pc.cast(batch["n_chars"], pa.int64()),
+        })
+
+    ds = _read_docs(sf_dir, ("text", "n_chars")).map_batches(
+        _assign, batch_format="pyarrow")
+    return grouped_quantiles_disc(ds, "split", "n_chars", list(qs))

@@ -1363,3 +1363,43 @@ def user_event_type_diversity(sf_dir: str):
         per.map_batches(lambda t: pa.table({"n_types": t["n_types"]}),
                         batch_format="pyarrow"),
         ["n_types"], [], count_as="n_users")
+
+
+def events_weekday_hour_heatmap(sf_dir: str):
+    """Weekday × hour activity heatmap (counts + exact value cents per
+    cell) — the 2-D cross of `events_by_weekday` and
+    `event_hour_profile`: the load-shape table capacity planning reads.
+    Map-only cell assignment (two integer divisions off the epoch-us
+    column), ≤ 168 cells ride the exchange. Weekday is ISO
+    (1 = Monday … 7 = Sunday), the `events_by_weekday` convention."""
+    import numpy as np
+
+    from ..stages.agg import grouped_sums
+
+    day_us = 86_400_000_000
+    hour_us = 3_600_000_000
+
+    def _cell(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(pc.cast(batch["ts"], pa.int64()), np.int64)
+        # 1970-01-01 is a Thursday: epoch day 0 → isodow 4
+        dow = ((ts // day_us + 3) % 7) + 1
+        hour = (ts // hour_us) % 24
+        val = np.asarray(
+            pc.fill_null(pc.round(pc.multiply(
+                batch["value"], pa.scalar(100.0))), 0), np.float64)
+        return pa.table({
+            "weekday": pa.array(dow, pa.int64()),
+            "hour": pa.array(hour, pa.int64()),
+            "cents": pa.array(np.rint(val).astype(np.int64), pa.int64()),
+        })
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "value"]).map_batches(
+        _cell, batch_format="pyarrow")
+    g = grouped_sums(ds, ["weekday", "hour"], ["cents"],
+                     count_as="n_events")
+    return g.map_batches(
+        lambda t: pa.table({
+            "weekday": t["weekday"], "hour": t["hour"],
+            "n_events": t["n_events"], "sum_cents": t["sum_cents"],
+        }), batch_format="pyarrow")

@@ -1264,3 +1264,33 @@ def split_leakage_transcripts(sf_dir: str, train_buckets: int = 8,
         }).cast(SPLIT_LEAK_SCHEMA)
 
     return _conv_fp_groups(sf_dir, _leaks, SPLIT_LEAK_SCHEMA)
+
+
+def first_tool_position_histogram(sf_dir: str):
+    """Histogram of the turn index where a conversation FIRST calls a
+    tool (n_convs per position; tool-free conversations are absent,
+    matching the SQL twin's WHERE) — the agent-behaviour shape that
+    tells a curation run whether tool use is front-loaded (retrieval
+    agents) or emergent mid-conversation. Block-local per-conv minima
+    combine exactly under the conv-keyed min exchange
+    (`grouped_minmax`), then ≤ |position-domain| cells ride the final
+    count exchange."""
+    from ..stages.agg import grouped_minmax, grouped_sums
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        tool = pc.fill_null(batch["tool"].combine_chunks(), "")
+        keep = pc.not_equal(tool, "")
+        return pa.table({
+            "conv_id": batch["conv_id"],
+            "turn_idx": pc.cast(batch["turn_idx"], pa.int64()),
+        }).filter(keep)
+
+    per = grouped_minmax(
+        _read_turns(sf_dir, ("conv_id", "turn_idx", "tool")).map_batches(
+            _prep, batch_format="pyarrow"),
+        ["conv_id"], "turn_idx")
+    return grouped_sums(
+        per.map_batches(
+            lambda t: pa.table({"first_tool": t["min_turn_idx"]}),
+            batch_format="pyarrow"),
+        ["first_tool"], [], count_as="n_convs")

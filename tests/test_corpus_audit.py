@@ -519,3 +519,68 @@ def test_customer_rfm_segments_matches_duckdb(ray_session):
     n_cust = c.sql("SELECT count(DISTINCT o_custkey) FROM orders"
                    ).fetchone()[0]
     assert sum(r[3] for r in got) == n_cust
+
+
+def test_events_weekday_hour_heatmap_matches_duckdb(ray_session):
+    import duckdb
+
+    from sourmash_ray.pipelines.eventops import events_weekday_hour_heatmap
+
+    c = duckdb.connect()
+    c.sql(f"CREATE VIEW events AS SELECT * FROM "
+          f"read_parquet('{SF}/events.parquet')")
+    got = sorted(map(tuple, events_weekday_hour_heatmap(SF).to_pandas()
+                     .itertuples(index=False)))
+    want = sorted(tuple(r) for r in c.sql("""
+        SELECT CAST(isodow(ts) AS BIGINT), CAST(hour(ts) AS BIGINT),
+               count(*),
+               CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+        FROM events GROUP BY 1, 2
+    """).fetchall())
+    assert got == want and len(got) > 100  # most of the 168 cells lit
+    # every event lands in exactly one cell
+    n = c.sql("SELECT count(*) FROM events").fetchone()[0]
+    assert sum(r[2] for r in got) == n
+
+
+def test_first_tool_position_histogram_matches_duckdb(ray_session):
+    import duckdb
+
+    from sourmash_ray.pipelines.transcriptops import (
+        first_tool_position_histogram)
+    from sourmash_ray.sources.transcripts import transcripts_path
+
+    c = duckdb.connect()
+    got = sorted((r["first_tool"], r["n_convs"])
+                 for r in first_tool_position_histogram(SF).take_all())
+    want = sorted(tuple(r) for r in c.sql(f"""
+        WITH f AS (SELECT conv_id, min(turn_idx) AS ft
+                   FROM read_parquet('{transcripts_path(SF)}/*.parquet')
+                   WHERE tool IS NOT NULL AND tool <> ''
+                   GROUP BY conv_id)
+        SELECT CAST(ft AS BIGINT), count(*) FROM f GROUP BY ft
+    """).fetchall())
+    assert got == want and got
+
+
+def test_length_quantiles_by_split_matches_duckdb(ray_session, con):
+    from sourmash_ray.pipelines.docops import length_quantiles_by_split
+
+    got = sorted(map(tuple, length_quantiles_by_split(SF).to_pandas()
+                     .itertuples(index=False)))
+    want = sorted((s, float(q), v) for s, q, v in con.sql("""
+        WITH s AS (
+          SELECT CASE WHEN b < 80 THEN 'train'
+                      WHEN b < 90 THEN 'valid' ELSE 'test' END AS split,
+                 n_chars
+          FROM (SELECT n_chars,
+                       CAST(concat('0x', substr(md5(coalesce(text,'')),
+                            1, 8)) AS UBIGINT) % 100 AS b
+                FROM documents))
+        SELECT split, q, CAST(v AS BIGINT)
+        FROM (SELECT split, unnest([0.25,0.5,0.75,0.9]) AS q,
+                     unnest(quantile_disc(n_chars, [0.25,0.5,0.75,0.9]))
+                         AS v
+              FROM s GROUP BY split)
+    """).fetchall())
+    assert got == want and len(got) == 12  # 3 splits x 4 quantiles
