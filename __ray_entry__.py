@@ -1167,6 +1167,10 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "customer_rfm_segments": relational.customer_rfm_segments,
         "events_weekday_hour_heatmap":
             eventops.events_weekday_hour_heatmap,
+        "response_latency_by_role":
+            transcriptops.response_latency_by_role,
+        "session_gap_threshold_sweep":
+            eventops.session_gap_threshold_sweep,
         "first_tool_position_histogram":
             transcriptops.first_tool_position_histogram,
         "length_quantiles_by_split": docops.length_quantiles_by_split,
@@ -1933,6 +1937,37 @@ def oracle_sql() -> dict[str, str]:
                         '[a-zA-Z0-9]', '', 'g'))) AS BIGINT) AS n_other
             FROM (SELECT lang, coalesce(text, '') AS t FROM documents)
             GROUP BY lang
+        """,
+        "response_latency_by_role": f"""
+            WITH g AS (
+              SELECT role,
+                     (CAST(epoch_us(ts) AS BIGINT)
+                      - CAST(epoch_us(lag(ts) OVER w) AS BIGINT))
+                         // 1000000 AS gap_s
+              FROM read_parquet('{_turns}/*.parquet')
+              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+            SELECT role, q, CAST(v AS BIGINT) AS value
+            FROM (
+              SELECT role, unnest([0.25, 0.5, 0.75, 0.9]) AS q,
+                     unnest(quantile_disc(gap_s,
+                            [0.25, 0.5, 0.75, 0.9])) AS v
+              FROM g WHERE gap_s IS NOT NULL GROUP BY role)
+        """,
+        "session_gap_threshold_sweep": """
+            WITH g AS (
+              SELECT (CAST(epoch_us(ts) AS BIGINT)
+                      - CAST(epoch_us(lag(ts) OVER w) AS BIGINT)) AS gap
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            thr AS (SELECT unnest([5, 15, 30, 60, 120]) AS gap_minutes),
+            u AS (SELECT count(DISTINCT user_id) AS n_users FROM events)
+            SELECT CAST(t.gap_minutes AS BIGINT) AS gap_minutes,
+                   CAST(u.n_users
+                        + (SELECT count(*) FROM g
+                           WHERE gap > CAST(t.gap_minutes AS BIGINT)
+                                       * 60000000)
+                        AS BIGINT) AS n_sessions
+            FROM thr t, u
         """,
         "events_weekday_hour_heatmap": """
             SELECT CAST(isodow(ts) AS BIGINT) AS weekday,

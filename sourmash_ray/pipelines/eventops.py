@@ -1403,3 +1403,69 @@ def events_weekday_hour_heatmap(sf_dir: str):
             "weekday": t["weekday"], "hour": t["hour"],
             "n_events": t["n_events"], "sum_cents": t["sum_cents"],
         }), batch_format="pyarrow")
+
+
+SESSION_SWEEP_SCHEMA = pa.schema([
+    ("gap_minutes", pa.int64()), ("n_sessions", pa.int64()),
+])
+
+
+def session_gap_threshold_sweep(sf_dir: str,
+                                gaps_minutes=(5, 15, 30, 60, 120)):
+    """Sessionization tuning curve: total session count at each
+    inactivity-gap threshold, from ONE pass over the per-user gap lists
+    — the `neardup_threshold_sweep` idea applied to sessionize
+    (pick the knee before paying for the real run). n_sessions(g) =
+    n_users + |inter-event gaps > g|, so each partition emits one
+    vectorized `searchsorted` row over its SORTED gap array per
+    threshold; k thresholds cost one extra sort, not k passes."""
+    import numpy as np
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.agg import grouped_sums
+    from ..stages.exchange import exchange_map_groups
+
+    thr_us = np.array(sorted(gaps_minutes), np.int64) * 60_000_000
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"],
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+            "event_id": batch["event_id"],
+        })
+
+    part_schema = pa.schema([("gap_minutes", pa.int64()),
+                             ("n", pa.int64())])
+
+    def _counts(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return part_schema.empty_table()
+        u = np.asarray(part["user_id"], np.int64)
+        ts = np.asarray(part["ts_us"], np.int64)
+        eid = np.asarray(part["event_id"], np.int64)
+        order = np.lexsort((eid, ts, u))
+        u_s, ts_s = u[order], ts[order]
+        same = np.r_[False, u_s[1:] == u_s[:-1]]
+        gaps = np.sort((ts_s - np.r_[np.int64(0), ts_s[:-1]])[same])
+        n_users = int((~same).sum())
+        # sessions at threshold g = users + gaps strictly greater than g
+        over = len(gaps) - np.searchsorted(gaps, thr_us, side="right")
+        return pa.table({
+            "gap_minutes": pa.array(np.array(sorted(gaps_minutes),
+                                             np.int64), pa.int64()),
+            "n": pa.array(over.astype(np.int64) + n_users, pa.int64()),
+        }).cast(part_schema)
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts",
+                                     "event_id"]).map_batches(
+        _tag, batch_format="pyarrow")
+    parts = exchange_map_groups(ds, "user_id",
+                                resolve_num_partitions(DEFAULT_CONFIG),
+                                _counts, part_schema)
+    g = grouped_sums(parts, ["gap_minutes"], ["n"])
+    return g.map_batches(
+        lambda t: pa.table({"gap_minutes": t["gap_minutes"],
+                            "n_sessions": t["sum_n"]}
+                           ).cast(SESSION_SWEEP_SCHEMA),
+        batch_format="pyarrow")

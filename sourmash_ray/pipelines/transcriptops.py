@@ -1294,3 +1294,55 @@ def first_tool_position_histogram(sf_dir: str):
             lambda t: pa.table({"first_tool": t["min_turn_idx"]}),
             batch_format="pyarrow"),
         ["first_tool"], [], count_as="n_convs")
+
+
+def response_latency_by_role(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.9)):
+    """Per-ROLE response-latency quantiles: the inter-turn gap
+    (whole seconds) attributed to the role of the RESPONDING turn —
+    assistant rows measure model/agent turnaround, user rows measure
+    think time; the split that `turn_gap_quantiles` aggregates away.
+    One conv exchange emits (role, gap_s) for every adjacent same-conv
+    turn pair; the grouped value-histogram quantile exchange reduces
+    them (bounded by roles × second domain)."""
+    from ..config import DEFAULT_CONFIG as _cfg
+    from ..config import resolve_num_partitions
+    from ..functions.segscore import _to_bytes_array, hash_strings64
+    from ..stages.agg import grouped_quantiles_disc
+    from ..stages.exchange import exchange_map_groups
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        cid = batch["conv_id"].combine_chunks()
+        return pa.table({
+            "conv_id": cid,
+            "turn_idx": pc.cast(batch["turn_idx"], pa.int64()),
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+            "role": batch["role"],
+            "conv_part": pa.array(hash_strings64(cid) % 1024, pa.int64()),
+        })
+
+    gap_schema = pa.schema([("role", pa.string()),
+                            ("gap_s", pa.int64())])
+
+    def _gaps(part: pa.Table) -> pa.Table:
+        if part.num_rows < 2:
+            return gap_schema.empty_table()
+        cid = _to_bytes_array(part["conv_id"].combine_chunks())
+        tix = np.asarray(part["turn_idx"], np.int64)
+        ts = np.asarray(part["ts_us"], np.int64)
+        order = np.lexsort((tix, cid))
+        cid_s, ts_s = cid[order], ts[order]
+        same = np.r_[False, cid_s[1:] == cid_s[:-1]]
+        gap = ts_s - np.r_[np.int64(0), ts_s[:-1]]
+        role = part["role"].combine_chunks().take(
+            pa.array(order[same], pa.int64()))
+        return pa.table({
+            "role": role,
+            "gap_s": pa.array(gap[same] // 1_000_000, pa.int64()),
+        }).cast(gap_schema)
+
+    keyed = _read_turns(sf_dir, ("conv_id", "turn_idx", "ts", "role")
+                        ).map_batches(_prep, batch_format="pyarrow")
+    gaps = exchange_map_groups(keyed, "conv_part",
+                               resolve_num_partitions(_cfg),
+                               _gaps, gap_schema)
+    return grouped_quantiles_disc(gaps, "role", "gap_s", list(qs))

@@ -584,3 +584,67 @@ def test_length_quantiles_by_split_matches_duckdb(ray_session, con):
               FROM s GROUP BY split)
     """).fetchall())
     assert got == want and len(got) == 12  # 3 splits x 4 quantiles
+
+
+def test_response_latency_by_role_matches_duckdb(ray_session):
+    import duckdb
+
+    from sourmash_ray.pipelines.transcriptops import (
+        response_latency_by_role)
+    from sourmash_ray.sources.transcripts import transcripts_path
+
+    c = duckdb.connect()
+    got = sorted(map(tuple, response_latency_by_role(SF).to_pandas()
+                     .itertuples(index=False)))
+    want = sorted((r, float(q), v) for r, q, v in c.sql(f"""
+        WITH g AS (
+          SELECT role,
+                 (CAST(epoch_us(ts) AS BIGINT)
+                  - CAST(epoch_us(lag(ts) OVER w) AS BIGINT))
+                     // 1000000 AS gap_s
+          FROM read_parquet('{transcripts_path(SF)}/*.parquet')
+          WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+        SELECT role, q, CAST(v AS BIGINT)
+        FROM (SELECT role, unnest([0.25,0.5,0.75,0.9]) AS q,
+                     unnest(quantile_disc(gap_s, [0.25,0.5,0.75,0.9]))
+                         AS v
+              FROM g WHERE gap_s IS NOT NULL GROUP BY role)
+    """).fetchall())
+    assert got == want and len(got) == 8  # 2 roles x 4 quantiles
+
+
+def test_session_gap_threshold_sweep_matches_duckdb(ray_session):
+    import duckdb
+
+    from sourmash_ray.pipelines.eventops import session_gap_threshold_sweep
+
+    c = duckdb.connect()
+    c.sql(f"CREATE VIEW events AS SELECT * FROM "
+          f"read_parquet('{SF}/events.parquet')")
+    got = sorted((r["gap_minutes"], r["n_sessions"])
+                 for r in session_gap_threshold_sweep(SF).take_all())
+    want = sorted(tuple(r) for r in c.sql("""
+        WITH g AS (SELECT (CAST(epoch_us(ts) AS BIGINT)
+                           - CAST(epoch_us(lag(ts) OVER w) AS BIGINT))
+                              AS gap
+                   FROM events
+                   WINDOW w AS (PARTITION BY user_id
+                                ORDER BY ts, event_id)),
+        thr AS (SELECT unnest([5, 15, 30, 60, 120]) AS m),
+        u AS (SELECT count(DISTINCT user_id) AS n FROM events)
+        SELECT CAST(t.m AS BIGINT),
+               CAST(u.n + (SELECT count(*) FROM g
+                           WHERE gap > CAST(t.m AS BIGINT) * 60000000)
+                    AS BIGINT)
+        FROM thr t, u
+    """).fetchall())
+    assert got == want and len(got) == 5
+    # the curve is monotone non-increasing in the threshold
+    curve = [n for _, n in got]
+    assert all(a >= b for a, b in zip(curve, curve[1:]))
+    # and consistent with the real sessionizer at its default gap
+    from sourmash_ray.pipelines.eventops import sessionize_events
+
+    default_30 = dict(got)[30]
+    n_sess = sessionize_events(SF).count()
+    assert n_sess == default_30
