@@ -1169,6 +1169,7 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
             eventops.events_weekday_hour_heatmap,
         "response_latency_by_role":
             transcriptops.response_latency_by_role,
+        "tool_chain_bigrams": transcriptops.tool_chain_bigrams,
         "session_gap_threshold_sweep":
             eventops.session_gap_threshold_sweep,
         "first_tool_position_histogram":
@@ -1937,6 +1938,18 @@ def oracle_sql() -> dict[str, str]:
                         '[a-zA-Z0-9]', '', 'g'))) AS BIGINT) AS n_other
             FROM (SELECT lang, coalesce(text, '') AS t FROM documents)
             GROUP BY lang
+        """,
+        "tool_chain_bigrams": f"""
+            WITH t AS (
+              SELECT conv_id, turn_idx, tool
+              FROM read_parquet('{_turns}/*.parquet')
+              WHERE tool IS NOT NULL AND tool <> ''),
+            l AS (SELECT tool,
+                         lag(tool) OVER (PARTITION BY conv_id
+                                         ORDER BY turn_idx) AS prev
+                  FROM t)
+            SELECT prev AS tool_a, tool AS tool_b, count(*) AS n_pairs
+            FROM l WHERE prev IS NOT NULL GROUP BY 1, 2
         """,
         "response_latency_by_role": f"""
             WITH g AS (

@@ -1346,3 +1346,63 @@ def response_latency_by_role(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.9)):
                                resolve_num_partitions(_cfg),
                                _gaps, gap_schema)
     return grouped_quantiles_disc(gaps, "role", "gap_s", list(qs))
+
+
+TOOL_BIGRAM_SCHEMA = pa.schema([
+    ("tool_a", pa.string()), ("tool_b", pa.string()),
+    ("n_pairs", pa.int64()),
+])
+
+
+def tool_chain_bigrams(sf_dir: str):
+    """Tool→tool transition counts (adjacent tool CALLS within a
+    conversation, non-tool turns skipped) — the Markov view of
+    `conv_tool_chain_counts`' full chains: which tool follows which,
+    the statistic an agent-routing policy is audited against. One conv
+    exchange; each partition filters to tool turns, orders by
+    (conv, turn_idx), and emits adjacent same-conv pairs; ≤ tools²
+    cells ride the final exchange."""
+    from ..config import DEFAULT_CONFIG as _cfg
+    from ..config import resolve_num_partitions
+    from ..functions.segscore import _to_bytes_array, hash_strings64
+    from ..stages.agg import grouped_sums
+    from ..stages.exchange import exchange_map_groups
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        tool = pc.fill_null(batch["tool"].combine_chunks(), "")
+        keep = pc.not_equal(tool, "")
+        cid = batch["conv_id"].combine_chunks()
+        t = pa.table({
+            "conv_id": cid,
+            "turn_idx": pc.cast(batch["turn_idx"], pa.int64()),
+            "tool": tool,
+            "conv_part": pa.array(hash_strings64(cid) % 1024, pa.int64()),
+        }).filter(keep)
+        return t
+
+    pair_schema = pa.schema([("tool_a", pa.string()),
+                             ("tool_b", pa.string())])
+
+    def _pairs(part: pa.Table) -> pa.Table:
+        if part.num_rows < 2:
+            return pair_schema.empty_table()
+        cid = _to_bytes_array(part["conv_id"].combine_chunks())
+        tix = np.asarray(part["turn_idx"], np.int64)
+        order = np.lexsort((tix, cid))
+        cid_s = cid[order]
+        same = np.r_[False, cid_s[1:] == cid_s[:-1]]
+        tool = part["tool"].combine_chunks()
+        return pa.table({
+            "tool_a": tool.take(pa.array(order[:-1][same[1:]],
+                                         pa.int64())),
+            "tool_b": tool.take(pa.array(order[same], pa.int64())),
+        }).cast(pair_schema)
+
+    keyed = _read_turns(sf_dir, ("conv_id", "turn_idx", "tool")
+                        ).map_batches(_prep, batch_format="pyarrow")
+    pairs = exchange_map_groups(keyed, "conv_part",
+                                resolve_num_partitions(_cfg),
+                                _pairs, pair_schema)
+    g = grouped_sums(pairs, ["tool_a", "tool_b"], [], count_as="n_pairs")
+    return g.map_batches(lambda t: t.cast(TOOL_BIGRAM_SCHEMA),
+                         batch_format="pyarrow")

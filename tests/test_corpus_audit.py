@@ -648,3 +648,30 @@ def test_session_gap_threshold_sweep_matches_duckdb(ray_session):
     default_30 = dict(got)[30]
     n_sess = sessionize_events(SF).count()
     assert n_sess == default_30
+
+
+def test_tool_chain_bigrams_matches_duckdb(ray_session):
+    import duckdb
+
+    from sourmash_ray.pipelines.transcriptops import (
+        conv_tool_chain_counts, tool_chain_bigrams)
+    from sourmash_ray.sources.transcripts import transcripts_path
+
+    c = duckdb.connect()
+    got = sorted(map(tuple, tool_chain_bigrams(SF).to_pandas()
+                     .itertuples(index=False)))
+    want = sorted(tuple(r) for r in c.sql(f"""
+        WITH t AS (SELECT conv_id, turn_idx, tool
+                   FROM read_parquet('{transcripts_path(SF)}/*.parquet')
+                   WHERE tool IS NOT NULL AND tool <> ''),
+        l AS (SELECT tool, lag(tool) OVER (PARTITION BY conv_id
+                                           ORDER BY turn_idx) AS prev
+              FROM t)
+        SELECT prev, tool, count(*) FROM l WHERE prev IS NOT NULL
+        GROUP BY 1, 2
+    """).fetchall())
+    assert got == want and got
+    # internal consistency: total bigrams == sum over chains of (len-1)
+    chains = conv_tool_chain_counts(SF).take_all()
+    expect = sum((r["chain"].count(">")) * r["n_convs"] for r in chains)
+    assert sum(r[2] for r in got) == expect
