@@ -1203,6 +1203,12 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
             eventops.approx_distinct_users_by_type,
         "asof_join_events": eventops.asof_join_events,
         "pairs_within_window_events": eventops.pairs_within_window_events,
+        # --- gaps-and-islands / run-length family ---
+        "user_daily_streaks": eventops.user_daily_streaks,
+        "session_entry_exit_matrix": eventops.session_entry_exit_matrix,
+        "conv_tool_run_lengths": transcriptops.conv_tool_run_lengths,
+        "conv_tool_set_counts": transcriptops.conv_tool_set_counts,
+        "top_bigrams_docs": docops.top_bigrams_docs,
     }
 
 
@@ -3831,5 +3837,94 @@ def oracle_sql() -> dict[str, str]:
               FROM g)
             SELECT user_id, min(ts) AS session_start, count(*) AS n_events
             FROM s GROUP BY user_id, sess
+        """,
+        "user_daily_streaks": """
+            WITH ud AS (
+              SELECT DISTINCT user_id,
+                     CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d
+              FROM events),
+            isl AS (
+              SELECT user_id,
+                     d - ROW_NUMBER() OVER (PARTITION BY user_id
+                                            ORDER BY d) AS grp
+              FROM ud),
+            runs AS (
+              SELECT user_id, count(*) AS len
+              FROM isl GROUP BY user_id, grp),
+            mx AS (
+              SELECT user_id, max(len) AS streak
+              FROM runs GROUP BY user_id)
+            SELECT CAST(streak AS BIGINT) AS streak_days,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM mx GROUP BY 1
+        """,
+        "session_entry_exit_matrix": """
+            WITH e AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR CAST(epoch_us(ts) AS BIGINT)
+                               - CAST(epoch_us(lag(ts) OVER w) AS BIGINT)
+                               > 1800000000
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+              SELECT *, sum(brk) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+              FROM e),
+            fe AS (
+              SELECT user_id, sid,
+                     first(event_type ORDER BY ts, event_id) AS entry_type,
+                     last(event_type ORDER BY ts, event_id) AS exit_type
+              FROM s GROUP BY user_id, sid)
+            SELECT entry_type, exit_type,
+                   CAST(count(*) AS BIGINT) AS n_sessions
+            FROM fe GROUP BY 1, 2
+        """,
+        "conv_tool_run_lengths": f"""
+            WITH tt AS (
+              SELECT conv_id, turn_idx, tool
+              FROM read_parquet('{_turns}/*.parquet')
+              WHERE tool IS NOT NULL AND tool <> ''),
+            t AS (
+              SELECT tool,
+                     ROW_NUMBER() OVER (PARTITION BY conv_id
+                                        ORDER BY turn_idx)
+                     - ROW_NUMBER() OVER (PARTITION BY conv_id, tool
+                                          ORDER BY turn_idx) AS grp,
+                     conv_id
+              FROM tt),
+            runs AS (
+              SELECT tool, count(*) AS run_len
+              FROM t GROUP BY conv_id, tool, grp)
+            SELECT tool, CAST(run_len AS BIGINT) AS run_len,
+                   CAST(count(*) AS BIGINT) AS n_runs
+            FROM runs GROUP BY 1, 2
+        """,
+        "conv_tool_set_counts": f"""
+            WITH c AS (
+              SELECT conv_id,
+                     string_agg(DISTINCT tool, '>' ORDER BY tool)
+                         AS tool_set
+              FROM read_parquet('{_turns}/*.parquet')
+              WHERE tool IS NOT NULL AND tool <> ''
+              GROUP BY conv_id)
+            SELECT tool_set, CAST(count(*) AS BIGINT) AS n_convs
+            FROM c GROUP BY tool_set
+        """,
+        "top_bigrams_docs": """
+            WITH t AS (
+              SELECT string_split(coalesce(text, ''), ' ') AS toks
+              FROM documents),
+            p AS (
+              SELECT unnest(toks[1:len(toks) - 1]) AS tok_a,
+                     unnest(toks[2:len(toks)]) AS tok_b
+              FROM t)
+            SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS n_occurrences
+            FROM p WHERE tok_a <> '' AND tok_b <> ''
+            GROUP BY tok_a, tok_b
+            ORDER BY n_occurrences DESC, tok_a, tok_b
+            LIMIT 50
         """,
     }

@@ -3513,3 +3513,94 @@ def length_quantiles_by_split(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.9)):
     ds = _read_docs(sf_dir, ("text", "n_chars")).map_batches(
         _assign, batch_format="pyarrow")
     return grouped_quantiles_disc(ds, "split", "n_chars", list(qs))
+
+
+BIGRAM_SCHEMA = pa.schema([
+    ("tok_a", pa.string()),
+    ("tok_b", pa.string()),
+    ("n_occurrences", pa.int64()),
+])
+
+
+def _bigram_rows_batch(batch: pa.Table) -> pa.Table:
+    """(tok_a, tok_b, n) partial counts for every adjacent pair of
+    non-empty single-space tokens inside each document of the batch —
+    the same tokenizer contract as :func:`_tf_rows_batch` (split on
+    ' ', a pair is adjacent in the RAW split, so a double space breaks
+    adjacency exactly as SQL's zipped list slices do).
+
+    Adjacency is an index trick on the flattened token array: every
+    flat position that isn't the last token of its document pairs with
+    position+1; one lexsort over the two S-dtype views run-length
+    collapses the batch to partial counts."""
+    from ..functions.segscore import _to_bytes_array
+
+    text = pc.fill_null(batch["text"], "")
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks = pc.split_pattern(text, " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    ntok = np.asarray(pc.list_value_length(toks), np.int64)
+    flat = toks.flatten()
+    total = len(flat)
+    if total == 0:
+        return BIGRAM_SCHEMA.empty_table()
+    valid = np.ones(total, dtype=bool)
+    ends = np.cumsum(ntok)[ntok > 0] - 1
+    valid[ends] = False
+    a_idx = np.flatnonzero(valid)
+    if a_idx.size == 0:
+        return BIGRAM_SCHEMA.empty_table()
+    tb = _to_bytes_array(flat)
+    ta, tbb = tb[a_idx], tb[a_idx + 1]
+    keep = (ta != b"") & (tbb != b"")
+    a_idx = a_idx[keep]
+    if a_idx.size == 0:
+        return BIGRAM_SCHEMA.empty_table()
+    ta, tbb = ta[keep], tbb[keep]
+    order = np.lexsort((tbb, ta))
+    ta_s, tb_s = ta[order], tbb[order]
+    new = np.r_[True, (ta_s[1:] != ta_s[:-1]) | (tb_s[1:] != tb_s[:-1])]
+    st = np.flatnonzero(new)
+    cnt = np.diff(np.r_[st, len(ta_s)])
+    first = a_idx[order[st]]
+    return pa.table({
+        "tok_a": flat.take(pa.array(first, pa.int64())),
+        "tok_b": flat.take(pa.array(first + 1, pa.int64())),
+        "n_occurrences": pa.array(cnt.astype(np.int64), pa.int64()),
+    }).cast(BIGRAM_SCHEMA)
+
+
+def top_bigrams_docs(sf_dir: str, k: int = 50):
+    """Global top-k token BIGRAMS — collocation mining over the corpus
+    (the n-gram step above :func:`top_tokens_docs`'s unigram canon).
+    Deterministic order: count desc, then (tok_a, tok_b) asc.
+
+    Same scale shape as top_tokens: block-local partial counts, one
+    `grouped_sums` exchange keyed on the pair, per-partition top-k
+    truncation, final sort over ≤ k×partitions candidates — the full
+    bigram vocabulary never leaves its partitions."""
+    from ..functions.segscore import _to_bytes_array
+    from ..stages.agg import grouped_sums
+
+    g = grouped_sums(
+        _read_docs(sf_dir, ("text",)).map_batches(
+            _bigram_rows_batch, batch_format="pyarrow"),
+        ["tok_a", "tok_b"], ["n_occurrences"])
+
+    def _blk_topk(t: pa.Table) -> pa.Table:
+        out = pa.table({"tok_a": t["tok_a"], "tok_b": t["tok_b"],
+                        "n_occurrences": t["sum_n_occurrences"]})
+        if out.num_rows <= k:
+            return out
+        nv = np.asarray(out["n_occurrences"], np.int64)
+        ab = _to_bytes_array(out["tok_a"].combine_chunks())
+        bb = _to_bytes_array(out["tok_b"].combine_chunks())
+        idx = np.lexsort((bb, ab, -nv))[:k]
+        return out.take(pa.array(np.sort(idx), pa.int64()))
+
+    return (g.map_batches(_blk_topk, batch_format="pyarrow")
+            .sort(["n_occurrences", "tok_a", "tok_b"],
+                  descending=[True, False, False])
+            .limit(k))

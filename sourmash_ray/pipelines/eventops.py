@@ -1469,3 +1469,284 @@ def session_gap_threshold_sweep(sf_dir: str,
                             "n_sessions": t["sum_n"]}
                            ).cast(SESSION_SWEEP_SCHEMA),
         batch_format="pyarrow")
+
+
+DAILY_STREAK_SCHEMA = pa.schema([
+    ("streak_days", pa.int64()),
+    ("n_users", pa.int64()),
+])
+
+
+def user_daily_streaks(sf_dir: str):
+    """Longest consecutive-active-DAY streak per user, as a histogram
+    (streak_days, n_users) — the gaps-and-islands engagement shape a
+    retention dashboard runs daily. A "day" is the epoch-microsecond
+    floor-division bucket ``ts_us // 24h`` (deterministic across
+    engines; the testdata events span 30 days, so day grain is the one
+    that yields a non-degenerate streak distribution).
+
+    One user-keyed exchange; each partition does ONE lexsort over all
+    its users: (user, day) dedup, island break where the user changes
+    or the day step isn't +1, per-island lengths by ``np.diff`` over
+    break positions, per-user max streak by ``np.maximum.reduceat`` (a
+    user's islands are contiguous after the sort), then only the tiny
+    (streak, count) partials reach the final combine — SQL's double
+    row_number() gaps-and-islands without a window function in sight."""
+    import numpy as np
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.agg import grouped_sums
+    from ..stages.exchange import exchange_map_groups
+
+    day_us = 86_400 * 1_000_000
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch["ts"], pa.int64())
+        return pa.table({
+            "user_id": batch["user_id"],
+            "d": pc.divide(ts, pa.scalar(day_us, pa.int64())),
+        })
+
+    part_schema = DAILY_STREAK_SCHEMA
+
+    def _streaks(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return part_schema.empty_table()
+        u = np.asarray(part["user_id"], np.int64)
+        w = np.asarray(part["d"], np.int64)
+        order = np.lexsort((w, u))
+        u, w = u[order], w[order]
+        keep = np.r_[True, (u[1:] != u[:-1]) | (w[1:] != w[:-1])]
+        u, w = u[keep], w[keep]
+        new_isl = np.r_[True, (u[1:] != u[:-1]) | (np.diff(w) != 1)]
+        isl_len = np.diff(np.r_[np.flatnonzero(new_isl), len(u)])
+        isl_user = u[new_isl]
+        first_isl = np.flatnonzero(
+            np.r_[True, isl_user[1:] != isl_user[:-1]])
+        max_streak = np.maximum.reduceat(isl_len, first_isl)
+        vals, cnts = np.unique(max_streak, return_counts=True)
+        return pa.table({
+            "streak_days": pa.array(vals.astype(np.int64), pa.int64()),
+            "n_users": pa.array(cnts.astype(np.int64), pa.int64()),
+        })
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"]).map_batches(
+        _tag, batch_format="pyarrow")
+    parts = exchange_map_groups(ds, "user_id",
+                                resolve_num_partitions(DEFAULT_CONFIG),
+                                _streaks, part_schema)
+    g = grouped_sums(parts, ["streak_days"], ["n_users"])
+    return g.map_batches(
+        lambda t: pa.table({"streak_days": t["streak_days"],
+                            "n_users": t["sum_n_users"]}
+                           ).cast(DAILY_STREAK_SCHEMA),
+        batch_format="pyarrow")
+
+
+ENTRY_EXIT_SCHEMA = pa.schema([
+    ("entry_type", pa.string()),
+    ("exit_type", pa.string()),
+    ("n_sessions", pa.int64()),
+])
+
+
+def session_entry_exit_matrix(sf_dir: str, gap_minutes: int = 30):
+    """How sessions START vs how they END: sessionize per user at the
+    ``gap_minutes`` inactivity threshold (same break rule as
+    :func:`sessionize_events`), take the first and last event_type of
+    every session under the deterministic (ts, event_id) order, and
+    count sessions per (entry_type, exit_type) cell — the landing/exit
+    matrix of web analytics, over the same single user exchange.
+
+    Only (entry, exit, partial-count) rows leave the partitions; the
+    event_id tiebreak makes the first/last picks reproducible when a
+    user logs two events on the same microsecond (the same WINDOW
+    ``ORDER BY ts, event_id`` the SQL twin uses)."""
+    import numpy as np
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..functions.segscore import _to_bytes_array
+    from ..stages.agg import grouped_sums
+    from ..stages.exchange import exchange_map_groups
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"],
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+            "event_id": batch["event_id"],
+            "event_type": batch["event_type"],
+        })
+
+    part_schema = ENTRY_EXIT_SCHEMA
+
+    def _matrix(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return part_schema.empty_table()
+        u = np.asarray(part["user_id"], np.int64)
+        ts = np.asarray(part["ts_us"], np.int64)
+        eid = np.asarray(part["event_id"], np.int64)
+        order = np.lexsort((eid, ts, u))
+        u_s, ts_s = u[order], ts[order]
+        new = np.r_[True, (u_s[1:] != u_s[:-1])
+                    | (np.diff(ts_s) > gap_us)]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(u_s)] - 1
+        et = part["event_type"].combine_chunks()
+        entry_idx = order[starts]
+        exit_idx = order[ends]
+        ea = _to_bytes_array(et)[entry_idx]
+        xa = _to_bytes_array(et)[exit_idx]
+        o2 = np.lexsort((xa, ea))
+        ea_s, xa_s = ea[o2], xa[o2]
+        first = np.r_[True, (ea_s[1:] != ea_s[:-1])
+                      | (xa_s[1:] != xa_s[:-1])]
+        st = np.flatnonzero(first)
+        cnt = np.diff(np.r_[st, len(ea_s)])
+        pick = pa.array(o2[st], pa.int64())
+        return pa.table({
+            "entry_type": et.take(pa.array(entry_idx, pa.int64()).take(pick)),
+            "exit_type": et.take(pa.array(exit_idx, pa.int64()).take(pick)),
+            "n_sessions": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"]).map_batches(
+        _tag, batch_format="pyarrow")
+    parts = exchange_map_groups(ds, "user_id",
+                                resolve_num_partitions(DEFAULT_CONFIG),
+                                _matrix, part_schema)
+    g = grouped_sums(parts, ["entry_type", "exit_type"], ["n_sessions"])
+    return g.map_batches(
+        lambda t: pa.table({"entry_type": t["entry_type"],
+                            "exit_type": t["exit_type"],
+                            "n_sessions": t["sum_n_sessions"]}
+                           ).cast(ENTRY_EXIT_SCHEMA),
+        batch_format="pyarrow")
+
+
+SESSION_DUR_SCHEMA = pa.schema([
+    ("entry_type", pa.string()),
+    ("q", pa.float64()),
+    ("dur_s", pa.int64()),
+])
+
+
+def session_duration_by_entry_type(sf_dir: str, gap_minutes: int = 30,
+                                   qs=(0.25, 0.5, 0.75, 0.9)):
+    """How long a session lasts depending on how it STARTED: sessionize
+    per user (same break rule and (ts, event_id) tiebreak as
+    :func:`session_entry_exit_matrix`), duration = last−first event in
+    whole seconds (floor — both engines floor a non-negative integer
+    division), then exact discrete quantiles per entry event_type.
+
+    The user exchange emits one (entry_type, dur_s) row per session;
+    `grouped_quantiles_disc` reduces the (type × distinct-duration)
+    histogram driver-side — bounded by the value domain, not the
+    session count."""
+    import numpy as np
+
+    import ray.data
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.agg import grouped_quantiles_disc
+    from ..stages.exchange import exchange_map_groups
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"],
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+            "event_id": batch["event_id"],
+            "event_type": batch["event_type"],
+        })
+
+    part_schema = pa.schema([("entry_type", pa.string()),
+                             ("dur_s", pa.int64())])
+
+    def _durs(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return part_schema.empty_table()
+        u = np.asarray(part["user_id"], np.int64)
+        ts = np.asarray(part["ts_us"], np.int64)
+        eid = np.asarray(part["event_id"], np.int64)
+        order = np.lexsort((eid, ts, u))
+        u_s, ts_s = u[order], ts[order]
+        new = np.r_[True, (u_s[1:] != u_s[:-1])
+                    | (np.diff(ts_s) > gap_us)]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(u_s)] - 1
+        dur = (ts_s[ends] - ts_s[starts]) // 1_000_000
+        et = part["event_type"].combine_chunks()
+        return pa.table({
+            "entry_type": et.take(pa.array(order[starts], pa.int64())),
+            "dur_s": pa.array(dur.astype(np.int64), pa.int64()),
+        })
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"]).map_batches(
+        _tag, batch_format="pyarrow")
+    sessions = exchange_map_groups(ds, "user_id",
+                                   resolve_num_partitions(DEFAULT_CONFIG),
+                                   _durs, part_schema)
+    tbl = grouped_quantiles_disc(sessions, "entry_type", "dur_s",
+                                 list(qs))
+    return ray.data.from_arrow(pa.table({
+        "entry_type": tbl["entry_type"],
+        "q": tbl["q"],
+        "dur_s": tbl["value"] if "value" in tbl.column_names
+        else tbl["dur_s"],
+    }).cast(SESSION_DUR_SCHEMA))
+
+
+DAYPART_SCHEMA = pa.schema([
+    ("daypart", pa.string()),
+    ("event_type", pa.string()),
+    ("n_events", pa.int64()),
+    ("sum_value_micros", pa.int64()),
+])
+
+_DAYPARTS = ("night", "morning", "afternoon", "evening")  # hour // 6
+
+
+def event_daypart_profile(sf_dir: str):
+    """Load shape by 6-hour daypart × event_type (count + exact-integer
+    value sum) — the coarse daily-rhythm rollup next to
+    :func:`events_weekday_hour_heatmap`'s 168-cell fine grid. Daypart =
+    ``hour // 6`` mapped onto night/morning/afternoon/evening; value
+    micros round per row before summing (the engine's cross-engine
+    float contract)."""
+    import numpy as np
+
+    from ..stages.agg import grouped_sums
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "event_type", "value"])
+    parts = np.array(_DAYPARTS)
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(batch["ts"].combine_chunks().cast(pa.int64()))
+        hour = (ts // 3_600_000_000) % 24
+        vals = np.asarray(batch["value"], np.float64)
+        return pa.table({
+            "daypart": pa.array(parts[hour // 6]),
+            "event_type": batch["event_type"],
+            "value_micros": pa.array(
+                np.round(vals * 1e6).astype(np.int64), pa.int64()),
+        })
+
+    agg = grouped_sums(ds.map_batches(_bucket, batch_format="pyarrow"),
+                       ["daypart", "event_type"], ["value_micros"],
+                       count_as="n_events")
+    return agg.map_batches(
+        lambda t: pa.table({
+            "daypart": t["daypart"],
+            "event_type": t["event_type"],
+            "n_events": t["n_events"],
+            "sum_value_micros": t["sum_value_micros"],
+        }).cast(DAYPART_SCHEMA), batch_format="pyarrow")

@@ -1406,3 +1406,160 @@ def tool_chain_bigrams(sf_dir: str):
     g = grouped_sums(pairs, ["tool_a", "tool_b"], [], count_as="n_pairs")
     return g.map_batches(lambda t: t.cast(TOOL_BIGRAM_SCHEMA),
                          batch_format="pyarrow")
+
+
+TOOL_RUN_SCHEMA = pa.schema([
+    ("tool", pa.string()),
+    ("run_len", pa.int64()),
+    ("n_runs", pa.int64()),
+])
+
+
+def conv_tool_run_lengths(sf_dir: str):
+    """Run-length profile of repeated tool calls: over a conversation's
+    tool-calling turns only (tool <> '', turn_idx order), every maximal
+    stretch of consecutive calls to the SAME tool is one run; output
+    counts runs per (tool, run_len) — the retry-loop detector ("the
+    agent hammered `search` 4 times in a row") a transcript curation
+    pass uses to flag degenerate agent behavior.
+
+    The classic SQL double-row_number gaps-and-islands collapses to one
+    lexsort per partition: runs break where the conversation OR the tool
+    changes between adjacent tool-turns; run lengths are one ``np.diff``
+    over the break positions. Only (tool, run_len, partial-count) rows
+    cross the wire after the conv exchange."""
+    from ..config import resolve_num_partitions
+    from ..functions.segscore import _to_bytes_array, hash_strings64
+    from ..stages.agg import grouped_sums
+    from ..stages.exchange import exchange_map_groups
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(batch["tool"]),
+                       pc.not_equal(batch["tool"], ""))
+        t = batch.filter(keep)
+        cid = t["conv_id"].combine_chunks()
+        return pa.table({
+            "conv_id": cid,
+            "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+            "tool": t["tool"],
+            "conv_part": pa.array(hash_strings64(cid) % 1024, pa.int64()),
+        })
+
+    part_schema = TOOL_RUN_SCHEMA
+
+    def _runs(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return part_schema.empty_table()
+        cid = _to_bytes_array(part["conv_id"].combine_chunks())
+        tix = np.asarray(part["turn_idx"], np.int64)
+        tool = part["tool"].combine_chunks()
+        tb = _to_bytes_array(tool)
+        order = np.lexsort((tix, cid))
+        cid_s, tb_s = cid[order], tb[order]
+        new_run = np.r_[True, (cid_s[1:] != cid_s[:-1])
+                        | (tb_s[1:] != tb_s[:-1])]
+        starts = np.flatnonzero(new_run)
+        lens = np.diff(np.r_[starts, len(cid_s)])
+        run_tool = tb_s[starts]
+        o2 = np.lexsort((lens, run_tool))
+        rt_s, ln_s = run_tool[o2], lens[o2]
+        first = np.r_[True, (rt_s[1:] != rt_s[:-1])
+                      | (ln_s[1:] != ln_s[:-1])]
+        st = np.flatnonzero(first)
+        cnt = np.diff(np.r_[st, len(rt_s)])
+        pick = pa.array(order[starts[o2[st]]], pa.int64())
+        return pa.table({
+            "tool": tool.take(pick),
+            "run_len": pa.array(ln_s[st].astype(np.int64), pa.int64()),
+            "n_runs": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    keyed = _read_turns(sf_dir, ("conv_id", "turn_idx", "tool")
+                        ).map_batches(_prep, batch_format="pyarrow")
+    parts = exchange_map_groups(keyed, "conv_part",
+                                resolve_num_partitions(DEFAULT_CONFIG),
+                                _runs, part_schema)
+    g = grouped_sums(parts, ["tool", "run_len"], ["n_runs"])
+    return g.map_batches(
+        lambda t: pa.table({"tool": t["tool"],
+                            "run_len": t["run_len"],
+                            "n_runs": t["sum_n_runs"]}
+                           ).cast(TOOL_RUN_SCHEMA),
+        batch_format="pyarrow")
+
+
+TOOL_SET_SCHEMA = pa.schema([
+    ("tool_set", pa.string()),
+    ("n_convs", pa.int64()),
+])
+
+
+def conv_tool_set_counts(sf_dir: str):
+    """Tool-SET frequency: the sorted set of distinct tools each
+    conversation ever called (vs :func:`conv_tool_chain_counts`'s
+    ordered chain), '>'-joined, counted across the corpus — "which tool
+    *combinations* co-occur" for capability bucketing. NULL/'' mean no
+    tool call; conversations with no tool turns don't appear (same rows
+    as SQL's WHERE tool <> '' GROUP BY conv_id).
+
+    One conv exchange; per partition a single lexsort on (conv, tool
+    bytes) dedups AND orders the set members, ``pc.binary_join`` over
+    group offsets assembles the signatures, and only (tool_set, count)
+    partials reach the final combine."""
+    from ..config import resolve_num_partitions
+    from ..functions.segscore import _to_bytes_array, hash_strings64
+    from ..stages.agg import grouped_sums
+    from ..stages.exchange import exchange_map_groups
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(batch["tool"]),
+                       pc.not_equal(batch["tool"], ""))
+        t = batch.filter(keep)
+        cid = t["conv_id"].combine_chunks()
+        return pa.table({
+            "conv_id": cid,
+            "tool": t["tool"],
+            "conv_part": pa.array(hash_strings64(cid) % 1024, pa.int64()),
+        })
+
+    part_schema = TOOL_SET_SCHEMA
+
+    def _sets(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return part_schema.empty_table()
+        cid = _to_bytes_array(part["conv_id"].combine_chunks())
+        tools = part["tool"].combine_chunks()
+        tb = _to_bytes_array(tools)
+        order = np.lexsort((tb, cid))
+        cid_s, tb_s = cid[order], tb[order]
+        keep = np.r_[True, (cid_s[1:] != cid_s[:-1])
+                     | (tb_s[1:] != tb_s[:-1])]
+        kept = order[keep]
+        cid_k = cid_s[keep]
+        starts = np.flatnonzero(np.r_[True, cid_k[1:] != cid_k[:-1]])
+        offsets = pa.array(np.r_[starts, len(cid_k)].astype(np.int32))
+        sets = pc.binary_join(
+            pa.ListArray.from_arrays(
+                offsets, tools.take(pa.array(kept, pa.int64()))), ">")
+        sb = _to_bytes_array(sets)
+        o2 = np.argsort(sb, kind="stable")
+        sb_s = sb[o2]
+        new = np.r_[True, sb_s[1:] != sb_s[:-1]]
+        st = np.flatnonzero(new)
+        cnt = np.diff(np.r_[st, len(sb_s)])
+        return pa.table({
+            "tool_set": sets.take(pa.array(o2[st], pa.int64())),
+            "n_convs": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    keyed = _read_turns(sf_dir, ("conv_id", "tool")
+                        ).map_batches(_prep, batch_format="pyarrow")
+    parts = exchange_map_groups(keyed, "conv_part",
+                                resolve_num_partitions(DEFAULT_CONFIG),
+                                _sets, part_schema)
+    g = grouped_sums(parts, ["tool_set"], ["n_convs"])
+    return g.map_batches(
+        lambda t: pa.table({"tool_set": t["tool_set"],
+                            "n_convs": t["sum_n_convs"]}
+                           ).cast(TOOL_SET_SCHEMA),
+        batch_format="pyarrow")
