@@ -1209,6 +1209,15 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "conv_tool_run_lengths": transcriptops.conv_tool_run_lengths,
         "conv_tool_set_counts": transcriptops.conv_tool_set_counts,
         "top_bigrams_docs": docops.top_bigrams_docs,
+        # --- batch 2: trade flows, session composites, adoption curves ---
+        "cross_border_trade": relational.cross_border_trade,
+        "session_duration_by_entry_type":
+            eventops.session_duration_by_entry_type,
+        "event_daypart_profile": eventops.event_daypart_profile,
+        "tool_adoption_by_conv_length":
+            transcriptops.tool_adoption_by_conv_length,
+        "token_length_by_lang": docops.token_length_by_lang,
+        "media_kind_size_quantiles": multimodal.media_kind_size_quantiles,
     }
 
 
@@ -3926,5 +3935,102 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY tok_a, tok_b
             ORDER BY n_occurrences DESC, tok_a, tok_b
             LIMIT 50
+        """,
+        "cross_border_trade": """
+            WITH rev AS (
+              SELECT l.l_orderkey, s.s_nationkey AS snk,
+                     CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                         AS r
+              FROM lineitem l
+              JOIN supplier s ON l.l_suppkey = s.s_suppkey)
+            SELECT cn.n_name AS nation,
+                   CAST(sum(CASE WHEN rev.snk = c.c_nationkey
+                                 THEN rev.r ELSE 0 END) AS BIGINT)
+                       AS local_rev_e4,
+                   CAST(sum(CASE WHEN rev.snk = c.c_nationkey
+                                 THEN 0 ELSE rev.r END) AS BIGINT)
+                       AS cross_rev_e4
+            FROM rev
+            JOIN orders o ON rev.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+            GROUP BY cn.n_name
+        """,
+        "session_duration_by_entry_type": """
+            WITH e AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR CAST(epoch_us(ts) AS BIGINT)
+                               - CAST(epoch_us(lag(ts) OVER w) AS BIGINT)
+                               > 1800000000
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+              SELECT *, sum(brk) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+              FROM e),
+            d AS (
+              SELECT first(event_type ORDER BY ts, event_id)
+                         AS entry_type,
+                     (CAST(epoch_us(max(ts)) AS BIGINT)
+                      - CAST(epoch_us(min(ts)) AS BIGINT))
+                         // 1000000 AS dur_s
+              FROM s GROUP BY user_id, sid)
+            SELECT entry_type, CAST(q AS DOUBLE) AS q,
+                   CAST(v AS BIGINT) AS dur_s
+            FROM (SELECT entry_type,
+                         unnest([0.25, 0.5, 0.75, 0.9]) AS q,
+                         unnest(quantile_disc(dur_s,
+                                              [0.25, 0.5, 0.75, 0.9]))
+                             AS v
+                  FROM d GROUP BY entry_type)
+        """,
+        "event_daypart_profile": """
+            SELECT CASE ((CAST(epoch_us(ts) AS BIGINT) // 3600000000)
+                         % 24) // 6
+                     WHEN 0 THEN 'night' WHEN 1 THEN 'morning'
+                     WHEN 2 THEN 'afternoon' ELSE 'evening' END
+                       AS daypart,
+                   event_type, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(round(value * 1000000) AS BIGINT))
+                        AS BIGINT) AS sum_value_micros
+            FROM events GROUP BY 1, 2
+        """,
+        "tool_adoption_by_conv_length": f"""
+            WITH c AS (
+              SELECT conv_id, count(*) AS n_turns,
+                     max(CASE WHEN tool IS NOT NULL AND tool <> ''
+                              THEN 1 ELSE 0 END) AS ht
+              FROM read_parquet('{_turns}/*.parquet')
+              GROUP BY conv_id)
+            SELECT CAST(n_turns AS BIGINT) AS n_turns,
+                   CAST(count(*) AS BIGINT) AS n_convs,
+                   CAST(sum(ht) AS BIGINT) AS n_with_tool
+            FROM c GROUP BY 1
+        """,
+        "token_length_by_lang": """
+            WITH t AS (
+              SELECT lang,
+                     list_filter(string_split(coalesce(text, ''), ' '),
+                                 x -> x <> '') AS toks
+              FROM documents)
+            SELECT lang, CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+                   CAST(sum(list_sum(list_transform(toks,
+                                                    x -> len(x))))
+                        AS BIGINT) AS sum_token_chars
+            FROM t GROUP BY lang
+        """,
+        "media_kind_size_quantiles": f"""
+            SELECT kind, CAST(q AS DOUBLE) AS q, CAST(v AS BIGINT)
+                       AS n_bytes
+            FROM (SELECT kind, unnest([0.25, 0.5, 0.75, 0.9]) AS q,
+                         unnest(quantile_disc(n_bytes,
+                                              [0.25, 0.5, 0.75, 0.9]))
+                             AS v
+                  FROM read_parquet('{_media}/*.parquet')
+                  GROUP BY kind)
         """,
     }

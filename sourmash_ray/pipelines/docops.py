@@ -3604,3 +3604,58 @@ def top_bigrams_docs(sf_dir: str, k: int = 50):
             .sort(["n_occurrences", "tok_a", "tok_b"],
                   descending=[True, False, False])
             .limit(k))
+
+
+TOKEN_LEN_LANG_SCHEMA = pa.schema([
+    ("lang", pa.string()),
+    ("n_tokens", pa.int64()),
+    ("sum_token_chars", pa.int64()),
+])
+
+
+def token_length_by_lang(sf_dir: str):
+    """Per-language token mass: count of non-empty single-space tokens
+    and the exact sum of their character lengths — the two integers
+    behind "mean token length by language" (emit the sums, not the
+    ratio: float division is the only thing two engines can disagree
+    on). Lengths are UTF-8 CHARACTER counts (``pc.utf8_length``, ==
+    SQL ``len()``), folded per row with one ``np.add.reduceat`` over
+    the split-list offsets; then one dim-sized grouped_sums."""
+    from ..stages.agg import grouped_sums
+
+    def _mass(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch["text"], "")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern(text, " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        ntok_all = np.asarray(pc.list_value_length(toks), np.int64)
+        flat = toks.flatten()
+        tok_chars = np.asarray(pc.utf8_length(flat), np.int64)
+        # per-row totals via reduceat over the list offsets
+        offs = np.r_[np.int64(0), np.cumsum(ntok_all)]
+        nonempty = (tok_chars > 0).astype(np.int64)
+        n_rows = batch.num_rows
+        n_tok = np.zeros(n_rows, np.int64)
+        s_chr = np.zeros(n_rows, np.int64)
+        nz = ntok_all > 0
+        if nz.any():
+            n_tok[nz] = np.add.reduceat(nonempty, offs[:-1][nz])
+            s_chr[nz] = np.add.reduceat(tok_chars, offs[:-1][nz])
+        return pa.table({
+            "lang": batch["lang"],
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "sum_token_chars": pa.array(s_chr, pa.int64()),
+        })
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "text"]).map_batches(
+        _mass, batch_format="pyarrow")
+    g = grouped_sums(ds, ["lang"], ["n_tokens", "sum_token_chars"])
+    return g.map_batches(
+        lambda t: pa.table({"lang": t["lang"],
+                            "n_tokens": t["sum_n_tokens"],
+                            "sum_token_chars": t["sum_sum_token_chars"]}
+                           ).cast(TOKEN_LEN_LANG_SCHEMA),
+        batch_format="pyarrow")

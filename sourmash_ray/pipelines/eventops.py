@@ -1699,8 +1699,7 @@ def session_duration_by_entry_type(sf_dir: str, gap_minutes: int = 30,
     return ray.data.from_arrow(pa.table({
         "entry_type": tbl["entry_type"],
         "q": tbl["q"],
-        "dur_s": tbl["value"] if "value" in tbl.column_names
-        else tbl["dur_s"],
+        "dur_s": tbl["value"],
     }).cast(SESSION_DUR_SCHEMA))
 
 

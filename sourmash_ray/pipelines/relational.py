@@ -3252,3 +3252,131 @@ def customer_rfm_segments(sf_dir: str,
                        [], count_as="n_customers")
     return agg.map_batches(lambda t: t.cast(RFM_SCHEMA),
                            batch_format="pyarrow")
+
+
+CROSS_BORDER_SCHEMA = pa.schema([
+    ("nation", pa.string()),
+    ("local_rev_e4", pa.int64()),
+    ("cross_rev_e4", pa.int64()),
+])
+
+
+def cross_border_trade(sf_dir: str):
+    """Local vs cross-border revenue per CUSTOMER nation: every lineitem
+    is "local" when its supplier sits in the buying customer's nation,
+    "cross" otherwise — the trade-flow split under TPC-H Q7's join spine
+    but aggregated to one row per nation with both columns side by side.
+
+    Scale plan mirrors Q8 (`nation_market_share`): orders ⋈ customer on
+    custkey carries the customer nationkey; the lineitem side resolves
+    supplier→nation through a dense broadcast array and block-combines
+    to one (orderkey, supp_nation, rev_e4) partial per pair per block
+    BEFORE the orderkey exchange; the final combine keys on the 25-value
+    nation pair, so only dim-sized cells move after the two joins.
+    Revenue stays exact-integer (cents × discount-percent, e4)."""
+    import numpy as np
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.agg import grouped_sums
+    from ..stages.join import hash_join_exchange
+
+    n_parts = resolve_num_partitions(DEFAULT_CONFIG)
+
+    nation = read_parquet_clean(f"{sf_dir}/nation.parquet").take_all()
+    nk_name = {r["n_nationkey"]: r["n_name"] for r in nation}
+
+    supp = read_parquet_clean(f"{sf_dir}/supplier.parquet",
+                              columns=["s_suppkey",
+                                       "s_nationkey"]).take_all()
+    max_sk = max((r["s_suppkey"] for r in supp), default=-1)
+    s_nk = np.full(max_sk + 1, -1, np.int64)
+    for r in supp:
+        s_nk[r["s_suppkey"]] = r["s_nationkey"]
+    lut_ref = ray.put(s_nk)
+
+    def _lines(batch: pa.Table) -> pa.Table:
+        s_a = ray.get(lut_ref)
+        sk = np.asarray(batch["l_suppkey"], np.int64)
+        ok = np.asarray(batch["l_orderkey"], np.int64)
+        # inner-join semantics: lines whose supplier misses the dim drop
+        m = (sk >= 0) & (sk < s_a.size)
+        m[m] &= s_a[sk[m]] >= 0
+        ok, sk = ok[m], sk[m]
+        price = np.asarray(batch["l_extendedprice"], np.float64)[m]
+        disc = np.asarray(batch["l_discount"], np.float64)[m]
+        rev = (np.rint(price * 100).astype(np.int64)
+               * (100 - np.rint(disc * 100).astype(np.int64)))
+        snk = s_a[sk]
+        # block combiner: one row per (orderkey, supp_nation) pair
+        key = ok * np.int64(64) + snk        # nationkey < 64 by far
+        uniq, inv = np.unique(key, return_inverse=True)
+        tot = np.bincount(inv, weights=rev.astype(np.float64),
+                          minlength=len(uniq))
+        return pa.table({
+            "l_orderkey": pa.array(uniq // 64, pa.int64()),
+            "s_nk": pa.array(uniq % 64, pa.int64()),
+            "rev_e4": pa.array(tot.astype(np.int64), pa.int64()),
+        })
+
+    def _cust(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": pc.cast(batch["c_custkey"], pa.int64()),
+            "c_nk": pc.cast(batch["c_nationkey"], pa.int64()),
+        })
+
+    def _orders(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": pc.cast(batch["o_orderkey"], pa.int64()),
+            "o_custkey": pc.cast(batch["o_custkey"], pa.int64()),
+        })
+
+    cust = read_parquet_clean(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"]).map_batches(
+        _cust, batch_format="pyarrow")
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey"]).map_batches(
+        _orders, batch_format="pyarrow")
+    co = hash_join_exchange(orders, cust, key="custkey",
+                            left_cols=["o_orderkey"],
+                            right_cols=["c_nk"], n_parts=n_parts,
+                            left_key="o_custkey",
+                            right_key="c_custkey")
+    lines = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"]).map_batches(
+        _lines, batch_format="pyarrow")
+    col = hash_join_exchange(co, lines, key="orderkey",
+                             left_cols=["c_nk"],
+                             right_cols=["s_nk", "rev_e4"],
+                             n_parts=n_parts, left_key="o_orderkey",
+                             right_key="l_orderkey")
+
+    def _split(batch: pa.Table) -> pa.Table:
+        cnk = np.asarray(batch["c_nk"], np.int64)
+        snk = np.asarray(batch["s_nk"], np.int64)
+        rev = np.asarray(batch["rev_e4"], np.int64)
+        local = np.where(cnk == snk, rev, 0)
+        return pa.table({
+            "c_nk": pa.array(cnk, pa.int64()),
+            "local_e4": pa.array(local, pa.int64()),
+            "cross_e4": pa.array(rev - local, pa.int64()),
+        })
+
+    agg = grouped_sums(col.map_batches(_split, batch_format="pyarrow"),
+                       ["c_nk"], ["local_e4", "cross_e4"])
+
+    def _name(batch: pa.Table) -> pa.Table:
+        # customers whose nationkey misses the dim drop here — inner-join
+        # semantics with the SQL twin (dim-sized Python loop, 25 rows)
+        names = [nk_name.get(k) for k in batch["c_nk"].to_pylist()]
+        out = pa.table({
+            "nation": pa.array(names, pa.string()),
+            "local_rev_e4": batch["sum_local_e4"],
+            "cross_rev_e4": batch["sum_cross_e4"],
+        }).cast(CROSS_BORDER_SCHEMA)
+        return out.filter(pc.is_valid(out["nation"]))
+
+    return agg.map_batches(_name, batch_format="pyarrow")

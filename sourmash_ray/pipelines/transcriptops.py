@@ -1563,3 +1563,72 @@ def conv_tool_set_counts(sf_dir: str):
                             "n_convs": t["sum_n_convs"]}
                            ).cast(TOOL_SET_SCHEMA),
         batch_format="pyarrow")
+
+
+TOOL_ADOPTION_SCHEMA = pa.schema([
+    ("n_turns", pa.int64()),
+    ("n_convs", pa.int64()),
+    ("n_with_tool", pa.int64()),
+])
+
+
+def tool_adoption_by_conv_length(sf_dir: str):
+    """Does tool use scale with conversation depth? Per exact
+    conversation length (turn count): how many conversations exist, and
+    how many call at least one tool — the adoption curve a capability
+    dashboard plots. One conv exchange; each partition folds its convs
+    with a lexsort + reduceat (length = run length, adoption = max of
+    the tool flag per run) and only (n_turns, count, count) partials
+    reach the final combine."""
+    from ..config import resolve_num_partitions
+    from ..functions.segscore import _to_bytes_array, hash_strings64
+    from ..stages.agg import grouped_sums
+    from ..stages.exchange import exchange_map_groups
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        cid = batch["conv_id"].combine_chunks()
+        has_tool = pc.and_(pc.is_valid(batch["tool"]),
+                           pc.not_equal(batch["tool"], ""))
+        return pa.table({
+            "conv_id": cid,
+            "has_tool": pc.cast(has_tool, pa.int64()),
+            "conv_part": pa.array(hash_strings64(cid) % 1024, pa.int64()),
+        })
+
+    part_schema = TOOL_ADOPTION_SCHEMA
+
+    def _fold(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return part_schema.empty_table()
+        cid = _to_bytes_array(part["conv_id"].combine_chunks())
+        ht = np.asarray(part["has_tool"], np.int64)
+        order = np.argsort(cid, kind="stable")
+        cid_s, ht_s = cid[order], ht[order]
+        starts = np.flatnonzero(np.r_[True, cid_s[1:] != cid_s[:-1]])
+        lens = np.diff(np.r_[starts, len(cid_s)])
+        adopted = np.maximum.reduceat(ht_s, starts)
+        o2 = np.lexsort((adopted, lens))
+        ln_s, ad_s = lens[o2], adopted[o2]
+        first = np.r_[True, (ln_s[1:] != ln_s[:-1])
+                      | (ad_s[1:] != ad_s[:-1])]
+        st = np.flatnonzero(first)
+        cnt = np.diff(np.r_[st, len(ln_s)])
+        return pa.table({
+            "n_turns": pa.array(ln_s[st].astype(np.int64), pa.int64()),
+            "n_convs": pa.array(cnt.astype(np.int64), pa.int64()),
+            "n_with_tool": pa.array((cnt * ad_s[st]).astype(np.int64),
+                                    pa.int64()),
+        })
+
+    keyed = _read_turns(sf_dir, ("conv_id", "tool")
+                        ).map_batches(_prep, batch_format="pyarrow")
+    parts = exchange_map_groups(keyed, "conv_part",
+                                resolve_num_partitions(DEFAULT_CONFIG),
+                                _fold, part_schema)
+    g = grouped_sums(parts, ["n_turns"], ["n_convs", "n_with_tool"])
+    return g.map_batches(
+        lambda t: pa.table({"n_turns": t["n_turns"],
+                            "n_convs": t["sum_n_convs"],
+                            "n_with_tool": t["sum_n_with_tool"]}
+                           ).cast(TOOL_ADOPTION_SCHEMA),
+        batch_format="pyarrow")

@@ -491,3 +491,30 @@ def media_kind_lang_matrix(sf_dir: str):
             "kind": t["kind"], "lang": t["lang"],
             "n_media": t["n_media"], "sum_bytes": t["sum_n_bytes"],
         }).cast(MEDIA_KIND_LANG_SCHEMA), batch_format="pyarrow")
+
+
+MEDIA_SIZE_Q_SCHEMA = pa.schema([
+    ("kind", pa.string()),
+    ("q", pa.float64()),
+    ("n_bytes", pa.int64()),
+])
+
+
+def media_kind_size_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.9)):
+    """Exact discrete payload-size quantiles per media kind — the
+    P50/P90 sizing numbers behind the decode pool's ``batch_size``
+    choice (next to :func:`media_size_histogram`'s full shape). One
+    dim-bounded grouped histogram; the quantile walk runs driver-side
+    over (kind × distinct-size) cells, never the rows."""
+    import ray.data
+
+    from ..stages.agg import grouped_quantiles_disc
+
+    ds = ray.data.read_parquet(media_path(sf_dir),
+                               columns=["kind", "n_bytes"])
+    tbl = grouped_quantiles_disc(ds, "kind", "n_bytes", list(qs))
+    return ray.data.from_arrow(pa.table({
+        "kind": tbl["kind"],
+        "q": tbl["q"],
+        "n_bytes": tbl["value"],
+    }).cast(MEDIA_SIZE_Q_SCHEMA))
