@@ -1218,6 +1218,13 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
             transcriptops.tool_adoption_by_conv_length,
         "token_length_by_lang": docops.token_length_by_lang,
         "media_kind_size_quantiles": multimodal.media_kind_size_quantiles,
+        # --- batch 3: embedding audits, bursts, discount tiers ---
+        "embedding_value_histogram": ann.embedding_value_histogram,
+        "vector_ssq_quantiles_by_label":
+            ann.vector_ssq_quantiles_by_label,
+        "dim_argmax_histogram": ann.dim_argmax_histogram,
+        "error_burst_events": eventops.error_burst_events,
+        "discount_profile": relational.discount_profile,
     }
 
 
@@ -4032,5 +4039,66 @@ def oracle_sql() -> dict[str, str]:
                              AS v
                   FROM read_parquet('{_media}/*.parquet')
                   GROUP BY kind)
+        """,
+        "embedding_value_histogram": """
+            WITH v AS (
+              SELECT CAST(round(CAST(unnest(embedding) AS DOUBLE)
+                          * 10000) AS BIGINT) AS e4
+              FROM embeddings)
+            SELECT ((e4 + 20000000) // 500 - 40000) * 500 AS bucket_e4,
+                   CAST(count(*) AS BIGINT) AS n_values
+            FROM v GROUP BY 1
+        """,
+        "vector_ssq_quantiles_by_label": """
+            WITH s AS (
+              SELECT CAST(label AS BIGINT) AS label,
+                     list_sum(list_transform(embedding,
+                         x -> CAST(round(CAST(x AS DOUBLE) * 10000)
+                                   AS BIGINT)
+                              * CAST(round(CAST(x AS DOUBLE) * 10000)
+                                     AS BIGINT))) AS ssq
+              FROM embeddings)
+            SELECT label, CAST(q AS DOUBLE) AS q,
+                   CAST(v AS BIGINT) AS ssq_e8
+            FROM (SELECT label, unnest([0.25, 0.5, 0.75, 0.9]) AS q,
+                         unnest(quantile_disc(ssq,
+                                              [0.25, 0.5, 0.75, 0.9]))
+                             AS v
+                  FROM s GROUP BY label)
+        """,
+        "dim_argmax_histogram": """
+            WITH a AS (
+              SELECT list_transform(embedding,
+                         x -> abs(CAST(round(CAST(x AS DOUBLE) * 10000)
+                                       AS BIGINT))) AS labs
+              FROM embeddings)
+            SELECT CAST(list_indexof(labs, list_max(labs)) AS BIGINT)
+                       AS dim,
+                   CAST(count(*) AS BIGINT) AS n_vectors
+            FROM a GROUP BY 1
+        """,
+        "error_burst_events": """
+            WITH c AS (
+              SELECT user_id,
+                     make_timestamp((CAST(epoch_us(ts) AS BIGINT)
+                                     // 300000000) * 300000000)
+                         AS window_start,
+                     count(*) AS n
+              FROM events WHERE event_type = 'error'
+              GROUP BY 1, 2)
+            SELECT user_id, window_start, CAST(n AS BIGINT) AS n_errors
+            FROM c WHERE n >= 2
+        """,
+        "discount_profile": """
+            SELECT CAST(round(l_discount * 100) AS BIGINT)
+                       AS discount_pct,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                        AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100)
+                                          AS BIGINT))) AS BIGINT)
+                       AS revenue_e4
+            FROM lineitem GROUP BY 1
         """,
     }

@@ -1543,3 +1543,131 @@ def centroid_distance_matrix(sf_dir: str):
         "label_b": pa.array(out_b, pa.int64()),
         "dist_sq_e8": pa.array(out_d, pa.int64()),
     }).cast(CENTROID_DIST_SCHEMA)
+
+
+EMB_VALUE_HIST_SCHEMA = pa.schema([
+    ("bucket_e4", pa.int64()),
+    ("n_values", pa.int64()),
+])
+
+_EVH_SHIFT_E4 = 20_000_000  # divisible by every sane bucket width
+
+
+def embedding_value_histogram(sf_dir: str, bucket_e4: int = 500):
+    """Global histogram of embedding COMPONENT values in
+    ``bucket_e4``-wide 1e4-quantized buckets — the value-distribution
+    audit (clipping, saturation, dead zero mass) next to
+    :func:`embedding_dim_profile`'s per-dimension moments. Bucket =
+    floor(e4 / width): negative values shift by +2e7 before the integer
+    division so numpy's floor and SQL's truncating ``//`` agree on a
+    non-negative operand, then shift back (the ship_delay_histogram
+    contract; values below −2e7 raise rather than silently diverge).
+    Each block reduces to its distinct buckets before the exchange."""
+    from ..stages.agg import grouped_sums
+
+    if _EVH_SHIFT_E4 % bucket_e4:
+        raise ValueError("bucket_e4 must divide the shift")
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        _, mat = _emb_matrix(batch)
+        if mat.size == 0:
+            return pa.schema([("bucket_e4", pa.int64()),
+                              ("n_values", pa.int64())]).empty_table()
+        q = np.round(mat * 1e4).astype(np.int64).ravel()
+        if (q < -_EVH_SHIFT_E4).any():
+            raise ValueError("embedding value below histogram shift")
+        b = (q + _EVH_SHIFT_E4) // bucket_e4 - _EVH_SHIFT_E4 // bucket_e4
+        vals, cnts = np.unique(b, return_counts=True)
+        return pa.table({
+            "bucket_e4": pa.array(vals * bucket_e4, pa.int64()),
+            "n_values": pa.array(cnts.astype(np.int64), pa.int64()),
+        })
+
+    g = grouped_sums(_read_emb(sf_dir).map_batches(
+        _hist, batch_format="pyarrow"), ["bucket_e4"], ["n_values"])
+    return g.map_batches(
+        lambda t: pa.table({"bucket_e4": t["bucket_e4"],
+                            "n_values": t["sum_n_values"]}
+                           ).cast(EMB_VALUE_HIST_SCHEMA),
+        batch_format="pyarrow")
+
+
+SSQ_QUANT_SCHEMA = pa.schema([
+    ("label", pa.int64()),
+    ("q", pa.float64()),
+    ("ssq_e8", pa.int64()),
+])
+
+
+def vector_ssq_quantiles_by_label(sf_dir: str,
+                                  qs=(0.25, 0.5, 0.75, 0.9)):
+    """Per-label exact discrete quantiles of the squared L2 norm in 1e8
+    integer units (sum of squared 1e4-quantized components — exact
+    int64, the same quantize-first trick that makes
+    embedding_neardup_exact knife-edge-stable). The norm spread per
+    class is the calibration audit run before cosine thresholds are
+    picked per label."""
+    from ..stages.agg import grouped_quantiles_disc
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding", "label"])
+
+    def _ssq(batch: pa.Table) -> pa.Table:
+        _, mat = _emb_matrix(batch)
+        if mat.size == 0:
+            return pa.schema([("label", pa.int64()),
+                              ("ssq_e8", pa.int64())]).empty_table()
+        q = np.round(mat * 1e4).astype(np.int64)
+        ssq = (q * q).sum(axis=1)
+        return pa.table({
+            "label": pc.cast(batch["label"], pa.int64()),
+            "ssq_e8": pa.array(ssq, pa.int64()),
+        })
+
+    import ray.data
+
+    tbl = grouped_quantiles_disc(
+        ds.map_batches(_ssq, batch_format="pyarrow"),
+        "label", "ssq_e8", list(qs))
+    return ray.data.from_arrow(pa.table({
+        "label": pc.cast(tbl["label"], pa.int64()),
+        "q": tbl["q"],
+        "ssq_e8": tbl["value"],
+    }).cast(SSQ_QUANT_SCHEMA))
+
+
+DIM_ARGMAX_SCHEMA = pa.schema([
+    ("dim", pa.int64()),
+    ("n_vectors", pa.int64()),
+])
+
+
+def dim_argmax_histogram(sf_dir: str):
+    """Which dimension dominates each vector: per vector the 1-BASED
+    index of the maximum ABSOLUTE 1e4-quantized component (first index
+    on ties — numpy argmax and SQL list_indexof(l, list_max(l)) agree),
+    counted across the corpus. A healthy isotropic embedding spreads
+    mass over all dims; a spike here means a dimension is doing all the
+    work (batch-norm bugs, projection collapse)."""
+    from ..stages.agg import grouped_sums
+
+    def _am(batch: pa.Table) -> pa.Table:
+        _, mat = _emb_matrix(batch)
+        if mat.size == 0:
+            return pa.schema([("dim", pa.int64()),
+                              ("n_vectors", pa.int64())]).empty_table()
+        q = np.abs(np.round(mat * 1e4).astype(np.int64))
+        am = q.argmax(axis=1) + 1
+        vals, cnts = np.unique(am, return_counts=True)
+        return pa.table({
+            "dim": pa.array(vals.astype(np.int64), pa.int64()),
+            "n_vectors": pa.array(cnts.astype(np.int64), pa.int64()),
+        })
+
+    g = grouped_sums(_read_emb(sf_dir).map_batches(
+        _am, batch_format="pyarrow"), ["dim"], ["n_vectors"])
+    return g.map_batches(
+        lambda t: pa.table({"dim": t["dim"],
+                            "n_vectors": t["sum_n_vectors"]}
+                           ).cast(DIM_ARGMAX_SCHEMA),
+        batch_format="pyarrow")

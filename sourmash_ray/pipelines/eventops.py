@@ -1749,3 +1749,55 @@ def event_daypart_profile(sf_dir: str):
             "n_events": t["n_events"],
             "sum_value_micros": t["sum_value_micros"],
         }).cast(DAYPART_SCHEMA), batch_format="pyarrow")
+
+
+ERROR_BURST_SCHEMA = pa.schema([
+    ("user_id", pa.int64()),
+    ("window_start", pa.timestamp("us")),
+    ("n_errors", pa.int64()),
+])
+
+
+def error_burst_events(sf_dir: str, window_minutes: int = 5,
+                       min_count: int = 2):
+    """Error-burst detector: (user, 5-minute tumbling window) cells with
+    ≥ ``min_count`` 'error' events — the alerting primitive over the
+    same truncate-then-groupby shuffle as :func:`tumbling_window_counts`
+    (filter to errors at the scan, so only error rows ever shuffle).
+    Output keeps the cells, not the users, so downstream can join back
+    to sessions or raise one alert per window."""
+    import numpy as np
+
+    from ..stages.agg import grouped_sums
+
+    win_us = window_minutes * 60 * 1_000_000
+
+    def _cells(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch["event_type"], "error")
+        t = batch.filter(keep)
+        ts = np.asarray(t["ts"].combine_chunks().cast(pa.int64()))
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "win_us": pa.array((ts // win_us) * win_us, pa.int64()),
+        })
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts",
+                                     "event_type"]).map_batches(
+        _cells, batch_format="pyarrow")
+    g = grouped_sums(ds, ["user_id", "win_us"], [], count_as="n_errors")
+
+    def _bursts(t: pa.Table) -> pa.Table:
+        out = t.filter(pc.greater_equal(t["n_errors"], min_count))
+        return pa.table({
+            "user_id": out["user_id"],
+            "window_start": pc.cast(out["win_us"], pa.timestamp("us")),
+            "n_errors": out["n_errors"],
+        }).cast(ERROR_BURST_SCHEMA)
+
+    res = g.map_batches(_bursts, batch_format="pyarrow").materialize()
+    if res.count() == 0:
+        # a burst-free window set is legitimate — return it TYPED (an
+        # all-empty Dataset loses its schema; the known engine quirk)
+        return ERROR_BURST_SCHEMA.empty_table()
+    return res

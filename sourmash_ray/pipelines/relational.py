@@ -3380,3 +3380,48 @@ def cross_border_trade(sf_dir: str):
         return out.filter(pc.is_valid(out["nation"]))
 
     return agg.map_batches(_name, batch_format="pyarrow")
+
+
+DISCOUNT_PROFILE_SCHEMA = pa.schema([
+    ("discount_pct", pa.int64()),
+    ("n_lines", pa.int64()),
+    ("sum_qty", pa.int64()),
+    ("revenue_e4", pa.int64()),
+])
+
+
+def discount_profile(sf_dir: str):
+    """Volume and revenue by discount tier (whole percent, 0–10): does
+    discounting move quantity? One map-only bucketing over the pruned
+    lineitem scan + a dim-bounded grouped_sums; all three measures stay
+    exact-integer (qty and cents round per row, revenue =
+    cents × (100−pct) at e4)."""
+    import numpy as np
+
+    from ..stages.agg import grouped_sums
+
+    def _tiers(batch: pa.Table) -> pa.Table:
+        disc = np.asarray(batch["l_discount"], np.float64)
+        qty = np.asarray(batch["l_quantity"], np.float64)
+        price = np.asarray(batch["l_extendedprice"], np.float64)
+        pct = np.rint(disc * 100).astype(np.int64)
+        cents = np.rint(price * 100).astype(np.int64)
+        return pa.table({
+            "discount_pct": pa.array(pct, pa.int64()),
+            "qty": pa.array(np.rint(qty).astype(np.int64), pa.int64()),
+            "rev_e4": pa.array(cents * (100 - pct), pa.int64()),
+        })
+
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_discount", "l_quantity",
+                                     "l_extendedprice"]).map_batches(
+        _tiers, batch_format="pyarrow")
+    g = grouped_sums(ds, ["discount_pct"], ["qty", "rev_e4"],
+                     count_as="n_lines")
+    return g.map_batches(
+        lambda t: pa.table({"discount_pct": t["discount_pct"],
+                            "n_lines": t["n_lines"],
+                            "sum_qty": t["sum_qty"],
+                            "revenue_e4": t["sum_rev_e4"]}
+                           ).cast(DISCOUNT_PROFILE_SCHEMA),
+        batch_format="pyarrow")
