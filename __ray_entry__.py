@@ -1225,6 +1225,11 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "dim_argmax_histogram": ann.dim_argmax_histogram,
         "error_burst_events": eventops.error_burst_events,
         "discount_profile": relational.discount_profile,
+        # --- batch 4: grouped ranking, cadence islands, mix shift ---
+        "top_suppliers_per_nation": relational.top_suppliers_per_nation,
+        "customer_active_month_streaks":
+            relational.customer_active_month_streaks,
+        "event_type_share_by_week": eventops.event_type_share_by_week,
     }
 
 
@@ -4100,5 +4105,60 @@ def oracle_sql() -> dict[str, str]:
                                           AS BIGINT))) AS BIGINT)
                        AS revenue_e4
             FROM lineitem GROUP BY 1
+        """,
+        "top_suppliers_per_nation": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     CAST(sum(CAST(round(l_extendedprice * 100)
+                                   AS BIGINT)
+                              * (100 - CAST(round(l_discount * 100)
+                                            AS BIGINT))) AS BIGINT)
+                         AS revenue_e4
+              FROM lineitem GROUP BY l_suppkey),
+            named AS (
+              SELECT n.n_name AS nation, s.s_suppkey, rev.revenue_e4
+              FROM rev
+              JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+              JOIN nation n ON s.s_nationkey = n.n_nationkey),
+            ranked AS (
+              SELECT nation, s_suppkey, revenue_e4,
+                     row_number() OVER (PARTITION BY nation
+                                        ORDER BY revenue_e4 DESC,
+                                                 s_suppkey) AS rn
+              FROM named)
+            SELECT nation, CAST(s_suppkey AS BIGINT) AS s_suppkey,
+                   revenue_e4, CAST(rn AS BIGINT) AS rn
+            FROM ranked WHERE rn <= 3
+        """,
+        "customer_active_month_streaks": """
+            WITH cm AS (
+              SELECT DISTINCT o_custkey,
+                     (year(o_orderdate) - 1970) * 12
+                     + month(o_orderdate) - 1 AS mo
+              FROM orders),
+            isl AS (
+              SELECT o_custkey,
+                     mo - ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                             ORDER BY mo) AS grp
+              FROM cm),
+            runs AS (
+              SELECT o_custkey, count(*) AS len
+              FROM isl GROUP BY o_custkey, grp),
+            mx AS (
+              SELECT o_custkey, max(len) AS streak
+              FROM runs GROUP BY o_custkey)
+            SELECT CAST(streak AS BIGINT) AS streak_months,
+                   CAST(count(*) AS BIGINT) AS n_customers
+            FROM mx GROUP BY 1
+        """,
+        "event_type_share_by_week": """
+            WITH c AS (
+              SELECT CAST(epoch_us(ts) AS BIGINT) // 604800000000 AS wk,
+                     event_type, count(*) AS n
+              FROM events GROUP BY 1, 2)
+            SELECT wk, event_type, CAST(n AS BIGINT) AS n_events,
+                   CAST(n * 10000 // sum(n) OVER (PARTITION BY wk)
+                        AS BIGINT) AS share_e4
+            FROM c
         """,
     }

@@ -1801,3 +1801,53 @@ def error_burst_events(sf_dir: str, window_minutes: int = 5,
         # all-empty Dataset loses its schema; the known engine quirk)
         return ERROR_BURST_SCHEMA.empty_table()
     return res
+
+
+TYPE_SHARE_SCHEMA = pa.schema([
+    ("wk", pa.int64()),
+    ("event_type", pa.string()),
+    ("n_events", pa.int64()),
+    ("share_e4", pa.int64()),
+])
+
+
+def event_type_share_by_week(sf_dir: str):
+    """Weekly mix shift: per epoch-week (``ts_us // 7d``), each event
+    type's count and its share of the week in exact 1e4 integer units
+    (``n·10000 // week_total`` — floor division, the only share both
+    engines compute bit-identically). The corpus folds to
+    weeks × types cells in one block-combined grouped_sums; the share
+    normalization walks those dim-bounded cells driver-side."""
+    import numpy as np
+
+    import ray.data
+
+    from ..stages.agg import grouped_sums
+
+    week_us = 7 * 86_400 * 1_000_000
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch["ts"], pa.int64())
+        return pa.table({
+            "wk": pc.divide(ts, pa.scalar(week_us, pa.int64())),
+            "event_type": batch["event_type"],
+        })
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "event_type"]).map_batches(
+        _tag, batch_format="pyarrow")
+    cells = grouped_sums(ds, ["wk", "event_type"], [],
+                         count_as="n_events").take_all()
+    totals: dict = {}
+    for r in cells:
+        totals[r["wk"]] = totals.get(r["wk"], 0) + r["n_events"]
+    cells.sort(key=lambda r: (r["wk"], r["event_type"]))
+    return ray.data.from_arrow(pa.table({
+        "wk": pa.array([r["wk"] for r in cells], pa.int64()),
+        "event_type": pa.array([r["event_type"] for r in cells],
+                               pa.string()),
+        "n_events": pa.array([r["n_events"] for r in cells], pa.int64()),
+        "share_e4": pa.array(
+            [r["n_events"] * 10000 // totals[r["wk"]] for r in cells],
+            pa.int64()),
+    }).cast(TYPE_SHARE_SCHEMA))

@@ -3425,3 +3425,145 @@ def discount_profile(sf_dir: str):
                             "revenue_e4": t["sum_rev_e4"]}
                            ).cast(DISCOUNT_PROFILE_SCHEMA),
         batch_format="pyarrow")
+
+
+TOP_SUPP_SCHEMA = pa.schema([
+    ("nation", pa.string()),
+    ("s_suppkey", pa.int64()),
+    ("revenue_e4", pa.int64()),
+    ("rn", pa.int64()),
+])
+
+
+def top_suppliers_per_nation(sf_dir: str, k: int = 3):
+    """Top-k suppliers by lineitem revenue WITHIN each nation — the
+    grouped-ranking shape (`row_number() OVER (PARTITION BY nation
+    ORDER BY rev DESC, suppkey)`) on a joined fact: revenue folds to
+    one exact-integer row per supplier (dim-bounded) in a block-combined
+    grouped_sums, the supplier→nation hop is a dense broadcast array,
+    and `grouped_topk` runs its two-level candidate exchange so only
+    ≤ k·keys rows move. Suppliers with no lineitems don't rank
+    (inner semantics, same as the SQL join)."""
+    import numpy as np
+
+    from ..stages.agg import grouped_sums, grouped_topk
+
+    nation = read_parquet_clean(f"{sf_dir}/nation.parquet").take_all()
+    nk_name = {r["n_nationkey"]: r["n_name"] for r in nation}
+    supp = read_parquet_clean(f"{sf_dir}/supplier.parquet",
+                              columns=["s_suppkey",
+                                       "s_nationkey"]).take_all()
+    max_sk = max((r["s_suppkey"] for r in supp), default=-1)
+    s_nk = np.full(max_sk + 1, -1, np.int64)
+    for r in supp:
+        s_nk[r["s_suppkey"]] = r["s_nationkey"]
+    lut_ref = ray.put(s_nk)
+
+    def _rev(batch: pa.Table) -> pa.Table:
+        sk = np.asarray(batch["l_suppkey"], np.int64)
+        price = np.asarray(batch["l_extendedprice"], np.float64)
+        disc = np.asarray(batch["l_discount"], np.float64)
+        rev = (np.rint(price * 100).astype(np.int64)
+               * (100 - np.rint(disc * 100).astype(np.int64)))
+        return pa.table({
+            "s_suppkey": pa.array(sk, pa.int64()),
+            "rev_e4": pa.array(rev, pa.int64()),
+        })
+
+    per_supp = grouped_sums(
+        read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_suppkey", "l_extendedprice",
+                                    "l_discount"]).map_batches(
+            _rev, batch_format="pyarrow"),
+        ["s_suppkey"], ["rev_e4"])
+
+    def _nation(batch: pa.Table) -> pa.Table:
+        s_a = ray.get(lut_ref)
+        sk = np.asarray(batch["s_suppkey"], np.int64)
+        m = (sk >= 0) & (sk < s_a.size)
+        m[m] &= s_a[sk[m]] >= 0
+        sk = sk[m]
+        rev = np.asarray(batch["sum_rev_e4"], np.int64)[m]
+        names = [nk_name.get(int(n)) for n in s_a[sk]]  # dim-sized
+        out = pa.table({
+            "nation": pa.array(names, pa.string()),
+            "s_suppkey": pa.array(sk, pa.int64()),
+            "revenue_e4": pa.array(rev, pa.int64()),
+        })
+        return out.filter(pc.is_valid(out["nation"]))
+
+    scored = per_supp.map_batches(_nation, batch_format="pyarrow")
+    ranked = grouped_topk(scored, "nation", "revenue_e4", k,
+                          "s_suppkey")
+    return ranked.map_batches(
+        lambda t: pa.table({"nation": t["nation"],
+                            "s_suppkey": t["s_suppkey"],
+                            "revenue_e4": t["revenue_e4"],
+                            "rn": pc.cast(t["rn"], pa.int64())}
+                           ).cast(TOP_SUPP_SCHEMA),
+        batch_format="pyarrow")
+
+
+MONTH_STREAK_SCHEMA = pa.schema([
+    ("streak_months", pa.int64()),
+    ("n_customers", pa.int64()),
+])
+
+
+def customer_active_month_streaks(sf_dir: str):
+    """Longest consecutive-active-MONTH ordering streak per customer
+    (month = year·12 + month−1 of o_orderdate), as a histogram — the
+    purchase-cadence twin of eventops.user_daily_streaks on the orders
+    carrier. One custkey exchange; per partition the (customer, month)
+    dedup + island pass is a single lexsort, and per-customer max
+    streaks fold with ``np.maximum.reduceat``."""
+    import numpy as np
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.agg import grouped_sums
+    from ..stages.exchange import exchange_map_groups
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch["o_orderdate"], "datetime64[us]")
+        months = d.astype("datetime64[M]").astype(np.int64)  # epoch-month
+        return pa.table({
+            "o_custkey": pc.cast(batch["o_custkey"], pa.int64()),
+            "mo": pa.array(months, pa.int64()),
+        })
+
+    part_schema = MONTH_STREAK_SCHEMA
+
+    def _streaks(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return part_schema.empty_table()
+        u = np.asarray(part["o_custkey"], np.int64)
+        w = np.asarray(part["mo"], np.int64)
+        order = np.lexsort((w, u))
+        u, w = u[order], w[order]
+        keep = np.r_[True, (u[1:] != u[:-1]) | (w[1:] != w[:-1])]
+        u, w = u[keep], w[keep]
+        new_isl = np.r_[True, (u[1:] != u[:-1]) | (np.diff(w) != 1)]
+        isl_len = np.diff(np.r_[np.flatnonzero(new_isl), len(u)])
+        isl_user = u[new_isl]
+        first_isl = np.flatnonzero(
+            np.r_[True, isl_user[1:] != isl_user[:-1]])
+        mx = np.maximum.reduceat(isl_len, first_isl)
+        vals, cnts = np.unique(mx, return_counts=True)
+        return pa.table({
+            "streak_months": pa.array(vals.astype(np.int64), pa.int64()),
+            "n_customers": pa.array(cnts.astype(np.int64), pa.int64()),
+        })
+
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey",
+                                     "o_orderdate"]).map_batches(
+        _tag, batch_format="pyarrow")
+    parts = exchange_map_groups(ds, "o_custkey",
+                                resolve_num_partitions(DEFAULT_CONFIG),
+                                _streaks, part_schema)
+    g = grouped_sums(parts, ["streak_months"], ["n_customers"])
+    return g.map_batches(
+        lambda t: pa.table({"streak_months": t["streak_months"],
+                            "n_customers": t["sum_n_customers"]}
+                           ).cast(MONTH_STREAK_SCHEMA),
+        batch_format="pyarrow")
