@@ -1230,6 +1230,12 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "customer_active_month_streaks":
             relational.customer_active_month_streaks,
         "event_type_share_by_week": eventops.event_type_share_by_week,
+        # --- batch 5: tax leg, linenumber audit, deciles, seasonality ---
+        "tax_charge_summary": relational.tax_charge_summary,
+        "order_linenumber_integrity":
+            relational.order_linenumber_integrity,
+        "user_value_deciles": eventops.user_value_deciles,
+        "ship_month_profile": relational.ship_month_profile,
     }
 
 
@@ -4160,5 +4166,59 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n * 10000 // sum(n) OVER (PARTITION BY wk)
                         AS BIGINT) AS share_e4
             FROM c
+        """,
+        "tax_charge_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100)
+                                          AS BIGINT))
+                            * (100 + CAST(round(l_tax * 100)
+                                          AS BIGINT))) AS BIGINT)
+                       AS charge_e6,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100)
+                                          AS BIGINT))
+                            * CAST(round(l_tax * 100) AS BIGINT))
+                        AS BIGINT) AS tax_e6
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "order_linenumber_integrity": """
+            WITH per AS (
+              SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CAST(l_linenumber AS BIGINT)) AS BIGINT)
+                         AS s,
+                     CAST(sum(CAST(l_linenumber AS BIGINT)
+                              * CAST(l_linenumber AS BIGINT)) AS BIGINT)
+                         AS s2
+              FROM lineitem GROUP BY 1)
+            SELECT n AS n_lines,
+                   CAST((2 * s = n * (n + 1)
+                         AND 6 * s2 = n * (n + 1) * (2 * n + 1))
+                        AS BIGINT) AS is_contiguous,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM per GROUP BY 1, 2
+        """,
+        "user_value_deciles": """
+            WITH per AS (
+              SELECT user_id,
+                     CAST(sum(CAST(round(coalesce(value, 0) * 100)
+                                   AS BIGINT)) AS BIGINT) AS c
+              FROM events GROUP BY 1),
+            t AS (
+              SELECT c, ntile(10) OVER (ORDER BY c DESC, user_id) AS d
+              FROM per)
+            SELECT CAST(d AS BIGINT) AS decile,
+                   CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(c) AS BIGINT) AS sum_value_cents
+            FROM t GROUP BY 1
+        """,
+        "ship_month_profile": """
+            SELECT CAST(month(l_shipdate) AS BIGINT) AS month,
+                   l_returnflag,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                        AS BIGINT) AS qty_e2
+            FROM lineitem GROUP BY 1, 2
         """,
     }

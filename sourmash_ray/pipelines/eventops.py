@@ -1851,3 +1851,56 @@ def event_type_share_by_week(sf_dir: str):
             [r["n_events"] * 10000 // totals[r["wk"]] for r in cells],
             pa.int64()),
     }).cast(TYPE_SHARE_SCHEMA))
+
+
+VALUE_DECILE_SCHEMA = pa.schema([
+    ("decile", pa.int64()),
+    ("n_users", pa.int64()),
+    ("sum_value_cents", pa.int64()),
+])
+
+
+def user_value_deciles(sf_dir: str, n_tiles: int = 10):
+    """Spend-decile segmentation: users ranked by exact total value
+    cents (descending, user_id tiebreak) and cut into SQL-``ntile``
+    buckets — the first ``n_users mod n_tiles`` buckets take the extra
+    row, exactly DuckDB's assignment given the deterministic total
+    order. The per-user fold is distributed (block combiner + one
+    exchange); the ranked cut walks the dim-bounded per-user table
+    driver-side, the same contract as customer_rfm_segments."""
+    import numpy as np
+
+    import ray.data
+
+    from ..stages.agg import grouped_sums
+
+    def _cents(batch: pa.Table) -> pa.Table:
+        v = np.rint(np.asarray(
+            pc.fill_null(batch["value"], 0.0), np.float64) * 100)
+        return pa.table({
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+            "cents": pa.array(v.astype(np.int64), pa.int64()),
+        })
+
+    per_user = grouped_sums(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["user_id", "value"]).map_batches(
+            _cents, batch_format="pyarrow"),
+        ["user_id"], ["cents"]).take_all()
+    if not per_user:
+        return ray.data.from_arrow(VALUE_DECILE_SCHEMA.empty_table())
+    uid = np.array([r["user_id"] for r in per_user], np.int64)
+    cents = np.array([r["sum_cents"] for r in per_user], np.int64)
+    order = np.lexsort((uid, -cents))
+    n = uid.size
+    sizes = np.full(n_tiles, n // n_tiles, np.int64)
+    sizes[: n % n_tiles] += 1
+    tile_of = np.repeat(np.arange(1, n_tiles + 1, dtype=np.int64), sizes)
+    sums = np.zeros(n_tiles + 1, np.int64)
+    np.add.at(sums, tile_of, cents[order])
+    used = np.flatnonzero(sizes > 0) + 1
+    return ray.data.from_arrow(pa.table({
+        "decile": pa.array(used, pa.int64()),
+        "n_users": pa.array(sizes[used - 1], pa.int64()),
+        "sum_value_cents": pa.array(sums[used], pa.int64()),
+    }).cast(VALUE_DECILE_SCHEMA))

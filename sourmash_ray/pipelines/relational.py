@@ -3567,3 +3567,155 @@ def customer_active_month_streaks(sf_dir: str):
                             "n_customers": t["sum_n_customers"]}
                            ).cast(MONTH_STREAK_SCHEMA),
         batch_format="pyarrow")
+
+
+TAX_CHARGE_SCHEMA = pa.schema([
+    ("l_returnflag", pa.string()),
+    ("l_linestatus", pa.string()),
+    ("n_lines", pa.int64()),
+    ("charge_e6", pa.int64()),
+    ("tax_e6", pa.int64()),
+])
+
+
+def tax_charge_summary(sf_dir: str):
+    """Q1's tax leg in exact integers — the only op that touches
+    ``l_tax``: per (returnflag, linestatus), the full charge
+    ``Σ cents·(100−d)·(100+t)`` and its tax component
+    ``Σ cents·(100−d)·t`` (both 1e6-scaled: cents × two whole-percent
+    factors). One block-combined grouped_sums; the fact table never
+    shuffles, only blocks × 6 partial cells do."""
+    import numpy as np
+
+    from ..stages.agg import grouped_sums
+
+    def _charge(batch: pa.Table) -> pa.Table:
+        cents = np.rint(np.asarray(batch["l_extendedprice"],
+                                   np.float64) * 100).astype(np.int64)
+        d = np.rint(np.asarray(batch["l_discount"],
+                               np.float64) * 100).astype(np.int64)
+        t = np.rint(np.asarray(batch["l_tax"],
+                               np.float64) * 100).astype(np.int64)
+        disc = cents * (100 - d)
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "charge_e6": pa.array(disc * (100 + t), pa.int64()),
+            "tax_e6": pa.array(disc * t, pa.int64()),
+        })
+
+    g = grouped_sums(
+        read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_returnflag", "l_linestatus",
+                                    "l_extendedprice", "l_discount",
+                                    "l_tax"]).map_batches(
+            _charge, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"], ["charge_e6", "tax_e6"],
+        count_as="n_lines")
+    return g.map_batches(
+        lambda t: pa.table({"l_returnflag": t["l_returnflag"],
+                            "l_linestatus": t["l_linestatus"],
+                            "n_lines": t["n_lines"],
+                            "charge_e6": t["sum_charge_e6"],
+                            "tax_e6": t["sum_tax_e6"]}
+                           ).cast(TAX_CHARGE_SCHEMA),
+        batch_format="pyarrow")
+
+
+LINE_INTEGRITY_SCHEMA = pa.schema([
+    ("n_lines", pa.int64()),
+    ("is_contiguous", pa.int64()),
+    ("n_orders", pa.int64()),
+])
+
+
+def order_linenumber_integrity(sf_dir: str):
+    """Referential-quality audit of ``l_linenumber``: per order, test
+    whether its line numbers are exactly the permutation 1..n via the
+    moment fingerprint (count = n, Σln = n(n+1)/2, Σln² =
+    n(n+1)(2n+1)/6 — exact for permutations; an adversarial multiset
+    matching both moments at the same n would pass, which the SQL twin
+    shares by construction), then histogram orders by
+    (n_lines, is_contiguous). Shape: one grouped_sums folds the fact to
+    per-order moment rows (block partials pre-combine, so the exchange
+    carries blocks × orders-per-block rows), a map classifies, and a
+    dim-bounded cell fold finishes."""
+    import numpy as np
+
+    from ..stages.agg import grouped_sums
+
+    def _mom(batch: pa.Table) -> pa.Table:
+        ln = np.asarray(batch["l_linenumber"], np.int64)
+        return pa.table({
+            "l_orderkey": pc.cast(batch["l_orderkey"], pa.int64()),
+            "ln": pa.array(ln, pa.int64()),
+            "ln2": pa.array(ln * ln, pa.int64()),
+        })
+
+    per_order = grouped_sums(
+        read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey",
+                                    "l_linenumber"]).map_batches(
+            _mom, batch_format="pyarrow"),
+        ["l_orderkey"], ["ln", "ln2"], count_as="n")
+
+    def _classify(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch["n"], np.int64)
+        s = np.asarray(batch["sum_ln"], np.int64)
+        s2 = np.asarray(batch["sum_ln2"], np.int64)
+        ok = (2 * s == n * (n + 1)) & (6 * s2 == n * (n + 1) * (2 * n + 1))
+        return pa.table({
+            "n_lines": pa.array(n, pa.int64()),
+            "is_contiguous": pa.array(ok.astype(np.int64), pa.int64()),
+        })
+
+    g = grouped_sums(per_order.map_batches(_classify,
+                                           batch_format="pyarrow"),
+                     ["n_lines", "is_contiguous"], [],
+                     count_as="n_orders")
+    return g.map_batches(lambda t: t.cast(LINE_INTEGRITY_SCHEMA),
+                         batch_format="pyarrow")
+
+
+SHIP_MONTH_SCHEMA = pa.schema([
+    ("month", pa.int64()),
+    ("l_returnflag", pa.string()),
+    ("n_lines", pa.int64()),
+    ("qty_e2", pa.int64()),
+])
+
+
+def ship_month_profile(sf_dir: str):
+    """Shipping seasonality: month-of-year (1–12) × returnflag load
+    shape (line count + exact 1e2 quantity mass). Epoch-month modulo
+    twelve off the timestamp column; one grouped_sums, 36 cells."""
+    import numpy as np
+
+    from ..stages.agg import grouped_sums
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch["l_shipdate"], "datetime64[us]")
+        mo = d.astype("datetime64[M]").astype(np.int64)
+        if mo.size and mo.min() < 0:  # pre-1970 needs floor-mod care
+            raise ValueError("ship_month_profile: pre-epoch shipdate")
+        qty = np.rint(np.asarray(batch["l_quantity"],
+                                 np.float64) * 100).astype(np.int64)
+        return pa.table({
+            "month": pa.array(mo % 12 + 1, pa.int64()),
+            "l_returnflag": batch["l_returnflag"],
+            "qty_e2": pa.array(qty, pa.int64()),
+        })
+
+    g = grouped_sums(
+        read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_shipdate", "l_returnflag",
+                                    "l_quantity"]).map_batches(
+            _tag, batch_format="pyarrow"),
+        ["month", "l_returnflag"], ["qty_e2"], count_as="n_lines")
+    return g.map_batches(
+        lambda t: pa.table({"month": t["month"],
+                            "l_returnflag": t["l_returnflag"],
+                            "n_lines": t["n_lines"],
+                            "qty_e2": t["sum_qty_e2"]}
+                           ).cast(SHIP_MONTH_SCHEMA),
+        batch_format="pyarrow")
