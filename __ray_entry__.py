@@ -1236,6 +1236,12 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
             relational.order_linenumber_integrity,
         "user_value_deciles": eventops.user_value_deciles,
         "ship_month_profile": relational.ship_month_profile,
+        # --- batch 6: return-rate seasonality, credit-risk matrix,
+        # funnel latency ---
+        "return_rate_by_month": relational.return_rate_by_month,
+        "acctbal_activity_matrix": relational.acctbal_activity_matrix,
+        "time_to_first_purchase_quantiles":
+            eventops.time_to_first_purchase_quantiles,
     }
 
 
@@ -4220,5 +4226,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
                         AS BIGINT) AS qty_e2
             FROM lineitem GROUP BY 1, 2
+        """,
+        "return_rate_by_month": """
+            WITH c AS (
+              SELECT CAST(month(l_shipdate) AS BIGINT) AS month,
+                     CAST(count(*) AS BIGINT) AS n_lines,
+                     CAST(count(*) FILTER (WHERE l_returnflag = 'R')
+                          AS BIGINT) AS n_returned
+              FROM lineitem GROUP BY 1)
+            SELECT month, n_lines, n_returned,
+                   CAST(n_returned * 10000 // n_lines AS BIGINT)
+                       AS rate_e4
+            FROM c
+        """,
+        "acctbal_activity_matrix": """
+            WITH per AS (
+              SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+              FROM orders GROUP BY 1),
+            j AS (
+              SELECT CAST(c.c_acctbal < 0 AS BIGINT) AS bal_neg,
+                     least(per.n, 10) AS b,
+                     CAST(round(c.c_acctbal * 100) AS BIGINT) AS cents
+              FROM per JOIN customer c ON per.o_custkey = c.c_custkey)
+            SELECT bal_neg, CAST(b AS BIGINT) AS orders_bucket,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(sum(cents) AS BIGINT) AS sum_acctbal_cents
+            FROM j GROUP BY 1, 2
+        """,
+        "time_to_first_purchase_quantiles": """
+            WITH f AS (
+              SELECT user_id,
+                     min(CAST(epoch_us(ts) AS BIGINT))
+                         FILTER (WHERE event_type = 'signup') AS s,
+                     min(CAST(epoch_us(ts) AS BIGINT))
+                         FILTER (WHERE event_type = 'purchase') AS p
+              FROM events GROUP BY 1),
+            d AS (SELECT p - s AS delta FROM f
+                  WHERE s IS NOT NULL AND p IS NOT NULL AND p >= s)
+            SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9]) AS DOUBLE) AS q,
+                   CAST(unnest(quantile_disc(delta,
+                                             [0.25, 0.5, 0.75, 0.9]))
+                        AS BIGINT) AS delta_us
+            FROM d
         """,
     }

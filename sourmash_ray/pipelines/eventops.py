@@ -1904,3 +1904,62 @@ def user_value_deciles(sf_dir: str, n_tiles: int = 10):
         "n_users": pa.array(sizes[used - 1], pa.int64()),
         "sum_value_cents": pa.array(sums[used], pa.int64()),
     }).cast(VALUE_DECILE_SCHEMA))
+
+
+TTF_PURCHASE_SCHEMA = pa.schema([
+    ("q", pa.float64()),
+    ("delta_us", pa.int64()),
+])
+
+
+def time_to_first_purchase_quantiles(
+        sf_dir: str, qs: tuple = (0.25, 0.5, 0.75, 0.9)):
+    """Funnel latency: for users whose first ``purchase`` is at-or-after
+    their first ``signup``, exact discrete quantiles (DuckDB
+    ``quantile_disc`` rule: element at ``ceil(q·n)−1``) of
+    ``first_purchase − first_signup`` in microseconds. Users whose
+    first purchase precedes any signup are attribution-ambiguous and
+    excluded on both sides. The per-(user, type) first-timestamp fold
+    is distributed (block-min combiner + exchange); the pivot + ranked
+    cut walks the dim-bounded per-user table driver-side, the same
+    contract as user_value_deciles."""
+    import math
+
+    import numpy as np
+
+    import ray.data
+
+    from ..stages.agg import grouped_minmax
+
+    def _pick(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch["event_type"],
+                     value_set=pa.array(["signup", "purchase"]))
+        t = batch.filter(m)
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "event_type": t["event_type"],
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+        })
+
+    firsts = grouped_minmax(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["user_id", "event_type",
+                                    "ts"]).map_batches(
+            _pick, batch_format="pyarrow"),
+        ["user_id", "event_type"], "ts_us").take_all()
+    s_by, p_by = {}, {}
+    for r in firsts:
+        (s_by if r["event_type"] == "signup" else p_by)[
+            r["user_id"]] = r["min_ts_us"]
+    deltas = np.sort(np.array(
+        [p_by[u] - s_by[u] for u in s_by
+         if u in p_by and p_by[u] >= s_by[u]], np.int64))
+    n = deltas.size
+    if n == 0:
+        return ray.data.from_arrow(TTF_PURCHASE_SCHEMA.empty_table())
+    return ray.data.from_arrow(pa.table({
+        "q": pa.array([float(q) for q in qs], pa.float64()),
+        "delta_us": pa.array(
+            [int(deltas[max(0, math.ceil(q * n) - 1)]) for q in qs],
+            pa.int64()),
+    }).cast(TTF_PURCHASE_SCHEMA))

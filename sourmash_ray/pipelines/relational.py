@@ -3719,3 +3719,118 @@ def ship_month_profile(sf_dir: str):
                             "qty_e2": t["sum_qty_e2"]}
                            ).cast(SHIP_MONTH_SCHEMA),
         batch_format="pyarrow")
+
+
+RETURN_RATE_SCHEMA = pa.schema([
+    ("month", pa.int64()),
+    ("n_lines", pa.int64()),
+    ("n_returned", pa.int64()),
+    ("rate_e4", pa.int64()),
+])
+
+
+def return_rate_by_month(sf_dir: str):
+    """Return-rate seasonality: per ship month-of-year, line count,
+    'R'-flag count, and the exact floor-division rate
+    ``returned·10000 // lines``. One grouped_sums over
+    (month, returned-indicator) sums — the rate is cell-local, no
+    second pass."""
+    import numpy as np
+
+    from ..stages.agg import grouped_sums
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch["l_shipdate"], "datetime64[us]")
+        mo = d.astype("datetime64[M]").astype(np.int64)
+        if mo.size and mo.min() < 0:
+            raise ValueError("return_rate_by_month: pre-epoch shipdate")
+        ret = pc.equal(batch["l_returnflag"], "R")
+        return pa.table({
+            "month": pa.array(mo % 12 + 1, pa.int64()),
+            "ret": pc.cast(ret, pa.int64()),
+        })
+
+    g = grouped_sums(
+        read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_shipdate",
+                                    "l_returnflag"]).map_batches(
+            _tag, batch_format="pyarrow"),
+        ["month"], ["ret"], count_as="n_lines")
+
+    def _rate(t: pa.Table) -> pa.Table:
+        n = np.asarray(t["n_lines"], np.int64)
+        r = np.asarray(t["sum_ret"], np.int64)
+        return pa.table({
+            "month": t["month"], "n_lines": t["n_lines"],
+            "n_returned": t["sum_ret"],
+            "rate_e4": pa.array(r * 10000 // n, pa.int64()),
+        }).cast(RETURN_RATE_SCHEMA)
+
+    return g.map_batches(_rate, batch_format="pyarrow")
+
+
+ACCTBAL_ACTIVITY_SCHEMA = pa.schema([
+    ("bal_neg", pa.int64()),
+    ("orders_bucket", pa.int64()),
+    ("n_customers", pa.int64()),
+    ("sum_acctbal_cents", pa.int64()),
+])
+
+
+def acctbal_activity_matrix(sf_dir: str, bucket_cap: int = 10):
+    """Credit-risk × activity contingency: customers cross-tabulated by
+    account-balance sign and order-count bucket (``least(n_orders,
+    cap)``), with the exact cent mass per cell. Shape: one custkey fold
+    of orders (block combiner, per-customer counts), a hash-join
+    exchange against the customer table (customers are fact-sized at
+    100 TB — no broadcast), then a dim-bounded cell fold. Inner join:
+    the testdata guarantees every customer has ≥1 order; a customer
+    without orders would drop, same as the SQL twin."""
+    import numpy as np
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.agg import grouped_sums
+    from ..stages.join import hash_join_exchange
+
+    n_parts = resolve_num_partitions(DEFAULT_CONFIG)
+    per_cust = grouped_sums(
+        read_parquet_clean(f"{sf_dir}/orders.parquet",
+                           columns=["o_custkey"]),
+        ["o_custkey"], [], count_as="n_orders")
+
+    def _cents(batch: pa.Table) -> pa.Table:
+        c = np.rint(np.asarray(batch["c_acctbal"],
+                               np.float64) * 100).astype(np.int64)
+        return pa.table({
+            "c_custkey": pc.cast(batch["c_custkey"], pa.int64()),
+            "bal_cents": pa.array(c, pa.int64()),
+        })
+
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey",
+                                       "c_acctbal"]).map_batches(
+        _cents, batch_format="pyarrow")
+    joined = hash_join_exchange(
+        per_cust, cust, "custkey", ["n_orders"], ["bal_cents"],
+        n_parts, left_key="o_custkey", right_key="c_custkey")
+
+    def _cells(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch["n_orders"], np.int64)
+        bal = np.asarray(batch["bal_cents"], np.int64)
+        return pa.table({
+            "bal_neg": pa.array((bal < 0).astype(np.int64), pa.int64()),
+            "orders_bucket": pa.array(np.minimum(n, bucket_cap),
+                                      pa.int64()),
+            "bal_cents": pa.array(bal, pa.int64()),
+        })
+
+    g = grouped_sums(joined.map_batches(_cells, batch_format="pyarrow"),
+                     ["bal_neg", "orders_bucket"], ["bal_cents"],
+                     count_as="n_customers")
+    return g.map_batches(
+        lambda t: pa.table({"bal_neg": t["bal_neg"],
+                            "orders_bucket": t["orders_bucket"],
+                            "n_customers": t["n_customers"],
+                            "sum_acctbal_cents": t["sum_bal_cents"]}
+                           ).cast(ACCTBAL_ACTIVITY_SCHEMA),
+        batch_format="pyarrow")
