@@ -1242,6 +1242,12 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "acctbal_activity_matrix": relational.acctbal_activity_matrix,
         "time_to_first_purchase_quantiles":
             eventops.time_to_first_purchase_quantiles,
+        # --- batch 7: flow matrix, Pareto curve, regularity, verbosity ---
+        "nation_flow_matrix": relational.nation_flow_matrix,
+        "revenue_pareto_customers": relational.revenue_pareto_customers,
+        "user_day_regularity": eventops.user_day_regularity,
+        "conv_verbosity_histogram":
+            transcriptops.conv_verbosity_histogram,
     }
 
 
@@ -4268,5 +4274,79 @@ def oracle_sql() -> dict[str, str]:
                                              [0.25, 0.5, 0.75, 0.9]))
                         AS BIGINT) AS delta_us
             FROM d
+        """,
+        "nation_flow_matrix": """
+            WITH rev AS (
+              SELECT l_orderkey, s.s_nationkey AS snk,
+                     CAST(sum(CAST(round(l_extendedprice * 100)
+                                   AS BIGINT)
+                              * (100 - CAST(round(l_discount * 100)
+                                            AS BIGINT))) AS BIGINT)
+                         AS r
+              FROM lineitem
+              JOIN supplier s ON l_suppkey = s.s_suppkey
+              GROUP BY 1, 2),
+            j AS (
+              SELECT c.c_nationkey AS cnk, rev.snk, rev.r
+              FROM rev
+              JOIN orders o ON rev.l_orderkey = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey)
+            SELECT nc.n_name AS cust_nation, ns.n_name AS supp_nation,
+                   CAST(sum(j.r) AS BIGINT) AS revenue_e4
+            FROM j
+            JOIN nation nc ON j.cnk = nc.n_nationkey
+            JOIN nation ns ON j.snk = ns.n_nationkey
+            GROUP BY 1, 2
+        """,
+        "revenue_pareto_customers": """
+            WITH per AS (
+              SELECT o_custkey,
+                     CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS c
+              FROM orders GROUP BY 1),
+            r AS (
+              SELECT c,
+                     row_number() OVER (ORDER BY c DESC, o_custkey)
+                         AS rn,
+                     sum(c) OVER (ORDER BY c DESC, o_custkey
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+              FROM per),
+            t AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM per)
+            SELECT CAST(u.p AS BIGINT) AS p_pct,
+                   CAST(min(rn) AS BIGINT) AS n_customers,
+                   CAST(min_by(cum, rn) AS BIGINT) AS cum_cents
+            FROM r, t,
+                 (SELECT unnest([50, 80, 90, 95]) AS p) u
+            WHERE cum * 100 >= u.p * t.tot
+            GROUP BY 1
+        """,
+        "user_day_regularity": """
+            WITH w AS (
+              SELECT DISTINCT user_id,
+                     CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS wk
+              FROM events),
+            per AS (
+              SELECT user_id, count(*) AS a,
+                     max(wk) - min(wk) + 1 AS s
+              FROM w GROUP BY 1)
+            SELECT CAST(a * 10 // s AS BIGINT) AS regularity_decile,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM per GROUP BY 1
+        """,
+        "conv_verbosity_histogram": f"""
+            WITH per AS (
+              SELECT conv_id,
+                     CAST(coalesce(sum(length(coalesce(text, '')))
+                          FILTER (role = 'assistant'), 0) AS BIGINT)
+                         AS a,
+                     greatest(CAST(coalesce(
+                         sum(length(coalesce(text, '')))
+                         FILTER (role = 'user'), 0) AS BIGINT), 1) AS u
+              FROM read_parquet('{_turns}/*.parquet')
+              GROUP BY conv_id)
+            SELECT CAST(least(a * 100 // u, 500) AS BIGINT)
+                       AS ratio_bucket_e2,
+                   CAST(count(*) AS BIGINT) AS n_convs
+            FROM per GROUP BY 1
         """,
     }

@@ -1963,3 +1963,68 @@ def time_to_first_purchase_quantiles(
             [int(deltas[max(0, math.ceil(q * n) - 1)]) for q in qs],
             pa.int64()),
     }).cast(TTF_PURCHASE_SCHEMA))
+
+
+DAY_REGULARITY_SCHEMA = pa.schema([
+    ("regularity_decile", pa.int64()),
+    ("n_users", pa.int64()),
+])
+
+
+def user_day_regularity(sf_dir: str):
+    """Habituality histogram: each user's active epoch-DAYS over their
+    day span as the exact floor decile ``active·10 // span`` (10 =
+    active every day of their lifetime; day, not week — the testdata's
+    users are all-weeks-active, so the weekly decile is degenerate).
+    One user exchange; per partition the distinct-(user, day) pass is a
+    single lexsort and the per-user span/count folds are reduceat."""
+    import numpy as np
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.agg import grouped_sums
+    from ..stages.exchange import exchange_map_groups
+
+    day_us = 86_400 * 1_000_000
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch["ts"], pa.int64())
+        return pa.table({
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+            "wk": pc.divide(ts, pa.scalar(day_us, pa.int64())),
+        })
+
+    part_schema = DAY_REGULARITY_SCHEMA
+
+    def _reg(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return part_schema.empty_table()
+        u = np.asarray(part["user_id"], np.int64)
+        w = np.asarray(part["wk"], np.int64)
+        order = np.lexsort((w, u))
+        u, w = u[order], w[order]
+        keep = np.r_[True, (u[1:] != u[:-1]) | (w[1:] != w[:-1])]
+        u, w = u[keep], w[keep]
+        first = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        ends = np.r_[first[1:], len(u)]
+        active = ends - first
+        span = w[ends - 1] - w[first] + 1   # w ascending inside a user
+        dec = active * 10 // span
+        vals, cnts = np.unique(dec, return_counts=True)
+        return pa.table({
+            "regularity_decile": pa.array(vals.astype(np.int64),
+                                          pa.int64()),
+            "n_users": pa.array(cnts.astype(np.int64), pa.int64()),
+        })
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"]).map_batches(
+        _tag, batch_format="pyarrow")
+    parts = exchange_map_groups(ds, "user_id",
+                                resolve_num_partitions(DEFAULT_CONFIG),
+                                _reg, part_schema)
+    g = grouped_sums(parts, ["regularity_decile"], ["n_users"])
+    return g.map_batches(
+        lambda t: pa.table({"regularity_decile": t["regularity_decile"],
+                            "n_users": t["sum_n_users"]}
+                           ).cast(DAY_REGULARITY_SCHEMA),
+        batch_format="pyarrow")

@@ -3261,11 +3261,13 @@ CROSS_BORDER_SCHEMA = pa.schema([
 ])
 
 
-def cross_border_trade(sf_dir: str):
-    """Local vs cross-border revenue per CUSTOMER nation: every lineitem
-    is "local" when its supplier sits in the buying customer's nation,
-    "cross" otherwise — the trade-flow split under TPC-H Q7's join spine
-    but aggregated to one row per nation with both columns side by side.
+def _nation_pair_revenue(sf_dir: str):
+    """The Q7 trade-flow join spine shared by :func:`cross_border_trade`
+    and :func:`nation_flow_matrix`: returns ``(col, nk_name)`` where
+    ``col`` is a Dataset of (orderkey-joined) rows carrying the customer
+    nationkey ``c_nk``, supplier nationkey ``s_nk`` and the exact-integer
+    line revenue ``rev_e4`` already block-combined to one row per
+    (orderkey, supp_nation) pair, and ``nk_name`` maps nationkey→name.
 
     Scale plan mirrors Q8 (`nation_market_share`): orders ⋈ customer on
     custkey carries the customer nationkey; the lineitem side resolves
@@ -3353,6 +3355,20 @@ def cross_border_trade(sf_dir: str):
                              right_cols=["s_nk", "rev_e4"],
                              n_parts=n_parts, left_key="o_orderkey",
                              right_key="l_orderkey")
+    return col, nk_name
+
+
+def cross_border_trade(sf_dir: str):
+    """Local vs cross-border revenue per CUSTOMER nation: every lineitem
+    is "local" when its supplier sits in the buying customer's nation,
+    "cross" otherwise — the trade-flow split under TPC-H Q7's join spine
+    (:func:`_nation_pair_revenue`) but aggregated to one row per nation
+    with both columns side by side."""
+    import numpy as np
+
+    from ..stages.agg import grouped_sums
+
+    col, nk_name = _nation_pair_revenue(sf_dir)
 
     def _split(batch: pa.Table) -> pa.Table:
         cnk = np.asarray(batch["c_nk"], np.int64)
@@ -3834,3 +3850,95 @@ def acctbal_activity_matrix(sf_dir: str, bucket_cap: int = 10):
                             "sum_acctbal_cents": t["sum_bal_cents"]}
                            ).cast(ACCTBAL_ACTIVITY_SCHEMA),
         batch_format="pyarrow")
+
+
+NATION_FLOW_SCHEMA = pa.schema([
+    ("cust_nation", pa.string()),
+    ("supp_nation", pa.string()),
+    ("revenue_e4", pa.int64()),
+])
+
+
+def nation_flow_matrix(sf_dir: str):
+    """The full customer-nation × supplier-nation trade-flow matrix
+    (25×25 cells, exact e4 revenue) — :func:`cross_border_trade`'s
+    local/cross split un-collapsed. Rides the shared Q7 spine
+    (:func:`_nation_pair_revenue`); after the two joins only the
+    dim-bounded nation-pair cells move. Rows whose customer nationkey
+    misses the dim drop (inner-join discipline)."""
+    import numpy as np
+
+    from ..stages.agg import grouped_sums
+
+    col, nk_name = _nation_pair_revenue(sf_dir)
+    agg = grouped_sums(col, ["c_nk", "s_nk"], ["rev_e4"])
+
+    def _name(batch: pa.Table) -> pa.Table:
+        cn = [nk_name.get(k) for k in batch["c_nk"].to_pylist()]
+        sn = [nk_name.get(k) for k in batch["s_nk"].to_pylist()]
+        out = pa.table({
+            "cust_nation": pa.array(cn, pa.string()),
+            "supp_nation": pa.array(sn, pa.string()),
+            "revenue_e4": batch["sum_rev_e4"],
+        }).cast(NATION_FLOW_SCHEMA)
+        return out.filter(pc.and_(pc.is_valid(out["cust_nation"]),
+                                  pc.is_valid(out["supp_nation"])))
+
+    return agg.map_batches(_name, batch_format="pyarrow")
+
+
+PARETO_SCHEMA = pa.schema([
+    ("p_pct", pa.int64()),
+    ("n_customers", pa.int64()),
+    ("cum_cents", pa.int64()),
+])
+
+
+def revenue_pareto_customers(sf_dir: str,
+                             ps: tuple = (50, 80, 90, 95)):
+    """Revenue concentration (the Pareto curve): for each coverage
+    target p, the smallest count of top customers (by exact order-value
+    cents, custkey tiebreak) whose cumulative cents reach p% of total
+    — tested as ``cum·100 ≥ p·total`` in integers, never a float
+    share. The per-customer fold is distributed; the ranked cumsum
+    walks the dim-bounded per-customer table driver-side (the
+    user_value_deciles contract)."""
+    import numpy as np
+
+    import ray.data
+
+    from ..stages.agg import grouped_sums
+
+    def _cents(batch: pa.Table) -> pa.Table:
+        c = np.rint(np.asarray(batch["o_totalprice"],
+                               np.float64) * 100).astype(np.int64)
+        return pa.table({
+            "o_custkey": pc.cast(batch["o_custkey"], pa.int64()),
+            "cents": pa.array(c, pa.int64()),
+        })
+
+    per = grouped_sums(
+        read_parquet_clean(f"{sf_dir}/orders.parquet",
+                           columns=["o_custkey",
+                                    "o_totalprice"]).map_batches(
+            _cents, batch_format="pyarrow"),
+        ["o_custkey"], ["cents"]).take_all()
+    if not per:
+        return ray.data.from_arrow(PARETO_SCHEMA.empty_table())
+    ck = np.array([r["o_custkey"] for r in per], np.int64)
+    c = np.array([r["sum_cents"] for r in per], np.int64)
+    order = np.lexsort((ck, -c))
+    cum = np.cumsum(c[order])
+    tot = int(cum[-1])
+    out_p, out_n, out_c = [], [], []
+    for p in ps:
+        # smallest rank with cum*100 >= p*tot (exact integers)
+        k = int(np.searchsorted(cum * 100, p * tot))
+        out_p.append(int(p))
+        out_n.append(k + 1)
+        out_c.append(int(cum[k]))
+    return ray.data.from_arrow(pa.table({
+        "p_pct": pa.array(out_p, pa.int64()),
+        "n_customers": pa.array(out_n, pa.int64()),
+        "cum_cents": pa.array(out_c, pa.int64()),
+    }).cast(PARETO_SCHEMA))

@@ -1632,3 +1632,35 @@ def tool_adoption_by_conv_length(sf_dir: str):
                             "n_with_tool": t["sum_n_with_tool"]}
                            ).cast(TOOL_ADOPTION_SCHEMA),
         batch_format="pyarrow")
+
+
+VERBOSITY_SCHEMA = pa.schema([
+    ("ratio_bucket_e2", pa.int64()),
+    ("n_convs", pa.int64()),
+])
+
+
+def conv_verbosity_histogram(sf_dir: str, cap: int = 500):
+    """Assistant-verbosity histogram: per conversation the exact floor
+    ratio ``assistant_chars·100 // max(user_chars, 1)`` clamped to
+    ``cap`` (5× and beyond folds into one tail bucket), counted per
+    bucket. Composes :func:`conv_role_balance` (one conv exchange);
+    the bucket fold is dim-bounded."""
+    import numpy as np
+
+    from ..stages.agg import grouped_sums
+
+    bal = conv_role_balance(sf_dir)
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["assistant_chars"], np.int64)
+        u = np.maximum(np.asarray(batch["user_chars"], np.int64), 1)
+        b = np.minimum(a * 100 // u, cap)
+        return pa.table({
+            "ratio_bucket_e2": pa.array(b, pa.int64()),
+        })
+
+    g = grouped_sums(bal.map_batches(_bucket, batch_format="pyarrow"),
+                     ["ratio_bucket_e2"], [], count_as="n_convs")
+    return g.map_batches(lambda t: t.cast(VERBOSITY_SCHEMA),
+                         batch_format="pyarrow")
