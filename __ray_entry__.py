@@ -1248,6 +1248,11 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "user_day_regularity": eventops.user_day_regularity,
         "conv_verbosity_histogram":
             transcriptops.conv_verbosity_histogram,
+        # --- batch 8: relational division, tail census, Simpson index ---
+        "customers_all_priorities": relational.customers_all_priorities,
+        "p99_outlier_counts": eventops.p99_outlier_counts,
+        "token_concentration_by_source":
+            docops.token_concentration_by_source,
     }
 
 
@@ -4348,5 +4353,50 @@ def oracle_sql() -> dict[str, str]:
                        AS ratio_bucket_e2,
                    CAST(count(*) AS BIGINT) AS n_convs
             FROM per GROUP BY 1
+        """,
+        "customers_all_priorities": """
+            WITH per AS (
+              SELECT o_custkey,
+                     count(DISTINCT o_orderpriority) AS np
+              FROM orders GROUP BY 1),
+            tot AS (SELECT count(DISTINCT o_orderpriority) AS t
+                    FROM orders)
+            SELECT c.c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(count(*) FILTER (WHERE per.np = tot.t)
+                        AS BIGINT) AS n_cover_all
+            FROM per JOIN customer c ON per.o_custkey = c.c_custkey,
+                 tot
+            GROUP BY 1
+        """,
+        "p99_outlier_counts": """
+            WITH c AS (
+              SELECT event_type,
+                     CAST(round(coalesce(value, 0) * 100) AS BIGINT)
+                         AS cents
+              FROM events),
+            q AS (
+              SELECT event_type,
+                     CAST(quantile_disc(cents, 0.99) AS BIGINT) AS p99
+              FROM c GROUP BY 1)
+            SELECT c.event_type, q.p99 AS p99_cents,
+                   CAST(count(*) FILTER (WHERE c.cents > q.p99)
+                        AS BIGINT) AS n_above
+            FROM c JOIN q USING (event_type)
+            GROUP BY 1, 2
+        """,
+        "token_concentration_by_source": """
+            WITH tok AS (
+              SELECT source, t,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM (SELECT source,
+                           unnest(string_split(coalesce(text, ''), ' '))
+                               AS t
+                    FROM documents)
+              WHERE t <> ''
+              GROUP BY 1, 2)
+            SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(sum(c * (c - 1)) AS BIGINT) AS collisions
+            FROM tok GROUP BY 1
         """,
     }

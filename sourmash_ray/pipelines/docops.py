@@ -3659,3 +3659,83 @@ def token_length_by_lang(sf_dir: str):
                             "sum_token_chars": t["sum_sum_token_chars"]}
                            ).cast(TOKEN_LEN_LANG_SCHEMA),
         batch_format="pyarrow")
+
+
+SIMPSON_SCHEMA = pa.schema([
+    ("source", pa.string()),
+    ("n_tokens", pa.int64()),
+    ("collisions", pa.int64()),
+])
+
+
+def token_concentration_by_source(sf_dir: str):
+    """Per-source vocabulary concentration as the exact-integer Simpson
+    numerator: ``collisions = Σ c·(c−1)`` over the source's token
+    counts and ``n_tokens = Σ c`` — the probability two random tokens
+    collide is ``collisions / (N·(N−1))``, reported as its integer
+    parts so the cross-engine hash never sees a float. One
+    ``_tf_rows_batch``-shaped block pass emits (source, tok, partial
+    count), one token exchange folds exact per-(source, token) counts,
+    and the Σc(c−1) fold moves only vocabulary-sized rows."""
+    from ..functions.segscore import _to_bytes_array
+    from ..stages.agg import grouped_sums
+
+    def _rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        text = pc.fill_null(batch["text"], "")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        src = batch["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        toks = pc.split_pattern(text, " ")
+        ntok = np.asarray(pc.list_value_length(toks), np.int64)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        row = np.repeat(np.arange(n, dtype=np.int64), ntok)
+        nonempty = np.flatnonzero(
+            np.asarray(pc.binary_length(flat), np.int64) > 0)
+        out_schema = pa.schema([("source", pa.string()),
+                                ("tok", pa.string()),
+                                ("tf", pa.int64())])
+        if nonempty.size == 0:
+            return out_schema.empty_table()
+        enc = pc.dictionary_encode(src)
+        src_code = np.asarray(enc.indices, np.int64)
+        tb = _to_bytes_array(flat)[nonempty]
+        sc = src_code[row[nonempty]]
+        order = np.lexsort((tb, sc))
+        sc_s, tb_s = sc[order], tb[order]
+        new_run = np.r_[True,
+                        (sc_s[1:] != sc_s[:-1]) | (tb_s[1:] != tb_s[:-1])]
+        run_len = np.diff(np.r_[np.flatnonzero(new_run), sc_s.size])
+        first_flat = nonempty[order[new_run]]
+        return pa.table({
+            "source": pc.take(enc.dictionary,
+                              pa.array(sc_s[new_run], pa.int64())),
+            "tok": pc.take(flat, pa.array(first_flat, pa.int64())),
+            "tf": pa.array(run_len.astype(np.int64), pa.int64()),
+        }).cast(out_schema)
+
+    per_tok = grouped_sums(
+        _read_docs(sf_dir, columns=("source", "text")).map_batches(
+            _rows, batch_format="pyarrow"),
+        ["source", "tok"], ["tf"])
+
+    def _coll(batch: pa.Table) -> pa.Table:
+        c = np.asarray(batch["sum_tf"], np.int64)
+        return pa.table({
+            "source": batch["source"],
+            "n_tokens": pa.array(c, pa.int64()),
+            "coll": pa.array(c * (c - 1), pa.int64()),
+        })
+
+    g = grouped_sums(per_tok.map_batches(_coll, batch_format="pyarrow"),
+                     ["source"], ["n_tokens", "coll"])
+    return g.map_batches(
+        lambda t: pa.table({"source": t["source"],
+                            "n_tokens": t["sum_n_tokens"],
+                            "collisions": t["sum_coll"]}
+                           ).cast(SIMPSON_SCHEMA),
+        batch_format="pyarrow")

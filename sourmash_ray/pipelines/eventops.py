@@ -2028,3 +2028,67 @@ def user_day_regularity(sf_dir: str):
                             "n_users": t["sum_n_users"]}
                            ).cast(DAY_REGULARITY_SCHEMA),
         batch_format="pyarrow")
+
+
+P99_OUTLIER_SCHEMA = pa.schema([
+    ("event_type", pa.string()),
+    ("p99_cents", pa.int64()),
+    ("n_above", pa.int64()),
+])
+
+
+def p99_outlier_counts(sf_dir: str, q: float = 0.99):
+    """Tail-anomaly census: per event type, the exact discrete P99 of
+    value cents (quantile_disc rule) and how many events sit strictly
+    above it — the quantile-then-filter composition. Pass one is the
+    shared grouped value-histogram quantile (per-block distinct values
+    shuffle, not rows); the thresholds are dim-bounded and ride back
+    into pass two inside the fold kernel."""
+    import numpy as np
+
+    from ..stages.agg import grouped_quantiles_disc, grouped_sums
+
+    def _cents(batch: pa.Table) -> pa.Table:
+        v = np.rint(np.asarray(
+            pc.fill_null(batch["value"], 0.0), np.float64) * 100)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "cents": pa.array(v.astype(np.int64), pa.int64()),
+        })
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"]).map_batches(
+        _cents, batch_format="pyarrow").materialize()
+    qt = grouped_quantiles_disc(ds, "event_type", "cents", [q])
+    thr = {t: v for t, _, v in zip(qt["event_type"].to_pylist(),
+                                   qt["q"].to_pylist(),
+                                   qt["value"].to_pylist())}
+
+    def _above(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        enc = pc.dictionary_encode(et)
+        # Python loop over the DICTIONARY (dim-bounded), then one
+        # vectorized gather + compare over the rows
+        dict_thr = np.array([thr[e] for e in enc.dictionary.to_pylist()],
+                            np.int64)
+        t = dict_thr[np.asarray(enc.indices, np.int64)]
+        c = np.asarray(batch["cents"], np.int64)
+        return pa.table({
+            "event_type": et,
+            "above": pa.array((c > t).astype(np.int64), pa.int64()),
+        })
+
+    g = grouped_sums(ds.map_batches(_above, batch_format="pyarrow"),
+                     ["event_type"], ["above"])
+
+    def _out(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_pylist()
+        return pa.table({
+            "event_type": t["event_type"],
+            "p99_cents": pa.array([thr[e] for e in et], pa.int64()),
+            "n_above": t["sum_above"],
+        }).cast(P99_OUTLIER_SCHEMA)
+
+    return g.map_batches(_out, batch_format="pyarrow")

@@ -3942,3 +3942,70 @@ def revenue_pareto_customers(sf_dir: str,
         "n_customers": pa.array(out_n, pa.int64()),
         "cum_cents": pa.array(out_c, pa.int64()),
     }).cast(PARETO_SCHEMA))
+
+
+ALL_PRIO_SCHEMA = pa.schema([
+    ("c_mktsegment", pa.string()),
+    ("n_customers", pa.int64()),
+    ("n_cover_all", pa.int64()),
+])
+
+
+def customers_all_priorities(sf_dir: str):
+    """Relational division per market segment: how many of a segment's
+    (ordering) customers have placed orders in EVERY order-priority
+    class that exists corpus-wide. The (custkey, priority) distinct
+    pass is one grouped fold (block combiner — dup pairs collapse
+    before the exchange), the per-customer coverage count a second
+    dim-bounded fold, then a hash-join exchange against the customer
+    fact carries the segment; the global priority count rides in as a
+    driver scalar (dim-bounded distinct)."""
+    import numpy as np
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.agg import grouped_sums
+    from ..stages.join import hash_join_exchange
+
+    n_parts = resolve_num_partitions(DEFAULT_CONFIG)
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_custkey", "o_orderpriority"])
+    pairs = grouped_sums(orders, ["o_custkey", "o_orderpriority"], [])
+    n_prio = len({r["o_orderpriority"]
+                  for r in grouped_sums(
+                      orders.select_columns(["o_orderpriority"]),
+                      ["o_orderpriority"], []).take_all()})
+    per_cust = grouped_sums(pairs.select_columns(["o_custkey"]),
+                            ["o_custkey"], [], count_as="np")
+
+    def _cust(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": pc.cast(batch["c_custkey"], pa.int64()),
+            "c_mktsegment": batch["c_mktsegment"],
+        })
+
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey",
+                                       "c_mktsegment"]).map_batches(
+        _cust, batch_format="pyarrow")
+    joined = hash_join_exchange(per_cust, cust, "custkey", ["np"],
+                                ["c_mktsegment"], n_parts,
+                                left_key="o_custkey",
+                                right_key="c_custkey")
+
+    def _flag(batch: pa.Table) -> pa.Table:
+        cov = np.asarray(batch["np"], np.int64)
+        return pa.table({
+            "c_mktsegment": batch["c_mktsegment"],
+            "cover": pa.array((cov == n_prio).astype(np.int64),
+                              pa.int64()),
+        })
+
+    g = grouped_sums(joined.map_batches(_flag, batch_format="pyarrow"),
+                     ["c_mktsegment"], ["cover"],
+                     count_as="n_customers")
+    return g.map_batches(
+        lambda t: pa.table({"c_mktsegment": t["c_mktsegment"],
+                            "n_customers": t["n_customers"],
+                            "n_cover_all": t["sum_cover"]}
+                           ).cast(ALL_PRIO_SCHEMA),
+        batch_format="pyarrow")
