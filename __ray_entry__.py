@@ -1253,6 +1253,13 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "p99_outlier_counts": eventops.p99_outlier_counts,
         "token_concentration_by_source":
             docops.token_concentration_by_source,
+        # --- batch 9: tie-aware ranking, sessionized conversion,
+        # percent-of-parent ---
+        "top3_order_values_by_priority":
+            relational.top3_order_values_by_priority,
+        "session_purchase_rate": eventops.session_purchase_rate,
+        "nation_share_within_region":
+            relational.nation_share_within_region,
     }
 
 
@@ -4398,5 +4405,65 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
                    CAST(sum(c * (c - 1)) AS BIGINT) AS collisions
             FROM tok GROUP BY 1
+        """,
+        "top3_order_values_by_priority": """
+            WITH d AS (
+              SELECT o_orderpriority,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM orders GROUP BY 1, 2),
+            r AS (
+              SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                                           ORDER BY cents DESC) AS rn
+              FROM d)
+            SELECT o_orderpriority, cents, n AS n_orders,
+                   CAST(rn AS BIGINT) AS rn
+            FROM r WHERE rn <= 3
+        """,
+        "session_purchase_rate": """
+            WITH e AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR CAST(epoch_us(ts) AS BIGINT)
+                               - CAST(epoch_us(lag(ts) OVER w) AS BIGINT)
+                               > 1800000000
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+              SELECT *, sum(brk) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+              FROM e),
+            d AS (
+              SELECT first(event_type ORDER BY ts, event_id)
+                         AS entry_type,
+                     CAST(max(event_type = 'purchase') AS BIGINT)
+                         AS purchased
+              FROM s GROUP BY user_id, sid),
+            g AS (
+              SELECT entry_type, CAST(count(*) AS BIGINT) AS n_sessions,
+                     CAST(sum(purchased) AS BIGINT) AS n_with_purchase
+              FROM d GROUP BY 1)
+            SELECT entry_type, n_sessions, n_with_purchase,
+                   CAST(n_with_purchase * 10000 // n_sessions AS BIGINT)
+                       AS rate_e4
+            FROM g
+        """,
+        "nation_share_within_region": """
+            WITH cells AS (
+              SELECT r.r_name AS region, n.n_name AS nation,
+                     CAST(sum(CAST(round(o.o_totalprice * 100)
+                                   AS BIGINT)) AS BIGINT) AS cents
+              FROM orders o
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation n ON c.c_nationkey = n.n_nationkey
+              JOIN region r ON n.n_regionkey = r.r_regionkey
+              GROUP BY 1, 2)
+            SELECT region, nation, cents AS revenue_cents,
+                   CAST(cents * 10000
+                        // sum(cents) OVER (PARTITION BY region)
+                        AS BIGINT) AS share_e4
+            FROM cells
         """,
     }

@@ -2092,3 +2092,82 @@ def p99_outlier_counts(sf_dir: str, q: float = 0.99):
         }).cast(P99_OUTLIER_SCHEMA)
 
     return g.map_batches(_out, batch_format="pyarrow")
+
+
+SESSION_CONV_SCHEMA = pa.schema([
+    ("entry_type", pa.string()),
+    ("n_sessions", pa.int64()),
+    ("n_with_purchase", pa.int64()),
+    ("rate_e4", pa.int64()),
+])
+
+
+def session_purchase_rate(sf_dir: str, gap_minutes: int = 30):
+    """Sessionized conversion: per landing event type, how many 30-min
+    sessions contain at least one ``purchase`` (exact floor-division
+    rate in 1e4 units). Same break rule and (ts, event_id) tiebreak as
+    the other session ops; the per-session purchase flag is one
+    ``bincount`` over session ids inside the user partition, so each
+    session leaves its partition as a single (entry_type, flag) row."""
+    import numpy as np
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.agg import grouped_sums
+    from ..stages.exchange import exchange_map_groups
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"],
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+            "event_id": batch["event_id"],
+            "event_type": batch["event_type"],
+        })
+
+    part_schema = pa.schema([("entry_type", pa.string()),
+                             ("purchased", pa.int64())])
+
+    def _flags(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return part_schema.empty_table()
+        u = np.asarray(part["user_id"], np.int64)
+        ts = np.asarray(part["ts_us"], np.int64)
+        eid = np.asarray(part["event_id"], np.int64)
+        order = np.lexsort((eid, ts, u))
+        u_s, ts_s = u[order], ts[order]
+        new = np.r_[True, (u_s[1:] != u_s[:-1])
+                    | (np.diff(ts_s) > gap_us)]
+        sid = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        et = part["event_type"].combine_chunks()
+        is_p = np.asarray(pc.equal(et, "purchase"),
+                          np.bool_)[order].astype(np.int64)
+        purchased = (np.bincount(sid, weights=is_p,
+                                 minlength=starts.size) > 0)
+        return pa.table({
+            "entry_type": et.take(pa.array(order[starts], pa.int64())),
+            "purchased": pa.array(purchased.astype(np.int64),
+                                  pa.int64()),
+        })
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"]).map_batches(
+        _tag, batch_format="pyarrow")
+    sessions = exchange_map_groups(ds, "user_id",
+                                   resolve_num_partitions(DEFAULT_CONFIG),
+                                   _flags, part_schema)
+    g = grouped_sums(sessions, ["entry_type"], ["purchased"],
+                     count_as="n_sessions")
+
+    def _rate(t: pa.Table) -> pa.Table:
+        n = np.asarray(t["n_sessions"], np.int64)
+        p = np.asarray(t["sum_purchased"], np.int64)
+        return pa.table({
+            "entry_type": t["entry_type"], "n_sessions": t["n_sessions"],
+            "n_with_purchase": t["sum_purchased"],
+            "rate_e4": pa.array(p * 10000 // n, pa.int64()),
+        }).cast(SESSION_CONV_SCHEMA)
+
+    return g.map_batches(_rate, batch_format="pyarrow")

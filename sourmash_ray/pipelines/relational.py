@@ -4009,3 +4009,122 @@ def customers_all_priorities(sf_dir: str):
                             "n_cover_all": t["sum_cover"]}
                            ).cast(ALL_PRIO_SCHEMA),
         batch_format="pyarrow")
+
+
+TOP_VALUES_SCHEMA = pa.schema([
+    ("o_orderpriority", pa.string()),
+    ("cents", pa.int64()),
+    ("n_orders", pa.int64()),
+    ("rn", pa.int64()),
+])
+
+
+def top3_order_values_by_priority(sf_dir: str, k: int = 3):
+    """Tie-aware ranking: the top-k DISTINCT order values per priority
+    class with the count of orders hitting each — ``dense_rank()`` over
+    values, expressed as row_number over the deduplicated (priority,
+    cents) fold (values are unique within a class after the fold, so
+    both ranks coincide and no tiebreak ambiguity exists). The fold's
+    block combiner collapses dup values before the exchange; the
+    ranking exchange then moves ≤ k·classes candidate rows."""
+    import numpy as np
+
+    from ..stages.agg import grouped_sums, grouped_topk
+
+    def _cents(batch: pa.Table) -> pa.Table:
+        c = np.rint(np.asarray(batch["o_totalprice"],
+                               np.float64) * 100).astype(np.int64)
+        return pa.table({
+            "o_orderpriority": batch["o_orderpriority"],
+            "cents": pa.array(c, pa.int64()),
+        })
+
+    d = grouped_sums(
+        read_parquet_clean(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderpriority",
+                                    "o_totalprice"]).map_batches(
+            _cents, batch_format="pyarrow"),
+        ["o_orderpriority", "cents"], [], count_as="n_orders")
+    ranked = grouped_topk(d, "o_orderpriority", "cents", k, "n_orders")
+    return ranked.map_batches(
+        lambda t: pa.table({"o_orderpriority": t["o_orderpriority"],
+                            "cents": t["cents"],
+                            "n_orders": t["n_orders"],
+                            "rn": pc.cast(t["rn"], pa.int64())}
+                           ).cast(TOP_VALUES_SCHEMA),
+        batch_format="pyarrow")
+
+
+NATION_SHARE_SCHEMA = pa.schema([
+    ("region", pa.string()),
+    ("nation", pa.string()),
+    ("revenue_cents", pa.int64()),
+    ("share_e4", pa.int64()),
+])
+
+
+def nation_share_within_region(sf_dir: str):
+    """Percent-of-parent rollup: each nation's exact order-value cents
+    and its floor-division share of its REGION's total (1e4 units).
+    Orders hash-join the customer fact on custkey; the customer's
+    nation→region hop is a dense broadcast array; the share
+    normalization walks the 25 dim-bounded cells driver-side."""
+    import numpy as np
+
+    import ray.data
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.agg import grouped_sums
+    from ..stages.join import hash_join_exchange
+
+    n_parts = resolve_num_partitions(DEFAULT_CONFIG)
+    nation = read_parquet_clean(f"{sf_dir}/nation.parquet").take_all()
+    region = read_parquet_clean(f"{sf_dir}/region.parquet").take_all()
+    nk_name = {r["n_nationkey"]: r["n_name"] for r in nation}
+    nk_rk = {r["n_nationkey"]: r["n_regionkey"] for r in nation}
+    rk_name = {r["r_regionkey"]: r["r_name"] for r in region}
+
+    def _ord(batch: pa.Table) -> pa.Table:
+        c = np.rint(np.asarray(batch["o_totalprice"],
+                               np.float64) * 100).astype(np.int64)
+        return pa.table({
+            "o_custkey": pc.cast(batch["o_custkey"], pa.int64()),
+            "cents": pa.array(c, pa.int64()),
+        })
+
+    def _cust(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": pc.cast(batch["c_custkey"], pa.int64()),
+            "c_nk": pc.cast(batch["c_nationkey"], pa.int64()),
+        })
+
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_custkey",
+                                         "o_totalprice"]).map_batches(
+        _ord, batch_format="pyarrow")
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey",
+                                       "c_nationkey"]).map_batches(
+        _cust, batch_format="pyarrow")
+    joined = hash_join_exchange(orders, cust, "custkey", ["cents"],
+                                ["c_nk"], n_parts,
+                                left_key="o_custkey",
+                                right_key="c_custkey")
+    cells = grouped_sums(joined, ["c_nk"], ["cents"]).take_all()
+    rows = []
+    for r in cells:
+        nk = r["c_nk"]
+        if nk in nk_name and nk_rk.get(nk) in rk_name:  # inner drop
+            rows.append((rk_name[nk_rk[nk]], nk_name[nk],
+                         r["sum_cents"]))
+    totals: dict = {}
+    for reg, _, cents in rows:
+        totals[reg] = totals.get(reg, 0) + cents
+    rows.sort()
+    return ray.data.from_arrow(pa.table({
+        "region": pa.array([r[0] for r in rows], pa.string()),
+        "nation": pa.array([r[1] for r in rows], pa.string()),
+        "revenue_cents": pa.array([r[2] for r in rows], pa.int64()),
+        "share_e4": pa.array([r[2] * 10000 // totals[r[0]]
+                              for r in rows], pa.int64()),
+    }).cast(NATION_SHARE_SCHEMA))
