@@ -1260,6 +1260,11 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "session_purchase_rate": eventops.session_purchase_rate,
         "nation_share_within_region":
             relational.nation_share_within_region,
+        # --- batch 10: CUBE, theta self-compare, join-then-quantile ---
+        "priority_status_cube": relational.priority_status_cube,
+        "orders_above_nation_avg": relational.orders_above_nation_avg,
+        "order_value_quantiles_by_segment":
+            relational.order_value_quantiles_by_segment,
     }
 
 
@@ -4465,5 +4470,48 @@ def oracle_sql() -> dict[str, str]:
                         // sum(cents) OVER (PARTITION BY region)
                         AS BIGINT) AS share_e4
             FROM cells
+        """,
+        "priority_status_cube": """
+            SELECT coalesce(o_orderpriority, '*') AS o_orderpriority,
+                   coalesce(o_orderstatus, '*') AS o_orderstatus,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders
+            GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        """,
+        "orders_above_nation_avg": """
+            WITH j AS (
+              SELECT n.n_name AS nation, n.n_nationkey AS nk,
+                     CAST(round(o.o_totalprice * 100) AS BIGINT)
+                         AS cents
+              FROM orders o
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation n ON c.c_nationkey = n.n_nationkey),
+            s AS (
+              SELECT nk, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(cents) AS BIGINT) AS tot
+              FROM j GROUP BY 1)
+            SELECT j.nation, CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(count(*) FILTER (WHERE j.cents * s.n > s.tot)
+                        AS BIGINT) AS n_above_avg
+            FROM j JOIN s ON j.nk = s.nk
+            GROUP BY 1
+        """,
+        "order_value_quantiles_by_segment": """
+            WITH j AS (
+              SELECT c.c_mktsegment,
+                     CAST(round(o.o_totalprice * 100) AS BIGINT)
+                         AS cents
+              FROM orders o
+              JOIN customer c ON o.o_custkey = c.c_custkey)
+            SELECT c_mktsegment, CAST(q AS DOUBLE) AS q,
+                   CAST(v AS BIGINT) AS cents
+            FROM (SELECT c_mktsegment,
+                         unnest([0.25, 0.5, 0.75, 0.9]) AS q,
+                         unnest(quantile_disc(cents,
+                                              [0.25, 0.5, 0.75, 0.9]))
+                             AS v
+                  FROM j GROUP BY c_mktsegment)
         """,
     }

@@ -4128,3 +4128,202 @@ def nation_share_within_region(sf_dir: str):
         "share_e4": pa.array([r[2] * 10000 // totals[r[0]]
                               for r in rows], pa.int64()),
     }).cast(NATION_SHARE_SCHEMA))
+
+
+CUBE_SCHEMA = pa.schema([
+    ("o_orderpriority", pa.string()),
+    ("o_orderstatus", pa.string()),
+    ("n_orders", pa.int64()),
+    ("cents", pa.int64()),
+])
+
+
+def priority_status_cube(sf_dir: str):
+    """GROUP BY CUBE (priority, status): all four grouping sets —
+    (p,s), (p,·), (·,s), (·,·) — in ONE fact pass: grouped_sums reduces
+    to the ≤ |priorities|·|statuses| base cells and the three margin
+    levels expand from that dim-bounded cell table on the driver.
+    Subtotal marker is '*' (COALESCE in the SQL twin) so no NULL rides
+    the hash compare."""
+    import numpy as np
+
+    import ray.data
+
+    from ..stages.agg import grouped_sums
+
+    def _cents(batch: pa.Table) -> pa.Table:
+        c = np.rint(np.asarray(batch["o_totalprice"],
+                               np.float64) * 100).astype(np.int64)
+        return pa.table({
+            "o_orderpriority": batch["o_orderpriority"],
+            "o_orderstatus": batch["o_orderstatus"],
+            "cents": pa.array(c, pa.int64()),
+        })
+
+    cells = grouped_sums(
+        read_parquet_clean(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderpriority", "o_orderstatus",
+                                    "o_totalprice"]).map_batches(
+            _cents, batch_format="pyarrow"),
+        ["o_orderpriority", "o_orderstatus"], ["cents"],
+        count_as="n").take_all()
+    out: dict = {}
+    for r in cells:
+        for key in ((r["o_orderpriority"], r["o_orderstatus"]),
+                    (r["o_orderpriority"], "*"),
+                    ("*", r["o_orderstatus"]),
+                    ("*", "*")):
+            n, c = out.get(key, (0, 0))
+            out[key] = (n + r["n"], c + r["sum_cents"])
+    keys = sorted(out)
+    return ray.data.from_arrow(pa.table({
+        "o_orderpriority": pa.array([k[0] for k in keys], pa.string()),
+        "o_orderstatus": pa.array([k[1] for k in keys], pa.string()),
+        "n_orders": pa.array([out[k][0] for k in keys], pa.int64()),
+        "cents": pa.array([out[k][1] for k in keys], pa.int64()),
+    }).cast(CUBE_SCHEMA))
+
+
+ABOVE_NATION_SCHEMA = pa.schema([
+    ("nation", pa.string()),
+    ("n_orders", pa.int64()),
+    ("n_above_avg", pa.int64()),
+])
+
+
+def orders_above_nation_avg(sf_dir: str):
+    """Theta self-comparison: per nation, how many orders are STRICTLY
+    above that nation's average order value — decided by the integer
+    cross-multiply ``cents·n > sum_cents`` (never a float average, so
+    both engines agree bit-for-bit). Two passes over the same joined
+    rows: the custkey hash-join exchange is materialized once, pass one
+    folds (n, sum) per nation (dim-bounded — it broadcasts back inside
+    the second map), pass two counts the strict winners."""
+    import numpy as np
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.agg import grouped_sums
+    from ..stages.join import hash_join_exchange
+
+    n_parts = resolve_num_partitions(DEFAULT_CONFIG)
+    nation = read_parquet_clean(f"{sf_dir}/nation.parquet").take_all()
+    nk_name = {r["n_nationkey"]: r["n_name"] for r in nation}
+
+    def _ord(batch: pa.Table) -> pa.Table:
+        c = np.rint(np.asarray(batch["o_totalprice"],
+                               np.float64) * 100).astype(np.int64)
+        return pa.table({
+            "o_custkey": pc.cast(batch["o_custkey"], pa.int64()),
+            "cents": pa.array(c, pa.int64()),
+        })
+
+    def _cust(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": pc.cast(batch["c_custkey"], pa.int64()),
+            "c_nk": pc.cast(batch["c_nationkey"], pa.int64()),
+        })
+
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_custkey",
+                                         "o_totalprice"]).map_batches(
+        _ord, batch_format="pyarrow")
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey",
+                                       "c_nationkey"]).map_batches(
+        _cust, batch_format="pyarrow")
+    joined = hash_join_exchange(orders, cust, "custkey", ["cents"],
+                                ["c_nk"], n_parts,
+                                left_key="o_custkey",
+                                right_key="c_custkey").materialize()
+    stats = {r["c_nk"]: (r["n"], r["sum_cents"])
+             for r in grouped_sums(joined, ["c_nk"], ["cents"],
+                                   count_as="n").take_all()}
+    max_nk = max(stats, default=-1)
+    n_arr = np.zeros(max_nk + 1, np.int64)
+    s_arr = np.zeros(max_nk + 1, np.int64)
+    for k, (n, s) in stats.items():
+        n_arr[k], s_arr[k] = n, s
+    thr_ref = ray.put((n_arr, s_arr))
+
+    def _above(batch: pa.Table) -> pa.Table:
+        n_a, s_a = ray.get(thr_ref)
+        nk = np.asarray(batch["c_nk"], np.int64)
+        c = np.asarray(batch["cents"], np.int64)
+        above = c * n_a[nk] > s_a[nk]
+        return pa.table({
+            "c_nk": pa.array(nk, pa.int64()),
+            "above": pa.array(above.astype(np.int64), pa.int64()),
+        })
+
+    g = grouped_sums(joined.map_batches(_above, batch_format="pyarrow"),
+                     ["c_nk"], ["above"], count_as="n_orders")
+
+    def _name(batch: pa.Table) -> pa.Table:
+        names = [nk_name.get(k) for k in batch["c_nk"].to_pylist()]
+        out = pa.table({
+            "nation": pa.array(names, pa.string()),
+            "n_orders": batch["n_orders"],
+            "n_above_avg": batch["sum_above"],
+        }).cast(ABOVE_NATION_SCHEMA)
+        return out.filter(pc.is_valid(out["nation"]))
+
+    return g.map_batches(_name, batch_format="pyarrow")
+
+
+SEG_QUANTILE_SCHEMA = pa.schema([
+    ("c_mktsegment", pa.string()),
+    ("q", pa.float64()),
+    ("cents", pa.int64()),
+])
+
+
+def order_value_quantiles_by_segment(sf_dir: str,
+                                     qs=(0.25, 0.5, 0.75, 0.9)):
+    """Exact discrete order-value quantiles per market segment — the
+    join-then-quantile composition: orders hash-join the customer fact
+    on custkey to pick up the segment, then the shared grouped
+    value-histogram quantile reduces (segment × distinct cents)
+    partials, never the order rows."""
+    import numpy as np
+
+    import ray.data
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.agg import grouped_quantiles_disc
+    from ..stages.join import hash_join_exchange
+
+    n_parts = resolve_num_partitions(DEFAULT_CONFIG)
+
+    def _ord(batch: pa.Table) -> pa.Table:
+        c = np.rint(np.asarray(batch["o_totalprice"],
+                               np.float64) * 100).astype(np.int64)
+        return pa.table({
+            "o_custkey": pc.cast(batch["o_custkey"], pa.int64()),
+            "cents": pa.array(c, pa.int64()),
+        })
+
+    def _cust(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": pc.cast(batch["c_custkey"], pa.int64()),
+            "c_mktsegment": batch["c_mktsegment"],
+        })
+
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_custkey",
+                                         "o_totalprice"]).map_batches(
+        _ord, batch_format="pyarrow")
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey",
+                                       "c_mktsegment"]).map_batches(
+        _cust, batch_format="pyarrow")
+    joined = hash_join_exchange(orders, cust, "custkey", ["cents"],
+                                ["c_mktsegment"], n_parts,
+                                left_key="o_custkey",
+                                right_key="c_custkey")
+    tbl = grouped_quantiles_disc(joined, "c_mktsegment", "cents",
+                                 list(qs))
+    return ray.data.from_arrow(pa.table({
+        "c_mktsegment": tbl["c_mktsegment"],
+        "q": tbl["q"],
+        "cents": tbl["value"],
+    }).cast(SEG_QUANTILE_SCHEMA))
