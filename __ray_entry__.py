@@ -1265,6 +1265,12 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "orders_above_nation_avg": relational.orders_above_nation_avg,
         "order_value_quantiles_by_segment":
             relational.order_value_quantiles_by_segment,
+        # --- batch 11: churn, mix affinity, price spread ---
+        "customer_churn_by_quarter":
+            relational.customer_churn_by_quarter,
+        "customer_priority_affinity":
+            relational.customer_priority_affinity,
+        "part_brand_price_spread": relational.part_brand_price_spread,
     }
 
 
@@ -4513,5 +4519,51 @@ def oracle_sql() -> dict[str, str]:
                                               [0.25, 0.5, 0.75, 0.9]))
                              AS v
                   FROM j GROUP BY c_mktsegment)
+        """,
+        "customer_churn_by_quarter": """
+            WITH cq AS (
+              SELECT DISTINCT o_custkey,
+                     (year(o_orderdate) - 1970) * 4
+                     + quarter(o_orderdate) - 1 AS q
+              FROM orders),
+            mx AS (SELECT max(q) AS m FROM cq),
+            ch AS (
+              SELECT a.o_custkey, a.q
+              FROM cq a, mx
+              WHERE a.q < mx.m
+                AND NOT EXISTS (SELECT 1 FROM cq b
+                                WHERE b.o_custkey = a.o_custkey
+                                  AND b.q = a.q + 1)),
+            act AS (SELECT q, CAST(count(*) AS BIGINT) AS n_active
+                    FROM cq GROUP BY 1),
+            chn AS (SELECT q, CAST(count(*) AS BIGINT) AS n FROM ch
+                    GROUP BY 1)
+            SELECT act.q AS quarter, act.n_active,
+                   CAST(coalesce(chn.n, 0) AS BIGINT) AS n_churned,
+                   CAST(coalesce(chn.n, 0) * 10000 // act.n_active
+                        AS BIGINT) AS churn_e4
+            FROM act LEFT JOIN chn USING (q), mx
+            WHERE act.q < mx.m
+        """,
+        "customer_priority_affinity": """
+            WITH cells AS (
+              SELECT c.c_mktsegment, o.o_orderpriority,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM orders o
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              GROUP BY 1, 2)
+            SELECT c_mktsegment, o_orderpriority, n AS n_orders,
+                   CAST(n * 10000
+                        // sum(n) OVER (PARTITION BY c_mktsegment)
+                        AS BIGINT) AS share_e4
+            FROM cells
+        """,
+        "part_brand_price_spread": """
+            SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+                   CAST(min(CAST(round(p_retailprice * 100) AS BIGINT))
+                        AS BIGINT) AS min_cents,
+                   CAST(max(CAST(round(p_retailprice * 100) AS BIGINT))
+                        AS BIGINT) AS max_cents
+            FROM part GROUP BY 1
         """,
     }

@@ -4327,3 +4327,187 @@ def order_value_quantiles_by_segment(sf_dir: str,
         "q": tbl["q"],
         "cents": tbl["value"],
     }).cast(SEG_QUANTILE_SCHEMA))
+
+
+CHURN_SCHEMA = pa.schema([
+    ("quarter", pa.int64()),
+    ("n_active", pa.int64()),
+    ("n_churned", pa.int64()),
+    ("churn_e4", pa.int64()),
+])
+
+
+def customer_churn_by_quarter(sf_dir: str):
+    """Quarter-over-quarter churn: for every epoch-quarter before the
+    last, how many of its active customers place NO order the next
+    quarter (exact floor rate, 1e4). The distinct (custkey, quarter)
+    fold block-combines before one custkey exchange; inside a partition
+    churn detection is the next-row test on the lexsorted pairs and each
+    partition leaves only quarter-cell partials. The global max quarter
+    rides in as a driver scalar (dim-bounded fold)."""
+    import numpy as np
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.agg import grouped_sums
+    from ..stages.exchange import exchange_map_groups
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch["o_orderdate"], "datetime64[us]")
+        m = d.astype("datetime64[M]").astype(np.int64)
+        if m.size and m.min() < 0:
+            raise ValueError("customer_churn_by_quarter: pre-epoch date")
+        q = (m // 12) * 4 + (m % 12) // 3
+        return pa.table({
+            "o_custkey": pc.cast(batch["o_custkey"], pa.int64()),
+            "q": pa.array(q, pa.int64()),
+        })
+
+    pairs = grouped_sums(
+        read_parquet_clean(f"{sf_dir}/orders.parquet",
+                           columns=["o_custkey",
+                                    "o_orderdate"]).map_batches(
+            _tag, batch_format="pyarrow"),
+        ["o_custkey", "q"], []).materialize()
+    max_q = max(r["q"] for r in grouped_sums(
+        pairs.select_columns(["q"]), ["q"], []).take_all())
+
+    cell_schema = pa.schema([("quarter", pa.int64()),
+                             ("active", pa.int64()),
+                             ("churned", pa.int64())])
+
+    def _cells(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return cell_schema.empty_table()
+        u = np.asarray(part["o_custkey"], np.int64)
+        q = np.asarray(part["q"], np.int64)
+        order = np.lexsort((q, u))
+        u, q = u[order], q[order]
+        live = q < max_q                      # churn defined before last
+        nxt_same = np.r_[(u[1:] == u[:-1]) & (q[1:] == q[:-1] + 1),
+                         False]
+        churned = live & ~nxt_same
+        qs = q[live]
+        vals_a, cnt_a = np.unique(qs, return_counts=True)
+        vals_c, cnt_c = np.unique(q[churned], return_counts=True)
+        c_map = dict(zip(vals_c.tolist(), cnt_c.tolist()))
+        return pa.table({
+            "quarter": pa.array(vals_a, pa.int64()),
+            "active": pa.array(cnt_a.astype(np.int64), pa.int64()),
+            "churned": pa.array(
+                np.array([c_map.get(v, 0) for v in vals_a.tolist()],
+                         np.int64), pa.int64()),
+        })
+
+    parts = exchange_map_groups(pairs, "o_custkey",
+                                resolve_num_partitions(DEFAULT_CONFIG),
+                                _cells, cell_schema)
+    g = grouped_sums(parts, ["quarter"], ["active", "churned"])
+
+    def _rate(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["sum_active"], np.int64)
+        c = np.asarray(t["sum_churned"], np.int64)
+        return pa.table({
+            "quarter": t["quarter"],
+            "n_active": t["sum_active"],
+            "n_churned": t["sum_churned"],
+            "churn_e4": pa.array(c * 10000 // a, pa.int64()),
+        }).cast(CHURN_SCHEMA)
+
+    return g.map_batches(_rate, batch_format="pyarrow")
+
+
+AFFINITY_SCHEMA = pa.schema([
+    ("c_mktsegment", pa.string()),
+    ("o_orderpriority", pa.string()),
+    ("n_orders", pa.int64()),
+    ("share_e4", pa.int64()),
+])
+
+
+def customer_priority_affinity(sf_dir: str):
+    """Segment × priority mix: order counts per cell and each cell's
+    exact floor share of its SEGMENT's orders (1e4) — does a market
+    segment skew toward urgent orders? Custkey hash-join exchange picks
+    up the segment; the 25 cells normalize driver-side."""
+    import numpy as np
+
+    import ray.data
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.agg import grouped_sums
+    from ..stages.join import hash_join_exchange
+
+    n_parts = resolve_num_partitions(DEFAULT_CONFIG)
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_custkey", "o_orderpriority"])
+
+    def _cust(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": pc.cast(batch["c_custkey"], pa.int64()),
+            "c_mktsegment": batch["c_mktsegment"],
+        })
+
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey",
+                                       "c_mktsegment"]).map_batches(
+        _cust, batch_format="pyarrow")
+    joined = hash_join_exchange(orders, cust, "custkey",
+                                ["o_orderpriority"], ["c_mktsegment"],
+                                n_parts, left_key="o_custkey",
+                                right_key="c_custkey")
+    cells = grouped_sums(joined, ["c_mktsegment", "o_orderpriority"],
+                         [], count_as="n").take_all()
+    totals: dict = {}
+    for r in cells:
+        totals[r["c_mktsegment"]] = (totals.get(r["c_mktsegment"], 0)
+                                     + r["n"])
+    cells.sort(key=lambda r: (r["c_mktsegment"], r["o_orderpriority"]))
+    return ray.data.from_arrow(pa.table({
+        "c_mktsegment": pa.array([r["c_mktsegment"] for r in cells],
+                                 pa.string()),
+        "o_orderpriority": pa.array([r["o_orderpriority"]
+                                     for r in cells], pa.string()),
+        "n_orders": pa.array([r["n"] for r in cells], pa.int64()),
+        "share_e4": pa.array(
+            [r["n"] * 10000 // totals[r["c_mktsegment"]] for r in cells],
+            pa.int64()),
+    }).cast(AFFINITY_SCHEMA))
+
+
+BRAND_SPREAD_SCHEMA = pa.schema([
+    ("p_brand", pa.string()),
+    ("n_parts", pa.int64()),
+    ("min_cents", pa.int64()),
+    ("max_cents", pa.int64()),
+])
+
+
+def part_brand_price_spread(sf_dir: str):
+    """Retail-price spread per brand: part count + exact min/max cents
+    — one grouped_minmax block-combined fold over the part table (min
+    of minima / max of maxima are exact for any distribution)."""
+    import numpy as np
+
+    from ..stages.agg import grouped_minmax
+
+    def _cents(batch: pa.Table) -> pa.Table:
+        c = np.rint(np.asarray(batch["p_retailprice"],
+                               np.float64) * 100).astype(np.int64)
+        return pa.table({
+            "p_brand": batch["p_brand"],
+            "cents": pa.array(c, pa.int64()),
+        })
+
+    g = grouped_minmax(
+        read_parquet_clean(f"{sf_dir}/part.parquet",
+                           columns=["p_brand",
+                                    "p_retailprice"]).map_batches(
+            _cents, batch_format="pyarrow"),
+        ["p_brand"], "cents", count_as="n_parts")
+    return g.map_batches(
+        lambda t: pa.table({"p_brand": t["p_brand"],
+                            "n_parts": t["n_parts"],
+                            "min_cents": t["min_cents"],
+                            "max_cents": t["max_cents"]}
+                           ).cast(BRAND_SPREAD_SCHEMA),
+        batch_format="pyarrow")
