@@ -1271,6 +1271,9 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "customer_priority_affinity":
             relational.customer_priority_affinity,
         "part_brand_price_spread": relational.part_brand_price_spread,
+        # --- batch 12: near-dup homophily, type-token profile ---
+        "neardup_label_homophily": ann.neardup_label_homophily,
+        "vocab_size_by_source": docops.vocab_size_by_source,
     }
 
 
@@ -4565,5 +4568,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(CAST(round(p_retailprice * 100) AS BIGINT))
                         AS BIGINT) AS max_cents
             FROM part GROUP BY 1
+        """,
+        "neardup_label_homophily": """
+            WITH q AS (
+              SELECT vec_id, label,
+                     list_transform(embedding,
+                                    x -> round(CAST(x AS DOUBLE)
+                                               * 10000)) AS qe
+              FROM embeddings)
+            SELECT CAST(least(a.label, b.label) AS BIGINT) AS label_a,
+                   CAST(greatest(a.label, b.label) AS BIGINT) AS label_b,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM q a JOIN q b ON a.vec_id < b.vec_id
+            WHERE round(10000 * list_dot_product(a.qe, b.qe)
+                        / sqrt(list_dot_product(a.qe, a.qe)
+                               * list_dot_product(b.qe, b.qe))) >= 4000
+            GROUP BY 1, 2
+        """,
+        "vocab_size_by_source": """
+            WITH tok AS (
+              SELECT source, t, CAST(count(*) AS BIGINT) AS c
+              FROM (SELECT source,
+                           unnest(string_split(coalesce(text, ''), ' '))
+                               AS t
+                    FROM documents)
+              WHERE t <> ''
+              GROUP BY 1, 2)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(count(*) * 10000 // sum(c) AS BIGINT)
+                       AS type_token_e4
+            FROM tok GROUP BY 1
         """,
     }

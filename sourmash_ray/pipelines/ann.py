@@ -1671,3 +1671,43 @@ def dim_argmax_histogram(sf_dir: str):
                             "n_vectors": t["sum_n_vectors"]}
                            ).cast(DIM_ARGMAX_SCHEMA),
         batch_format="pyarrow")
+
+
+HOMOPHILY_SCHEMA = pa.schema([
+    ("label_a", pa.int64()),
+    ("label_b", pa.int64()),
+    ("n_pairs", pa.int64()),
+])
+
+
+def neardup_label_homophily(sf_dir: str, threshold_e4: int = 4000):
+    """Label structure of the near-duplicate graph: every exact cosine
+    pair ≥ threshold (:func:`embedding_neardup_exact`, the quantized
+    exact-integer scorer) bucketed by its canonical (min, max) label
+    pair — the homophily matrix that says whether near-dups respect
+    class boundaries. Labels ride in as one dense broadcast array; the
+    cell fold is ≤ |labels|² rows."""
+    labels = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "label"]).take_all()
+    max_id = max((r["vec_id"] for r in labels), default=-1)
+    lab = np.full(max_id + 1, -1, np.int64)
+    for r in labels:
+        lab[r["vec_id"]] = r["label"]
+    lab_ref = ray.put(lab)
+
+    from ..stages.agg import grouped_sums
+
+    def _cells(batch: pa.Table) -> pa.Table:
+        l_a = ray.get(lab_ref)
+        a = l_a[np.asarray(batch["a"], np.int64)]
+        b = l_a[np.asarray(batch["b"], np.int64)]
+        return pa.table({
+            "label_a": pa.array(np.minimum(a, b), pa.int64()),
+            "label_b": pa.array(np.maximum(a, b), pa.int64()),
+        })
+
+    pairs = embedding_neardup_exact(sf_dir, threshold_e4=threshold_e4)
+    g = grouped_sums(pairs.map_batches(_cells, batch_format="pyarrow"),
+                     ["label_a", "label_b"], [], count_as="n_pairs")
+    return g.map_batches(lambda t: t.cast(HOMOPHILY_SCHEMA),
+                         batch_format="pyarrow")

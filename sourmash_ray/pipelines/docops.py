@@ -3668,59 +3668,65 @@ SIMPSON_SCHEMA = pa.schema([
 ])
 
 
+def _source_tok_rows(batch: pa.Table) -> pa.Table:
+    """(source, tok, tf) partial rows for every non-empty whitespace
+    token — the per-source twin of :func:`_tf_rows_batch` (same split +
+    lexsort + run-length shape, keyed on the dictionary-encoded source
+    instead of the row)."""
+    from ..functions.segscore import _to_bytes_array
+
+    n = batch.num_rows
+    text = pc.fill_null(batch["text"], "")
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    src = batch["source"]
+    if isinstance(src, pa.ChunkedArray):
+        src = src.combine_chunks()
+    toks = pc.split_pattern(text, " ")
+    ntok = np.asarray(pc.list_value_length(toks), np.int64)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    row = np.repeat(np.arange(n, dtype=np.int64), ntok)
+    nonempty = np.flatnonzero(
+        np.asarray(pc.binary_length(flat), np.int64) > 0)
+    out_schema = pa.schema([("source", pa.string()),
+                            ("tok", pa.string()),
+                            ("tf", pa.int64())])
+    if nonempty.size == 0:
+        return out_schema.empty_table()
+    enc = pc.dictionary_encode(src)
+    src_code = np.asarray(enc.indices, np.int64)
+    tb = _to_bytes_array(flat)[nonempty]
+    sc = src_code[row[nonempty]]
+    order = np.lexsort((tb, sc))
+    sc_s, tb_s = sc[order], tb[order]
+    new_run = np.r_[True,
+                    (sc_s[1:] != sc_s[:-1]) | (tb_s[1:] != tb_s[:-1])]
+    run_len = np.diff(np.r_[np.flatnonzero(new_run), sc_s.size])
+    first_flat = nonempty[order[new_run]]
+    return pa.table({
+        "source": pc.take(enc.dictionary,
+                          pa.array(sc_s[new_run], pa.int64())),
+        "tok": pc.take(flat, pa.array(first_flat, pa.int64())),
+        "tf": pa.array(run_len.astype(np.int64), pa.int64()),
+    }).cast(out_schema)
+
+
 def token_concentration_by_source(sf_dir: str):
     """Per-source vocabulary concentration as the exact-integer Simpson
     numerator: ``collisions = Σ c·(c−1)`` over the source's token
     counts and ``n_tokens = Σ c`` — the probability two random tokens
     collide is ``collisions / (N·(N−1))``, reported as its integer
     parts so the cross-engine hash never sees a float. One
-    ``_tf_rows_batch``-shaped block pass emits (source, tok, partial
+    :func:`_source_tok_rows` block pass emits (source, tok, partial
     count), one token exchange folds exact per-(source, token) counts,
     and the Σc(c−1) fold moves only vocabulary-sized rows."""
-    from ..functions.segscore import _to_bytes_array
     from ..stages.agg import grouped_sums
-
-    def _rows(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        text = pc.fill_null(batch["text"], "")
-        if isinstance(text, pa.ChunkedArray):
-            text = text.combine_chunks()
-        src = batch["source"]
-        if isinstance(src, pa.ChunkedArray):
-            src = src.combine_chunks()
-        toks = pc.split_pattern(text, " ")
-        ntok = np.asarray(pc.list_value_length(toks), np.int64)
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        flat = toks.flatten()
-        row = np.repeat(np.arange(n, dtype=np.int64), ntok)
-        nonempty = np.flatnonzero(
-            np.asarray(pc.binary_length(flat), np.int64) > 0)
-        out_schema = pa.schema([("source", pa.string()),
-                                ("tok", pa.string()),
-                                ("tf", pa.int64())])
-        if nonempty.size == 0:
-            return out_schema.empty_table()
-        enc = pc.dictionary_encode(src)
-        src_code = np.asarray(enc.indices, np.int64)
-        tb = _to_bytes_array(flat)[nonempty]
-        sc = src_code[row[nonempty]]
-        order = np.lexsort((tb, sc))
-        sc_s, tb_s = sc[order], tb[order]
-        new_run = np.r_[True,
-                        (sc_s[1:] != sc_s[:-1]) | (tb_s[1:] != tb_s[:-1])]
-        run_len = np.diff(np.r_[np.flatnonzero(new_run), sc_s.size])
-        first_flat = nonempty[order[new_run]]
-        return pa.table({
-            "source": pc.take(enc.dictionary,
-                              pa.array(sc_s[new_run], pa.int64())),
-            "tok": pc.take(flat, pa.array(first_flat, pa.int64())),
-            "tf": pa.array(run_len.astype(np.int64), pa.int64()),
-        }).cast(out_schema)
 
     per_tok = grouped_sums(
         _read_docs(sf_dir, columns=("source", "text")).map_batches(
-            _rows, batch_format="pyarrow"),
+            _source_tok_rows, batch_format="pyarrow"),
         ["source", "tok"], ["tf"])
 
     def _coll(batch: pa.Table) -> pa.Table:
@@ -3739,3 +3745,49 @@ def token_concentration_by_source(sf_dir: str):
                             "collisions": t["sum_coll"]}
                            ).cast(SIMPSON_SCHEMA),
         batch_format="pyarrow")
+
+
+VOCAB_SIZE_SCHEMA = pa.schema([
+    ("source", pa.string()),
+    ("n_types", pa.int64()),
+    ("n_tokens", pa.int64()),
+    ("type_token_e4", pa.int64()),
+])
+
+
+def vocab_size_by_source(sf_dir: str):
+    """Type–token profile per source (the Heaps-law observables):
+    distinct-token count, total token mass, and their exact floor ratio
+    at 1e4 — the lexical-richness twin of
+    :func:`token_concentration_by_source`, sharing its (source, tok)
+    exact-count exchange; the type/token fold then moves only
+    vocabulary-sized rows."""
+    from ..stages.agg import grouped_sums
+
+    per_tok = grouped_sums(
+        _read_docs(sf_dir, columns=("source", "text")).map_batches(
+            _source_tok_rows, batch_format="pyarrow"),
+        ["source", "tok"], ["tf"])
+
+    def _fold(batch: pa.Table) -> pa.Table:
+        c = np.asarray(batch["sum_tf"], np.int64)
+        return pa.table({
+            "source": batch["source"],
+            "types": pa.array(np.ones(len(c), np.int64), pa.int64()),
+            "toks": pa.array(c, pa.int64()),
+        })
+
+    g = grouped_sums(per_tok.map_batches(_fold, batch_format="pyarrow"),
+                     ["source"], ["types", "toks"])
+
+    def _ratio(t: pa.Table) -> pa.Table:
+        ty = np.asarray(t["sum_types"], np.int64)
+        to = np.asarray(t["sum_toks"], np.int64)
+        return pa.table({
+            "source": t["source"],
+            "n_types": t["sum_types"],
+            "n_tokens": t["sum_toks"],
+            "type_token_e4": pa.array(ty * 10000 // to, pa.int64()),
+        }).cast(VOCAB_SIZE_SCHEMA)
+
+    return g.map_batches(_ratio, batch_format="pyarrow")
