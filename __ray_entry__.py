@@ -913,7 +913,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def _query_registry() -> dict[str, Callable[[str], Any]]:
-    from sourmash_ray.pipelines import (ann, docops, eventops, relational,
+    from sourmash_ray.pipelines import (ann, docops, eventops,
+                                        incremental, relational,
                                         tiered, transcriptops)
     from sourmash_ray.stages import multimodal
 
@@ -1274,6 +1275,9 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         # --- batch 12: near-dup homophily, type-token profile ---
         "neardup_label_homophily": ann.neardup_label_homophily,
         "vocab_size_by_source": docops.vocab_size_by_source,
+        # --- batch 13: incremental view maintenance ---
+        "incremental_pricing_summary":
+            incremental.incremental_pricing_summary,
     }
 
 
@@ -4599,5 +4603,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) * 10000 // sum(c) AS BIGINT)
                        AS type_token_e4
             FROM tok GROUP BY 1
+        """,
+        # IVM correctness IS the claim: maintained base+delta cells must
+        # hash-match the full-table Q1 the oracle recomputes from scratch
+        "incremental_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(round(l_quantity, 0) AS BIGINT))
+                        AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100, 0)
+                                 AS BIGINT)) AS BIGINT)
+                       AS sum_price_cents,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
     }

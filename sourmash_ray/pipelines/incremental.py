@@ -485,3 +485,104 @@ def incremental_dedup_embeddings(sf_dir: str, index_dir: str,
         })
 
     return scored.map_batches(_to_int_pairs, batch_format="pyarrow")
+
+
+Q1_IVM_SCHEMA = pa.schema([
+    ("l_returnflag", pa.string()),
+    ("l_linestatus", pa.string()),
+    ("sum_qty", pa.int64()),
+    ("sum_price_cents", pa.int64()),
+    ("count_order", pa.int64()),
+])
+
+
+def _q1_cells(ds):
+    """Q1 cells (exact-integer sums) for any lineitem-shaped Dataset —
+    the per-row cent/qty rounding is byte-identical to
+    ``relational.pricing_summary`` so maintained and recomputed cells
+    merge losslessly."""
+    from ..stages.agg import grouped_sums
+
+    def _to_cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "qty": pc.cast(pc.round(batch["l_quantity"]), pa.int64()),
+            "price_cents": pc.cast(
+                pc.round(pc.multiply(batch["l_extendedprice"],
+                                     pa.scalar(100.0))), pa.int64()),
+        })
+
+    return grouped_sums(ds.map_batches(_to_cents,
+                                       batch_format="pyarrow"),
+                        ["l_returnflag", "l_linestatus"],
+                        ["qty", "price_cents"], count_as="count_order")
+
+
+def incremental_pricing_summary(sf_dir: str):
+    """Incremental VIEW MAINTENANCE of the Q1 aggregate: the base 90%
+    of lineitem (``l_orderkey % 10 != 0``) is aggregated ONCE and its
+    ≤6 cells persisted; every later call aggregates only the 10% delta
+    and merges cells — additive integer aggregates (sum/count) maintain
+    exactly, so the result is bit-identical to the full recompute and
+    the driver checks it against the SAME full-table Q1 oracle as
+    ``pricing_summary``. Cost after the first call ∝ delta, the IVM
+    contract of the dedup/ANN incremental paths applied to a
+    grouped aggregate."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    cache = f"/tmp/ivm_q1_{tag}"
+    base_file = f"{cache}/base_cells.parquet"
+    marker = f"{cache}/_DONE"
+
+    def _side(delta: bool):
+        ds = read_parquet_clean(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_returnflag", "l_linestatus",
+                     "l_quantity", "l_extendedprice"])
+
+        def _pick(batch: pa.Table) -> pa.Table:
+            ok = np.asarray(batch["l_orderkey"], np.int64)
+            keep = (ok % 10 == 0) if delta else (ok % 10 != 0)
+            return batch.filter(pa.array(keep)).drop_columns(
+                ["l_orderkey"])
+
+        return ds.map_batches(_pick, batch_format="pyarrow")
+
+    def _cells_table(ds) -> pa.Table:
+        rows = _q1_cells(ds).take_all()
+        if not rows:    # from_pylist([]) would lose the schema
+            return Q1_IVM_SCHEMA.empty_table()
+        return pa.Table.from_pylist(rows).cast(Q1_IVM_SCHEMA)
+
+    if not os.path.exists(marker):
+        os.makedirs(cache, exist_ok=True)
+        cells = _cells_table(_side(delta=False))
+        tmp = f"{base_file}.tmp"
+        pq.write_table(cells, tmp)
+        os.replace(tmp, base_file)
+        open(marker, "w").close()
+
+    base = pq.read_table(base_file)
+    delta = _cells_table(_side(delta=True))
+    merged = pa.concat_tables(
+        [base.select(Q1_IVM_SCHEMA.names),
+         delta.select(Q1_IVM_SCHEMA.names)]).group_by(
+        ["l_returnflag", "l_linestatus"], use_threads=False).aggregate(
+        [("sum_qty", "sum"), ("sum_price_cents", "sum"),
+         ("count_order", "sum")])
+    out = pa.table({
+        "l_returnflag": merged["l_returnflag"],
+        "l_linestatus": merged["l_linestatus"],
+        "sum_qty": pc.cast(merged["sum_qty_sum"], pa.int64()),
+        "sum_price_cents": pc.cast(merged["sum_price_cents_sum"],
+                                   pa.int64()),
+        "count_order": pc.cast(merged["count_order_sum"], pa.int64()),
+    }).cast(Q1_IVM_SCHEMA)
+    return ray.data.from_arrow(out)
