@@ -1278,6 +1278,11 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         # --- batch 13: incremental view maintenance ---
         "incremental_pricing_summary":
             incremental.incremental_pricing_summary,
+        # --- batch 14: data-forensics audits ---
+        "benford_first_digit_orders":
+            relational.benford_first_digit_orders,
+        "value_magnitude_histogram":
+            eventops.value_magnitude_histogram,
     }
 
 
@@ -4615,5 +4620,26 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_price_cents,
                    count(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "benford_first_digit_orders": """
+            WITH d AS (
+              SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
+                                           AS BIGINT) AS VARCHAR), 1, 1)
+                          AS BIGINT) AS fd
+              FROM orders),
+            g AS (SELECT fd, CAST(count(*) AS BIGINT) AS n FROM d
+                  GROUP BY 1)
+            SELECT fd AS first_digit, n AS n_orders,
+                   CAST(n * 10000 // sum(n) OVER () AS BIGINT)
+                       AS share_e4
+            FROM g
+        """,
+        "value_magnitude_histogram": """
+            SELECT event_type,
+                   CAST(length(CAST(CAST(round(coalesce(value, 0) * 100)
+                                         AS BIGINT) AS VARCHAR))
+                        AS BIGINT) AS magnitude,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2
         """,
     }
