@@ -1283,6 +1283,11 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
             relational.benford_first_digit_orders,
         "value_magnitude_histogram":
             eventops.value_magnitude_histogram,
+        # --- batch 15: user lifecycle, unit pricing, boilerplate ---
+        "user_entry_exit_matrix": eventops.user_entry_exit_matrix,
+        "unit_price_quantiles_by_brand":
+            relational.unit_price_quantiles_by_brand,
+        "doc_first_token_topk": docops.doc_first_token_topk,
     }
 
 
@@ -4641,5 +4646,45 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS magnitude,
                    CAST(count(*) AS BIGINT) AS n_events
             FROM events GROUP BY 1, 2
+        """,
+        "user_entry_exit_matrix": """
+            WITH b AS (
+              SELECT user_id,
+                     first(event_type ORDER BY ts, event_id)
+                         AS first_type,
+                     last(event_type ORDER BY ts, event_id)
+                         AS last_type
+              FROM events GROUP BY 1)
+            SELECT first_type, last_type,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM b GROUP BY 1, 2
+        """,
+        "unit_price_quantiles_by_brand": """
+            WITH u AS (
+              SELECT p.p_brand,
+                     CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                     // CAST(round(l.l_quantity, 0) AS BIGINT)
+                         AS unit_cents
+              FROM lineitem l
+              JOIN part p ON l.l_partkey = p.p_partkey
+              WHERE CAST(round(l.l_quantity, 0) AS BIGINT) > 0)
+            SELECT p_brand, CAST(q AS DOUBLE) AS q,
+                   CAST(v AS BIGINT) AS unit_cents
+            FROM (SELECT p_brand,
+                         unnest([0.25, 0.5, 0.75, 0.9]) AS q,
+                         unnest(quantile_disc(unit_cents,
+                                              [0.25, 0.5, 0.75, 0.9]))
+                             AS v
+                  FROM u GROUP BY p_brand)
+        """,
+        "doc_first_token_topk": """
+            WITH f AS (
+              SELECT split_part(coalesce(text, ''), ' ', 1) AS tok
+              FROM documents)
+            SELECT tok, CAST(count(*) AS BIGINT) AS n_docs
+            FROM f WHERE tok <> ''
+            GROUP BY tok
+            ORDER BY n_docs DESC, tok
+            LIMIT 20
         """,
     }

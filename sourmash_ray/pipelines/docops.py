@@ -3791,3 +3791,46 @@ def vocab_size_by_source(sf_dir: str):
         }).cast(VOCAB_SIZE_SCHEMA)
 
     return g.map_batches(_ratio, batch_format="pyarrow")
+
+
+FIRST_TOKEN_SCHEMA = pa.schema([
+    ("tok", pa.string()),
+    ("n_docs", pa.int64()),
+])
+
+
+def doc_first_token_topk(sf_dir: str, k: int = 20):
+    """Top-k document-INITIAL tokens (the 'how do documents open'
+    profile a boilerplate detector reads): the first whitespace token
+    of every doc, global count, top-k by (count desc, token asc) —
+    the top_tokens_docs exchange shape with a one-element split per
+    row instead of the full explosion."""
+    from ..functions.segscore import _to_bytes_array
+    from ..stages.agg import grouped_sums
+
+    def _first(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch["text"], "")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern(text, " ", max_splits=1)
+        first = pc.list_element(toks, 0)
+        t = pa.table({"tok": first})
+        return t.filter(pc.greater(pc.binary_length(t["tok"]), 0))
+
+    g = grouped_sums(
+        _read_docs(sf_dir, columns=("text",)).map_batches(
+            _first, batch_format="pyarrow"),
+        ["tok"], [], count_as="n_docs")
+
+    def _blk_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t.cast(FIRST_TOKEN_SCHEMA)
+        nv = np.asarray(t["n_docs"], np.int64)
+        tb = _to_bytes_array(t["tok"].combine_chunks())
+        idx = np.lexsort((tb, -nv))[:k]
+        return t.take(pa.array(np.sort(idx),
+                               pa.int64())).cast(FIRST_TOKEN_SCHEMA)
+
+    return (g.map_batches(_blk_topk, batch_format="pyarrow")
+            .sort(["n_docs", "tok"], descending=[True, False])
+            .limit(k))

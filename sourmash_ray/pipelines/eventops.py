@@ -2212,3 +2212,62 @@ def value_magnitude_histogram(sf_dir: str):
         ["event_type", "magnitude"], [], count_as="n_events")
     return g.map_batches(lambda t: t.cast(MAGNITUDE_SCHEMA),
                          batch_format="pyarrow")
+
+
+USER_EE_SCHEMA = pa.schema([
+    ("first_type", pa.string()),
+    ("last_type", pa.string()),
+    ("n_users", pa.int64()),
+])
+
+
+def user_entry_exit_matrix(sf_dir: str):
+    """Lifecycle matrix at USER grain: (first event type, latest event
+    type) cell counts — what people arrive doing vs what they were last
+    seen doing. Deterministic first/last under the (ts, event_id)
+    tiebreak, same discipline as the session entry/exit matrix; one
+    user exchange, each user leaves as a single cell row."""
+    import numpy as np
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.agg import grouped_sums
+    from ..stages.exchange import exchange_map_groups
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"],
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+            "event_id": batch["event_id"],
+            "event_type": batch["event_type"],
+        })
+
+    part_schema = pa.schema([("first_type", pa.string()),
+                             ("last_type", pa.string())])
+
+    def _bounds(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return part_schema.empty_table()
+        u = np.asarray(part["user_id"], np.int64)
+        ts = np.asarray(part["ts_us"], np.int64)
+        eid = np.asarray(part["event_id"], np.int64)
+        order = np.lexsort((eid, ts, u))
+        u_s = u[order]
+        first = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]])
+        last = np.r_[first[1:], len(u_s)] - 1
+        et = part["event_type"].combine_chunks()
+        return pa.table({
+            "first_type": et.take(pa.array(order[first], pa.int64())),
+            "last_type": et.take(pa.array(order[last], pa.int64())),
+        })
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"]).map_batches(
+        _tag, batch_format="pyarrow")
+    cells = exchange_map_groups(ds, "user_id",
+                                resolve_num_partitions(DEFAULT_CONFIG),
+                                _bounds, part_schema)
+    g = grouped_sums(cells, ["first_type", "last_type"], [],
+                     count_as="n_users")
+    return g.map_batches(lambda t: t.cast(USER_EE_SCHEMA),
+                         batch_format="pyarrow")

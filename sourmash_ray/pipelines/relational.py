@@ -4556,3 +4556,65 @@ def benford_first_digit_orders(sf_dir: str):
         "share_e4": pa.array([r["n"] * 10000 // total for r in cells],
                              pa.int64()),
     }).cast(BENFORD_SCHEMA))
+
+
+UNIT_PRICE_SCHEMA = pa.schema([
+    ("p_brand", pa.string()),
+    ("q", pa.float64()),
+    ("unit_cents", pa.int64()),
+])
+
+
+def unit_price_quantiles_by_brand(sf_dir: str,
+                                  qs=(0.25, 0.5, 0.75, 0.9)):
+    """Per-brand unit-price spread: exact discrete quantiles of
+    ``price_cents // qty`` (integer floor — the only per-unit price
+    both engines compute identically) per part brand. The part→brand
+    hop is a dense broadcast array over the pruned lineitem scan; the
+    shared grouped value-histogram quantile reduces
+    (brand × distinct unit price) partials, never the fact rows.
+    Zero-quantity lines would be dropped (guard matches the SQL
+    ``WHERE qty > 0``)."""
+    import numpy as np
+
+    import ray.data
+
+    from ..stages.agg import grouped_quantiles_disc
+
+    part = read_parquet_clean(f"{sf_dir}/part.parquet",
+                              columns=["p_partkey",
+                                       "p_brand"]).take_all()
+    max_pk = max((r["p_partkey"] for r in part), default=-1)
+    brands = sorted({r["p_brand"] for r in part})
+    b_idx = {b: i for i, b in enumerate(brands)}
+    pk_b = np.full(max_pk + 1, -1, np.int64)
+    for r in part:
+        pk_b[r["p_partkey"]] = b_idx[r["p_brand"]]
+    lut_ref = ray.put(pk_b)
+
+    def _unit(batch: pa.Table) -> pa.Table:
+        b_a = ray.get(lut_ref)
+        pk = np.asarray(batch["l_partkey"], np.int64)
+        qty = np.rint(np.asarray(batch["l_quantity"],
+                                 np.float64)).astype(np.int64)
+        cents = np.rint(np.asarray(batch["l_extendedprice"],
+                                   np.float64) * 100).astype(np.int64)
+        m = (pk >= 0) & (pk < b_a.size) & (qty > 0)
+        m[m] &= b_a[pk[m]] >= 0
+        bi = b_a[pk[m]]
+        return pa.table({
+            "brand_i": pa.array(bi, pa.int64()),
+            "unit_cents": pa.array(cents[m] // qty[m], pa.int64()),
+        })
+
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_partkey", "l_quantity",
+                                     "l_extendedprice"]).map_batches(
+        _unit, batch_format="pyarrow")
+    tbl = grouped_quantiles_disc(ds, "brand_i", "unit_cents", list(qs))
+    bi = tbl["brand_i"].to_pylist()
+    return ray.data.from_arrow(pa.table({
+        "p_brand": pa.array([brands[i] for i in bi], pa.string()),
+        "q": tbl["q"],
+        "unit_cents": tbl["value"],
+    }).cast(UNIT_PRICE_SCHEMA))
