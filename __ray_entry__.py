@@ -1288,6 +1288,9 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "unit_price_quantiles_by_brand":
             relational.unit_price_quantiles_by_brand,
         "doc_first_token_topk": docops.doc_first_token_topk,
+        # --- batch 16: exact-integer Gini, habit bursts ---
+        "length_gini_by_source": docops.length_gini_by_source,
+        "user_type_run_lengths": eventops.user_type_run_lengths,
     }
 
 
@@ -4686,5 +4689,38 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY tok
             ORDER BY n_docs DESC, tok
             LIMIT 20
+        """,
+        "length_gini_by_source": """
+            WITH r AS (
+              SELECT source, CAST(n_chars AS BIGINT) AS x,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY n_chars, doc_id) AS rk
+              FROM documents)
+            SELECT source,
+                   CAST(2 * sum(rk * x) - (count(*) + 1) * sum(x)
+                        AS BIGINT) AS gini_num,
+                   CAST(count(*) * sum(x) AS BIGINT) AS gini_den
+            FROM r GROUP BY 1
+        """,
+        "user_type_run_lengths": """
+            WITH o AS (
+              SELECT user_id, event_type, ts, event_id,
+                     CASE WHEN lag(event_type) OVER w
+                              IS DISTINCT FROM event_type
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            r AS (
+              SELECT user_id, event_type,
+                     sum(brk) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS rid
+              FROM o),
+            g AS (SELECT user_id, rid, event_type,
+                         CAST(count(*) AS BIGINT) AS len
+                  FROM r GROUP BY 1, 2, 3)
+            SELECT event_type, len AS run_len,
+                   CAST(count(*) AS BIGINT) AS n_runs
+            FROM g GROUP BY 1, 2
         """,
     }

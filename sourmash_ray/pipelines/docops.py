@@ -3834,3 +3834,67 @@ def doc_first_token_topk(sf_dir: str, k: int = 20):
     return (g.map_batches(_blk_topk, batch_format="pyarrow")
             .sort(["n_docs", "tok"], descending=[True, False])
             .limit(k))
+
+
+GINI_SCHEMA = pa.schema([
+    ("source", pa.string()),
+    ("gini_num", pa.int64()),
+    ("gini_den", pa.int64()),
+])
+
+
+def length_gini_by_source(sf_dir: str):
+    """Length-inequality (Gini) per source as an EXACT integer rational:
+    with lengths sorted ascending and ranked 1..n,
+    ``num = 2·Σ(rank·len) − (n+1)·Σlen`` and ``den = n·Σlen`` give
+    G = num/den — ties commute (equal values at adjacent ranks leave
+    the dot product unchanged), so any stable order agrees with SQL's
+    row_number. One source exchange; per partition a single argsort +
+    dot product."""
+    import numpy as np
+
+    from ..config import DEFAULT_CONFIG as _cfg
+    from ..config import resolve_num_partitions
+    from ..functions.segscore import hash_strings64
+    from ..stages.agg import grouped_sums
+    from ..stages.exchange import exchange_map_groups
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        src = batch["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        return pa.table({
+            "source": src,
+            "n_chars": pc.cast(batch["n_chars"], pa.int64()),
+            "src_part": pa.array(hash_strings64(src) % 1024, pa.int64()),
+        })
+
+    def _gini(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return GINI_SCHEMA.empty_table()
+        enc = pc.dictionary_encode(part["source"].combine_chunks())
+        code = np.asarray(enc.indices, np.int64)
+        x = np.asarray(part["n_chars"], np.int64)
+        order = np.lexsort((x, code))     # per source, lengths ascending
+        code_s, x_s = code[order], x[order]
+        first = np.flatnonzero(np.r_[True, code_s[1:] != code_s[:-1]])
+        ends = np.r_[first[1:], len(code_s)]
+        n = ends - first
+        rank = np.arange(len(x_s), dtype=np.int64) - np.repeat(first, n) + 1
+        rx = rank * x_s
+        sum_rx = np.add.reduceat(rx, first)
+        sum_x = np.add.reduceat(x_s, first)
+        num = 2 * sum_rx - (n + 1) * sum_x
+        den = n * sum_x
+        return pa.table({
+            "source": pc.take(enc.dictionary,
+                              pa.array(code_s[first], pa.int64())),
+            "gini_num": pa.array(num, pa.int64()),
+            "gini_den": pa.array(den, pa.int64()),
+        })
+
+    keyed = _read_docs(sf_dir, columns=("source", "n_chars")
+                       ).map_batches(_prep, batch_format="pyarrow")
+    return exchange_map_groups(keyed, "src_part",
+                               resolve_num_partitions(_cfg),
+                               _gini, GINI_SCHEMA)

@@ -2271,3 +2271,75 @@ def user_entry_exit_matrix(sf_dir: str):
                      count_as="n_users")
     return g.map_batches(lambda t: t.cast(USER_EE_SCHEMA),
                          batch_format="pyarrow")
+
+
+TYPE_RUN_SCHEMA = pa.schema([
+    ("event_type", pa.string()),
+    ("run_len", pa.int64()),
+    ("n_runs", pa.int64()),
+])
+
+
+def user_type_run_lengths(sf_dir: str):
+    """Habit bursts: maximal runs of the SAME event type inside a
+    user's (ts, event_id)-ordered stream, histogrammed by (type, run
+    length) — the events twin of the transcripts tool-run detector.
+    One user exchange; runs are one boundary mask + reduceat per
+    partition, and only (type × length) cells leave it."""
+    import numpy as np
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.agg import grouped_sums
+    from ..stages.exchange import exchange_map_groups
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"],
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+            "event_id": batch["event_id"],
+            "event_type": batch["event_type"],
+        })
+
+    part_schema = TYPE_RUN_SCHEMA
+
+    def _runs(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return part_schema.empty_table()
+        u = np.asarray(part["user_id"], np.int64)
+        ts = np.asarray(part["ts_us"], np.int64)
+        eid = np.asarray(part["event_id"], np.int64)
+        et = part["event_type"].combine_chunks()
+        code = np.asarray(pc.dictionary_encode(et).indices, np.int64)
+        order = np.lexsort((eid, ts, u))
+        u_s, c_s = u[order], code[order]
+        new_run = np.r_[True, (u_s[1:] != u_s[:-1])
+                        | (c_s[1:] != c_s[:-1])]
+        starts = np.flatnonzero(new_run)
+        lens = np.diff(np.r_[starts, len(u_s)])
+        run_type = et.take(pa.array(order[starts], pa.int64()))
+        key = pa.table({"event_type": run_type,
+                        "run_len": pa.array(lens.astype(np.int64),
+                                            pa.int64())})
+        g = key.group_by(["event_type", "run_len"],
+                         use_threads=False).aggregate(
+            [("run_len", "count")])
+        return pa.table({
+            "event_type": g["event_type"],
+            "run_len": g["run_len"],
+            "n_runs": pc.cast(g["run_len_count"], pa.int64()),
+        })
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"]).map_batches(
+        _tag, batch_format="pyarrow")
+    parts = exchange_map_groups(ds, "user_id",
+                                resolve_num_partitions(DEFAULT_CONFIG),
+                                _runs, part_schema)
+    g = grouped_sums(parts, ["event_type", "run_len"], ["n_runs"])
+    return g.map_batches(
+        lambda t: pa.table({"event_type": t["event_type"],
+                            "run_len": t["run_len"],
+                            "n_runs": t["sum_n_runs"]}
+                           ).cast(TYPE_RUN_SCHEMA),
+        batch_format="pyarrow")
