@@ -1291,6 +1291,9 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         # --- batch 16: exact-integer Gini, habit bursts ---
         "length_gini_by_source": docops.length_gini_by_source,
         "user_type_run_lengths": eventops.user_type_run_lengths,
+        # --- batch 17: robust statistics, decile behavior mix ---
+        "order_value_mad": relational.order_value_mad,
+        "type_mix_by_value_decile": eventops.type_mix_by_value_decile,
     }
 
 
@@ -4722,5 +4725,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, len AS run_len,
                    CAST(count(*) AS BIGINT) AS n_runs
             FROM g GROUP BY 1, 2
+        """,
+        "order_value_mad": """
+            WITH c AS (
+              SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders),
+            m AS (SELECT CAST(quantile_disc(cents, 0.5) AS BIGINT)
+                      AS med FROM c)
+            SELECT m.med AS median_cents,
+                   CAST(quantile_disc(abs(c.cents - m.med), 0.5)
+                        AS BIGINT) AS mad_cents
+            FROM c, m GROUP BY 1
+        """,
+        "type_mix_by_value_decile": """
+            WITH per AS (
+              SELECT user_id,
+                     CAST(sum(CAST(round(coalesce(value, 0) * 100)
+                                   AS BIGINT)) AS BIGINT) AS c
+              FROM events GROUP BY 1),
+            t AS (
+              SELECT user_id,
+                     ntile(10) OVER (ORDER BY c DESC, user_id) AS d
+              FROM per),
+            cells AS (
+              SELECT t.d, e.event_type, CAST(count(*) AS BIGINT) AS n
+              FROM events e JOIN t ON e.user_id = t.user_id
+              GROUP BY 1, 2)
+            SELECT CAST(d AS BIGINT) AS decile, event_type,
+                   n AS n_events,
+                   CAST(n * 10000 // sum(n) OVER (PARTITION BY d)
+                        AS BIGINT) AS share_e4
+            FROM cells
         """,
     }

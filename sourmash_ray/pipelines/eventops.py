@@ -2343,3 +2343,78 @@ def user_type_run_lengths(sf_dir: str):
                             "n_runs": t["sum_n_runs"]}
                            ).cast(TYPE_RUN_SCHEMA),
         batch_format="pyarrow")
+
+
+DECILE_MIX_SCHEMA = pa.schema([
+    ("decile", pa.int64()),
+    ("event_type", pa.string()),
+    ("n_events", pa.int64()),
+    ("share_e4", pa.int64()),
+])
+
+
+def type_mix_by_value_decile(sf_dir: str, n_tiles: int = 10):
+    """Behavioral mix per spend decile: users cut into the same
+    SQL-ntile buckets as :func:`user_value_deciles`, then each decile's
+    event-type counts and exact floor shares — do heavy spenders click
+    differently? The decile assignment is the dim-bounded driver cut;
+    it broadcasts back as one dense array and the (decile, type) fold
+    block-combines."""
+    import numpy as np
+
+    import ray.data
+
+    from ..stages.agg import grouped_sums
+
+    def _cents(batch: pa.Table) -> pa.Table:
+        v = np.rint(np.asarray(
+            pc.fill_null(batch["value"], 0.0), np.float64) * 100)
+        return pa.table({
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+            "cents": pa.array(v.astype(np.int64), pa.int64()),
+        })
+
+    per_user = grouped_sums(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["user_id", "value"]).map_batches(
+            _cents, batch_format="pyarrow"),
+        ["user_id"], ["cents"]).take_all()
+    if not per_user:
+        return ray.data.from_arrow(DECILE_MIX_SCHEMA.empty_table())
+    uid = np.array([r["user_id"] for r in per_user], np.int64)
+    cents = np.array([r["sum_cents"] for r in per_user], np.int64)
+    order = np.lexsort((uid, -cents))
+    n = uid.size
+    sizes = np.full(n_tiles, n // n_tiles, np.int64)
+    sizes[: n % n_tiles] += 1
+    tile_of = np.repeat(np.arange(1, n_tiles + 1, dtype=np.int64), sizes)
+    dec = np.zeros(int(uid.max()) + 1, np.int64)
+    dec[uid[order]] = tile_of
+    dec_ref = ray.put(dec)
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        d_a = ray.get(dec_ref)
+        u = np.asarray(batch["user_id"], np.int64)
+        return pa.table({
+            "decile": pa.array(d_a[u], pa.int64()),
+            "event_type": batch["event_type"],
+        })
+
+    cells = grouped_sums(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["user_id", "event_type"]).map_batches(
+            _tag, batch_format="pyarrow"),
+        ["decile", "event_type"], [], count_as="n").take_all()
+    totals: dict = {}
+    for r in cells:
+        totals[r["decile"]] = totals.get(r["decile"], 0) + r["n"]
+    cells.sort(key=lambda r: (r["decile"], r["event_type"]))
+    return ray.data.from_arrow(pa.table({
+        "decile": pa.array([r["decile"] for r in cells], pa.int64()),
+        "event_type": pa.array([r["event_type"] for r in cells],
+                               pa.string()),
+        "n_events": pa.array([r["n"] for r in cells], pa.int64()),
+        "share_e4": pa.array(
+            [r["n"] * 10000 // totals[r["decile"]] for r in cells],
+            pa.int64()),
+    }).cast(DECILE_MIX_SCHEMA))

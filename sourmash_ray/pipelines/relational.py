@@ -4618,3 +4618,44 @@ def unit_price_quantiles_by_brand(sf_dir: str,
         "q": tbl["q"],
         "unit_cents": tbl["value"],
     }).cast(UNIT_PRICE_SCHEMA))
+
+
+MAD_SCHEMA = pa.schema([
+    ("median_cents", pa.int64()),
+    ("mad_cents", pa.int64()),
+])
+
+
+def order_value_mad(sf_dir: str):
+    """Robust spread of order values: the exact discrete median m of
+    cents, then the exact discrete median of |cents − m| — MAD, the
+    outlier-immune sigma. Two value-histogram quantile passes (each
+    ships per-block distinct values, not rows); the deviation pass is
+    map-only off the driver-scalar median."""
+    import numpy as np
+
+    import ray.data
+
+    from ..stages.agg import quantiles_disc
+
+    def _cents(batch: pa.Table) -> pa.Table:
+        c = np.rint(np.asarray(batch["o_totalprice"],
+                               np.float64) * 100).astype(np.int64)
+        return pa.table({"cents": pa.array(c, pa.int64())})
+
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_totalprice"]).map_batches(
+        _cents, batch_format="pyarrow").materialize()
+    med = int(quantiles_disc(ds, "cents", [0.5])["value"][0].as_py())
+
+    def _dev(batch: pa.Table) -> pa.Table:
+        c = np.asarray(batch["cents"], np.int64)
+        return pa.table({"dev": pa.array(np.abs(c - med), pa.int64())})
+
+    mad = int(quantiles_disc(ds.map_batches(_dev,
+                                            batch_format="pyarrow"),
+                             "dev", [0.5])["value"][0].as_py())
+    return ray.data.from_arrow(pa.table({
+        "median_cents": pa.array([med], pa.int64()),
+        "mad_cents": pa.array([mad], pa.int64()),
+    }).cast(MAD_SCHEMA))
