@@ -1294,6 +1294,9 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         # --- batch 17: robust statistics, decile behavior mix ---
         "order_value_mad": relational.order_value_mad,
         "type_mix_by_value_decile": eventops.type_mix_by_value_decile,
+        # --- batch 18: market basket, pushdown covariance ---
+        "copurchase_part_pairs": relational.copurchase_part_pairs,
+        "qty_discount_suffstats": relational.qty_discount_suffstats,
     }
 
 
@@ -4756,5 +4759,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n * 10000 // sum(n) OVER (PARTITION BY d)
                         AS BIGINT) AS share_e4
             FROM cells
+        """,
+        "copurchase_part_pairs": """
+            WITH p AS (
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            pairs AS (
+              SELECT a.l_partkey AS pa_, b.l_partkey AS pb_,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM p a JOIN p b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2)
+            SELECT CAST(pa_ AS BIGINT) AS part_a,
+                   CAST(pb_ AS BIGINT) AS part_b, n AS n_orders
+            FROM pairs
+            ORDER BY n DESC, pa_, pb_
+            LIMIT 20
+        """,
+        "qty_discount_suffstats": """
+            WITH x AS (
+              SELECT l_returnflag,
+                     CAST(round(l_quantity, 0) AS BIGINT) AS q,
+                     CAST(round(l_discount * 100) AS BIGINT) AS d
+              FROM lineitem)
+            SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(q) AS BIGINT) AS sum_q,
+                   CAST(sum(d) AS BIGINT) AS sum_d,
+                   CAST(sum(q * d) AS BIGINT) AS sum_qd,
+                   CAST(sum(q * q) AS BIGINT) AS sum_q2,
+                   CAST(sum(d * d) AS BIGINT) AS sum_d2
+            FROM x GROUP BY 1
         """,
     }

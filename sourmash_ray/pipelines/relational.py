@@ -4659,3 +4659,142 @@ def order_value_mad(sf_dir: str):
         "median_cents": pa.array([med], pa.int64()),
         "mad_cents": pa.array([mad], pa.int64()),
     }).cast(MAD_SCHEMA))
+
+
+COPURCHASE_SCHEMA = pa.schema([
+    ("part_a", pa.int64()),
+    ("part_b", pa.int64()),
+    ("n_orders", pa.int64()),
+])
+
+
+def copurchase_part_pairs(sf_dir: str, k: int = 20):
+    """Market-basket: the top-k part pairs by co-purchase support
+    (orders containing both), ordered (support desc, part_a, part_b).
+    The pair explosion is bounded by (lines-per-order choose 2) — the
+    distinct (orderkey, partkey) fold block-combines, ONE orderkey
+    exchange groups baskets, and each partition emits its pairs by
+    basket-size class (reshape + triu per distinct size — no Python
+    loop over orders). The support fold + top-k then runs the
+    top_tokens exchange shape over pair keys."""
+    import numpy as np
+
+    from ..stages.agg import grouped_sums
+    from ..stages.exchange import exchange_map_groups
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+
+    pairs_schema = pa.schema([("part_a", pa.int64()),
+                              ("part_b", pa.int64())])
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": pc.cast(batch["l_orderkey"], pa.int64()),
+            "l_partkey": pc.cast(batch["l_partkey"], pa.int64()),
+        })
+
+    items = grouped_sums(
+        read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey",
+                                    "l_partkey"]).map_batches(
+            _tag, batch_format="pyarrow"),
+        ["l_orderkey", "l_partkey"], [])
+
+    def _pairs(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pairs_schema.empty_table()
+        ok = np.asarray(part["l_orderkey"], np.int64)
+        pk = np.asarray(part["l_partkey"], np.int64)
+        order = np.lexsort((pk, ok))
+        ok, pk = ok[order], pk[order]
+        first = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1]])
+        lens = np.diff(np.r_[first, len(ok)])
+        out_a, out_b = [], []
+        for l in np.unique(lens):         # ≤ max-basket-size classes
+            if l < 2:
+                continue
+            sel = first[lens == l]
+            # baskets of size l, parts sorted ascending inside each
+            mat = pk[(sel[:, None] + np.arange(l)[None, :]).ravel()
+                     ].reshape(-1, l)
+            ii, jj = np.triu_indices(l, 1)
+            out_a.append(mat[:, ii].ravel())
+            out_b.append(mat[:, jj].ravel())
+        if not out_a:
+            return pairs_schema.empty_table()
+        return pa.table({
+            "part_a": pa.array(np.concatenate(out_a), pa.int64()),
+            "part_b": pa.array(np.concatenate(out_b), pa.int64()),
+        })
+
+    baskets = exchange_map_groups(items, "l_orderkey",
+                                  resolve_num_partitions(DEFAULT_CONFIG),
+                                  _pairs, pairs_schema)
+    g = grouped_sums(baskets, ["part_a", "part_b"], [],
+                     count_as="n_orders")
+
+    def _blk_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t.cast(COPURCHASE_SCHEMA)
+        n = np.asarray(t["n_orders"], np.int64)
+        a = np.asarray(t["part_a"], np.int64)
+        b = np.asarray(t["part_b"], np.int64)
+        idx = np.lexsort((b, a, -n))[:k]
+        return t.take(pa.array(np.sort(idx),
+                               pa.int64())).cast(COPURCHASE_SCHEMA)
+
+    return (g.map_batches(_blk_topk, batch_format="pyarrow")
+            .sort(["n_orders", "part_a", "part_b"],
+                  descending=[True, False, False])
+            .limit(k))
+
+
+SUFFSTATS_SCHEMA = pa.schema([
+    ("l_returnflag", pa.string()),
+    ("n", pa.int64()),
+    ("sum_q", pa.int64()),
+    ("sum_d", pa.int64()),
+    ("sum_qd", pa.int64()),
+    ("sum_q2", pa.int64()),
+    ("sum_d2", pa.int64()),
+])
+
+
+def qty_discount_suffstats(sf_dir: str):
+    """Pushdown-covariance sufficient statistics per returnflag:
+    (n, Σq, Σd, Σqd, Σq², Σd²) with q = whole quantity, d = whole
+    discount percent — everything Pearson/OLS needs, all exact
+    integers, one block-combined fold. The correlation itself is a
+    driver-side float the CONSUMER derives; the engine ships only
+    exact sums so partial/merge order can't perturb anything."""
+    import numpy as np
+
+    from ..stages.agg import grouped_sums
+
+    def _qd(batch: pa.Table) -> pa.Table:
+        q = np.rint(np.asarray(batch["l_quantity"],
+                               np.float64)).astype(np.int64)
+        d = np.rint(np.asarray(batch["l_discount"],
+                               np.float64) * 100).astype(np.int64)
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "q": pa.array(q, pa.int64()),
+            "d": pa.array(d, pa.int64()),
+            "qd": pa.array(q * d, pa.int64()),
+            "q2": pa.array(q * q, pa.int64()),
+            "d2": pa.array(d * d, pa.int64()),
+        })
+
+    g = grouped_sums(
+        read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_returnflag", "l_quantity",
+                                    "l_discount"]).map_batches(
+            _qd, batch_format="pyarrow"),
+        ["l_returnflag"], ["q", "d", "qd", "q2", "d2"], count_as="n")
+    return g.map_batches(
+        lambda t: pa.table({"l_returnflag": t["l_returnflag"],
+                            "n": t["n"], "sum_q": t["sum_q"],
+                            "sum_d": t["sum_d"], "sum_qd": t["sum_qd"],
+                            "sum_q2": t["sum_q2"],
+                            "sum_d2": t["sum_d2"]}
+                           ).cast(SUFFSTATS_SCHEMA),
+        batch_format="pyarrow")
