@@ -1297,6 +1297,10 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         # --- batch 18: market basket, pushdown covariance ---
         "copurchase_part_pairs": relational.copurchase_part_pairs,
         "qty_discount_suffstats": relational.qty_discount_suffstats,
+        # --- batch 19: lifecycle drift, delay quantiles ---
+        "customer_priority_drift": relational.customer_priority_drift,
+        "ship_delay_quantiles_by_priority":
+            relational.ship_delay_quantiles_by_priority,
     }
 
 
@@ -4789,5 +4793,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(q * q) AS BIGINT) AS sum_q2,
                    CAST(sum(d * d) AS BIGINT) AS sum_d2
             FROM x GROUP BY 1
+        """,
+        "customer_priority_drift": """
+            WITH b AS (
+              SELECT o_custkey,
+                     first(o_orderpriority
+                           ORDER BY o_orderdate, o_orderkey)
+                         AS first_priority,
+                     last(o_orderpriority
+                          ORDER BY o_orderdate, o_orderkey)
+                         AS last_priority
+              FROM orders GROUP BY 1)
+            SELECT first_priority, last_priority,
+                   CAST(count(*) AS BIGINT) AS n_customers
+            FROM b GROUP BY 1, 2
+        """,
+        "ship_delay_quantiles_by_priority": """
+            WITH d AS (
+              SELECT o.o_orderpriority,
+                     (CAST(epoch_us(l.l_shipdate) AS BIGINT)
+                      - CAST(epoch_us(o.o_orderdate) AS BIGINT)
+                      + 100000 * 86400000000)
+                     // 86400000000 - 100000 AS delay_days
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey)
+            SELECT o_orderpriority, CAST(q AS DOUBLE) AS q,
+                   CAST(v AS BIGINT) AS delay_days
+            FROM (SELECT o_orderpriority,
+                         unnest([0.25, 0.5, 0.75, 0.9]) AS q,
+                         unnest(quantile_disc(delay_days,
+                                              [0.25, 0.5, 0.75, 0.9]))
+                             AS v
+                  FROM d GROUP BY o_orderpriority)
         """,
     }

@@ -4798,3 +4798,139 @@ def qty_discount_suffstats(sf_dir: str):
                             "sum_d2": t["sum_d2"]}
                            ).cast(SUFFSTATS_SCHEMA),
         batch_format="pyarrow")
+
+
+PRIORITY_DRIFT_SCHEMA = pa.schema([
+    ("first_priority", pa.string()),
+    ("last_priority", pa.string()),
+    ("n_customers", pa.int64()),
+])
+
+
+def customer_priority_drift(sf_dir: str):
+    """Lifecycle drift: (priority of a customer's FIRST order, priority
+    of their LATEST order) cell counts under the deterministic
+    (o_orderdate, o_orderkey) tiebreak — do customers escalate to
+    urgent over their lifetime? One custkey exchange; each customer
+    leaves its partition as a single cell row."""
+    import numpy as np
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.agg import grouped_sums
+    from ..stages.exchange import exchange_map_groups
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": pc.cast(batch["o_custkey"], pa.int64()),
+            "d_us": pc.cast(batch["o_orderdate"], pa.int64()),
+            "o_orderkey": pc.cast(batch["o_orderkey"], pa.int64()),
+            "o_orderpriority": batch["o_orderpriority"],
+        })
+
+    part_schema = pa.schema([("first_priority", pa.string()),
+                             ("last_priority", pa.string())])
+
+    def _bounds(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return part_schema.empty_table()
+        u = np.asarray(part["o_custkey"], np.int64)
+        d = np.asarray(part["d_us"], np.int64)
+        ok = np.asarray(part["o_orderkey"], np.int64)
+        order = np.lexsort((ok, d, u))
+        u_s = u[order]
+        first = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]])
+        last = np.r_[first[1:], len(u_s)] - 1
+        pr = part["o_orderpriority"].combine_chunks()
+        return pa.table({
+            "first_priority": pr.take(pa.array(order[first], pa.int64())),
+            "last_priority": pr.take(pa.array(order[last], pa.int64())),
+        })
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderkey",
+                 "o_orderpriority"]).map_batches(
+        _tag, batch_format="pyarrow")
+    cells = exchange_map_groups(ds, "o_custkey",
+                                resolve_num_partitions(DEFAULT_CONFIG),
+                                _bounds, part_schema)
+    g = grouped_sums(cells, ["first_priority", "last_priority"], [],
+                     count_as="n_customers")
+    return g.map_batches(lambda t: t.cast(PRIORITY_DRIFT_SCHEMA),
+                         batch_format="pyarrow")
+
+
+DELAY_Q_SCHEMA = pa.schema([
+    ("o_orderpriority", pa.string()),
+    ("q", pa.float64()),
+    ("delay_days", pa.int64()),
+])
+
+
+def ship_delay_quantiles_by_priority(sf_dir: str,
+                                     qs=(0.25, 0.5, 0.75, 0.9)):
+    """Does priority actually buy shipping speed? Exact discrete
+    quantiles of ``l_shipdate − o_orderdate`` in whole days per order
+    priority — the join-then-quantile shape on the orderkey exchange
+    (lineitem side carries only the day delta after the join)."""
+    import numpy as np
+
+    import ray.data
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.agg import grouped_quantiles_disc
+    from ..stages.join import hash_join_exchange
+
+    n_parts = resolve_num_partitions(DEFAULT_CONFIG)
+
+    def _ord(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": pc.cast(batch["o_orderkey"], pa.int64()),
+            "od_us": pc.cast(batch["o_orderdate"], pa.int64()),
+            "o_orderpriority": batch["o_orderpriority"],
+        })
+
+    def _line(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": pc.cast(batch["l_orderkey"], pa.int64()),
+            "sd_us": pc.cast(batch["l_shipdate"], pa.int64()),
+        })
+
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_orderdate",
+                                         "o_orderpriority"]).map_batches(
+        _ord, batch_format="pyarrow")
+    lines = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey",
+                                        "l_shipdate"]).map_batches(
+        _line, batch_format="pyarrow")
+    joined = hash_join_exchange(lines, orders, "orderkey",
+                                ["sd_us"], ["od_us", "o_orderpriority"],
+                                n_parts, left_key="l_orderkey",
+                                right_key="o_orderkey")
+
+    day_us = 86_400 * 1_000_000
+    shift = 100_000  # the repo's shift-before-floor contract: this
+    # corpus ships lines BEFORE the order date, and DuckDB's integer //
+    # truncates toward zero while numpy floors — shifting positive
+    # first makes both floor, exactly (ship_delay_histogram's trick)
+
+    def _delay(batch: pa.Table) -> pa.Table:
+        sd = np.asarray(batch["sd_us"], np.int64)
+        od = np.asarray(batch["od_us"], np.int64)
+        d = sd - od + shift * day_us
+        if d.size and d.min() < 0:
+            raise ValueError("delay below -100000 days: raise the shift")
+        return pa.table({
+            "o_orderpriority": batch["o_orderpriority"],
+            "delay_days": pa.array(d // day_us - shift, pa.int64()),
+        })
+
+    tbl = grouped_quantiles_disc(
+        joined.map_batches(_delay, batch_format="pyarrow"),
+        "o_orderpriority", "delay_days", list(qs))
+    return ray.data.from_arrow(pa.table({
+        "o_orderpriority": tbl["o_orderpriority"],
+        "q": tbl["q"],
+        "delay_days": tbl["value"],
+    }).cast(DELAY_Q_SCHEMA))
