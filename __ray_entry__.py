@@ -1301,6 +1301,9 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "customer_priority_drift": relational.customer_priority_drift,
         "ship_delay_quantiles_by_priority":
             relational.ship_delay_quantiles_by_priority,
+        # --- batch 20: tool baskets, acquisition cohorts ---
+        "tool_copresence_pairs": transcriptops.tool_copresence_pairs,
+        "customer_cohort_sizes": relational.customer_cohort_sizes,
     }
 
 
@@ -4825,5 +4828,26 @@ def oracle_sql() -> dict[str, str]:
                                               [0.25, 0.5, 0.75, 0.9]))
                              AS v
                   FROM d GROUP BY o_orderpriority)
+        """,
+        "tool_copresence_pairs": f"""
+            WITH t AS (
+              SELECT DISTINCT conv_id, tool
+              FROM read_parquet('{_turns}/*.parquet')
+              WHERE tool IS NOT NULL AND tool <> '')
+            SELECT a.tool AS tool_a, b.tool AS tool_b,
+                   CAST(count(*) AS BIGINT) AS n_convs
+            FROM t a JOIN t b
+              ON a.conv_id = b.conv_id AND a.tool < b.tool
+            GROUP BY 1, 2
+        """,
+        "customer_cohort_sizes": """
+            WITH f AS (
+              SELECT o_custkey,
+                     min((year(o_orderdate) - 1970) * 12
+                         + month(o_orderdate) - 1) AS mo
+              FROM orders GROUP BY 1)
+            SELECT CAST(mo AS BIGINT) AS cohort_month,
+                   CAST(count(*) AS BIGINT) AS n_customers
+            FROM f GROUP BY 1
         """,
     }

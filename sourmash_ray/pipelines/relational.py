@@ -4934,3 +4934,44 @@ def ship_delay_quantiles_by_priority(sf_dir: str,
         "q": tbl["q"],
         "delay_days": tbl["value"],
     }).cast(DELAY_Q_SCHEMA))
+
+
+COHORT_SIZE_SCHEMA = pa.schema([
+    ("cohort_month", pa.int64()),
+    ("n_customers", pa.int64()),
+])
+
+
+def customer_cohort_sizes(sf_dir: str):
+    """Acquisition curve: customers grouped by the epoch-month of their
+    FIRST order. One grouped-min fold (block-min combiner — exact for
+    any distribution) then a dim-bounded month histogram."""
+    import numpy as np
+
+    from ..stages.agg import grouped_minmax, grouped_sums
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch["o_orderdate"], "datetime64[us]")
+        m = d.astype("datetime64[M]").astype(np.int64)
+        if m.size and m.min() < 0:
+            raise ValueError("customer_cohort_sizes: pre-epoch date")
+        return pa.table({
+            "o_custkey": pc.cast(batch["o_custkey"], pa.int64()),
+            "mo": pa.array(m, pa.int64()),
+        })
+
+    firsts = grouped_minmax(
+        read_parquet_clean(f"{sf_dir}/orders.parquet",
+                           columns=["o_custkey",
+                                    "o_orderdate"]).map_batches(
+            _tag, batch_format="pyarrow"),
+        ["o_custkey"], "mo")
+
+    def _cohort(batch: pa.Table) -> pa.Table:
+        return pa.table({"cohort_month": batch["min_mo"]})
+
+    g = grouped_sums(firsts.map_batches(_cohort,
+                                        batch_format="pyarrow"),
+                     ["cohort_month"], [], count_as="n_customers")
+    return g.map_batches(lambda t: t.cast(COHORT_SIZE_SCHEMA),
+                         batch_format="pyarrow")

@@ -1664,3 +1664,82 @@ def conv_verbosity_histogram(sf_dir: str, cap: int = 500):
                      ["ratio_bucket_e2"], [], count_as="n_convs")
     return g.map_batches(lambda t: t.cast(VERBOSITY_SCHEMA),
                          batch_format="pyarrow")
+
+
+TOOL_PAIR_SCHEMA = pa.schema([
+    ("tool_a", pa.string()),
+    ("tool_b", pa.string()),
+    ("n_convs", pa.int64()),
+])
+
+
+def tool_copresence_pairs(sf_dir: str):
+    """Which tools appear TOGETHER in a conversation: canonical
+    (tool_a < tool_b) pair counts over each conversation's distinct
+    tool set — the market-basket shape with conversations as baskets
+    (≤ a handful of tools each, so the per-basket pair explosion is
+    constant-bounded). One conv exchange groups the distinct
+    (conv, tool) fold; pairs emit per size class (reshape + triu)."""
+    import numpy as np
+
+    from ..config import DEFAULT_CONFIG as _cfg
+    from ..config import resolve_num_partitions
+    from ..functions.segscore import _to_bytes_array, hash_strings64
+    from ..stages.agg import grouped_sums
+    from ..stages.exchange import exchange_map_groups
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        tool = pc.fill_null(batch["tool"].combine_chunks(), "")
+        cid = batch["conv_id"].combine_chunks()
+        t = pa.table({"conv_id": cid, "tool": tool})
+        t = t.filter(pc.greater(pc.binary_length(t["tool"]), 0))
+        cid2 = t["conv_id"].combine_chunks()
+        return t.append_column(
+            "conv_part", pa.array(hash_strings64(cid2) % 1024,
+                                  pa.int64()))
+
+    pairs_schema = pa.schema([("tool_a", pa.string()),
+                              ("tool_b", pa.string())])
+
+    def _pairs(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pairs_schema.empty_table()
+        cid = _to_bytes_array(part["conv_id"].combine_chunks())
+        tool = part["tool"].combine_chunks()
+        tb = _to_bytes_array(tool)
+        order = np.lexsort((tb, cid))
+        cid_s, tb_s = cid[order], tb[order]
+        # distinct (conv, tool)
+        keep = np.r_[True, (cid_s[1:] != cid_s[:-1])
+                     | (tb_s[1:] != tb_s[:-1])]
+        idx = order[keep]
+        cid_k, tb_k = cid_s[keep], tb_s[keep]
+        first = np.flatnonzero(np.r_[True, cid_k[1:] != cid_k[:-1]])
+        lens = np.diff(np.r_[first, len(cid_k)])
+        out_a, out_b = [], []
+        for l in np.unique(lens):
+            if l < 2:
+                continue
+            sel = first[lens == l]
+            mat = (sel[:, None] + np.arange(l)[None, :]).reshape(-1, l)
+            ii, jj = np.triu_indices(l, 1)
+            out_a.append(mat[:, ii].ravel())
+            out_b.append(mat[:, jj].ravel())
+        if not out_a:
+            return pairs_schema.empty_table()
+        ia = idx[np.concatenate(out_a)]
+        ib = idx[np.concatenate(out_b)]
+        return pa.table({
+            "tool_a": tool.take(pa.array(ia, pa.int64())),
+            "tool_b": tool.take(pa.array(ib, pa.int64())),
+        })
+
+    keyed = _read_turns(sf_dir, ("conv_id", "tool")).map_batches(
+        _prep, batch_format="pyarrow")
+    pairs = exchange_map_groups(keyed, "conv_part",
+                                resolve_num_partitions(_cfg),
+                                _pairs, pairs_schema)
+    g = grouped_sums(pairs, ["tool_a", "tool_b"], [],
+                     count_as="n_convs")
+    return g.map_batches(lambda t: t.cast(TOOL_PAIR_SCHEMA),
+                         batch_format="pyarrow")
