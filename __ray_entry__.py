@@ -1304,6 +1304,8 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         # --- batch 20: tool baskets, acquisition cohorts ---
         "tool_copresence_pairs": transcriptops.tool_copresence_pairs,
         "customer_cohort_sizes": relational.customer_cohort_sizes,
+        # --- batch 21: scan-level predicate pushdown ---
+        "pushdown_urgent_revenue": relational.pushdown_urgent_revenue,
     }
 
 
@@ -4849,5 +4851,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(mo AS BIGINT) AS cohort_month,
                    CAST(count(*) AS BIGINT) AS n_customers
             FROM f GROUP BY 1
+        """,
+        "pushdown_urgent_revenue": """
+            SELECT (year(o_orderdate) - 1970) * 12
+                   + month(o_orderdate) - 1 AS month,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+              AND o_totalprice > 200000
+            GROUP BY 1
         """,
     }

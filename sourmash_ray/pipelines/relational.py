@@ -4975,3 +4975,52 @@ def customer_cohort_sizes(sf_dir: str):
                      ["cohort_month"], [], count_as="n_customers")
     return g.map_batches(lambda t: t.cast(COHORT_SIZE_SCHEMA),
                          batch_format="pyarrow")
+
+
+PUSHDOWN_SCHEMA = pa.schema([
+    ("month", pa.int64()),
+    ("n_orders", pa.int64()),
+    ("cents", pa.int64()),
+])
+
+
+def pushdown_urgent_revenue(sf_dir: str,
+                            min_totalprice: float = 200_000.0):
+    """Predicate pushdown AT THE SCAN: urgent orders above a value
+    floor, monthly count + exact cents — the filter rides into
+    ``read_parquet(filter=)`` as a pyarrow dataset expression, so
+    row groups whose min/max statistics exclude the predicate are
+    never read and non-matching rows never enter the object store
+    (vs the engine's usual in-kernel masks, which scan then drop).
+    At 100 TB this is the difference between reading a month and
+    reading the lake; tests assert pushdown ≡ late filter."""
+    import numpy as np
+
+    from ..stages.agg import grouped_sums
+
+    expr = ((pc.field("o_orderpriority") == "1-URGENT")
+            & (pc.field("o_totalprice") > min_totalprice))
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderdate", "o_totalprice"],
+                            filter=expr)
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch["o_orderdate"], "datetime64[us]")
+        m = d.astype("datetime64[M]").astype(np.int64)
+        if m.size and m.min() < 0:
+            raise ValueError("pushdown_urgent_revenue: pre-epoch date")
+        c = np.rint(np.asarray(batch["o_totalprice"],
+                               np.float64) * 100).astype(np.int64)
+        return pa.table({
+            "month": pa.array(m, pa.int64()),
+            "cents": pa.array(c, pa.int64()),
+        })
+
+    g = grouped_sums(ds.map_batches(_tag, batch_format="pyarrow"),
+                     ["month"], ["cents"], count_as="n_orders")
+    return g.map_batches(
+        lambda t: pa.table({"month": t["month"],
+                            "n_orders": t["n_orders"],
+                            "cents": t["sum_cents"]}
+                           ).cast(PUSHDOWN_SCHEMA),
+        batch_format="pyarrow")
