@@ -1306,6 +1306,9 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "customer_cohort_sizes": relational.customer_cohort_sizes,
         # --- batch 21: scan-level predicate pushdown ---
         "pushdown_urgent_revenue": relational.pushdown_urgent_revenue,
+        # --- batch 22: intra-group skew, concentration index ---
+        "order_top_line_share": relational.order_top_line_share,
+        "revenue_hhi_by_nation": relational.revenue_hhi_by_nation,
     }
 
 
@@ -4861,6 +4864,35 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WHERE o_orderpriority = '1-URGENT'
               AND o_totalprice > 200000
+            GROUP BY 1
+        """,
+        "order_top_line_share": """
+            WITH per AS (
+              SELECT l_orderkey,
+                     max(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100)
+                                       AS BIGINT))) AS mx,
+                     sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100)
+                                       AS BIGINT))) AS tot
+              FROM lineitem GROUP BY 1)
+            SELECT CAST(mx * 10 // tot AS BIGINT) AS share_decile,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM per GROUP BY 1
+        """,
+        "revenue_hhi_by_nation": """
+            WITH per AS (
+              SELECT o_custkey,
+                     CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)
+                              // 100) AS BIGINT) AS x
+              FROM orders GROUP BY 1)
+            SELECT n.n_name AS nation,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(sum(per.x) AS BIGINT) AS total_dollars,
+                   CAST(sum(per.x * per.x) AS BIGINT) AS sumsq_dollars
+            FROM per
+            JOIN customer c ON per.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY 1
         """,
     }

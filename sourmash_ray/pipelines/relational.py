@@ -5024,3 +5024,165 @@ def pushdown_urgent_revenue(sf_dir: str,
                             "cents": t["sum_cents"]}
                            ).cast(PUSHDOWN_SCHEMA),
         batch_format="pyarrow")
+
+
+TOP_LINE_SCHEMA = pa.schema([
+    ("share_decile", pa.int64()),
+    ("n_orders", pa.int64()),
+])
+
+
+def order_top_line_share(sf_dir: str):
+    """Within-order value concentration: for every order, the exact
+    floor decile of its LARGEST line's share of order line revenue
+    (``max_rev·10 // total_rev``; 10 = single-line order), histogrammed
+    — the intra-group skew profile. Max and sum are both partial-
+    combinable, so per-block (order → max, sum) partials exchange once
+    on orderkey and merge as max-of-max / sum-of-sum."""
+    import numpy as np
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.agg import grouped_sums
+    from ..stages.exchange import exchange_map_groups
+
+    part_schema = pa.schema([("l_orderkey", pa.int64()),
+                             ("mx", pa.int64()), ("tot", pa.int64())])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ok = np.asarray(batch["l_orderkey"], np.int64)
+        price = np.asarray(batch["l_extendedprice"], np.float64)
+        disc = np.asarray(batch["l_discount"], np.float64)
+        rev = (np.rint(price * 100).astype(np.int64)
+               * (100 - np.rint(disc * 100).astype(np.int64)))
+        order = np.argsort(ok, kind="stable")
+        ok_s, rev_s = ok[order], rev[order]
+        first = np.flatnonzero(np.r_[True, ok_s[1:] != ok_s[:-1]])
+        return pa.table({
+            "l_orderkey": pa.array(ok_s[first], pa.int64()),
+            "mx": pa.array(np.maximum.reduceat(rev_s, first), pa.int64()),
+            "tot": pa.array(np.add.reduceat(rev_s, first), pa.int64()),
+        })
+
+    partials = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice",
+                 "l_discount"]).map_batches(
+        _partial, batch_format="pyarrow")
+
+    cell_schema = pa.schema([("share_decile", pa.int64()),
+                             ("n", pa.int64())])
+
+    def _merge(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return cell_schema.empty_table()
+        ok = np.asarray(part["l_orderkey"], np.int64)
+        mx = np.asarray(part["mx"], np.int64)
+        tot = np.asarray(part["tot"], np.int64)
+        order = np.argsort(ok, kind="stable")
+        ok_s = ok[order]
+        first = np.flatnonzero(np.r_[True, ok_s[1:] != ok_s[:-1]])
+        m = np.maximum.reduceat(mx[order], first)
+        t = np.add.reduceat(tot[order], first)
+        dec = m * 10 // t
+        vals, cnts = np.unique(dec, return_counts=True)
+        return pa.table({
+            "share_decile": pa.array(vals.astype(np.int64), pa.int64()),
+            "n": pa.array(cnts.astype(np.int64), pa.int64()),
+        })
+
+    cells = exchange_map_groups(partials, "l_orderkey",
+                                resolve_num_partitions(DEFAULT_CONFIG),
+                                _merge, cell_schema)
+    g = grouped_sums(cells, ["share_decile"], ["n"])
+    return g.map_batches(
+        lambda t: pa.table({"share_decile": t["share_decile"],
+                            "n_orders": t["sum_n"]}
+                           ).cast(TOP_LINE_SCHEMA),
+        batch_format="pyarrow")
+
+
+HHI_SCHEMA = pa.schema([
+    ("nation", pa.string()),
+    ("n_customers", pa.int64()),
+    ("total_dollars", pa.int64()),
+    ("sumsq_dollars", pa.int64()),
+])
+
+
+def revenue_hhi_by_nation(sf_dir: str):
+    """Customer-concentration Herfindahl per nation as exact integer
+    parts: per-customer order value in WHOLE dollars (cents would
+    square past int64 at scale), then per nation Σx and Σx² — HHI =
+    sumsq/total². Raises if any square exceeds 2^62 (the
+    label_dispersion overflow discipline). One custkey join exchange +
+    a per-customer fold; the nation fold moves customer-count rows."""
+    import numpy as np
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.agg import grouped_sums
+    from ..stages.join import hash_join_exchange
+
+    n_parts = resolve_num_partitions(DEFAULT_CONFIG)
+    nation = read_parquet_clean(f"{sf_dir}/nation.parquet").take_all()
+    nk_name = {r["n_nationkey"]: r["n_name"] for r in nation}
+
+    def _ord(batch: pa.Table) -> pa.Table:
+        # whole dollars = exact cents // 100 (floor) — round() at the
+        # dollar grain would hit the half-even vs half-away split on
+        # .50 prices; floor of the exact cent integer can't
+        cents = np.rint(np.asarray(batch["o_totalprice"],
+                                   np.float64) * 100).astype(np.int64)
+        return pa.table({
+            "o_custkey": pc.cast(batch["o_custkey"], pa.int64()),
+            "dollars": pa.array(cents // 100, pa.int64()),
+        })
+
+    per_cust = grouped_sums(
+        read_parquet_clean(f"{sf_dir}/orders.parquet",
+                           columns=["o_custkey",
+                                    "o_totalprice"]).map_batches(
+            _ord, batch_format="pyarrow"),
+        ["o_custkey"], ["dollars"])
+
+    def _cust(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": pc.cast(batch["c_custkey"], pa.int64()),
+            "c_nk": pc.cast(batch["c_nationkey"], pa.int64()),
+        })
+
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey",
+                                       "c_nationkey"]).map_batches(
+        _cust, batch_format="pyarrow")
+    joined = hash_join_exchange(per_cust, cust, "custkey",
+                                ["sum_dollars"], ["c_nk"], n_parts,
+                                left_key="o_custkey",
+                                right_key="c_custkey")
+
+    def _sq(batch: pa.Table) -> pa.Table:
+        x = np.asarray(batch["sum_dollars"], np.int64)
+        if x.size and (np.abs(x) >> 31).max() > 0:
+            # x² must stay below 2^62: |x| < 2^31
+            raise ValueError("revenue_hhi: per-customer dollars exceed "
+                             "2^31; rescale the unit")
+        return pa.table({
+            "c_nk": pa.array(np.asarray(batch["c_nk"], np.int64),
+                             pa.int64()),
+            "x": pa.array(x, pa.int64()),
+            "x2": pa.array(x * x, pa.int64()),
+        })
+
+    g = grouped_sums(joined.map_batches(_sq, batch_format="pyarrow"),
+                     ["c_nk"], ["x", "x2"], count_as="n_customers")
+
+    def _name(batch: pa.Table) -> pa.Table:
+        names = [nk_name.get(k) for k in batch["c_nk"].to_pylist()]
+        out = pa.table({
+            "nation": pa.array(names, pa.string()),
+            "n_customers": batch["n_customers"],
+            "total_dollars": batch["sum_x"],
+            "sumsq_dollars": batch["sum_x2"],
+        }).cast(HHI_SCHEMA)
+        return out.filter(pc.is_valid(out["nation"]))
+
+    return g.map_batches(_name, batch_format="pyarrow")
