@@ -1309,6 +1309,9 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         # --- batch 22: intra-group skew, concentration index ---
         "order_top_line_share": relational.order_top_line_share,
         "revenue_hhi_by_nation": relational.revenue_hhi_by_nation,
+        # --- batch 23: IVM for a non-additive aggregate ---
+        "incremental_distinct_users":
+            incremental.incremental_distinct_users,
     }
 
 
@@ -4894,5 +4897,11 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer c ON per.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY 1
+        """,
+        # non-additive IVM: maintained presence store must equal the
+        # from-scratch COUNT DISTINCT
+        "incremental_distinct_users": """
+            SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events
         """,
     }

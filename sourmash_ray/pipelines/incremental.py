@@ -586,3 +586,67 @@ def incremental_pricing_summary(sf_dir: str):
         "count_order": pc.cast(merged["count_order_sum"], pa.int64()),
     }).cast(Q1_IVM_SCHEMA)
     return ray.data.from_arrow(out)
+
+
+DISTINCT_IVM_SCHEMA = pa.schema([
+    ("n_users", pa.int64()),
+])
+
+
+def incremental_distinct_users(sf_dir: str):
+    """Incremental maintenance of a NON-additive aggregate: COUNT
+    DISTINCT user_id over events, maintained as a persisted presence
+    store (the sorted base user-id set, built once from the 90% of
+    events with ``event_id % 10 != 0``) plus a per-call delta merge —
+    distinct counts don't add, but presence sets union losslessly, so
+    the maintained count is bit-identical to the full recompute and the
+    driver checks it against the full-table COUNT DISTINCT oracle.
+    At scale the presence store is the same hive-partitioned id-hash
+    layout the dedup sig store uses; here the id set is dim-bounded and
+    persists as one sorted parquet."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from ..stages.agg import grouped_sums
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    cache = f"/tmp/ivm_du_{tag}"
+    base_file = f"{cache}/base_users.parquet"
+    marker = f"{cache}/_DONE"
+
+    def _users(delta: bool) -> np.ndarray:
+        ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                                columns=["event_id", "user_id"])
+
+        def _pick(batch: pa.Table) -> pa.Table:
+            eid = np.asarray(batch["event_id"], np.int64)
+            keep = (eid % 10 == 0) if delta else (eid % 10 != 0)
+            return pa.table({
+                "user_id": pc.cast(batch["user_id"],
+                                   pa.int64()).filter(pa.array(keep)),
+            })
+
+        rows = grouped_sums(ds.map_batches(_pick,
+                                           batch_format="pyarrow"),
+                            ["user_id"], []).take_all()
+        return np.array(sorted(r["user_id"] for r in rows), np.int64)
+
+    if not os.path.exists(marker):
+        os.makedirs(cache, exist_ok=True)
+        base = _users(delta=False)
+        tmp = f"{base_file}.tmp"
+        pq.write_table(pa.table({"user_id": pa.array(base, pa.int64())}),
+                       tmp)
+        os.replace(tmp, base_file)
+        open(marker, "w").close()
+
+    base = np.asarray(pq.read_table(base_file)["user_id"], np.int64)
+    delta = _users(delta=True)
+    n = int(np.union1d(base, delta).size)
+    return ray.data.from_arrow(pa.table({
+        "n_users": pa.array([n], pa.int64()),
+    }).cast(DISTINCT_IVM_SCHEMA))

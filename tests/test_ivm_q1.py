@@ -57,3 +57,35 @@ def test_ivm_base_and_delta_partition_the_fact(ray_session):
         SELECT count(*) FROM read_parquet('{SF}/lineitem.parquet')
         WHERE l_orderkey % 10 != 0""").fetchone()[0]
     assert 0 < base < n_total  # both sides non-empty at this sf
+
+
+def test_ivm_distinct_users_equals_full(ray_session):
+    """Non-additive IVM: the maintained presence store's distinct-user
+    count equals the from-scratch COUNT DISTINCT, cold and warm, and
+    the warm path reuses the persisted base set."""
+    import hashlib
+
+    import duckdb
+
+    from sourmash_ray.pipelines.incremental import (
+        incremental_distinct_users)
+
+    tag = hashlib.md5(os.path.abspath(SF).encode()).hexdigest()[:10]
+    cache = f"/tmp/ivm_du_{tag}"
+    shutil.rmtree(cache, ignore_errors=True)
+    full = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM "
+        f"read_parquet('{SF}/events.parquet')").fetchone()[0]
+    cold = incremental_distinct_users(SF).take_all()
+    assert cold == [{"n_users": full}]
+    base_file = f"{cache}/base_users.parquet"
+    mtime = os.path.getmtime(base_file)
+    warm = incremental_distinct_users(SF).take_all()
+    assert warm == [{"n_users": full}]
+    assert os.path.getmtime(base_file) == mtime
+    # the delta side genuinely contributes: base alone undercounts OR
+    # equals (both splits non-empty is asserted via row counts)
+    import pyarrow.parquet as pq
+
+    n_base = pq.read_table(base_file).num_rows
+    assert 0 < n_base <= full
