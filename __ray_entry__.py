@@ -1312,6 +1312,8 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         # --- batch 23: IVM for a non-additive aggregate ---
         "incremental_distinct_users":
             incremental.incremental_distinct_users,
+        # --- batch 24: dedup-blocking selectivity audit ---
+        "blocking_key_selectivity": docops.blocking_key_selectivity,
     }
 
 
@@ -4903,5 +4905,14 @@ def oracle_sql() -> dict[str, str]:
         "incremental_distinct_users": """
             SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events
+        """,
+        "blocking_key_selectivity": """
+            WITH b AS (
+              SELECT n_chars,
+                     split_part(coalesce(text, ''), ' ', 1) AS ft,
+                     CAST(count(*) AS BIGINT) AS sz
+              FROM documents GROUP BY 1, 2)
+            SELECT sz AS block_size, CAST(count(*) AS BIGINT) AS n_blocks
+            FROM b GROUP BY 1
         """,
     }

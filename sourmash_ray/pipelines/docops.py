@@ -3898,3 +3898,38 @@ def length_gini_by_source(sf_dir: str):
     return exchange_map_groups(keyed, "src_part",
                                resolve_num_partitions(_cfg),
                                _gini, GINI_SCHEMA)
+
+
+BLOCKING_SCHEMA = pa.schema([
+    ("block_size", pa.int64()),
+    ("n_blocks", pa.int64()),
+])
+
+
+def blocking_key_selectivity(sf_dir: str):
+    """Dedup-blocking audit: how selective is the cheap blocking key
+    (n_chars, first token)? Histogram of block sizes — a heavy tail
+    means the key can't bound candidate-pair work and the pipeline
+    needs banding (exactly the LSH path's justification). Two folds:
+    (key → size), then (size → count); the block table never reaches
+    the driver."""
+    from ..stages.agg import grouped_sums
+
+    def _key(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch["text"], "")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern(text, " ", max_splits=1)
+        return pa.table({
+            "n_chars": pc.cast(batch["n_chars"], pa.int64()),
+            "first_tok": pc.list_element(toks, 0),
+        })
+
+    blocks = grouped_sums(
+        _read_docs(sf_dir, columns=("text", "n_chars")).map_batches(
+            _key, batch_format="pyarrow"),
+        ["n_chars", "first_tok"], [], count_as="block_size")
+    g = grouped_sums(blocks.select_columns(["block_size"]),
+                     ["block_size"], [], count_as="n_blocks")
+    return g.map_batches(lambda t: t.cast(BLOCKING_SCHEMA),
+                         batch_format="pyarrow")

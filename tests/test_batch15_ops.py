@@ -82,3 +82,21 @@ def test_doc_first_token_topk_matches_duckdb(ray_session, con):
     assert all((a[1], a[0]) >= (b[1], a[0]) and
                (a[1] > b[1] or a[0] < b[0])
                for a, b in zip(got, got[1:]))
+
+
+def test_blocking_key_selectivity_matches_duckdb(ray_session, con):
+    from sourmash_ray.pipelines.docops import blocking_key_selectivity
+
+    got = sorted((r["block_size"], r["n_blocks"])
+                 for r in blocking_key_selectivity(SF).take_all())
+    want = sorted(tuple(r) for r in con.sql("""
+        WITH b AS (SELECT n_chars,
+                          split_part(coalesce(text,''), ' ', 1) ft,
+                          CAST(count(*) AS BIGINT) sz
+                   FROM documents GROUP BY 1, 2)
+        SELECT sz, CAST(count(*) AS BIGINT) FROM b GROUP BY 1
+    """).fetchall())
+    assert got == want
+    # block mass conserved: Σ size·n_blocks == corpus size
+    n_docs = con.sql("SELECT count(*) FROM documents").fetchone()[0]
+    assert sum(s * n for s, n in got) == n_docs
