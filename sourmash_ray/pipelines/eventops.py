@@ -2388,15 +2388,22 @@ def type_mix_by_value_decile(sf_dir: str, n_tiles: int = 10):
     sizes = np.full(n_tiles, n // n_tiles, np.int64)
     sizes[: n % n_tiles] += 1
     tile_of = np.repeat(np.arange(1, n_tiles + 1, dtype=np.int64), sizes)
-    dec = np.zeros(int(uid.max()) + 1, np.int64)
-    dec[uid[order]] = tile_of
-    dec_ref = ray.put(dec)
+    # broadcast as (sorted ids, decile) — a dense array indexed by raw
+    # user_id would blow up on sparse 64-bit ids; searchsorted is
+    # O(log n) per row and id-distribution-agnostic
+    uid_sorted = np.sort(uid)
+    dec_sorted = tile_of[np.argsort(uid[order], kind="stable")]
+    dec_ref = ray.put((uid_sorted, dec_sorted))
 
     def _tag(batch: pa.Table) -> pa.Table:
-        d_a = ray.get(dec_ref)
+        ids, decs = ray.get(dec_ref)
         u = np.asarray(batch["user_id"], np.int64)
+        pos = np.minimum(np.searchsorted(ids, u),
+                         max(ids.size - 1, 0))
+        if pos.size and not (ids.size and (ids[pos] == u).all()):
+            raise ValueError("event user missing from the decile cut")
         return pa.table({
-            "decile": pa.array(d_a[u], pa.int64()),
+            "decile": pa.array(decs[pos], pa.int64()),
             "event_type": batch["event_type"],
         })
 
