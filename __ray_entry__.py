@@ -1075,6 +1075,12 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "top_event_type_by_user": eventops.top_event_type_by_user,
         "user_retention_cohorts": eventops.user_retention_cohorts,
         "event_transition_counts": eventops.event_transition_counts,
+        "event_transition_trigrams": eventops.event_transition_trigrams,
+        "user_session_count_histogram":
+            eventops.user_session_count_histogram,
+        "order_value_delta_histogram":
+            relational.order_value_delta_histogram,
+        "part_demand_histogram": relational.part_demand_histogram,
         "peak_hour_by_type": eventops.peak_hour_by_type,
         "event_cooccurrence_counts": eventops.event_cooccurrence_counts,
         "lapsed_users": eventops.lapsed_users,
@@ -3668,6 +3674,54 @@ def oracle_sql() -> dict[str, str]:
                   FROM events)
             WHERE prev_type IS NOT NULL
             GROUP BY prev_type, next_type
+        """,
+        "event_transition_trigrams": """
+            SELECT type_1, type_2, type_3, count(*) AS n_trigrams
+            FROM (SELECT event_type AS type_1,
+                         lead(event_type) OVER w AS type_2,
+                         lead(event_type, 2) OVER w AS type_3
+                  FROM events
+                  WINDOW w AS (PARTITION BY user_id
+                               ORDER BY ts, event_id))
+            WHERE type_2 IS NOT NULL AND type_3 IS NOT NULL
+            GROUP BY type_1, type_2, type_3
+        """,
+        "user_session_count_histogram": """
+            WITH s AS (SELECT user_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                           > 1800000000
+                        THEN 1 ELSE 0 END AS brk
+                   FROM events
+                   WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            u AS (SELECT user_id, sum(brk) AS n_sessions
+                  FROM s GROUP BY user_id)
+            SELECT CAST(n_sessions AS BIGINT) AS n_sessions,
+                   count(*) AS n_users
+            FROM u GROUP BY n_sessions
+        """,
+        "order_value_delta_histogram": """
+            WITH s AS (SELECT o_custkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                   lead(CAST(round(o_totalprice * 100) AS BIGINT))
+                       OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey) AS nx
+                   FROM orders),
+            d AS (SELECT nx - cents AS delta FROM s
+                  WHERE nx IS NOT NULL)
+            SELECT CAST(sign(delta) AS BIGINT) AS sign,
+                   CASE WHEN delta = 0 THEN 0
+                        ELSE length(CAST(abs(delta) AS VARCHAR))
+                   END AS magnitude,
+                   count(*) AS n_deltas
+            FROM d GROUP BY 1, 2
+        """,
+        "part_demand_histogram": """
+            WITH c AS (SELECT l_partkey, count(*) AS n_lineitems
+                       FROM lineitem GROUP BY l_partkey)
+            SELECT p_brand, n_lineitems, count(*) AS n_parts
+            FROM c JOIN part ON p_partkey = l_partkey
+            GROUP BY p_brand, n_lineitems
         """,
         "user_retention_cohorts": """
             WITH d AS (SELECT user_id,

@@ -881,6 +881,147 @@ def event_transition_counts(sf_dir: str):
         batch_format="pyarrow")
 
 
+TRIGRAM_PART_SCHEMA = pa.schema([
+    ("type_1", pa.string()),
+    ("type_2", pa.string()),
+    ("type_3", pa.string()),
+    ("n", pa.int64()),
+])
+
+
+def trigram_merge_partition(part: pa.Table) -> pa.Table:
+    """Per-partition second-order Markov kernel: count (t, t+1, t+2)
+    event-type triples over consecutive same-user events ordered by
+    (ts, event_id). Same lexsort discipline as
+    :func:`transition_merge_partition`; the triple condition is the
+    AND of two shifted same-user masks, and triple counting is one
+    lexsort over three S-dtype views + run-length (no Python dict)."""
+    import numpy as np
+
+    from ..functions.segscore import _to_bytes_array
+
+    if part.num_rows < 3:
+        return TRIGRAM_PART_SCHEMA.empty_table()
+    u = np.asarray(part["user_id"], np.int64)
+    ts = np.asarray(part["ts_us"], np.int64)
+    eid = np.asarray(part["event_id"], np.int64)
+    tcol = part["event_type"].combine_chunks()
+    tb = _to_bytes_array(tcol)
+    order = np.lexsort((eid, ts, u))
+    u_s, t_s = u[order], tb[order]
+    same = u_s[1:] == u_s[:-1]
+    tri = same[:-1] & same[1:]
+    if not tri.any():
+        return TRIGRAM_PART_SCHEMA.empty_table()
+    a, b, c = t_s[:-2][tri], t_s[1:-1][tri], t_s[2:][tri]
+    porder = np.lexsort((c, b, a))
+    a_s, b_s, c_s = a[porder], b[porder], c[porder]
+    new_run = np.r_[True, (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])
+                    | (c_s[1:] != c_s[:-1])]
+    n = np.bincount(np.cumsum(new_run) - 1)
+    # representative strings come back out of the source Arrow array:
+    # map each run's first triple to its three ORIGINAL row indices
+    first = porder[new_run]
+    src1 = order[:-2][tri][first]
+    src2 = order[1:-1][tri][first]
+    src3 = order[2:][tri][first]
+    return pa.table({
+        "type_1": tcol.take(pa.array(src1, pa.int64())),
+        "type_2": tcol.take(pa.array(src2, pa.int64())),
+        "type_3": tcol.take(pa.array(src3, pa.int64())),
+        "n": pa.array(n.astype(np.int64), pa.int64()),
+    }).cast(TRIGRAM_PART_SCHEMA)
+
+
+def event_transition_trigrams(sf_dir: str):
+    """Second-order user-journey Markov counts: for every run of THREE
+    consecutive same-user events ordered by time, count
+    (type_1, type_2, type_3) — the `lead(), lead(,2)` twin of
+    :func:`event_transition_counts`. One user exchange emits ≤ types³
+    partial cells per partition; a tiny `grouped_sums` finishes."""
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.agg import grouped_sums
+    from ..stages.exchange import exchange_map_groups
+
+    def _key(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch["event_id"],
+            "user_id": batch["user_id"],
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+            "event_type": batch["event_type"],
+        })
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    ).map_batches(_key, batch_format="pyarrow")
+    n_parts = resolve_num_partitions(DEFAULT_CONFIG)
+    parts = exchange_map_groups(ds, "user_id", n_parts,
+                                trigram_merge_partition,
+                                TRIGRAM_PART_SCHEMA)
+    return grouped_sums(parts, ["type_1", "type_2", "type_3"], ["n"]
+                        ).map_batches(
+        lambda t: pa.table({"type_1": t["type_1"],
+                            "type_2": t["type_2"],
+                            "type_3": t["type_3"],
+                            "n_trigrams": t["sum_n"]}),
+        batch_format="pyarrow")
+
+
+SESS_COUNT_SCHEMA = pa.schema([
+    ("n_sessions", pa.int64()),
+    ("n_users", pa.int64()),
+])
+
+_SESS_PER_USER = pa.schema([("n_sessions", pa.int64())])
+
+
+def user_session_count_histogram(sf_dir: str, gap_minutes: int = 30):
+    """Activity-fragmentation histogram: sessions-per-user counts at
+    the standard 30-minute gap rule. The user exchange co-locates every
+    user's events, so one lexsort+diff pass yields per-user session
+    counts (break flags summed per user run via ``add.reduceat``) and
+    each user leaves its partition as ONE int row; the final histogram
+    reduces ≤ |users| partial rows — never the event stream. Gap diffs
+    are over the sorted per-user timestamp multiset, so timestamp ties
+    need no tiebreak (equal values diff to 0 in any order)."""
+    import numpy as np
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.agg import grouped_sums
+    from ..stages.exchange import exchange_map_groups
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"],
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+        })
+
+    def _counts(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return _SESS_PER_USER.empty_table()
+        u = np.asarray(part["user_id"], np.int64)
+        ts = np.asarray(part["ts_us"], np.int64)
+        order = np.lexsort((ts, u))
+        u_s, ts_s = u[order], ts[order]
+        brk = np.r_[True, (u_s[1:] != u_s[:-1]) | (np.diff(ts_s) > gap_us)]
+        starts = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]])
+        n_sessions = np.add.reduceat(brk.astype(np.int64), starts)
+        return pa.table({"n_sessions": pa.array(n_sessions, pa.int64())})
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"]).map_batches(
+        _tag, batch_format="pyarrow")
+    n_parts = resolve_num_partitions(DEFAULT_CONFIG)
+    per = exchange_map_groups(ds, "user_id", n_parts, _counts,
+                              _SESS_PER_USER)
+    g = grouped_sums(per, ["n_sessions"], [], count_as="n_users")
+    return g.map_batches(lambda t: t.cast(SESS_COUNT_SCHEMA),
+                         batch_format="pyarrow")
+
+
 def peak_hour_by_type(sf_dir: str):
     """Argmax window per group: for every event type, the hour-of-day
     with the most events (deterministic earliest-hour tiebreak) — the

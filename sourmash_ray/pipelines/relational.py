@@ -4620,6 +4620,150 @@ def unit_price_quantiles_by_brand(sf_dir: str,
     }).cast(UNIT_PRICE_SCHEMA))
 
 
+DELTA_HIST_SCHEMA = pa.schema([
+    ("sign", pa.int64()),
+    ("magnitude", pa.int64()),
+    ("n_deltas", pa.int64()),
+])
+
+
+def order_value_delta_histogram(sf_dir: str):
+    """Purchase-trajectory shape: for every customer's consecutive
+    order pair (ordered by o_orderdate, o_orderkey), the CHANGE in
+    order value, histogrammed by (sign, decimal magnitude of the cent
+    delta) — are repeat purchases trending up or down, and by how many
+    orders of magnitude. Exact-integer throughout: cents before the
+    diff, digit count via one searchsorted against powers of ten
+    (0-delta → magnitude 0, matching ``length(CAST(abs(d) AS
+    VARCHAR))`` in the SQL twin). One custkey exchange computes every
+    customer's deltas in a lexsort+shift pass and folds them to ≤ 3×19
+    (sign, magnitude) partial cells per partition; the fact rows never
+    re-shuffle."""
+    import numpy as np
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.agg import grouped_sums
+    from ..stages.exchange import exchange_map_groups
+
+    pow10 = np.array([10 ** k for k in range(1, 19)], np.int64)
+    part_schema = pa.schema([("sign", pa.int64()),
+                             ("magnitude", pa.int64()),
+                             ("n", pa.int64())])
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": batch["o_custkey"],
+            "date_us": pc.cast(batch["o_orderdate"], pa.int64()),
+            "o_orderkey": batch["o_orderkey"],
+            "cents": pc.cast(pc.round(pc.multiply(
+                batch["o_totalprice"], pa.scalar(100.0))), pa.int64()),
+        })
+
+    def _deltas(part: pa.Table) -> pa.Table:
+        if part.num_rows < 2:
+            return part_schema.empty_table()
+        ck = np.asarray(part["o_custkey"], np.int64)
+        dt = np.asarray(part["date_us"], np.int64)
+        ok = np.asarray(part["o_orderkey"], np.int64)
+        ce = np.asarray(part["cents"], np.int64)
+        order = np.lexsort((ok, dt, ck))
+        ck_s, c_s = ck[order], ce[order]
+        same = ck_s[1:] == ck_s[:-1]
+        d = (c_s[1:] - c_s[:-1])[same]
+        if d.size == 0:
+            return part_schema.empty_table()
+        sign = np.sign(d).astype(np.int64)
+        mag = np.where(
+            d == 0, 0,
+            np.searchsorted(pow10, np.abs(d), side="right") + 1)
+        key = (sign + 1) * 32 + mag
+        uk, n = np.unique(key, return_counts=True)
+        return pa.table({
+            "sign": pa.array(uk // 32 - 1, pa.int64()),
+            "magnitude": pa.array(uk % 32, pa.int64()),
+            "n": pa.array(n.astype(np.int64), pa.int64()),
+        })
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderkey",
+                 "o_totalprice"]).map_batches(_tag,
+                                              batch_format="pyarrow")
+    n_parts = resolve_num_partitions(DEFAULT_CONFIG)
+    parts = exchange_map_groups(ds, "o_custkey", n_parts, _deltas,
+                                part_schema)
+    return grouped_sums(parts, ["sign", "magnitude"], ["n"]).map_batches(
+        lambda t: pa.table({"sign": t["sign"],
+                            "magnitude": t["magnitude"],
+                            "n_deltas": t["sum_n"]}).cast(
+            DELTA_HIST_SCHEMA),
+        batch_format="pyarrow")
+
+
+DEMAND_HIST_SCHEMA = pa.schema([
+    ("p_brand", pa.string()),
+    ("n_lineitems", pa.int64()),
+    ("n_parts", pa.int64()),
+])
+
+
+def part_demand_histogram(sf_dir: str):
+    """SKU-velocity tiers: per brand, the histogram of lineitem counts
+    per part — demand concentration at the part grain (the part-side
+    twin of ``order_fanout_histogram``). Stage 1 reduces the fact rows
+    to ≤ |parts| (partkey, count) cells via the partial-combining
+    ``grouped_sums``; stage 2 hops part→brand through the broadcast
+    dimension array (inner-join semantics per the FK-broken
+    discipline: unmatched partkeys DROP, mirroring the SQL JOIN) and a
+    second tiny ``grouped_sums`` folds the cells to ≤ brands ×
+    distinct-counts rows."""
+    import numpy as np
+
+    import ray.data
+
+    from ..stages.agg import grouped_sums
+
+    part = read_parquet_clean(f"{sf_dir}/part.parquet",
+                              columns=["p_partkey",
+                                       "p_brand"]).take_all()
+    max_pk = max((r["p_partkey"] for r in part), default=-1)
+    brands = sorted({r["p_brand"] for r in part})
+    b_idx = {b: i for i, b in enumerate(brands)}
+    pk_b = np.full(max_pk + 1, -1, np.int64)
+    for r in part:
+        pk_b[r["p_partkey"]] = b_idx[r["p_brand"]]
+    lut_ref = ray.put(pk_b)
+
+    counts = grouped_sums(
+        read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_partkey"]),
+        ["l_partkey"], [], count_as="n_lineitems")
+
+    def _brand(batch: pa.Table) -> pa.Table:
+        b_a = ray.get(lut_ref)
+        pk = np.asarray(batch["l_partkey"], np.int64)
+        n = np.asarray(batch["n_lineitems"], np.int64)
+        m = (pk >= 0) & (pk < b_a.size)
+        m[m] &= b_a[pk[m]] >= 0
+        return pa.table({
+            "brand_i": pa.array(b_a[pk[m]], pa.int64()),
+            "n_lineitems": pa.array(n[m], pa.int64()),
+        })
+
+    g = grouped_sums(counts.map_batches(_brand, batch_format="pyarrow"),
+                     ["brand_i", "n_lineitems"], [], count_as="n_parts")
+
+    def _names(t: pa.Table) -> pa.Table:
+        bi = np.asarray(t["brand_i"], np.int64)
+        return pa.table({
+            "p_brand": pa.array([brands[i] for i in bi], pa.string()),
+            "n_lineitems": t["n_lineitems"],
+            "n_parts": t["n_parts"],
+        }).cast(DEMAND_HIST_SCHEMA)
+
+    return g.map_batches(_names, batch_format="pyarrow")
+
+
 MAD_SCHEMA = pa.schema([
     ("median_cents", pa.int64()),
     ("mad_cents", pa.int64()),
