@@ -1076,6 +1076,13 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "user_retention_cohorts": eventops.user_retention_cohorts,
         "event_transition_counts": eventops.event_transition_counts,
         "event_transition_trigrams": eventops.event_transition_trigrams,
+        "onboarding_latency_quantiles":
+            eventops.onboarding_latency_quantiles,
+        "events_per_active_day_histogram":
+            eventops.events_per_active_day_histogram,
+        "part_supplier_diversity_histogram":
+            relational.part_supplier_diversity_histogram,
+        "doc_length_token_suffstats": docops.doc_length_token_suffstats,
         "user_session_count_histogram":
             eventops.user_session_count_histogram,
         "order_value_delta_histogram":
@@ -3674,6 +3681,63 @@ def oracle_sql() -> dict[str, str]:
                   FROM events)
             WHERE prev_type IS NOT NULL
             GROUP BY prev_type, next_type
+        """,
+        "onboarding_latency_quantiles": """
+            WITH r AS (SELECT user_id, event_type, ts,
+                    row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS rn
+                    FROM events),
+            f AS (SELECT user_id,
+                  max(CASE WHEN rn = 1 THEN event_type END)
+                      AS first_type,
+                  max(CASE WHEN rn = 1
+                           THEN CAST(epoch_us(ts) AS BIGINT) END) AS t1,
+                  max(CASE WHEN rn = 2
+                           THEN CAST(epoch_us(ts) AS BIGINT) END) AS t2
+                  FROM r WHERE rn <= 2 GROUP BY user_id)
+            SELECT first_type, CAST(q AS DOUBLE) AS q,
+                   CAST(v AS BIGINT) AS value
+            FROM (SELECT first_type,
+                         unnest([0.25, 0.5, 0.75, 0.9]) AS q,
+                         unnest(quantile_disc((t2 - t1) // 1000000,
+                                [0.25, 0.5, 0.75, 0.9])) AS v
+                  FROM f WHERE t2 IS NOT NULL GROUP BY first_type)
+        """,
+        "events_per_active_day_histogram": """
+            WITH c AS (SELECT user_id,
+                              CAST(epoch_us(ts) AS BIGINT)
+                                  // 86400000000 AS day,
+                              count(*) AS n
+                       FROM events GROUP BY 1, 2)
+            SELECT CAST(n AS BIGINT) AS n_events,
+                   count(*) AS n_user_days
+            FROM c GROUP BY 1
+        """,
+        "part_supplier_diversity_histogram": """
+            WITH c AS (SELECT l_partkey,
+                              count(DISTINCT l_suppkey) AS ns
+                       FROM lineitem GROUP BY 1)
+            SELECT CAST(ns AS BIGINT) AS n_suppliers,
+                   count(*) AS n_parts
+            FROM c GROUP BY 1
+        """,
+        "doc_length_token_suffstats": f"""
+            WITH t0 AS (SELECT source, coalesce(text, '') AS text,
+                    trim(regexp_replace(coalesce(text, ''), '{_WS}',
+                                        ' ', 'g')) AS trimmed
+                    FROM documents),
+            x AS (SELECT source, length(text) AS c,
+                    CASE WHEN trimmed = '' THEN 0
+                         ELSE length(trimmed)
+                              - length(replace(trimmed, ' ', '')) + 1
+                    END AS t FROM t0)
+            SELECT source, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(c) AS BIGINT) AS sum_c,
+                   CAST(sum(t) AS BIGINT) AS sum_t,
+                   CAST(sum(c * t) AS BIGINT) AS sum_ct,
+                   CAST(sum(c * c) AS BIGINT) AS sum_c2,
+                   CAST(sum(t * t) AS BIGINT) AS sum_t2
+            FROM x GROUP BY source
         """,
         "event_transition_trigrams": """
             SELECT type_1, type_2, type_3, count(*) AS n_trigrams

@@ -232,6 +232,67 @@ def lang_summary_docs(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG):
         }), batch_format="pyarrow")
 
 
+SUFFSTATS_CT_SCHEMA = pa.schema([
+    ("source", pa.string()),
+    ("n", pa.int64()),
+    ("sum_c", pa.int64()),
+    ("sum_t", pa.int64()),
+    ("sum_ct", pa.int64()),
+    ("sum_c2", pa.int64()),
+    ("sum_t2", pa.int64()),
+])
+
+
+def doc_length_token_suffstats(sf_dir: str,
+                               cfg: EngineConfig = DEFAULT_CONFIG):
+    """Char/token covariance sufficient statistics per source:
+    (n, Σc, Σt, Σct, Σc², Σt²) with c = char count and t = whitespace
+    token count (the engine's standard tokenizer convention) — the
+    corpus-level 'are chars a good token proxy per source' audit,
+    shipped as exact integers so the consumer derives Pearson/OLS on
+    the driver and partial/merge order can't perturb anything. Map-only
+    until a ≤ sources-sized exchange. Per-row magnitudes are guarded at
+    2³¹ so every squared term stays below 2⁶²."""
+    import numpy as np
+
+    from ..stages.agg import grouped_sums
+
+    def _stats(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch["text"].combine_chunks(), "")
+        trimmed = pc.utf8_trim(
+            pc.replace_substring_regex(text, WS_PATTERN, " "), " ")
+        splits = pc.split_pattern(trimmed, " ")
+        t = np.asarray(pc.if_else(
+            pc.equal(trimmed, ""), pa.scalar(0, pa.int64()),
+            pc.cast(pc.list_value_length(splits), pa.int64())), np.int64)
+        c = np.asarray(pc.cast(pc.utf8_length(text), pa.int64()),
+                       np.int64)
+        if c.size and int(c.max()) >= 2 ** 31:
+            raise ValueError("doc_length_token_suffstats: char count "
+                             "overflows the exact-int square envelope")
+        return pa.table({
+            "source": batch["source"],
+            "c": pa.array(c, pa.int64()),
+            "t": pa.array(t, pa.int64()),
+            "ct": pa.array(c * t, pa.int64()),
+            "c2": pa.array(c * c, pa.int64()),
+            "t2": pa.array(t * t, pa.int64()),
+        })
+
+    g = grouped_sums(
+        read_parquet_clean(f"{sf_dir}/documents.parquet",
+                           columns=["source", "text"]).map_batches(
+            _stats, batch_format="pyarrow"),
+        ["source"], ["c", "t", "ct", "c2", "t2"], count_as="n")
+    return g.map_batches(
+        lambda t: pa.table({
+            "source": t["source"], "n": t["n"],
+            "sum_c": t["sum_c"], "sum_t": t["sum_t"],
+            "sum_ct": t["sum_ct"], "sum_c2": t["sum_c2"],
+            "sum_t2": t["sum_t2"],
+        }).cast(SUFFSTATS_CT_SCHEMA), batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # MinHash / SimHash near-dup over documents
 # ---------------------------------------------------------------------------

@@ -968,6 +968,97 @@ def event_transition_trigrams(sf_dir: str):
         batch_format="pyarrow")
 
 
+_ONBOARD_PER_USER = pa.schema([
+    ("first_type", pa.string()),
+    ("gap_s", pa.int64()),
+])
+
+
+def onboarding_latency_quantiles(sf_dir: str,
+                                 qs=(0.25, 0.5, 0.75, 0.9)):
+    """Activation-speed profile: for every user with ≥ 2 events, the
+    whole-second gap between their FIRST and SECOND event (under the
+    deterministic (ts, event_id) ordering), quantiled by the type of
+    the first event — how fast does each acquisition channel convert
+    to a second touch. One user exchange folds each user to a single
+    (first_type, gap_s) row; the shared grouped value-histogram
+    quantile reduces ≤ types × distinct-gap cells, never users."""
+    import numpy as np
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.agg import grouped_quantiles_disc
+    from ..stages.exchange import exchange_map_groups
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"],
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+            "event_id": batch["event_id"],
+            "event_type": batch["event_type"],
+        })
+
+    def _first_two(part: pa.Table) -> pa.Table:
+        if part.num_rows < 2:
+            return _ONBOARD_PER_USER.empty_table()
+        u = np.asarray(part["user_id"], np.int64)
+        ts = np.asarray(part["ts_us"], np.int64)
+        eid = np.asarray(part["event_id"], np.int64)
+        tcol = part["event_type"].combine_chunks()
+        order = np.lexsort((eid, ts, u))
+        u_s, ts_s = u[order], ts[order]
+        starts = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]])
+        cnts = np.diff(np.r_[starts, len(u_s)])
+        first = starts[cnts >= 2]
+        if first.size == 0:
+            return _ONBOARD_PER_USER.empty_table()
+        gap_s = (ts_s[first + 1] - ts_s[first]) // 1_000_000
+        return pa.table({
+            "first_type": tcol.take(pa.array(order[first], pa.int64())),
+            "gap_s": pa.array(gap_s, pa.int64()),
+        }).cast(_ONBOARD_PER_USER)
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"]).map_batches(
+        _tag, batch_format="pyarrow")
+    n_parts = resolve_num_partitions(DEFAULT_CONFIG)
+    per = exchange_map_groups(ds, "user_id", n_parts, _first_two,
+                              _ONBOARD_PER_USER)
+    return grouped_quantiles_disc(per, "first_type", "gap_s", list(qs))
+
+
+ACTIVE_DAY_SCHEMA = pa.schema([
+    ("n_events", pa.int64()),
+    ("n_user_days", pa.int64()),
+])
+
+
+def events_per_active_day_histogram(sf_dir: str):
+    """Engagement-intensity histogram: events per (user, active day)
+    cell, histogrammed — how heavy is a typical active day. Two
+    partial-combining ``grouped_sums`` exchanges: fact rows reduce to
+    ≤ users × active-days cells in the first, and only the tiny
+    (count → n_user_days) histogram rides the second."""
+    from ..stages.agg import grouped_sums
+
+    def _day(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"],
+            "day": pc.divide(pc.cast(batch["ts"], pa.int64()),
+                             pa.scalar(86_400_000_000, pa.int64())),
+        })
+
+    cells = grouped_sums(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["user_id", "ts"]).map_batches(
+            _day, batch_format="pyarrow"),
+        ["user_id", "day"], [], count_as="n_events")
+    g = grouped_sums(cells.select_columns(["n_events"]), ["n_events"],
+                     [], count_as="n_user_days")
+    return g.map_batches(lambda t: t.cast(ACTIVE_DAY_SCHEMA),
+                         batch_format="pyarrow")
+
+
 SESS_COUNT_SCHEMA = pa.schema([
     ("n_sessions", pa.int64()),
     ("n_users", pa.int64()),

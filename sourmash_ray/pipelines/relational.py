@@ -4700,6 +4700,30 @@ def order_value_delta_histogram(sf_dir: str):
         batch_format="pyarrow")
 
 
+SUPP_DIVERSITY_SCHEMA = pa.schema([
+    ("n_suppliers", pa.int64()),
+    ("n_parts", pa.int64()),
+])
+
+
+def part_supplier_diversity_histogram(sf_dir: str):
+    """Sourcing-redundancy audit: distinct suppliers per part,
+    histogrammed — single-sourced SKUs are the supply-chain risk tier.
+    ``grouped_distinct_count`` ships only distinct (part, supplier)
+    combos (never the fact rows), and the final histogram exchange
+    carries ≤ distinct diversity levels."""
+    from ..stages.agg import grouped_distinct_count, grouped_sums
+
+    per_part = grouped_distinct_count(
+        read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_partkey", "l_suppkey"]),
+        ["l_partkey"], "l_suppkey", distinct_as="n_suppliers")
+    g = grouped_sums(per_part.select_columns(["n_suppliers"]),
+                     ["n_suppliers"], [], count_as="n_parts")
+    return g.map_batches(lambda t: t.cast(SUPP_DIVERSITY_SCHEMA),
+                         batch_format="pyarrow")
+
+
 DEMAND_HIST_SCHEMA = pa.schema([
     ("p_brand", pa.string()),
     ("n_lineitems", pa.int64()),
