@@ -1083,6 +1083,11 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "part_supplier_diversity_histogram":
             relational.part_supplier_diversity_histogram,
         "doc_length_token_suffstats": docops.doc_length_token_suffstats,
+        "echo_rate_transcripts": transcriptops.echo_rate_transcripts,
+        "conv_topic_drift_histogram":
+            transcriptops.conv_topic_drift_histogram,
+        "order_weekday_priority_matrix":
+            relational.order_weekday_priority_matrix,
         "user_session_count_histogram":
             eventops.user_session_count_histogram,
         "order_value_delta_histogram":
@@ -3681,6 +3686,77 @@ def oracle_sql() -> dict[str, str]:
                   FROM events)
             WHERE prev_type IS NOT NULL
             GROUP BY prev_type, next_type
+        """,
+        "echo_rate_transcripts": f"""
+            WITH base AS (SELECT conv_id, turn_idx, role,
+                    trim(regexp_replace(coalesce(text, ''), '{_WS}',
+                                        ' ', 'g')) AS trimmed
+                    FROM read_parquet('{_turns}/*.parquet')),
+            tok AS (SELECT DISTINCT conv_id, turn_idx,
+                           unnest(string_split(trimmed, ' ')) AS token
+                    FROM base WHERE trimmed <> ''),
+            cnt AS (SELECT conv_id, turn_idx, count(*) AS n
+                    FROM tok GROUP BY 1, 2),
+            pairs AS (SELECT a.conv_id, a.turn_idx,
+                             a.role AS role_a, b.role AS role_b
+                      FROM base a JOIN base b
+                        ON a.conv_id = b.conv_id
+                       AND b.turn_idx = a.turn_idx + 1),
+            inter AS (SELECT t1.conv_id, t1.turn_idx, count(*) AS i
+                      FROM tok t1 JOIN tok t2
+                        ON t1.conv_id = t2.conv_id
+                       AND t2.turn_idx = t1.turn_idx + 1
+                       AND t1.token = t2.token
+                      GROUP BY 1, 2),
+            e AS (SELECT p.role_a, p.role_b,
+                         coalesce(ca.n, 0) AS na,
+                         coalesce(cb.n, 0) AS nb,
+                         coalesce(i.i, 0) AS i
+                  FROM pairs p
+                  LEFT JOIN cnt ca ON ca.conv_id = p.conv_id
+                                  AND ca.turn_idx = p.turn_idx
+                  LEFT JOIN cnt cb ON cb.conv_id = p.conv_id
+                                  AND cb.turn_idx = p.turn_idx + 1
+                  LEFT JOIN inter i ON i.conv_id = p.conv_id
+                                   AND i.turn_idx = p.turn_idx)
+            SELECT role_a, role_b, CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(CASE WHEN na + nb - i > 0
+                                  AND 4 * i >= na + nb - i
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_echo,
+                   CAST(sum(i) AS BIGINT) AS sum_inter,
+                   CAST(sum(na + nb - i) AS BIGINT) AS sum_union
+            FROM e GROUP BY 1, 2
+        """,
+        "conv_topic_drift_histogram": f"""
+            WITH base AS (SELECT conv_id, turn_idx,
+                    trim(regexp_replace(coalesce(text, ''), '{_WS}',
+                                        ' ', 'g')) AS trimmed
+                    FROM read_parquet('{_turns}/*.parquet')),
+            fl AS (SELECT conv_id, min(turn_idx) AS ft,
+                          max(turn_idx) AS lt
+                   FROM base GROUP BY conv_id),
+            tok AS (SELECT DISTINCT b.conv_id, b.turn_idx,
+                           unnest(string_split(b.trimmed, ' ')) AS token
+                    FROM base b JOIN fl ON b.conv_id = fl.conv_id
+                    WHERE b.trimmed <> ''
+                      AND (b.turn_idx = fl.ft OR b.turn_idx = fl.lt)),
+            cnt AS (SELECT t.conv_id,
+                        count(DISTINCT CASE WHEN t.turn_idx = fl.ft
+                                       THEN t.token END)
+                      + count(DISTINCT CASE WHEN t.turn_idx = fl.lt
+                                       THEN t.token END)
+                      - count(DISTINCT t.token) AS i,
+                        count(DISTINCT t.token) AS u
+                    FROM tok t JOIN fl ON t.conv_id = fl.conv_id
+                    GROUP BY t.conv_id)
+            SELECT CAST(i * 10 // u AS BIGINT) AS drift_decile,
+                   count(*) AS n_convs
+            FROM cnt WHERE u > 0 GROUP BY 1
+        """,
+        "order_weekday_priority_matrix": """
+            SELECT CAST(isodow(o_orderdate) AS BIGINT) AS isodow,
+                   o_orderpriority, count(*) AS n_orders
+            FROM orders GROUP BY 1, 2
         """,
         "onboarding_latency_quantiles": """
             WITH r AS (SELECT user_id, event_type, ts,

@@ -4700,6 +4700,42 @@ def order_value_delta_histogram(sf_dir: str):
         batch_format="pyarrow")
 
 
+WEEKDAY_PRIORITY_SCHEMA = pa.schema([
+    ("isodow", pa.int64()),
+    ("o_orderpriority", pa.string()),
+    ("n_orders", pa.int64()),
+])
+
+
+def order_weekday_priority_matrix(sf_dir: str):
+    """Order-intake seasonality matrix: ISO weekday (1 = Monday) ×
+    priority counts — does urgency cluster on particular weekdays.
+    ISO dow from the epoch-day via ((day + 3) mod 7) + 1 (1970-01-01
+    is a Thursday), exactly DuckDB's ``isodow()``; one map +
+    partial-combining exchange of ≤ 7 × priorities cells."""
+    from ..stages.agg import grouped_sums
+
+    import numpy as np
+
+    def _dow(batch: pa.Table) -> pa.Table:
+        day = np.asarray(
+            batch["o_orderdate"].combine_chunks().cast(pa.int64()),
+            np.int64) // 86_400_000_000
+        return pa.table({
+            "isodow": pa.array((day + 3) % 7 + 1, pa.int64()),
+            "o_orderpriority": batch["o_orderpriority"],
+        })
+
+    g = grouped_sums(
+        read_parquet_clean(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderdate",
+                                    "o_orderpriority"]).map_batches(
+            _dow, batch_format="pyarrow"),
+        ["isodow", "o_orderpriority"], [], count_as="n_orders")
+    return g.map_batches(lambda t: t.cast(WEEKDAY_PRIORITY_SCHEMA),
+                         batch_format="pyarrow")
+
+
 SUPP_DIVERSITY_SCHEMA = pa.schema([
     ("n_suppliers", pa.int64()),
     ("n_parts", pa.int64()),

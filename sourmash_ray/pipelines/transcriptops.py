@@ -1743,3 +1743,233 @@ def tool_copresence_pairs(sf_dir: str):
                      count_as="n_convs")
     return g.map_batches(lambda t: t.cast(TOOL_PAIR_SCHEMA),
                          batch_format="pyarrow")
+
+
+def _distinct_turn_tokens(text):
+    """(row_idx, token_bytes) of the DISTINCT whitespace tokens of each
+    row, under the engine's standard tokenizer convention (WS-normalize,
+    trim, split on ' ', drop empties — ``docops._token_stats_batch``).
+    Shared kernel behind the adjacent-turn echo and first-vs-last
+    topic-drift audits; one lexsort dedups (row, token)."""
+    from ..functions.segscore import _to_bytes_array
+    from ..functions.sketch import WS_PATTERN
+
+    filled = pc.fill_null(text, "")
+    trimmed = pc.utf8_trim(
+        pc.replace_substring_regex(filled, WS_PATTERN, " "), " ")
+    splits = pc.split_pattern(trimmed, " ")
+    if isinstance(splits, pa.ChunkedArray):
+        splits = splits.combine_chunks()
+    lens = np.asarray(pc.list_value_length(splits), np.int64)
+    flat = pc.list_flatten(splits)
+    tokb = _to_bytes_array(flat)
+    rix = np.repeat(np.arange(len(filled), dtype=np.int64), lens)
+    keep = tokb != b""
+    rix, tokb = rix[keep], tokb[keep]
+    if rix.size == 0:
+        return rix, tokb
+    o = np.lexsort((tokb, rix))
+    rix, tokb = rix[o], tokb[o]
+    uniq = np.r_[True, (rix[1:] != rix[:-1]) | (tokb[1:] != tokb[:-1])]
+    return rix[uniq], tokb[uniq]
+
+
+ECHO_SCHEMA = pa.schema([
+    ("role_a", pa.string()), ("role_b", pa.string()),
+    ("n_pairs", pa.int64()), ("n_echo", pa.int64()),
+    ("sum_inter", pa.int64()), ("sum_union", pa.int64()),
+])
+
+
+def echo_rate_transcripts(sf_dir: str):
+    """Adjacent-turn echo audit: for every consecutive turn pair
+    (turn_idx difference exactly 1) within a conversation, the
+    distinct-token intersection and union, aggregated per (role_a,
+    role_b) cell — n_pairs, n_echo (token-Jaccard ≥ 0.25 by the
+    integer cross-multiply 4·inter ≥ union, union > 0), and the exact
+    Σinter / Σunion so the consumer derives the corpus echo ratio.
+    This is the turn-grain repetition signal a transcript curation
+    pass uses to spot agents parroting the user (and vice versa).
+
+    One conv exchange; per partition the pair inventory is one sort on
+    the composite (conv, turn) key (adjacent composite keys differing
+    by 1 ⟺ adjacent turns of the SAME conversation), intersections are
+    one lexsort of the deduped (token, composite-key) rows — a token
+    present in turns t and t+1 shows up as an adjacent equal-token run
+    — and only ≤ roles² cells leave the partition."""
+    from ..config import resolve_num_partitions
+    from ..functions.segscore import _to_bytes_array, hash_strings64
+    from ..stages.agg import grouped_sums
+    from ..stages.exchange import exchange_map_groups
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        cid = batch["conv_id"].combine_chunks()
+        return pa.table({
+            "conv_id": cid,
+            "turn_idx": pc.cast(batch["turn_idx"], pa.int64()),
+            "role": batch["role"],
+            "text": batch["text"],
+            "conv_part": pa.array(hash_strings64(cid) % 1024, pa.int64()),
+        })
+
+    def _echo(part: pa.Table) -> pa.Table:
+        if part.num_rows < 2:
+            return ECHO_SCHEMA.empty_table()
+        cid = _to_bytes_array(part["conv_id"].combine_chunks())
+        _, codes = np.unique(cid, return_inverse=True)
+        turn = np.asarray(part["turn_idx"], np.int64)
+        rcol = part["role"].combine_chunks()
+        mt = int(turn.max())
+        if (int(codes.max()) + 1) >= 2 ** 62 // (mt + 2):
+            raise ValueError("echo_rate: conv × turn composite key "
+                             "overflows int64; re-partition finer")
+        ck = codes.astype(np.int64) * (mt + 2) + turn
+        rix, tokb = _distinct_turn_tokens(part["text"].combine_chunks())
+        na = np.bincount(rix, minlength=part.num_rows)
+        to = np.argsort(ck, kind="stable")
+        ck_s = ck[to]
+        adj = ck_s[1:] - ck_s[:-1] == 1
+        if not adj.any():
+            return ECHO_SCHEMA.empty_table()
+        pair_ck = ck_s[:-1][adj]
+        ra_idx, rb_idx = to[:-1][adj], to[1:][adj]
+        inter = np.zeros(len(pair_ck), np.int64)
+        if rix.size:
+            ckr = ck[rix]
+            o2 = np.lexsort((ckr, tokb))
+            tb2, ck2 = tokb[o2], ckr[o2]
+            hit = (tb2[1:] == tb2[:-1]) & (ck2[1:] - ck2[:-1] == 1)
+            if hit.any():
+                uk, cnts = np.unique(ck2[:-1][hit], return_counts=True)
+                pos = np.searchsorted(pair_ck, uk)
+                inter[pos] = cnts
+        union = na[ra_idx] + na[rb_idx] - inter
+        echo = ((union > 0) & (4 * inter >= union)).astype(np.int64)
+        rb = _to_bytes_array(rcol)
+        ra_b, rb_b = rb[ra_idx], rb[rb_idx]
+        po = np.lexsort((rb_b, ra_b))
+        ra_s, rb_s = ra_b[po], rb_b[po]
+        first = np.r_[True,
+                      (ra_s[1:] != ra_s[:-1]) | (rb_s[1:] != rb_s[:-1])]
+        st = np.flatnonzero(first)
+        n_pairs = np.diff(np.r_[st, len(po)])
+
+        def _seg(x):
+            return pa.array(np.add.reduceat(x[po], st), pa.int64())
+
+        return pa.table({
+            "role_a": rcol.take(pa.array(ra_idx[po[st]], pa.int64())),
+            "role_b": rcol.take(pa.array(rb_idx[po[st]], pa.int64())),
+            "n_pairs": pa.array(n_pairs.astype(np.int64), pa.int64()),
+            "n_echo": _seg(echo),
+            "sum_inter": _seg(inter),
+            "sum_union": _seg(union),
+        }).cast(ECHO_SCHEMA)
+
+    keyed = _read_turns(sf_dir, ("conv_id", "turn_idx", "role", "text")
+                        ).map_batches(_prep, batch_format="pyarrow")
+    parts = exchange_map_groups(keyed, "conv_part",
+                                resolve_num_partitions(DEFAULT_CONFIG),
+                                _echo, ECHO_SCHEMA)
+    g = grouped_sums(parts, ["role_a", "role_b"],
+                     ["n_pairs", "n_echo", "sum_inter", "sum_union"])
+    return g.map_batches(
+        lambda t: pa.table({"role_a": t["role_a"],
+                            "role_b": t["role_b"],
+                            "n_pairs": t["sum_n_pairs"],
+                            "n_echo": t["sum_n_echo"],
+                            "sum_inter": t["sum_sum_inter"],
+                            "sum_union": t["sum_sum_union"]}
+                           ).cast(ECHO_SCHEMA),
+        batch_format="pyarrow")
+
+
+DRIFT_SCHEMA = pa.schema([
+    ("drift_decile", pa.int64()),
+    ("n_convs", pa.int64()),
+])
+
+
+def conv_topic_drift_histogram(sf_dir: str):
+    """Topic-drift histogram at CONVERSATION grain: distinct-token
+    Jaccard between each conversation's FIRST and LAST turn, bucketed
+    into integer deciles (⌊10·inter/union⌋) — how far conversations
+    wander from where they start; decile 10 is verbatim-identical
+    endpoints (single-turn conversations land there by definition).
+    Conversations whose two endpoint turns are both empty are dropped
+    (union 0, matching the SQL ``WHERE u > 0``). One conv exchange;
+    endpoint rows come from one (conv, turn) lexsort, intersections
+    from a slot-composite ``intersect1d`` over only the endpoint
+    tokens, and ≤ 11 decile cells leave each partition."""
+    from ..config import resolve_num_partitions
+    from ..functions.segscore import _to_bytes_array, hash_strings64
+    from ..stages.agg import grouped_sums
+    from ..stages.exchange import exchange_map_groups
+
+    part_schema = pa.schema([("drift_decile", pa.int64()),
+                             ("n", pa.int64())])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        cid = batch["conv_id"].combine_chunks()
+        return pa.table({
+            "conv_id": cid,
+            "turn_idx": pc.cast(batch["turn_idx"], pa.int64()),
+            "text": batch["text"],
+            "conv_part": pa.array(hash_strings64(cid) % 1024, pa.int64()),
+        })
+
+    def _drift(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return part_schema.empty_table()
+        cid = _to_bytes_array(part["conv_id"].combine_chunks())
+        turn = np.asarray(part["turn_idx"], np.int64)
+        rix, tokb = _distinct_turn_tokens(part["text"].combine_chunks())
+        na = np.bincount(rix, minlength=part.num_rows)
+        to = np.lexsort((turn, cid))
+        cs = cid[to]
+        starts = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
+        ends = np.r_[starts[1:], len(cs)] - 1
+        fi, li = to[starts], to[ends]
+        slot_f = np.full(part.num_rows, -1, np.int64)
+        slot_f[fi] = np.arange(len(fi))
+        slot_l = np.full(part.num_rows, -1, np.int64)
+        slot_l[li] = np.arange(len(li))
+        m1, m2 = slot_f[rix] >= 0, slot_l[rix] >= 0
+        inter = np.zeros(len(fi), np.int64)
+        alltok = np.concatenate([tokb[m1], tokb[m2]])
+        if alltok.size:
+            _, inv = np.unique(alltok, return_inverse=True)
+            width = int(inv.max()) + 2
+            if len(fi) >= 2 ** 62 // width:
+                raise ValueError("topic_drift: conv × token composite "
+                                 "key overflows int64")
+            n1 = int(m1.sum())
+            k1 = slot_f[rix[m1]] * width + inv[:n1]
+            k2 = slot_l[rix[m2]] * width + inv[n1:]
+            common = np.intersect1d(k1, k2)
+            if common.size:
+                uk, cn = np.unique(common // width, return_counts=True)
+                inter[uk] = cn
+        single = fi == li
+        u = np.where(single, na[fi], na[fi] + na[li] - inter)
+        i_ = np.where(single, na[fi], inter)
+        mask = u > 0
+        dec = i_[mask] * 10 // u[mask]
+        if dec.size == 0:
+            return part_schema.empty_table()
+        uk, cn = np.unique(dec, return_counts=True)
+        return pa.table({
+            "drift_decile": pa.array(uk.astype(np.int64), pa.int64()),
+            "n": pa.array(cn.astype(np.int64), pa.int64()),
+        })
+
+    keyed = _read_turns(sf_dir, ("conv_id", "turn_idx", "text")
+                        ).map_batches(_prep, batch_format="pyarrow")
+    parts = exchange_map_groups(keyed, "conv_part",
+                                resolve_num_partitions(DEFAULT_CONFIG),
+                                _drift, part_schema)
+    g = grouped_sums(parts, ["drift_decile"], ["n"])
+    return g.map_batches(
+        lambda t: pa.table({"drift_decile": t["drift_decile"],
+                            "n_convs": t["sum_n"]}).cast(DRIFT_SCHEMA),
+        batch_format="pyarrow")
