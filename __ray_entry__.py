@@ -1088,6 +1088,9 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
             transcriptops.conv_topic_drift_histogram,
         "order_weekday_priority_matrix":
             relational.order_weekday_priority_matrix,
+        "new_vs_returning_weekly": eventops.new_vs_returning_weekly,
+        "orders_above_customer_median":
+            relational.orders_above_customer_median,
         "user_session_count_histogram":
             eventops.user_session_count_histogram,
         "order_value_delta_histogram":
@@ -3757,6 +3760,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(isodow(o_orderdate) AS BIGINT) AS isodow,
                    o_orderpriority, count(*) AS n_orders
             FROM orders GROUP BY 1, 2
+        """,
+        "new_vs_returning_weekly": """
+            WITH e AS (SELECT user_id,
+                    CAST(epoch_us(ts) AS BIGINT)
+                        // 604800000000 AS week FROM events),
+            f AS (SELECT user_id, min(week) AS fw FROM e GROUP BY 1)
+            SELECT e.week, e.week = f.fw AS is_new,
+                   count(*) AS n_events
+            FROM e JOIN f ON e.user_id = f.user_id GROUP BY 1, 2
+        """,
+        "orders_above_customer_median": """
+            WITH m AS (SELECT o_custkey,
+                    quantile_disc(CAST(round(o_totalprice * 100)
+                                       AS BIGINT), 0.5) AS med
+                    FROM orders GROUP BY 1)
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders o JOIN m ON o.o_custkey = m.o_custkey
+            WHERE CAST(round(o_totalprice * 100) AS BIGINT) > m.med
+            GROUP BY 1
         """,
         "onboarding_latency_quantiles": """
             WITH r AS (SELECT user_id, event_type, ts,

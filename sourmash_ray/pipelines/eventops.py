@@ -2657,3 +2657,67 @@ def type_mix_by_value_decile(sf_dir: str, n_tiles: int = 10):
             [r["n"] * 10000 // totals[r["decile"]] for r in cells],
             pa.int64()),
     }).cast(DECILE_MIX_SCHEMA))
+
+
+NEW_RETURNING_SCHEMA = pa.schema([
+    ("week", pa.int64()),
+    ("is_new", pa.bool_()),
+    ("n_events", pa.int64()),
+])
+
+
+def new_vs_returning_weekly(sf_dir: str):
+    """Acquisition-vs-retention split: per epoch week, events from
+    users whose FIRST-ever week is this week (new) vs everyone else
+    (returning) — the growth-accounting lifecycle series. The user
+    exchange co-locates each user's history, so the per-user first
+    week is one lexsort+repeat pass and each partition emits ≤ weeks×2
+    partial cells; the event stream never re-shuffles."""
+    import numpy as np
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.agg import grouped_sums
+    from ..stages.exchange import exchange_map_groups
+
+    week_us = 7 * 86_400_000_000
+    part_schema = pa.schema([("week", pa.int64()),
+                             ("is_new", pa.bool_()),
+                             ("n", pa.int64())])
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"],
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+        })
+
+    def _split(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return part_schema.empty_table()
+        u = np.asarray(part["user_id"], np.int64)
+        w = np.asarray(part["ts_us"], np.int64) // week_us
+        order = np.lexsort((w, u))
+        u_s, w_s = u[order], w[order]
+        starts = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]])
+        counts = np.diff(np.r_[starts, len(u_s)])
+        fw = np.repeat(w_s[starts], counts)
+        is_new = w_s == fw
+        key = w_s * 2 + is_new
+        uk, n = np.unique(key, return_counts=True)
+        return pa.table({
+            "week": pa.array(uk // 2, pa.int64()),
+            "is_new": pa.array((uk % 2).astype(bool)),
+            "n": pa.array(n.astype(np.int64), pa.int64()),
+        })
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"]).map_batches(
+        _tag, batch_format="pyarrow")
+    n_parts = resolve_num_partitions(DEFAULT_CONFIG)
+    parts = exchange_map_groups(ds, "user_id", n_parts, _split,
+                                part_schema)
+    g = grouped_sums(parts, ["week", "is_new"], ["n"])
+    return g.map_batches(
+        lambda t: pa.table({"week": t["week"], "is_new": t["is_new"],
+                            "n_events": t["sum_n"]}).cast(
+            NEW_RETURNING_SCHEMA),
+        batch_format="pyarrow")

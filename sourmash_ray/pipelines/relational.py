@@ -4700,6 +4700,82 @@ def order_value_delta_histogram(sf_dir: str):
         batch_format="pyarrow")
 
 
+ABOVE_MEDIAN_SCHEMA = pa.schema([
+    ("o_orderpriority", pa.string()),
+    ("n_orders", pa.int64()),
+])
+
+
+def orders_above_customer_median(sf_dir: str):
+    """Self-referential threshold count: orders STRICTLY above their
+    own customer's discrete median order value (exact cents,
+    ``quantile_disc(0.5)`` lower-median semantics: element at
+    ⌈n/2⌉−1 of the sorted values), counted per priority — the 'which
+    priorities carry a customer's above-typical spend' profile. One
+    custkey exchange computes every customer's median AND the per-row
+    comparison in a single lexsort pass (median index per user run,
+    repeat, compare); only ≤ priorities cells leave each partition."""
+    import numpy as np
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..functions.segscore import _to_bytes_array
+    from ..stages.agg import grouped_sums
+    from ..stages.exchange import exchange_map_groups
+
+    part_schema = pa.schema([("o_orderpriority", pa.string()),
+                             ("n", pa.int64())])
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": batch["o_custkey"],
+            "cents": pc.cast(pc.round(pc.multiply(
+                batch["o_totalprice"], pa.scalar(100.0))), pa.int64()),
+            "o_orderpriority": batch["o_orderpriority"],
+        })
+
+    def _above(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return part_schema.empty_table()
+        ck = np.asarray(part["o_custkey"], np.int64)
+        ce = np.asarray(part["cents"], np.int64)
+        pcol = part["o_orderpriority"].combine_chunks()
+        order = np.lexsort((ce, ck))
+        ck_s, ce_s = ck[order], ce[order]
+        starts = np.flatnonzero(np.r_[True, ck_s[1:] != ck_s[:-1]])
+        counts = np.diff(np.r_[starts, len(ck_s)])
+        # quantile_disc(0.5): sorted value at ceil(n/2)-1 per customer
+        med = ce_s[starts + (counts + 1) // 2 - 1]
+        above = ce_s > np.repeat(med, counts)
+        if not above.any():
+            return part_schema.empty_table()
+        idx = order[above]
+        pb = _to_bytes_array(pcol)[idx]
+        po = np.argsort(pb, kind="stable")
+        pb_s = pb[po]
+        st = np.flatnonzero(np.r_[True, pb_s[1:] != pb_s[:-1]])
+        n = np.diff(np.r_[st, len(pb_s)])
+        return pa.table({
+            "o_orderpriority": pcol.take(
+                pa.array(idx[po[st]], pa.int64())),
+            "n": pa.array(n.astype(np.int64), pa.int64()),
+        })
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_totalprice",
+                 "o_orderpriority"]).map_batches(
+        _tag, batch_format="pyarrow")
+    n_parts = resolve_num_partitions(DEFAULT_CONFIG)
+    parts = exchange_map_groups(ds, "o_custkey", n_parts, _above,
+                                part_schema)
+    g = grouped_sums(parts, ["o_orderpriority"], ["n"])
+    return g.map_batches(
+        lambda t: pa.table({"o_orderpriority": t["o_orderpriority"],
+                            "n_orders": t["sum_n"]}).cast(
+            ABOVE_MEDIAN_SCHEMA),
+        batch_format="pyarrow")
+
+
 WEEKDAY_PRIORITY_SCHEMA = pa.schema([
     ("isodow", pa.int64()),
     ("o_orderpriority", pa.string()),
