@@ -1091,6 +1091,10 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "new_vs_returning_weekly": eventops.new_vs_returning_weekly,
         "orders_above_customer_median":
             relational.orders_above_customer_median,
+        "label_dim_argmax_matrix": ann.label_dim_argmax_matrix,
+        "media_magic_prefix_census": multimodal.media_magic_prefix_census,
+        "longest_turn_position_histogram":
+            transcriptops.longest_turn_position_histogram,
         "user_session_count_histogram":
             eventops.user_session_count_histogram,
         "order_value_delta_histogram":
@@ -3779,6 +3783,52 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o JOIN m ON o.o_custkey = m.o_custkey
             WHERE CAST(round(o_totalprice * 100) AS BIGINT) > m.med
             GROUP BY 1
+        """,
+        "label_dim_argmax_matrix": """
+            WITH a AS (SELECT CAST(label AS BIGINT) AS label,
+                  list_transform(embedding,
+                      x -> abs(CAST(round(CAST(x AS DOUBLE) * 10000)
+                                    AS BIGINT))) AS labs
+                  FROM embeddings)
+            SELECT label,
+                   CAST(list_indexof(labs, list_max(labs)) AS BIGINT)
+                       AS dim,
+                   CAST(count(*) AS BIGINT) AS n_vectors
+            FROM a GROUP BY 1, 2
+        """,
+        "media_magic_prefix_census": f"""
+            WITH m AS (SELECT kind, hex(payload) AS h
+                       FROM read_parquet('{_media}/*.parquet')
+                       WHERE octet_length(payload) >= 4),
+            v AS (SELECT kind,
+                    (strpos('123456789ABCDEF', substr(h, 1, 1)) * 16
+                   + strpos('123456789ABCDEF', substr(h, 2, 1)))
+                      * 16777216
+                  + (strpos('123456789ABCDEF', substr(h, 3, 1)) * 16
+                   + strpos('123456789ABCDEF', substr(h, 4, 1)))
+                      * 65536
+                  + (strpos('123456789ABCDEF', substr(h, 5, 1)) * 16
+                   + strpos('123456789ABCDEF', substr(h, 6, 1)))
+                      * 256
+                  + (strpos('123456789ABCDEF', substr(h, 7, 1)) * 16
+                   + strpos('123456789ABCDEF', substr(h, 8, 1)))
+                      AS prefix
+                  FROM m)
+            SELECT kind, CAST(prefix AS BIGINT) AS prefix,
+                   count(*) AS n_media
+            FROM v GROUP BY 1, 2
+        """,
+        "longest_turn_position_histogram": f"""
+            WITH r AS (SELECT conv_id, turn_idx,
+                    count(*) OVER (PARTITION BY conv_id) AS n,
+                    row_number() OVER (PARTITION BY conv_id
+                        ORDER BY length(coalesce(text, '')) DESC,
+                                 turn_idx) AS rn
+                    FROM read_parquet('{_turns}/*.parquet'))
+            SELECT CAST(turn_idx * 10 // n AS BIGINT)
+                       AS position_decile,
+                   count(*) AS n_convs
+            FROM r WHERE rn = 1 GROUP BY 1
         """,
         "onboarding_latency_quantiles": """
             WITH r AS (SELECT user_id, event_type, ts,

@@ -1711,3 +1711,45 @@ def neardup_label_homophily(sf_dir: str, threshold_e4: int = 4000):
                      ["label_a", "label_b"], [], count_as="n_pairs")
     return g.map_batches(lambda t: t.cast(HOMOPHILY_SCHEMA),
                          batch_format="pyarrow")
+
+
+LABEL_ARGMAX_SCHEMA = pa.schema([
+    ("label", pa.int64()),
+    ("dim", pa.int64()),
+    ("n_vectors", pa.int64()),
+])
+
+
+def label_dim_argmax_matrix(sf_dir: str):
+    """Per-LABEL dominant-dimension matrix: the by-class refinement of
+    :func:`dim_argmax_histogram` — for each label, how vectors
+    distribute over the 1-based index of their maximum absolute
+    1e4-quantized component (first index on ties; numpy argmax ==
+    SQL ``list_indexof(l, list_max(l))``). A label whose mass
+    concentrates on one dim is linearly separable by a single
+    coordinate — a leakage/shortcut audit for labeled embeddings.
+    Map-only to ≤ labels × dims cells, then one tiny exchange."""
+    from ..stages.agg import grouped_sums
+
+    def _am(batch: pa.Table) -> pa.Table:
+        lab = np.asarray(
+            batch["label"].combine_chunks().cast(pa.int64()), np.int64)
+        lst = batch["embedding"].combine_chunks()
+        dim = len(lst[0]) if len(lst) else 0
+        if dim == 0:
+            return LABEL_ARGMAX_SCHEMA.empty_table()
+        mat = np.asarray(lst.flatten(), dtype=np.float64).reshape(
+            len(lab), dim)
+        q = np.abs(np.round(mat * 1e4).astype(np.int64))
+        am = q.argmax(axis=1) + 1
+        return pa.table({
+            "label": pa.array(lab, pa.int64()),
+            "dim": pa.array(am.astype(np.int64), pa.int64()),
+        })
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["label", "embedding"]).map_batches(
+        _am, batch_format="pyarrow")
+    g = grouped_sums(ds, ["label", "dim"], [], count_as="n_vectors")
+    return g.map_batches(lambda t: t.cast(LABEL_ARGMAX_SCHEMA),
+                         batch_format="pyarrow")

@@ -1973,3 +1973,70 @@ def conv_topic_drift_histogram(sf_dir: str):
         lambda t: pa.table({"drift_decile": t["drift_decile"],
                             "n_convs": t["sum_n"]}).cast(DRIFT_SCHEMA),
         batch_format="pyarrow")
+
+
+LONGEST_POS_SCHEMA = pa.schema([
+    ("position_decile", pa.int64()),
+    ("n_convs", pa.int64()),
+])
+
+
+def longest_turn_position_histogram(sf_dir: str):
+    """Where does a conversation's bulk land: per conv, the RELATIVE
+    position decile (⌊turn_idx·10 / n_turns⌋, 0 = opening, 9 = close)
+    of its LONGEST turn (char count, earliest-turn tiebreak — exactly
+    SQL ``row_number() OVER (ORDER BY length DESC, turn_idx) = 1``),
+    histogrammed. Front-loaded mass = info-dump openings; back-loaded
+    = escalating answers. One conv exchange; the winner per conv falls
+    out of a single (conv, −chars, turn) lexsort and ≤ 10 cells leave
+    each partition."""
+    from ..config import resolve_num_partitions
+    from ..functions.segscore import _to_bytes_array, hash_strings64
+    from ..stages.agg import grouped_sums
+    from ..stages.exchange import exchange_map_groups
+
+    part_schema = pa.schema([("position_decile", pa.int64()),
+                             ("n", pa.int64())])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        cid = batch["conv_id"].combine_chunks()
+        return pa.table({
+            "conv_id": cid,
+            "turn_idx": pc.cast(batch["turn_idx"], pa.int64()),
+            "n_chars": pc.cast(pc.utf8_length(
+                pc.fill_null(batch["text"].combine_chunks(), "")),
+                pa.int64()),
+            "conv_part": pa.array(hash_strings64(cid) % 1024, pa.int64()),
+        })
+
+    def _winner(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return part_schema.empty_table()
+        cid = _to_bytes_array(part["conv_id"].combine_chunks())
+        tix = np.asarray(part["turn_idx"], np.int64)
+        nch = np.asarray(part["n_chars"], np.int64)
+        order = np.lexsort((tix, -nch, cid))
+        cs = cid[order]
+        new = np.r_[True, cs[1:] != cs[:-1]]
+        win = order[np.flatnonzero(new)]
+        # turns per conv, aligned to the winner rows
+        _, inv = np.unique(cid, return_inverse=True)
+        ntab = np.bincount(inv)
+        dec = tix[win] * 10 // ntab[inv[win]]
+        uk, cn = np.unique(dec, return_counts=True)
+        return pa.table({
+            "position_decile": pa.array(uk.astype(np.int64), pa.int64()),
+            "n": pa.array(cn.astype(np.int64), pa.int64()),
+        })
+
+    keyed = _read_turns(sf_dir, ("conv_id", "turn_idx", "text")
+                        ).map_batches(_prep, batch_format="pyarrow")
+    parts = exchange_map_groups(keyed, "conv_part",
+                                resolve_num_partitions(DEFAULT_CONFIG),
+                                _winner, part_schema)
+    g = grouped_sums(parts, ["position_decile"], ["n"])
+    return g.map_batches(
+        lambda t: pa.table({"position_decile": t["position_decile"],
+                            "n_convs": t["sum_n"]}).cast(
+            LONGEST_POS_SCHEMA),
+        batch_format="pyarrow")

@@ -518,3 +518,46 @@ def media_kind_size_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.9)):
         "q": tbl["q"],
         "n_bytes": tbl["value"],
     }).cast(MEDIA_SIZE_Q_SCHEMA))
+
+
+MAGIC_PREFIX_SCHEMA = pa.schema([
+    ("kind", pa.string()),
+    ("prefix", pa.int64()),
+    ("n_media", pa.int64()),
+])
+
+
+def media_magic_prefix_census(sf_dir: str):
+    """Format-sniffing census: the first FOUR payload bytes as one
+    big-endian integer (the 'magic number' a decoder dispatches on),
+    counted per (kind, prefix) — the ingest audit that catches
+    mislabeled or corrupt containers BEFORE paying for decode (every
+    payload here opens with the zlib 0x78 header; the census proves
+    it and profiles the flag/dict bytes). Vectorized straight off the
+    Arrow binary buffers via the offsets view (slice-safe); payloads
+    under 4 bytes are excluded, matching the SQL
+    ``octet_length >= 4``. Only (kind, prefix) cells shuffle."""
+    import ray.data
+
+    from ..stages.agg import grouped_sums
+
+    def _prefix(batch: pa.Table) -> pa.Table:
+        offs, data, lens = _payload_buffer(batch)
+        valid = lens >= 4
+        st = offs[:-1][valid]
+        pre = ((data[st].astype(np.int64) << 24)
+               | (data[st + 1].astype(np.int64) << 16)
+               | (data[st + 2].astype(np.int64) << 8)
+               | data[st + 3].astype(np.int64))
+        return pa.table({
+            "kind": batch["kind"].combine_chunks().filter(
+                pa.array(valid)),
+            "prefix": pa.array(pre, pa.int64()),
+        })
+
+    ds = ray.data.read_parquet(
+        media_path(sf_dir), columns=["kind", "payload"]).map_batches(
+        _prefix, batch_format="pyarrow")
+    g = grouped_sums(ds, ["kind", "prefix"], [], count_as="n_media")
+    return g.map_batches(lambda t: t.cast(MAGIC_PREFIX_SCHEMA),
+                         batch_format="pyarrow")
