@@ -1095,6 +1095,14 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "media_magic_prefix_census": multimodal.media_magic_prefix_census,
         "longest_turn_position_histogram":
             transcriptops.longest_turn_position_histogram,
+        "supplier_balance_quantiles_by_region":
+            relational.supplier_balance_quantiles_by_region,
+        "part_type_head_size_matrix":
+            relational.part_type_head_size_matrix,
+        # IVM flavor 3: JOIN view (persisted 90% base + delta join);
+        # checked against the SAME full-table Q5 oracle
+        "incremental_revenue_by_nation":
+            incremental.incremental_revenue_by_nation,
         "user_session_count_histogram":
             eventops.user_session_count_histogram,
         "order_value_delta_histogram":
@@ -3783,6 +3791,38 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o JOIN m ON o.o_custkey = m.o_custkey
             WHERE CAST(round(o_totalprice * 100) AS BIGINT) > m.med
             GROUP BY 1
+        """,
+        "supplier_balance_quantiles_by_region": """
+            WITH s AS (SELECT r_name,
+                    CAST(round(s_acctbal * 100) AS BIGINT) AS cents
+                    FROM supplier
+                    JOIN nation ON s_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey)
+            SELECT r_name, CAST(q AS DOUBLE) AS q,
+                   CAST(v AS BIGINT) AS value
+            FROM (SELECT r_name,
+                         unnest([0.25, 0.5, 0.75, 0.9]) AS q,
+                         unnest(quantile_disc(cents,
+                                [0.25, 0.5, 0.75, 0.9])) AS v
+                  FROM s GROUP BY r_name)
+        """,
+        "part_type_head_size_matrix": """
+            SELECT string_split(p_type, ' ')[1] AS type_head,
+                   CAST(p_size AS BIGINT) AS p_size,
+                   count(*) AS n_parts
+            FROM part GROUP BY 1, 2
+        """,
+        "incremental_revenue_by_nation": """
+            SELECT n_name,
+                   CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100, 0)
+                                          AS BIGINT))) AS BIGINT)
+                       AS sum_revenue_e4,
+                   count(*) AS n_items
+            FROM customer, orders, lineitem, nation
+            WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+              AND c_nationkey = n_nationkey
+            GROUP BY n_name
         """,
         "label_dim_argmax_matrix": """
             WITH a AS (SELECT CAST(label AS BIGINT) AS label,

@@ -5466,3 +5466,97 @@ def revenue_hhi_by_nation(sf_dir: str):
         return out.filter(pc.is_valid(out["nation"]))
 
     return g.map_batches(_name, batch_format="pyarrow")
+
+
+SUPP_BAL_REGION_SCHEMA = pa.schema([
+    ("r_name", pa.string()),
+    ("q", pa.float64()),
+    ("value", pa.int64()),
+])
+
+
+def supplier_balance_quantiles_by_region(sf_dir: str,
+                                         qs=(0.25, 0.5, 0.75, 0.9)):
+    """Supplier credit-health spread per REGION: exact discrete
+    quantiles of s_acctbal cents (negatives included — quantile_disc
+    sorts signed ints identically in both engines) with the supplier →
+    nation → region hop as one composed broadcast array over the
+    supplier scan; the shared grouped value-histogram quantile reduces
+    ≤ regions × distinct-cent cells, never supplier rows."""
+    import numpy as np
+
+    import ray.data
+
+    from ..stages.agg import grouped_quantiles_disc
+
+    nation = read_parquet_clean(f"{sf_dir}/nation.parquet",
+                                columns=["n_nationkey",
+                                         "n_regionkey"]).take_all()
+    region = read_parquet_clean(f"{sf_dir}/region.parquet").take_all()
+    rk_nm = {r["r_regionkey"]: r["r_name"] for r in region}
+    max_nk = max((r["n_nationkey"] for r in nation), default=-1)
+    names = sorted(rk_nm.values())
+    name_i = {nm: i for i, nm in enumerate(names)}
+    nk_ri = np.full(max_nk + 1, -1, np.int64)
+    for r in nation:
+        nk_ri[r["n_nationkey"]] = name_i[rk_nm[r["n_regionkey"]]]
+    lut_ref = ray.put(nk_ri)
+
+    def _cents(batch: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        nk = np.asarray(batch["s_nationkey"], np.int64)
+        if nk.size and (nk.min() < 0 or nk.max() >= lut.size
+                        or (lut[nk] < 0).any()):
+            raise ValueError("s_nationkey outside the nation dim")
+        cents = np.rint(np.asarray(batch["s_acctbal"],
+                                   np.float64) * 100).astype(np.int64)
+        return pa.table({
+            "region_i": pa.array(lut[nk], pa.int64()),
+            "cents": pa.array(cents, pa.int64()),
+        })
+
+    ds = read_parquet_clean(f"{sf_dir}/supplier.parquet",
+                            columns=["s_nationkey",
+                                     "s_acctbal"]).map_batches(
+        _cents, batch_format="pyarrow")
+    tbl = grouped_quantiles_disc(ds, "region_i", "cents", list(qs))
+    ri = tbl["region_i"].to_pylist()
+    return pa.table({
+        "r_name": pa.array([names[i] for i in ri], pa.string()),
+        "q": tbl["q"],
+        "value": tbl["value"],
+    }).cast(SUPP_BAL_REGION_SCHEMA)
+
+
+TYPE_HEAD_SIZE_SCHEMA = pa.schema([
+    ("type_head", pa.string()),
+    ("p_size", pa.int64()),
+    ("n_parts", pa.int64()),
+])
+
+
+def part_type_head_size_matrix(sf_dir: str):
+    """Catalog-shape matrix: the FIRST word of p_type (the family
+    prefix, e.g. STANDARD / PROMO) × p_size cell counts — the SKU-grid
+    census that shows whether families cover the size range evenly.
+    Map-only head extraction (one split, element 0) + one tiny
+    exchange of ≤ heads × sizes cells."""
+    from ..stages.agg import grouped_sums
+
+    def _head(batch: pa.Table) -> pa.Table:
+        splits = pc.split_pattern(
+            pc.fill_null(batch["p_type"].combine_chunks(), ""), " ")
+        if isinstance(splits, pa.ChunkedArray):
+            splits = splits.combine_chunks()
+        return pa.table({
+            "type_head": pc.list_element(splits, 0),
+            "p_size": pc.cast(batch["p_size"], pa.int64()),
+        })
+
+    g = grouped_sums(
+        read_parquet_clean(f"{sf_dir}/part.parquet",
+                           columns=["p_type", "p_size"]).map_batches(
+            _head, batch_format="pyarrow"),
+        ["type_head", "p_size"], [], count_as="n_parts")
+    return g.map_batches(lambda t: t.cast(TYPE_HEAD_SIZE_SCHEMA),
+                         batch_format="pyarrow")
