@@ -1103,6 +1103,11 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         # checked against the SAME full-table Q5 oracle
         "incremental_revenue_by_nation":
             incremental.incremental_revenue_by_nation,
+        # IVM flavor 4: TOP-K over a maintained (vocabulary-bounded)
+        # count table; checked against the full-table top-50 oracle
+        "incremental_top_tokens": incremental.incremental_top_tokens,
+        "orders_repeat_rate_by_month":
+            relational.orders_repeat_rate_by_month,
         "user_session_count_histogram":
             eventops.user_session_count_histogram,
         "order_value_delta_histogram":
@@ -3791,6 +3796,23 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o JOIN m ON o.o_custkey = m.o_custkey
             WHERE CAST(round(o_totalprice * 100) AS BIGINT) > m.med
             GROUP BY 1
+        """,
+        "incremental_top_tokens": """
+            SELECT t AS tok, CAST(count(*) AS BIGINT) AS n_occurrences
+            FROM (SELECT unnest(string_split(coalesce(text, ''), ' '))
+                      AS t
+                  FROM documents)
+            WHERE t <> ''
+            GROUP BY t
+            ORDER BY n_occurrences DESC, tok
+            LIMIT 50
+        """,
+        "orders_repeat_rate_by_month": """
+            SELECT date_trunc('month', o_orderdate) AS month,
+                   count(*) AS n_orders,
+                   CAST(count(DISTINCT o_custkey) AS BIGINT)
+                       AS n_customers
+            FROM orders GROUP BY 1
         """,
         "supplier_balance_quantiles_by_region": """
             WITH s AS (SELECT r_name,

@@ -786,3 +786,83 @@ def incremental_revenue_by_nation(sf_dir: str):
         "n_items": pc.cast(merged["n_items_sum"], pa.int64()),
     }).cast(NATION_REV_IVM_SCHEMA)
     return ray.data.from_arrow(out)
+
+
+TOP_TOKENS_IVM_SCHEMA = pa.schema([
+    ("tok", pa.string()),
+    ("n_occurrences", pa.int64()),
+])
+
+
+def incremental_top_tokens(sf_dir: str, k: int = 50):
+    """Incremental TOP-K maintenance — the fourth IVM flavor: the
+    global top-k vocabulary is NOT additive (a token outside today's
+    top-k can enter it tomorrow), so the maintained state is the full
+    per-token count table (vocabulary-bounded, the same honest-state
+    bound as the COUNT DISTINCT presence store), persisted once from
+    the 90% of documents with ``doc_id % 10 != 0``; every call counts
+    only the 10% delta, merges counts, and re-ranks with the exact
+    (count DESC, token ASC) tiebreak. Bit-identical to the full
+    recompute — the driver checks it against the SAME full-table
+    top-50 oracle as ``top_tokens_docs`` — at per-call cost ∝ delta
+    plus one vocabulary-sized merge."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from ..stages.agg import grouped_sums
+    from .docops import _doc_tf
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    cache = f"/tmp/ivm_toptok_{tag}"
+    base_file = f"{cache}/base_counts.parquet"
+    marker = f"{cache}/_DONE"
+
+    def _counts(delta: bool) -> pa.Table:
+        def _pick(batch: pa.Table) -> pa.Table:
+            did = np.asarray(batch["doc_id"], np.int64)
+            keep = (did % 10 == 0) if delta else (did % 10 != 0)
+            return pa.table({
+                "tok": batch["tok"].combine_chunks().filter(
+                    pa.array(keep)),
+                "tf": batch["tf"].combine_chunks().filter(
+                    pa.array(keep)),
+            })
+
+        rows = grouped_sums(
+            _doc_tf(sf_dir).map_batches(_pick, batch_format="pyarrow"),
+            ["tok"], ["tf"]).take_all()
+        if not rows:
+            return TOP_TOKENS_IVM_SCHEMA.empty_table()
+        return pa.table({
+            "tok": pa.array([r["tok"] for r in rows], pa.string()),
+            "n_occurrences": pa.array([r["sum_tf"] for r in rows],
+                                      pa.int64()),
+        })
+
+    if not os.path.exists(marker):
+        os.makedirs(cache, exist_ok=True)
+        tmp = f"{base_file}.tmp"
+        pq.write_table(_counts(delta=False), tmp)
+        os.replace(tmp, base_file)
+        open(marker, "w").close()
+
+    base = pq.read_table(base_file)
+    delta = _counts(delta=True)
+    merged = pa.concat_tables(
+        [base.select(TOP_TOKENS_IVM_SCHEMA.names),
+         delta.select(TOP_TOKENS_IVM_SCHEMA.names)]).group_by(
+        ["tok"], use_threads=False).aggregate(
+        [("n_occurrences", "sum")])
+    nv = np.asarray(merged["n_occurrences_sum"], np.int64)
+    tb = _to_bytes_array(merged["tok"].combine_chunks())
+    idx = np.lexsort((tb, -nv))[:k]
+    out = pa.table({
+        "tok": merged["tok"].combine_chunks().take(
+            pa.array(idx, pa.int64())),
+        "n_occurrences": pa.array(nv[idx], pa.int64()),
+    }).cast(TOP_TOKENS_IVM_SCHEMA)
+    return ray.data.from_arrow(out)

@@ -5560,3 +5560,41 @@ def part_type_head_size_matrix(sf_dir: str):
         ["type_head", "p_size"], [], count_as="n_parts")
     return g.map_batches(lambda t: t.cast(TYPE_HEAD_SIZE_SCHEMA),
                          batch_format="pyarrow")
+
+
+REPEAT_RATE_SCHEMA = pa.schema([
+    ("month", pa.timestamp("us")),
+    ("n_orders", pa.int64()),
+    ("n_customers", pa.int64()),
+])
+
+
+def orders_repeat_rate_by_month(sf_dir: str):
+    """Repeat-purchase intensity per month: order count AND distinct
+    ordering customers per calendar month in one pass — the
+    orders-per-customer ratio is the month's repeat rate, and shipping
+    both exact integers (not the float ratio) keeps the cross-engine
+    compare bit-stable. Rides ``grouped_distinct_count``: only distinct
+    (month, customer) combos leave the blocks, never the order rows."""
+    from ..stages.agg import grouped_distinct_count
+
+    def _month(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "month": pc.floor_temporal(batch["o_orderdate"],
+                                       unit="month"),
+            "o_custkey": pc.cast(batch["o_custkey"], pa.int64()),
+        })
+
+    g = grouped_distinct_count(
+        read_parquet_clean(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderdate",
+                                    "o_custkey"]).map_batches(
+            _month, batch_format="pyarrow"),
+        ["month"], "o_custkey", distinct_as="n_customers",
+        count_as="n_orders")
+    return g.map_batches(
+        lambda t: pa.table({"month": t["month"],
+                            "n_orders": t["n_orders"],
+                            "n_customers": t["n_customers"]}).cast(
+            REPEAT_RATE_SCHEMA),
+        batch_format="pyarrow")
