@@ -1108,6 +1108,11 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "incremental_top_tokens": incremental.incremental_top_tokens,
         "orders_repeat_rate_by_month":
             relational.orders_repeat_rate_by_month,
+        "tax_discount_matrix": relational.tax_discount_matrix,
+        "first_session_length_histogram":
+            eventops.first_session_length_histogram,
+        "value_lag1_suffstats": eventops.value_lag1_suffstats,
+        "media_doc_size_suffstats": multimodal.media_doc_size_suffstats,
         "user_session_count_histogram":
             eventops.user_session_count_histogram,
         "order_value_delta_histogram":
@@ -3796,6 +3801,56 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o JOIN m ON o.o_custkey = m.o_custkey
             WHERE CAST(round(o_totalprice * 100) AS BIGINT) > m.med
             GROUP BY 1
+        """,
+        "tax_discount_matrix": """
+            SELECT CAST(round(l_tax * 100) AS BIGINT) AS tax_bp,
+                   CAST(round(l_discount * 100) AS BIGINT)
+                       AS discount_bp,
+                   count(*) AS n_lines
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "first_session_length_histogram": """
+            WITH s AS (SELECT user_id, ts,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                          > 1800000000
+                  THEN 1 ELSE 0 END AS brk
+                  FROM events
+                  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            t AS (SELECT user_id, sum(brk) OVER (PARTITION BY user_id
+                      ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM s),
+            f AS (SELECT user_id, count(*) AS n FROM t
+                  WHERE sid = 1 GROUP BY user_id)
+            SELECT CAST(n AS BIGINT) AS session_len,
+                   count(*) AS n_users
+            FROM f GROUP BY 1
+        """,
+        "value_lag1_suffstats": """
+            WITH s AS (SELECT user_id,
+                  CAST(round(coalesce(value, 0) * 100) AS BIGINT) AS a,
+                  lead(CAST(round(coalesce(value, 0) * 100) AS BIGINT))
+                      OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS b
+                  FROM events)
+            SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(a * b) AS BIGINT) AS sum_ab,
+                   CAST(sum(a) AS BIGINT) AS sum_a,
+                   CAST(sum(b) AS BIGINT) AS sum_b,
+                   CAST(sum(a * a) AS BIGINT) AS sum_a2,
+                   CAST(sum(b * b) AS BIGINT) AS sum_b2
+            FROM s WHERE b IS NOT NULL
+        """,
+        "media_doc_size_suffstats": f"""
+            SELECT kind, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(n_bytes) AS BIGINT) AS sum_b,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_c,
+                   CAST(sum(n_bytes * n_chars) AS BIGINT) AS sum_bc,
+                   CAST(sum(n_bytes * n_bytes) AS BIGINT) AS sum_b2,
+                   CAST(sum(n_chars * n_chars) AS BIGINT) AS sum_c2
+            FROM read_parquet('{_media}/*.parquet')
+            JOIN documents ON media_id = doc_id
+            GROUP BY kind
         """,
         "incremental_top_tokens": """
             SELECT t AS tok, CAST(count(*) AS BIGINT) AS n_occurrences

@@ -2721,3 +2721,145 @@ def new_vs_returning_weekly(sf_dir: str):
                             "n_events": t["sum_n"]}).cast(
             NEW_RETURNING_SCHEMA),
         batch_format="pyarrow")
+
+
+LAG1_SCHEMA = pa.schema([
+    ("n_pairs", pa.int64()), ("sum_ab", pa.int64()),
+    ("sum_a", pa.int64()), ("sum_b", pa.int64()),
+    ("sum_a2", pa.int64()), ("sum_b2", pa.int64()),
+])
+
+
+def value_lag1_suffstats(sf_dir: str):
+    """Lag-1 autocovariance sufficient statistics of the value stream:
+    over every consecutive same-user event pair (ts, event_id order),
+    the exact-integer (n, Σab, Σa, Σb, Σa², Σb²) of the cent amounts —
+    everything the consumer needs to derive the serial correlation of
+    spend (is a big event followed by another big event) as one
+    driver-side float. Windowed-PRODUCT stats: unlike plain moment
+    sums, the ab term needs the user's temporal order, so the pairs
+    form on the user exchange (one lexsort+shift per partition) and
+    each partition leaves as ONE six-integer row. NULL values enter as
+    0 cents (``coalesce``), matching the SQL twin; per-row cents are
+    guarded at 2³¹ so products stay below 2⁶²."""
+    import numpy as np
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.agg import grouped_sums
+    from ..stages.exchange import exchange_map_groups
+
+    part_schema = pa.schema([(f.name, f.type) for f in LAG1_SCHEMA])
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"],
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+            "event_id": batch["event_id"],
+            "cents": pc.cast(pc.round(pc.multiply(
+                pc.fill_null(batch["value"], 0.0),
+                pa.scalar(100.0))), pa.int64()),
+        })
+
+    def _pairs(part: pa.Table) -> pa.Table:
+        import numpy as np
+
+        if part.num_rows < 2:
+            return part_schema.empty_table()
+        u = np.asarray(part["user_id"], np.int64)
+        ts = np.asarray(part["ts_us"], np.int64)
+        eid = np.asarray(part["event_id"], np.int64)
+        v = np.asarray(part["cents"], np.int64)
+        if np.abs(v).max() >= 2 ** 31:
+            raise ValueError("value_lag1: cents overflow the exact-int "
+                             "product envelope")
+        order = np.lexsort((eid, ts, u))
+        u_s, v_s = u[order], v[order]
+        same = u_s[1:] == u_s[:-1]
+        a, b = v_s[:-1][same], v_s[1:][same]
+        if a.size == 0:
+            return part_schema.empty_table()
+        return pa.table({
+            "n_pairs": pa.array([len(a)], pa.int64()),
+            "sum_ab": pa.array([int((a * b).sum())], pa.int64()),
+            "sum_a": pa.array([int(a.sum())], pa.int64()),
+            "sum_b": pa.array([int(b.sum())], pa.int64()),
+            "sum_a2": pa.array([int((a * a).sum())], pa.int64()),
+            "sum_b2": pa.array([int((b * b).sum())], pa.int64()),
+        })
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"]).map_batches(
+        _tag, batch_format="pyarrow")
+    n_parts = resolve_num_partitions(DEFAULT_CONFIG)
+    parts = exchange_map_groups(ds, "user_id", n_parts, _pairs,
+                                part_schema)
+    rows = parts.take_all()
+    import numpy as np
+
+    totals = {f.name: int(sum(r[f.name] for r in rows))
+              for f in LAG1_SCHEMA}
+    import ray.data
+
+    return ray.data.from_arrow(pa.table(
+        {k: pa.array([v], pa.int64()) for k, v in totals.items()}
+    ).cast(LAG1_SCHEMA))
+
+
+FIRST_SESS_SCHEMA = pa.schema([
+    ("session_len", pa.int64()),
+    ("n_users", pa.int64()),
+])
+
+
+def first_session_length_histogram(sf_dir: str, gap_minutes: int = 30):
+    """Onboarding-depth histogram: the event count of every user's
+    FIRST session (30-minute gap rule) — how much a user does on first
+    touch, the activation-depth twin of the sessions-per-user
+    histogram. On the user exchange each user's first session length
+    is the distance from their stream start to the first gap break
+    (one searchsorted over the break positions); each user leaves as
+    one int row and ≤ distinct-lengths cells ride the final exchange.
+    Timestamp ties need no tiebreak (equal values diff to 0)."""
+    import numpy as np
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.agg import grouped_sums
+    from ..stages.exchange import exchange_map_groups
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    per_user = pa.schema([("session_len", pa.int64())])
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"],
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+        })
+
+    def _first(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return per_user.empty_table()
+        u = np.asarray(part["user_id"], np.int64)
+        ts = np.asarray(part["ts_us"], np.int64)
+        order = np.lexsort((ts, u))
+        u_s, ts_s = u[order], ts[order]
+        newu = np.r_[True, u_s[1:] != u_s[:-1]]
+        brk = np.r_[True, (u_s[1:] != u_s[:-1])
+                    | (np.diff(ts_s) > gap_us)]
+        ustarts = np.flatnonzero(newu)
+        sess_starts = np.flatnonzero(brk)
+        nxt = np.searchsorted(sess_starts, ustarts, side="right")
+        end = np.where(nxt < len(sess_starts), sess_starts[nxt],
+                       len(u_s))
+        return pa.table({
+            "session_len": pa.array(end - ustarts, pa.int64()),
+        })
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"]).map_batches(
+        _tag, batch_format="pyarrow")
+    n_parts = resolve_num_partitions(DEFAULT_CONFIG)
+    per = exchange_map_groups(ds, "user_id", n_parts, _first, per_user)
+    g = grouped_sums(per, ["session_len"], [], count_as="n_users")
+    return g.map_batches(lambda t: t.cast(FIRST_SESS_SCHEMA),
+                         batch_format="pyarrow")

@@ -5598,3 +5598,39 @@ def orders_repeat_rate_by_month(sf_dir: str):
                             "n_customers": t["n_customers"]}).cast(
             REPEAT_RATE_SCHEMA),
         batch_format="pyarrow")
+
+
+TAX_DISC_SCHEMA = pa.schema([
+    ("tax_bp", pa.int64()),
+    ("discount_bp", pa.int64()),
+    ("n_lines", pa.int64()),
+])
+
+
+def tax_discount_matrix(sf_dir: str):
+    """Pricing-lever interaction census: (tax basis points × discount
+    basis points) cell counts over lineitem — do discounts co-occur
+    with particular tax bands (a pricing-policy audit; independence
+    shows as a rank-1 table). Map-only integer bp extraction + one
+    exchange of ≤ tax-bands × discount-bands cells."""
+    import numpy as np
+
+    from ..stages.agg import grouped_sums
+
+    def _bp(batch: pa.Table) -> pa.Table:
+        tax = np.rint(np.asarray(batch["l_tax"],
+                                 np.float64) * 100).astype(np.int64)
+        dis = np.rint(np.asarray(batch["l_discount"],
+                                 np.float64) * 100).astype(np.int64)
+        return pa.table({
+            "tax_bp": pa.array(tax, pa.int64()),
+            "discount_bp": pa.array(dis, pa.int64()),
+        })
+
+    g = grouped_sums(
+        read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_tax", "l_discount"]).map_batches(
+            _bp, batch_format="pyarrow"),
+        ["tax_bp", "discount_bp"], [], count_as="n_lines")
+    return g.map_batches(lambda t: t.cast(TAX_DISC_SCHEMA),
+                         batch_format="pyarrow")

@@ -561,3 +561,75 @@ def media_magic_prefix_census(sf_dir: str):
     g = grouped_sums(ds, ["kind", "prefix"], [], count_as="n_media")
     return g.map_batches(lambda t: t.cast(MAGIC_PREFIX_SCHEMA),
                          batch_format="pyarrow")
+
+
+MEDIA_DOC_SUFF_SCHEMA = pa.schema([
+    ("kind", pa.string()), ("n", pa.int64()),
+    ("sum_b", pa.int64()), ("sum_c", pa.int64()),
+    ("sum_bc", pa.int64()), ("sum_b2", pa.int64()),
+    ("sum_c2", pa.int64()),
+])
+
+
+def media_doc_size_suffstats(sf_dir: str):
+    """Cross-modal covariance sufficient statistics per media kind:
+    (n, Σbytes, Σchars, Σ bytes·chars, Σbytes², Σchars²) over the
+    media→source-document lineage join — the exact-integer inputs for
+    'does payload size track source length per modality' (encode-
+    efficiency drift detection), derived on the driver as one float.
+    Same id-keyed lineage exchange as the compression-ratio audit
+    (inner-join semantics: media without a source doc drop); per-row
+    magnitudes guarded at 2³¹ so products stay below 2⁶²; only ≤ kinds
+    six-integer rows leave the join."""
+    import ray.data
+
+    from ..config import DEFAULT_CONFIG as _cfg
+    from ..config import resolve_num_partitions
+    from ..sources.tables import read_parquet_clean
+    from ..stages.agg import grouped_sums
+    from ..stages.join import hash_join_exchange
+
+    m = ray.data.read_parquet(
+        media_path(sf_dir),
+        columns=["media_id", "kind", "n_bytes"]).map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.cast(t["media_id"], pa.int64()),
+            "kind": t["kind"],
+            "n_bytes": pc.cast(t["n_bytes"], pa.int64()),
+        }), batch_format="pyarrow")
+    d = read_parquet_clean(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "n_chars"]).map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_chars": pc.cast(t["n_chars"], pa.int64()),
+        }), batch_format="pyarrow")
+    joined = hash_join_exchange(m, d, "doc_id", ["kind", "n_bytes"],
+                                ["n_chars"],
+                                resolve_num_partitions(_cfg))
+
+    def _suff(batch: pa.Table) -> pa.Table:
+        b = np.asarray(batch["n_bytes"], np.int64)
+        c = np.asarray(batch["n_chars"], np.int64)
+        if b.size and max(int(np.abs(b).max()),
+                          int(np.abs(c).max())) >= 2 ** 31:
+            raise ValueError("media_doc_size_suffstats: magnitude "
+                             "overflows the exact-int product envelope")
+        return pa.table({
+            "kind": batch["kind"],
+            "b": pa.array(b, pa.int64()),
+            "c": pa.array(c, pa.int64()),
+            "bc": pa.array(b * c, pa.int64()),
+            "b2": pa.array(b * b, pa.int64()),
+            "c2": pa.array(c * c, pa.int64()),
+        })
+
+    g = grouped_sums(joined.map_batches(_suff, batch_format="pyarrow"),
+                     ["kind"], ["b", "c", "bc", "b2", "c2"],
+                     count_as="n")
+    return g.map_batches(
+        lambda t: pa.table({
+            "kind": t["kind"], "n": t["n"], "sum_b": t["sum_b"],
+            "sum_c": t["sum_c"], "sum_bc": t["sum_bc"],
+            "sum_b2": t["sum_b2"], "sum_c2": t["sum_c2"],
+        }).cast(MEDIA_DOC_SUFF_SCHEMA), batch_format="pyarrow")
