@@ -1113,6 +1113,10 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
             eventops.first_session_length_histogram,
         "value_lag1_suffstats": eventops.value_lag1_suffstats,
         "media_doc_size_suffstats": multimodal.media_doc_size_suffstats,
+        "user_peak_weekday_histogram":
+            eventops.user_peak_weekday_histogram,
+        "customer_cohort_segment_matrix":
+            relational.customer_cohort_segment_matrix,
         "user_session_count_histogram":
             eventops.user_session_count_histogram,
         "order_value_delta_histogram":
@@ -3801,6 +3805,24 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o JOIN m ON o.o_custkey = m.o_custkey
             WHERE CAST(round(o_totalprice * 100) AS BIGINT) > m.med
             GROUP BY 1
+        """,
+        "user_peak_weekday_histogram": """
+            WITH c AS (SELECT user_id, CAST(isodow(ts) AS BIGINT)
+                           AS isodow, count(*) AS n
+                       FROM events GROUP BY 1, 2),
+            p AS (SELECT user_id, isodow FROM
+                  (SELECT c.*, row_number() OVER (PARTITION BY user_id
+                          ORDER BY n DESC, isodow) AS rn FROM c)
+                  WHERE rn = 1)
+            SELECT isodow, count(*) AS n_users FROM p GROUP BY 1
+        """,
+        "customer_cohort_segment_matrix": """
+            WITH f AS (SELECT o_custkey, min(o_orderdate) AS fd
+                       FROM orders GROUP BY 1)
+            SELECT date_trunc('month', fd) AS month, c_mktsegment,
+                   count(*) AS n_customers
+            FROM f JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1, 2
         """,
         "tax_discount_matrix": """
             SELECT CAST(round(l_tax * 100) AS BIGINT) AS tax_bp,

@@ -2863,3 +2863,42 @@ def first_session_length_histogram(sf_dir: str, gap_minutes: int = 30):
     g = grouped_sums(per, ["session_len"], [], count_as="n_users")
     return g.map_batches(lambda t: t.cast(FIRST_SESS_SCHEMA),
                          batch_format="pyarrow")
+
+
+PEAK_DOW_SCHEMA = pa.schema([
+    ("isodow", pa.int64()),
+    ("n_users", pa.int64()),
+])
+
+
+def user_peak_weekday_histogram(sf_dir: str):
+    """Personal-rhythm census: each user's PEAK ISO weekday (most
+    events; earliest-weekday tiebreak — `row_number() OVER (ORDER BY n
+    DESC, isodow)`), histogrammed over users. Mode-per-user then
+    histogram: `grouped_sums` folds the stream to ≤ users×7 cells,
+    `grouped_topk(k=1)` picks each user's mode, and only 7 histogram
+    cells ride the final exchange."""
+    import numpy as np
+
+    from ..stages.agg import grouped_sums, grouped_topk
+
+    def _dow(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(batch["ts"].combine_chunks().cast(pa.int64()),
+                        np.int64)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "isodow": pa.array((ts // 86_400_000_000 + 3) % 7 + 1,
+                               pa.int64()),
+        })
+
+    counts = grouped_sums(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["user_id", "ts"]).map_batches(
+            _dow, batch_format="pyarrow"),
+        ["user_id", "isodow"], [], count_as="n")
+    top = grouped_topk(counts, key="user_id", order_col="n", k=1,
+                       tiebreak="isodow")
+    g = grouped_sums(top.select_columns(["isodow"]), ["isodow"], [],
+                     count_as="n_users")
+    return g.map_batches(lambda t: t.cast(PEAK_DOW_SCHEMA),
+                         batch_format="pyarrow")

@@ -5634,3 +5634,59 @@ def tax_discount_matrix(sf_dir: str):
         ["tax_bp", "discount_bp"], [], count_as="n_lines")
     return g.map_batches(lambda t: t.cast(TAX_DISC_SCHEMA),
                          batch_format="pyarrow")
+
+
+COHORT_SEG_SCHEMA = pa.schema([
+    ("month", pa.timestamp("us")),
+    ("c_mktsegment", pa.string()),
+    ("n_customers", pa.int64()),
+])
+
+
+def customer_cohort_segment_matrix(sf_dir: str):
+    """Acquisition-cohort × segment matrix: customers bucketed by the
+    calendar month of their FIRST order, crossed with market segment —
+    which segments each acquisition wave drew from. `grouped_minmax`
+    folds orders to one (custkey, first-date) row each, the segment
+    attaches on the custkey exchange join, and ≤ months × segments
+    cells ride the final exchange."""
+    import numpy as np
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.agg import grouped_minmax, grouped_sums
+    from ..stages.join import hash_join_exchange
+
+    n_parts = resolve_num_partitions(DEFAULT_CONFIG)
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": batch["o_custkey"],
+            "date_us": pc.cast(batch["o_orderdate"], pa.int64()),
+        })
+
+    first = grouped_minmax(
+        read_parquet_clean(f"{sf_dir}/orders.parquet",
+                           columns=["o_custkey",
+                                    "o_orderdate"]).map_batches(
+            _tag, batch_format="pyarrow"),
+        ["o_custkey"], "date_us")
+
+    def _month(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": batch["o_custkey"],
+            "month": pc.floor_temporal(
+                pc.cast(batch["min_date_us"], pa.timestamp("us")),
+                unit="month"),
+        })
+
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_mktsegment"])
+    joined = hash_join_exchange(
+        first.map_batches(_month, batch_format="pyarrow"), cust,
+        key="custkey", left_key="o_custkey", right_key="c_custkey",
+        left_cols=["month"], right_cols=["c_mktsegment"],
+        n_parts=n_parts)
+    g = grouped_sums(joined, ["month", "c_mktsegment"], [],
+                     count_as="n_customers")
+    return g.map_batches(lambda t: t.cast(COHORT_SEG_SCHEMA),
+                         batch_format="pyarrow")
