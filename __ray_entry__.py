@@ -1117,6 +1117,9 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
             eventops.user_peak_weekday_histogram,
         "customer_cohort_segment_matrix":
             relational.customer_cohort_segment_matrix,
+        "response_amplification_histogram":
+            transcriptops.response_amplification_histogram,
+        "order_fanout_by_priority": relational.order_fanout_by_priority,
         "user_session_count_histogram":
             eventops.user_session_count_histogram,
         "order_value_delta_histogram":
@@ -3805,6 +3808,27 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o JOIN m ON o.o_custkey = m.o_custkey
             WHERE CAST(round(o_totalprice * 100) AS BIGINT) > m.med
             GROUP BY 1
+        """,
+        "response_amplification_histogram": f"""
+            WITH b AS (SELECT conv_id, turn_idx, role,
+                    length(coalesce(text, '')) AS nch
+                    FROM read_parquet('{_turns}/*.parquet')),
+            p AS (SELECT a.nch AS uc, c.nch AS ac
+                  FROM b a JOIN b c
+                    ON a.conv_id = c.conv_id
+                   AND c.turn_idx = a.turn_idx + 1
+                  WHERE a.role = 'user' AND c.role = 'assistant')
+            SELECT CAST(least((ac * 100 // greatest(uc, 1)) // 25, 40)
+                        AS BIGINT) AS bucket,
+                   count(*) AS n_pairs
+            FROM p GROUP BY 1
+        """,
+        "order_fanout_by_priority": """
+            WITH c AS (SELECT l_orderkey, count(*) AS n_lines
+                       FROM lineitem GROUP BY 1)
+            SELECT o_orderpriority, n_lines, count(*) AS n_orders
+            FROM c JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1, 2
         """,
         "user_peak_weekday_histogram": """
             WITH c AS (SELECT user_id, CAST(isodow(ts) AS BIGINT)

@@ -5690,3 +5690,38 @@ def customer_cohort_segment_matrix(sf_dir: str):
                      count_as="n_customers")
     return g.map_batches(lambda t: t.cast(COHORT_SEG_SCHEMA),
                          batch_format="pyarrow")
+
+
+FANOUT_PRI_SCHEMA = pa.schema([
+    ("o_orderpriority", pa.string()),
+    ("n_lines", pa.int64()),
+    ("n_orders", pa.int64()),
+])
+
+
+def order_fanout_by_priority(sf_dir: str):
+    """Order-size mix per priority: lineitem count per order crossed
+    with the order's priority — do urgent orders run smaller. The fact
+    rows reduce to one (orderkey, count) cell each BEFORE the priority
+    attaches on the orderkey exchange join; ≤ priorities ×
+    distinct-fanouts cells ride the final exchange."""
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.agg import grouped_sums
+    from ..stages.join import hash_join_exchange
+
+    n_parts = resolve_num_partitions(DEFAULT_CONFIG)
+    counts = grouped_sums(
+        read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey"]),
+        ["l_orderkey"], [], count_as="n_lines")
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey",
+                                         "o_orderpriority"])
+    joined = hash_join_exchange(
+        counts, orders, key="orderkey", left_key="l_orderkey",
+        right_key="o_orderkey", left_cols=["n_lines"],
+        right_cols=["o_orderpriority"], n_parts=n_parts)
+    g = grouped_sums(joined, ["o_orderpriority", "n_lines"], [],
+                     count_as="n_orders")
+    return g.map_batches(lambda t: t.cast(FANOUT_PRI_SCHEMA),
+                         batch_format="pyarrow")

@@ -2040,3 +2040,77 @@ def longest_turn_position_histogram(sf_dir: str):
                             "n_convs": t["sum_n"]}).cast(
             LONGEST_POS_SCHEMA),
         batch_format="pyarrow")
+
+
+AMPLIFY_SCHEMA = pa.schema([
+    ("bucket", pa.int64()),
+    ("n_pairs", pa.int64()),
+])
+
+
+def response_amplification_histogram(sf_dir: str):
+    """Verbosity-amplification histogram: for every user turn whose
+    NEXT turn (turn_idx + 1, same conv) is an assistant turn, the char
+    ratio assistant·100 // max(user, 1), bucketed by //25 and capped
+    at 40 (≥ 10× amplification saturates the last bucket) — does the
+    assistant answer in proportion to the prompt. Same composite-key
+    adjacency as the echo audit; ≤ 41 cells leave each partition."""
+    from ..config import resolve_num_partitions
+    from ..functions.segscore import _to_bytes_array, hash_strings64
+    from ..stages.agg import grouped_sums
+    from ..stages.exchange import exchange_map_groups
+
+    part_schema = pa.schema([("bucket", pa.int64()),
+                             ("n", pa.int64())])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        cid = batch["conv_id"].combine_chunks()
+        return pa.table({
+            "conv_id": cid,
+            "turn_idx": pc.cast(batch["turn_idx"], pa.int64()),
+            "role": batch["role"],
+            "n_chars": pc.cast(pc.utf8_length(
+                pc.fill_null(batch["text"].combine_chunks(), "")),
+                pa.int64()),
+            "conv_part": pa.array(hash_strings64(cid) % 1024, pa.int64()),
+        })
+
+    def _amp(part: pa.Table) -> pa.Table:
+        if part.num_rows < 2:
+            return part_schema.empty_table()
+        cid = _to_bytes_array(part["conv_id"].combine_chunks())
+        _, codes = np.unique(cid, return_inverse=True)
+        tix = np.asarray(part["turn_idx"], np.int64)
+        role = _to_bytes_array(part["role"].combine_chunks())
+        nch = np.asarray(part["n_chars"], np.int64)
+        mt = int(tix.max())
+        if (int(codes.max()) + 1) >= 2 ** 62 // (mt + 2):
+            raise ValueError("amplification: composite key overflow; "
+                             "re-partition finer")
+        ck = codes.astype(np.int64) * (mt + 2) + tix
+        o = np.argsort(ck, kind="stable")
+        ck_s = ck[o]
+        adj = ck_s[1:] - ck_s[:-1] == 1
+        ai, bi = o[:-1][adj], o[1:][adj]
+        m = (role[ai] == b"user") & (role[bi] == b"assistant")
+        if not m.any():
+            return part_schema.empty_table()
+        ratio = nch[bi[m]] * 100 // np.maximum(nch[ai[m]], 1)
+        bucket = np.minimum(ratio // 25, 40)
+        uk, cn = np.unique(bucket, return_counts=True)
+        return pa.table({
+            "bucket": pa.array(uk.astype(np.int64), pa.int64()),
+            "n": pa.array(cn.astype(np.int64), pa.int64()),
+        })
+
+    keyed = _read_turns(sf_dir, ("conv_id", "turn_idx", "role", "text")
+                        ).map_batches(_prep, batch_format="pyarrow")
+    parts = exchange_map_groups(keyed, "conv_part",
+                                resolve_num_partitions(DEFAULT_CONFIG),
+                                _amp, part_schema)
+    g = grouped_sums(parts, ["bucket"], ["n"])
+    return g.map_batches(
+        lambda t: pa.table({"bucket": t["bucket"],
+                            "n_pairs": t["sum_n"]}).cast(
+            AMPLIFY_SCHEMA),
+        batch_format="pyarrow")
