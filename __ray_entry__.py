@@ -1120,6 +1120,8 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "response_amplification_histogram":
             transcriptops.response_amplification_histogram,
         "order_fanout_by_priority": relational.order_fanout_by_priority,
+        "tool_chain_trigrams": transcriptops.tool_chain_trigrams,
+        "alphabet_size_histogram": docops.alphabet_size_histogram,
         "user_session_count_histogram":
             eventops.user_session_count_histogram,
         "order_value_delta_histogram":
@@ -3808,6 +3810,28 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o JOIN m ON o.o_custkey = m.o_custkey
             WHERE CAST(round(o_totalprice * 100) AS BIGINT) > m.med
             GROUP BY 1
+        """,
+        "tool_chain_trigrams": f"""
+            WITH t AS (SELECT conv_id, turn_idx, tool
+                       FROM read_parquet('{_turns}/*.parquet')
+                       WHERE tool IS NOT NULL AND tool <> ''),
+            s AS (SELECT tool AS tool_1,
+                         lead(tool) OVER w AS tool_2,
+                         lead(tool, 2) OVER w AS tool_3
+                  FROM t
+                  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+            SELECT tool_1, tool_2, tool_3, count(*) AS n_trigrams
+            FROM s WHERE tool_2 IS NOT NULL AND tool_3 IS NOT NULL
+            GROUP BY 1, 2, 3
+        """,
+        "alphabet_size_histogram": """
+            WITH c AS (SELECT doc_id,
+                    CAST(length(list_distinct(string_split(
+                        coalesce(text, ''), ''))) AS BIGINT)
+                        AS n_distinct_chars
+                    FROM documents)
+            SELECT n_distinct_chars, count(*) AS n_docs
+            FROM c GROUP BY 1
         """,
         "response_amplification_histogram": f"""
             WITH b AS (SELECT conv_id, turn_idx, role,

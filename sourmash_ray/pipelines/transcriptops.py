@@ -2114,3 +2114,82 @@ def response_amplification_histogram(sf_dir: str):
                             "n_pairs": t["sum_n"]}).cast(
             AMPLIFY_SCHEMA),
         batch_format="pyarrow")
+
+
+TOOL_TRIGRAM_SCHEMA = pa.schema([
+    ("tool_1", pa.string()),
+    ("tool_2", pa.string()),
+    ("tool_3", pa.string()),
+    ("n_trigrams", pa.int64()),
+])
+
+
+def tool_chain_trigrams(sf_dir: str):
+    """Second-order tool-sequence motifs: over a conversation's
+    tool-calling turns ONLY (tool <> '', turn order), count every
+    (tool, next, next²) triple — the 3-step agent loop detector
+    (search→fetch→search …), extending ``tool_chain_bigrams`` one
+    step. One conv exchange; triples form from two shifted same-conv
+    masks and counting is one lexsort over three S-dtype views; ≤
+    tools³ cells leave each partition."""
+    from ..config import resolve_num_partitions
+    from ..functions.segscore import _to_bytes_array, hash_strings64
+    from ..stages.agg import grouped_sums
+    from ..stages.exchange import exchange_map_groups
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(batch["tool"]),
+                       pc.not_equal(batch["tool"], ""))
+        t = batch.filter(keep)
+        cid = t["conv_id"].combine_chunks()
+        return pa.table({
+            "conv_id": cid,
+            "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+            "tool": t["tool"],
+            "conv_part": pa.array(hash_strings64(cid) % 1024, pa.int64()),
+        })
+
+    def _tri(part: pa.Table) -> pa.Table:
+        if part.num_rows < 3:
+            return TOOL_TRIGRAM_SCHEMA.empty_table()
+        cid = _to_bytes_array(part["conv_id"].combine_chunks())
+        tix = np.asarray(part["turn_idx"], np.int64)
+        tool = part["tool"].combine_chunks()
+        tb = _to_bytes_array(tool)
+        order = np.lexsort((tix, cid))
+        c_s, t_s = cid[order], tb[order]
+        same = c_s[1:] == c_s[:-1]
+        tri = same[:-1] & same[1:]
+        if not tri.any():
+            return TOOL_TRIGRAM_SCHEMA.empty_table()
+        a, b, c = t_s[:-2][tri], t_s[1:-1][tri], t_s[2:][tri]
+        porder = np.lexsort((c, b, a))
+        a_s, b_s, c_s2 = a[porder], b[porder], c[porder]
+        new_run = np.r_[True, (a_s[1:] != a_s[:-1])
+                        | (b_s[1:] != b_s[:-1]) | (c_s2[1:] != c_s2[:-1])]
+        n = np.bincount(np.cumsum(new_run) - 1)
+        first = porder[new_run]
+        src1 = order[:-2][tri][first]
+        src2 = order[1:-1][tri][first]
+        src3 = order[2:][tri][first]
+        return pa.table({
+            "tool_1": tool.take(pa.array(src1, pa.int64())),
+            "tool_2": tool.take(pa.array(src2, pa.int64())),
+            "tool_3": tool.take(pa.array(src3, pa.int64())),
+            "n_trigrams": pa.array(n.astype(np.int64), pa.int64()),
+        }).cast(TOOL_TRIGRAM_SCHEMA)
+
+    keyed = _read_turns(sf_dir, ("conv_id", "turn_idx", "tool")
+                        ).map_batches(_prep, batch_format="pyarrow")
+    parts = exchange_map_groups(keyed, "conv_part",
+                                resolve_num_partitions(DEFAULT_CONFIG),
+                                _tri, TOOL_TRIGRAM_SCHEMA)
+    g = grouped_sums(parts, ["tool_1", "tool_2", "tool_3"],
+                     ["n_trigrams"])
+    return g.map_batches(
+        lambda t: pa.table({"tool_1": t["tool_1"],
+                            "tool_2": t["tool_2"],
+                            "tool_3": t["tool_3"],
+                            "n_trigrams": t["sum_n_trigrams"]}).cast(
+            TOOL_TRIGRAM_SCHEMA),
+        batch_format="pyarrow")
