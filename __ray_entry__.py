@@ -1122,6 +1122,8 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "order_fanout_by_priority": relational.order_fanout_by_priority,
         "tool_chain_trigrams": transcriptops.tool_chain_trigrams,
         "alphabet_size_histogram": docops.alphabet_size_histogram,
+        "personal_record_orders": relational.personal_record_orders,
+        "record_values_by_type": eventops.record_values_by_type,
         "user_session_count_histogram":
             eventops.user_session_count_histogram,
         "order_value_delta_histogram":
@@ -3809,6 +3811,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, count(*) AS n_orders
             FROM orders o JOIN m ON o.o_custkey = m.o_custkey
             WHERE CAST(round(o_totalprice * 100) AS BIGINT) > m.med
+            GROUP BY 1
+        """,
+        "personal_record_orders": """
+            WITH s AS (SELECT o_orderpriority,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                  max(CAST(round(o_totalprice * 100) AS BIGINT)) OVER
+                    (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS prior_max
+                  FROM orders)
+            SELECT o_orderpriority, count(*) AS n_records
+            FROM s WHERE prior_max IS NOT NULL AND cents > prior_max
+            GROUP BY 1
+        """,
+        "record_values_by_type": """
+            WITH s AS (SELECT event_type,
+                  CAST(round(coalesce(value, 0) * 100) AS BIGINT)
+                      AS cents,
+                  max(CAST(round(coalesce(value, 0) * 100) AS BIGINT))
+                      OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS prior_max
+                  FROM events)
+            SELECT event_type, count(*) AS n_records
+            FROM s WHERE prior_max IS NOT NULL AND cents > prior_max
             GROUP BY 1
         """,
         "tool_chain_trigrams": f"""

@@ -2902,3 +2902,81 @@ def user_peak_weekday_histogram(sf_dir: str):
                      count_as="n_users")
     return g.map_batches(lambda t: t.cast(PEAK_DOW_SCHEMA),
                          batch_format="pyarrow")
+
+
+RECORD_EVENTS_SCHEMA = pa.schema([
+    ("event_type", pa.string()),
+    ("n_records", pa.int64()),
+])
+
+
+def record_values_by_type(sf_dir: str):
+    """Record-breaking events: events whose cent value STRICTLY
+    exceeds every prior event of the same user (running-max window
+    with a strict compare; a user's first event never counts),
+    tallied per event type — the 'escalating engagement' signal. The
+    segmented running max is the shared composite-key cummax
+    (``relational._prior_group_max``); one user exchange, ≤ types
+    cells out per partition. NULL values enter as 0 cents."""
+    import numpy as np
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..functions.segscore import _to_bytes_array
+    from ..stages.agg import grouped_sums
+    from ..stages.exchange import exchange_map_groups
+    from .relational import _prior_group_max
+
+    part_schema = pa.schema([("event_type", pa.string()),
+                             ("n", pa.int64())])
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"],
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+            "event_id": batch["event_id"],
+            "cents": pc.cast(pc.round(pc.multiply(
+                pc.fill_null(batch["value"], 0.0),
+                pa.scalar(100.0))), pa.int64()),
+            "event_type": batch["event_type"],
+        })
+
+    def _records(part: pa.Table) -> pa.Table:
+        if part.num_rows < 2:
+            return part_schema.empty_table()
+        u = np.asarray(part["user_id"], np.int64)
+        ts = np.asarray(part["ts_us"], np.int64)
+        eid = np.asarray(part["event_id"], np.int64)
+        ce = np.asarray(part["cents"], np.int64)
+        tcol = part["event_type"].combine_chunks()
+        order = np.lexsort((eid, ts, u))
+        u_s, ce_s = u[order], ce[order]
+        grp = np.cumsum(np.r_[True, u_s[1:] != u_s[:-1]]) - 1
+        has, prior = _prior_group_max(grp.astype(np.int64), ce_s)
+        rec = has & (ce_s > prior)
+        if not rec.any():
+            return part_schema.empty_table()
+        idx = order[rec]
+        tb = _to_bytes_array(tcol)[idx]
+        to = np.argsort(tb, kind="stable")
+        tb_s = tb[to]
+        st = np.flatnonzero(np.r_[True, tb_s[1:] != tb_s[:-1]])
+        n = np.diff(np.r_[st, len(tb_s)])
+        return pa.table({
+            "event_type": tcol.take(pa.array(idx[to[st]], pa.int64())),
+            "n": pa.array(n.astype(np.int64), pa.int64()),
+        })
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value",
+                 "event_type"]).map_batches(_tag,
+                                            batch_format="pyarrow")
+    n_parts = resolve_num_partitions(DEFAULT_CONFIG)
+    parts = exchange_map_groups(ds, "user_id", n_parts, _records,
+                                part_schema)
+    g = grouped_sums(parts, ["event_type"], ["n"])
+    return g.map_batches(
+        lambda t: pa.table({"event_type": t["event_type"],
+                            "n_records": t["sum_n"]}).cast(
+            RECORD_EVENTS_SCHEMA),
+        batch_format="pyarrow")

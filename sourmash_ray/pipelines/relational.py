@@ -5725,3 +5725,106 @@ def order_fanout_by_priority(sf_dir: str):
                      count_as="n_orders")
     return g.map_batches(lambda t: t.cast(FANOUT_PRI_SCHEMA),
                          batch_format="pyarrow")
+
+
+def _prior_group_max(grp: "np.ndarray", vals: "np.ndarray"):
+    """Segmented running-max-of-PRIOR-rows without a Python loop:
+    with rows sorted so ``grp`` is non-decreasing, the cummax of the
+    composite ``grp·K + normalized-value`` (K > value range) is always
+    dominated by the current group, so decomposing the PREVIOUS row's
+    cummax yields (group of prior max, prior max value); a row has a
+    valid prior max only when that group equals its own. Returns
+    (has_prior, prior_max) aligned to the input rows."""
+    import numpy as np
+
+    if vals.size == 0:
+        return (np.zeros(0, bool), np.zeros(0, np.int64))
+    base = int(vals.min())
+    vn = vals - base
+    k = int(vn.max()) + 1
+    if int(grp.max()) + 1 >= 2 ** 62 // max(k, 1):
+        raise ValueError("segmented cummax composite overflows int64; "
+                         "re-partition finer")
+    comp = grp * k + vn
+    cm = np.maximum.accumulate(comp)
+    prior = np.r_[np.int64(-1), cm[:-1]]
+    has = (prior >= 0) & (prior // k == grp)
+    return has, np.where(has, prior % k + base, 0)
+
+
+RECORD_ORDERS_SCHEMA = pa.schema([
+    ("o_orderpriority", pa.string()),
+    ("n_records", pa.int64()),
+])
+
+
+def personal_record_orders(sf_dir: str):
+    """Running-max window audit: orders that STRICTLY exceed every
+    prior order of the same customer (the 'new personal record'
+    events; `max() OVER (... ROWS UNBOUNDED PRECEDING AND 1
+    PRECEDING)` then a strict compare — first orders have a NULL
+    prior and never count), tallied per priority. One custkey
+    exchange; the segmented running max is one composite-key cummax
+    (:func:`_prior_group_max`), and ≤ priorities cells leave each
+    partition."""
+    import numpy as np
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..functions.segscore import _to_bytes_array
+    from ..stages.agg import grouped_sums
+    from ..stages.exchange import exchange_map_groups
+
+    part_schema = pa.schema([("o_orderpriority", pa.string()),
+                             ("n", pa.int64())])
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": batch["o_custkey"],
+            "date_us": pc.cast(batch["o_orderdate"], pa.int64()),
+            "o_orderkey": batch["o_orderkey"],
+            "cents": pc.cast(pc.round(pc.multiply(
+                batch["o_totalprice"], pa.scalar(100.0))), pa.int64()),
+            "o_orderpriority": batch["o_orderpriority"],
+        })
+
+    def _records(part: pa.Table) -> pa.Table:
+        if part.num_rows < 2:
+            return part_schema.empty_table()
+        ck = np.asarray(part["o_custkey"], np.int64)
+        dt = np.asarray(part["date_us"], np.int64)
+        ok = np.asarray(part["o_orderkey"], np.int64)
+        ce = np.asarray(part["cents"], np.int64)
+        pcol = part["o_orderpriority"].combine_chunks()
+        order = np.lexsort((ok, dt, ck))
+        ck_s, ce_s = ck[order], ce[order]
+        grp = np.cumsum(np.r_[True, ck_s[1:] != ck_s[:-1]]) - 1
+        has, prior = _prior_group_max(grp.astype(np.int64), ce_s)
+        rec = has & (ce_s > prior)
+        if not rec.any():
+            return part_schema.empty_table()
+        idx = order[rec]
+        pb = _to_bytes_array(pcol)[idx]
+        po = np.argsort(pb, kind="stable")
+        pb_s = pb[po]
+        st = np.flatnonzero(np.r_[True, pb_s[1:] != pb_s[:-1]])
+        n = np.diff(np.r_[st, len(pb_s)])
+        return pa.table({
+            "o_orderpriority": pcol.take(
+                pa.array(idx[po[st]], pa.int64())),
+            "n": pa.array(n.astype(np.int64), pa.int64()),
+        })
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderkey",
+                 "o_totalprice", "o_orderpriority"]).map_batches(
+        _tag, batch_format="pyarrow")
+    n_parts = resolve_num_partitions(DEFAULT_CONFIG)
+    parts = exchange_map_groups(ds, "o_custkey", n_parts, _records,
+                                part_schema)
+    g = grouped_sums(parts, ["o_orderpriority"], ["n"])
+    return g.map_batches(
+        lambda t: pa.table({"o_orderpriority": t["o_orderpriority"],
+                            "n_records": t["sum_n"]}).cast(
+            RECORD_ORDERS_SCHEMA),
+        batch_format="pyarrow")
