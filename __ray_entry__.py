@@ -1124,6 +1124,9 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "alphabet_size_histogram": docops.alphabet_size_histogram,
         "personal_record_orders": relational.personal_record_orders,
         "record_values_by_type": eventops.record_values_by_type,
+        "line_weighted_value_median_by_priority":
+            relational.line_weighted_value_median_by_priority,
+        "orders_month_seasonality": relational.orders_month_seasonality,
         "user_session_count_histogram":
             eventops.user_session_count_histogram,
         "order_value_delta_histogram":
@@ -3812,6 +3815,35 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o JOIN m ON o.o_custkey = m.o_custkey
             WHERE CAST(round(o_totalprice * 100) AS BIGINT) > m.med
             GROUP BY 1
+        """,
+        "line_weighted_value_median_by_priority": """
+            WITH w AS (SELECT l_orderkey, count(*) AS nl
+                       FROM lineitem GROUP BY 1),
+            j AS (SELECT o_orderpriority AS p,
+                         CAST(round(o_totalprice * 100) AS BIGINT)
+                             AS c, nl
+                  FROM orders JOIN w ON o_orderkey = l_orderkey),
+            g AS (SELECT p, c, sum(nl) AS wv FROM j GROUP BY 1, 2),
+            o AS (SELECT p, c,
+                         sum(wv) OVER (PARTITION BY p ORDER BY c)
+                             AS cw,
+                         sum(wv) OVER (PARTITION BY p) AS tw FROM g)
+            SELECT p AS o_orderpriority,
+                   CAST(min(c) AS BIGINT) AS median_cents
+            FROM o WHERE cw >= (tw + 1) // 2 GROUP BY 1
+        """,
+        "orders_month_seasonality": """
+            WITH c AS (SELECT CAST(year(o_orderdate) AS BIGINT)
+                           AS year,
+                           CAST(month(o_orderdate) AS BIGINT)
+                               AS month,
+                           count(*) AS n_orders
+                       FROM orders GROUP BY 1, 2)
+            SELECT year, month, n_orders,
+                   CAST(n_orders * 1000
+                        // sum(n_orders) OVER (PARTITION BY year)
+                        AS BIGINT) AS permille
+            FROM c
         """,
         "personal_record_orders": """
             WITH s AS (SELECT o_orderpriority,

@@ -5828,3 +5828,111 @@ def personal_record_orders(sf_dir: str):
                             "n_records": t["sum_n"]}).cast(
             RECORD_ORDERS_SCHEMA),
         batch_format="pyarrow")
+
+
+WMEDIAN_SCHEMA = pa.schema([
+    ("o_orderpriority", pa.string()),
+    ("median_cents", pa.int64()),
+])
+
+
+def line_weighted_value_median_by_priority(sf_dir: str):
+    """WEIGHTED discrete median per priority: order value cents with
+    each order weighted by its lineitem count — 'the order value a
+    typical LINE sits in', which differs from the plain median
+    whenever big orders carry more lines. Convention: the smallest
+    value whose cumulative weight reaches ⌈total/2⌉ (integer, exactly
+    the SQL window-cumsum twin). Weights attach on the orderkey
+    exchange join; the (priority, value)-histogram `grouped_sums`
+    ships only distinct cells, and the cumsum scan runs on the
+    driver-scale histogram, never the rows."""
+    import numpy as np
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.agg import grouped_sums
+    from ..stages.join import hash_join_exchange
+
+    n_parts = resolve_num_partitions(DEFAULT_CONFIG)
+    counts = grouped_sums(
+        read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey"]),
+        ["l_orderkey"], [], count_as="n_lines")
+
+    def _cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"],
+            "cents": pc.cast(pc.round(pc.multiply(
+                batch["o_totalprice"], pa.scalar(100.0))), pa.int64()),
+            "o_orderpriority": batch["o_orderpriority"],
+        })
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice",
+                 "o_orderpriority"]).map_batches(
+        _cents, batch_format="pyarrow")
+    joined = hash_join_exchange(
+        counts, orders, key="orderkey", left_key="l_orderkey",
+        right_key="o_orderkey", left_cols=["n_lines"],
+        right_cols=["cents", "o_orderpriority"], n_parts=n_parts)
+    hist = grouped_sums(joined, ["o_orderpriority", "cents"],
+                        ["n_lines"]).take_all()
+    by_p: dict = {}
+    for r in hist:
+        by_p.setdefault(r["o_orderpriority"], []).append(
+            (r["cents"], r["sum_n_lines"]))
+    out_p, out_v = [], []
+    for p in sorted(by_p):
+        cells = sorted(by_p[p])
+        cw = np.cumsum([w for _, w in cells])
+        half = (int(cw[-1]) + 1) // 2
+        out_p.append(p)
+        out_v.append(int(cells[int(np.searchsorted(cw, half))][0]))
+    return pa.table({
+        "o_orderpriority": pa.array(out_p, pa.string()),
+        "median_cents": pa.array(out_v, pa.int64()),
+    }).cast(WMEDIAN_SCHEMA)
+
+
+SEASONALITY_SCHEMA = pa.schema([
+    ("year", pa.int64()),
+    ("month", pa.int64()),
+    ("n_orders", pa.int64()),
+    ("permille", pa.int64()),
+])
+
+
+def orders_month_seasonality(sf_dir: str):
+    """Seasonality index: each (year, month)'s share of its year's
+    orders as integer PERMILLE (floor of n·1000/year-total — exact in
+    both engines, no float share) — flat ≈ 83‰/month; the deviation IS
+    the seasonality. One (year, month) `grouped_sums`; the permille
+    normalization runs on the ≤ years×12 driver-scale cells."""
+    import numpy as np
+
+    from ..stages.agg import grouped_sums
+
+    def _ym(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "year": pc.cast(pc.year(batch["o_orderdate"]), pa.int64()),
+            "month": pc.cast(pc.month(batch["o_orderdate"]),
+                             pa.int64()),
+        })
+
+    cells = grouped_sums(
+        read_parquet_clean(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderdate"]).map_batches(
+            _ym, batch_format="pyarrow"),
+        ["year", "month"], [], count_as="n_orders").take_all()
+    y = np.array([r["year"] for r in cells], np.int64)
+    m = np.array([r["month"] for r in cells], np.int64)
+    n = np.array([r["n_orders"] for r in cells], np.int64)
+    totals = {int(yy): int(n[y == yy].sum()) for yy in np.unique(y)}
+    permille = np.array([int(nn) * 1000 // totals[int(yy)]
+                         for yy, nn in zip(y, n)], np.int64)
+    return pa.table({
+        "year": pa.array(y, pa.int64()),
+        "month": pa.array(m, pa.int64()),
+        "n_orders": pa.array(n, pa.int64()),
+        "permille": pa.array(permille, pa.int64()),
+    }).cast(SEASONALITY_SCHEMA)
