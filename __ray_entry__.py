@@ -1127,6 +1127,9 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "line_weighted_value_median_by_priority":
             relational.line_weighted_value_median_by_priority,
         "orders_month_seasonality": relational.orders_month_seasonality,
+        "transition_gap_median_matrix":
+            eventops.transition_gap_median_matrix,
+        "value_trend_by_segment": relational.value_trend_by_segment,
         "user_session_count_histogram":
             eventops.user_session_count_histogram,
         "order_value_delta_histogram":
@@ -3815,6 +3818,39 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o JOIN m ON o.o_custkey = m.o_custkey
             WHERE CAST(round(o_totalprice * 100) AS BIGINT) > m.med
             GROUP BY 1
+        """,
+        "transition_gap_median_matrix": """
+            WITH s AS (SELECT event_type AS next_type,
+                  lag(event_type) OVER w AS prev_type,
+                  (CAST(epoch_us(ts) AS BIGINT)
+                   - CAST(epoch_us(lag(ts) OVER w) AS BIGINT))
+                      // 1000000 AS gap_s
+                  FROM events
+                  WINDOW w AS (PARTITION BY user_id
+                               ORDER BY ts, event_id))
+            SELECT prev_type, next_type,
+                   CAST(quantile_disc(gap_s, 0.5) AS BIGINT)
+                       AS median_gap_s
+            FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2
+        """,
+        "value_trend_by_segment": """
+            WITH r AS (SELECT o_custkey,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+                  row_number() OVER w AS rn,
+                  count(*) OVER (PARTITION BY o_custkey) AS n
+                  FROM orders
+                  WINDOW w AS (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey)),
+            f AS (SELECT o_custkey,
+                  max(CASE WHEN rn = 1 THEN c END) AS first_c,
+                  max(CASE WHEN rn = n THEN c END) AS last_c
+                  FROM r GROUP BY o_custkey)
+            SELECT c_mktsegment,
+                   CAST(sign(last_c - first_c) AS BIGINT)
+                       AS trend_sign,
+                   count(*) AS n_customers
+            FROM f JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1, 2
         """,
         "line_weighted_value_median_by_priority": """
             WITH w AS (SELECT l_orderkey, count(*) AS nl

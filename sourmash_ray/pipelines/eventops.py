@@ -2980,3 +2980,69 @@ def record_values_by_type(sf_dir: str):
                             "n_records": t["sum_n"]}).cast(
             RECORD_EVENTS_SCHEMA),
         batch_format="pyarrow")
+
+
+TRANS_GAP_SCHEMA = pa.schema([
+    ("prev_type", pa.string()),
+    ("next_type", pa.string()),
+    ("median_gap_s", pa.int64()),
+])
+
+_PAIR_GAP = pa.schema([("pair", pa.string()), ("gap_s", pa.int64())])
+
+
+def transition_gap_median_matrix(sf_dir: str):
+    """Transition-latency matrix: the exact discrete MEDIAN
+    whole-second gap for every (prev_type → next_type) consecutive
+    same-user transition — which hops in the journey are slow. Pairs
+    form on the user exchange (one lexsort+shift, pair key = the two
+    type strings joined on an unprintable separator); the shared
+    grouped value-histogram median reduces ≤ types² × distinct-gap
+    cells, never the pair stream."""
+    import numpy as np
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.agg import grouped_quantiles_disc
+    from ..stages.exchange import exchange_map_groups
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"],
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+            "event_id": batch["event_id"],
+            "event_type": batch["event_type"],
+        })
+
+    def _pairs(part: pa.Table) -> pa.Table:
+        if part.num_rows < 2:
+            return _PAIR_GAP.empty_table()
+        u = np.asarray(part["user_id"], np.int64)
+        ts = np.asarray(part["ts_us"], np.int64)
+        eid = np.asarray(part["event_id"], np.int64)
+        tcol = part["event_type"].combine_chunks()
+        order = np.lexsort((eid, ts, u))
+        u_s, ts_s = u[order], ts[order]
+        same = u_s[1:] == u_s[:-1]
+        if not same.any():
+            return _PAIR_GAP.empty_table()
+        gap = ((ts_s[1:] - ts_s[:-1]) // 1_000_000)[same]
+        prev = tcol.take(pa.array(order[:-1][same], pa.int64()))
+        nxt = tcol.take(pa.array(order[1:][same], pa.int64()))
+        pair = pc.binary_join_element_wise(prev, nxt, "\x1f")
+        return pa.table({"pair": pair,
+                         "gap_s": pa.array(gap, pa.int64())})
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    ).map_batches(_tag, batch_format="pyarrow")
+    n_parts = resolve_num_partitions(DEFAULT_CONFIG)
+    pairs = exchange_map_groups(ds, "user_id", n_parts, _pairs,
+                                _PAIR_GAP)
+    tbl = grouped_quantiles_disc(pairs, "pair", "gap_s", [0.5])
+    split = [p.split("\x1f") for p in tbl["pair"].to_pylist()]
+    return pa.table({
+        "prev_type": pa.array([s[0] for s in split], pa.string()),
+        "next_type": pa.array([s[1] for s in split], pa.string()),
+        "median_gap_s": tbl["value"],
+    }).cast(TRANS_GAP_SCHEMA)

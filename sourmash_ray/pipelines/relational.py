@@ -5936,3 +5936,76 @@ def orders_month_seasonality(sf_dir: str):
         "n_orders": pa.array(n, pa.int64()),
         "permille": pa.array(permille, pa.int64()),
     }).cast(SEASONALITY_SCHEMA)
+
+
+TREND_SEG_SCHEMA = pa.schema([
+    ("c_mktsegment", pa.string()),
+    ("trend_sign", pa.int64()),
+    ("n_customers", pa.int64()),
+])
+
+_TREND_PER_CUST = pa.schema([
+    ("o_custkey", pa.int64()), ("trend_sign", pa.int64()),
+])
+
+
+def value_trend_by_segment(sf_dir: str):
+    """Lifecycle spend trend × segment: the SIGN of (last order value −
+    first order value) per customer under the (o_orderdate, o_orderkey)
+    tiebreak, cell-counted per market segment — which segments trade up
+    over their lifetime. One custkey exchange folds each customer to a
+    single sign row, the segment attaches on the exchange join, and ≤
+    segments × 3 cells leave."""
+    import numpy as np
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.agg import grouped_sums
+    from ..stages.exchange import exchange_map_groups
+    from ..stages.join import hash_join_exchange
+
+    n_parts = resolve_num_partitions(DEFAULT_CONFIG)
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": batch["o_custkey"],
+            "date_us": pc.cast(batch["o_orderdate"], pa.int64()),
+            "o_orderkey": batch["o_orderkey"],
+            "cents": pc.cast(pc.round(pc.multiply(
+                batch["o_totalprice"], pa.scalar(100.0))), pa.int64()),
+        })
+
+    def _trend(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return _TREND_PER_CUST.empty_table()
+        ck = np.asarray(part["o_custkey"], np.int64)
+        dt = np.asarray(part["date_us"], np.int64)
+        ok = np.asarray(part["o_orderkey"], np.int64)
+        ce = np.asarray(part["cents"], np.int64)
+        order = np.lexsort((ok, dt, ck))
+        ck_s, ce_s = ck[order], ce[order]
+        starts = np.flatnonzero(np.r_[True, ck_s[1:] != ck_s[:-1]])
+        ends = np.r_[starts[1:], len(ck_s)] - 1
+        return pa.table({
+            "o_custkey": pa.array(ck_s[starts], pa.int64()),
+            "trend_sign": pa.array(
+                np.sign(ce_s[ends] - ce_s[starts]).astype(np.int64),
+                pa.int64()),
+        })
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderkey",
+                 "o_totalprice"]).map_batches(_tag,
+                                              batch_format="pyarrow")
+    per = exchange_map_groups(ds, "o_custkey", n_parts, _trend,
+                              _TREND_PER_CUST)
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_mktsegment"])
+    joined = hash_join_exchange(
+        per, cust, key="custkey", left_key="o_custkey",
+        right_key="c_custkey", left_cols=["trend_sign"],
+        right_cols=["c_mktsegment"], n_parts=n_parts)
+    g = grouped_sums(joined, ["c_mktsegment", "trend_sign"], [],
+                     count_as="n_customers")
+    return g.map_batches(lambda t: t.cast(TREND_SEG_SCHEMA),
+                         batch_format="pyarrow")
