@@ -1130,6 +1130,9 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "transition_gap_median_matrix":
             eventops.transition_gap_median_matrix,
         "value_trend_by_segment": relational.value_trend_by_segment,
+        "peak_hourly_rate_histogram":
+            eventops.peak_hourly_rate_histogram,
+        "conv_dup_depth_matrix": transcriptops.conv_dup_depth_matrix,
         "user_session_count_histogram":
             eventops.user_session_count_histogram,
         "order_value_delta_histogram":
@@ -3818,6 +3821,28 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o JOIN m ON o.o_custkey = m.o_custkey
             WHERE CAST(round(o_totalprice * 100) AS BIGINT) > m.med
             GROUP BY 1
+        """,
+        "peak_hourly_rate_histogram": """
+            WITH c AS (SELECT user_id, date_trunc('hour', ts) AS h,
+                              count(*) AS n
+                       FROM events GROUP BY 1, 2),
+            m AS (SELECT user_id, max(n) AS peak FROM c GROUP BY 1)
+            SELECT CAST(peak AS BIGINT) AS peak_hourly,
+                   count(*) AS n_users
+            FROM m GROUP BY 1
+        """,
+        "conv_dup_depth_matrix": f"""
+            WITH f AS (SELECT conv_id,
+                    md5(string_agg(coalesce(text, ''), chr(31)
+                        ORDER BY turn_idx)) AS fp,
+                    count(*) AS n_turns
+                    FROM read_parquet('{_turns}/*.parquet')
+                    GROUP BY conv_id),
+            g AS (SELECT fp, count(*) AS k FROM f GROUP BY fp)
+            SELECT (k >= 2) AS is_dup,
+                   CAST(n_turns AS BIGINT) AS n_turns,
+                   count(*) AS n_convs
+            FROM f JOIN g USING (fp) GROUP BY 1, 2
         """,
         "transition_gap_median_matrix": """
             WITH s AS (SELECT event_type AS next_type,

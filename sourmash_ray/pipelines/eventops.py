@@ -3046,3 +3046,63 @@ def transition_gap_median_matrix(sf_dir: str):
         "next_type": pa.array([s[1] for s in split], pa.string()),
         "median_gap_s": tbl["value"],
     }).cast(TRANS_GAP_SCHEMA)
+
+
+PEAK_HOURLY_SCHEMA = pa.schema([
+    ("peak_hourly", pa.int64()),
+    ("n_users", pa.int64()),
+])
+
+
+def peak_hourly_rate_histogram(sf_dir: str):
+    """Burstiness census: each user's PEAK events-in-a-clock-hour,
+    histogrammed — the rate-limit / abuse-detection sizing input (a
+    user with peak 500/h is a bot regardless of their daily average).
+    Two folds that never ship the stream: (user, hour) cells via one
+    `grouped_sums`, per-user max + histogram in one partition pass of
+    the user-keyed cell exchange."""
+    import numpy as np
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.agg import grouped_sums
+    from ..stages.exchange import exchange_map_groups
+
+    part_schema = pa.schema([("peak_hourly", pa.int64()),
+                             ("n", pa.int64())])
+
+    def _hour(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"],
+            "hour": pc.floor_temporal(batch["ts"], unit="hour"),
+        })
+
+    cells = grouped_sums(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["user_id", "ts"]).map_batches(
+            _hour, batch_format="pyarrow"),
+        ["user_id", "hour"], [], count_as="n_events")
+
+    def _peak(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return part_schema.empty_table()
+        u = np.asarray(part["user_id"], np.int64)
+        n = np.asarray(part["n_events"], np.int64)
+        order = np.argsort(u, kind="stable")
+        u_s, n_s = u[order], n[order]
+        starts = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]])
+        peak = np.maximum.reduceat(n_s, starts)
+        uk, cn = np.unique(peak, return_counts=True)
+        return pa.table({
+            "peak_hourly": pa.array(uk.astype(np.int64), pa.int64()),
+            "n": pa.array(cn.astype(np.int64), pa.int64()),
+        })
+
+    n_parts = resolve_num_partitions(DEFAULT_CONFIG)
+    parts = exchange_map_groups(cells, "user_id", n_parts, _peak,
+                                part_schema)
+    g = grouped_sums(parts, ["peak_hourly"], ["n"])
+    return g.map_batches(
+        lambda t: pa.table({"peak_hourly": t["peak_hourly"],
+                            "n_users": t["sum_n"]}).cast(
+            PEAK_HOURLY_SCHEMA),
+        batch_format="pyarrow")

@@ -2193,3 +2193,87 @@ def tool_chain_trigrams(sf_dir: str):
                             "n_trigrams": t["sum_n_trigrams"]}).cast(
             TOOL_TRIGRAM_SCHEMA),
         batch_format="pyarrow")
+
+
+DUP_DEPTH_SCHEMA = pa.schema([
+    ("is_dup", pa.bool_()),
+    ("n_turns", pa.int64()),
+    ("n_convs", pa.int64()),
+])
+
+
+def conv_dup_depth_matrix(sf_dir: str):
+    """Dedup × structure interaction: conversations cell-counted by
+    (is exact re-log — fingerprint shared with ≥ 2 convs — × turn
+    count) — do duplicated conversations skew short (template
+    greetings) or long (bulk re-ingests)? The ordered-turn-text md5
+    fingerprint rides the same conv exchange as
+    ``exact_dedup_conversations`` (one binary_join + one md5 column
+    pass, here also emitting the turn count); fingerprint group sizes
+    come from one fp-keyed `grouped_sums` and attach on the fp
+    exchange join; ≤ 2 × depth-domain cells leave."""
+    from ..config import DEFAULT_CONFIG as _cfg
+    from ..config import resolve_num_partitions
+    from ..functions.segscore import _to_bytes_array, hash_strings64
+    from ..pipelines.docops import _md5_column
+    from ..stages.agg import grouped_sums
+    from ..stages.exchange import exchange_map_groups
+    from ..stages.join import hash_join_exchange
+
+    fp_schema = pa.schema([("fp", pa.string()),
+                           ("n_turns", pa.int64())])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        cid = batch["conv_id"].combine_chunks()
+        return pa.table({
+            "conv_id": cid,
+            "turn_idx": pc.cast(batch["turn_idx"], pa.int64()),
+            "text": pc.fill_null(batch["text"].combine_chunks(), ""),
+            "conv_part": pa.array(hash_strings64(cid) % 1024, pa.int64()),
+        })
+
+    def _fp(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return fp_schema.empty_table()
+        cid = part["conv_id"].combine_chunks()
+        cb = _to_bytes_array(cid)
+        ti = np.asarray(part["turn_idx"], np.int64)
+        order = np.lexsort((ti, cb))
+        cb_s = cb[order]
+        starts = np.flatnonzero(np.r_[True, cb_s[1:] != cb_s[:-1]])
+        text_s = part["text"].combine_chunks().take(
+            pa.array(order, pa.int64()))
+        offsets = np.r_[starts, len(cb_s)].astype(np.int32)
+        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                         text_s)
+        joined = pc.binary_join(lists, "\x1f")
+        if isinstance(joined, pa.ChunkedArray):
+            joined = joined.combine_chunks()
+        return pa.table({
+            "fp": _md5_column(joined),
+            "n_turns": pa.array(np.diff(offsets).astype(np.int64),
+                                pa.int64()),
+        }).cast(fp_schema)
+
+    keyed = _read_turns(sf_dir, ("conv_id", "turn_idx", "text")
+                        ).map_batches(_prep, batch_format="pyarrow")
+    fps = exchange_map_groups(keyed, "conv_part",
+                              resolve_num_partitions(_cfg), _fp,
+                              fp_schema)
+    sizes = grouped_sums(fps.select_columns(["fp"]), ["fp"], [],
+                         count_as="k")
+    joined = hash_join_exchange(
+        fps, sizes, key="fp", left_cols=["n_turns"], right_cols=["k"],
+        n_parts=resolve_num_partitions(_cfg))
+
+    def _cells(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "is_dup": pc.greater_equal(batch["k"],
+                                       pa.scalar(2, pa.int64())),
+            "n_turns": batch["n_turns"],
+        })
+
+    g = grouped_sums(joined.map_batches(_cells, batch_format="pyarrow"),
+                     ["is_dup", "n_turns"], [], count_as="n_convs")
+    return g.map_batches(lambda t: t.cast(DUP_DEPTH_SCHEMA),
+                         batch_format="pyarrow")
