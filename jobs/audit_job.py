@@ -29,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 AUDITS = ("coverage", "conv_dups", "leakage", "dup_sources",
-          "vocab_overlap", "lexdiv")
+          "vocab_overlap", "lexdiv", "echo", "drift", "dup_depth")
 
 
 def main():
@@ -142,6 +142,55 @@ def main():
             "lowest_convs": [r["conv_id"] for r in lo],
         }
         _emit("lexdiv", t)
+
+    if "echo" in selected:
+        from sourmash_ray.pipelines.transcriptops import (
+            echo_rate_transcripts)
+
+        t = echo_rate_transcripts(args.input).materialize()
+        rows = t.take_all()
+        n_pairs = int(sum(r["n_pairs"] for r in rows))
+        metrics["echo"] = {
+            "n_pairs": n_pairs,
+            "echo_ppm": (1_000_000 * int(sum(r["n_echo"] for r in rows))
+                         // max(n_pairs, 1)),
+            "mean_jaccard_ppm": (
+                1_000_000 * int(sum(r["sum_inter"] for r in rows))
+                // max(int(sum(r["sum_union"] for r in rows)), 1)),
+        }
+        _emit("echo", t)
+
+    if "drift" in selected:
+        from sourmash_ray.pipelines.transcriptops import (
+            conv_topic_drift_histogram)
+
+        t = conv_topic_drift_histogram(args.input).materialize()
+        rows = t.take_all()
+        n = int(sum(r["n_convs"] for r in rows))
+        stuck = int(sum(r["n_convs"] for r in rows
+                        if r["drift_decile"] >= 8))
+        metrics["drift"] = {
+            "n_convs": n,
+            # high first↔last overlap = the conversation went nowhere
+            "stuck_ppm": 1_000_000 * stuck // max(n, 1),
+        }
+        _emit("drift", t)
+
+    if "dup_depth" in selected:
+        from sourmash_ray.pipelines.transcriptops import (
+            conv_dup_depth_matrix)
+
+        t = conv_dup_depth_matrix(args.input).materialize()
+        rows = t.take_all()
+        dup_turns = int(sum(r["n_turns"] * r["n_convs"]
+                            for r in rows if r["is_dup"]))
+        all_turns = int(sum(r["n_turns"] * r["n_convs"] for r in rows))
+        metrics["dup_depth"] = {
+            "dup_turn_ppm": 1_000_000 * dup_turns // max(all_turns, 1),
+            "n_dup_convs": int(sum(r["n_convs"] for r in rows
+                                   if r["is_dup"])),
+        }
+        _emit("dup_depth", t)
 
     metrics["wall_s"] = round(time.perf_counter() - t0, 3)
     print("AUDIT " + json.dumps(metrics))

@@ -261,6 +261,14 @@ def test_audit_job_end_to_end(tmp_path):
     assert len(_sorted_rows(f"{out}/leakage/*.parquet")) \
         == m["leakage"]["n_leaking_groups"]
     assert len(_sorted_rows(f"{out}/vocab_overlap/*.parquet")) == 190
+    # session-7 audits: deterministic exact scalars at sf0.001
+    assert m["echo"] == {"n_pairs": 955, "echo_ppm": 28272,
+                         "mean_jaccard_ppm": 136603}
+    assert m["drift"]["n_convs"] == 125
+    assert m["dup_depth"] == {"dup_turn_ppm": 125925,
+                              "n_dup_convs": 18}
+    # the dup_depth headline reconciles with the conv_dups inventory
+    assert m["dup_depth"]["n_dup_convs"] == m["conv_dups"]["n_dup_convs"]
 
 
 def test_audit_job_subset_selection():
