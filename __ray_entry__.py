@@ -1133,6 +1133,8 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "peak_hourly_rate_histogram":
             eventops.peak_hourly_rate_histogram,
         "conv_dup_depth_matrix": transcriptops.conv_dup_depth_matrix,
+        "session_position_value_profile":
+            eventops.session_position_value_profile,
         "user_session_count_histogram":
             eventops.user_session_count_histogram,
         "order_value_delta_histogram":
@@ -3821,6 +3823,28 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o JOIN m ON o.o_custkey = m.o_custkey
             WHERE CAST(round(o_totalprice * 100) AS BIGINT) > m.med
             GROUP BY 1
+        """,
+        "session_position_value_profile": """
+            WITH s AS (SELECT user_id, ts, event_id,
+                  coalesce(value, 0) AS v,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                          > 1800000000
+                  THEN 1 ELSE 0 END AS brk
+                  FROM events
+                  WINDOW w AS (PARTITION BY user_id
+                               ORDER BY ts, event_id)),
+            t AS (SELECT user_id, ts, event_id, v,
+                  sum(brk) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS sid FROM s),
+            p AS (SELECT v, row_number() OVER (PARTITION BY user_id,
+                      sid ORDER BY ts, event_id) AS rn FROM t)
+            SELECT CAST(least(rn, 3) AS BIGINT) AS position,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_cents
+            FROM p GROUP BY 1
         """,
         "peak_hourly_rate_histogram": """
             WITH c AS (SELECT user_id, date_trunc('hour', ts) AS h,

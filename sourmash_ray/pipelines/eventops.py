@@ -3106,3 +3106,85 @@ def peak_hourly_rate_histogram(sf_dir: str):
                             "n_users": t["sum_n"]}).cast(
             PEAK_HOURLY_SCHEMA),
         batch_format="pyarrow")
+
+
+SESS_POS_SCHEMA = pa.schema([
+    ("position", pa.int64()),
+    ("n_events", pa.int64()),
+    ("sum_cents", pa.int64()),
+])
+
+
+def session_position_value_profile(sf_dir: str, gap_minutes: int = 30):
+    """Within-session value decay: events bucketed by their position
+    inside their session (1st, 2nd, 3rd-or-later under the (ts,
+    event_id) order; 30-minute gap rule), with exact cent totals — is
+    the first touch of a session where the money is. One user exchange:
+    session breaks and per-event positions fall out of a single
+    lexsort+cumsum pass, and each partition leaves as ≤ 3 rows. NULL
+    values enter as 0 cents (``coalesce``)."""
+    import numpy as np
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.agg import grouped_sums
+    from ..stages.exchange import exchange_map_groups
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    part_schema = pa.schema([("position", pa.int64()),
+                             ("n", pa.int64()),
+                             ("cents", pa.int64())])
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"],
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+            "event_id": batch["event_id"],
+            "cents": pc.cast(pc.round(pc.multiply(
+                pc.fill_null(batch["value"], 0.0),
+                pa.scalar(100.0))), pa.int64()),
+        })
+
+    def _pos(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return part_schema.empty_table()
+        u = np.asarray(part["user_id"], np.int64)
+        ts = np.asarray(part["ts_us"], np.int64)
+        eid = np.asarray(part["event_id"], np.int64)
+        ce = np.asarray(part["cents"], np.int64)
+        order = np.lexsort((eid, ts, u))
+        u_s, ts_s, ce_s = u[order], ts[order], ce[order]
+        brk = np.r_[True, (u_s[1:] != u_s[:-1])
+                    | (np.diff(ts_s) > gap_us)]
+        sess_starts = np.flatnonzero(brk)
+        # position within session = index − session start, capped at 3
+        idx = np.arange(len(u_s), dtype=np.int64)
+        start_of = sess_starts[
+            np.searchsorted(sess_starts, idx, side="right") - 1]
+        pos = np.minimum(idx - start_of + 1, 3)
+        out_p, out_n, out_c = [], [], []
+        for p in (1, 2, 3):
+            m = pos == p
+            if m.any():
+                out_p.append(p)
+                out_n.append(int(m.sum()))
+                out_c.append(int(ce_s[m].sum()))
+        return pa.table({
+            "position": pa.array(out_p, pa.int64()),
+            "n": pa.array(out_n, pa.int64()),
+            "cents": pa.array(out_c, pa.int64()),
+        })
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"]).map_batches(
+        _tag, batch_format="pyarrow")
+    n_parts = resolve_num_partitions(DEFAULT_CONFIG)
+    parts = exchange_map_groups(ds, "user_id", n_parts, _pos,
+                                part_schema)
+    g = grouped_sums(parts, ["position"], ["n", "cents"])
+    return g.map_batches(
+        lambda t: pa.table({"position": t["position"],
+                            "n_events": t["sum_n"],
+                            "sum_cents": t["sum_cents"]}).cast(
+            SESS_POS_SCHEMA),
+        batch_format="pyarrow")
