@@ -1135,6 +1135,8 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "conv_dup_depth_matrix": transcriptops.conv_dup_depth_matrix,
         "session_position_value_profile":
             eventops.session_position_value_profile,
+        "token_position_length_profile":
+            docops.token_position_length_profile,
         "user_session_count_histogram":
             eventops.user_session_count_histogram,
         "order_value_delta_histogram":
@@ -3823,6 +3825,20 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o JOIN m ON o.o_custkey = m.o_custkey
             WHERE CAST(round(o_totalprice * 100) AS BIGINT) > m.med
             GROUP BY 1
+        """,
+        "token_position_length_profile": f"""
+            WITH t AS (SELECT doc_id,
+                    list_filter(string_split(trim(regexp_replace(
+                        coalesce(text, ''), '{_WS}', ' ', 'g')), ' '),
+                        x -> len(x) > 0) AS toks
+                    FROM documents),
+            z AS (SELECT unnest(toks) AS tok,
+                         unnest(range(1, len(toks) + 1)) AS pos
+                  FROM t WHERE len(toks) > 0)
+            SELECT CAST(least(pos, 4) AS BIGINT) AS position,
+                   count(*) AS n_tokens,
+                   CAST(sum(len(tok)) AS BIGINT) AS sum_len
+            FROM z GROUP BY 1
         """,
         "session_position_value_profile": """
             WITH s AS (SELECT user_id, ts, event_id,

@@ -4053,3 +4053,68 @@ def alphabet_size_histogram(sf_dir: str,
                             "n_docs": t["sum_n_docs"]}).cast(
             ALPHABET_SCHEMA),
         batch_format="pyarrow")
+
+
+TOKEN_POS_SCHEMA = pa.schema([
+    ("position", pa.int64()),
+    ("n_tokens", pa.int64()),
+    ("sum_len", pa.int64()),
+])
+
+
+def token_position_length_profile(sf_dir: str,
+                                  cfg: EngineConfig = DEFAULT_CONFIG):
+    """Positional token-length profile: token char lengths bucketed by
+    position within the document (1st, 2nd, 3rd, 4th-or-later) — do
+    documents front-load long title-case tokens (a formatting-artifact
+    detector for boilerplate headers). Map-only: positions are one
+    ``arange − repeat(starts)`` over the per-row token-list offsets, so
+    only ≤ 4 partial cells per block shuffle."""
+    import numpy as np
+
+    from ..stages.agg import grouped_sums
+
+    def _pos(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch["text"].combine_chunks(), "")
+        trimmed = pc.utf8_trim(
+            pc.replace_substring_regex(text, WS_PATTERN, " "), " ")
+        splits = pc.split_pattern(trimmed, " ")
+        if isinstance(splits, pa.ChunkedArray):
+            splits = splits.combine_chunks()
+        lens = np.asarray(pc.list_value_length(splits), np.int64)
+        flat = pc.list_flatten(splits)
+        tlen = np.asarray(pc.utf8_length(flat), np.int64)
+        n = len(text)
+        starts = np.r_[0, np.cumsum(lens)[:-1]]
+        pos = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(
+            starts, lens) + 1
+        keep = tlen > 0          # engine tokenizer drops empty tokens
+        # empty tokens only arise from empty docs ('' splits to ['']),
+        # whose single token has length 0 — dropping it keeps position
+        # numbering of real tokens intact (they're alone in their doc)
+        pos, tlen = np.minimum(pos[keep], 4), tlen[keep]
+        if pos.size == 0:
+            return TOKEN_POS_SCHEMA.empty_table()
+        out_p, out_n, out_s = [], [], []
+        for p in (1, 2, 3, 4):
+            m = pos == p
+            if m.any():
+                out_p.append(p)
+                out_n.append(int(m.sum()))
+                out_s.append(int(tlen[m].sum()))
+        return pa.table({
+            "position": pa.array(out_p, pa.int64()),
+            "n_tokens": pa.array(out_n, pa.int64()),
+            "sum_len": pa.array(out_s, pa.int64()),
+        })
+
+    g = grouped_sums(
+        _read_docs(sf_dir, columns=("text",)).map_batches(
+            _pos, batch_format="pyarrow"),
+        ["position"], ["n_tokens", "sum_len"])
+    return g.map_batches(
+        lambda t: pa.table({"position": t["position"],
+                            "n_tokens": t["sum_n_tokens"],
+                            "sum_len": t["sum_sum_len"]}).cast(
+            TOKEN_POS_SCHEMA),
+        batch_format="pyarrow")
