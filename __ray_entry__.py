@@ -1137,6 +1137,10 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
             eventops.session_position_value_profile,
         "token_position_length_profile":
             docops.token_position_length_profile,
+        "transition_asymmetry_matrix":
+            eventops.transition_asymmetry_matrix,
+        "tool_response_length_suffstats":
+            transcriptops.tool_response_length_suffstats,
         "user_session_count_histogram":
             eventops.user_session_count_histogram,
         "order_value_delta_histogram":
@@ -3825,6 +3829,36 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o JOIN m ON o.o_custkey = m.o_custkey
             WHERE CAST(round(o_totalprice * 100) AS BIGINT) > m.med
             GROUP BY 1
+        """,
+        "transition_asymmetry_matrix": """
+            WITH tr AS (SELECT lag(event_type) OVER w AS p,
+                               event_type AS n
+                        FROM events
+                        WINDOW w AS (PARTITION BY user_id
+                                     ORDER BY ts, event_id)),
+            c AS (SELECT p, n, count(*) AS cnt FROM tr
+                  WHERE p IS NOT NULL GROUP BY 1, 2),
+            u AS (SELECT least(p, n) AS a, greatest(p, n) AS b
+                  FROM c WHERE p <> n GROUP BY 1, 2)
+            SELECT u.a AS type_a, u.b AS type_b,
+                   CAST(coalesce(f.cnt, 0) AS BIGINT) AS n_ab,
+                   CAST(coalesce(r.cnt, 0) AS BIGINT) AS n_ba
+            FROM u LEFT JOIN c f ON f.p = u.a AND f.n = u.b
+                   LEFT JOIN c r ON r.p = u.b AND r.n = u.a
+        """,
+        "tool_response_length_suffstats": f"""
+            WITH b AS (SELECT conv_id, turn_idx, tool,
+                    length(coalesce(text, '')) AS nch
+                    FROM read_parquet('{_turns}/*.parquet')),
+            p AS (SELECT a.tool, c.nch AS c
+                  FROM b a JOIN b c
+                    ON a.conv_id = c.conv_id
+                   AND c.turn_idx = a.turn_idx + 1
+                  WHERE a.tool IS NOT NULL AND a.tool <> '')
+            SELECT tool, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(c) AS BIGINT) AS sum_c,
+                   CAST(sum(c * c) AS BIGINT) AS sum_c2
+            FROM p GROUP BY 1
         """,
         "token_position_length_profile": f"""
             WITH t AS (SELECT doc_id,

@@ -3188,3 +3188,54 @@ def session_position_value_profile(sf_dir: str, gap_minutes: int = 30):
                             "sum_cents": t["sum_cents"]}).cast(
             SESS_POS_SCHEMA),
         batch_format="pyarrow")
+
+
+ASYMMETRY_SCHEMA = pa.schema([
+    ("type_a", pa.string()),
+    ("type_b", pa.string()),
+    ("n_ab", pa.int64()),
+    ("n_ba", pa.int64()),
+])
+
+
+def transition_asymmetry_matrix(sf_dir: str):
+    """Journey reciprocity audit: for every UNORDERED type pair
+    {a, b} (a < b, self-loops excluded) the two directed transition
+    counts side by side — a one-way street (view→buy ≫ buy→view) is
+    funnel structure, symmetry is browsing noise. Rides the same
+    user-exchange transition partials as the Markov matrix; the
+    directed→unordered fold runs on the ≤ types² driver-scale cell
+    table."""
+    from ..stages.agg import grouped_sums
+    from ..stages.exchange import exchange_map_groups
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+
+    def _key(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch["event_id"],
+            "user_id": batch["user_id"],
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+            "event_type": batch["event_type"],
+        })
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    ).map_batches(_key, batch_format="pyarrow")
+    n_parts = resolve_num_partitions(DEFAULT_CONFIG)
+    parts = exchange_map_groups(ds, "user_id", n_parts,
+                                transition_merge_partition,
+                                TRANSITION_PART_SCHEMA)
+    cells = grouped_sums(parts, ["prev_type", "next_type"],
+                         ["n"]).take_all()
+    cnt = {(r["prev_type"], r["next_type"]): int(r["sum_n"])
+           for r in cells}
+    pairs = sorted({(min(p, n), max(p, n)) for p, n in cnt if p != n})
+    return pa.table({
+        "type_a": pa.array([a for a, _ in pairs], pa.string()),
+        "type_b": pa.array([b for _, b in pairs], pa.string()),
+        "n_ab": pa.array([cnt.get((a, b), 0) for a, b in pairs],
+                         pa.int64()),
+        "n_ba": pa.array([cnt.get((b, a), 0) for a, b in pairs],
+                         pa.int64()),
+    }).cast(ASYMMETRY_SCHEMA)

@@ -2277,3 +2277,83 @@ def conv_dup_depth_matrix(sf_dir: str):
                      ["is_dup", "n_turns"], [], count_as="n_convs")
     return g.map_batches(lambda t: t.cast(DUP_DEPTH_SCHEMA),
                          batch_format="pyarrow")
+
+
+TOOL_RESP_SCHEMA = pa.schema([
+    ("tool", pa.string()),
+    ("n", pa.int64()),
+    ("sum_c", pa.int64()),
+    ("sum_c2", pa.int64()),
+])
+
+
+def tool_response_length_suffstats(sf_dir: str):
+    """Tool verbosity profile: exact-integer (n, Σchars, Σchars²) of
+    the turn IMMEDIATELY AFTER each tool-calling turn, per tool —
+    which tools produce walls of output (token-budget planning for
+    agent loops). Same composite-key adjacency as the echo /
+    amplification audits; per-tool folds are one bytes-sort + reduceat
+    and ≤ |tools| rows leave each partition."""
+    from ..config import resolve_num_partitions
+    from ..functions.segscore import _to_bytes_array, hash_strings64
+    from ..stages.agg import grouped_sums
+    from ..stages.exchange import exchange_map_groups
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        cid = batch["conv_id"].combine_chunks()
+        return pa.table({
+            "conv_id": cid,
+            "turn_idx": pc.cast(batch["turn_idx"], pa.int64()),
+            "tool": pc.fill_null(batch["tool"].combine_chunks(), ""),
+            "n_chars": pc.cast(pc.utf8_length(
+                pc.fill_null(batch["text"].combine_chunks(), "")),
+                pa.int64()),
+            "conv_part": pa.array(hash_strings64(cid) % 1024, pa.int64()),
+        })
+
+    def _resp(part: pa.Table) -> pa.Table:
+        if part.num_rows < 2:
+            return TOOL_RESP_SCHEMA.empty_table()
+        cid = _to_bytes_array(part["conv_id"].combine_chunks())
+        _, codes = np.unique(cid, return_inverse=True)
+        tix = np.asarray(part["turn_idx"], np.int64)
+        tcol = part["tool"].combine_chunks()
+        tb = _to_bytes_array(tcol)
+        nch = np.asarray(part["n_chars"], np.int64)
+        mt = int(tix.max())
+        if (int(codes.max()) + 1) >= 2 ** 62 // (mt + 2):
+            raise ValueError("tool_response: composite key overflow")
+        ck = codes.astype(np.int64) * (mt + 2) + tix
+        o = np.argsort(ck, kind="stable")
+        ck_s = ck[o]
+        adj = ck_s[1:] - ck_s[:-1] == 1
+        ai, bi = o[:-1][adj], o[1:][adj]
+        m = tb[ai] != b""
+        if not m.any():
+            return TOOL_RESP_SCHEMA.empty_table()
+        ai, c = ai[m], nch[bi[m]]
+        tbm = tb[ai]
+        po = np.argsort(tbm, kind="stable")
+        tb_s, c_s = tbm[po], c[po]
+        st = np.flatnonzero(np.r_[True, tb_s[1:] != tb_s[:-1]])
+        n = np.diff(np.r_[st, len(tb_s)])
+        return pa.table({
+            "tool": tcol.take(pa.array(ai[po[st]], pa.int64())),
+            "n": pa.array(n.astype(np.int64), pa.int64()),
+            "sum_c": pa.array(np.add.reduceat(c_s, st), pa.int64()),
+            "sum_c2": pa.array(np.add.reduceat(c_s * c_s, st),
+                               pa.int64()),
+        }).cast(TOOL_RESP_SCHEMA)
+
+    keyed = _read_turns(sf_dir, ("conv_id", "turn_idx", "tool", "text")
+                        ).map_batches(_prep, batch_format="pyarrow")
+    parts = exchange_map_groups(keyed, "conv_part",
+                                resolve_num_partitions(DEFAULT_CONFIG),
+                                _resp, TOOL_RESP_SCHEMA)
+    g = grouped_sums(parts, ["tool"], ["n", "sum_c", "sum_c2"])
+    return g.map_batches(
+        lambda t: pa.table({"tool": t["tool"], "n": t["sum_n"],
+                            "sum_c": t["sum_sum_c"],
+                            "sum_c2": t["sum_sum_c2"]}).cast(
+            TOOL_RESP_SCHEMA),
+        batch_format="pyarrow")
