@@ -1141,6 +1141,9 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
             eventops.transition_asymmetry_matrix,
         "tool_response_length_suffstats":
             transcriptops.tool_response_length_suffstats,
+        "dim_ident_integrity": relational.dim_ident_integrity,
+        "time_to_first_shipment_quantiles":
+            relational.time_to_first_shipment_quantiles,
         "user_session_count_histogram":
             eventops.user_session_count_histogram,
         "order_value_delta_histogram":
@@ -3829,6 +3832,36 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o JOIN m ON o.o_custkey = m.o_custkey
             WHERE CAST(round(o_totalprice * 100) AS BIGINT) > m.med
             GROUP BY 1
+        """,
+        "dim_ident_integrity": """
+            SELECT 'supplier' AS dim, CAST(count(*) AS BIGINT)
+                       AS n_rows,
+                   CAST(sum(CASE WHEN CAST(string_split(s_name,
+                            '#')[2] AS BIGINT) = s_suppkey
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+            FROM supplier
+            UNION ALL
+            SELECT 'customer', CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN CAST(string_split(c_name,
+                            '#')[2] AS BIGINT) = c_custkey
+                            THEN 1 ELSE 0 END) AS BIGINT)
+            FROM customer
+        """,
+        "time_to_first_shipment_quantiles": """
+            WITH f AS (SELECT l_orderkey,
+                    min(CAST(epoch_us(l_shipdate) AS BIGINT)
+                        // 86400000000) AS fd
+                    FROM lineitem GROUP BY 1),
+            d AS (SELECT o_orderpriority AS p,
+                  fd - CAST(epoch_us(o_orderdate) AS BIGINT)
+                     // 86400000000 + 100000 AS delay
+                  FROM orders JOIN f ON o_orderkey = l_orderkey)
+            SELECT p AS o_orderpriority, CAST(q AS DOUBLE) AS q,
+                   CAST(v AS BIGINT) AS value
+            FROM (SELECT p, unnest([0.25, 0.5, 0.75, 0.9]) AS q,
+                         unnest(quantile_disc(delay,
+                                [0.25, 0.5, 0.75, 0.9])) AS v
+                  FROM d GROUP BY p)
         """,
         "transition_asymmetry_matrix": """
             WITH tr AS (SELECT lag(event_type) OVER w AS p,

@@ -6009,3 +6009,140 @@ def value_trend_by_segment(sf_dir: str):
                      count_as="n_customers")
     return g.map_batches(lambda t: t.cast(TREND_SEG_SCHEMA),
                          batch_format="pyarrow")
+
+
+IDENT_INTEGRITY_SCHEMA = pa.schema([
+    ("dim", pa.string()),
+    ("n_rows", pa.int64()),
+    ("n_matched", pa.int64()),
+])
+
+
+def dim_ident_integrity(sf_dir: str):
+    """Dimension-key reconciliation gate: do the embedded name idents
+    (``Supplier#000000001`` / ``Customer#…``) agree with the surrogate
+    keys — the referential-integrity smoke test an ingest pipeline
+    runs before trusting joins on either column. Map-only per
+    dimension (split on '#', strict integer cast, compare), one
+    two-row union; any mismatch shows as n_matched < n_rows."""
+    import ray.data
+
+    from ..stages.agg import grouped_sums
+
+    def _check(name_col: str, key_col: str, label: str):
+        def _m(batch: pa.Table) -> pa.Table:
+            nm = pc.fill_null(batch[name_col].combine_chunks(), "")
+            splits = pc.split_pattern(nm, "#")
+            if isinstance(splits, pa.ChunkedArray):
+                splits = splits.combine_chunks()
+            ident = pc.cast(pc.list_element(splits, 1), pa.int64())
+            ok = pc.cast(pc.equal(ident, pc.cast(batch[key_col],
+                                                 pa.int64())),
+                         pa.int64())
+            return pa.table({
+                "dim": pa.array([label] * batch.num_rows, pa.string()),
+                "ok": ok,
+            })
+
+        table = {"supplier": ("supplier", [name_col, key_col]),
+                 "customer": ("customer", [name_col, key_col])}[label]
+        ds = read_parquet_clean(f"{sf_dir}/{table[0]}.parquet",
+                                columns=table[1]).map_batches(
+            _m, batch_format="pyarrow")
+        return grouped_sums(ds, ["dim"], ["ok"], count_as="n_rows")
+
+    parts = [
+        _check("s_name", "s_suppkey", "supplier"),
+        _check("c_name", "c_custkey", "customer"),
+    ]
+    rows = []
+    for p in parts:
+        rows.extend(p.take_all())
+    return pa.table({
+        "dim": pa.array([r["dim"] for r in rows], pa.string()),
+        "n_rows": pa.array([r["n_rows"] for r in rows], pa.int64()),
+        "n_matched": pa.array([r["sum_ok"] for r in rows], pa.int64()),
+    }).cast(IDENT_INTEGRITY_SCHEMA)
+
+
+FIRST_SHIP_SCHEMA = pa.schema([
+    ("o_orderpriority", pa.string()),
+    ("q", pa.float64()),
+    ("value", pa.int64()),
+])
+
+
+def time_to_first_shipment_quantiles(sf_dir: str,
+                                     qs=(0.25, 0.5, 0.75, 0.9)):
+    """Fulfillment-latency SLO per priority: exact discrete quantiles
+    of (first shipment day − order day), at ORDER grain (the earliest
+    line ships the order, unlike the per-line delay histogram). The
+    corpus ships lines BEFORE order dates, so the value carries the
+    engine's standard +100000-day shift (floor division on negatives
+    differs between engines; a raise guards the shift envelope).
+    `grouped_sums`-style min fold per order, priority attaches on the
+    orderkey exchange join, quantiles ride the value histogram."""
+    import numpy as np
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.agg import grouped_minmax, grouped_quantiles_disc
+    from ..stages.join import hash_join_exchange
+
+    n_parts = resolve_num_partitions(DEFAULT_CONFIG)
+
+    def _ship(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        sd = np.asarray(
+            batch["l_shipdate"].combine_chunks().cast(pa.int64()),
+            np.int64) // 86_400_000_000
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"],
+            "ship_day": pa.array(sd, pa.int64()),
+        })
+
+    first = grouped_minmax(
+        read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey",
+                                    "l_shipdate"]).map_batches(
+            _ship, batch_format="pyarrow"),
+        ["l_orderkey"], "ship_day")
+
+    def _order(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        od = np.asarray(
+            batch["o_orderdate"].combine_chunks().cast(pa.int64()),
+            np.int64) // 86_400_000_000
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"],
+            "order_day": pa.array(od, pa.int64()),
+            "o_orderpriority": batch["o_orderpriority"],
+        })
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate",
+                 "o_orderpriority"]).map_batches(
+        _order, batch_format="pyarrow")
+    joined = hash_join_exchange(
+        first, orders, key="orderkey", left_key="l_orderkey",
+        right_key="o_orderkey", left_cols=["min_ship_day"],
+        right_cols=["order_day", "o_orderpriority"], n_parts=n_parts)
+
+    def _delay(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        d = (np.asarray(batch["min_ship_day"], np.int64)
+             - np.asarray(batch["order_day"], np.int64) + 100_000)
+        if d.size and d.min() < 0:
+            raise ValueError("first-shipment delay below the "
+                             "+100000-day shift envelope")
+        return pa.table({
+            "o_orderpriority": batch["o_orderpriority"],
+            "delay": pa.array(d, pa.int64()),
+        })
+
+    return grouped_quantiles_disc(
+        joined.map_batches(_delay, batch_format="pyarrow"),
+        "o_orderpriority", "delay", list(qs))
