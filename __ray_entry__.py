@@ -1144,6 +1144,9 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "dim_ident_integrity": relational.dim_ident_integrity,
         "time_to_first_shipment_quantiles":
             relational.time_to_first_shipment_quantiles,
+        "returns_by_order_size": relational.returns_by_order_size,
+        "conv_tool_density_histogram":
+            transcriptops.conv_tool_density_histogram,
         "user_session_count_histogram":
             eventops.user_session_count_histogram,
         "order_value_delta_histogram":
@@ -3832,6 +3835,25 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o JOIN m ON o.o_custkey = m.o_custkey
             WHERE CAST(round(o_totalprice * 100) AS BIGINT) > m.med
             GROUP BY 1
+        """,
+        "returns_by_order_size": """
+            WITH c AS (SELECT l_orderkey, count(*) AS n_lines,
+                              max(CASE WHEN l_returnflag = 'R'
+                                  THEN 1 ELSE 0 END) AS hr
+                       FROM lineitem GROUP BY 1)
+            SELECT CAST(n_lines AS BIGINT) AS n_lines,
+                   hr = 1 AS has_return, count(*) AS n_orders
+            FROM c GROUP BY 1, 2
+        """,
+        "conv_tool_density_histogram": f"""
+            WITH c AS (SELECT conv_id, count(*) AS n,
+                    sum(CASE WHEN tool IS NOT NULL AND tool <> ''
+                        THEN 1 ELSE 0 END) AS nt
+                    FROM read_parquet('{_turns}/*.parquet')
+                    GROUP BY 1)
+            SELECT CAST(nt * 10 // n AS BIGINT) AS density_decile,
+                   count(*) AS n_convs
+            FROM c GROUP BY 1
         """,
         "dim_ident_integrity": """
             SELECT 'supplier' AS dim, CAST(count(*) AS BIGINT)

@@ -6146,3 +6146,59 @@ def time_to_first_shipment_quantiles(sf_dir: str,
     return grouped_quantiles_disc(
         joined.map_batches(_delay, batch_format="pyarrow"),
         "o_orderpriority", "delay", list(qs))
+
+
+RETURNS_SIZE_SCHEMA = pa.schema([
+    ("n_lines", pa.int64()),
+    ("has_return", pa.bool_()),
+    ("n_orders", pa.int64()),
+])
+
+
+def returns_by_order_size(sf_dir: str):
+    """Return-risk × order-size interaction: orders cell-counted by
+    (line count, contains-a-returned-line) — do bigger baskets return
+    more. One orderkey-keyed fold computes (count, any-R max) per
+    order; ≤ fanout-domain × 2 cells ride the final exchange."""
+    import numpy as np
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.agg import grouped_sums
+    from ..stages.exchange import exchange_map_groups
+
+    per_order = pa.schema([("n_lines", pa.int64()),
+                           ("has_return", pa.bool_())])
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"],
+            "is_r": pc.cast(pc.equal(batch["l_returnflag"], "R"),
+                            pa.int64()),
+        })
+
+    def _fold(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return per_order.empty_table()
+        k = np.asarray(part["l_orderkey"], np.int64)
+        r = np.asarray(part["is_r"], np.int64)
+        order = np.argsort(k, kind="stable")
+        k_s, r_s = k[order], r[order]
+        starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]])
+        n = np.diff(np.r_[starts, len(k_s)])
+        hr = np.maximum.reduceat(r_s, starts) > 0
+        return pa.table({
+            "n_lines": pa.array(n.astype(np.int64), pa.int64()),
+            "has_return": pa.array(hr),
+        })
+
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey",
+                                     "l_returnflag"]).map_batches(
+        _tag, batch_format="pyarrow")
+    n_parts = resolve_num_partitions(DEFAULT_CONFIG)
+    per = exchange_map_groups(ds, "l_orderkey", n_parts, _fold,
+                              per_order)
+    g = grouped_sums(per, ["n_lines", "has_return"], [],
+                     count_as="n_orders")
+    return g.map_batches(lambda t: t.cast(RETURNS_SIZE_SCHEMA),
+                         batch_format="pyarrow")

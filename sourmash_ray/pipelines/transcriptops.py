@@ -2357,3 +2357,62 @@ def tool_response_length_suffstats(sf_dir: str):
                             "sum_c2": t["sum_sum_c2"]}).cast(
             TOOL_RESP_SCHEMA),
         batch_format="pyarrow")
+
+
+TOOL_DENSITY_SCHEMA = pa.schema([
+    ("density_decile", pa.int64()),
+    ("n_convs", pa.int64()),
+])
+
+
+def conv_tool_density_histogram(sf_dir: str):
+    """Agenticness histogram at conversation grain: the decile of
+    turns that are tool calls (⌊10·tool-turns/turns⌋) per conv,
+    histogrammed — what share of the corpus is chat vs agent loop.
+    One conv exchange folds each conversation to its two counts; ≤ 11
+    cells leave each partition."""
+    from ..config import resolve_num_partitions
+    from ..functions.segscore import _to_bytes_array, hash_strings64
+    from ..stages.agg import grouped_sums
+    from ..stages.exchange import exchange_map_groups
+
+    part_schema = pa.schema([("density_decile", pa.int64()),
+                             ("n", pa.int64())])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        cid = batch["conv_id"].combine_chunks()
+        tool = pc.fill_null(batch["tool"].combine_chunks(), "")
+        return pa.table({
+            "conv_id": cid,
+            "is_tool": pc.cast(pc.not_equal(tool, ""), pa.int64()),
+            "conv_part": pa.array(hash_strings64(cid) % 1024, pa.int64()),
+        })
+
+    def _density(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return part_schema.empty_table()
+        cid = _to_bytes_array(part["conv_id"].combine_chunks())
+        it = np.asarray(part["is_tool"], np.int64)
+        order = np.argsort(cid, kind="stable")
+        c_s, it_s = cid[order], it[order]
+        starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
+        n = np.diff(np.r_[starts, len(c_s)])
+        nt = np.add.reduceat(it_s, starts)
+        dec = nt * 10 // n
+        uk, cn = np.unique(dec, return_counts=True)
+        return pa.table({
+            "density_decile": pa.array(uk.astype(np.int64), pa.int64()),
+            "n": pa.array(cn.astype(np.int64), pa.int64()),
+        })
+
+    keyed = _read_turns(sf_dir, ("conv_id", "tool")).map_batches(
+        _prep, batch_format="pyarrow")
+    parts = exchange_map_groups(keyed, "conv_part",
+                                resolve_num_partitions(DEFAULT_CONFIG),
+                                _density, part_schema)
+    g = grouped_sums(parts, ["density_decile"], ["n"])
+    return g.map_batches(
+        lambda t: pa.table({"density_decile": t["density_decile"],
+                            "n_convs": t["sum_n"]}).cast(
+            TOOL_DENSITY_SCHEMA),
+        batch_format="pyarrow")
