@@ -1147,6 +1147,8 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "returns_by_order_size": relational.returns_by_order_size,
         "conv_tool_density_histogram":
             transcriptops.conv_tool_density_histogram,
+        "segment_nation_matrix": relational.segment_nation_matrix,
+        "conv_first_tool_counts": transcriptops.conv_first_tool_counts,
         "user_session_count_histogram":
             eventops.user_session_count_histogram,
         "order_value_delta_histogram":
@@ -3835,6 +3837,22 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o JOIN m ON o.o_custkey = m.o_custkey
             WHERE CAST(round(o_totalprice * 100) AS BIGINT) > m.med
             GROUP BY 1
+        """,
+        "segment_nation_matrix": """
+            SELECT n_name, c_mktsegment, count(*) AS n_customers
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1, 2
+        """,
+        "conv_first_tool_counts": f"""
+            WITH t AS (SELECT conv_id, turn_idx, tool
+                       FROM read_parquet('{_turns}/*.parquet')
+                       WHERE tool IS NOT NULL AND tool <> ''),
+            r AS (SELECT conv_id, tool,
+                  row_number() OVER (PARTITION BY conv_id
+                                     ORDER BY turn_idx) AS rn
+                  FROM t)
+            SELECT tool, count(*) AS n_convs
+            FROM r WHERE rn = 1 GROUP BY 1
         """,
         "returns_by_order_size": """
             WITH c AS (SELECT l_orderkey, count(*) AS n_lines,

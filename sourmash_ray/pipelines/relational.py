@@ -6202,3 +6202,51 @@ def returns_by_order_size(sf_dir: str):
                      count_as="n_orders")
     return g.map_batches(lambda t: t.cast(RETURNS_SIZE_SCHEMA),
                          batch_format="pyarrow")
+
+
+SEG_NATION_SCHEMA = pa.schema([
+    ("n_name", pa.string()),
+    ("c_mktsegment", pa.string()),
+    ("n_customers", pa.int64()),
+])
+
+
+def segment_nation_matrix(sf_dir: str):
+    """Customer-base composition matrix: market segment × nation cell
+    counts — the geography-of-demand census behind regional campaign
+    sizing. The nation dim attaches as a broadcast array over the
+    customer scan (inner-join FK discipline: unknown nationkeys
+    raise — the dim is closed); ≤ nations × segments cells shuffle."""
+    import numpy as np
+
+    import ray.data
+
+    from ..stages.agg import grouped_sums
+
+    nation = read_parquet_clean(f"{sf_dir}/nation.parquet",
+                                columns=["n_nationkey",
+                                         "n_name"]).take_all()
+    names = np.empty(max((r["n_nationkey"] for r in nation),
+                         default=-1) + 1, dtype=object)
+    for r in nation:
+        names[r["n_nationkey"]] = r["n_name"]
+    names_ref = ray.put(names)
+
+    def _name(batch: pa.Table) -> pa.Table:
+        nm = ray.get(names_ref)
+        nk = np.asarray(batch["c_nationkey"], np.int64)
+        if nk.size and (nk.min() < 0 or nk.max() >= nm.size):
+            raise ValueError("c_nationkey outside the nation dim")
+        return pa.table({
+            "n_name": pa.array(nm[nk], pa.string()),
+            "c_mktsegment": batch["c_mktsegment"],
+        })
+
+    g = grouped_sums(
+        read_parquet_clean(f"{sf_dir}/customer.parquet",
+                           columns=["c_nationkey",
+                                    "c_mktsegment"]).map_batches(
+            _name, batch_format="pyarrow"),
+        ["n_name", "c_mktsegment"], [], count_as="n_customers")
+    return g.map_batches(lambda t: t.cast(SEG_NATION_SCHEMA),
+                         batch_format="pyarrow")

@@ -2416,3 +2416,68 @@ def conv_tool_density_histogram(sf_dir: str):
                             "n_convs": t["sum_n"]}).cast(
             TOOL_DENSITY_SCHEMA),
         batch_format="pyarrow")
+
+
+FIRST_TOOL_SCHEMA = pa.schema([
+    ("tool", pa.string()),
+    ("n_convs", pa.int64()),
+])
+
+
+def conv_first_tool_counts(sf_dir: str):
+    """Tool-adoption entry point: WHICH tool a conversation reaches for
+    first (earliest tool-calling turn), counted per tool — the
+    positional histogram's identity twin (which door agents enter
+    through). One conv exchange over the tool turns only; each conv
+    leaves as one row."""
+    from ..config import resolve_num_partitions
+    from ..functions.segscore import _to_bytes_array, hash_strings64
+    from ..stages.agg import grouped_sums
+    from ..stages.exchange import exchange_map_groups
+
+    part_schema = pa.schema([("tool", pa.string()),
+                             ("n", pa.int64())])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(batch["tool"]),
+                       pc.not_equal(batch["tool"], ""))
+        t = batch.filter(keep)
+        cid = t["conv_id"].combine_chunks()
+        return pa.table({
+            "conv_id": cid,
+            "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+            "tool": t["tool"],
+            "conv_part": pa.array(hash_strings64(cid) % 1024, pa.int64()),
+        })
+
+    def _first(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return part_schema.empty_table()
+        cid = _to_bytes_array(part["conv_id"].combine_chunks())
+        tix = np.asarray(part["turn_idx"], np.int64)
+        tcol = part["tool"].combine_chunks()
+        order = np.lexsort((tix, cid))
+        c_s = cid[order]
+        starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
+        first = order[starts]
+        tb = _to_bytes_array(tcol)[first]
+        po = np.argsort(tb, kind="stable")
+        tb_s = tb[po]
+        st = np.flatnonzero(np.r_[True, tb_s[1:] != tb_s[:-1]])
+        n = np.diff(np.r_[st, len(tb_s)])
+        return pa.table({
+            "tool": tcol.take(pa.array(first[po[st]], pa.int64())),
+            "n": pa.array(n.astype(np.int64), pa.int64()),
+        })
+
+    keyed = _read_turns(sf_dir, ("conv_id", "turn_idx", "tool")
+                        ).map_batches(_prep, batch_format="pyarrow")
+    parts = exchange_map_groups(keyed, "conv_part",
+                                resolve_num_partitions(DEFAULT_CONFIG),
+                                _first, part_schema)
+    g = grouped_sums(parts, ["tool"], ["n"])
+    return g.map_batches(
+        lambda t: pa.table({"tool": t["tool"],
+                            "n_convs": t["sum_n"]}).cast(
+            FIRST_TOOL_SCHEMA),
+        batch_format="pyarrow")
