@@ -1149,6 +1149,7 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
             transcriptops.conv_tool_density_histogram,
         "segment_nation_matrix": relational.segment_nation_matrix,
         "conv_first_tool_counts": transcriptops.conv_first_tool_counts,
+        "langid_confusion_matrix": docops.langid_confusion_matrix,
         "user_session_count_histogram":
             eventops.user_session_count_histogram,
         "order_value_delta_histogram":
@@ -3837,6 +3838,11 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o JOIN m ON o.o_custkey = m.o_custkey
             WHERE CAST(round(o_totalprice * 100) AS BIGINT) > m.med
             GROUP BY 1
+        """,
+        "langid_confusion_matrix": f"""
+            WITH l AS ({_langid_sql()})
+            SELECT lang_actual, lang_guess, count(*) AS n_docs
+            FROM l GROUP BY 1, 2
         """,
         "segment_nation_matrix": """
             SELECT n_name, c_mktsegment, count(*) AS n_customers

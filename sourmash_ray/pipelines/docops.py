@@ -4118,3 +4118,38 @@ def token_position_length_profile(sf_dir: str,
                             "sum_len": t["sum_sum_len"]}).cast(
             TOKEN_POS_SCHEMA),
         batch_format="pyarrow")
+
+
+LANGID_CONFUSION_SCHEMA = pa.schema([
+    ("lang_actual", pa.string()),
+    ("lang_guess", pa.string()),
+    ("n_docs", pa.int64()),
+])
+
+
+def langid_confusion_matrix(sf_dir: str,
+                            cfg: EngineConfig = DEFAULT_CONFIG):
+    """Classifier-quality confusion matrix for the n-gram language-ID
+    heuristic: (actual lang label × predicted lang) cell counts — the
+    audit that decides whether the cheap heuristic is good enough to
+    gate routing (off-diagonal mass = misrouted documents). Rides the
+    SAME LangIdScorer map as ``langid_docs``; only ≤ langs² cells
+    shuffle."""
+    from ..stages.agg import grouped_sums
+
+    sc = LangIdScorer()
+
+    def _score(batch: pa.Table) -> pa.Table:
+        out = sc(batch)
+        return pa.table({
+            "lang_actual": out["lang_actual"],
+            "lang_guess": out["lang_guess"],
+        })
+
+    g = grouped_sums(
+        _read_docs(sf_dir, columns=("doc_id", "text",
+                                    "lang")).map_batches(
+            _score, batch_format="pyarrow"),
+        ["lang_actual", "lang_guess"], [], count_as="n_docs")
+    return g.map_batches(lambda t: t.cast(LANGID_CONFUSION_SCHEMA),
+                         batch_format="pyarrow")
