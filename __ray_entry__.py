@@ -1150,6 +1150,7 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "segment_nation_matrix": relational.segment_nation_matrix,
         "conv_first_tool_counts": transcriptops.conv_first_tool_counts,
         "langid_confusion_matrix": docops.langid_confusion_matrix,
+        "corpus_table_counts": relational.corpus_table_counts,
         "user_session_count_histogram":
             eventops.user_session_count_histogram,
         "order_value_delta_histogram":
@@ -3838,6 +3839,23 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o JOIN m ON o.o_custkey = m.o_custkey
             WHERE CAST(round(o_totalprice * 100) AS BIGINT) > m.med
             GROUP BY 1
+        """,
+        "corpus_table_counts": f"""
+            SELECT 'region' AS table_name,
+                   CAST(count(*) AS BIGINT) AS n_rows FROM region
+            UNION ALL SELECT 'nation', count(*) FROM nation
+            UNION ALL SELECT 'customer', count(*) FROM customer
+            UNION ALL SELECT 'supplier', count(*) FROM supplier
+            UNION ALL SELECT 'part', count(*) FROM part
+            UNION ALL SELECT 'orders', count(*) FROM orders
+            UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+            UNION ALL SELECT 'events', count(*) FROM events
+            UNION ALL SELECT 'documents', count(*) FROM documents
+            UNION ALL SELECT 'embeddings', count(*) FROM embeddings
+            UNION ALL SELECT 'transcripts', count(*)
+                      FROM read_parquet('{_turns}/*.parquet')
+            UNION ALL SELECT 'media', count(*)
+                      FROM read_parquet('{_media}/*.parquet')
         """,
         "langid_confusion_matrix": f"""
             WITH l AS ({_langid_sql()})

@@ -6250,3 +6250,40 @@ def segment_nation_matrix(sf_dir: str):
         ["n_name", "c_mktsegment"], [], count_as="n_customers")
     return g.map_batches(lambda t: t.cast(SEG_NATION_SCHEMA),
                          batch_format="pyarrow")
+
+
+CORPUS_COUNTS_SCHEMA = pa.schema([
+    ("table_name", pa.string()),
+    ("n_rows", pa.int64()),
+])
+
+
+def corpus_table_counts(sf_dir: str):
+    """Corpus manifest: one row per table with its exact row count —
+    every fact and dimension Parquet plus the derived transcript and
+    media caches. The `sig fileinfo` of the whole corpus: the first
+    gate of any ingest run (row-count drift between snapshots is the
+    cheapest corruption detector). Counts are metadata-only reads
+    (Parquet row-group stats via Dataset.count()); nothing shuffles."""
+    import ray.data
+
+    from ..sources.transcripts import transcripts_path
+    from ..stages.multimodal import media_path
+
+    tables = ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents",
+              "embeddings"]
+    names, counts = [], []
+    for t in tables:
+        names.append(t)
+        counts.append(read_parquet_clean(
+            f"{sf_dir}/{t}.parquet").count())
+    names.append("transcripts")
+    counts.append(ray.data.read_parquet(
+        transcripts_path(sf_dir)).count())
+    names.append("media")
+    counts.append(ray.data.read_parquet(media_path(sf_dir)).count())
+    return pa.table({
+        "table_name": pa.array(names, pa.string()),
+        "n_rows": pa.array(counts, pa.int64()),
+    }).cast(CORPUS_COUNTS_SCHEMA)
