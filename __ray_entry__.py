@@ -1151,6 +1151,9 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "conv_first_tool_counts": transcriptops.conv_first_tool_counts,
         "langid_confusion_matrix": docops.langid_confusion_matrix,
         "corpus_table_counts": relational.corpus_table_counts,
+        "turn_index_integrity": transcriptops.turn_index_integrity,
+        "role_run_length_histogram":
+            transcriptops.role_run_length_histogram,
         "user_session_count_histogram":
             eventops.user_session_count_histogram,
         "order_value_delta_histogram":
@@ -3861,6 +3864,36 @@ def oracle_sql() -> dict[str, str]:
             WITH l AS ({_langid_sql()})
             SELECT lang_actual, lang_guess, count(*) AS n_docs
             FROM l GROUP BY 1, 2
+        """,
+        "turn_index_integrity": f"""
+            WITH per AS (
+              SELECT conv_id, count(*) AS n,
+                     sum(CAST(turn_idx AS BIGINT)) AS s,
+                     sum(CAST(turn_idx AS BIGINT)
+                         * CAST(turn_idx AS BIGINT)) AS s2
+              FROM read_parquet('{_turns}/*.parquet')
+              GROUP BY conv_id)
+            SELECT CAST(n AS BIGINT) AS n_turns,
+                   CAST(CASE WHEN 2 * s = n * (n - 1)
+                             AND 6 * s2 = n * (n - 1) * (2 * n - 1)
+                        THEN 1 ELSE 0 END AS BIGINT) AS is_contiguous,
+                   count(*) AS n_convs
+            FROM per GROUP BY 1, 2
+        """,
+        "role_run_length_histogram": f"""
+            WITH t AS (
+              SELECT conv_id, role,
+                     row_number() OVER (PARTITION BY conv_id
+                                        ORDER BY turn_idx)
+                     - row_number() OVER (PARTITION BY conv_id, role
+                                          ORDER BY turn_idx) AS isl
+              FROM read_parquet('{_turns}/*.parquet')),
+            runs AS (
+              SELECT conv_id, role, isl, count(*) AS run_len
+              FROM t GROUP BY conv_id, role, isl)
+            SELECT role, CAST(run_len AS BIGINT) AS run_len,
+                   count(*) AS n_runs
+            FROM runs GROUP BY role, run_len
         """,
         "segment_nation_matrix": """
             SELECT n_name, c_mktsegment, count(*) AS n_customers

@@ -2481,3 +2481,131 @@ def conv_first_tool_counts(sf_dir: str):
                             "n_convs": t["sum_n"]}).cast(
             FIRST_TOOL_SCHEMA),
         batch_format="pyarrow")
+
+
+TURN_INTEGRITY_SCHEMA = pa.schema([
+    ("n_turns", pa.int64()),
+    ("is_contiguous", pa.int64()),
+    ("n_convs", pa.int64()),
+])
+
+
+def turn_index_integrity(sf_dir: str):
+    """Referential-quality audit of ``turn_idx`` — the transcripts twin
+    of ``order_linenumber_integrity``: per conversation, test whether
+    its turn indexes are exactly the permutation 0..n-1 via the moment
+    fingerprint (count = n, Σidx = n(n-1)/2, Σidx² = n(n-1)(2n-1)/6 —
+    exact for permutations; the SQL twin shares the same fingerprint by
+    construction), then histogram conversations by
+    (n_turns, is_contiguous). The flagship's per-conv kernels assume a
+    dense 0-based turn order; this is the cheap gate that proves it.
+    Shape: one grouped_sums folds turns to per-conv moment rows (block
+    partials pre-combine before the conv exchange), a map classifies,
+    and a depth-domain-bounded cell fold finishes."""
+    from ..stages.agg import grouped_sums
+
+    def _mom(batch: pa.Table) -> pa.Table:
+        ix = np.asarray(pc.cast(batch["turn_idx"], pa.int64()), np.int64)
+        return pa.table({
+            "conv_id": batch["conv_id"],
+            "ix": pa.array(ix, pa.int64()),
+            "ix2": pa.array(ix * ix, pa.int64()),
+        })
+
+    per_conv = grouped_sums(
+        _read_turns(sf_dir, ("conv_id", "turn_idx")).map_batches(
+            _mom, batch_format="pyarrow"),
+        ["conv_id"], ["ix", "ix2"], count_as="n")
+
+    def _classify(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch["n"], np.int64)
+        s = np.asarray(batch["sum_ix"], np.int64)
+        s2 = np.asarray(batch["sum_ix2"], np.int64)
+        ok = (2 * s == n * (n - 1)) & \
+            (6 * s2 == n * (n - 1) * (2 * n - 1))
+        return pa.table({
+            "n_turns": pa.array(n, pa.int64()),
+            "is_contiguous": pa.array(ok.astype(np.int64), pa.int64()),
+        })
+
+    g = grouped_sums(per_conv.map_batches(_classify,
+                                          batch_format="pyarrow"),
+                     ["n_turns", "is_contiguous"], [],
+                     count_as="n_convs")
+    return g.map_batches(lambda t: t.cast(TURN_INTEGRITY_SCHEMA),
+                         batch_format="pyarrow")
+
+
+ROLE_RUN_SCHEMA = pa.schema([
+    ("role", pa.string()),
+    ("run_len", pa.int64()),
+    ("n_runs", pa.int64()),
+])
+
+
+def role_run_length_histogram(sf_dir: str):
+    """Run-length profile of consecutive same-role turns (turn_idx
+    order): every maximal same-role stretch inside a conversation is
+    one run; output counts runs per (role, run_len). The alternation
+    detector a dialogue curation pass uses — healthy chat is mostly
+    run_len 1, a fat assistant tail flags monologuing / self-replying
+    agents, a fat user tail flags merged or re-sent messages. Same
+    collapsed gaps-and-islands kernel as ``conv_tool_run_lengths``
+    (one lexsort per partition; runs break where the conversation OR
+    the role changes), minus the tool filter: every turn belongs to
+    exactly one run, so Σ run_len·n_runs == total turns. Only
+    (role, run_len, partial-count) cells cross the wire after the conv
+    exchange."""
+    from ..config import resolve_num_partitions
+    from ..functions.segscore import _to_bytes_array, hash_strings64
+    from ..stages.agg import grouped_sums
+    from ..stages.exchange import exchange_map_groups
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        cid = batch["conv_id"].combine_chunks()
+        return pa.table({
+            "conv_id": cid,
+            "turn_idx": pc.cast(batch["turn_idx"], pa.int64()),
+            "role": batch["role"],
+            "conv_part": pa.array(hash_strings64(cid) % 1024, pa.int64()),
+        })
+
+    def _runs(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return ROLE_RUN_SCHEMA.empty_table()
+        cid = _to_bytes_array(part["conv_id"].combine_chunks())
+        tix = np.asarray(part["turn_idx"], np.int64)
+        role = part["role"].combine_chunks()
+        rb = _to_bytes_array(role)
+        order = np.lexsort((tix, cid))
+        cid_s, rb_s = cid[order], rb[order]
+        new_run = np.r_[True, (cid_s[1:] != cid_s[:-1])
+                        | (rb_s[1:] != rb_s[:-1])]
+        starts = np.flatnonzero(new_run)
+        lens = np.diff(np.r_[starts, len(cid_s)])
+        run_role = rb_s[starts]
+        o2 = np.lexsort((lens, run_role))
+        rr_s, ln_s = run_role[o2], lens[o2]
+        first = np.r_[True, (rr_s[1:] != rr_s[:-1])
+                      | (ln_s[1:] != ln_s[:-1])]
+        st = np.flatnonzero(first)
+        cnt = np.diff(np.r_[st, len(rr_s)])
+        pick = pa.array(order[starts[o2[st]]], pa.int64())
+        return pa.table({
+            "role": role.take(pick),
+            "run_len": pa.array(ln_s[st].astype(np.int64), pa.int64()),
+            "n_runs": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    keyed = _read_turns(sf_dir, ("conv_id", "turn_idx", "role")
+                        ).map_batches(_prep, batch_format="pyarrow")
+    parts = exchange_map_groups(keyed, "conv_part",
+                                resolve_num_partitions(DEFAULT_CONFIG),
+                                _runs, ROLE_RUN_SCHEMA)
+    g = grouped_sums(parts, ["role", "run_len"], ["n_runs"])
+    return g.map_batches(
+        lambda t: pa.table({"role": t["role"],
+                            "run_len": t["run_len"],
+                            "n_runs": t["sum_n_runs"]}
+                           ).cast(ROLE_RUN_SCHEMA),
+        batch_format="pyarrow")
