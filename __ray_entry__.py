@@ -1154,6 +1154,9 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "turn_index_integrity": transcriptops.turn_index_integrity,
         "role_run_length_histogram":
             transcriptops.role_run_length_histogram,
+        "part_name_word_matrix": relational.part_name_word_matrix,
+        "nation_participant_counts":
+            relational.nation_participant_counts,
         "user_session_count_histogram":
             eventops.user_session_count_histogram,
         "order_value_delta_histogram":
@@ -3879,6 +3882,27 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END AS BIGINT) AS is_contiguous,
                    count(*) AS n_convs
             FROM per GROUP BY 1, 2
+        """,
+        "part_name_word_matrix": """
+            SELECT split_part(p_name, ' ', 1) AS adj,
+                   split_part(p_name, ' ', 2) AS noun,
+                   count(*) AS n_parts,
+                   CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT))
+                        AS BIGINT) AS sum_retail_e2,
+                   CAST(sum(p_size) AS BIGINT) AS sum_size
+            FROM part GROUP BY 1, 2
+        """,
+        "nation_participant_counts": """
+            WITH u AS (
+              SELECT c_nationkey AS nk, 1 AS is_cust, 0 AS is_supp
+              FROM customer
+              UNION ALL
+              SELECT s_nationkey, 0, 1 FROM supplier)
+            SELECT n_name,
+                   CAST(sum(is_cust) AS BIGINT) AS n_customers,
+                   CAST(sum(is_supp) AS BIGINT) AS n_suppliers
+            FROM u JOIN nation ON nk = n_nationkey
+            GROUP BY n_name
         """,
         "role_run_length_histogram": f"""
             WITH t AS (

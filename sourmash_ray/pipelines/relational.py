@@ -6287,3 +6287,123 @@ def corpus_table_counts(sf_dir: str):
         "table_name": pa.array(names, pa.string()),
         "n_rows": pa.array(counts, pa.int64()),
     }).cast(CORPUS_COUNTS_SCHEMA)
+
+
+PART_WORD_SCHEMA = pa.schema([
+    ("adj", pa.string()),
+    ("noun", pa.string()),
+    ("n_parts", pa.int64()),
+    ("sum_retail_e2", pa.int64()),
+    ("sum_size", pa.int64()),
+])
+
+
+def part_name_word_matrix(sf_dir: str):
+    """Catalog-vocabulary census: split ``p_name`` into its
+    (adjective, noun) word pair and emit per-cell part count, exact
+    retail-price cents, and size mass — the naming-convention ×
+    price-mass matrix a catalog-hygiene pass reads before trusting
+    name-derived idents (``picklist_ident_parts`` keys on the same
+    first word). Map-only split over the dimension scan; only
+    |adjectives| × |nouns| cells shuffle. Names with more or fewer
+    than two words raise (the convention is closed, like the
+    closed-dim FK raises elsewhere)."""
+    import numpy as np
+
+    from ..stages.agg import grouped_sums
+
+    def _split(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch["p_name"].combine_chunks(), " ")
+        nw = np.asarray(pc.list_value_length(words), np.int64)
+        if nw.size and not (nw == 2).all():
+            raise ValueError("p_name outside the 'adj noun' convention")
+        flat = words.flatten()
+        price = np.rint(np.asarray(batch["p_retailprice"],
+                                   np.float64) * 100).astype(np.int64)
+        return pa.table({
+            "adj": flat.take(pa.array(np.arange(0, 2 * len(nw), 2),
+                                      pa.int64())),
+            "noun": flat.take(pa.array(np.arange(1, 2 * len(nw), 2),
+                                       pa.int64())),
+            "retail_e2": pa.array(price, pa.int64()),
+            "size": pc.cast(batch["p_size"], pa.int64()),
+        })
+
+    g = grouped_sums(
+        read_parquet_clean(f"{sf_dir}/part.parquet",
+                           columns=["p_name", "p_retailprice",
+                                    "p_size"]).map_batches(
+            _split, batch_format="pyarrow"),
+        ["adj", "noun"], ["retail_e2", "size"], count_as="n_parts")
+    return g.map_batches(
+        lambda t: pa.table({
+            "adj": t["adj"], "noun": t["noun"],
+            "n_parts": t["n_parts"],
+            "sum_retail_e2": t["sum_retail_e2"],
+            "sum_size": t["sum_size"],
+        }).cast(PART_WORD_SCHEMA), batch_format="pyarrow")
+
+
+NATION_PARTICIPANT_SCHEMA = pa.schema([
+    ("n_name", pa.string()),
+    ("n_customers", pa.int64()),
+    ("n_suppliers", pa.int64()),
+])
+
+
+def nation_participant_counts(sf_dir: str):
+    """Marketplace-balance reconciliation: per nation, how many
+    customers AND how many suppliers sit in it — the two sides of
+    ``segment_nation_matrix`` / ``supplier_balance_by_nation`` folded
+    into one row so demand/supply imbalance is one subtraction. Both
+    dimension scans tag (is_cust, is_supp) indicator columns and union
+    into ONE nationkey exchange (block partials pre-combine, so ≤
+    |nations| cells per block cross the wire); the nation name attaches
+    as a broadcast array with the closed-dim raise. Nations with no
+    participant on either side emit nothing (matching the SQL twin's
+    inner join against the union)."""
+    import numpy as np
+
+    import ray.data
+
+    from ..stages.agg import grouped_sums
+
+    nation = read_parquet_clean(f"{sf_dir}/nation.parquet",
+                                columns=["n_nationkey",
+                                         "n_name"]).take_all()
+    names = np.empty(max((r["n_nationkey"] for r in nation),
+                         default=-1) + 1, dtype=object)
+    for r in nation:
+        names[r["n_nationkey"]] = r["n_name"]
+    names_ref = ray.put(names)
+
+    def _tag(key_col: str, is_cust: int):
+        def _fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table({
+                "nk": pc.cast(batch[key_col], pa.int64()),
+                "is_cust": pa.array(np.full(n, is_cust, np.int64)),
+                "is_supp": pa.array(np.full(n, 1 - is_cust, np.int64)),
+            })
+        return _fn
+
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_nationkey"]).map_batches(
+        _tag("c_nationkey", 1), batch_format="pyarrow")
+    supp = read_parquet_clean(f"{sf_dir}/supplier.parquet",
+                              columns=["s_nationkey"]).map_batches(
+        _tag("s_nationkey", 0), batch_format="pyarrow")
+    g = grouped_sums(cust.union(supp), ["nk"], ["is_cust", "is_supp"])
+
+    def _name(batch: pa.Table) -> pa.Table:
+        nm = ray.get(names_ref)
+        nk = np.asarray(batch["nk"], np.int64)
+        if nk.size and (nk.min() < 0 or nk.max() >= nm.size):
+            raise ValueError("nationkey outside the nation dim")
+        return pa.table({
+            "n_name": pa.array(nm[nk], pa.string()),
+            "n_customers": batch["sum_is_cust"],
+            "n_suppliers": batch["sum_is_supp"],
+        }).cast(NATION_PARTICIPANT_SCHEMA)
+
+    return g.map_batches(_name, batch_format="pyarrow")
