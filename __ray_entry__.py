@@ -1157,6 +1157,9 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "part_name_word_matrix": relational.part_name_word_matrix,
         "nation_participant_counts":
             relational.nation_participant_counts,
+        "turn_hour_role_matrix": transcriptops.turn_hour_role_matrix,
+        "conv_chars_turns_suffstats":
+            transcriptops.conv_chars_turns_suffstats,
         "user_session_count_histogram":
             eventops.user_session_count_histogram,
         "order_value_delta_histogram":
@@ -3882,6 +3885,26 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END AS BIGINT) AS is_contiguous,
                    count(*) AS n_convs
             FROM per GROUP BY 1, 2
+        """,
+        "turn_hour_role_matrix": f"""
+            SELECT CAST(extract(hour FROM ts) AS BIGINT) AS hour,
+                   role, count(*) AS n_turns
+            FROM read_parquet('{_turns}/*.parquet')
+            GROUP BY 1, 2
+        """,
+        "conv_chars_turns_suffstats": f"""
+            WITH per AS (
+              SELECT conv_id, count(*) AS t,
+                     sum(length(coalesce(text, ''))) AS c
+              FROM read_parquet('{_turns}/*.parquet')
+              GROUP BY conv_id)
+            SELECT count(*) AS n_convs,
+                   CAST(sum(t) AS BIGINT) AS sum_t,
+                   CAST(sum(c) AS BIGINT) AS sum_c,
+                   CAST(sum(t * c) AS BIGINT) AS sum_tc,
+                   CAST(sum(t * t) AS BIGINT) AS sum_t2,
+                   CAST(sum(c * c) AS BIGINT) AS sum_c2
+            FROM per
         """,
         "part_name_word_matrix": """
             SELECT split_part(p_name, ' ', 1) AS adj,

@@ -2609,3 +2609,101 @@ def role_run_length_histogram(sf_dir: str):
                             "n_runs": t["sum_n_runs"]}
                            ).cast(ROLE_RUN_SCHEMA),
         batch_format="pyarrow")
+
+
+HOUR_ROLE_SCHEMA = pa.schema([
+    ("hour", pa.int64()),
+    ("role", pa.string()),
+    ("n_turns", pa.int64()),
+])
+
+
+def turn_hour_role_matrix(sf_dir: str):
+    """Hour-of-day × role traffic matrix over turns — the transcripts
+    twin of ``events_weekday_hour_heatmap``: when do users write vs
+    when do assistants answer (a skewed assistant share off-hours
+    flags batch/replay traffic in a live-chat corpus). Map-only hour
+    extraction off the int64 epoch view; ≤ 24 × |roles| cells
+    shuffle."""
+    from ..stages.agg import grouped_sums
+
+    US_PER_HOUR = 3_600_000_000
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(batch["ts"], "datetime64[us]").astype(np.int64)
+        if ts.size and ts.min() < 0:
+            raise ValueError("pre-epoch timestamp: floor-div hour "
+                             "extraction assumes ts >= 1970")
+        return pa.table({
+            "hour": pa.array((ts // US_PER_HOUR) % 24, pa.int64()),
+            "role": batch["role"],
+        })
+
+    g = grouped_sums(
+        _read_turns(sf_dir, ("ts", "role")).map_batches(
+            _prep, batch_format="pyarrow"),
+        ["hour", "role"], [], count_as="n_turns")
+    return g.map_batches(lambda t: t.cast(HOUR_ROLE_SCHEMA),
+                         batch_format="pyarrow")
+
+
+CONV_SUFFSTATS_SCHEMA = pa.schema([
+    ("n_convs", pa.int64()),
+    ("sum_t", pa.int64()), ("sum_c", pa.int64()),
+    ("sum_tc", pa.int64()), ("sum_t2", pa.int64()),
+    ("sum_c2", pa.int64()),
+])
+
+
+def conv_chars_turns_suffstats(sf_dir: str):
+    """Depth/verbosity covariance sufficient statistics across
+    conversations: (n, Σt, Σc, Σtc, Σt², Σc²) with t = turn count and
+    c = total chars per conversation — 'does conversation depth predict
+    verbosity' as exact integers, so Pearson/OLS derive on the driver
+    and partial/merge order can't perturb anything (the conversation
+    twin of ``doc_length_token_suffstats``). Per-conv (t, c) rows fold
+    on the conv exchange, products are guarded at 2³¹ so squares stay
+    below 2⁶², then ONE global cell crosses the wire."""
+    from ..stages.agg import grouped_sums
+
+    def _chars(batch: pa.Table) -> pa.Table:
+        c = np.asarray(pc.cast(pc.utf8_length(
+            pc.fill_null(batch["text"].combine_chunks(), "")),
+            pa.int64()), np.int64)
+        return pa.table({
+            "conv_id": batch["conv_id"],
+            "c": pa.array(c, pa.int64()),
+        })
+
+    per_conv = grouped_sums(
+        _read_turns(sf_dir, ("conv_id", "text")).map_batches(
+            _chars, batch_format="pyarrow"),
+        ["conv_id"], ["c"], count_as="t")
+
+    def _prod(batch: pa.Table) -> pa.Table:
+        t = np.asarray(batch["t"], np.int64)
+        c = np.asarray(batch["sum_c"], np.int64)
+        hi = max(int(t.max(initial=0)), int(c.max(initial=0)))
+        if hi >= 2 ** 31:
+            raise ValueError("conv_chars_turns_suffstats: per-conv "
+                             "magnitude overflows the exact-int "
+                             "square envelope")
+        return pa.table({
+            "all": pa.array(np.zeros(len(t), np.int64)),
+            "t": pa.array(t, pa.int64()),
+            "c": pa.array(c, pa.int64()),
+            "tc": pa.array(t * c, pa.int64()),
+            "t2": pa.array(t * t, pa.int64()),
+            "c2": pa.array(c * c, pa.int64()),
+        })
+
+    g = grouped_sums(per_conv.map_batches(_prod, batch_format="pyarrow"),
+                     ["all"], ["t", "c", "tc", "t2", "c2"],
+                     count_as="n_convs")
+    return g.map_batches(
+        lambda t: pa.table({
+            "n_convs": t["n_convs"],
+            "sum_t": t["sum_t"], "sum_c": t["sum_c"],
+            "sum_tc": t["sum_tc"], "sum_t2": t["sum_t2"],
+            "sum_c2": t["sum_c2"],
+        }).cast(CONV_SUFFSTATS_SCHEMA), batch_format="pyarrow")
