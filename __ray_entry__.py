@@ -1160,6 +1160,10 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "turn_hour_role_matrix": transcriptops.turn_hour_role_matrix,
         "conv_chars_turns_suffstats":
             transcriptops.conv_chars_turns_suffstats,
+        "conv_ts_monotonicity_audit":
+            transcriptops.conv_ts_monotonicity_audit,
+        "events_weekend_share_by_type":
+            eventops.events_weekend_share_by_type,
         "user_session_count_histogram":
             eventops.user_session_count_histogram,
         "order_value_delta_histogram":
@@ -3885,6 +3889,31 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END AS BIGINT) AS is_contiguous,
                    count(*) AS n_convs
             FROM per GROUP BY 1, 2
+        """,
+        "conv_ts_monotonicity_audit": f"""
+            WITH d AS (
+              SELECT conv_id,
+                     ts >= lag(ts) OVER (PARTITION BY conv_id
+                                         ORDER BY turn_idx) AS ok
+              FROM read_parquet('{_turns}/*.parquet')),
+            per AS (
+              SELECT conv_id,
+                     CAST(CASE WHEN bool_and(coalesce(ok, TRUE))
+                          THEN 1 ELSE 0 END AS BIGINT) AS is_monotonic
+              FROM d GROUP BY conv_id)
+            SELECT is_monotonic, count(*) AS n_convs
+            FROM per GROUP BY is_monotonic
+        """,
+        "events_weekend_share_by_type": """
+            WITH g AS (
+              SELECT event_type, count(*) AS n_events,
+                     CAST(sum(CASE WHEN dayofweek(ts) IN (0, 6)
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_weekend
+              FROM events GROUP BY event_type)
+            SELECT event_type, n_events, n_weekend,
+                   CAST(1000 * n_weekend // n_events AS BIGINT)
+                       AS weekend_permille
+            FROM g
         """,
         "turn_hour_role_matrix": f"""
             SELECT CAST(extract(hour FROM ts) AS BIGINT) AS hour,

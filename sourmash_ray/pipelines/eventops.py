@@ -3239,3 +3239,56 @@ def transition_asymmetry_matrix(sf_dir: str):
         "n_ba": pa.array([cnt.get((b, a), 0) for a, b in pairs],
                          pa.int64()),
     }).cast(ASYMMETRY_SCHEMA)
+
+
+WEEKEND_SHARE_SCHEMA = pa.schema([
+    ("event_type", pa.string()),
+    ("n_events", pa.int64()),
+    ("n_weekend", pa.int64()),
+    ("weekend_permille", pa.int64()),
+])
+
+
+def events_weekend_share_by_type(sf_dir: str):
+    """Weekend traffic share per event type (exact integer permille):
+    the weekday/weekend mix census behind capacity planning and the
+    'is this type human- or cron-driven' smell test (a purchase type
+    at 2/7 share is organic; one at 0 is a batch job). Map-only
+    weekend flag off the int64 epoch-day view (Sunday=0 convention
+    matches the SQL twin's ``dayofweek``: 1970-01-01 is Thursday=4);
+    ≤ |types| cells shuffle, the permille divides on the cell."""
+    import numpy as np
+
+    from ..stages.agg import grouped_sums
+
+    US_PER_DAY = 86_400_000_000
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(batch["ts"], "datetime64[us]").astype(np.int64)
+        if ts.size and ts.min() < 0:
+            raise ValueError("pre-epoch timestamp: floor-div weekday "
+                             "extraction assumes ts >= 1970")
+        dow = ((ts // US_PER_DAY) + 4) % 7
+        wk = ((dow == 0) | (dow == 6)).astype(np.int64)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "wk": pa.array(wk, pa.int64()),
+        })
+
+    g = grouped_sums(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_type", "ts"]).map_batches(
+            _prep, batch_format="pyarrow"),
+        ["event_type"], ["wk"], count_as="n_events")
+
+    def _share(t: pa.Table) -> pa.Table:
+        n = np.asarray(t["n_events"], np.int64)
+        w = np.asarray(t["sum_wk"], np.int64)
+        return pa.table({
+            "event_type": t["event_type"],
+            "n_events": pa.array(n, pa.int64()),
+            "n_weekend": pa.array(w, pa.int64()),
+            "weekend_permille": pa.array(1000 * w // n, pa.int64()),
+        }).cast(WEEKEND_SHARE_SCHEMA)
+
+    return g.map_batches(_share, batch_format="pyarrow")

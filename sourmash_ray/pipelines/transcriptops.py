@@ -2707,3 +2707,72 @@ def conv_chars_turns_suffstats(sf_dir: str):
             "sum_tc": t["sum_tc"], "sum_t2": t["sum_t2"],
             "sum_c2": t["sum_c2"],
         }).cast(CONV_SUFFSTATS_SCHEMA), batch_format="pyarrow")
+
+
+TS_MONO_SCHEMA = pa.schema([
+    ("is_monotonic", pa.int64()),
+    ("n_convs", pa.int64()),
+])
+
+
+def conv_ts_monotonicity_audit(sf_dir: str):
+    """Timestamp-order integrity: per conversation, is ``ts``
+    non-decreasing when turns are replayed in ``turn_idx`` order? The
+    sibling gate to ``turn_index_integrity`` — every windowed /
+    latency / adjacency kernel in this module assumes replay order is
+    wall-clock order; this is the two-row audit that proves it (a
+    non-monotonic conversation flags clock skew between logging hosts
+    or a re-logged merge). One conv exchange; inside a partition one
+    lexsort + one vectorized adjacent-diff pass classifies every
+    conversation."""
+    from ..config import resolve_num_partitions
+    from ..functions.segscore import _to_bytes_array, hash_strings64
+    from ..stages.agg import grouped_sums
+    from ..stages.exchange import exchange_map_groups
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        cid = batch["conv_id"].combine_chunks()
+        return pa.table({
+            "conv_id": cid,
+            "turn_idx": pc.cast(batch["turn_idx"], pa.int64()),
+            "ts_us": pa.array(
+                np.asarray(batch["ts"], "datetime64[us]").astype(
+                    np.int64), pa.int64()),
+            "conv_part": pa.array(hash_strings64(cid) % 1024, pa.int64()),
+        })
+
+    def _mono(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return TS_MONO_SCHEMA.empty_table()
+        cid = _to_bytes_array(part["conv_id"].combine_chunks())
+        tix = np.asarray(part["turn_idx"], np.int64)
+        ts = np.asarray(part["ts_us"], np.int64)
+        order = np.lexsort((tix, cid))
+        cid_s, ts_s = cid[order], ts[order]
+        same_conv = cid_s[1:] == cid_s[:-1]
+        backwards = same_conv & (np.diff(ts_s) < 0)
+        new_conv = np.r_[True, ~same_conv]
+        conv_of = np.cumsum(new_conv) - 1
+        n_convs = int(conv_of[-1]) + 1
+        bad = np.zeros(n_convs, bool)
+        bad[conv_of[1:][backwards]] = True
+        ok = (~bad).astype(np.int64)
+        si = np.argsort(ok, kind="stable")
+        st = np.flatnonzero(np.r_[True, ok[si][1:] != ok[si][:-1]])
+        cnt = np.diff(np.r_[st, n_convs])
+        return pa.table({
+            "is_monotonic": pa.array(ok[si][st], pa.int64()),
+            "n_convs": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    keyed = _read_turns(sf_dir, ("conv_id", "turn_idx", "ts")
+                        ).map_batches(_prep, batch_format="pyarrow")
+    parts = exchange_map_groups(keyed, "conv_part",
+                                resolve_num_partitions(DEFAULT_CONFIG),
+                                _mono, TS_MONO_SCHEMA)
+    g = grouped_sums(parts, ["is_monotonic"], ["n_convs"])
+    return g.map_batches(
+        lambda t: pa.table({"is_monotonic": t["is_monotonic"],
+                            "n_convs": t["sum_n_convs"]}
+                           ).cast(TS_MONO_SCHEMA),
+        batch_format="pyarrow")
