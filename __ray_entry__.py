@@ -1164,6 +1164,9 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
             transcriptops.conv_ts_monotonicity_audit,
         "events_weekend_share_by_type":
             eventops.events_weekend_share_by_type,
+        "doc_terminal_char_census": docops.doc_terminal_char_census,
+        "turn_empty_rate_by_role":
+            transcriptops.turn_empty_rate_by_role,
         "user_session_count_histogram":
             eventops.user_session_count_histogram,
         "order_value_delta_histogram":
@@ -3889,6 +3892,32 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END AS BIGINT) AS is_contiguous,
                    count(*) AS n_convs
             FROM per GROUP BY 1, 2
+        """,
+        "doc_terminal_char_census": """
+            SELECT source,
+                   CASE substr(coalesce(text, ''),
+                               length(coalesce(text, '')), 1)
+                        WHEN '.' THEN 'period'
+                        WHEN '!' THEN 'bang'
+                        WHEN '?' THEN 'question'
+                        WHEN '' THEN 'empty'
+                        ELSE 'other' END AS terminal,
+                   count(*) AS n_docs
+            FROM documents GROUP BY 1, 2
+        """,
+        "turn_empty_rate_by_role": f"""
+            WITH g AS (
+              SELECT role, count(*) AS n_turns,
+                     CAST(sum(CASE WHEN trim(coalesce(text, ''),
+                                   ' ' || chr(9) || chr(10) || chr(13))
+                                   = ''
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_empty
+              FROM read_parquet('{_turns}/*.parquet')
+              GROUP BY role)
+            SELECT role, n_turns, n_empty,
+                   CAST(1000 * n_empty // n_turns AS BIGINT)
+                       AS empty_permille
+            FROM g
         """,
         "conv_ts_monotonicity_audit": f"""
             WITH d AS (

@@ -4153,3 +4153,46 @@ def langid_confusion_matrix(sf_dir: str,
         ["lang_actual", "lang_guess"], [], count_as="n_docs")
     return g.map_batches(lambda t: t.cast(LANGID_CONFUSION_SCHEMA),
                          batch_format="pyarrow")
+
+
+TERMINAL_CHAR_SCHEMA = pa.schema([
+    ("source", pa.string()),
+    ("terminal", pa.string()),
+    ("n_docs", pa.int64()),
+])
+
+
+def doc_terminal_char_census(sf_dir: str):
+    """Sentence-termination style census per source: classify each
+    document by its LAST character — 'period' / 'bang' / 'question' /
+    'empty' / 'other' — the cheap truncation detector (a source whose
+    docs suddenly stop mid-word shifts mass from 'period' to 'other';
+    an 'empty' spike flags extraction failures upstream). Map-only
+    slice off the Arrow string buffers; ≤ sources × 5 cells shuffle."""
+    import numpy as np
+
+    from ..stages.agg import grouped_sums
+
+    classes = pa.array([".", "!", "?"])
+    labels = np.array(["period", "bang", "question"], dtype=object)
+
+    def _cls(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch["text"].combine_chunks(), "")
+        last = pc.utf8_slice_codeunits(text, -1)
+        idx = np.asarray(pc.fill_null(
+            pc.index_in(last, value_set=classes), -1), np.int64)
+        out = np.where(idx >= 0, labels[np.clip(idx, 0, 2)], "other")
+        empty = np.asarray(pc.equal(last, "")).astype(bool)
+        out = np.where(empty, "empty", out)
+        return pa.table({
+            "source": batch["source"],
+            "terminal": pa.array(out.tolist(), pa.string()),
+        })
+
+    g = grouped_sums(
+        read_parquet_clean(f"{sf_dir}/documents.parquet",
+                           columns=["source", "text"]).map_batches(
+            _cls, batch_format="pyarrow"),
+        ["source", "terminal"], [], count_as="n_docs")
+    return g.map_batches(lambda t: t.cast(TERMINAL_CHAR_SCHEMA),
+                         batch_format="pyarrow")

@@ -2776,3 +2776,49 @@ def conv_ts_monotonicity_audit(sf_dir: str):
                             "n_convs": t["sum_n_convs"]}
                            ).cast(TS_MONO_SCHEMA),
         batch_format="pyarrow")
+
+
+EMPTY_RATE_SCHEMA = pa.schema([
+    ("role", pa.string()),
+    ("n_turns", pa.int64()),
+    ("n_empty", pa.int64()),
+    ("empty_permille", pa.int64()),
+])
+
+
+def turn_empty_rate_by_role(sf_dir: str):
+    """Empty-turn rate per role (exact integer permille): a turn is
+    empty when its text is null or whitespace-only — the logging-bug
+    detector a transcript ingest runs first (an assistant-side spike
+    means tool results swallowed the reply; a user-side spike means
+    multipart messages split wrong). Map-only trim + flag; ≤ |roles|
+    cells shuffle, the permille divides on the cell."""
+    from ..stages.agg import grouped_sums
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch["text"].combine_chunks(), "")
+        # explicit charset, mirrored by the SQL twin's trim(..., chars):
+        # Arrow's utf8_trim_whitespace strips Unicode spaces, DuckDB's
+        # bare trim() strips only ' ' — pin both to {space, \t, \n, \r}
+        empty = pc.equal(pc.utf8_trim(text, " \t\n\r"), "")
+        return pa.table({
+            "role": batch["role"],
+            "e": pc.cast(empty, pa.int64()),
+        })
+
+    g = grouped_sums(
+        _read_turns(sf_dir, ("role", "text")).map_batches(
+            _prep, batch_format="pyarrow"),
+        ["role"], ["e"], count_as="n_turns")
+
+    def _share(t: pa.Table) -> pa.Table:
+        n = np.asarray(t["n_turns"], np.int64)
+        e = np.asarray(t["sum_e"], np.int64)
+        return pa.table({
+            "role": t["role"],
+            "n_turns": pa.array(n, pa.int64()),
+            "n_empty": pa.array(e, pa.int64()),
+            "empty_permille": pa.array(1000 * e // n, pa.int64()),
+        }).cast(EMPTY_RATE_SCHEMA)
+
+    return g.map_batches(_share, batch_format="pyarrow")
