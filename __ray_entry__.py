@@ -1167,6 +1167,8 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "doc_terminal_char_census": docops.doc_terminal_char_census,
         "turn_empty_rate_by_role":
             transcriptops.turn_empty_rate_by_role,
+        "label_size_histogram": ann.label_size_histogram,
+        "segment_status_matrix": relational.segment_status_matrix,
         "user_session_count_histogram":
             eventops.user_session_count_histogram,
         "order_value_delta_histogram":
@@ -3892,6 +3894,20 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END AS BIGINT) AS is_contiguous,
                    count(*) AS n_convs
             FROM per GROUP BY 1, 2
+        """,
+        "label_size_histogram": """
+            WITH per AS (
+              SELECT label, count(*) AS n
+              FROM embeddings GROUP BY label)
+            SELECT CAST(n AS BIGINT) AS n_vecs, count(*) AS n_labels
+            FROM per GROUP BY n
+        """,
+        "segment_status_matrix": """
+            SELECT c_mktsegment, o_orderstatus, count(*) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS sum_totalprice_e2
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1, 2
         """,
         "doc_terminal_char_census": """
             SELECT source,

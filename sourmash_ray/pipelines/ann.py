@@ -1753,3 +1753,34 @@ def label_dim_argmax_matrix(sf_dir: str):
     g = grouped_sums(ds, ["label", "dim"], [], count_as="n_vectors")
     return g.map_batches(lambda t: t.cast(LABEL_ARGMAX_SCHEMA),
                          batch_format="pyarrow")
+
+
+LABEL_SIZE_SCHEMA = pa.schema([
+    ("n_vecs", pa.int64()),
+    ("n_labels", pa.int64()),
+])
+
+
+def label_size_histogram(sf_dir: str):
+    """Class-balance shape of the embedding corpus: per-label vector
+    counts contracted to a (n_vecs → n_labels) histogram — the one
+    table that shows imbalance at a glance (a lone giant label starves
+    IVF list pruning; a long tail of singleton labels makes the k-NN
+    vote noisy). Only the label column leaves storage; two cell folds,
+    nothing else shuffles."""
+    from ..sources.tables import read_parquet_clean
+    from ..stages.agg import grouped_sums
+
+    per = grouped_sums(
+        read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                           columns=["label"]).map_batches(
+            lambda t: pa.table({"label": pc.cast(t["label"],
+                                                 pa.int64())}),
+            batch_format="pyarrow"),
+        ["label"], [], count_as="n_vecs")
+    g = grouped_sums(
+        per.map_batches(lambda t: pa.table({"n_vecs": t["n_vecs"]}),
+                        batch_format="pyarrow"),
+        ["n_vecs"], [], count_as="n_labels")
+    return g.map_batches(lambda t: t.cast(LABEL_SIZE_SCHEMA),
+                         batch_format="pyarrow")

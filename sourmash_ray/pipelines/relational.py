@@ -6407,3 +6407,63 @@ def nation_participant_counts(sf_dir: str):
         }).cast(NATION_PARTICIPANT_SCHEMA)
 
     return g.map_batches(_name, batch_format="pyarrow")
+
+
+SEG_STATUS_SCHEMA = pa.schema([
+    ("c_mktsegment", pa.string()),
+    ("o_orderstatus", pa.string()),
+    ("n_orders", pa.int64()),
+    ("sum_totalprice_e2", pa.int64()),
+])
+
+
+def segment_status_matrix(sf_dir: str):
+    """Fulfillment-state composition per market segment: segment ×
+    order-status cell counts with exact totalprice cents — which
+    customer segments sit on open ('O') vs fulfilled ('F') demand, and
+    how much money is parked in each state. The segment attaches to
+    orders on the custkey exchange join (customer is a same-key
+    projection, orders pre-project to (custkey, status, price_e2));
+    only ≤ segments × statuses cells ride the final fold."""
+    import numpy as np
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.agg import grouped_sums
+    from ..stages.join import hash_join_exchange
+
+    def _ord(batch: pa.Table) -> pa.Table:
+        price = np.rint(np.asarray(batch["o_totalprice"],
+                                   np.float64) * 100).astype(np.int64)
+        return pa.table({
+            "o_custkey": pc.cast(batch["o_custkey"], pa.int64()),
+            "o_orderstatus": batch["o_orderstatus"],
+            "price_e2": pa.array(price, pa.int64()),
+        })
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderstatus",
+                 "o_totalprice"]).map_batches(_ord,
+                                              batch_format="pyarrow")
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_mktsegment"])
+    joined = hash_join_exchange(
+        orders, cust, key="ck",
+        left_cols=["o_orderstatus", "price_e2"],
+        right_cols=["c_mktsegment"],
+        n_parts=resolve_num_partitions(DEFAULT_CONFIG),
+        left_key="o_custkey", right_key="c_custkey")
+    g = grouped_sums(joined.map_batches(
+        lambda t: pa.table({"c_mktsegment": t["c_mktsegment"],
+                            "o_orderstatus": t["o_orderstatus"],
+                            "price_e2": t["price_e2"]}),
+        batch_format="pyarrow"),
+        ["c_mktsegment", "o_orderstatus"], ["price_e2"],
+        count_as="n_orders")
+    return g.map_batches(
+        lambda t: pa.table({
+            "c_mktsegment": t["c_mktsegment"],
+            "o_orderstatus": t["o_orderstatus"],
+            "n_orders": t["n_orders"],
+            "sum_totalprice_e2": t["sum_price_e2"],
+        }).cast(SEG_STATUS_SCHEMA), batch_format="pyarrow")
