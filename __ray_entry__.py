@@ -1169,6 +1169,8 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
             transcriptops.turn_empty_rate_by_role,
         "label_size_histogram": ann.label_size_histogram,
         "segment_status_matrix": relational.segment_status_matrix,
+        "media_kind_source_matrix": multimodal.media_kind_source_matrix,
+        "conv_last_tool_counts": transcriptops.conv_last_tool_counts,
         "user_session_count_histogram":
             eventops.user_session_count_histogram,
         "order_value_delta_histogram":
@@ -3908,6 +3910,25 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS sum_totalprice_e2
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY 1, 2
+        """,
+        "media_kind_source_matrix": f"""
+            SELECT kind, source, count(*) AS n_media,
+                   CAST(sum(n_bytes) AS BIGINT) AS sum_bytes,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_text_chars
+            FROM read_parquet('{_media}/*.parquet') m
+            JOIN documents d ON d.doc_id = m.media_id
+            GROUP BY 1, 2
+        """,
+        "conv_last_tool_counts": f"""
+            WITH t AS (SELECT conv_id, turn_idx, tool
+                       FROM read_parquet('{_turns}/*.parquet')
+                       WHERE tool IS NOT NULL AND tool <> ''),
+            r AS (SELECT conv_id, tool,
+                  row_number() OVER (PARTITION BY conv_id
+                                     ORDER BY turn_idx DESC) AS rn
+                  FROM t)
+            SELECT tool, count(*) AS n_convs
+            FROM r WHERE rn = 1 GROUP BY 1
         """,
         "doc_terminal_char_census": """
             SELECT source,

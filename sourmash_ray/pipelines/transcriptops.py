@@ -2822,3 +2822,65 @@ def turn_empty_rate_by_role(sf_dir: str):
         }).cast(EMPTY_RATE_SCHEMA)
 
     return g.map_batches(_share, batch_format="pyarrow")
+
+
+def conv_last_tool_counts(sf_dir: str):
+    """Tool-adoption EXIT point: which tool a conversation touches LAST
+    (latest tool-calling turn), counted per tool — the closing-door twin
+    of `conv_first_tool_counts`. Workflows that end on a verifier tool
+    vs an editor tool have very different completion semantics, and the
+    first/last pair bounds every tool-chain analysis between them. Same
+    conv exchange over the tool turns only; each conv leaves as one
+    row."""
+    from ..config import resolve_num_partitions
+    from ..functions.segscore import _to_bytes_array, hash_strings64
+    from ..stages.agg import grouped_sums
+    from ..stages.exchange import exchange_map_groups
+
+    part_schema = pa.schema([("tool", pa.string()),
+                             ("n", pa.int64())])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(batch["tool"]),
+                       pc.not_equal(batch["tool"], ""))
+        t = batch.filter(keep)
+        cid = t["conv_id"].combine_chunks()
+        return pa.table({
+            "conv_id": cid,
+            "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+            "tool": t["tool"],
+            "conv_part": pa.array(hash_strings64(cid) % 1024, pa.int64()),
+        })
+
+    def _last(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return part_schema.empty_table()
+        cid = _to_bytes_array(part["conv_id"].combine_chunks())
+        tix = np.asarray(part["turn_idx"], np.int64)
+        tcol = part["tool"].combine_chunks()
+        order = np.lexsort((tix, cid))
+        c_s = cid[order]
+        starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
+        ends = np.r_[starts[1:], len(c_s)] - 1
+        last = order[ends]
+        tb = _to_bytes_array(tcol)[last]
+        po = np.argsort(tb, kind="stable")
+        tb_s = tb[po]
+        st = np.flatnonzero(np.r_[True, tb_s[1:] != tb_s[:-1]])
+        n = np.diff(np.r_[st, len(tb_s)])
+        return pa.table({
+            "tool": tcol.take(pa.array(last[po[st]], pa.int64())),
+            "n": pa.array(n.astype(np.int64), pa.int64()),
+        })
+
+    keyed = _read_turns(sf_dir, ("conv_id", "turn_idx", "tool")
+                        ).map_batches(_prep, batch_format="pyarrow")
+    parts = exchange_map_groups(keyed, "conv_part",
+                                resolve_num_partitions(DEFAULT_CONFIG),
+                                _last, part_schema)
+    g = grouped_sums(parts, ["tool"], ["n"])
+    return g.map_batches(
+        lambda t: pa.table({"tool": t["tool"],
+                            "n_convs": t["sum_n"]}).cast(
+            FIRST_TOOL_SCHEMA),
+        batch_format="pyarrow")

@@ -633,3 +633,61 @@ def media_doc_size_suffstats(sf_dir: str):
             "sum_c": t["sum_c"], "sum_bc": t["sum_bc"],
             "sum_b2": t["sum_b2"], "sum_c2": t["sum_c2"],
         }).cast(MEDIA_DOC_SUFF_SCHEMA), batch_format="pyarrow")
+
+
+MEDIA_KIND_SOURCE_SCHEMA = pa.schema([
+    ("kind", pa.string()),
+    ("source", pa.string()),
+    ("n_media", pa.int64()),
+    ("sum_bytes", pa.int64()),
+    ("sum_text_chars", pa.int64()),
+])
+
+
+def media_kind_source_matrix(sf_dir: str):
+    """Media-kind × provenance-source contingency with BOTH byte masses
+    (encoded payload bytes and the originating text's char count): the
+    storage-vs-content audit per (modality, crawl source) cell — which
+    sources ship bloated payloads relative to their text, and where the
+    training-mix bytes actually come from. Same id-keyed exchange join
+    lineage as `media_kind_lang_matrix`; only ≤ kinds×sources cells ride
+    the final fold."""
+    import ray.data
+
+    from ..config import DEFAULT_CONFIG as _cfg
+    from ..config import resolve_num_partitions
+    from ..sources.tables import read_parquet_clean
+    from ..stages.agg import grouped_sums
+    from ..stages.join import hash_join_exchange
+
+    m = ray.data.read_parquet(
+        media_path(sf_dir), columns=["media_id", "kind", "n_bytes"]
+        ).map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.cast(t["media_id"], pa.int64()),
+            "kind": t["kind"],
+            "n_bytes": pc.cast(t["n_bytes"], pa.int64()),
+        }), batch_format="pyarrow")
+    d = read_parquet_clean(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "n_chars"]).map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "source": t["source"],
+            "n_chars": pc.cast(t["n_chars"], pa.int64()),
+        }), batch_format="pyarrow")
+    joined = hash_join_exchange(m, d, "doc_id", ["kind", "n_bytes"],
+                                ["source", "n_chars"],
+                                resolve_num_partitions(_cfg))
+    agg = grouped_sums(joined.map_batches(
+        lambda t: pa.table({"kind": t["kind"], "source": t["source"],
+                            "n_bytes": t["n_bytes"],
+                            "n_chars": t["n_chars"]}),
+        batch_format="pyarrow"),
+        ["kind", "source"], ["n_bytes", "n_chars"], count_as="n_media")
+    return agg.map_batches(
+        lambda t: pa.table({
+            "kind": t["kind"], "source": t["source"],
+            "n_media": t["n_media"], "sum_bytes": t["sum_n_bytes"],
+            "sum_text_chars": t["sum_n_chars"],
+        }).cast(MEDIA_KIND_SOURCE_SCHEMA), batch_format="pyarrow")
