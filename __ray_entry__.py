@@ -1171,6 +1171,10 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "segment_status_matrix": relational.segment_status_matrix,
         "media_kind_source_matrix": multimodal.media_kind_source_matrix,
         "conv_last_tool_counts": transcriptops.conv_last_tool_counts,
+        "turn_char_class_profile_by_role":
+            transcriptops.turn_char_class_profile_by_role,
+        "supplier_acctbal_band_census":
+            relational.supplier_acctbal_band_census,
         "user_session_count_histogram":
             eventops.user_session_count_histogram,
         "order_value_delta_histogram":
@@ -3929,6 +3933,35 @@ def oracle_sql() -> dict[str, str]:
                   FROM t)
             SELECT tool, count(*) AS n_convs
             FROM r WHERE rn = 1 GROUP BY 1
+        """,
+        "turn_char_class_profile_by_role": f"""
+            SELECT role,
+                   CAST(sum(length(t)) AS BIGINT) AS n_chars,
+                   CAST(sum(length(t) - length(regexp_replace(t,
+                        '[a-zA-Z]', '', 'g'))) AS BIGINT) AS n_alpha,
+                   CAST(sum(length(t) - length(regexp_replace(t,
+                        '[0-9]', '', 'g'))) AS BIGINT) AS n_digit,
+                   CAST(sum(length(t) - length(replace(t, ' ', '')))
+                        AS BIGINT) AS n_space,
+                   CAST(sum(length(regexp_replace(replace(t, ' ', ''),
+                        '[a-zA-Z0-9]', '', 'g'))) AS BIGINT) AS n_other
+            FROM (SELECT role, coalesce(text, '') AS t
+                  FROM read_parquet('{_turns}/*.parquet'))
+            GROUP BY role
+        """,
+        "supplier_acctbal_band_census": """
+            WITH s AS (
+              SELECT s_nationkey,
+                     CAST(round(s_acctbal * 100) AS BIGINT) AS cents
+              FROM supplier)
+            SELECT n_name,
+                   CASE WHEN cents < 0 THEN 'negative'
+                        WHEN cents < 500000 THEN 'low'
+                        ELSE 'high' END AS band,
+                   count(*) AS n_suppliers,
+                   CAST(sum(cents) AS BIGINT) AS sum_acctbal_e2
+            FROM s JOIN nation ON n_nationkey = s_nationkey
+            GROUP BY 1, 2
         """,
         "doc_terminal_char_census": """
             SELECT source,

@@ -6467,3 +6467,61 @@ def segment_status_matrix(sf_dir: str):
             "n_orders": t["n_orders"],
             "sum_totalprice_e2": t["sum_price_e2"],
         }).cast(SEG_STATUS_SCHEMA), batch_format="pyarrow")
+
+
+SUPP_BAND_SCHEMA = pa.schema([
+    ("n_name", pa.string()),
+    ("band", pa.string()),
+    ("n_suppliers", pa.int64()),
+    ("sum_acctbal_e2", pa.int64()),
+])
+
+
+def supplier_acctbal_band_census(sf_dir: str):
+    """Credit-band composition of the supply base per nation: suppliers
+    bucketed into negative / low (< $5000) / high account-balance bands
+    with exact cent mass per (nation, band) cell — which procurement
+    regions lean on financially stressed suppliers. Band edges are
+    evaluated on the EXACT cent integers (never the float), so the
+    boundary rows land identically on both engines. Broadcast nation
+    dim via `ray.put`, map-only partials, ≤ nations × 3 cells fold;
+    an s_nationkey outside the closed dim raises."""
+    import numpy as np
+
+    from ..stages.agg import grouped_sums
+
+    nation = {r["n_nationkey"]: r["n_name"]
+              for r in read_parquet_clean(
+                  f"{sf_dir}/nation.parquet").take_all()}
+    max_nk = max(nation) if nation else -1
+    nm = np.empty(max_nk + 1, dtype=object)
+    for k, v in nation.items():
+        nm[k] = v
+    nm_ref = ray.put(nm)
+    bands = np.array(["negative", "low", "high"], dtype=object)
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        names = ray.get(nm_ref)
+        nk = np.asarray(batch["s_nationkey"], np.int64)
+        if nk.size and (nk.min() < 0 or nk.max() >= names.size):
+            raise ValueError("s_nationkey outside nation dimension")
+        cents = np.rint(np.asarray(batch["s_acctbal"],
+                                   np.float64) * 100).astype(np.int64)
+        band = np.where(cents < 0, 0, np.where(cents < 500000, 1, 2))
+        return pa.table({
+            "n_name": pa.array(names[nk], pa.string()),
+            "band": pa.array(bands[band], pa.string()),
+            "cents": pa.array(cents, pa.int64()),
+        })
+
+    ds = read_parquet_clean(f"{sf_dir}/supplier.parquet",
+                            columns=["s_nationkey", "s_acctbal"]
+                            ).map_batches(_prep, batch_format="pyarrow")
+    g = grouped_sums(ds, ["n_name", "band"], ["cents"],
+                     count_as="n_suppliers")
+    return g.map_batches(
+        lambda t: pa.table({
+            "n_name": t["n_name"], "band": t["band"],
+            "n_suppliers": t["n_suppliers"],
+            "sum_acctbal_e2": t["sum_cents"],
+        }).cast(SUPP_BAND_SCHEMA), batch_format="pyarrow")

@@ -2884,3 +2884,75 @@ def conv_last_tool_counts(sf_dir: str):
                             "n_convs": t["sum_n"]}).cast(
             FIRST_TOOL_SCHEMA),
         batch_format="pyarrow")
+
+
+TURN_CHAR_CLASS_SCHEMA = pa.schema([
+    ("role", pa.string()), ("n_chars", pa.int64()),
+    ("n_alpha", pa.int64()), ("n_digit", pa.int64()),
+    ("n_space", pa.int64()), ("n_other", pa.int64()),
+])
+
+
+def turn_char_class_profile_by_role(sf_dir: str):
+    """Character-class census per ROLE (alpha / digit / space / other,
+    in characters): the transcripts twin of `char_class_profile_docs`
+    — tool output whose digit mass spikes flags table dumps riding the
+    context window; a user role whose alpha share collapses flags
+    paste-bombs. Map-only Arrow kernels (`utf8_length`,
+    `count_substring_regex`) with per-role partial sums inside each
+    block, then one |roles|-row fold. All-integer output."""
+    from ..stages.agg import grouped_sums
+
+    part_schema = pa.schema([
+        ("role", pa.string()), ("n_chars", pa.int64()),
+        ("n_alpha", pa.int64()), ("n_digit", pa.int64()),
+        ("n_space", pa.int64())])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch["text"], "")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        role = batch["role"]
+        if isinstance(role, pa.ChunkedArray):
+            role = role.combine_chunks()
+        enc = pc.fill_null(role, "").dictionary_encode()
+        codes = np.asarray(enc.indices, np.int64)
+        n_r = len(enc.dictionary)
+        tot = np.asarray(pc.utf8_length(text), np.int64)
+        al = np.asarray(pc.count_substring_regex(text, "[a-zA-Z]"),
+                        np.int64)
+        dg = np.asarray(pc.count_substring_regex(text, "[0-9]"),
+                        np.int64)
+        sp = np.asarray(pc.count_substring(text, " "), np.int64)
+
+        def _fold(w):
+            return pa.array(np.bincount(codes, weights=w,
+                                        minlength=n_r).astype(np.int64),
+                            pa.int64())
+
+        return pa.table({
+            "role": enc.dictionary,
+            "n_chars": _fold(tot), "n_alpha": _fold(al),
+            "n_digit": _fold(dg), "n_space": _fold(sp),
+        }).cast(part_schema)
+
+    agg = grouped_sums(
+        _read_turns(sf_dir, ("role", "text")).map_batches(
+            _partial, batch_format="pyarrow"),
+        ["role"], ["n_chars", "n_alpha", "n_digit", "n_space"])
+
+    def _final(t: pa.Table) -> pa.Table:
+        tot = np.asarray(t["sum_n_chars"], np.int64)
+        al = np.asarray(t["sum_n_alpha"], np.int64)
+        dg = np.asarray(t["sum_n_digit"], np.int64)
+        sp = np.asarray(t["sum_n_space"], np.int64)
+        return pa.table({
+            "role": t["role"],
+            "n_chars": pa.array(tot, pa.int64()),
+            "n_alpha": pa.array(al, pa.int64()),
+            "n_digit": pa.array(dg, pa.int64()),
+            "n_space": pa.array(sp, pa.int64()),
+            "n_other": pa.array(tot - al - dg - sp, pa.int64()),
+        }).cast(TURN_CHAR_CLASS_SCHEMA)
+
+    return agg.map_batches(_final, batch_format="pyarrow")
