@@ -1175,6 +1175,9 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
             transcriptops.turn_char_class_profile_by_role,
         "supplier_acctbal_band_census":
             relational.supplier_acctbal_band_census,
+        "case_ratio_by_source": docops.case_ratio_by_source,
+        "orders_day_of_month_census":
+            relational.orders_day_of_month_census,
         "user_session_count_histogram":
             eventops.user_session_count_histogram,
         "order_value_delta_histogram":
@@ -3948,6 +3951,29 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT role, coalesce(text, '') AS t
                   FROM read_parquet('{_turns}/*.parquet'))
             GROUP BY role
+        """,
+        "case_ratio_by_source": """
+            WITH s AS (
+              SELECT source,
+                     CAST(sum(length(t) - length(regexp_replace(t,
+                          '[A-Z]', '', 'g'))) AS BIGINT) AS n_upper,
+                     CAST(sum(length(t) - length(regexp_replace(t,
+                          '[a-z]', '', 'g'))) AS BIGINT) AS n_lower
+              FROM (SELECT source, coalesce(text, '') AS t
+                    FROM documents)
+              GROUP BY source)
+            SELECT source, n_upper, n_lower,
+                   CASE WHEN n_upper + n_lower > 0
+                        THEN 1000 * n_upper // (n_upper + n_lower)
+                        ELSE 0 END AS upper_permille
+            FROM s
+        """,
+        "orders_day_of_month_census": """
+            SELECT CAST(day(o_orderdate) AS BIGINT) AS day_of_month,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS sum_totalprice_e2
+            FROM orders GROUP BY 1
         """,
         "supplier_acctbal_band_census": """
             WITH s AS (

@@ -4196,3 +4196,70 @@ def doc_terminal_char_census(sf_dir: str):
         ["source", "terminal"], [], count_as="n_docs")
     return g.map_batches(lambda t: t.cast(TERMINAL_CHAR_SCHEMA),
                          batch_format="pyarrow")
+
+
+CASE_RATIO_SCHEMA = pa.schema([
+    ("source", pa.string()),
+    ("n_upper", pa.int64()),
+    ("n_lower", pa.int64()),
+    ("upper_permille", pa.int64()),
+])
+
+
+def case_ratio_by_source(sf_dir: str):
+    """Uppercase-mass audit per source: exact upper/lower letter counts
+    and the integer-permille upper share — `char_class_profile_docs`
+    folds both cases into one alpha bucket, but shouting boilerplate,
+    ALL-CAPS headers and licence blocks show up ONLY in the case split.
+    Map-only (`count_substring_regex` per case class), per-source
+    bincount partials, |sources| cells fold; permille is floor division
+    on the exact integers so both engines agree, and an all-digit
+    source (zero letters) reports 0‰ by convention on BOTH sides."""
+    from ..stages.agg import grouped_sums
+
+    part_schema = pa.schema([
+        ("source", pa.string()), ("n_upper", pa.int64()),
+        ("n_lower", pa.int64())])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch["text"], "")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        src = batch["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        enc = pc.fill_null(src, "").dictionary_encode()
+        codes = np.asarray(enc.indices, np.int64)
+        n_s = len(enc.dictionary)
+        up = np.asarray(pc.count_substring_regex(text, "[A-Z]"),
+                        np.int64)
+        lo = np.asarray(pc.count_substring_regex(text, "[a-z]"),
+                        np.int64)
+        return pa.table({
+            "source": enc.dictionary,
+            "n_upper": pa.array(np.bincount(codes, weights=up,
+                                            minlength=n_s)
+                                .astype(np.int64), pa.int64()),
+            "n_lower": pa.array(np.bincount(codes, weights=lo,
+                                            minlength=n_s)
+                                .astype(np.int64), pa.int64()),
+        }).cast(part_schema)
+
+    agg = grouped_sums(
+        _read_docs(sf_dir, columns=("source", "text")).map_batches(
+            _partial, batch_format="pyarrow"),
+        ["source"], ["n_upper", "n_lower"])
+
+    def _final(t: pa.Table) -> pa.Table:
+        up = np.asarray(t["sum_n_upper"], np.int64)
+        lo = np.asarray(t["sum_n_lower"], np.int64)
+        denom = up + lo
+        pm = np.where(denom > 0, 1000 * up // np.maximum(denom, 1), 0)
+        return pa.table({
+            "source": t["source"],
+            "n_upper": pa.array(up, pa.int64()),
+            "n_lower": pa.array(lo, pa.int64()),
+            "upper_permille": pa.array(pm, pa.int64()),
+        }).cast(CASE_RATIO_SCHEMA)
+
+    return agg.map_batches(_final, batch_format="pyarrow")

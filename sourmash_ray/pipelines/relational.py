@@ -6525,3 +6525,42 @@ def supplier_acctbal_band_census(sf_dir: str):
             "n_suppliers": t["n_suppliers"],
             "sum_acctbal_e2": t["sum_cents"],
         }).cast(SUPP_BAND_SCHEMA), batch_format="pyarrow")
+
+
+DOM_CENSUS_SCHEMA = pa.schema([
+    ("day_of_month", pa.int64()),
+    ("n_orders", pa.int64()),
+    ("sum_totalprice_e2", pa.int64()),
+])
+
+
+def orders_day_of_month_census(sf_dir: str):
+    """Month-end batch-effect detector: order count + exact totalprice
+    cents per calendar day-of-month (1..31). Real order flow is ~flat
+    across the month modulo the 29-31 tail; a spike at day 1 or the
+    last day flags batch postings or date truncation upstream. Map-only
+    `pc.day` extraction, ≤ 31 cells ride the fold."""
+    import numpy as np
+
+    from ..stages.agg import grouped_sums
+
+    def _dom(batch: pa.Table) -> pa.Table:
+        price = np.rint(np.asarray(batch["o_totalprice"],
+                                   np.float64) * 100).astype(np.int64)
+        return pa.table({
+            "day_of_month": pc.cast(pc.day(batch["o_orderdate"]),
+                                    pa.int64()),
+            "cents": pa.array(price, pa.int64()),
+        })
+
+    g = grouped_sums(
+        read_parquet_clean(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderdate", "o_totalprice"]
+                           ).map_batches(_dom, batch_format="pyarrow"),
+        ["day_of_month"], ["cents"], count_as="n_orders")
+    return g.map_batches(
+        lambda t: pa.table({
+            "day_of_month": t["day_of_month"],
+            "n_orders": t["n_orders"],
+            "sum_totalprice_e2": t["sum_cents"],
+        }).cast(DOM_CENSUS_SCHEMA), batch_format="pyarrow")
