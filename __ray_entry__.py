@@ -1178,6 +1178,9 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "case_ratio_by_source": docops.case_ratio_by_source,
         "orders_day_of_month_census":
             relational.orders_day_of_month_census,
+        "embedding_dim_sign_census": ann.embedding_dim_sign_census,
+        "order_ship_span_histogram":
+            relational.order_ship_span_histogram,
         "user_session_count_histogram":
             eventops.user_session_count_histogram,
         "order_value_delta_histogram":
@@ -3951,6 +3954,30 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT role, coalesce(text, '') AS t
                   FROM read_parquet('{_turns}/*.parquet'))
             GROUP BY role
+        """,
+        "embedding_dim_sign_census": """
+            WITH v AS (
+              SELECT unnest(range(1, len(embedding) + 1)) AS dim,
+                     CAST(round(CAST(unnest(embedding) AS DOUBLE)
+                                * 10000) AS BIGINT) AS e4
+              FROM embeddings)
+            SELECT dim,
+                   CAST(count(*) FILTER (e4 < 0) AS BIGINT) AS n_neg,
+                   CAST(count(*) FILTER (e4 = 0) AS BIGINT) AS n_zero,
+                   CAST(count(*) FILTER (e4 > 0) AS BIGINT) AS n_pos,
+                   CAST(sum(abs(e4)) AS BIGINT) AS sum_abs_e4
+            FROM v GROUP BY dim
+        """,
+        "order_ship_span_histogram": """
+            WITH per AS (
+              SELECT l_orderkey,
+                     (CAST(epoch_us(max(l_shipdate)) AS BIGINT)
+                      - CAST(epoch_us(min(l_shipdate)) AS BIGINT))
+                         // 86400000000 AS span_days
+              FROM lineitem GROUP BY l_orderkey)
+            SELECT CAST(span_days AS BIGINT) AS span_days,
+                   count(*) AS n_orders
+            FROM per GROUP BY 1
         """,
         "case_ratio_by_source": """
             WITH s AS (

@@ -1784,3 +1784,54 @@ def label_size_histogram(sf_dir: str):
         ["n_vecs"], [], count_as="n_labels")
     return g.map_batches(lambda t: t.cast(LABEL_SIZE_SCHEMA),
                          batch_format="pyarrow")
+
+
+DIM_SIGN_SCHEMA = pa.schema([
+    ("dim", pa.int64()),
+    ("n_neg", pa.int64()),
+    ("n_zero", pa.int64()),
+    ("n_pos", pa.int64()),
+    ("sum_abs_e4", pa.int64()),
+])
+
+
+def embedding_dim_sign_census(sf_dir: str):
+    """Per-dimension sign balance of the embedding column: negative /
+    zero / positive counts plus the absolute 1e4-quantized mass — the
+    bias audit `embedding_dim_profile`'s sum hides (a dim whose mean is
+    ~0 can still be 90/10 sign-skewed, and a dead ReLU-style dim shows
+    as all-zero here before it shows anywhere else). Signs are decided
+    on the SAME e4 integers both engines compute, so boundary values
+    land identically. One pruned scan; each block reduces to d partial
+    rows; one d-row fold."""
+    from ..stages.agg import grouped_sums
+
+    part_schema = pa.schema([
+        ("dim", pa.int64()), ("n_neg", pa.int64()),
+        ("n_zero", pa.int64()), ("n_pos", pa.int64()),
+        ("sum_abs_e4", pa.int64())])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        _, mat = _emb_matrix(batch)
+        if mat.size == 0:
+            return part_schema.empty_table()
+        q = np.round(mat * 1e4)           # exact integers in float64
+        d = mat.shape[1]
+        return pa.table({
+            "dim": pa.array(np.arange(1, d + 1, dtype=np.int64)),
+            "n_neg": pa.array((q < 0).sum(axis=0).astype(np.int64)),
+            "n_zero": pa.array((q == 0).sum(axis=0).astype(np.int64)),
+            "n_pos": pa.array((q > 0).sum(axis=0).astype(np.int64)),
+            "sum_abs_e4": pa.array(np.abs(q).sum(axis=0)
+                                   .astype(np.int64)),
+        })
+
+    g = grouped_sums(
+        _read_emb(sf_dir).map_batches(_partial, batch_format="pyarrow"),
+        ["dim"], ["n_neg", "n_zero", "n_pos", "sum_abs_e4"])
+    return g.map_batches(
+        lambda t: pa.table({
+            "dim": t["dim"], "n_neg": t["sum_n_neg"],
+            "n_zero": t["sum_n_zero"], "n_pos": t["sum_n_pos"],
+            "sum_abs_e4": t["sum_sum_abs_e4"],
+        }).cast(DIM_SIGN_SCHEMA), batch_format="pyarrow")

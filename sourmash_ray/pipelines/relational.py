@@ -6564,3 +6564,48 @@ def orders_day_of_month_census(sf_dir: str):
             "n_orders": t["n_orders"],
             "sum_totalprice_e2": t["sum_cents"],
         }).cast(DOM_CENSUS_SCHEMA), batch_format="pyarrow")
+
+
+SHIP_SPAN_SCHEMA = pa.schema([
+    ("span_days", pa.int64()),
+    ("n_orders", pa.int64()),
+])
+
+
+def order_ship_span_histogram(sf_dir: str):
+    """Fulfillment-window histogram: per order, days between its FIRST
+    and LAST line shipment (0 = single-shipment order), contracted to a
+    (span_days → n_orders) census — long spans flag split shipments and
+    backorder churn that per-line latency histograms can't see. Block
+    combiner via `grouped_minmax` (min of minima / max of maxima exact
+    for any distribution), then span cells fold; the span is
+    non-negative by construction so floor and truncating division
+    agree across engines."""
+    import numpy as np
+
+    from ..config import DEFAULT_CONFIG as _cfg
+    from ..config import resolve_num_partitions
+    from ..stages.agg import grouped_minmax, grouped_sums
+
+    lines = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate"]).map_batches(
+        lambda t: pa.table({
+            "okey": pc.cast(t["l_orderkey"], pa.int64()),
+            "ship_us": pc.cast(t["l_shipdate"], pa.int64()),
+        }), batch_format="pyarrow")
+    per = grouped_minmax(lines, ["okey"], "ship_us",
+                         n_parts=resolve_num_partitions(_cfg))
+
+    def _span(batch: pa.Table) -> pa.Table:
+        lo = np.asarray(batch["min_ship_us"], np.int64)
+        hi = np.asarray(batch["max_ship_us"], np.int64)
+        return pa.table({
+            "span_days": pa.array((hi - lo) // 86_400_000_000,
+                                  pa.int64()),
+        })
+
+    g = grouped_sums(per.map_batches(_span, batch_format="pyarrow"),
+                     ["span_days"], [], count_as="n_orders")
+    return g.map_batches(lambda t: t.cast(SHIP_SPAN_SCHEMA),
+                         batch_format="pyarrow")
