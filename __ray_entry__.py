@@ -1181,6 +1181,10 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "embedding_dim_sign_census": ann.embedding_dim_sign_census,
         "order_ship_span_histogram":
             relational.order_ship_span_histogram,
+        "conv_tool_entry_exit_matrix":
+            transcriptops.conv_tool_entry_exit_matrix,
+        "session_type_diversity_histogram":
+            eventops.session_type_diversity_histogram,
         "user_session_count_histogram":
             eventops.user_session_count_histogram,
         "order_value_delta_histogram":
@@ -3954,6 +3958,37 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT role, coalesce(text, '') AS t
                   FROM read_parquet('{_turns}/*.parquet'))
             GROUP BY role
+        """,
+        "conv_tool_entry_exit_matrix": f"""
+            WITH t AS (SELECT conv_id, turn_idx, tool
+                       FROM read_parquet('{_turns}/*.parquet')
+                       WHERE tool IS NOT NULL AND tool <> ''),
+            fl AS (SELECT conv_id,
+                          min_by(tool, turn_idx) AS tool_first,
+                          max_by(tool, turn_idx) AS tool_last
+                   FROM t GROUP BY conv_id)
+            SELECT tool_first, tool_last, count(*) AS n_convs
+            FROM fl GROUP BY 1, 2
+        """,
+        "session_type_diversity_histogram": """
+            WITH g AS (
+              SELECT user_id, ts, event_type,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS brk
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (
+              SELECT user_id, event_type,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sess
+              FROM g),
+            sess AS (
+              SELECT user_id, sess,
+                     count(DISTINCT event_type) AS n_types
+              FROM s GROUP BY user_id, sess)
+            SELECT CAST(n_types AS BIGINT) AS n_types,
+                   count(*) AS n_sessions
+            FROM sess GROUP BY 1
         """,
         "embedding_dim_sign_census": """
             WITH v AS (

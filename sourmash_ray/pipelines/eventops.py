@@ -3292,3 +3292,74 @@ def events_weekend_share_by_type(sf_dir: str):
         }).cast(WEEKEND_SHARE_SCHEMA)
 
     return g.map_batches(_share, batch_format="pyarrow")
+
+
+SESS_DIVERSITY_SCHEMA = pa.schema([
+    ("n_types", pa.int64()),
+    ("n_sessions", pa.int64()),
+])
+
+
+def session_type_diversity_histogram(sf_dir: str,
+                                     gap_minutes: int = 30):
+    """Behavioral breadth per session: how many DISTINCT event types a
+    session touches, contracted to a (n_types → n_sessions) census —
+    single-type sessions are bots or bounces; broad sessions are real
+    exploration. Same user exchange + one lexsort as `sessionize_events`
+    (break on user change or gap > threshold), distinct types counted
+    via a second in-partition lexsort over (session, type-code) —
+    no per-session Python. ≤ |types| cells fold."""
+    import numpy as np
+
+    from ..config import DEFAULT_CONFIG, resolve_num_partitions
+    from ..stages.agg import grouped_sums
+    from ..stages.exchange import exchange_map_groups
+
+    gap_us = gap_minutes * 60_000_000
+    part_schema = pa.schema([("n_types", pa.int64()),
+                             ("n", pa.int64())])
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"],
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+            "event_id": batch["event_id"],
+            "event_type": batch["event_type"],
+        })
+
+    def _diversity(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return part_schema.empty_table()
+        u = np.asarray(part["user_id"], np.int64)
+        ts = np.asarray(part["ts_us"], np.int64)
+        eid = np.asarray(part["event_id"], np.int64)
+        enc = part["event_type"].combine_chunks().dictionary_encode()
+        code = np.asarray(enc.indices, np.int64)
+        order = np.lexsort((eid, ts, u))
+        u_s, ts_s, code_s = u[order], ts[order], code[order]
+        new_user = np.r_[True, u_s[1:] != u_s[:-1]]
+        gap = ts_s - np.r_[np.int64(0), ts_s[:-1]]
+        brk = new_user | (gap > gap_us)
+        sess = np.cumsum(brk) - 1
+        o2 = np.lexsort((code_s, sess))
+        ss, cc = sess[o2], code_s[o2]
+        uniq = np.r_[True, (ss[1:] != ss[:-1]) | (cc[1:] != cc[:-1])]
+        div = np.bincount(ss[uniq])
+        vals, n = np.unique(div, return_counts=True)
+        return pa.table({
+            "n_types": pa.array(vals.astype(np.int64), pa.int64()),
+            "n": pa.array(n.astype(np.int64), pa.int64()),
+        }).cast(part_schema)
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"]
+        ).map_batches(_tag, batch_format="pyarrow")
+    parts = exchange_map_groups(ds, "user_id",
+                                resolve_num_partitions(DEFAULT_CONFIG),
+                                _diversity, part_schema)
+    g = grouped_sums(parts, ["n_types"], ["n"])
+    return g.map_batches(
+        lambda t: pa.table({"n_types": t["n_types"],
+                            "n_sessions": t["sum_n"]}).cast(
+            SESS_DIVERSITY_SCHEMA), batch_format="pyarrow")

@@ -2956,3 +2956,76 @@ def turn_char_class_profile_by_role(sf_dir: str):
         }).cast(TURN_CHAR_CLASS_SCHEMA)
 
     return agg.map_batches(_final, batch_format="pyarrow")
+
+
+TOOL_ENTRY_EXIT_SCHEMA = pa.schema([
+    ("tool_first", pa.string()),
+    ("tool_last", pa.string()),
+    ("n_convs", pa.int64()),
+])
+
+
+def conv_tool_entry_exit_matrix(sf_dir: str):
+    """(entry tool → exit tool) flow matrix: for every conversation
+    that calls tools, the FIRST and LAST tool it touches, counted per
+    (first, last) cell — the workflow-shape census that
+    `conv_first_tool_counts` / `conv_last_tool_counts` only show as
+    marginals (a heavy search→edit diagonal vs a search→search loop
+    are different products). Both endpoints come out of ONE lexsort
+    per conv partition; ≤ |tools|² cells fold."""
+    from ..config import resolve_num_partitions
+    from ..functions.segscore import _to_bytes_array, hash_strings64
+    from ..stages.agg import grouped_sums
+    from ..stages.exchange import exchange_map_groups
+
+    part_schema = pa.schema([("tool_first", pa.string()),
+                             ("tool_last", pa.string()),
+                             ("n", pa.int64())])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(batch["tool"]),
+                       pc.not_equal(batch["tool"], ""))
+        t = batch.filter(keep)
+        cid = t["conv_id"].combine_chunks()
+        return pa.table({
+            "conv_id": cid,
+            "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+            "tool": t["tool"],
+            "conv_part": pa.array(hash_strings64(cid) % 1024, pa.int64()),
+        })
+
+    def _pairs(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return part_schema.empty_table()
+        cid = _to_bytes_array(part["conv_id"].combine_chunks())
+        tix = np.asarray(part["turn_idx"], np.int64)
+        tcol = part["tool"].combine_chunks()
+        enc = tcol.dictionary_encode()
+        code = np.asarray(enc.indices, np.int64)
+        n_tools = len(enc.dictionary)
+        order = np.lexsort((tix, cid))
+        c_s = cid[order]
+        starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
+        ends = np.r_[starts[1:], len(c_s)] - 1
+        first_c = code[order[starts]]
+        last_c = code[order[ends]]
+        key = first_c * n_tools + last_c
+        uniq, n = np.unique(key, return_counts=True)
+        d = enc.dictionary
+        return pa.table({
+            "tool_first": d.take(pa.array(uniq // n_tools, pa.int64())),
+            "tool_last": d.take(pa.array(uniq % n_tools, pa.int64())),
+            "n": pa.array(n.astype(np.int64), pa.int64()),
+        }).cast(part_schema)
+
+    keyed = _read_turns(sf_dir, ("conv_id", "turn_idx", "tool")
+                        ).map_batches(_prep, batch_format="pyarrow")
+    parts = exchange_map_groups(keyed, "conv_part",
+                                resolve_num_partitions(DEFAULT_CONFIG),
+                                _pairs, part_schema)
+    g = grouped_sums(parts, ["tool_first", "tool_last"], ["n"])
+    return g.map_batches(
+        lambda t: pa.table({
+            "tool_first": t["tool_first"], "tool_last": t["tool_last"],
+            "n_convs": t["sum_n"],
+        }).cast(TOOL_ENTRY_EXIT_SCHEMA), batch_format="pyarrow")
