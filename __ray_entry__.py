@@ -1185,6 +1185,10 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
             transcriptops.conv_tool_entry_exit_matrix,
         "session_type_diversity_histogram":
             eventops.session_type_diversity_histogram,
+        "numeric_token_rate_by_lang":
+            docops.numeric_token_rate_by_lang,
+        "user_weekend_affinity_census":
+            eventops.user_weekend_affinity_census,
         "user_session_count_histogram":
             eventops.user_session_count_histogram,
         "order_value_delta_histogram":
@@ -3958,6 +3962,44 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT role, coalesce(text, '') AS t
                   FROM read_parquet('{_turns}/*.parquet'))
             GROUP BY role
+        """,
+        "numeric_token_rate_by_lang": """
+            WITH toks AS (
+              SELECT lang,
+                     unnest(list_filter(string_split(trim(
+                         regexp_replace(coalesce(text, ''),
+                                        '[ \t\n\r\f\v]+', ' ', 'g')),
+                         ' '), x -> len(x) > 0)) AS tok
+              FROM documents),
+            agg AS (
+              SELECT lang, count(*) AS n_tokens,
+                     CAST(count(*) FILTER (
+                         regexp_full_match(tok, '[0-9]+'))
+                          AS BIGINT) AS n_numeric
+              FROM toks GROUP BY lang)
+            SELECT lang, n_tokens, n_numeric,
+                   CASE WHEN n_tokens > 0
+                        THEN 1000 * n_numeric // n_tokens
+                        ELSE 0 END AS numeric_permille
+            FROM agg
+        """,
+        "user_weekend_affinity_census": """
+            WITH per AS (
+              SELECT user_id, count(*) AS n_events,
+                     CAST(sum(CASE WHEN dayofweek(ts) IN (0, 6)
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_wk
+              FROM events GROUP BY user_id),
+            banded AS (
+              SELECT CASE WHEN 1000 * n_wk // n_events < 250
+                            THEN 'weekday_heavy'
+                          WHEN 1000 * n_wk // n_events < 750
+                            THEN 'balanced'
+                          ELSE 'weekend_heavy' END AS band,
+                     n_events
+              FROM per)
+            SELECT band, count(*) AS n_users,
+                   CAST(sum(n_events) AS BIGINT) AS sum_events
+            FROM banded GROUP BY band
         """,
         "conv_tool_entry_exit_matrix": f"""
             WITH t AS (SELECT conv_id, turn_idx, tool

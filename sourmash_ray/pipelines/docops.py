@@ -4263,3 +4263,77 @@ def case_ratio_by_source(sf_dir: str):
         }).cast(CASE_RATIO_SCHEMA)
 
     return agg.map_batches(_final, batch_format="pyarrow")
+
+
+NUMERIC_TOKEN_SCHEMA = pa.schema([
+    ("lang", pa.string()),
+    ("n_tokens", pa.int64()),
+    ("n_numeric", pa.int64()),
+    ("numeric_permille", pa.int64()),
+])
+
+
+def numeric_token_rate_by_lang(sf_dir: str):
+    """Share of whitespace tokens that are PURE digit runs, per lang —
+    the table-dump / ID-spam detector at token grain (char-level digit
+    mass can't tell '2024 sales rose 3%' prose from a dumped CSV
+    column; all-digit TOKENS can). Uses the repo's pinned tokenizer
+    convention (WS-normalize → trim → split on ' ', empty text = 0
+    tokens); numeric = RE2 full-match `[0-9]+` on the flattened token
+    array, folded per lang with one bincount. Permille is floor
+    division on exact integers; a lang with zero tokens reports 0‰ on
+    both engines."""
+    from ..stages.agg import grouped_sums
+
+    part_schema = pa.schema([
+        ("lang", pa.string()), ("n_tokens", pa.int64()),
+        ("n_numeric", pa.int64())])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch["text"].combine_chunks(), "")
+        lang = batch["lang"]
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        enc = pc.fill_null(lang, "").dictionary_encode()
+        codes = np.asarray(enc.indices, np.int64)
+        n_l = len(enc.dictionary)
+        trimmed = pc.utf8_trim(
+            pc.replace_substring_regex(text, WS_PATTERN, " "), " ")
+        splits = pc.split_pattern(trimmed, " ")
+        n_tok = np.asarray(
+            pc.if_else(pc.equal(trimmed, ""),
+                       pa.scalar(0, pa.int64()),
+                       pc.cast(pc.list_value_length(splits),
+                               pa.int64())), np.int64)
+        flat = pc.list_flatten(splits)
+        num = np.asarray(
+            pc.match_substring_regex(flat, r"^[0-9]+$"), bool)
+        tok_lang = np.repeat(
+            codes, np.asarray(pc.list_value_length(splits), np.int64))
+        return pa.table({
+            "lang": enc.dictionary,
+            "n_tokens": pa.array(np.bincount(codes, weights=n_tok,
+                                             minlength=n_l)
+                                 .astype(np.int64), pa.int64()),
+            "n_numeric": pa.array(np.bincount(tok_lang[num],
+                                              minlength=n_l)
+                                  .astype(np.int64), pa.int64()),
+        }).cast(part_schema)
+
+    agg = grouped_sums(
+        _read_docs(sf_dir, columns=("lang", "text")).map_batches(
+            _partial, batch_format="pyarrow"),
+        ["lang"], ["n_tokens", "n_numeric"])
+
+    def _final(t: pa.Table) -> pa.Table:
+        tok = np.asarray(t["sum_n_tokens"], np.int64)
+        num = np.asarray(t["sum_n_numeric"], np.int64)
+        pm = np.where(tok > 0, 1000 * num // np.maximum(tok, 1), 0)
+        return pa.table({
+            "lang": t["lang"],
+            "n_tokens": pa.array(tok, pa.int64()),
+            "n_numeric": pa.array(num, pa.int64()),
+            "numeric_permille": pa.array(pm, pa.int64()),
+        }).cast(NUMERIC_TOKEN_SCHEMA)
+
+    return agg.map_batches(_final, batch_format="pyarrow")
