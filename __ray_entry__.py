@@ -1189,6 +1189,10 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
             docops.numeric_token_rate_by_lang,
         "user_weekend_affinity_census":
             eventops.user_weekend_affinity_census,
+        "customer_acctbal_band_by_segment":
+            relational.customer_acctbal_band_by_segment,
+        "conv_verbosity_trend_census":
+            transcriptops.conv_verbosity_trend_census,
         "user_session_count_histogram":
             eventops.user_session_count_histogram,
         "order_value_delta_histogram":
@@ -3962,6 +3966,35 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT role, coalesce(text, '') AS t
                   FROM read_parquet('{_turns}/*.parquet'))
             GROUP BY role
+        """,
+        "customer_acctbal_band_by_segment": """
+            WITH c AS (
+              SELECT c_mktsegment,
+                     CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+              FROM customer)
+            SELECT c_mktsegment,
+                   CASE WHEN cents < 0 THEN 'negative'
+                        WHEN cents < 500000 THEN 'low'
+                        ELSE 'high' END AS band,
+                   count(*) AS n_customers,
+                   CAST(sum(cents) AS BIGINT) AS sum_acctbal_e2
+            FROM c GROUP BY 1, 2
+        """,
+        "conv_verbosity_trend_census": f"""
+            WITH per AS (
+              SELECT conv_id, count(*) AS n,
+                     CAST(sum(turn_idx) AS BIGINT) AS sx,
+                     CAST(sum(length(coalesce(text, ''))) AS BIGINT)
+                         AS sc,
+                     CAST(sum(turn_idx * length(coalesce(text, '')))
+                          AS BIGINT) AS sxc
+              FROM read_parquet('{_turns}/*.parquet')
+              GROUP BY conv_id)
+            SELECT CASE WHEN n * sxc - sx * sc > 0 THEN 'rising'
+                        WHEN n * sxc - sx * sc < 0 THEN 'falling'
+                        ELSE 'flat' END AS trend,
+                   count(*) AS n_convs
+            FROM per GROUP BY 1
         """,
         "numeric_token_rate_by_lang": """
             WITH toks AS (

@@ -6609,3 +6609,47 @@ def order_ship_span_histogram(sf_dir: str):
                      ["span_days"], [], count_as="n_orders")
     return g.map_batches(lambda t: t.cast(SHIP_SPAN_SCHEMA),
                          batch_format="pyarrow")
+
+
+CUST_BAND_SEG_SCHEMA = pa.schema([
+    ("c_mktsegment", pa.string()),
+    ("band", pa.string()),
+    ("n_customers", pa.int64()),
+    ("sum_acctbal_e2", pa.int64()),
+])
+
+
+def customer_acctbal_band_by_segment(sf_dir: str):
+    """Credit-band composition per MARKET SEGMENT (the demand-side twin
+    of `supplier_acctbal_band_census`): customers bucketed into
+    negative / low (< $5000) / high balance bands with exact cent mass
+    per (segment, band) cell — which segments carry deadbeat risk.
+    Band edges evaluate on the exact cent integers; map-only,
+    ≤ segments × 3 cells fold."""
+    import numpy as np
+
+    from ..stages.agg import grouped_sums
+
+    bands = np.array(["negative", "low", "high"], dtype=object)
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        cents = np.rint(np.asarray(batch["c_acctbal"],
+                                   np.float64) * 100).astype(np.int64)
+        band = np.where(cents < 0, 0, np.where(cents < 500000, 1, 2))
+        return pa.table({
+            "c_mktsegment": batch["c_mktsegment"],
+            "band": pa.array(bands[band], pa.string()),
+            "cents": pa.array(cents, pa.int64()),
+        })
+
+    g = grouped_sums(
+        read_parquet_clean(f"{sf_dir}/customer.parquet",
+                           columns=["c_mktsegment", "c_acctbal"]
+                           ).map_batches(_prep, batch_format="pyarrow"),
+        ["c_mktsegment", "band"], ["cents"], count_as="n_customers")
+    return g.map_batches(
+        lambda t: pa.table({
+            "c_mktsegment": t["c_mktsegment"], "band": t["band"],
+            "n_customers": t["n_customers"],
+            "sum_acctbal_e2": t["sum_cents"],
+        }).cast(CUST_BAND_SEG_SCHEMA), batch_format="pyarrow")

@@ -3029,3 +3029,78 @@ def conv_tool_entry_exit_matrix(sf_dir: str):
             "tool_first": t["tool_first"], "tool_last": t["tool_last"],
             "n_convs": t["sum_n"],
         }).cast(TOOL_ENTRY_EXIT_SCHEMA), batch_format="pyarrow")
+
+
+VERBOSITY_TREND_SCHEMA = pa.schema([
+    ("trend", pa.string()),
+    ("n_convs", pa.int64()),
+])
+
+
+def conv_verbosity_trend_census(sf_dir: str):
+    """Within-conversation verbosity TREND census: per conversation the
+    exact sign of cov(turn_idx, turn chars) — rising (turns get longer
+    as the conversation deepens: context accretion), falling (opening
+    dump then terse follow-ups), or flat — counted across the corpus.
+    The covariance numerator n·Σxy − Σx·Σy is computed in exact int64
+    per conversation on the conv exchange (inputs guarded at 2³¹ so
+    products stay below 2⁶²); single-turn conversations are flat by
+    identity. 3 cells leave."""
+    from ..config import resolve_num_partitions
+    from ..functions.segscore import _to_bytes_array, hash_strings64
+    from ..stages.agg import grouped_sums
+    from ..stages.exchange import exchange_map_groups
+
+    part_schema = pa.schema([("trend", pa.string()),
+                             ("n", pa.int64())])
+    trends = np.array(["falling", "flat", "rising"], dtype=object)
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        cid = batch["conv_id"].combine_chunks()
+        c = np.asarray(pc.cast(pc.utf8_length(
+            pc.fill_null(batch["text"].combine_chunks(), "")),
+            pa.int64()), np.int64)
+        x = np.asarray(pc.cast(batch["turn_idx"], pa.int64()), np.int64)
+        if c.size and (c.max() >= 2**31 or x.max() >= 2**31):
+            raise ValueError("turn chars/idx >= 2^31: exact int64 "
+                             "covariance would overflow")
+        return pa.table({
+            "conv_id": cid,
+            "x": pa.array(x, pa.int64()),
+            "c": pa.array(c, pa.int64()),
+            "conv_part": pa.array(hash_strings64(cid) % 1024, pa.int64()),
+        })
+
+    def _trend(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return part_schema.empty_table()
+        cid = _to_bytes_array(part["conv_id"].combine_chunks())
+        x = np.asarray(part["x"], np.int64)
+        c = np.asarray(part["c"], np.int64)
+        order = np.argsort(cid, kind="stable")
+        c_s = cid[order]
+        starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
+        bounds = np.r_[starts, len(c_s)]
+        n = np.diff(bounds)
+        xs, cs, xc = x[order], c[order], x[order] * c[order]
+        sx = np.add.reduceat(xs, starts)
+        sc = np.add.reduceat(cs, starts)
+        sxc = np.add.reduceat(xc, starts)
+        num = n * sxc - sx * sc
+        t = np.sign(num).astype(np.int64) + 1
+        vals, cnt = np.unique(t, return_counts=True)
+        return pa.table({
+            "trend": pa.array(trends[vals], pa.string()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64()),
+        }).cast(part_schema)
+
+    keyed = _read_turns(sf_dir, ("conv_id", "turn_idx", "text")
+                        ).map_batches(_prep, batch_format="pyarrow")
+    parts = exchange_map_groups(keyed, "conv_part",
+                                resolve_num_partitions(DEFAULT_CONFIG),
+                                _trend, part_schema)
+    g = grouped_sums(parts, ["trend"], ["n"])
+    return g.map_batches(
+        lambda t: pa.table({"trend": t["trend"],
+                            "n_convs": t["sum_n"]}).cast(
+            VERBOSITY_TREND_SCHEMA), batch_format="pyarrow")
