@@ -1193,6 +1193,9 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
             relational.customer_acctbal_band_by_segment,
         "conv_verbosity_trend_census":
             transcriptops.conv_verbosity_trend_census,
+        "order_cents_census": relational.order_cents_census,
+        "returns_by_line_position":
+            relational.returns_by_line_position,
         "user_session_count_histogram":
             eventops.user_session_count_histogram,
         "order_value_delta_histogram":
@@ -3966,6 +3969,24 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT role, coalesce(text, '') AS t
                   FROM read_parquet('{_turns}/*.parquet'))
             GROUP BY role
+        """,
+        "order_cents_census": """
+            SELECT CAST(round(o_totalprice * 100) AS BIGINT) % 100
+                       AS cents,
+                   count(*) AS n_orders
+            FROM orders GROUP BY 1
+        """,
+        "returns_by_line_position": """
+            WITH g AS (
+              SELECT CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                     count(*) AS n_lines,
+                     CAST(sum(CASE WHEN l_returnflag = 'R'
+                              THEN 1 ELSE 0 END) AS BIGINT)
+                         AS n_returned
+              FROM lineitem GROUP BY 1)
+            SELECT l_linenumber, n_lines, n_returned,
+                   1000 * n_returned // n_lines AS returned_permille
+            FROM g
         """,
         "customer_acctbal_band_by_segment": """
             WITH c AS (

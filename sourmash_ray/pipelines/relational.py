@@ -6653,3 +6653,82 @@ def customer_acctbal_band_by_segment(sf_dir: str):
             "n_customers": t["n_customers"],
             "sum_acctbal_e2": t["sum_cents"],
         }).cast(CUST_BAND_SEG_SCHEMA), batch_format="pyarrow")
+
+
+CENTS_CENSUS_SCHEMA = pa.schema([
+    ("cents", pa.int64()),
+    ("n_orders", pa.int64()),
+])
+
+
+def order_cents_census(sf_dir: str):
+    """Sub-dollar digit census: order count per cents value (0..99) of
+    o_totalprice — the rounding/fraud audit that complements
+    `benford_first_digit_orders` at the OTHER end of the number
+    (organic prices are ~uniform in cents; a spike at .00/.99 flags
+    hand-entered or synthetic amounts). Cents derive from the same
+    exact round(×100) integers every money op uses; map-only, ≤ 100
+    cells fold."""
+    import numpy as np
+
+    from ..stages.agg import grouped_sums
+
+    def _cents(batch: pa.Table) -> pa.Table:
+        e2 = np.rint(np.asarray(batch["o_totalprice"],
+                                np.float64) * 100).astype(np.int64)
+        if e2.size and e2.min() < 0:
+            raise ValueError("negative totalprice: %% convention "
+                             "differs across engines below zero")
+        return pa.table({"cents": pa.array(e2 % 100, pa.int64())})
+
+    g = grouped_sums(
+        read_parquet_clean(f"{sf_dir}/orders.parquet",
+                           columns=["o_totalprice"]).map_batches(
+            _cents, batch_format="pyarrow"),
+        ["cents"], [], count_as="n_orders")
+    return g.map_batches(lambda t: t.cast(CENTS_CENSUS_SCHEMA),
+                         batch_format="pyarrow")
+
+
+LINEPOS_RETURN_SCHEMA = pa.schema([
+    ("l_linenumber", pa.int64()),
+    ("n_lines", pa.int64()),
+    ("n_returned", pa.int64()),
+    ("returned_permille", pa.int64()),
+])
+
+
+def returns_by_line_position(sf_dir: str):
+    """Return share by LINE POSITION within the order (linenumber 1..n):
+    do later add-on lines come back more often than the anchor line? —
+    the positional bias slice `return_rate_by_month` (time) and
+    `returns_by_order_size` (breadth) can't see. Map-only flag fold,
+    ≤ max-linenumber cells; permille on exact integers."""
+    import numpy as np
+
+    from ..stages.agg import grouped_sums
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        r = pc.cast(pc.equal(batch["l_returnflag"], "R"), pa.int64())
+        return pa.table({
+            "l_linenumber": pc.cast(batch["l_linenumber"], pa.int64()),
+            "r": r,
+        })
+
+    g = grouped_sums(
+        read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_linenumber", "l_returnflag"]
+                           ).map_batches(_prep, batch_format="pyarrow"),
+        ["l_linenumber"], ["r"], count_as="n_lines")
+
+    def _share(t: pa.Table) -> pa.Table:
+        n = np.asarray(t["n_lines"], np.int64)
+        r = np.asarray(t["sum_r"], np.int64)
+        return pa.table({
+            "l_linenumber": t["l_linenumber"],
+            "n_lines": pa.array(n, pa.int64()),
+            "n_returned": pa.array(r, pa.int64()),
+            "returned_permille": pa.array(1000 * r // n, pa.int64()),
+        }).cast(LINEPOS_RETURN_SCHEMA)
+
+    return g.map_batches(_share, batch_format="pyarrow")
