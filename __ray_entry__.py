@@ -1196,6 +1196,9 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "order_cents_census": relational.order_cents_census,
         "returns_by_line_position":
             relational.returns_by_line_position,
+        "tool_share_by_position_decile":
+            transcriptops.tool_share_by_position_decile,
+        "embedding_norm_band_census": ann.embedding_norm_band_census,
         "user_session_count_histogram":
             eventops.user_session_count_histogram,
         "order_value_delta_histogram":
@@ -3969,6 +3972,40 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT role, coalesce(text, '') AS t
                   FROM read_parquet('{_turns}/*.parquet'))
             GROUP BY role
+        """,
+        "tool_share_by_position_decile": f"""
+            WITH t AS (
+              SELECT conv_id, turn_idx,
+                     CASE WHEN tool IS NOT NULL AND tool <> ''
+                          THEN 1 ELSE 0 END AS is_tool,
+                     count(*) OVER (PARTITION BY conv_id) AS n_conv
+              FROM read_parquet('{_turns}/*.parquet')),
+            d AS (
+              SELECT 10 * turn_idx // n_conv AS decile, is_tool
+              FROM t),
+            g AS (
+              SELECT CAST(decile AS BIGINT) AS decile,
+                     count(*) AS n_turns,
+                     CAST(sum(is_tool) AS BIGINT) AS n_tool_turns
+              FROM d GROUP BY 1)
+            SELECT decile, n_turns, n_tool_turns,
+                   1000 * n_tool_turns // n_turns AS tool_permille
+            FROM g
+        """,
+        "embedding_norm_band_census": """
+            WITH per AS (
+              SELECT label,
+                     (SELECT CAST(sum(e4 * e4) AS BIGINT) FROM (
+                        SELECT CAST(round(CAST(unnest(embedding)
+                                   AS DOUBLE) * 10000) AS BIGINT) AS e4
+                      )) AS ssq
+              FROM embeddings)
+            SELECT CAST(label AS BIGINT) AS label,
+                   CASE WHEN ssq < 25000000 THEN 'near_zero'
+                        WHEN ssq < 400000000 THEN 'normal'
+                        ELSE 'large' END AS band,
+                   count(*) AS n_vecs
+            FROM per GROUP BY 1, 2
         """,
         "order_cents_census": """
             SELECT CAST(round(o_totalprice * 100) AS BIGINT) % 100

@@ -1835,3 +1835,46 @@ def embedding_dim_sign_census(sf_dir: str):
             "n_zero": t["sum_n_zero"], "n_pos": t["sum_n_pos"],
             "sum_abs_e4": t["sum_sum_abs_e4"],
         }).cast(DIM_SIGN_SCHEMA), batch_format="pyarrow")
+
+
+NORM_BAND_SCHEMA = pa.schema([
+    ("label", pa.int64()),
+    ("band", pa.string()),
+    ("n_vecs", pa.int64()),
+])
+
+
+def embedding_norm_band_census(sf_dir: str):
+    """Degenerate-vector detector per label: vectors banded by their
+    EXACT e8 squared norm (Σ round(e·1e4)² — integers, so the band
+    edges land identically on both engines) into near_zero
+    (‖v‖ < 0.5), normal, and large (‖v‖ ≥ 2) — collapsed or exploded
+    embeddings poison cosine math silently, and per-label counts show
+    WHICH class's encoder run went bad. Map-only over the pruned scan
+    (one matmul-free numpy pass per block); ≤ labels × 3 cells fold."""
+    from ..sources.tables import read_parquet_clean
+    from ..stages.agg import grouped_sums
+
+    bands = np.array(["near_zero", "normal", "large"], dtype=object)
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        lst = batch["embedding"].combine_chunks()
+        n = len(lst)
+        dim = len(lst[0]) if n else 0
+        mat = np.asarray(lst.flatten(), np.float64).reshape(n, dim)
+        q = np.round(mat * 1e4)
+        ssq = (q * q).sum(axis=1).astype(np.int64)
+        band = np.where(ssq < 25_000_000, 0,
+                        np.where(ssq < 400_000_000, 1, 2))
+        return pa.table({
+            "label": pc.cast(batch["label"], pa.int64()),
+            "band": pa.array(bands[band], pa.string()),
+        })
+
+    g = grouped_sums(
+        read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                           columns=["label", "embedding"]).map_batches(
+            _prep, batch_format="pyarrow"),
+        ["label", "band"], [], count_as="n_vecs")
+    return g.map_batches(lambda t: t.cast(NORM_BAND_SCHEMA),
+                         batch_format="pyarrow")

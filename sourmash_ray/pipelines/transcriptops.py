@@ -3104,3 +3104,84 @@ def conv_verbosity_trend_census(sf_dir: str):
         lambda t: pa.table({"trend": t["trend"],
                             "n_convs": t["sum_n"]}).cast(
             VERBOSITY_TREND_SCHEMA), batch_format="pyarrow")
+
+
+TOOL_DECILE_SCHEMA = pa.schema([
+    ("decile", pa.int64()),
+    ("n_turns", pa.int64()),
+    ("n_tool_turns", pa.int64()),
+    ("tool_permille", pa.int64()),
+])
+
+
+def tool_share_by_position_decile(sf_dir: str):
+    """WHERE in a conversation tools fire: every turn lands in a
+    relative-position decile (10·turn_idx // conv_turns, exact integer
+    division so both engines bucket identically) and each decile
+    reports its tool-call permille — front-loaded tool use (retrieval
+    then prose) vs tail-loaded (write-up then verification) is the
+    product-level shape single-position histograms can't show. Conv
+    sizes come from one conv exchange; the decile fold is ≤ 10
+    cells."""
+    from ..config import resolve_num_partitions
+    from ..functions.segscore import _to_bytes_array, hash_strings64
+    from ..stages.agg import grouped_sums
+    from ..stages.exchange import exchange_map_groups
+
+    part_schema = pa.schema([
+        ("decile", pa.int64()), ("n", pa.int64()),
+        ("n_tool", pa.int64())])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        cid = batch["conv_id"].combine_chunks()
+        tool = pc.and_(pc.is_valid(batch["tool"]),
+                       pc.not_equal(pc.fill_null(batch["tool"], ""),
+                                    ""))
+        return pa.table({
+            "conv_id": cid,
+            "turn_idx": pc.cast(batch["turn_idx"], pa.int64()),
+            "is_tool": pc.cast(tool, pa.int64()),
+            "conv_part": pa.array(hash_strings64(cid) % 1024, pa.int64()),
+        })
+
+    def _deciles(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return part_schema.empty_table()
+        cid = _to_bytes_array(part["conv_id"].combine_chunks())
+        tix = np.asarray(part["turn_idx"], np.int64)
+        tl = np.asarray(part["is_tool"], np.int64)
+        order = np.argsort(cid, kind="stable")
+        c_s = cid[order]
+        starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
+        sizes = np.diff(np.r_[starts, len(c_s)])
+        n_per_row = np.repeat(sizes, sizes)
+        dec = 10 * tix[order] // n_per_row
+        key = dec * 2 + tl[order]
+        cnt = np.bincount(key, minlength=20)
+        n = cnt[0::2] + cnt[1::2]
+        keep = n > 0
+        return pa.table({
+            "decile": pa.array(np.arange(10, dtype=np.int64)[keep]),
+            "n": pa.array(n[keep].astype(np.int64), pa.int64()),
+            "n_tool": pa.array(cnt[1::2][keep].astype(np.int64),
+                               pa.int64()),
+        }).cast(part_schema)
+
+    keyed = _read_turns(sf_dir, ("conv_id", "turn_idx", "tool")
+                        ).map_batches(_prep, batch_format="pyarrow")
+    parts = exchange_map_groups(keyed, "conv_part",
+                                resolve_num_partitions(DEFAULT_CONFIG),
+                                _deciles, part_schema)
+    g = grouped_sums(parts, ["decile"], ["n", "n_tool"])
+
+    def _share(t: pa.Table) -> pa.Table:
+        n = np.asarray(t["sum_n"], np.int64)
+        tn = np.asarray(t["sum_n_tool"], np.int64)
+        return pa.table({
+            "decile": t["decile"],
+            "n_turns": pa.array(n, pa.int64()),
+            "n_tool_turns": pa.array(tn, pa.int64()),
+            "tool_permille": pa.array(1000 * tn // n, pa.int64()),
+        }).cast(TOOL_DECILE_SCHEMA)
+
+    return g.map_batches(_share, batch_format="pyarrow")
