@@ -1199,6 +1199,9 @@ def _query_registry() -> dict[str, Callable[[str], Any]]:
         "tool_share_by_position_decile":
             transcriptops.tool_share_by_position_decile,
         "embedding_norm_band_census": ann.embedding_norm_band_census,
+        "source_split_matrix": docops.source_split_matrix,
+        "tool_interval_histogram":
+            transcriptops.tool_interval_histogram,
         "user_session_count_histogram":
             eventops.user_session_count_histogram,
         "order_value_delta_histogram":
@@ -3972,6 +3975,34 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT role, coalesce(text, '') AS t
                   FROM read_parquet('{_turns}/*.parquet'))
             GROUP BY role
+        """,
+        "source_split_matrix": """
+            SELECT source, split, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+            FROM (SELECT source, n_chars,
+                         CASE WHEN b < 80 THEN 'train'
+                              WHEN b < 90 THEN 'valid'
+                              ELSE 'test' END AS split
+                  FROM (SELECT source, n_chars,
+                               CAST(concat('0x',
+                                    substr(md5(coalesce(text, '')),
+                                           1, 8))
+                                    AS UBIGINT) % 100 AS b
+                        FROM documents))
+            GROUP BY source, split
+        """,
+        "tool_interval_histogram": f"""
+            WITH t AS (SELECT conv_id, turn_idx
+                       FROM read_parquet('{_turns}/*.parquet')
+                       WHERE tool IS NOT NULL AND tool <> ''),
+            l AS (SELECT turn_idx
+                      - lag(turn_idx) OVER (PARTITION BY conv_id
+                                            ORDER BY turn_idx)
+                          AS interval
+                  FROM t)
+            SELECT CAST(interval AS BIGINT) AS interval,
+                   count(*) AS n_pairs
+            FROM l WHERE interval IS NOT NULL GROUP BY 1
         """,
         "tool_share_by_position_decile": f"""
             WITH t AS (

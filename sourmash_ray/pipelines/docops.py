@@ -4337,3 +4337,45 @@ def numeric_token_rate_by_lang(sf_dir: str):
         }).cast(NUMERIC_TOKEN_SCHEMA)
 
     return agg.map_batches(_final, batch_format="pyarrow")
+
+
+SOURCE_SPLIT_SCHEMA = pa.schema([
+    ("source", pa.string()),
+    ("split", pa.string()),
+    ("n_docs", pa.int64()),
+    ("sum_n_chars", pa.int64()),
+])
+
+
+def source_split_matrix(sf_dir: str):
+    """Stratification audit of the content-hash split over PROVENANCE:
+    source × {train,valid,test} doc counts + char mass under the exact
+    same md5-bucket assignment as `hash_split_docs` — a source whose
+    valid share drifts far from 10% means its texts collide in hash
+    space (near-duplicate mass), the one failure mode a deterministic
+    split can't hide anywhere else. Map-only; ≤ sources × 3 cells
+    fold."""
+    from ..stages.agg import grouped_sums
+
+    splits = np.array(["train", "valid", "test"])
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch["text"].combine_chunks(), "")
+        md5 = _md5_column(text)
+        b = _hex8_to_int(md5) % np.uint64(100)
+        idx = np.where(b < 80, 0, np.where(b < 90, 1, 2))
+        return pa.table({
+            "source": batch["source"],
+            "split": pa.array(splits[idx], pa.string()),
+            "n_chars": batch["n_chars"],
+        })
+
+    g = grouped_sums(
+        _read_docs(sf_dir, ("text", "source", "n_chars")).map_batches(
+            _assign, batch_format="pyarrow"),
+        ["source", "split"], ["n_chars"], count_as="n_docs")
+    return g.map_batches(
+        lambda t: pa.table({
+            "source": t["source"], "split": t["split"],
+            "n_docs": t["n_docs"], "sum_n_chars": t["sum_n_chars"],
+        }).cast(SOURCE_SPLIT_SCHEMA), batch_format="pyarrow")

@@ -3185,3 +3185,63 @@ def tool_share_by_position_decile(sf_dir: str):
         }).cast(TOOL_DECILE_SCHEMA)
 
     return g.map_batches(_share, batch_format="pyarrow")
+
+
+TOOL_INTERVAL_SCHEMA = pa.schema([
+    ("interval", pa.int64()),
+    ("n_pairs", pa.int64()),
+])
+
+
+def tool_interval_histogram(sf_dir: str):
+    """Cadence BETWEEN tool calls: for consecutive tool-calling turns
+    within a conversation, the turn-index gap (1 = back-to-back,
+    k = k−1 prose turns between), contracted to an (interval →
+    n_pairs) census — run-length ops see only the 1-gaps; this is the
+    full inter-arrival spectrum of tool use. One lexsort per conv
+    partition, adjacent diff within conv; ≤ max-depth cells fold."""
+    from ..config import resolve_num_partitions
+    from ..functions.segscore import _to_bytes_array, hash_strings64
+    from ..stages.agg import grouped_sums
+    from ..stages.exchange import exchange_map_groups
+
+    part_schema = pa.schema([("interval", pa.int64()),
+                             ("n", pa.int64())])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(batch["tool"]),
+                       pc.not_equal(batch["tool"], ""))
+        t = batch.filter(keep)
+        cid = t["conv_id"].combine_chunks()
+        return pa.table({
+            "conv_id": cid,
+            "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+            "conv_part": pa.array(hash_strings64(cid) % 1024, pa.int64()),
+        })
+
+    def _intervals(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return part_schema.empty_table()
+        cid = _to_bytes_array(part["conv_id"].combine_chunks())
+        tix = np.asarray(part["turn_idx"], np.int64)
+        order = np.lexsort((tix, cid))
+        c_s, t_s = cid[order], tix[order]
+        same = np.r_[False, c_s[1:] == c_s[:-1]]
+        gap = t_s - np.r_[np.int64(0), t_s[:-1]]
+        iv = gap[same]
+        vals, n = np.unique(iv, return_counts=True)
+        return pa.table({
+            "interval": pa.array(vals.astype(np.int64), pa.int64()),
+            "n": pa.array(n.astype(np.int64), pa.int64()),
+        }).cast(part_schema)
+
+    keyed = _read_turns(sf_dir, ("conv_id", "turn_idx", "tool")
+                        ).map_batches(_prep, batch_format="pyarrow")
+    parts = exchange_map_groups(keyed, "conv_part",
+                                resolve_num_partitions(DEFAULT_CONFIG),
+                                _intervals, part_schema)
+    g = grouped_sums(parts, ["interval"], ["n"])
+    return g.map_batches(
+        lambda t: pa.table({"interval": t["interval"],
+                            "n_pairs": t["sum_n"]}).cast(
+            TOOL_INTERVAL_SCHEMA), batch_format="pyarrow")
